@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.annotate.{Corpus, Expand, Filters, Scan, Scoring}
+import graft.dict.{AutomatonBuild, DictBuild}
+import graft.emit.Triples
+import graft.fixture.OntologyFixture
+import graft.graph.Closure
+import graft.io.{ParquetTableIO, TableIO}
+
+/** Flagship batch-annotate job — stage orchestration with per-stage
+  * checkpoints, per-partition lineage rows, and resume (SURVEY.md §4.3;
+  * north_rule: "resumable from checkpoint with per-partition lineage +
+  * metrics"). Each stage materializes to the work dir; a rerun skips stages
+  * whose `_SUCCESS` marker exists and reads the checkpoint instead.
+  *
+  * Stage → shuffle map (scale design, SURVEY.md §4.3):
+  *   dict     — ontology-side only, tiny; global window for term ids
+  *   corpus   — extraction is map-only; S2 range repartition = 1 shuffle
+  *   matches  — broadcast automaton + mapPartitions: ZERO shuffles
+  *   closure  — iterative broadcast joins, ontology-side only
+  *   triples  — A6 agg (shuffle on url,classIri — high-cardinality keys, no
+  *              hot key), expansion joins all broadcast, partitioned write
+  */
+object Pipeline {
+
+  case class Config(
+      sfDir: String,
+      workDir: String,
+      dictVersion: String = "v1",
+      runId: String = "run-0",
+      opts: AnnotateOptions = AnnotateOptions(),
+      scanPartitions: Int = 32)
+
+  /** Run (or resume) the full pipeline; returns the final triples DataFrame. */
+  def run(spark: SparkSession, cfg: Config): DataFrame = {
+    val io = new ParquetTableIO(cfg.workDir)
+
+    val dict = stage(spark, io, "dict", cfg) {
+      DictBuild.build(DictBuild.labelRows(OntologyFixture.conceptsDf(spark)))
+    }
+
+    val corpus = stage(spark, io, "corpus", cfg) {
+      Corpus.lengthBucketed(
+        Corpus.extract(Corpus.readDriverDocuments(spark, cfg.sfDir)),
+        cfg.scanPartitions)
+    }
+
+    val matches = stage(spark, io, "matches", cfg) {
+      val model = AutomatonBuild.build(spark, dict, cfg.dictVersion)
+      val bcast = AutomatonBuild.broadcastModel(spark, model)
+      Filters(
+        Scan.annotateDirect(corpus, bcast, cfg.opts.longestOnly).toDF(),
+        cfg.opts,
+        Some(OntologyFixture.conceptsDf(spark)
+          .select(col("class_iri"), explode(col("tuis")).as("tui"))))
+    }
+
+    val closure = stage(spark, io, "closure", cfg) {
+      Closure.transitiveClosure(OntologyFixture.edgesDf(spark), cfg.opts.hierarchyMaxLevel)
+    }
+
+    val triples = stage(spark, io, "triples", cfg) {
+      val direct = Scoring.directScores(matches)
+      val hier =
+        if (cfg.opts.expandHierarchy)
+          Expand.hierarchy(matches, closure, cfg.opts.hierarchyMaxLevel)
+        else spark.emptyDataFrame
+          .withColumn("url", lit(null).cast("string"))
+          .withColumn("ancestor", lit(null).cast("string"))
+          .withColumn("distance", lit(null).cast("int"))
+      val mapped =
+        if (cfg.opts.expandMappings)
+          Expand.mappings(matches, OntologyFixture.mappingsDf(spark))
+        else spark.emptyDataFrame
+          .withColumn("url", lit(null).cast("string"))
+          .withColumn("mapped_iri", lit(null).cast("string"))
+          .withColumn("kind", lit(null).cast("string"))
+      val assembled = Triples.assemble(direct, hier, mapped, cfg.dictVersion)
+        .filter(col("score") >= cfg.opts.scoreThreshold)
+      Triples.withPartDate(assembled, corpus)
+    }
+    triples
+  }
+
+  /** Execute a stage with checkpoint-or-resume + lineage emission. */
+  private def stage(spark: SparkSession, io: TableIO, name: String, cfg: Config)
+                   (compute: => DataFrame): DataFrame = {
+    if (io.exists(spark, name)) {
+      io.read(spark, name) // resume: skip recompute, no new lineage rows
+    } else {
+      val t0 = System.nanoTime()
+      val df = compute
+      val partitionCols =
+        if (name == "triples") Seq("part_date", "dict_version") else Nil
+      io.write(df, name, partitionCols)
+      val persisted = io.read(spark, name)
+      val wallMs = (System.nanoTime() - t0) / 1000000
+      emitLineage(spark, io, name, persisted, wallMs, cfg)
+      persisted
+    }
+  }
+
+  /** Per-partition lineage rows for a completed stage (output row counts per
+    * partition + stage wall time). At cluster scale this would come from
+    * task-level accumulators; a post-hoc count over the checkpoint keeps the
+    * local path simple and exact. */
+  private def emitLineage(spark: SparkSession, io: TableIO, stage: String,
+                          persisted: DataFrame, wallMs: Long, cfg: Config): Unit = {
+    import spark.implicits._
+    val counts = persisted
+      .groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("output_rows"))
+      .as[(Int, Long)].collect()
+    val rows = counts.map { case (pid, n) =>
+      Lineage(stage, pid, n, n, wallMs, cfg.dictVersion, cfg.runId)
+    }.toSeq
+    spark.createDataFrame(rows).write.mode("append")
+      .parquet(s"${cfg.workDir}/lineage")
+  }
+}
+
+object Main {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val workDir = if (args.length > 1) args(1) else "/tmp/graft-work"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-annotate")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val triples = Pipeline.run(spark, Pipeline.Config(sfDir, workDir))
+    println(s"triples: ${triples.count()}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,78 @@
+package graft.annotate
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{MatchType, Pred, Score}
+
+/** A7–A9 — hierarchy / mapping expansion + CUI canonicalization, all as
+  * broadcast equi-joins against small ontology-side tables (the reference's
+  * per-request Redis/triplestore lookups, batched — SURVEY.md §3.2).
+  * The match stream (big side) is never shuffled by these joins.
+  */
+object Expand {
+
+  /** A7: direct (url, classIri) × closure(child, ancestor, distance ≤ L)
+    * → (url, ancestor, distance) with min distance per (url, ancestor). */
+  def hierarchy(direct: DataFrame, closure: DataFrame, maxLevel: Int): DataFrame =
+    direct.select(col("url"), col("classIri")).distinct()
+      .join(broadcast(closure.filter(col("distance") <= maxLevel)),
+        col("classIri") === col("child"))
+      .groupBy(col("url"), col("ancestor"))
+      .agg(min(col("distance")).as("distance"))
+
+  /** A8: direct classes × mappings(class_iri, mapped_iri, kind). */
+  def mappings(direct: DataFrame, mappingsTable: DataFrame): DataFrame =
+    direct.select(col("url"), col("classIri")).distinct()
+      .join(broadcast(mappingsTable), col("classIri") === col("class_iri"))
+      .select(col("url"), col("mapped_iri"), col("kind"))
+      .distinct()
+
+  /** A9: deterministic CUI canonicalization — left join against the
+    * resolution table (class_iri, preferred_iri); unresolved classes
+    * canonicalize to themselves. */
+  def canonicalize(direct: DataFrame, resolution: DataFrame): DataFrame =
+    direct.select(col("url"), col("classIri")).distinct()
+      .join(broadcast(resolution.select(col("class_iri").as("r_class_iri"),
+        col("preferred_iri"))), col("classIri") === col("r_class_iri"), "left")
+      .select(col("url"), col("classIri"),
+        coalesce(col("preferred_iri"), col("classIri")).as("canon_iri"))
+}
+
+/** A10–A11 — reference-compatible scoring (`old` NCBO mode shape; constants
+  * in [[graft.Score]], ordering contract direct-pref > direct-syn > expanded
+  * enforced by construction). Pure column expressions → whole-stage codegen.
+  */
+object Scoring {
+
+  /** `old`-mode direct score per (url, classIri): Σ per-match weight,
+    * PREF=10, SYN=8. */
+  def directScores(matches: DataFrame): DataFrame =
+    matches.groupBy(col("url"), col("classIri"))
+      .agg(
+        sum(when(col("matchType") === MatchType.Pref, Score.PrefWeight)
+          .otherwise(Score.SynWeight)).as("score"),
+        count(lit(1)).as("n_matches"),
+        min(col("matchType")).as("match_type")) // PREF < SYN lexicographically
+
+  /** Annotator+ `cvalue`-style variant: per-match weight scaled by
+    * log2(term word count + 1) — multi-word terms score higher. Approximation
+    * of Melzi & Jonquet 2014 (exact constants unverifiable, SURVEY.md §0);
+    * preserves the direct>syn ordering per match. */
+  def cvalueScores(matches: DataFrame): DataFrame =
+    matches
+      .withColumn("words", size(split(col("text"), " ")))
+      .groupBy(col("url"), col("classIri"))
+      .agg(sum(
+        (when(col("matchType") === MatchType.Pref, Score.PrefWeight)
+          .otherwise(Score.SynWeight)) * log(2.0, col("words") + lit(1)))
+        .as("score"))
+
+  /** A11: threshold + per-doc score-desc rank. */
+  def thresholdAndRank(scored: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    scored.filter(col("score") >= threshold)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("url")).orderBy(col("score").desc, col("classIri"))))
+  }
+}

@@ -1,0 +1,273 @@
+package graft.dict
+
+import scala.collection.mutable
+
+/** Aho-Corasick dictionary automaton — the Spark-native replacement for the
+  * reference's external mgrep radix-tree server (SURVEY.md §3.1 D8, §3.2 A2).
+  *
+  * Semantics (mgrep-compatible contract, gated by the naive-matcher oracle and
+  * the DuckDB regex oracle):
+  *   - case-insensitive: input chars are uppercased on the fly
+  *     ([[Automaton.normChar]]); dictionary terms are stored pre-normalized
+  *     (see [[graft.dict.DictBuild.normalizeTerm]]). ASCII-safe contract —
+  *     documented limitation: locale multi-char uppercasings (ß→SS) are not
+  *     length-preserving and are out of contract.
+  *   - word boundaries at BOTH ends: a hit `[start, end]` is emitted only if
+  *     the neighbouring characters are non-word. Word char class is
+  *     `[A-Za-z0-9_]` — RE2/`\b` parity so the DuckDB oracle can re-derive
+  *     matches with `regexp_matches(upper(text), '\bTERM\b')`.
+  *   - all occurrences are emitted (reference default); `longestOnly` keeps,
+  *     per start offset, only the longest hit (SURVEY.md §3.2 A5 contract:
+  *     per (url, from) keep max `to`).
+  *   - offsets emitted 1-based inclusive in original text coordinates.
+  *
+  * Layout: int-indexed nodes, CSR child arrays + binary search, dense root
+  * dispatch table for ASCII. Java-serializable (primitive arrays) so the whole
+  * automaton broadcasts to executors; per-partition scan state is just an int.
+  */
+final class Automaton private[dict] (
+    val childStart: Array[Int], // CSR row pointers, length n+1
+    val childChar: Array[Char], // sorted per node
+    val childTo: Array[Int],
+    val rootNext: Array[Int], // dense ASCII dispatch for node 0, length 128
+    val fail: Array[Int],
+    val out: Array[Int], // nearest accepting node via fail chain, -1 = none
+    val termIdAt: Array[Int], // accepting termId per node, -1 = none
+    val depth: Array[Int] // node depth == matched-term length at that node
+) extends Serializable {
+
+  def numNodes: Int = fail.length
+
+  @inline private def child(s: Int, c: Char): Int = {
+    if (s == 0 && c < 128) return rootNext(c)
+    var lo = childStart(s)
+    var hi = childStart(s + 1) - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val mc = childChar(mid)
+      if (mc == c) return childTo(mid)
+      else if (mc < c) lo = mid + 1
+      else hi = mid - 1
+    }
+    -1
+  }
+
+  private[dict] def childViaCsr(s: Int, c: Char): Int = child(s, c)
+
+  /** All dictionary hits in `text` (see class doc for semantics). Hot path:
+    * no allocation beyond the result buffer; called once per document from
+    * `mapPartitions` (SURVEY.md §5 — deliberately NOT a Catalyst Expression,
+    * so per-partition automaton setup amortizes).
+    */
+  def scan(text: String, longestOnly: Boolean = false): mutable.ArrayBuffer[graft.RawHit] = {
+    val hits = new mutable.ArrayBuffer[graft.RawHit]()
+    val len = text.length
+    var state = 0
+    var pos = 0
+    while (pos < len) {
+      val c = Automaton.normChar(text.charAt(pos))
+      // follow fail links until a transition (or root)
+      var s = state
+      var nxt = child(s, c)
+      while (nxt < 0 && s != 0) { s = fail(s); nxt = child(s, c) }
+      state = if (nxt >= 0) nxt else 0
+      // emit all terms ending at pos via the output chain
+      var n = if (termIdAt(state) >= 0) state else out(state)
+      while (n >= 0) {
+        val start = pos - depth(n) + 1
+        val boundBefore = start == 0 || !Automaton.isWordChar(text.charAt(start - 1))
+        val boundAfter = pos == len - 1 || !Automaton.isWordChar(text.charAt(pos + 1))
+        if (boundBefore && boundAfter)
+          hits += graft.RawHit(start + 1, pos + 1, termIdAt(n)) // 1-based inclusive
+        n = out(n)
+      }
+      pos += 1
+    }
+    if (longestOnly) Automaton.longestPerStart(hits) else hits
+  }
+
+  /** Memory estimate in bytes (broadcast sizing; SURVEY.md §5 "Spill/memory"). */
+  def sizeEstimate: Long =
+    4L * (childStart.length + childTo.length + rootNext.length +
+      fail.length + out.length + termIdAt.length + depth.length) +
+      2L * childChar.length
+}
+
+object Automaton {
+
+  @inline def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
+
+  /** Per-char uppercase — keeps offsets in original coordinates (SURVEY.md
+    * §3.2 A1: "normalize chars on the fly so offsets stay in ORIGINAL text
+    * coordinates"). */
+  @inline def normChar(c: Char): Char =
+    if (c >= 'a' && c <= 'z') (c - 32).toChar else Character.toUpperCase(c)
+
+  /** A5 longest_only contract: per start offset keep only the max end. */
+  def longestPerStart(hits: mutable.ArrayBuffer[graft.RawHit]): mutable.ArrayBuffer[graft.RawHit] = {
+    if (hits.length <= 1) return hits
+    val maxEnd = new mutable.LongMap[Int]()
+    hits.foreach { h => if (maxEnd.getOrElse(h.from, -1) < h.to) maxEnd(h.from) = h.to }
+    hits.filter(h => maxEnd(h.from) == h.to)
+  }
+
+  /** Finalize a merged trie: BFS fail links + CSR freeze. Driver-side, once
+    * per dictionary version (SURVEY.md §3.3 S3: shard tries are merged via
+    * treeReduce, then finalized here and broadcast). */
+  def fromTrie(t: TrieBuilder): Automaton = {
+    val n = t.size
+    val childStart = new Array[Int](n + 1)
+    var totalChildren = 0
+    var i = 0
+    while (i < n) { totalChildren += t.children(i).size; i += 1 }
+    val childChar = new Array[Char](totalChildren)
+    val childTo = new Array[Int](totalChildren)
+    i = 0
+    var w = 0
+    while (i < n) {
+      childStart(i) = w
+      val sorted = t.children(i).toArray.sortBy(_._1)
+      var j = 0
+      while (j < sorted.length) {
+        childChar(w) = sorted(j)._1.toChar
+        childTo(w) = sorted(j)._2
+        w += 1; j += 1
+      }
+      i += 1
+    }
+    childStart(n) = w
+
+    val rootNext = Array.fill(128)(-1)
+    var k = childStart(0)
+    while (k < childStart(1)) {
+      if (childChar(k) < 128) rootNext(childChar(k)) = childTo(k)
+      k += 1
+    }
+
+    val fail = new Array[Int](n)
+    val out = Array.fill(n)(-1)
+    val depth = new Array[Int](n)
+    val termIdAt = new Array[Int](n)
+    i = 0
+    while (i < n) { termIdAt(i) = t.termIds(i); i += 1 }
+
+    // BFS over the frozen CSR
+    val queue = new mutable.ArrayDeque[Int]()
+    k = childStart(0)
+    while (k < childStart(1)) {
+      val c0 = childTo(k)
+      fail(c0) = 0; depth(c0) = 1
+      queue.append(c0)
+      k += 1
+    }
+    val auto = new Automaton(childStart, childChar, childTo, rootNext, fail, out, termIdAt, depth)
+    while (queue.nonEmpty) {
+      val u = queue.removeHead()
+      var e = childStart(u)
+      while (e < childStart(u + 1)) {
+        val c = childChar(e)
+        val v = childTo(e)
+        depth(v) = depth(u) + 1
+        // fail(v): deepest proper suffix state with a transition on c
+        var f = fail(u)
+        var fn = auto.childViaCsr(f, c)
+        while (fn < 0 && f != 0) { f = fail(f); fn = auto.childViaCsr(f, c) }
+        fail(v) = if (fn >= 0 && fn != v) fn else 0
+        out(v) = if (termIdAt(fail(v)) >= 0) fail(v) else out(fail(v))
+        queue.append(v)
+        e += 1
+      }
+    }
+    auto
+  }
+}
+
+/** Mutable, mergeable trie shard (SURVEY.md §3.3 S3): built per dictionary
+  * partition on executors from `(term, termId)` pairs, merged pairwise via
+  * `RDD.treeReduce` (the one sanctioned RDD use — SURVEY.md §5.4), finalized
+  * on the driver by [[Automaton.fromTrie]]. Term ids are assigned globally
+  * BEFORE sharding (DictBuild D6), so shard tries never conflict on ids.
+  */
+final class TrieBuilder extends Serializable {
+  // node 0 = root; LongMap key = char code
+  val children: mutable.ArrayBuffer[mutable.LongMap[Int]] =
+    mutable.ArrayBuffer(mutable.LongMap.empty[Int])
+  val termIds: mutable.ArrayBuffer[Int] = mutable.ArrayBuffer(-1)
+
+  def size: Int = children.length
+
+  private def childOrNew(node: Int, c: Long): Int = {
+    val m = children(node)
+    m.get(c) match {
+      case Some(x) => x
+      case None =>
+        val nn = children.length
+        children += mutable.LongMap.empty[Int]
+        termIds += -1
+        m.update(c, nn)
+        nn
+    }
+  }
+
+  def insert(term: String, termId: Int): TrieBuilder = {
+    var node = 0
+    var i = 0
+    while (i < term.length) {
+      node = childOrNew(node, term.charAt(i).toLong)
+      i += 1
+    }
+    if (termIds(node) < 0 || termId < termIds(node)) termIds(node) = termId
+    this
+  }
+
+  /** Structural graft of `other` into this; ties on accepting ids → min. */
+  def merge(other: TrieBuilder): TrieBuilder = {
+    val stack = mutable.ArrayDeque[(Int, Int)]((0, 0))
+    while (stack.nonEmpty) {
+      val (a, b) = stack.removeLast()
+      val tb = other.termIds(b)
+      if (tb >= 0 && (termIds(a) < 0 || tb < termIds(a))) termIds(a) = tb
+      other.children(b).foreach { case (c, bChild) =>
+        stack.append((childOrNew(a, c), bChild))
+      }
+    }
+    this
+  }
+}
+
+object TrieBuilder {
+  def of(pairs: Iterator[(String, Int)]): TrieBuilder = {
+    val t = new TrieBuilder
+    pairs.foreach { case (term, id) => t.insert(term, id) }
+    t
+  }
+}
+
+/** O(terms × text) scalar reference matcher — the in-repo oracle for the
+  * automaton's semantics (SURVEY.md §6.2). Shares the word-boundary and
+  * normalization contract with [[Automaton]] by construction.
+  */
+final class NaiveMatcher(terms: Array[(String, Int)]) extends Serializable {
+  def scan(text: String, longestOnly: Boolean = false): mutable.ArrayBuffer[graft.RawHit] = {
+    val up = new Array[Char](text.length)
+    var i = 0
+    while (i < text.length) { up(i) = Automaton.normChar(text.charAt(i)); i += 1 }
+    val upper = new String(up)
+    val hits = new mutable.ArrayBuffer[graft.RawHit]()
+    terms.foreach { case (term, id) =>
+      if (term.nonEmpty) {
+        var from = upper.indexOf(term, 0)
+        while (from >= 0) {
+          val end = from + term.length - 1
+          val bb = from == 0 || !Automaton.isWordChar(text.charAt(from - 1))
+          val ba = end == text.length - 1 || !Automaton.isWordChar(text.charAt(end + 1))
+          if (bb && ba) hits += graft.RawHit(from + 1, end + 1, id)
+          from = upper.indexOf(term, from + 1)
+        }
+      }
+    }
+    val sorted = mutable.ArrayBuffer.from(hits.sortBy(h => (h.to, h.from)))
+    if (longestOnly) Automaton.longestPerStart(sorted) else sorted
+  }
+}

@@ -1,0 +1,107 @@
+package graft.dict
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.DictPayload
+
+/** Dictionary / term-cache build — stages D2–D6 of SURVEY.md §3.1, as one
+  * declarative DataFrame chain (scan → explode → normalize → filter →
+  * hash-aggregate → window), replacing the reference's
+  * `create_term_cache_from_ontologies` + `generate_dictionary_file`
+  * Redis/TSV path with versioned tables.
+  */
+object DictBuild {
+
+  val MinTermSizeDefault = 3
+
+  /** D3 normalization: uppercase, trim, collapse internal whitespace.
+    * ASCII-safe contract (see [[Automaton]] class doc). */
+  def normalizeTerm(c: Column): Column = upper(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** D2: per concept emit (prefLabel, pref=true) + one row per synonym. */
+  def labelRows(concepts: DataFrame): DataFrame =
+    concepts
+      .select(col("class_iri"), col("ont"), col("pref_label").as("label"), lit(true).as("pref"))
+      .unionByName(
+        concepts.select(col("class_iri"), col("ont"),
+          explode(col("synonyms")).as("label"), lit(false).as("pref")))
+
+  /** D3–D6: normalize, filter, aggregate per term, assign dense term ids.
+    *
+    * Output: `(term string, entries array<struct<class_iri,ont,pref>>,
+    * term_id int)`. Ids are deterministic (`row_number` over term order) —
+    * NOT `monotonically_increasing_id`, which is nondeterministic across
+    * retries and would break resume/P-R reproducibility (SURVEY.md §3.1 D6).
+    * Scale note: the global window is a single-partition sort of the DISTINCT
+    * TERM SET only (≤10^8 short strings) — acceptable at dictionary scale;
+    * the corpus never flows through it.
+    */
+  def build(labelRows: DataFrame,
+            minTermSize: Int = MinTermSizeDefault,
+            excludeNumbers: Boolean = false): DataFrame = {
+    val numFilter: Column =
+      if (excludeNumbers) !col("term").rlike("^[0-9.,]+$") else lit(true)
+    labelRows
+      .select(normalizeTerm(col("label")).as("term"), col("class_iri"), col("ont"), col("pref"))
+      .filter(length(col("term")) >= minTermSize && numFilter)
+      .distinct()
+      .groupBy("term")
+      .agg(sort_array(collect_set(struct(col("class_iri"), col("ont"), col("pref")))).as("entries"))
+      .withColumn("term_id", row_number().over(Window.orderBy("term")))
+  }
+
+  /** Flat exploded dictionary `(term, term_id, class_iri, ont, pref)` — the
+    * join-friendly / TSV-debuggable view (reference `id\tTERM` file, D7). */
+  def flatDict(dict: DataFrame): DataFrame =
+    dict.select(col("term"), col("term_id"), explode(col("entries")).as("e"))
+      .select(col("term"), col("term_id"),
+        col("e.class_iri"), col("e.ont"), col("e.pref"))
+}
+
+/** The broadcastable annotator model: automaton + per-term payload + version
+  * (D8/D9). `version` implements the reference's blue/green dictionary swap
+  * as snapshot versioning (SURVEY.md §3.1 D9).
+  */
+case class AnnotatorModel(automaton: Automaton,
+                          payload: Array[Array[DictPayload]],
+                          version: String) extends Serializable
+
+object AutomatonBuild {
+
+  /** D8 + S3: distributed automaton build. Term-partitioned shards each build
+    * a [[TrieBuilder]]; shards merge pairwise via `treeReduce` (log-depth, so
+    * dictionaries beyond a single task's memory still combine); the driver
+    * finalizes fail links once and the result is broadcast. RDD use here is
+    * the sanctioned exception (SURVEY.md §5.4): `Dataset.reduce` would funnel
+    * every shard blob straight to the driver, `treeReduce` combines on
+    * executors first.
+    */
+  def build(spark: SparkSession, dict: DataFrame, version: String,
+            shards: Int = 8): AnnotatorModel = {
+    import spark.implicits._
+    val pairs = dict.select(col("term"), col("term_id")).as[(String, Int)]
+    val trie = pairs
+      .repartition(shards, col("term"))
+      .rdd
+      .mapPartitions(it => Iterator(TrieBuilder.of(it)))
+      .treeReduce((a, b) => a.merge(b))
+    val automaton = Automaton.fromTrie(trie)
+
+    val maxId = dict.agg(max("term_id")).head().getInt(0)
+    val payload = new Array[Array[DictPayload]](maxId + 1)
+    dict.select(col("term_id"), col("entries")).collect().foreach { r =>
+      val entries = r.getSeq[Row](1)
+        .map(e => DictPayload(e.getString(0), e.getString(1), e.getBoolean(2)))
+        .sortBy(p => (p.classIri, p.ont))
+        .toArray
+      payload(r.getInt(0)) = entries
+    }
+    AnnotatorModel(automaton, payload, version)
+  }
+
+  def broadcastModel(spark: SparkSession, model: AnnotatorModel): Broadcast[AnnotatorModel] =
+    spark.sparkContext.broadcast(model)
+}

@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data curation: exact (hash groupBy),
+  * n-gram Jaccard, MinHash+LSH, SimHash. Scale notes inline — the LSH paths
+  * exist precisely because the O(n²) exact paths don't survive 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical texts, keep the min doc_id as survivor.
+    * One hash-aggregate shuffle on the text hash; at scale, group on
+    * xxhash64(text) first so the shuffle keys are fixed-width. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  /** Token n-gram shingles of `text` as an array column (n consecutive
+    * whitespace tokens joined by a single space). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    transform(
+      sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(0))),
+      i => array_join(slice(toks, i, lit(n)), " "))
+  }
+
+  /** Distinct (doc_id, shingle) pairs, dropping shingles whose document
+    * frequency exceeds `maxDocFreq` — the standard rare-shingle optimization
+    * AND the skew guard: ubiquitous shingles would otherwise explode the
+    * self-join (hot-key skew, SURVEY.md §3.3 S1 rationale). */
+  def rareShingles(docs: DataFrame, n: Int, maxDocFreq: Int): DataFrame = {
+    val ds = docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
+      .distinct()
+    val keep = ds.groupBy("shingle").agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") <= maxDocFreq && col("df") >= 2)
+      .select("shingle")
+    ds.join(keep, Seq("shingle"), "left_semi")
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold).
+    * Shingle-inverted-index self-join — quadratic in per-shingle doc
+    * frequency, hence [[rareShingles]]. Jaccard uses full shingle-set sizes
+    * (computed before the rarity filter). Jaccard rounded to 4dp (cross-
+    * engine float contract). */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                   maxDocFreq: Int = 100): DataFrame = {
+    val sizes = docs.select(col("doc_id"),
+      size(array_distinct(shingles(col("text"), n))).as("n_shingles"))
+    val rs = rareShingles(docs, n, maxDocFreq)
+    val a = rs.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = rs.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_shingles").as("size_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_shingles").as("size_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(col("n_common") / (col("size_a") + col("size_b") - col("n_common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash signature columns: k independent permutations approximated by
+    * xxhash64 with distinct salts (codegen'd native function — no UDF). */
+  def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    val ds = docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
+    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    ds.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH near-dup candidates with exact-Jaccard rerank:
+    * shingle → k minhashes → bands of r → bucket-join on (band, bucket-hash)
+    * → candidate pairs → rerank. The scale path: cost is linear in corpus +
+    * bucket collisions, never all-pairs. */
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
+                      threshold: Double = 0.8, maxDocFreq: Int = 1000): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sigs = minhashSignatures(docs, n, k)
+    val bandRows = (0 until bands).map { b =>
+      val cols = (b * r until (b + 1) * r).map(i => col(s"mh_$i"))
+      sigs.select(col("doc_id"), lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+    }.reduce(_ unionByName _)
+    val l = bandRows.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+    val rr = bandRows.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
+    val candidates = l.join(rr, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // exact rerank restricted to candidates
+    val ds = docs.select(col("doc_id"), array_distinct(shingles(col("text"), n)).as("sh"))
+    candidates
+      .join(ds.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(ds.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 64-bit SimHash per doc: Σ over tokens of ±1 per bit of the token hash,
+    * sign → bit. Pure column expressions: per-bit balance via aggregate over
+    * the token array, then bits OR-ed together. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => (id, simhash64(text)) })
+      .toDF("doc_id", "simhash")
+  }
+
+  /** Scalar SimHash (shared by the Dataset op and tests). Token hash =
+    * fingerprint64 (deterministic, no JVM-hash dependence). */
+  def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    text.split(" ").foreach { tok =>
+      val h = TextOps.fingerprint64(tok)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** SimHash near-dup candidates: 4×16-bit band LSH (Hamming ≤ 3 guarantees
+    * ≥ 1 identical band by pigeonhole), then exact Hamming rerank. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs)
+    val bandRows = (0 until 4).map { b =>
+      sh.select(col("doc_id"), lit(b).as("band"),
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))
+    }.reduce(_ unionByName _)
+    val l = bandRows.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+    val r = bandRows.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
+    val cands = l.join(r, Seq("band", "bucket")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b")), Seq("doc_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Embedding cosine near-dup pairs (≥ threshold) via Similarity's LSH
+    * candidates — see [[Similarity.cosineDupPairs]]. */
+}

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding column
+  * (`array<float>` cast to double for deterministic math). Brute-force cosine
+  * top-k is the correctness baseline (oracle-checked vs DuckDB
+  * list_dot_product); random-hyperplane LSH bucketing is the scale path.
+  */
+object Similarity {
+
+  /** Elementwise dot product of two array<double> columns — `zip_with` +
+    * `aggregate`, sequential fold → deterministic summation order (required
+    * for the float-compare contract with the oracle). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  private def asDouble(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+
+  /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
+    * rank all other vectors by cosine. Broadcast the (small) query side; the
+    * big side streams map-only until the per-query top-k window. Cosine
+    * rounded to 4dp. At 100 TB this is the rerank stage only — candidate
+    * generation goes through [[lshBuckets]]. */
+  def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    val all = asDouble(embeddings)
+    val queries = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val scored = all.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("q_emb"), col("emb")), 4).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed, no RNG state):
+    * component j of plane p = hash-derived value in [-1, 1). */
+  def hyperplane(p: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { j =>
+      val h = TextOps.fingerprint64(s"plane:$p:$j")
+      (h.toDouble / Long.MaxValue.toDouble)
+    }
+
+  /** Random-hyperplane LSH bucket id per vector: sign bit per plane packed
+    * into an int. Same-bucket vectors are near-duplicate candidates; the
+    * expected candidate set shrinks 2^planes-fold vs all-pairs. */
+  def lshBuckets(embeddings: DataFrame, planes: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val all = asDouble(embeddings)
+    val dim = all.select(size(col("emb"))).head().getInt(0)
+    val hp: Array[Array[Double]] = Array.tabulate(planes)(p => hyperplane(p, dim))
+    val bc = spark.sparkContext.broadcast(hp)
+    all.select(col("vec_id").cast("long"), col("emb")).as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val planesArr = bc.value
+        it.map { case (id, emb) =>
+          var bucket = 0
+          var p = 0
+          while (p < planesArr.length) {
+            var s = 0.0
+            var j = 0
+            val pl = planesArr(p)
+            while (j < pl.length && j < emb.length) { s += pl(j) * emb(j); j += 1 }
+            if (s >= 0) bucket |= (1 << p)
+            p += 1
+          }
+          (id, bucket)
+        }
+      }.toDF("vec_id", "bucket")
+  }
+
+  /** LSH-bucketed ANN: bucket-join candidates, exact cosine rerank, top-k per
+    * query. Recall < 1 by construction (ANN); tests assert recall vs the
+    * brute-force baseline rather than equality. */
+  def lshTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3,
+              planes: Int = 6): DataFrame = {
+    val all = asDouble(embeddings)
+    val buckets = lshBuckets(embeddings, planes)
+    val withB = all.join(buckets, "vec_id")
+    val queries = withB.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("bucket"))
+    val cands = withB.join(broadcast(queries),
+        withB("bucket") === queries("bucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("q_emb"), col("emb")), 4).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** Embedding-cosine near-dup pairs (cos ≥ threshold, a < b): LSH candidate
+    * generation + exact rerank — the embedding leg of the dedup suite. */
+  def cosineDupPairs(embeddings: DataFrame, threshold: Double = 0.95,
+                     planes: Int = 6): DataFrame = {
+    val all = asDouble(embeddings)
+    val buckets = lshBuckets(embeddings, planes)
+    val withB = all.join(buckets, "vec_id")
+    val l = withB.select(col("vec_id").as("doc_a"), col("emb").as("emb_a"), col("bucket"))
+    val r = withB.select(col("vec_id").as("doc_b"), col("emb").as("emb_b"), col("bucket"))
+    l.join(r, Seq("bucket")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 4))
+      .filter(col("cos") >= threshold)
+      .select("doc_a", "doc_b", "cos")
+      .distinct()
+  }
+}

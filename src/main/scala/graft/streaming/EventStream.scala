@@ -1,0 +1,51 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface. The reference is strictly synchronous
+  * request/response (SURVEY.md §3.4 — no stream semantics to replicate), so
+  * this module demonstrates the engine's streaming-capable shape over the
+  * `events` table: watermarked windowed aggregation + custom keyed state via
+  * `mapGroupsWithState`. The annotate scan itself is a stateless flatMap and
+  * lifts to `readStream → mapPartitions → writeStream` unchanged.
+  */
+object EventStream {
+
+  /** Watermarked hourly windowed aggregation per event_type. Works on both a
+    * streaming and a batch DataFrame (same plan — Structured Streaming's
+    * unified semantics). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(avg(col("value")), 4).as("avg_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("avg_value"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state: running per-user totals via mapGroupsWithState
+    * (processing-time timeout; update mode). */
+  def userRunningTotals(events: Dataset[Event]): Dataset[UserAgg] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserAgg, UserAgg](GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(userId, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          it.foreach { e => n += 1; tot += e.value }
+          val next = UserAgg(userId, n, tot)
+          state.update(next)
+          next
+      }
+  }
+}
