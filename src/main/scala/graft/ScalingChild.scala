@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Child JVM for one scaling level (spawned by Bench under `taskset`): runs
+  * the annotate job over the materialized corpus at local[cores] — warmup +
+  * best of 2 — and prints `SCALING_SEC <s>` for the parent to parse. Being a
+  * separate CPU-pinned process is the point: see Bench.pinnedScalingSec. */
+object ScalingChild {
+  def main(args: Array[String]): Unit = {
+    val Array(corpusPath, coresStr) = args
+    val cores = coresStr.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Bench.scalingRun(spark, corpusPath) // warmup (JIT + page cache)
+    val best = (1 to 2).map(_ => Bench.scalingRun(spark, corpusPath)).min
+    println(f"SCALING_SEC $best%.4f")
+    spark.stop()
+  }
+}

