@@ -6,7 +6,7 @@ import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.annotate.{Corpus, Expand, Scan, Scoring}
+import graft.annotate.{Corpus, Expand, Filters, Scan, Scoring}
 import graft.dict.{AnnotatorModel, AutomatonBuild, DictBuild}
 import graft.emit.Triples
 import graft.fixture.OntologyFixture
@@ -139,6 +139,52 @@ object SparkEntry {
       matches(s, dir).groupBy("class_iri")
         .agg(countDistinct(col("url")).as("doc_freq"),
           count(lit(1)).as("n_matches"))),
+
+    // S1 explicit salted two-phase aggregation: url-hash salt splits hot
+    // concept keys across 16 partial groups, then merges. Same result as
+    // ann_stats (same oracle), different physical plan — the skew technique.
+    "ann_stats_salted" -> ((s, dir) => {
+      val salted = matches(s, dir)
+        .withColumn("salt", pmod(xxhash64(col("url")), lit(16)))
+      // url → salt is a function, so per-salt distinct-url counts add up
+      val partial = salted.groupBy("class_iri", "salt")
+        .agg(countDistinct(col("url")).as("pd"), count(lit(1)).as("pm"))
+      partial.groupBy("class_iri")
+        .agg(sum(col("pd")).as("doc_freq"), sum(col("pm")).as("n_matches"))
+    }),
+
+    // A4: ontologies whitelist
+    "ann_filter_ont" -> ((s, dir) =>
+      Filters(matches(s, dir).withColumnRenamed("class_iri", "classIri")
+          .withColumnRenamed("match_type", "matchType"),
+          AnnotateOptions(ontologies = Seq("ONT2")))
+        .select(col("url"), col("classIri").as("class_iri"), col("ont")).distinct()),
+
+    // A4: semantic-type filter (broadcast left-semi join)
+    "ann_filter_semtype" -> ((s, dir) =>
+      Filters(matches(s, dir).withColumnRenamed("class_iri", "classIri")
+          .withColumnRenamed("match_type", "matchType"),
+          AnnotateOptions(semanticTypes = Seq("T050", "T051", "T052")),
+          Some(OntologyFixture.conceptsDf(s)
+            .select(col("class_iri"), explode(col("tuis")).as("tui"))))
+        .select(col("url"), col("classIri").as("class_iri")).distinct()),
+
+    // A4: exclude_synonyms
+    "ann_nosyn" -> ((s, dir) =>
+      Filters(matches(s, dir).withColumnRenamed("class_iri", "classIri")
+          .withColumnRenamed("match_type", "matchType"),
+          AnnotateOptions(excludeSynonyms = true))
+        .select(col("url"), col("classIri").as("class_iri"),
+          col("matchType").as("match_type")).distinct()),
+
+    // A11: score threshold + per-doc rank
+    "ann_rank" -> ((s, dir) =>
+      Scoring.thresholdAndRank(
+        Scoring.directScores(
+          matches(s, dir).withColumnRenamed("class_iri", "classIri")
+            .withColumnRenamed("match_type", "matchType")), 16.0)
+        .select(col("url"), col("classIri").as("class_iri"),
+          col("score"), col("rank"))),
 
     // D2–D6: dictionary build
     "dict_terms" -> ((s, dir) =>
@@ -322,6 +368,39 @@ object SparkEntry {
           SELECT class_iri, CAST(COUNT(DISTINCT url) AS BIGINT) AS doc_freq,
                  CAST(SUM(cnt) AS BIGINT) AS n_matches
           FROM cnts WHERE cnt > 0 GROUP BY class_iri""",
+
+    // salted two-phase agg must produce the exact same result
+    "ann_stats_salted" ->
+      s"""WITH $dictCte, $cntsCte
+          SELECT class_iri, CAST(COUNT(DISTINCT url) AS BIGINT) AS doc_freq,
+                 CAST(SUM(cnt) AS BIGINT) AS n_matches
+          FROM cnts WHERE cnt > 0 GROUP BY class_iri""",
+
+    "ann_filter_ont" ->
+      s"""WITH $dictCte, $directCte
+          SELECT DISTINCT url, class_iri, ont FROM direct WHERE ont = 'ONT2'""",
+
+    "ann_filter_semtype" ->
+      s"""WITH $dictCte, $directCte,
+          semtypes(class_iri, tui) AS (SELECT * FROM (VALUES ${OntologyFixture.tuisValues}) v(a,b))
+          SELECT DISTINCT d.url, d.class_iri FROM direct d
+          WHERE EXISTS (SELECT 1 FROM semtypes s WHERE s.class_iri = d.class_iri
+                        AND s.tui IN ('T050', 'T051', 'T052'))""",
+
+    "ann_nosyn" ->
+      s"""WITH $dictCte, $directCte
+          SELECT DISTINCT url, class_iri, match_type FROM direct
+          WHERE match_type <> 'SYN'""",
+
+    "ann_rank" ->
+      s"""WITH $dictCte, $cntsCte,
+          scored AS (SELECT url, class_iri,
+                       SUM(cnt * CASE WHEN pref THEN 10.0 ELSE 8.0 END) AS score
+                     FROM cnts WHERE cnt > 0 GROUP BY url, class_iri)
+          SELECT url, class_iri, score, CAST(rank AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY url
+              ORDER BY score DESC, class_iri) AS rank
+            FROM scored WHERE score >= 16.0)""",
 
     "dict_terms" ->
       s"""WITH raw(class_iri, ont, label, pref) AS (

@@ -164,6 +164,10 @@ object OntologyFixture {
     dictRows().map(t => s"(${q(t.term)}, ${q(t.classIri)}, ${q(t.ont)}, ${t.pref})")
       .mkString(", ")
 
+  /** `(class_iri, tui)` exploded semantic-type VALUES rows. */
+  def tuisValues: String =
+    concepts.flatMap(c => c.tuis.map(t => s"(${q(c.classIri)}, ${q(t)})")).mkString(", ")
+
   def edgesValues: String =
     edges.map(e => s"(${q(e.childIri)}, ${q(e.parentIri)})").mkString(", ")
 

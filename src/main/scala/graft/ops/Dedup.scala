@@ -86,10 +86,16 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val sigs = minhashSignatures(docs, n, k)
-    val bandRows = (0 until bands).map { b =>
+    // ONE signature aggregation, exploded into band rows — a per-band
+    // union would recompute the shingle+minhash aggregation `bands` times
+    // (verified in the physical plan: 4 redundant exchanges)
+    val bandStructs = (0 until bands).map { b =>
       val cols = (b * r until (b + 1) * r).map(i => col(s"mh_$i"))
-      sigs.select(col("doc_id"), lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
-    }.reduce(_ unionByName _)
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+    }
+    val bandRows = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val l = bandRows.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
     val rr = bandRows.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
     val candidates = l.join(rr, Seq("band", "bucket"))
@@ -140,10 +146,14 @@ object Dedup {
     * ≥ 1 identical band by pigeonhole), then exact Hamming rerank. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sh = simhash(docs)
-    val bandRows = (0 until 4).map { b =>
-      sh.select(col("doc_id"), lit(b).as("band"),
+    // single pass + band explode (same rationale as minhashLshPairs)
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))
-    }.reduce(_ unionByName _)
+    }
+    val bandRows = sh
+      .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val l = bandRows.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
     val r = bandRows.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
     val cands = l.join(r, Seq("band", "bucket")).filter(col("doc_a") < col("doc_b"))

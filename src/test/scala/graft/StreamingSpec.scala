@@ -56,6 +56,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming annotate: fused scan lifts to readStream unchanged") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.annotate.FusedAnnotate
+    import graft.dict.{AutomatonBuild, DictBuild}
+    import graft.fixture.OntologyFixture
+    import graft.graph.Closure
+
+    val dict = DictBuild.build(DictBuild.labelRows(OntologyFixture.conceptsDf(spark)))
+    val model = AutomatonBuild.broadcastModel(spark, AutomatonBuild.build(spark, dict, "v1"))
+    val closure = Closure.transitiveClosure(OntologyFixture.edgesDf(spark), 5)
+    val maps = spark.sparkContext.broadcast(
+      FusedAnnotate.expansionMaps(closure, OntologyFixture.mappingsDf(spark), 5))
+
+    val input = MemoryStream[(String, String)]
+    val docs = input.toDF().toDF("url", "text")
+    val query = FusedAnnotate.annotateTriples(docs, model, maps, "v1").writeStream
+      .format("memory").queryName("stream_triples").outputMode("append").start()
+    try {
+      input.addData(("doc://s1", "the hash join beats a merge sort"))
+      query.processAllAvailable()
+      input.addData(("doc://s2", "table scan and spark"))
+      query.processAllAvailable()
+      val got = spark.table("stream_triples")
+        .select("subj", "pred", "obj")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      val expected = graft.oracle.ReferenceOracle.goldenTriples(Seq(
+        ("doc://s1", "the hash join beats a merge sort"),
+        ("doc://s2", "table scan and spark")))
+      assert(got === expected)
+      assert(got.nonEmpty)
+    } finally query.stop()
+  }
+
   test("batch/stream plan parity: hourlyCounts works unchanged on a batch DF") {
     val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val out = EventStream.hourlyCounts(batch)

@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.dict.{DictBuild, DictVersioning}
+import graft.fixture.OntologyFixture
+
+/** D7 TSV sink + D9 blue/green dictionary version swap. */
+class VersioningAndSinkSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def dict = DictBuild.build(DictBuild.labelRows(OntologyFixture.conceptsDf(spark)))
+
+  test("blue/green snapshot swap: activation is atomic, readers see whole versions") {
+    val base = Files.createTempDirectory("graft-dictver").toString
+    DictVersioning.writeSnapshot(dict, base, "v1")
+    DictVersioning.activate(base, "v1")
+    assert(DictVersioning.currentVersion(base) === Some("v1"))
+    val v1Count = DictVersioning.readCurrent(spark, base).count()
+    assert(v1Count === dict.count())
+
+    // rebuild with a different filter → v2 snapshot; v1 stays readable until flip
+    val dict2 = DictBuild.build(
+      DictBuild.labelRows(OntologyFixture.conceptsDf(spark)), minTermSize = 4)
+    DictVersioning.writeSnapshot(dict2, base, "v2")
+    assert(DictVersioning.currentVersion(base) === Some("v1")) // not flipped yet
+    DictVersioning.activate(base, "v2")
+    assert(DictVersioning.currentVersion(base) === Some("v2"))
+    val v2Count = DictVersioning.readCurrent(spark, base).count()
+    assert(v2Count < v1Count) // stricter min_term_size drops 3-char terms
+  }
+
+  test("D7 TSV sink: id<TAB>TERM lines, mgrep dictionary format") {
+    val out = Files.createTempDirectory("graft-tsv").toString + "/dict_tsv"
+    DictVersioning.writeTsv(dict, out)
+    val lines = spark.read.text(out).collect().map(_.getString(0))
+    assert(lines.length === dict.count())
+    val parsed = lines.map { l =>
+      val Array(id, term) = l.split("\t", 2)
+      (id.toInt, term)
+    }
+    // ids dense 1..N ordered by term
+    assert(parsed.map(_._1).sorted.toSeq === (1 to parsed.length))
+    val byId = parsed.sortBy(_._1).map(_._2)
+    assert(byId.toSeq === byId.sorted.toSeq)
+    assert(byId.contains("MERGE SORT"))
+  }
+}
