@@ -34,6 +34,13 @@ object SparkEntry {
 
   private val modelCache = new ConcurrentHashMap[SparkSession, Broadcast[AnnotatorModel]]()
   private val closureCache = new ConcurrentHashMap[SparkSession, DataFrame]()
+  private val mapsCache =
+    new ConcurrentHashMap[SparkSession, Broadcast[graft.annotate.FusedAnnotate.ExpansionMaps]]()
+
+  private def fusedMaps(s: SparkSession): Broadcast[graft.annotate.FusedAnnotate.ExpansionMaps] =
+    mapsCache.computeIfAbsent(s, s => s.sparkContext.broadcast(
+      graft.annotate.FusedAnnotate.expansionMaps(
+        closure(s), OntologyFixture.mappingsDf(s), MaxLevel)))
 
   private def model(s: SparkSession): Broadcast[AnnotatorModel] =
     modelCache.computeIfAbsent(s, s => {
@@ -112,19 +119,14 @@ object SparkEntry {
         OntologyFixture.classResolutionDf(s))
         .select(col("url"), col("classIri").as("class_iri"), col("canon_iri"))),
 
-    // A12: the P/R-gate-shaped query — full (subj, pred, obj) triple set
-    "ann_triples" -> ((s, dir) => {
-      val m = matches(s, dir).withColumnRenamed("class_iri", "classIri")
-      val direct = m.select(col("url").as("subj"), lit(Pred.Direct).as("pred"),
-        col("classIri").as("obj")).distinct()
-      val hier = Expand.hierarchy(m, closure(s), MaxLevel)
-        .select(col("url").as("subj"), lit(Pred.Expanded).as("pred"),
-          col("ancestor").as("obj"))
-      val mapped = Expand.mappings(m, OntologyFixture.mappingsDf(s))
-        .select(col("url").as("subj"), lit(Pred.Mapped).as("pred"),
-          col("mapped_iri").as("obj")).distinct()
-      direct.unionByName(hier).unionByName(mapped)
-    }),
+    // A12: the P/R-gate-shaped query — full (subj, pred, obj) triple set,
+    // via the FUSED zero-shuffle path (so the DuckDB oracle checks the scale
+    // path directly; the Catalyst-join legs are oracle-checked separately by
+    // ann_direct / ann_hier / ann_mapped)
+    "ann_triples" -> ((s, dir) =>
+      graft.annotate.FusedAnnotate
+        .annotateTriples(corpus(s, dir), model(s), fusedMaps(s), "v1")
+        .toDF().select("subj", "pred", "obj")),
 
     // A10: 'old'-mode scoring per (doc, concept)
     "ann_score" -> ((s, dir) =>

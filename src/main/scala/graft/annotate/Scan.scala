@@ -121,30 +121,42 @@ object FusedAnnotate {
     ExpansionMaps(cl, mp)
   }
 
-  /** Corpus → complete triple set (direct + expanded + mapped), map-only. */
+  /** Corpus → complete triple set (direct + expanded + mapped), map-only.
+    * Honors the full reference request-option surface (A4/A5/A10/A11):
+    * ontologies whitelist, semantic-type class filter (pass the allowed
+    * class set via `semanticTypeClasses`), exclude_synonyms, longest_only,
+    * hierarchy level cap, expansion toggles, score threshold. */
   def annotateTriples(extracted: DataFrame,
                       model: Broadcast[AnnotatorModel],
                       maps: Broadcast[ExpansionMaps],
                       dictVersion: String,
-                      longestOnly: Boolean = false): Dataset[graft.Triple] = {
+                      opts: AnnotateOptions = AnnotateOptions(),
+                      semanticTypeClasses: Option[Broadcast[Set[String]]] = None): Dataset[graft.Triple] = {
     val spark = extracted.sparkSession
     import spark.implicits._
+    val ontWhitelist: Set[String] = opts.ontologies.toSet
     extracted.select(col("url"), col("text")).as[(String, String)]
       .mapPartitions { it =>
         val m = model.value
         val automaton = m.automaton
         val payload = m.payload
         val exp = maps.value
+        val allowedClasses = semanticTypeClasses.map(_.value)
         it.flatMap { case (url, text) =>
           // per-doc direct fold: classIri -> (bestType, score)
           val direct = new scala.collection.mutable.HashMap[String, (String, Double)]()
-          automaton.scan(text, longestOnly).foreach { h =>
+          automaton.scan(text, opts.longestOnly).foreach { h =>
             payload(h.termId).foreach { p =>
-              val mt = if (p.pref) MatchType.Pref else MatchType.Syn
-              val w = if (p.pref) graft.Score.PrefWeight else graft.Score.SynWeight
-              direct.get(p.classIri) match {
-                case Some((t, s)) => direct(p.classIri) = (if (mt < t) mt else t, s + w)
-                case None => direct(p.classIri) = (mt, w)
+              val keep = (ontWhitelist.isEmpty || ontWhitelist.contains(p.ont)) &&
+                (!opts.excludeSynonyms || p.pref) &&
+                allowedClasses.forall(_.contains(p.classIri))
+              if (keep) {
+                val mt = if (p.pref) MatchType.Pref else MatchType.Syn
+                val w = if (p.pref) graft.Score.PrefWeight else graft.Score.SynWeight
+                direct.get(p.classIri) match {
+                  case Some((t, s)) => direct(p.classIri) = (if (mt < t) mt else t, s + w)
+                  case None => direct(p.classIri) = (mt, w)
+                }
               }
             }
           }
@@ -153,23 +165,29 @@ object FusedAnnotate {
             val ancestors = new scala.collection.mutable.HashMap[String, Int]()
             val mapped = new scala.collection.mutable.HashSet[String]()
             direct.keysIterator.foreach { c =>
-              exp.closure.getOrElse(c, Array.empty).foreach { case (a, d) =>
-                if (ancestors.getOrElse(a, Int.MaxValue) > d) ancestors(a) = d
-              }
-              exp.mappings.getOrElse(c, Array.empty).foreach(mapped += _)
+              if (opts.expandHierarchy)
+                exp.closure.getOrElse(c, Array.empty).foreach { case (a, d) =>
+                  if (d <= opts.hierarchyMaxLevel &&
+                      ancestors.getOrElse(a, Int.MaxValue) > d) ancestors(a) = d
+                }
+              if (opts.expandMappings)
+                exp.mappings.getOrElse(c, Array.empty).foreach(mapped += _)
             }
             val out = new scala.collection.mutable.ArrayBuffer[graft.Triple](
               direct.size + ancestors.size + mapped.size)
             direct.foreach { case (c, (t, s)) =>
-              out += graft.Triple(url, Pred.Direct, c, t, 0, s, dictVersion)
+              if (s >= opts.scoreThreshold)
+                out += graft.Triple(url, Pred.Direct, c, t, 0, s, dictVersion)
             }
             ancestors.foreach { case (a, d) =>
-              out += graft.Triple(url, Pred.Expanded, a, MatchType.Hier, d,
-                graft.Score.hierWeight(d), dictVersion)
+              val s = graft.Score.hierWeight(d)
+              if (s >= opts.scoreThreshold)
+                out += graft.Triple(url, Pred.Expanded, a, MatchType.Hier, d, s, dictVersion)
             }
             mapped.foreach { mi =>
-              out += graft.Triple(url, Pred.Mapped, mi, MatchType.Map, 1,
-                graft.Score.MapWeight, dictVersion)
+              if (graft.Score.MapWeight >= opts.scoreThreshold)
+                out += graft.Triple(url, Pred.Mapped, mi, MatchType.Map, 1,
+                  graft.Score.MapWeight, dictVersion)
             }
             out.iterator
           }

@@ -62,9 +62,19 @@ object TextOps {
 
   /** 64-bit rolling polynomial fingerprint (base 131, natural Long overflow)
     * — deterministic content hash for change-detection/dedup prefiltering.
-    * Typed map (hash not expressible as a stock SQL function); covered by
-    * unit tests rather than the SQL oracle. */
+    * Uses the native codegen'd Catalyst expression
+    * [[graft.functions.Fingerprint64]] (whole-stage codegen, no object-mode
+    * island); [[fingerprintTyped]] is the mapPartitions formulation kept for
+    * cross-checking. Not SQL-oracle-checkable (custom hash) — covered by the
+    * scalar parity tests instead. */
   def fingerprint(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+      expr("fingerprint64(text)").as("fingerprint"))
+  }
+
+  /** Typed-map formulation of [[fingerprint]] (parity reference). */
+  def fingerprintTyped(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]

@@ -79,6 +79,24 @@ class OpsSpec extends AnyFunSuite {
     assert(TextOps.fingerprint64("hash join") !== TextOps.fingerprint64("hash joins"))
   }
 
+  test("codegen Fingerprint64 expression == typed mapPartitions == scalar") {
+    val exprFp = TextOps.fingerprint(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val typedFp = TextOps.fingerprintTyped(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exprFp === typedFp)
+    // scalar spot check through the SQL surface (incl. unicode + null)
+    graft.functions.GraftFunctions.register(spark)
+    val row = spark.sql(
+      "SELECT fingerprint64('hash join'), fingerprint64('键值'), fingerprint64(NULL)").head()
+    assert(row.getLong(0) === TextOps.fingerprint64("hash join"))
+    assert(row.getLong(1) === TextOps.fingerprint64("键值"))
+    assert(row.isNullAt(2))
+    // the expression path must stay inside codegen: no object-mode operators
+    val plan = TextOps.fingerprint(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject"), plan)
+  }
+
   test("quality score bounded in [0,1]") {
     val q = TextOps.qualityScore(docs).agg(min("quality"), max("quality")).head()
     assert(q.getDouble(0) >= 0.0 && q.getDouble(1) <= 1.0)
