@@ -31,15 +31,21 @@ object Scan {
         val m = model.value
         val automaton = m.automaton
         val payload = m.payload
+        val buf = new graft.dict.HitBuffer() // reused across the partition
         it.flatMap { case (url, text) =>
-          automaton.scan(text, longestOnly).iterator.flatMap { h =>
-            val entries = payload(h.termId)
-            val matched = text.substring(h.from - 1, h.to) // offsets 1-based inclusive
-            entries.iterator.map { p =>
-              Match(url, h.from, h.to, matched, p.classIri, p.ont,
+          automaton.scanInto(text, buf, longestOnly)
+          val out = new scala.collection.mutable.ArrayBuffer[Match](buf.size)
+          var i = 0
+          while (i < buf.size) {
+            val from = buf.from(i); val to = buf.to(i)
+            val matched = text.substring(from - 1, to) // offsets 1-based inclusive
+            payload(buf.termId(i)).foreach { p =>
+              out += Match(url, from, to, matched, p.classIri, p.ont,
                 if (p.pref) MatchType.Pref else MatchType.Syn)
             }
+            i += 1
           }
+          out
         }
       }
   }
@@ -70,11 +76,14 @@ object ScanAgg {
         val m = model.value
         val automaton = m.automaton
         val payload = m.payload
+        val buf = new graft.dict.HitBuffer()
         it.flatMap { case (url, text) =>
           // per-doc fold: classIri -> (ont, bestType, n, score)
           val acc = new scala.collection.mutable.HashMap[String, (String, String, Long, Double)]()
-          automaton.scan(text, longestOnly).foreach { h =>
-            payload(h.termId).foreach { p =>
+          automaton.scanInto(text, buf, longestOnly)
+          var i = 0
+          while (i < buf.size) {
+            payload(buf.termId(i)).foreach { p =>
               val mt = if (p.pref) MatchType.Pref else MatchType.Syn
               val w = if (p.pref) graft.Score.PrefWeight else graft.Score.SynWeight
               acc.get(p.classIri) match {
@@ -84,6 +93,7 @@ object ScanAgg {
                   acc(p.classIri) = (p.ont, mt, 1L, w)
               }
             }
+            i += 1
           }
           acc.iterator.map { case (ci, (ont, t, n, s)) => DirectAgg(url, ci, ont, t, n, s) }
         }
@@ -142,11 +152,14 @@ object FusedAnnotate {
         val payload = m.payload
         val exp = maps.value
         val allowedClasses = semanticTypeClasses.map(_.value)
+        val buf = new graft.dict.HitBuffer()
         it.flatMap { case (url, text) =>
           // per-doc direct fold: classIri -> (bestType, score)
           val direct = new scala.collection.mutable.HashMap[String, (String, Double)]()
-          automaton.scan(text, opts.longestOnly).foreach { h =>
-            payload(h.termId).foreach { p =>
+          automaton.scanInto(text, buf, opts.longestOnly)
+          var hi = 0
+          while (hi < buf.size) {
+            payload(buf.termId(hi)).foreach { p =>
               val keep = (ontWhitelist.isEmpty || ontWhitelist.contains(p.ont)) &&
                 (!opts.excludeSynonyms || p.pref) &&
                 allowedClasses.forall(_.contains(p.classIri))
@@ -159,6 +172,7 @@ object FusedAnnotate {
                 }
               }
             }
+            hi += 1
           }
           if (direct.isEmpty) Iterator.empty
           else {
