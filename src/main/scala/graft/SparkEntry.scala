@@ -226,6 +226,30 @@ object SparkEntry {
         .select("o_custkey", "o_orderkey", "rank")
     }),
 
+    // grouping sets: rollup subtotals over the agg keys
+    "q_rollup" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))),
+
+    // gap-based sessionization: lag + windowed cumulative sum + per-session agg
+    "q_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      s.read.parquet(s"$dir/events.parquet")
+        // ts is TIMESTAMP_NTZ → go via TIMESTAMP (session TZ pinned to UTC)
+        .withColumn("gap_s",
+          col("ts").cast("timestamp").cast("long")
+            - lag(col("ts"), 1).over(w).cast("timestamp").cast("long"))
+        .withColumn("new_session",
+          when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"))
+    }),
+
     // set operation: customers with both fulfilled and open orders
     "q_setops" -> ((s, dir) => {
       val o = s.read.parquet(s"$dir/orders.parquet")
@@ -266,6 +290,9 @@ object SparkEntry {
 
     "sim_lsh" -> ((s, dir) =>
       Similarity.lshTopK(s.read.parquet(s"$dir/embeddings.parquet"), nQueries = 10, k = 3)),
+
+    "sim_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"), nQueries = 10, k = 3)),
 
     "sim_dup_pairs" -> ((s, dir) =>
       Similarity.cosineDupPairs(s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.3)),
@@ -444,6 +471,27 @@ object SparkEntry {
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
          INTERSECT
          SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM g)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                COUNT(*) AS n_events, MIN(ts) AS session_start
+         FROM s GROUP BY user_id, session_id""",
 
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -100,6 +100,37 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** IVF-style ANN: deterministic coarse quantizer (centroids = the first
+    * `nCentroids` vectors — a stand-in for k-means, which would be an
+    * offline job at scale), every vector assigned to its nearest centroid
+    * (inverted list), queries probe only their own list + exact rerank.
+    * Complements [[lshTopK]]: IVF partitions by data geometry, LSH by random
+    * projections. Recall measured vs brute force in tests. */
+  def ivfTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3,
+              nCentroids: Int = 8): DataFrame = {
+    val all = asDouble(embeddings)
+    val centroids = all.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = all.join(broadcast(centroids))
+      .withColumn("c_cos", cosine(col("emb"), col("c_emb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("emb"), col("c_id").as("bucket"))
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("bucket"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    assigned.join(broadcast(queries),
+        assigned("bucket") === queries("bucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("q_emb"), col("emb")), 4).as("cos"))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** Embedding-cosine near-dup pairs (cos ≥ threshold, a < b): LSH candidate
     * generation + exact rerank — the embedding leg of the dedup suite. */
   def cosineDupPairs(embeddings: DataFrame, threshold: Double = 0.95,

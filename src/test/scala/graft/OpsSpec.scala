@@ -60,6 +60,22 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"implausibly low ANN recall: $recall")
   }
 
+  test("IVF ANN: sound ranks, recall vs brute force reported") {
+    val brute = Similarity.bruteForceTopK(embeddings, nQueries = 10, k = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(embeddings, nQueries = 10, k = 3)
+      .select("query_id", "neighbor_id", "rank").collect()
+    assert(ivf.nonEmpty)
+    // ranks are dense 1..k per query
+    ivf.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq === (1 to rows.length))
+    }
+    val recall = (brute intersect ivf.map(r => (r.getLong(0), r.getLong(1))).toSet).size.toDouble / brute.size
+    info(f"IVF recall@3 = $recall%.2f (8 centroids, 1 probe)")
+    assert(recall > 0.0)
+  }
+
   test("dot/cosine: exact on known vectors") {
     import spark.implicits._
     val df = Seq((1L, Seq(1.0, 2.0, 2.0)), (2L, Seq(2.0, 4.0, 4.0)),
