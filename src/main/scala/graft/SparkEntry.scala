@@ -299,6 +299,19 @@ object SparkEntry {
 
     "text_tokens" -> ((s, dir) => TextOps.tokenStats(docsTable(s, dir))),
 
+    // capstone training-data curation: exact-dedup survivors + quality gate
+    // + language tag — the composed corpus-curation pipeline in one query
+    "curate_corpus" -> ((s, dir) => {
+      val docs = docsTable(s, dir)
+      val keep = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+      docs.join(keep, Seq("doc_id"), "left_semi")
+        .join(TextOps.qualityScore(docs), Seq("doc_id"))
+        .filter(col("quality") >= 0.5)
+        .join(TextOps.langId(docs), Seq("doc_id"))
+        .select(col("doc_id"), col("quality"), col("lang_pred"),
+          size(split(col("text"), " ")).as("n_tokens"))
+    }),
+
     "text_quality" -> ((s, dir) => TextOps.qualityScore(docsTable(s, dir))),
 
     "text_langid" -> ((s, dir) => TextOps.langId(docsTable(s, dir))),
@@ -562,6 +575,28 @@ object SparkEntry {
            CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
                 / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.03
                 THEN 'en' ELSE 'und' END AS lang_pred
-         FROM documents"""
+         FROM documents""",
+
+    "curate_corpus" ->
+      """WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+          q AS (SELECT doc_id, ROUND(
+            LEAST(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4
+            + (len(list_distinct(string_split(text, ' ')))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
+            + (1.0 - len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3, 4) AS quality
+            FROM documents),
+          l AS (SELECT doc_id,
+            CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.03
+                 THEN 'en' ELSE 'und' END AS lang_pred
+            FROM documents)
+          SELECT d.doc_id, q.quality, l.lang_pred,
+                 CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens
+          FROM documents d
+          JOIN keep ON d.doc_id = keep.doc_id
+          JOIN q ON d.doc_id = q.doc_id
+          JOIN l ON d.doc_id = l.doc_id
+          WHERE q.quality >= 0.5"""
   )
 }

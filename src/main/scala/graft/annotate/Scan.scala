@@ -32,7 +32,8 @@ object Scan {
         val automaton = m.automaton
         val payload = m.payload
         val buf = new graft.dict.HitBuffer() // reused across the partition
-        it.flatMap { case (url, text) =>
+        it.filter(_._2 != null) // null-text rows (bad upstream extraction) are skipped, not fatal
+          .flatMap { case (url, text) =>
           automaton.scanInto(text, buf, longestOnly)
           val out = new scala.collection.mutable.ArrayBuffer[Match](buf.size)
           var i = 0
@@ -77,7 +78,8 @@ object ScanAgg {
         val automaton = m.automaton
         val payload = m.payload
         val buf = new graft.dict.HitBuffer()
-        it.flatMap { case (url, text) =>
+        it.filter(_._2 != null) // null-text rows (bad upstream extraction) are skipped, not fatal
+          .flatMap { case (url, text) =>
           // per-doc fold: classIri -> (ont, bestType, n, score)
           val acc = new scala.collection.mutable.HashMap[String, (String, String, Long, Double)]()
           automaton.scanInto(text, buf, longestOnly)
@@ -153,7 +155,8 @@ object FusedAnnotate {
         val exp = maps.value
         val allowedClasses = semanticTypeClasses.map(_.value)
         val buf = new graft.dict.HitBuffer()
-        it.flatMap { case (url, text) =>
+        it.filter(_._2 != null) // null-text rows (bad upstream extraction) are skipped, not fatal
+          .flatMap { case (url, text) =>
           // per-doc direct fold: classIri -> (bestType, score)
           val direct = new scala.collection.mutable.HashMap[String, (String, Double)]()
           automaton.scanInto(text, buf, opts.longestOnly)

@@ -63,6 +63,19 @@ class DictAndClosureSpec extends AnyFunSuite {
     assert(cl(c6)("http://fix.onto/ONT1#C000") === 2) // via either parent, min=2
   }
 
+  test("closure terminates on cycles (bounded, min-distance)") {
+    import spark.implicits._
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("child_iri", "parent_iri")
+    val got = Closure.transitiveClosure(cyc, 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    // every node reaches every node (incl. itself around the cycle)
+    assert(got.size === 9)
+    assert(got(("a", "b")) === 1)
+    assert(got(("a", "c")) === 2)
+    assert(got(("a", "a")) === 3) // self via full cycle; loop still terminates
+    assert(got.values.max === 3) // min-distances never exceed the cycle length
+  }
+
   test("closure cap: maxLevel=1 keeps only direct parents") {
     val got = Closure.transitiveClosure(OntologyFixture.edgesDf(spark), 1)
     assert(got.agg(max("distance")).head().getInt(0) === 1)
