@@ -120,25 +120,27 @@ object Bench {
       Seq("-Xms6g", "-Xmx6g", "-XX:+AlwaysPreTouch", "-XX:+UseParallelGC",
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
         "-cp", cp, "graft.ScalingChild", corpusPath, cores.toString)
-    try {
-      val out = new StringBuilder
-      val proc = new ProcessBuilder(cmd: _*)
-        .redirectError(ProcessBuilder.Redirect.DISCARD) // never let the child
-        .start() // block on a full, undrained stderr pipe mid-measurement
-      val src = scala.io.Source.fromInputStream(proc.getInputStream)
-      src.getLines().foreach { l => out.append(l).append('\n') }
-      proc.waitFor()
-      val sec = out.toString.linesIterator
-        .collectFirst { case l if l.startsWith("SCALING_SEC ") =>
-          l.stripPrefix("SCALING_SEC ").toDouble }
-      sec.getOrElse(Double.NaN)
-    } catch {
-      case _: java.io.IOException => // no taskset → in-process fallback
-        val s = session(cores)
-        try {
-          scalingRun(s, corpusPath)
-          (1 to 2).map(_ => scalingRun(s, corpusPath)).min
-        } finally s.stop()
+    val pinned: Option[Double] =
+      try {
+        val out = new StringBuilder
+        val proc = new ProcessBuilder(cmd: _*)
+          .redirectError(ProcessBuilder.Redirect.DISCARD) // never let the child
+          .start() // block on a full, undrained stderr pipe mid-measurement
+        val src = scala.io.Source.fromInputStream(proc.getInputStream)
+        src.getLines().foreach { l => out.append(l).append('\n') }
+        proc.waitFor()
+        out.toString.linesIterator
+          .collectFirst { case l if l.startsWith("SCALING_SEC ") =>
+            l.stripPrefix("SCALING_SEC ").toDouble }
+      } catch { case _: java.io.IOException => None } // no taskset
+    // child crashed / taskset missing → in-process fallback, NEVER NaN (a
+    // NaN would corrupt the one-JSON-line driver contract)
+    pinned.getOrElse {
+      val s = session(cores)
+      try {
+        scalingRun(s, corpusPath)
+        (1 to 2).map(_ => scalingRun(s, corpusPath)).min
+      } finally s.stop()
     }
   }
 

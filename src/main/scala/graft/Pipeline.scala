@@ -8,7 +8,7 @@ import graft.dict.{AutomatonBuild, DictBuild}
 import graft.emit.Triples
 import graft.fixture.OntologyFixture
 import graft.graph.Closure
-import graft.io.{ParquetTableIO, TableIO}
+import graft.io.TableIO
 
 /** Flagship batch-annotate job — stage orchestration with per-stage
   * checkpoints, per-partition lineage rows, and resume (SURVEY.md §4.3;
@@ -34,9 +34,11 @@ object Pipeline {
       opts: AnnotateOptions = AnnotateOptions(),
       scanPartitions: Int = 32)
 
-  /** Run (or resume) the full pipeline; returns the final triples DataFrame. */
+  /** Run (or resume) the full pipeline; returns the final triples DataFrame.
+    * Table IO routes through [[TableIO.forSession]]: Parquet locally, the
+    * Iceberg impl when the runtime has the jar + a configured catalog. */
   def run(spark: SparkSession, cfg: Config): DataFrame = {
-    val io = new ParquetTableIO(cfg.workDir)
+    val io = TableIO.forSession(spark, cfg.workDir)
 
     val dict = stage(spark, io, "dict", cfg) {
       DictBuild.build(DictBuild.labelRows(OntologyFixture.conceptsDf(spark)))

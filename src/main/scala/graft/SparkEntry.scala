@@ -283,7 +283,7 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLshPairs(docsTable(s, dir), n = 3, k = 16, bands = 4, threshold = 0.8)),
 
-    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docsTable(s, dir), maxHamming = 12)),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docsTable(s, dir), maxHamming = 3)),
 
     "sim_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(s.read.parquet(s"$dir/embeddings.parquet"), nQueries = 10, k = 3)),

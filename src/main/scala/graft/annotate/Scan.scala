@@ -114,10 +114,13 @@ object ScanAgg {
   */
 object FusedAnnotate {
 
-  /** Ontology-side broadcast state for the fused pass. */
+  /** Ontology-side broadcast state for the fused pass. `maxLevel` records
+    * the closure cap the maps were built with — requests beyond it fail
+    * loudly (see [[annotateTriples]]) instead of silently truncating. */
   case class ExpansionMaps(
       closure: Map[String, Array[(String, Int)]], // classIri -> (ancestor, minDist)
-      mappings: Map[String, Array[String]]) // classIri -> mapped iris
+      mappings: Map[String, Array[String]], // classIri -> mapped iris
+      maxLevel: Int)
       extends Serializable
 
   def expansionMaps(closureDf: DataFrame, mappingsDf: DataFrame,
@@ -130,7 +133,7 @@ object FusedAnnotate {
     val mp = mappingsDf.select(col("class_iri"), col("mapped_iri"))
       .collect().map(r => (r.getString(0), r.getString(1)))
       .groupBy(_._1).map { case (c, rows) => c -> rows.map(_._2).distinct.sorted }
-    ExpansionMaps(cl, mp)
+    ExpansionMaps(cl, mp, maxLevel)
   }
 
   /** Corpus → complete triple set (direct + expanded + mapped), map-only.
@@ -146,6 +149,10 @@ object FusedAnnotate {
                       semanticTypeClasses: Option[Broadcast[Set[String]]] = None): Dataset[graft.Triple] = {
     val spark = extracted.sparkSession
     import spark.implicits._
+    require(opts.hierarchyMaxLevel <= maps.value.maxLevel,
+      s"hierarchyMaxLevel=${opts.hierarchyMaxLevel} exceeds the broadcast " +
+        s"closure's build level ${maps.value.maxLevel} — rebuild expansionMaps " +
+        "with a deeper cap (silent truncation would diverge from Expand.hierarchy)")
     val ontWhitelist: Set[String] = opts.ontologies.toSet
     extracted.select(col("url"), col("text")).as[(String, String)]
       .mapPartitions { it =>

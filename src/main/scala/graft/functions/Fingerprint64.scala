@@ -55,9 +55,6 @@ case class Fingerprint64(child: Expression) extends UnaryExpression {
 
 object GraftFunctions {
 
-  private val fingerprintInfo = new ExpressionInfo(
-    classOf[Fingerprint64].getName, "fingerprint64")
-
   /** Register graft SQL functions on an existing session (test/REPL path). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

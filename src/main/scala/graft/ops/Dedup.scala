@@ -31,19 +31,6 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Distinct (doc_id, shingle) pairs, dropping shingles whose document
-    * frequency exceeds `maxDocFreq` — the standard rare-shingle optimization
-    * AND the skew guard: ubiquitous shingles would otherwise explode the
-    * self-join (hot-key skew, SURVEY.md §3.3 S1 rationale). */
-  def rareShingles(docs: DataFrame, n: Int, maxDocFreq: Int): DataFrame = {
-    val ds = docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
-      .distinct()
-    val keep = ds.groupBy("shingle").agg(countDistinct("doc_id").as("df"))
-      .filter(col("df") <= maxDocFreq && col("df") >= 2)
-      .select("shingle")
-    ds.join(keep, Seq("shingle"), "left_semi")
-  }
-
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold).
     * Inverted-index formulation with MAP-SIDE pair generation: one shuffle
     * groups docs per shingle (rarity-bounded, so the per-group pair blow-up
@@ -92,9 +79,13 @@ object Dedup {
   /** MinHash + LSH near-dup candidates with exact-Jaccard rerank:
     * shingle → k minhashes → bands of r → bucket-join on (band, bucket-hash)
     * → candidate pairs → rerank. The scale path: cost is linear in corpus +
-    * bucket collisions, never all-pairs. */
+    * bucket collisions, never all-pairs. `maxBucket` bounds the population
+    * of a single (band, bucket) before the self-join — the boilerplate /
+    * hot-bucket skew guard; larger buckets are SKIPPED for that band (pairs
+    * can still surface via the other bands), trading recall on mega-clusters
+    * for bounded O(maxBucket²) per-bucket work. */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
-                      threshold: Double = 0.8, maxDocFreq: Int = 1000): DataFrame = {
+                      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val sigs = minhashSignatures(docs, n, k)
@@ -108,8 +99,14 @@ object Dedup {
     val bandRows = sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val l = bandRows.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
-    val rr = bandRows.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
+    // hot-bucket guard: skip (band, bucket) groups above maxBucket
+    val bounded = bandRows
+      .withColumn("bucket_pop", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .filter(col("bucket_pop") <= maxBucket)
+      .drop("bucket_pop")
+    val l = bounded.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+    val rr = bounded.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
     val candidates = l.join(rr, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
@@ -155,8 +152,20 @@ object Dedup {
   }
 
   /** SimHash near-dup candidates: 4×16-bit band LSH (Hamming ≤ 3 guarantees
-    * ≥ 1 identical band by pigeonhole), then exact Hamming rerank. */
+    * ≥ 1 identical band by pigeonhole), then exact Hamming rerank.
+    * Skew note: bucket population follows the corpus' signature diversity —
+    * real web corpora spread across the 2^16 buckets, while narrow-vocabulary
+    * corpora (like the synthetic test tables) can concentrate into hot
+    * buckets and quadratic candidate blow-up. At cluster scale, guard with
+    * AQE skew-join splitting (on) and, if needed, a per-bucket population cap
+    * — capped buckets must be LOGGED as dropped coverage, never silent.
+    * `maxHamming` MUST be ≤ 3: the pigeonhole guarantee (≥ 1 identical band)
+    * only holds up to bands−1 differing bits; beyond that, candidate
+    * generation silently under-recalls. Enforced. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"maxHamming=$maxHamming exceeds the 4-band pigeonhole guarantee (max 3); " +
+        "use more bands or a multi-probe scheme for larger radii")
     val sh = simhash(docs)
     // single pass + band explode (same rationale as minhashLshPairs)
     val bandStructs = (0 until 4).map { b =>

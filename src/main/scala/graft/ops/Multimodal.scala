@@ -50,14 +50,15 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition codec init would happen here (amortized)
         it.map { m =>
-          val (w, h) = decodeImageStub(m.bytes)
+          val bytes = if (m.bytes == null) Array.emptyByteArray else m.bytes
+          val (w, h) = decodeImageStub(bytes)
           val checksum = {
             var acc = 1125899906842597L
             var i = 0
-            while (i < m.bytes.length) { acc = acc * 131 + m.bytes(i); i += 1 }
+            while (i < bytes.length) { acc = acc * 131 + bytes(i); i += 1 }
             acc
           }
-          MediaFeature(m.url, m.kind, m.bytes.length.toLong, checksum, w, h)
+          MediaFeature(m.url, m.kind, bytes.length.toLong, checksum, w, h)
         }
       }
   }

@@ -44,6 +44,26 @@ class DictAndClosureSpec extends AnyFunSuite {
     assert(withNumbers.contains("12345"))
   }
 
+  test("fixture terms can never self-overlap at word boundaries (regexp-oracle precondition)") {
+    // The DuckDB oracle counts occurrences with regexp_extract_all
+    // (NON-overlapping) while the automaton emits ALL occurrences. Counts
+    // agree unless a term admits two overlapping WORD-BOUNDARY-VALID
+    // occurrences: shift s needs border T[s:]==T[:len-s] AND non-word chars
+    // at both overlap seams (T[s-1] before the 2nd start, T[len-s] after the
+    // 1st end). Letter-only borders (e.g. the 'G' in "GROUP AGG") are safe.
+    // Guard the fixture against an edit silently breaking
+    // ann_counts/ann_score/ann_stats parity.
+    import graft.dict.Automaton.isWordChar
+    OntologyFixture.dictRows().map(_.term).distinct.foreach { t =>
+      val overlapCapable = (1 until t.length).exists { s =>
+        t.substring(s) == t.substring(0, t.length - s) &&
+          !isWordChar(t.charAt(s - 1)) && !isWordChar(t.charAt(t.length - s))
+      }
+      assert(!overlapCapable,
+        s"term '$t' admits word-valid self-overlap — regexp oracle counts would diverge")
+    }
+  }
+
   test("transitive closure: distances == BFS oracle, capped at maxLevel") {
     val maxLevel = 5
     val got = Closure.transitiveClosure(OntologyFixture.edgesDf(spark), maxLevel)

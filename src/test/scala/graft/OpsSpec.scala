@@ -28,17 +28,26 @@ class OpsSpec extends AnyFunSuite {
       s"LSH recall too low: ${lsh.size}/${exact.size}")
   }
 
-  test("simhash: identical docs collide, hamming rerank sound") {
+  test("simhash: identical docs collide, sound AND complete within radius 3") {
     assert(Dedup.simhash64("hash join fast") === Dedup.simhash64("hash join fast"))
     assert(Dedup.simhash64("a") !== Dedup.simhash64("b"))
-    val pairs = Dedup.simhashPairs(docs, maxHamming = 12)
-    // every returned pair must actually be within the hamming bound
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    pairs.collect().foreach { r =>
-      val h = java.lang.Long.bitCount(sh(r.getLong(0)) ^ sh(r.getLong(1)))
-      assert(h === r.getInt(2) || h === r.getLong(2))
-      assert(h <= 12)
+    // sound: every returned pair really within the bound
+    pairs.foreach { case ((a, b), h) =>
+      assert(java.lang.Long.bitCount(sh(a) ^ sh(b)) === h && h <= 3)
     }
+    // complete: the 4-band pigeonhole guarantees EVERY pair within radius 3
+    val ids = sh.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      h = java.lang.Long.bitCount(sh(ids(i)) ^ sh(ids(j))) if h <= 3
+    } yield (ids(i), ids(j))).toSet
+    assert(pairs.keySet === expected)
+    // radii beyond the banding guarantee are rejected loudly
+    assertThrows[IllegalArgumentException](Dedup.simhashPairs(docs, maxHamming = 12))
   }
 
   test("near-dup docs found by all dedup signals (injected dups at sf0.001)") {

@@ -60,6 +60,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(out("u2") === "from html")
   }
 
+  test("HTML corpus end-to-end: null-text rows extract from html and annotate") {
+    import spark.implicits._
+    import graft.annotate.{Corpus, FusedAnnotate}
+    import graft.dict.{AutomatonBuild, DictBuild}
+    import graft.fixture.OntologyFixture
+    import graft.graph.Closure
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val docs = Seq(
+      ("http://a", ts, "<html><body><p>the hash join</p><script>x()</script></body></html>"
+        .getBytes("UTF-8"), null.asInstanceOf[String], "en"),
+      ("http://b", ts, null.asInstanceOf[Array[Byte]], "merge sort beats a table scan", "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    val extracted = Corpus.extract(docs)
+    val texts = extracted.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(texts("http://a") === "the hash join") // stripped, script dropped
+    assert(texts("http://b") === "merge sort beats a table scan") // verbatim
+    val dict = DictBuild.build(DictBuild.labelRows(OntologyFixture.conceptsDf(spark)))
+    val model = AutomatonBuild.broadcastModel(spark, AutomatonBuild.build(spark, dict, "v1"))
+    val maps = spark.sparkContext.broadcast(FusedAnnotate.expansionMaps(
+      Closure.transitiveClosure(OntologyFixture.edgesDf(spark), 5),
+      OntologyFixture.mappingsDf(spark), 5))
+    val got = FusedAnnotate.annotateTriples(extracted, model, maps, "v1").toDF()
+      .select("subj", "pred", "obj").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val expected = ReferenceOracle.goldenTriples(
+      Seq(("http://a", "the hash join"), ("http://b", "merge sort beats a table scan")))
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("pipeline resume: stage checkpoints skip, outputs identical") {
     val work = Files.createTempDirectory("graft-resume").toString
     val cfg = Pipeline.Config(sfDir, work, scanPartitions = 4)
