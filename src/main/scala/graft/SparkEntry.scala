@@ -279,6 +279,15 @@ object SparkEntry {
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(docsTable(s, dir), n = 3, threshold = 0.8, maxDocFreq = 100)),
 
+    // benchmark decontamination: docs sharing shingles with a benchmark set
+    // (benchmark = the 10 lowest-id docs, deterministic)
+    "dedup_decontaminate" -> ((s, dir) => {
+      val docs = docsTable(s, dir)
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+        n = 3, minOverlap = 2)
+    }),
+
     // xxhash64-based — not SQL-derivable; unit-tested vs exact jaccard
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLshPairs(docsTable(s, dir), n = 3, k = 16, bands = 4, threshold = 0.8)),
@@ -541,6 +550,17 @@ object SparkEntry {
           JOIN sizes sa ON sa.doc_id = doc_a
           JOIN sizes sb ON sb.doc_id = doc_b
           WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.8""",
+
+    "dedup_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks
+                  WHERE len(t) >= 3),
+          sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM pos),
+          bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10)
+          SELECT s.doc_id, COUNT(*) AS n_overlap
+          FROM sh s JOIN bench b ON s.shingle = b.shingle
+          WHERE s.doc_id >= 10
+          GROUP BY s.doc_id HAVING COUNT(*) >= 2""",
 
     "sim_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

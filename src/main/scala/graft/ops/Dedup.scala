@@ -189,4 +189,20 @@ object Dedup {
 
   /** Embedding cosine near-dup pairs (≥ threshold) via Similarity's LSH
     * candidates — see [[Similarity.cosineDupPairs]]. */
+
+  /** Benchmark decontamination: flag corpus docs sharing ≥ `minOverlap`
+    * distinct n-gram shingles with any benchmark text (the standard
+    * training-data hygiene pass before pretraining). Benchmark side is tiny
+    * → broadcast; corpus side shuffles once on the shingle aggregate. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 3,
+                    minOverlap: Int = 2): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(shingles(col("text"), n)).as("shingle")).distinct()
+    val docShingles = docs
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
+      .distinct()
+    docShingles.join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
 }
