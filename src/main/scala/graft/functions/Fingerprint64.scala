@@ -13,7 +13,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * fingerprint (base 131, natural overflow — same contract as
   * [[graft.ops.TextOps.fingerprint64]], asserted equal in tests).
   *
-  * This is the §5 escape-hatch tier demonstrated for real: a codegen'd
+  * This is the SURVEY.md §5/§7.3 escape-hatch tier demonstrated for real: a codegen'd
   * `Expression` participates in whole-stage codegen — no object-mode island,
   * no UDF boxing — so fingerprinting stays inside the same generated loop as
   * the surrounding projections/filters. Interpreted `nullSafeEval` fallback

@@ -5,8 +5,14 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data curation: exact (hash groupBy),
-  * n-gram Jaccard, MinHash+LSH, SimHash. Scale notes inline — the LSH paths
-  * exist precisely because the O(n²) exact paths don't survive 100 TB.
+  * n-gram Jaccard, MinHash+LSH, SimHash, benchmark decontamination. Scale
+  * notes inline — the LSH paths exist precisely because the O(n²) exact
+  * paths don't survive 100 TB.
+  *
+  * Provenance: builder-brief extras, NOT derived from the reference (the
+  * NCBO annotator has no dedup surface — SURVEY.md §3.4). Algorithms are
+  * public: MinHash (Broder 1997), SimHash (Charikar 2002; Manku et al. 2007
+  * banding), shingle inverted-index Jaccard (standard IR).
   */
 object Dedup {
 

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
-  * with typed metadata. The Spark side — schema, partition-friendly batch
+  * with typed metadata. (Builder-brief extra — not in the reference,
+  * SURVEY.md §3.4.) The Spark side — schema, partition-friendly batch
   * shape, typed mapPartitions signatures — is real and tested; the actual
   * codec calls are STUBBED with deterministic fakes (this container has no
   * image/audio libraries), clearly marked below. On a cluster, swap

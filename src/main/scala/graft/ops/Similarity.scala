@@ -7,7 +7,12 @@ import org.apache.spark.sql.functions._
 /** Approximate-nearest-neighbor / similarity search over an embedding column
   * (`array<float>` cast to double for deterministic math). Brute-force cosine
   * top-k is the correctness baseline (oracle-checked vs DuckDB
-  * list_dot_product); random-hyperplane LSH bucketing is the scale path.
+  * list_dot_product); random-hyperplane LSH bucketing and IVF inverted lists
+  * are the scale paths.
+  *
+  * Provenance: builder-brief extras, NOT in the reference (SURVEY.md §3.4).
+  * Public algorithms: random-hyperplane LSH (Charikar 2002), IVF coarse
+  * quantization (Sivic & Zisserman 2003; FAISS-style).
   */
 object Similarity {
 
