@@ -40,17 +40,20 @@ object Pipeline {
   def run(spark: SparkSession, cfg: Config): DataFrame = {
     val io = TableIO.forSession(spark, cfg.workDir)
 
-    val dict = stage(spark, io, "dict", cfg) {
+    val dict = stage(spark, io, "dict", cfg,
+      inputRows = OntologyFixture.concepts.size.toLong) {
       DictBuild.build(DictBuild.labelRows(OntologyFixture.conceptsDf(spark)))
     }
 
-    val corpus = stage(spark, io, "corpus", cfg) {
+    lazy val nDocs = spark.read.parquet(s"${cfg.sfDir}/documents.parquet").count()
+    val corpus = stage(spark, io, "corpus", cfg, inputRows = nDocs) {
       Corpus.lengthBucketed(
         Corpus.extract(Corpus.readDriverDocuments(spark, cfg.sfDir)),
         cfg.scanPartitions)
     }
 
-    val matches = stage(spark, io, "matches", cfg) {
+    lazy val nCorpus = corpus.count()
+    val matches = stage(spark, io, "matches", cfg, inputRows = nCorpus) {
       val model = AutomatonBuild.build(spark, dict, cfg.dictVersion)
       val bcast = AutomatonBuild.broadcastModel(spark, model)
       Filters(
@@ -60,11 +63,13 @@ object Pipeline {
           .select(col("class_iri"), explode(col("tuis")).as("tui"))))
     }
 
-    val closure = stage(spark, io, "closure", cfg) {
+    val closure = stage(spark, io, "closure", cfg,
+      inputRows = OntologyFixture.edges.size.toLong) {
       Closure.transitiveClosure(OntologyFixture.edgesDf(spark), cfg.opts.hierarchyMaxLevel)
     }
 
-    val triples = stage(spark, io, "triples", cfg) {
+    lazy val nMatches = matches.count()
+    val triples = stage(spark, io, "triples", cfg, inputRows = nMatches) {
       val direct = Scoring.directScores(matches)
       val hier =
         if (cfg.opts.expandHierarchy)
@@ -87,8 +92,11 @@ object Pipeline {
     triples
   }
 
-  /** Execute a stage with checkpoint-or-resume + lineage emission. */
-  private def stage(spark: SparkSession, io: TableIO, name: String, cfg: Config)
+  /** Execute a stage with checkpoint-or-resume + lineage emission.
+    * `inputRows` is the stage's input cardinality (lazy — only forced when
+    * the stage actually computes, so resumed runs pay nothing). */
+  private def stage(spark: SparkSession, io: TableIO, name: String, cfg: Config,
+                    inputRows: => Long)
                    (compute: => DataFrame): DataFrame = {
     if (io.exists(spark, name)) {
       io.read(spark, name) // resume: skip recompute, no new lineage rows
@@ -100,24 +108,25 @@ object Pipeline {
       io.write(df, name, partitionCols)
       val persisted = io.read(spark, name)
       val wallMs = (System.nanoTime() - t0) / 1000000
-      emitLineage(spark, io, name, persisted, wallMs, cfg)
+      emitLineage(spark, name, persisted, inputRows, wallMs, cfg)
       persisted
     }
   }
 
   /** Per-partition lineage rows for a completed stage (output row counts per
-    * partition + stage wall time). At cluster scale this would come from
-    * task-level accumulators; a post-hoc count over the checkpoint keeps the
-    * local path simple and exact. */
-  private def emitLineage(spark: SparkSession, io: TableIO, stage: String,
-                          persisted: DataFrame, wallMs: Long, cfg: Config): Unit = {
+    * partition, stage input cardinality, wall time). At cluster scale this
+    * would come from task-level accumulators; a post-hoc count over the
+    * checkpoint keeps the local path simple and exact. */
+  private def emitLineage(spark: SparkSession, stage: String,
+                          persisted: DataFrame, inputRows: Long, wallMs: Long,
+                          cfg: Config): Unit = {
     import spark.implicits._
     val counts = persisted
       .groupBy(spark_partition_id().as("partition_id"))
       .agg(count(lit(1)).as("output_rows"))
       .as[(Int, Long)].collect()
     val rows = counts.map { case (pid, n) =>
-      Lineage(stage, pid, n, n, wallMs, cfg.dictVersion, cfg.runId)
+      Lineage(stage, pid, inputRows, n, wallMs, cfg.dictVersion, cfg.runId)
     }.toSeq
     spark.createDataFrame(rows).write.mode("append")
       .parquet(s"${cfg.workDir}/lineage")

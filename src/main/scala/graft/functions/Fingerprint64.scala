@@ -53,21 +53,59 @@ case class Fingerprint64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native 64-bit SimHash over whitespace tokens — same contract as
+  * [[graft.ops.Dedup.simhash64]] (asserted equal in tests). Codegen calls
+  * the shared static scalar (scalac emits static forwarders for top-level
+  * objects, so Janino-generated code can invoke it) — one virtual-free call
+  * per row, still inside whole-stage codegen, no object-mode island. */
+case class Simhash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType | org.apache.spark.sql.types.NullType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"simhash64 requires STRING input, got ${other.catalogString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.ops.Dedup.simhash64(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.ops.Dedup.simhash64($c.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
+
+  private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "fingerprint64" -> ((children: Seq[Expression]) => Fingerprint64(children.head)),
+    "simhash64" -> ((children: Seq[Expression]) => Simhash64(children.head)))
 
   /** Register graft SQL functions on an existing session (test/REPL path). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "fingerprint64", (children: Seq[Expression]) => Fingerprint64(children.head),
-      "built-in")
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
 }
 
 /** `SparkSessionExtensions` hook — cluster path:
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("fingerprint64"),
       new ExpressionInfo(classOf[Fingerprint64].getName, "fingerprint64"),
       (children: Seq[Expression]) => Fingerprint64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[Simhash64].getName, "simhash64"),
+      (children: Seq[Expression]) => Simhash64(children.head)))
+  }
 }

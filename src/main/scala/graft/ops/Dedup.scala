@@ -128,15 +128,13 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** 64-bit SimHash per doc: Σ over tokens of ±1 per bit of the token hash,
-    * sign → bit. Pure column expressions: per-bit balance via aggregate over
-    * the token array, then bits OR-ed together. */
+  /** 64-bit SimHash per doc via the native codegen expression
+    * [[graft.functions.Simhash64]] — stays inside whole-stage codegen (no
+    * object-mode island); scalar contract is [[simhash64]]. */
   def simhash(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) => (id, simhash64(text)) })
-      .toDF("doc_id", "simhash")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+      expr("simhash64(text)").as("simhash"))
   }
 
   /** Scalar SimHash (shared by the Dataset op and tests). Token hash =

@@ -120,6 +120,14 @@ class OpsSpec extends AnyFunSuite {
     // the expression path must stay inside codegen: no object-mode operators
     val plan = TextOps.fingerprint(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("DeserializeToObject"), plan)
+    // same for the simhash expression; value parity vs the scalar contract
+    val shPlan = Dedup.simhash(docs).queryExecution.executedPlan.toString
+    assert(!shPlan.contains("DeserializeToObject"), shPlan)
+    val viaExpr = Dedup.simhash(docs.limit(20)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaScalar = docs.limit(20).collect()
+      .map(r => r.getLong(0) -> Dedup.simhash64(r.getString(1))).toMap
+    assert(viaExpr === viaScalar)
   }
 
   test("quality score bounded in [0,1]") {

@@ -105,10 +105,23 @@ class PipelineSpec extends AnyFunSuite {
     val second = Pipeline.run(spark, cfg)
       .select("subj", "pred", "obj").collect().map(_.toSeq).toSet
     assert(first === second)
-    // lineage recorded rows for every stage
-    val stages = spark.read.parquet(s"$work/lineage")
-      .select("stage").distinct().collect().map(_.getString(0)).toSet
+    // lineage recorded rows for every stage, with stage input cardinality
+    val lineage = spark.read.parquet(s"$work/lineage")
+    val stages = lineage.select("stage").distinct().collect().map(_.getString(0)).toSet
     assert(stages === Set("dict", "corpus", "matches", "closure", "triples"))
+    val corpusIn = lineage.filter(col("stage") === "corpus")
+      .select("input_rows").head().getLong(0)
+    assert(corpusIn === 500L) // sf0.001 documents count
+
+    // partial-write crash: stage dir WITHOUT _SUCCESS must recompute
+    deleteRec(new java.io.File(s"$work/matches"))
+    new java.io.File(s"$work/matches").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$work/matches/part-garbage.parquet"), "junk")
+    deleteRec(new java.io.File(s"$work/triples"))
+    val third = Pipeline.run(spark, cfg)
+      .select("subj", "pred", "obj").collect().map(_.toSeq).toSet
+    assert(third === first, "partial stage dir must be recomputed, not trusted")
     deleteRec(new java.io.File(work))
   }
 
