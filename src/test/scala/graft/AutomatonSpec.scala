@@ -73,10 +73,12 @@ class AutomatonSpec extends AnyFunSuite {
 
   private val termPool = Vector("scan", "sort", "merge", "a1", "x", "键值",
     "hash", "join", "so", "sortsort", "merge sort", "sort merge", "12", "k_y",
-    "sort sort") // incl. a self-overlapping pattern (suffix == prefix)
+    "sort sort", // self-overlapping pattern (suffix == prefix)
+    "x y x", "so x so") // borders with word boundaries (word-valid overlaps)
   private val textPool = Vector(
     "scan", "sort", "merge", "merge sort", "scanner", "a1", "x", "键值",
-    "12", "k_y", "SORT", "Merge", ",", "_", "sort sort sort")
+    "12", "k_y", "SORT", "Merge", ",", "_", "sort sort sort",
+    "x y x y x", "so x so x so") // word-valid overlapping occurrences
 
   test("property: automaton hits == naive matcher hits (incl. longestOnly)") {
     val rnd = new scala.util.Random(42) // deterministic
