@@ -29,6 +29,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(p === 1.0 && r === 1.0, "determinism should give exact match")
   }
 
+  test("offset-level match parity vs scalar oracle over the whole sf0.001 corpus") {
+    import graft.annotate.{Corpus, Scan}
+    import graft.dict.{AutomatonBuild, DictBuild}
+    import graft.fixture.OntologyFixture
+    val dict = DictBuild.build(DictBuild.labelRows(OntologyFixture.conceptsDf(spark)))
+    val model = AutomatonBuild.broadcastModel(spark, AutomatonBuild.build(spark, dict, "v1"))
+    val corpus = Corpus.extract(Corpus.readDriverDocuments(spark, sfDir))
+    for (longest <- Seq(false, true)) {
+      val got = Scan.annotateDirect(corpus, model, longest).collect()
+        .map(m => (m.url, m.from, m.to, m.text, m.classIri, m.ont, m.matchType)).toSet
+      val want = corpus.select("url", "text").collect().flatMap { r =>
+        graft.oracle.ReferenceOracle.directMatches(r.getString(0), r.getString(1), longest)
+          .map(m => (m.url, m.from, m.to, m.text, m.classIri, m.ont, m.matchType))
+      }.toSet
+      assert(got === want, s"offset-level mismatch (longestOnly=$longest)")
+      assert(got.nonEmpty)
+    }
+  }
+
   test("byte-identical extracted text per url (input_hint invariant)") {
     val corpus = Corpus.extract(Corpus.readDriverDocuments(spark, sfDir))
     val got = corpus.select("url", "text").collect()
