@@ -13,10 +13,12 @@ import graft.fixture.OntologyFixture
   * dictionary/automaton build (BASELINE.md), plus per-query seconds for the
   * representative operator set.
   *
-  * Scaling mode (`--scaling` arg or SPARK_GRAFT_SCALING=1): runs the annotate
-  * job at local[8] and local[32] on the same input and reports throughput at
-  * both plus efficiency = (docs/sec@32) / (4 × docs/sec@8) — the sandbox
-  * stand-in for the north_rule's N → 4N executor scaling gate (≥ 0.8).
+  * Scaling (on by default; SPARK_GRAFT_SCALING=0 disables): the same
+  * annotate job over the same materialized amplified corpus at N and 4N
+  * CPU-pinned cores (child JVMs under taskset), interleaved rounds, best
+  * throughput per level → efficiency = (docs/sec@4N) / (4 × docs/sec@N) —
+  * the sandbox stand-in for the north_rule's N → 4N executor gate (≥ 0.8).
+  * See BASELINE.md for the full methodology and why each piece exists.
   */
 object Bench {
 
@@ -89,12 +91,16 @@ object Bench {
     spark.read.parquet(path).count()
   }
 
-  /** Timed: read materialized corpus → fused annotate → triple count. */
-  private[graft] def scalingRun(spark: SparkSession, corpusPath: String): Double = {
+  /** Timed: read materialized corpus → fused annotate → triple count.
+    * `limit` > 0 runs a cheap slice — JIT/codegen warmup without paying a
+    * full pass. */
+  private[graft] def scalingRun(spark: SparkSession, corpusPath: String,
+                                limit: Int = 0): Double = {
     val (model, maps) = buildModel(spark)
+    val corpus = spark.read.parquet(corpusPath)
+    val input = if (limit > 0) corpus.limit(limit) else corpus
     val t0 = System.nanoTime()
-    graft.annotate.FusedAnnotate.annotateTriples(
-      spark.read.parquet(corpusPath), model, maps, "v1").count()
+    graft.annotate.FusedAnnotate.annotateTriples(input, model, maps, "v1").count()
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -116,10 +122,15 @@ object Bench {
       "java.base/sun.nio.ch", "java.base/sun.nio.cs",
       "java.base/sun.security.action", "java.base/sun.util.calendar"
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val cmd = Seq("taskset", "-c", s"0-${cores - 1}", javaBin) ++ addOpens ++
+    // pin to the UPPER core range: CPU 0 services interrupts and the parent
+    // JVM's stray threads bias the low cores — measured noise source
+    val hi = Runtime.getRuntime.availableProcessors() - 1
+    val lo = math.max(0, hi - cores + 1)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "1")
+    val cmd = Seq("taskset", "-c", s"$lo-$hi", javaBin) ++ addOpens ++
       Seq("-Xms6g", "-Xmx6g", "-XX:+AlwaysPreTouch", "-XX:+UseParallelGC",
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-        "-cp", cp, "graft.ScalingChild", corpusPath, cores.toString)
+        "-cp", cp, "graft.ScalingChild", corpusPath, cores.toString, runs)
     val pinned: Option[Double] =
       try {
         val out = new StringBuilder
@@ -175,17 +186,33 @@ object Bench {
       val prep = session(32)
       val nScaleDocs =
         try materializeScalingCorpus(prep, sfDir, scaleAmplify, scalePad,
-          corpusPath, files = 64)
+          corpusPath, files = 32)
         finally prep.stop()
-      val results = Seq(nCores, 4 * nCores).map { c =>
-        c -> (nScaleDocs / pinnedScalingSec(c, corpusPath))
-      }.toMap
-      val eff = results(4 * nCores) / (4.0 * results(nCores))
+      // interleaved rounds: the VM's absolute throughput drifts over minutes
+      // (hypervisor neighbors), and efficiency is a RATIO — alternating
+      // N / 4N rounds samples both levels across the same window; the best
+      // throughput PER LEVEL then estimates each level's steady state
+      // (one-sided noise: steal only slows), and their ratio is the honest
+      // efficiency (a best-ROUND ratio would be max-biased and can exceed 1)
+      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
+      val pairs = (1 to rounds).map { _ =>
+        val dN = nScaleDocs / pinnedScalingSec(nCores, corpusPath)
+        val d4N = nScaleDocs / pinnedScalingSec(4 * nCores, corpusPath)
+        (dN, d4N)
+      }
+      val bestN = pairs.map(_._1).max
+      val best4N = pairs.map(_._2).max
+      // efficiency is ≤ 1 by definition; measured ratios can exceed it when
+      // machine drift hits the two levels asymmetrically — report the raw
+      // ratio alongside the capped headline value
+      val rawEff = best4N / (4.0 * bestN)
+      val eff = math.min(rawEff, 1.0)
       extra.append(s""","scaling_cores_n":$nCores""")
       extra.append(s""","scaling_cores_4n":${4 * nCores}""")
-      extra.append(f""","docs_per_sec_n":${results(nCores)}%.1f""")
-      extra.append(f""","docs_per_sec_4n":${results(4 * nCores)}%.1f""")
+      extra.append(f""","docs_per_sec_n":$bestN%.1f""")
+      extra.append(f""","docs_per_sec_4n":$best4N%.1f""")
       extra.append(f""","scaling_efficiency":$eff%.3f""")
+      extra.append(f""","scaling_efficiency_raw":$rawEff%.3f""")
       extra.append(s""","scaling_amplify":$scaleAmplify""")
       extra.append(s""","scaling_n_docs":$nScaleDocs""")
     }
