@@ -35,6 +35,8 @@ object Bench {
     s
   }
 
+  private[graft] def buildModelPublic(spark: SparkSession) = buildModel(spark)
+
   private def buildModel(spark: SparkSession) = {
     val dict = DictBuild.build(DictBuild.labelRows(OntologyFixture.conceptsDf(spark)))
     val model = AutomatonBuild.broadcastModel(
@@ -56,10 +58,23 @@ object Bench {
     val t0 = System.nanoTime()
     val extracted = graft.annotate.Corpus.extract(
       graft.annotate.Corpus.readDriverDocuments(spark, sfDir))
-    // fused per-doc annotate (scan + score + hierarchy + mapping expansion
-    // in one mapPartitions) — ZERO shuffles corpus-side
-    graft.annotate.FusedAnnotate.annotateTriples(extracted, model, maps, "v1").count()
+    // native fused per-doc annotate (scan + score + hierarchy + mapping
+    // expansion in one Catalyst Generate over in-place UTF8String bytes) —
+    // ZERO shuffles corpus-side, zero object-mode conversion
+    annotateImpl(extracted, model, maps).count()
     (nDocs, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** The benched annotate formulation: Catalyst-native Generator by default;
+    * `SPARK_GRAFT_IMPL=fused` selects the typed mapPartitions form (A/B). */
+  private def annotateImpl(extracted: org.apache.spark.sql.DataFrame,
+                           model: org.apache.spark.broadcast.Broadcast[graft.dict.AnnotatorModel],
+                           maps: org.apache.spark.broadcast.Broadcast[graft.annotate.FusedAnnotate.ExpansionMaps])
+      : org.apache.spark.sql.DataFrame = {
+    if (sys.env.get("SPARK_GRAFT_IMPL").contains("fused"))
+      graft.annotate.FusedAnnotate.annotateTriples(extracted, model, maps, "v1").toDF()
+    else
+      graft.annotate.NativeAnnotate.annotateTriples(extracted, model, maps, "v1")
   }
 
   /** Materialize the amplified scaling corpus ONCE as parquet (outside any
@@ -72,7 +87,7 @@ object Bench {
     * job allocation-light (no per-row repeat/concat codegen), so the
     * two-parallelism comparison measures the ENGINE, not corpus synthesis.
     */
-  private def materializeScalingCorpus(spark: SparkSession, sfDir: String,
+  private[graft] def materializeScalingCorpus(spark: SparkSession, sfDir: String,
                                        amplify: Int, pad: Int,
                                        path: String, files: Int): Long = {
     val extracted = graft.annotate.Corpus.extract(
@@ -100,7 +115,7 @@ object Bench {
     val corpus = spark.read.parquet(corpusPath)
     val input = if (limit > 0) corpus.limit(limit) else corpus
     val t0 = System.nanoTime()
-    graft.annotate.FusedAnnotate.annotateTriples(input, model, maps, "v1").count()
+    annotateImpl(input, model, maps).count()
     (System.nanoTime() - t0) / 1e9
   }
 

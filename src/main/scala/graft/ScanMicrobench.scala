@@ -35,12 +35,20 @@ object ScanMicrobench {
       mbs
     }
     val buf = new graft.dict.HitBuffer()
+    val denseU8 = org.apache.spark.unsafe.types.UTF8String.fromString(dense)
+    val sparseU8 = org.apache.spark.unsafe.types.UTF8String.fromString(sparse)
+    def byteScan(u8: org.apache.spark.unsafe.types.UTF8String): Int = {
+      auto.scanAsciiBytesInto(u8.getBaseObject, u8.getBaseOffset, u8.numBytes, buf)
+      buf.size
+    }
     for (round <- 1 to 2) {
       println(s"--- round $round ---")
       bench("dense  automaton(buf)", dense, d => auto.scanInto(d, buf).size)
+      bench("dense  bytes(u8)", dense, _ => byteScan(denseU8))
       bench("dense  +longestOnly", dense, d => auto.scanInto(d, buf, longestOnly = true).size)
       bench("dense  naive", dense, d => naive.scan(d).length)
       bench("sparse automaton(buf)", sparse, d => auto.scanInto(d, buf).size)
+      bench("sparse bytes(u8)", sparse, _ => byteScan(sparseU8))
       bench("sparse naive", sparse, d => naive.scan(d).length)
     }
   }

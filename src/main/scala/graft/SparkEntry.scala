@@ -128,6 +128,14 @@ object SparkEntry {
         .annotateTriples(corpus(s, dir), model(s), fusedMaps(s), "v1")
         .toDF().select("subj", "pred", "obj")),
 
+    // A12 on the NATIVE plan (custom Catalyst Generator over in-place
+    // UTF8String bytes — graft.annotate.NativeAnnotate): same oracle as
+    // ann_triples, so DuckDB independently checks the native formulation too
+    "ann_triples_native" -> ((s, dir) =>
+      graft.annotate.NativeAnnotate
+        .annotateTriples(corpus(s, dir), model(s), fusedMaps(s), "v1")
+        .select("subj", "pred", "obj")),
+
     // A10: 'old'-mode scoring per (doc, concept)
     "ann_score" -> ((s, dir) =>
       Scoring.directScores(
@@ -395,6 +403,18 @@ object SparkEntry {
           LEFT JOIN res r ON dr.class_iri = r.class_iri""",
 
     "ann_triples" ->
+      s"""WITH RECURSIVE $dictCte, $edgesCte, $mappingsCte, $directCte, $closureCte
+          SELECT DISTINCT url AS subj, 'hasAnnotation' AS pred, class_iri AS obj FROM direct
+          UNION
+          SELECT DISTINCT dr.url AS subj, 'hasExpandedAnnotation' AS pred, cl.ancestor_iri AS obj
+          FROM (SELECT DISTINCT url, class_iri FROM direct) dr
+          JOIN closure cl ON dr.class_iri = cl.child_iri
+          UNION
+          SELECT DISTINCT dr.url AS subj, 'hasMappedAnnotation' AS pred, m.mapped_iri AS obj
+          FROM (SELECT DISTINCT url, class_iri FROM direct) dr
+          JOIN maps m ON dr.class_iri = m.class_iri""",
+
+    "ann_triples_native" ->
       s"""WITH RECURSIVE $dictCte, $edgesCte, $mappingsCte, $directCte, $closureCte
           SELECT DISTINCT url AS subj, 'hasAnnotation' AS pred, class_iri AS obj FROM direct
           UNION

@@ -1,0 +1,422 @@
+package graft.annotate
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.collection.mutable
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, GraftShim}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.AnnotateOptions
+import graft.dict.AnnotatorModel
+
+/** The native-plan formulation of the fused annotate pass (SURVEY.md §5's
+  * documented escape hatch, promoted because profiles demanded it): a custom
+  * Catalyst `Generator` applied in a plain `select`, so the whole corpus path
+  * is `FileScan parquet → Project → Generate → ...` with **no object-mode
+  * island** — the `DeserializeToObject`/`SerializeFromObject` pair of the
+  * `mapPartitions` form is gone, and with it the dominant cost the round-1
+  * bench measured (~60 % of annotate wall): decoding every page's UTF-8
+  * bytes into a Java UTF-16 `String`. The generator scans the parquet
+  * reader's `UTF8String` bytes IN PLACE ([[graft.dict.Automaton.scanAsciiBytesInto]]),
+  * falls back to the char-level scan only for non-ASCII documents, and emits
+  * rows whose string fields are shared interned `UTF8String` constants
+  * (pred/match_type) or pre-encoded concept IRIs — zero per-row string
+  * conversion on the output side too (the `mapPartitions` form re-encoded
+  * five Java Strings per triple).
+  *
+  * Semantics are identical to [[FusedAnnotate.annotateTriples]] (asserted by
+  * parity tests over the full smoke corpus and the options matrix, plus the
+  * DuckDB oracle on `ann_triples_native`); the `mapPartitions` form remains
+  * as the typed-API reference implementation.
+  */
+object NativeAnnotate {
+
+  /** Dense per-task accumulators are used up to this many distinct IRIs
+    * (~100 MB/task at the limit); larger ontologies fall back to per-doc
+    * hash maps (same semantics, parity-tested via the `denseLimit` knob). */
+  val DenseLimit: Int = 1 << 22
+
+  val GenSchema: StructType = StructType(Seq(
+    StructField("pred", StringType, nullable = false),
+    StructField("obj", StringType, nullable = false),
+    StructField("match_type", StringType, nullable = false),
+    StructField("distance", IntegerType, nullable = false),
+    StructField("score", DoubleType, nullable = false)))
+
+  /** Corpus → complete triple set, Catalyst-native. Same contract and option
+    * surface as [[FusedAnnotate.annotateTriples]]; returns a DataFrame with
+    * the [[graft.Triple]] column layout. */
+  def annotateTriples(extracted: DataFrame,
+                      model: Broadcast[AnnotatorModel],
+                      maps: Broadcast[FusedAnnotate.ExpansionMaps],
+                      dictVersion: String,
+                      opts: AnnotateOptions = AnnotateOptions(),
+                      semanticTypeClasses: Option[Broadcast[Set[String]]] = None,
+                      denseLimit: Int = DenseLimit): DataFrame = {
+    require(opts.hierarchyMaxLevel <= maps.value.maxLevel,
+      s"hierarchyMaxLevel=${opts.hierarchyMaxLevel} exceeds the broadcast " +
+        s"closure's build level ${maps.value.maxLevel} — rebuild expansionMaps " +
+        "with a deeper cap (silent truncation would diverge from Expand.hierarchy)")
+    val gen = AnnotateTriplesGen(GraftShim.expression(col("text")),
+      model, maps, opts, semanticTypeClasses, denseLimit)
+    extracted.select(col("url").as("subj"), GraftShim.column(gen),
+      lit(dictVersion).as("dict_version"))
+  }
+}
+
+/** Catalyst `Generator`: text column in, (pred, obj, match_type, distance,
+  * score) rows out — one generator evaluation per document, fused direct
+  * scan + request filters + scoring + hierarchy/mapping expansion.
+  * Broadcast handles ride in the expression (small, serializable); the
+  * compiled automaton payload is JVM-cached per (broadcasts, options) so
+  * concurrent tasks share it, while mutable scan scratch is per-task
+  * (`@transient lazy` — each task deserializes its own expression copy).
+  */
+case class AnnotateTriplesGen(
+    child: Expression,
+    model: Broadcast[AnnotatorModel],
+    maps: Broadcast[FusedAnnotate.ExpansionMaps],
+    opts: AnnotateOptions,
+    semanticTypeClasses: Option[Broadcast[Set[String]]],
+    denseLimit: Int)
+  extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType = NativeAnnotate.GenSchema
+  override def prettyName: String = "annotate_triples"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"annotate_triples requires STRING input, got ${other.catalogString}")
+  }
+
+  @transient private lazy val compiled = CompiledAnnotator.cached(
+    model, maps, opts, semanticTypeClasses, denseLimit)
+  @transient private lazy val scratch = new ScanScratch(compiled)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = child.eval(input)
+    if (t == null) Iterator.empty
+    else compiled.annotate(t.asInstanceOf[UTF8String], scratch)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Immutable compiled form of (automaton payload × request options ×
+  * expansion maps): request filters (A4) evaluated once per dictionary entry
+  * instead of once per hit; IRIs interned to dense ints with pre-encoded
+  * `UTF8String`s; closure/mapping maps flattened to packed primitive arrays
+  * with the level cap and the monotone score thresholds pre-applied
+  * (hier weight decays with distance, so pre-dropping below-threshold
+  * distances can never change the per-doc min-distance winner). Shared
+  * across tasks — all mutable per-doc state lives in [[ScanScratch]].
+  */
+final class CompiledAnnotator(
+    m: AnnotatorModel,
+    exp: FusedAnnotate.ExpansionMaps,
+    val opts: AnnotateOptions,
+    allowedClasses: Option[Set[String]],
+    denseLimit: Int) extends Serializable {
+
+  private val auto = m.automaton
+
+  private val uPredDirect = UTF8String.fromString(graft.Pred.Direct)
+  private val uPredExpanded = UTF8String.fromString(graft.Pred.Expanded)
+  private val uPredMapped = UTF8String.fromString(graft.Pred.Mapped)
+  private val uPref = UTF8String.fromString(graft.MatchType.Pref)
+  private val uSyn = UTF8String.fromString(graft.MatchType.Syn)
+  private val uHier = UTF8String.fromString(graft.MatchType.Hier)
+  private val uMap = UTF8String.fromString(graft.MatchType.Map)
+
+  // ---- dense IRI id space (direct classes first, then ancestors/mapped)
+  private val iriToId = new java.util.HashMap[String, Integer]()
+  private val iriList = new mutable.ArrayBuffer[String]()
+  private def idOf(iri: String): Int = {
+    val got = iriToId.get(iri)
+    if (got != null) got.intValue()
+    else { val id = iriList.length; iriList += iri; iriToId.put(iri, id); id }
+  }
+
+  private val ontWhitelist: Set[String] = opts.ontologies.toSet
+
+  /** termId -> packed (classId << 1 | prefBit), request filters pre-applied. */
+  private val payloadC: Array[Array[Long]] = m.payload.map { entries =>
+    if (entries == null) null
+    else {
+      val kept = entries.filter { p =>
+        (ontWhitelist.isEmpty || ontWhitelist.contains(p.ont)) &&
+          (!opts.excludeSynonyms || p.pref) &&
+          allowedClasses.forall(_.contains(p.classIri))
+      }
+      if (kept.isEmpty) null
+      else kept.map(p => (idOf(p.classIri).toLong << 1) | (if (p.pref) 1L else 0L))
+    }
+  }
+
+  /** ids below this bound are classes that can appear as direct hits. */
+  val numDirectIds: Int = iriList.length
+
+  /** directId -> packed (ancestorId << 32 | minDist); null = no expansion. */
+  private val closureC: Array[Array[Long]] = {
+    val arr = new Array[Array[Long]](numDirectIds)
+    if (opts.expandHierarchy) {
+      var i = 0
+      while (i < numDirectIds) {
+        exp.closure.get(iriList(i)).foreach { entries =>
+          val kept = entries.filter { case (_, d) =>
+            d <= opts.hierarchyMaxLevel && graft.Score.hierWeight(d) >= opts.scoreThreshold }
+          if (kept.nonEmpty)
+            arr(i) = kept.map { case (a, d) => (idOf(a).toLong << 32) | d.toLong }
+        }
+        i += 1
+      }
+    }
+    arr
+  }
+
+  /** directId -> mapped-class ids; null = no mapping emission. */
+  private val mappedC: Array[Array[Int]] = {
+    val arr = new Array[Array[Int]](numDirectIds)
+    if (opts.expandMappings && graft.Score.MapWeight >= opts.scoreThreshold) {
+      var i = 0
+      while (i < numDirectIds) {
+        exp.mappings.get(iriList(i)).foreach { ms =>
+          if (ms.nonEmpty) arr(i) = ms.map(idOf)
+        }
+        i += 1
+      }
+    }
+    arr
+  }
+
+  // built last — every reachable IRI now has an id
+  private val iriU8: Array[UTF8String] = iriList.iterator.map(UTF8String.fromString).toArray
+  val numIds: Int = iriU8.length
+  val dense: Boolean = numIds <= denseLimit
+
+  @inline private def row(pred: UTF8String, obj: UTF8String, mt: UTF8String,
+                          dist: Int, score: Double): InternalRow =
+    new GenericInternalRow(Array[Any](pred, obj, mt, dist, score))
+
+  def annotate(text: UTF8String, s: ScanScratch): Iterator[InternalRow] = {
+    val ok = auto.scanAsciiBytesInto(text.getBaseObject, text.getBaseOffset,
+      text.numBytes, s.buf, opts.longestOnly)
+    if (!ok) auto.scanInto(text.toString, s.buf, opts.longestOnly)
+    if (s.buf.size == 0) Iterator.empty
+    else if (dense) annotateDense(s)
+    else annotateSparse(s)
+  }
+
+  /** Dense path: epoch-stamped primitive accumulators — zero per-doc
+    * allocation beyond the output rows, O(touched) reset. */
+  private def annotateDense(s: ScanScratch): Iterator[InternalRow] = {
+    s.epoch += 1
+    val e = s.epoch
+    val buf = s.buf
+    var nD = 0
+    var nA = 0
+    var nM = 0
+    var i = 0
+    while (i < buf.size) {
+      val entries = payloadC(buf.termId(i))
+      if (entries != null) {
+        var j = 0
+        while (j < entries.length) {
+          val packed = entries(j)
+          val id = (packed >>> 1).toInt
+          val pref = (packed & 1L) == 1L
+          val w = if (pref) graft.Score.PrefWeight else graft.Score.SynWeight
+          if (s.stampD(id) != e) {
+            s.stampD(id) = e; s.scoreD(id) = w; s.prefD(id) = pref
+            s.touchedD = ScanScratch.grow(s.touchedD, nD)
+            s.touchedD(nD) = id; nD += 1
+          } else {
+            s.scoreD(id) += w
+            if (pref) s.prefD(id) = true
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (nD == 0) return Iterator.empty
+    // expansions fan out from ALL direct classes (threshold gates emission
+    // of direct rows only — reference parity with FusedAnnotate)
+    i = 0
+    while (i < nD) {
+      val id = s.touchedD(i)
+      val cl = closureC(id)
+      if (cl != null) {
+        var j = 0
+        while (j < cl.length) {
+          val aId = (cl(j) >>> 32).toInt
+          val d = (cl(j) & 0xffffffffL).toInt
+          if (s.stampA(aId) != e) {
+            s.stampA(aId) = e; s.distA(aId) = d
+            s.touchedA = ScanScratch.grow(s.touchedA, nA)
+            s.touchedA(nA) = aId; nA += 1
+          } else if (d < s.distA(aId)) s.distA(aId) = d
+          j += 1
+        }
+      }
+      val mp = mappedC(id)
+      if (mp != null) {
+        var j = 0
+        while (j < mp.length) {
+          val mId = mp(j)
+          if (s.stampM(mId) != e) {
+            s.stampM(mId) = e
+            s.touchedM = ScanScratch.grow(s.touchedM, nM)
+            s.touchedM(nM) = mId; nM += 1
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val out = new mutable.ArrayBuffer[InternalRow](nD + nA + nM)
+    i = 0
+    while (i < nD) {
+      val id = s.touchedD(i)
+      val sc = s.scoreD(id)
+      if (sc >= opts.scoreThreshold)
+        out += row(uPredDirect, iriU8(id), if (s.prefD(id)) uPref else uSyn, 0, sc)
+      i += 1
+    }
+    i = 0
+    while (i < nA) {
+      val id = s.touchedA(i)
+      val d = s.distA(id)
+      out += row(uPredExpanded, iriU8(id), uHier, d, graft.Score.hierWeight(d))
+      i += 1
+    }
+    i = 0
+    while (i < nM) {
+      out += row(uPredMapped, iriU8(s.touchedM(i)), uMap, 1, graft.Score.MapWeight)
+      i += 1
+    }
+    out.iterator
+  }
+
+  /** Sparse fallback for ontologies beyond the dense-array budget: per-doc
+    * hash maps keyed by the same compiled ids — identical emission. */
+  private def annotateSparse(s: ScanScratch): Iterator[InternalRow] = {
+    val buf = s.buf
+    val scores = new mutable.LongMap[Double]()
+    val prefs = new mutable.LongMap[Boolean]()
+    var i = 0
+    while (i < buf.size) {
+      val entries = payloadC(buf.termId(i))
+      if (entries != null) {
+        var j = 0
+        while (j < entries.length) {
+          val packed = entries(j)
+          val id = packed >>> 1
+          val pref = (packed & 1L) == 1L
+          val w = if (pref) graft.Score.PrefWeight else graft.Score.SynWeight
+          scores.get(id) match {
+            case Some(cur) =>
+              scores(id) = cur + w
+              if (pref) prefs(id) = true
+            case None =>
+              scores(id) = w
+              prefs(id) = pref
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (scores.isEmpty) return Iterator.empty
+    val dists = new mutable.LongMap[Int]()
+    val mapped = new mutable.LongMap[Unit]()
+    scores.foreachKey { idL =>
+      val id = idL.toInt
+      val cl = closureC(id)
+      if (cl != null) {
+        var j = 0
+        while (j < cl.length) {
+          val aId = cl(j) >>> 32
+          val d = (cl(j) & 0xffffffffL).toInt
+          if (dists.getOrElse(aId, Int.MaxValue) > d) dists(aId) = d
+          j += 1
+        }
+      }
+      val mp = mappedC(id)
+      if (mp != null) {
+        var j = 0
+        while (j < mp.length) { mapped(mp(j).toLong) = (); j += 1 }
+      }
+    }
+    val out = new mutable.ArrayBuffer[InternalRow](scores.size + dists.size + mapped.size)
+    scores.foreach { case (idL, sc) =>
+      if (sc >= opts.scoreThreshold)
+        out += row(uPredDirect, iriU8(idL.toInt),
+          if (prefs(idL)) uPref else uSyn, 0, sc)
+    }
+    dists.foreach { case (idL, d) =>
+      out += row(uPredExpanded, iriU8(idL.toInt), uHier, d, graft.Score.hierWeight(d))
+    }
+    mapped.foreachKey { idL =>
+      out += row(uPredMapped, iriU8(idL.toInt), uMap, 1, graft.Score.MapWeight)
+    }
+    out.iterator
+  }
+}
+
+object CompiledAnnotator {
+
+  // JVM-wide cache so every task on an executor shares one compiled payload
+  // per (dictionary version × expansion maps × request options); bounded —
+  // dictionary-version swaps (D9) don't accumulate stale compilations
+  private val cache = new ConcurrentHashMap[String, CompiledAnnotator]()
+  private val MaxEntries = 8
+
+  def cached(model: Broadcast[AnnotatorModel],
+             maps: Broadcast[FusedAnnotate.ExpansionMaps],
+             opts: AnnotateOptions,
+             sem: Option[Broadcast[Set[String]]],
+             denseLimit: Int): CompiledAnnotator = {
+    val key = s"${model.id}:${maps.id}:${sem.map(_.id)}:$opts:$denseLimit"
+    val got = cache.get(key)
+    if (got != null) got
+    else {
+      if (cache.size >= MaxEntries) cache.clear()
+      cache.computeIfAbsent(key, _ =>
+        new CompiledAnnotator(model.value, maps.value, opts, sem.map(_.value), denseLimit))
+    }
+  }
+}
+
+/** Per-task mutable scan state: the hit buffer plus the dense epoch-stamped
+  * accumulators. Never shared across threads (each task deserializes its own
+  * expression instance, which lazily creates one scratch). */
+final class ScanScratch(c: CompiledAnnotator) {
+  val buf = new graft.dict.HitBuffer()
+  var epoch: Int = 0
+  val stampD: Array[Int] = if (c.dense) new Array[Int](c.numDirectIds) else null
+  val scoreD: Array[Double] = if (c.dense) new Array[Double](c.numDirectIds) else null
+  val prefD: Array[Boolean] = if (c.dense) new Array[Boolean](c.numDirectIds) else null
+  val stampA: Array[Int] = if (c.dense) new Array[Int](c.numIds) else null
+  val distA: Array[Int] = if (c.dense) new Array[Int](c.numIds) else null
+  val stampM: Array[Int] = if (c.dense) new Array[Int](c.numIds) else null
+  var touchedD: Array[Int] = new Array[Int](256)
+  var touchedA: Array[Int] = new Array[Int](256)
+  var touchedM: Array[Int] = new Array[Int](256)
+}
+
+object ScanScratch {
+  def grow(arr: Array[Int], needed: Int): Array[Int] =
+    if (needed < arr.length) arr else java.util.Arrays.copyOf(arr, arr.length * 2)
+}

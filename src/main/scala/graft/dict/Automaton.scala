@@ -31,9 +31,12 @@ final class Automaton private[dict] (
     val childTo: Array[Int],
     val rootNext: Array[Int], // dense ASCII dispatch for node 0, length 128
     val fail: Array[Int],
-    val out: Array[Int], // nearest accepting node via fail chain, -1 = none
+    val out: Array[Int], // nearest accepting PROPER-suffix node via fail chain, -1 = none
     val termIdAt: Array[Int], // accepting termId per node, -1 = none
-    val depth: Array[Int] // node depth == matched-term length at that node
+    val depth: Array[Int], // node depth == matched-term length at that node
+    val emitNode: Array[Int] // head of the emission chain per node: the node
+    // itself if accepting, else out(node) — folds the hot path's two loads
+    // (termIdAt + out) into one; continue the chain via out(n)
 ) extends Serializable {
 
   def numNodes: Int = fail.length
@@ -67,29 +70,135 @@ final class Automaton private[dict] (
     var state = 0
     var pos = 0
     while (pos < len) {
-      val c = Automaton.normChar(text.charAt(pos))
-      // follow fail links until a transition (or root)
-      var s = state
-      var nxt = child(s, c)
-      while (nxt < 0 && s != 0) { s = fail(s); nxt = child(s, c) }
-      state = if (nxt >= 0) nxt else 0
-      // emit all terms ending at pos via the output chain
-      var n = if (termIdAt(state) >= 0) state else out(state)
-      if (n >= 0) {
-        val boundAfter = pos == len - 1 || !Automaton.isWordChar(text.charAt(pos + 1))
-        if (boundAfter) {
-          while (n >= 0) {
-            val start = pos - depth(n) + 1
-            if (start == 0 || !Automaton.isWordChar(text.charAt(start - 1)))
-              buf.add(start + 1, pos + 1, termIdAt(n)) // 1-based inclusive
-            n = out(n)
+      val c0 = text.charAt(pos)
+      val c = Automaton.normChar(c0)
+      if (state == 0) {
+        val nxt = child(0, c)
+        if (nxt < 0) {
+          pos += 1
+          // WORD-RUN SKIP: at root with no transition on a word char, no
+          // match can start anywhere in the rest of this word run — every
+          // mid-run start fails the boundary-before check, and the AC
+          // invariant says no earlier match is still alive (we are at
+          // root). Skip the run in a tight classify-advance loop.
+          if (Automaton.isWordChar(c0)) {
+            while (pos < len && Automaton.isWordChar(text.charAt(pos))) pos += 1
           }
+        } else {
+          state = nxt
+          emitChars(nxt, text, len, pos, buf)
+          pos += 1
+        }
+      } else {
+        // follow fail links until a transition (or root)
+        var s = state
+        var nxt = child(s, c)
+        while (nxt < 0 && s != 0) { s = fail(s); nxt = child(s, c) }
+        if (nxt >= 0) {
+          state = nxt
+          emitChars(nxt, text, len, pos, buf)
+          pos += 1
+        } else {
+          state = 0 // reprocess this char at root (enables the run skip)
         }
       }
-      pos += 1
     }
     if (longestOnly) buf.longestPerStartInPlace()
     buf
+  }
+
+  /** Emit all terms ending at `pos` via the output chain (char coords). */
+  @inline private def emitChars(st: Int, text: String, len: Int, pos: Int, buf: HitBuffer): Unit = {
+    var n = emitNode(st)
+    if (n >= 0) {
+      val boundAfter = pos == len - 1 || !Automaton.isWordChar(text.charAt(pos + 1))
+      if (boundAfter) {
+        while (n >= 0) {
+          val start = pos - depth(n) + 1
+          if (start == 0 || !Automaton.isWordChar(text.charAt(start - 1)))
+            buf.add(start + 1, pos + 1, termIdAt(n)) // 1-based inclusive
+          n = out(n)
+        }
+      }
+    }
+  }
+
+  /** Byte-level scan over UTF-8 text read in place (no copy, no UTF-16
+    * decode) — the parquet hot path: a `UTF8String` from the vectorized
+    * reader is scanned directly via its base object + offset
+    * ([[org.apache.spark.unsafe.Platform]] reads), so the per-document
+    * String materialization that dominated the bench profile (~60 % of
+    * annotate wall — BASELINE.md round-1 notes) disappears entirely.
+    *
+    * ASCII-only fast path: for 7-bit text, byte positions ARE character
+    * positions and the scan is byte-for-byte identical to [[scanInto]]
+    * (property-tested). On the first non-ASCII byte it returns `false`
+    * WITHOUT emitting — the caller falls back to the char-level scan on the
+    * decoded string (correct for any UTF-8 input, paid only by non-ASCII
+    * documents).
+    */
+  def scanAsciiBytesInto(base: AnyRef, offset: Long, numBytes: Int,
+                         buf: HitBuffer, longestOnly: Boolean = false): Boolean = {
+    import org.apache.spark.unsafe.Platform
+    buf.clear()
+    var state = 0
+    var pos = 0
+    while (pos < numBytes) {
+      val b = Platform.getByte(base, offset + pos)
+      if (b < 0) return false // multi-byte UTF-8 → char-offset semantics; caller falls back
+      val c = (if (b >= 'a' && b <= 'z') b - 32 else b.toInt).toChar
+      if (state == 0) {
+        val nxt = rootNext(c)
+        if (nxt < 0) {
+          pos += 1
+          // word-run skip (see scanInto) — multi-byte lead bytes are
+          // negative → non-word → the skip stops and the b<0 guard above
+          // triggers the char-scan fallback on the next iteration
+          if (Automaton.isWordByte(b)) {
+            while (pos < numBytes &&
+              Automaton.isWordByte(Platform.getByte(base, offset + pos))) pos += 1
+          }
+        } else {
+          state = nxt
+          emitBytes(nxt, base, offset, numBytes, pos, buf)
+          pos += 1
+        }
+      } else {
+        var s = state
+        var nxt = child(s, c)
+        while (nxt < 0 && s != 0) { s = fail(s); nxt = child(s, c) }
+        if (nxt >= 0) {
+          state = nxt
+          emitBytes(nxt, base, offset, numBytes, pos, buf)
+          pos += 1
+        } else {
+          state = 0 // reprocess this byte at root (enables the run skip)
+        }
+      }
+    }
+    if (longestOnly) buf.longestPerStartInPlace()
+    true
+  }
+
+  /** Emit all terms ending at byte `pos` via the output chain. A
+    * yet-unscanned multi-byte lead byte at a boundary position is negative →
+    * non-word, matching the char scan (chars ≥ 128 are never word chars). */
+  @inline private def emitBytes(st: Int, base: AnyRef, offset: Long, numBytes: Int,
+                                pos: Int, buf: HitBuffer): Unit = {
+    import org.apache.spark.unsafe.Platform
+    var n = emitNode(st)
+    if (n >= 0) {
+      val boundAfter = pos == numBytes - 1 ||
+        !Automaton.isWordByte(Platform.getByte(base, offset + pos + 1))
+      if (boundAfter) {
+        while (n >= 0) {
+          val start = pos - depth(n) + 1
+          if (start == 0 || !Automaton.isWordByte(Platform.getByte(base, offset + start - 1)))
+            buf.add(start + 1, pos + 1, termIdAt(n)) // 1-based inclusive
+          n = out(n)
+        }
+      }
+    }
   }
 
   /** Boxed convenience wrapper (tests / oracle comparisons). */
@@ -104,7 +213,7 @@ final class Automaton private[dict] (
   /** Memory estimate in bytes (broadcast sizing; SURVEY.md §5 "Spill/memory"). */
   def sizeEstimate: Long =
     4L * (childStart.length + childTo.length + rootNext.length +
-      fail.length + out.length + termIdAt.length + depth.length) +
+      fail.length + out.length + termIdAt.length + depth.length + emitNode.length) +
       2L * childChar.length
 }
 
@@ -162,6 +271,11 @@ object Automaton {
   @inline def isWordChar(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
 
+  /** Byte twin of [[isWordChar]] for the UTF-8 fast path: UTF-8 multi-byte
+    * units are negative and correctly classify as non-word. */
+  @inline def isWordByte(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') || (b >= '0' && b <= '9') || b == '_'
+
   /** Per-char uppercase — keeps offsets in original coordinates (SURVEY.md
     * §3.2 A1: "normalize chars on the fly so offsets stay in ORIGINAL text
     * coordinates"). */
@@ -213,6 +327,7 @@ object Automaton {
     val out = Array.fill(n)(-1)
     val depth = new Array[Int](n)
     val termIdAt = new Array[Int](n)
+    val emitNode = new Array[Int](n)
     i = 0
     while (i < n) { termIdAt(i) = t.termIds(i); i += 1 }
 
@@ -225,7 +340,8 @@ object Automaton {
       queue.append(c0)
       k += 1
     }
-    val auto = new Automaton(childStart, childChar, childTo, rootNext, fail, out, termIdAt, depth)
+    val auto = new Automaton(childStart, childChar, childTo, rootNext, fail, out,
+      termIdAt, depth, emitNode)
     while (queue.nonEmpty) {
       val u = queue.removeHead()
       var e = childStart(u)
@@ -242,6 +358,12 @@ object Automaton {
         queue.append(v)
         e += 1
       }
+    }
+    // emission-chain heads (BFS order guarantees out() is final here)
+    i = 0
+    while (i < n) {
+      emitNode(i) = if (termIdAt(i) >= 0) i else out(i)
+      i += 1
     }
     auto
   }

@@ -1,0 +1,17 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge between graft's custom Catalyst expressions and the public
+  * `Column` API. Spark 4 made `Column(expr)` private (`ExpressionUtils` is
+  * `private[sql]`), so this one-file re-export lives in the
+  * `org.apache.spark.sql` package — the standard technique third-party Spark
+  * extensions use for expressions that cannot be built through the SQL
+  * function registry (here: the annotate `Generator`, whose constructor
+  * carries `Broadcast` handles that have no SQL-literal representation).
+  * No Spark internals are modified or shadowed.
+  */
+object GraftShim {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,172 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.annotate.{Corpus, FusedAnnotate, NativeAnnotate}
+import graft.dict.{AutomatonBuild, DictBuild, TrieBuilder, Automaton}
+import graft.fixture.OntologyFixture
+import graft.graph.Closure
+
+/** The native Generator formulation must be row-for-row identical to the
+  * typed `mapPartitions` fused path — over the full smoke corpus, the whole
+  * request-option matrix, non-ASCII fallback docs, and the sparse-accumulator
+  * branch. Plus: the plan it produces must actually BE native (no
+  * object-mode island), and the byte-level scan must equal the char-level
+  * scan on arbitrary ASCII input.
+  */
+class NativeAnnotateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val model = {
+    val dict = DictBuild.build(DictBuild.labelRows(OntologyFixture.conceptsDf(spark)))
+    AutomatonBuild.broadcastModel(spark, AutomatonBuild.build(spark, dict, "v1"))
+  }
+  private lazy val maps = spark.sparkContext.broadcast(
+    FusedAnnotate.expansionMaps(
+      Closure.transitiveClosure(OntologyFixture.edgesDf(spark), 5),
+      OntologyFixture.mappingsDf(spark), 5))
+  private lazy val corpus = Corpus.extract(Corpus.readDriverDocuments(spark, sfDir))
+
+  private def tripleSet(df: DataFrame): Set[(String, String, String, String, Int, Double, String)] =
+    df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+      r.getString(3), r.getInt(4), r.getDouble(5), r.getString(6))).toSet
+
+  private def assertParity(opts: AnnotateOptions,
+                           semClasses: Option[Set[String]] = None,
+                           denseLimit: Int = NativeAnnotate.DenseLimit): Unit = {
+    val semB = semClasses.map(spark.sparkContext.broadcast(_))
+    val fused = tripleSet(
+      FusedAnnotate.annotateTriples(corpus, model, maps, "v1", opts, semB).toDF())
+    val native = tripleSet(
+      NativeAnnotate.annotateTriples(corpus, model, maps, "v1", opts, semB, denseLimit))
+    assert(native === fused)
+    assert(native.nonEmpty)
+  }
+
+  test("native == fused on the full smoke corpus (defaults)") {
+    assertParity(AnnotateOptions())
+  }
+
+  test("native == fused: longest_only") {
+    assertParity(AnnotateOptions(longestOnly = true))
+  }
+
+  test("native == fused: ontology whitelist") {
+    assertParity(AnnotateOptions(ontologies = Seq("ONT2")))
+  }
+
+  test("native == fused: exclude_synonyms") {
+    assertParity(AnnotateOptions(excludeSynonyms = true))
+  }
+
+  test("native == fused: score threshold") {
+    assertParity(AnnotateOptions(scoreThreshold = 8.5))
+  }
+
+  test("native == fused: hierarchy level cap + no mappings") {
+    assertParity(AnnotateOptions(hierarchyMaxLevel = 1, expandMappings = false))
+  }
+
+  test("native == fused: no hierarchy") {
+    assertParity(AnnotateOptions(expandHierarchy = false))
+  }
+
+  test("native == fused: semantic-type class filter") {
+    val allowed = OntologyFixture.conceptsDf(spark)
+      .select("class_iri").limit(10).collect().map(_.getString(0)).toSet
+    assertParity(AnnotateOptions(), Some(allowed))
+  }
+
+  test("native == fused: combined options") {
+    assertParity(AnnotateOptions(longestOnly = true, excludeSynonyms = true,
+      hierarchyMaxLevel = 2, scoreThreshold = 3.0))
+  }
+
+  test("sparse accumulator branch (denseLimit=0) == dense") {
+    assertParity(AnnotateOptions(), denseLimit = 0)
+    assertParity(AnnotateOptions(longestOnly = true, scoreThreshold = 8.5), denseLimit = 0)
+  }
+
+  test("non-ASCII documents fall back to the char scan with identical results") {
+    import spark.implicits._
+    // é before a term start, multi-byte inside a word (breaks it), emoji
+    // (surrogate pair) between terms, ß adjacent to a term
+    val terms = OntologyFixture.conceptsDf(spark)
+      .select("pref_label").limit(3).collect().map(_.getString(0))
+    val texts = Seq(
+      s"café ${terms(0)} naïve ${terms(1)} 😀 ${terms(2)}",
+      s"${terms(0)}ß not-a-boundary but ${terms(1)} yes",
+      s"Ünicode ${terms(0)} mixed τερμ ${terms(1)}",
+      terms.mkString(" é "))
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (s"doc://nonascii/$i", new java.sql.Timestamp(0L),
+        null.asInstanceOf[Array[Byte]], t, "und") }
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    val fused = tripleSet(FusedAnnotate.annotateTriples(df, model, maps, "v1").toDF())
+    val native = tripleSet(NativeAnnotate.annotateTriples(df, model, maps, "v1"))
+    assert(native === fused)
+    assert(native.nonEmpty, "non-ASCII fixture should still produce matches")
+  }
+
+  test("null-text rows are skipped, not fatal") {
+    import spark.implicits._
+    val df = Seq(
+      ("doc://null/0", new java.sql.Timestamp(0L), null.asInstanceOf[Array[Byte]],
+        null.asInstanceOf[String], "und"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    assert(NativeAnnotate.annotateTriples(df, model, maps, "v1").count() === 0L)
+  }
+
+  test("the native plan has no object-mode island and prunes to (url, text)") {
+    val plan = NativeAnnotate.annotateTriples(corpus, model, maps, "v1")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject"), plan)
+    assert(!plan.contains("MapPartitions"), plan)
+    assert(plan.contains("Generate"), plan)
+    val optimized = NativeAnnotate.annotateTriples(
+      Corpus.extract(Corpus.readDriverDocuments(spark, sfDir)), model, maps, "v1")
+      .queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("html"), "html column must be pruned from the scan:\n" + optimized)
+  }
+
+  test("byte scan == char scan on arbitrary ASCII inputs (property)") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Array("spark", "hash join", "window", "agg", "x1", "catalyst rule", "a_b")
+    val trie = new TrieBuilder
+    vocab.zipWithIndex.foreach { case (t, i) =>
+      trie.insert(t.toUpperCase.trim.replaceAll("\\s+", " "), i)
+    }
+    val auto = Automaton.fromTrie(trie)
+    val charBuf = new graft.dict.HitBuffer()
+    val byteBuf = new graft.dict.HitBuffer()
+    (1 to 300).foreach { _ =>
+      val n = rnd.nextInt(60)
+      val text = (1 to n).map { _ =>
+        if (rnd.nextBoolean()) vocab(rnd.nextInt(vocab.length))
+        else rnd.alphanumeric.take(rnd.nextInt(6) + 1).mkString
+      }.mkString(Seq(" ", ", ", "-", ".").apply(rnd.nextInt(4)))
+      val u8 = UTF8String.fromString(text)
+      auto.scanInto(text, charBuf)
+      val ok = auto.scanAsciiBytesInto(u8.getBaseObject, u8.getBaseOffset, u8.numBytes, byteBuf)
+      assert(ok, s"ASCII text must take the byte path: $text")
+      val charHits = (0 until charBuf.size)
+        .map(i => (charBuf.from(i), charBuf.to(i), charBuf.termId(i))).toSet
+      val byteHits = (0 until byteBuf.size)
+        .map(i => (byteBuf.from(i), byteBuf.to(i), byteBuf.termId(i))).toSet
+      assert(byteHits === charHits, s"mismatch on: $text")
+    }
+  }
+
+  test("byte scan refuses non-ASCII (returns false) without emitting garbage") {
+    val trie = new TrieBuilder
+    trie.insert("SPARK", 0)
+    val auto = Automaton.fromTrie(trie)
+    val buf = new graft.dict.HitBuffer()
+    val u8 = UTF8String.fromString("spark é spark")
+    val ok = auto.scanAsciiBytesInto(u8.getBaseObject, u8.getBaseOffset, u8.numBytes, buf)
+    assert(!ok)
+  }
+}
