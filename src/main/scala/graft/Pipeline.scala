@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.annotate.{Corpus, Expand, Filters, Scan, Scoring}
+import graft.annotate.{Corpus, Expand, Filters, Scoring}
 import graft.dict.{AutomatonBuild, DictBuild}
 import graft.emit.Triples
 import graft.fixture.OntologyFixture
@@ -56,8 +56,14 @@ object Pipeline {
     val matches = stage(spark, io, "matches", cfg, inputRows = nCorpus) {
       val model = AutomatonBuild.build(spark, dict, cfg.dictVersion)
       val bcast = AutomatonBuild.broadcastModel(spark, model)
+      // native Generator scan (in-place UTF8String bytes, no object-mode
+      // island); columns renamed to the persisted Match schema. The typed
+      // mapPartitions form (Scan.annotateDirect) stays parity-tested.
       Filters(
-        Scan.annotateDirect(corpus, bcast, cfg.opts.longestOnly).toDF(),
+        graft.annotate.NativeAnnotate
+          .annotateMatches(corpus, bcast, cfg.opts.longestOnly)
+          .withColumnRenamed("class_iri", "classIri")
+          .withColumnRenamed("match_type", "matchType"),
         cfg.opts,
         Some(OntologyFixture.conceptsDf(spark)
           .select(col("class_iri"), explode(col("tuis")).as("tui"))))

@@ -60,10 +60,11 @@ object SparkEntry {
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Corpus.extract(Corpus.fromDriverTable(docsTable(s, dir)))
 
+  /** Shared direct-match stream — the NATIVE Generator scan, so every ann_*
+    * oracle query downstream exercises the scale path; `ann_direct_typed`
+    * keeps the typed mapPartitions form under the same DuckDB oracle. */
   private def matches(s: SparkSession, dir: String): DataFrame =
-    Scan.annotateDirect(corpus(s, dir), model(s)).toDF()
-      .withColumnRenamed("classIri", "class_iri")
-      .withColumnRenamed("matchType", "match_type")
+    graft.annotate.NativeAnnotate.annotateMatches(corpus(s, dir), model(s))
 
   /** Flagship: full annotate pipeline (direct + expansions → triples) on the
     * smoke slice, on the scale path (per-doc aggregation folded into the
@@ -84,6 +85,13 @@ object SparkEntry {
     // A2/A3: direct dictionary annotation (distinct doc × concept × type)
     "ann_direct" -> ((s, dir) =>
       matches(s, dir).select("url", "class_iri", "ont", "match_type").distinct()),
+
+    // A2 on the typed mapPartitions form — same oracle as ann_direct, so
+    // both scan formulations stay independently DuckDB-checked
+    "ann_direct_typed" -> ((s, dir) =>
+      Scan.annotateDirect(corpus(s, dir), model(s)).toDF()
+        .select(col("url"), col("classIri").as("class_iri"), col("ont"),
+          col("matchType").as("match_type")).distinct()),
 
     // A2 all-occurrence counts per (doc, concept)
     "ann_counts" -> ((s, dir) =>
@@ -375,6 +383,9 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "ann_direct" ->
+      s"WITH $dictCte, $directCte SELECT url, class_iri, ont, match_type FROM direct",
+
+    "ann_direct_typed" ->
       s"WITH $dictCte, $directCte SELECT url, class_iri, ont, match_type FROM direct",
 
     "ann_counts" ->

@@ -71,6 +71,126 @@ object NativeAnnotate {
     extracted.select(col("url").as("subj"), GraftShim.column(gen),
       lit(dictVersion).as("dict_version"))
   }
+
+  /** Native-plan form of [[Scan.annotateDirect]]: per-occurrence matches
+    * with 1-based inclusive offsets — `(url, from, to, text, class_iri, ont,
+    * match_type)`. Same zero-copy byte scan; parity-tested against the typed
+    * mapPartitions form. */
+  def annotateMatches(extracted: DataFrame,
+                      model: Broadcast[AnnotatorModel],
+                      longestOnly: Boolean = false): DataFrame = {
+    val gen = AnnotateMatchesGen(GraftShim.expression(col("text")), model, longestOnly)
+    extracted.select(col("url"), GraftShim.column(gen))
+  }
+}
+
+/** Offset-bearing sibling of [[AnnotateTriplesGen]]: emits one row per
+  * dictionary OCCURRENCE — `(from, to, text, class_iri, ont, match_type)`,
+  * offsets 1-based inclusive (reference mgrep wire-tuple parity) — the
+  * native-plan form of [[Scan.annotateDirect]] used by the persisted-matches
+  * pipeline stage and the request-filter queries. */
+case class AnnotateMatchesGen(
+    child: Expression,
+    model: Broadcast[AnnotatorModel],
+    longestOnly: Boolean)
+  extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("from", IntegerType, nullable = false),
+    StructField("to", IntegerType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("class_iri", StringType, nullable = false),
+    StructField("ont", StringType, nullable = false),
+    StructField("match_type", StringType, nullable = false)))
+  override def prettyName: String = "annotate_matches"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"annotate_matches requires STRING input, got ${other.catalogString}")
+  }
+
+  @transient private lazy val compiled = CompiledMatcher.cached(model)
+  @transient private lazy val buf = new graft.dict.HitBuffer()
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = child.eval(input)
+    if (t == null) Iterator.empty
+    else compiled.matches(t.asInstanceOf[UTF8String], buf, longestOnly)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Compiled per-term payload with pre-encoded `UTF8String`s for the match
+  * generator; shared across tasks via a small JVM cache. */
+final class CompiledMatcher(m: AnnotatorModel) extends Serializable {
+  private val auto = m.automaton
+  private val uPref = UTF8String.fromString(graft.MatchType.Pref)
+  private val uSyn = UTF8String.fromString(graft.MatchType.Syn)
+
+  // termId -> flat (classIri, ont, matchType) UTF8String triples
+  private val iriOf: Array[Array[UTF8String]] = m.payload.map { entries =>
+    if (entries == null) null else entries.map(p => UTF8String.fromString(p.classIri))
+  }
+  private val ontOf: Array[Array[UTF8String]] = m.payload.map { entries =>
+    if (entries == null) null else entries.map(p => UTF8String.fromString(p.ont))
+  }
+  private val mtOf: Array[Array[UTF8String]] = m.payload.map { entries =>
+    if (entries == null) null else entries.map(p => if (p.pref) uPref else uSyn)
+  }
+
+  def matches(text: UTF8String, buf: graft.dict.HitBuffer,
+              longestOnly: Boolean): Iterator[InternalRow] = {
+    val ascii = auto.scanAsciiBytesInto(text.getBaseObject, text.getBaseOffset,
+      text.numBytes, buf, longestOnly)
+    var decoded: String = null
+    if (!ascii) {
+      decoded = text.toString
+      auto.scanInto(decoded, buf, longestOnly)
+    }
+    if (buf.size == 0) return Iterator.empty
+    val out = new mutable.ArrayBuffer[InternalRow](buf.size)
+    var i = 0
+    while (i < buf.size) {
+      val from = buf.from(i)
+      val to = buf.to(i)
+      // offsets are 1-based inclusive CHAR positions; on the ASCII path
+      // chars == bytes so the UTF8String substring is exact either way
+      val matched =
+        if (ascii) text.substring(from - 1, to)
+        else UTF8String.fromString(decoded.substring(from - 1, to))
+      val tid = buf.termId(i)
+      val iris = iriOf(tid)
+      if (iris != null) {
+        val onts = ontOf(tid)
+        val mts = mtOf(tid)
+        var j = 0
+        while (j < iris.length) {
+          out += new GenericInternalRow(
+            Array[Any](from, to, matched, iris(j), onts(j), mts(j)))
+          j += 1
+        }
+      }
+      i += 1
+    }
+    out.iterator
+  }
+}
+
+object CompiledMatcher {
+  private val cache = new ConcurrentHashMap[Long, CompiledMatcher]()
+  private val MaxEntries = 8
+
+  def cached(model: Broadcast[AnnotatorModel]): CompiledMatcher = {
+    val got = cache.get(model.id)
+    if (got != null) got
+    else {
+      if (cache.size >= MaxEntries) cache.clear()
+      cache.computeIfAbsent(model.id, _ => new CompiledMatcher(model.value))
+    }
+  }
 }
 
 /** Catalyst `Generator`: text column in, (pred, obj, match_type, distance,

@@ -160,6 +160,40 @@ class NativeAnnotateSpec extends AnyFunSuite {
     }
   }
 
+  private def matchSet(df: DataFrame): Set[(String, Int, Int, String, String, String, String)] =
+    df.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3),
+      r.getString(4), r.getString(5), r.getString(6))).toSet
+
+  test("annotateMatches == typed Scan.annotateDirect (offsets, text, payload fan-out)") {
+    import graft.annotate.Scan
+    for (longest <- Seq(false, true)) {
+      val typed = matchSet(Scan.annotateDirect(corpus, model, longest).toDF()
+        .select("url", "from", "to", "text", "classIri", "ont", "matchType"))
+      val native = matchSet(NativeAnnotate.annotateMatches(corpus, model, longest))
+      assert(native === typed, s"longestOnly=$longest")
+      assert(native.nonEmpty)
+    }
+  }
+
+  test("annotateMatches parity on non-ASCII docs (char-offset coordinates)") {
+    import spark.implicits._
+    import graft.annotate.Scan
+    val terms = OntologyFixture.conceptsDf(spark)
+      .select("pref_label").limit(3).collect().map(_.getString(0))
+    val texts = Seq(
+      s"café ${terms(0)} 😀 ${terms(1)}", // surrogate pair shifts char offsets
+      s"τ ${terms(2)} é ${terms(0)}")
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (s"doc://na/$i", new java.sql.Timestamp(0L),
+        null.asInstanceOf[Array[Byte]], t, "und") }
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    val typed = matchSet(Scan.annotateDirect(df, model).toDF()
+      .select("url", "from", "to", "text", "classIri", "ont", "matchType"))
+    val native = matchSet(NativeAnnotate.annotateMatches(df, model))
+    assert(native === typed)
+    assert(native.nonEmpty)
+  }
+
   test("byte scan refuses non-ASCII (returns false) without emitting garbage") {
     val trie = new TrieBuilder
     trie.insert("SPARK", 0)
