@@ -57,4 +57,20 @@ object DictVersioning {
       .coalesce(1)
       .write.mode("overwrite").text(path)
   }
+
+  /** Dictionary SOURCE from an existing mgrep `id<TAB>TERM` file — reference
+    * interop: a user migrating off the mgrep server can point the engine at
+    * the same dictionary file their mgrep instance loads. Terms are stored
+    * pre-normalized in mgrep files (uppercased), but normalization is
+    * re-applied defensively (idempotent on conforming files). Returns
+    * `(term string, term_id int)`; concept payload (the reference keeps it
+    * in Redis, not in the file) joins in from a separate entries table.
+    */
+  def readTsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(split(col("value"), "\t", 2).as("kv"))
+      .select(
+        col("kv").getItem(0).cast("int").as("term_id"),
+        DictBuild.normalizeTerm(col("kv").getItem(1)).as("term"))
+      .filter(col("term_id").isNotNull && length(col("term")) > 0)
 }

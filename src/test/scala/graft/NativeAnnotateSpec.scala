@@ -194,6 +194,30 @@ class NativeAnnotateSpec extends AnyFunSuite {
     assert(native.nonEmpty)
   }
 
+  test("native Generator lifts to readStream unchanged (batch/stream same plan)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(String, String)]
+    val docs = input.toDF().toDF("url", "text")
+    val query = NativeAnnotate.annotateTriples(docs, model, maps, "v1").writeStream
+      .format("memory").queryName("native_stream_triples").outputMode("append").start()
+    try {
+      input.addData(("doc://ns1", "the hash join beats a merge sort"))
+      query.processAllAvailable()
+      input.addData(("doc://ns2", "table scan and spark"))
+      query.processAllAvailable()
+      val got = spark.table("native_stream_triples")
+        .select("subj", "pred", "obj")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      val expected = graft.oracle.ReferenceOracle.goldenTriples(Seq(
+        ("doc://ns1", "the hash join beats a merge sort"),
+        ("doc://ns2", "table scan and spark")))
+      assert(got === expected)
+      assert(got.nonEmpty)
+    } finally query.stop()
+  }
+
   test("byte scan refuses non-ASCII (returns false) without emitting garbage") {
     val trie = new TrieBuilder
     trie.insert("SPARK", 0)

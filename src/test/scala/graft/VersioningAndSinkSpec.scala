@@ -48,4 +48,26 @@ class VersioningAndSinkSpec extends AnyFunSuite {
     assert(byId.toSeq === byId.sorted.toSeq)
     assert(byId.contains("MERGE SORT"))
   }
+
+  test("mgrep TSV source: writeTsv → readTsv round-trips (term, term_id) exactly") {
+    val out = Files.createTempDirectory("graft-tsv-rt").toString + "/dict_tsv"
+    DictVersioning.writeTsv(dict, out)
+    val back = DictVersioning.readTsv(spark, out)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    val orig = dict.select("term_id", "term")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(back === orig)
+    assert(back.nonEmpty)
+    // and an automaton built from the file scans identically to one built
+    // from the table (term-id space is the file's — the mgrep contract)
+    val fromFile = graft.dict.TrieBuilder.of(
+      back.iterator.map { case (id, t) => (t, id) })
+    val fromTable = graft.dict.TrieBuilder.of(
+      orig.iterator.map { case (id, t) => (t, id) })
+    val text = "the hash join beats a merge sort on the table scan"
+    val a = graft.dict.Automaton.fromTrie(fromFile).scan(text)
+    val b = graft.dict.Automaton.fromTrie(fromTable).scan(text)
+    assert(a.toSet === b.toSet)
+    assert(a.nonEmpty)
+  }
 }
