@@ -337,6 +337,23 @@ object SparkEntry {
           size(split(col("text"), " ")).as("n_tokens"))
     }),
 
+    // capstone composition: the training-data curation ops FEED the
+    // annotator — exact-dedup survivors + quality gate select the pages, the
+    // native annotate builds the KG only over curated pages (the realistic
+    // 100 TB pipeline shape: curate once, then extract knowledge)
+    "kg_curated_triples" -> ((s, dir) => {
+      val docs = docsTable(s, dir)
+      val keep = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+      val curated = docs.join(keep, Seq("doc_id"), "left_semi")
+        .join(TextOps.qualityScore(docs), Seq("doc_id"))
+        .filter(col("quality") >= 0.5)
+        .select(docs.columns.map(col): _*)
+      graft.annotate.NativeAnnotate
+        .annotateTriples(Corpus.extract(Corpus.fromDriverTable(curated)),
+          model(s), fusedMaps(s), "v1")
+        .select("subj", "pred", "obj")
+    }),
+
     "text_quality" -> ((s, dir) => TextOps.qualityScore(docsTable(s, dir))),
 
     "text_langid" -> ((s, dir) => TextOps.langId(docsTable(s, dir))),
@@ -611,6 +628,31 @@ object SparkEntry {
            CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens,
            CAST(length(text) AS INT) AS n_chars
          FROM documents""",
+
+    "kg_curated_triples" ->
+      s"""WITH RECURSIVE $dictCte, $edgesCte, $mappingsCte,
+          keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+          q AS (SELECT doc_id, ROUND(
+            LEAST(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4
+            + (len(list_distinct(string_split(text, ' ')))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
+            + (1.0 - len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3, 4) AS quality
+            FROM documents),
+          cdocs AS (SELECT d.doc_id, d.text FROM documents d
+                    JOIN keep ON d.doc_id = keep.doc_id
+                    JOIN q ON d.doc_id = q.doc_id WHERE q.quality >= 0.5),
+          direct AS (SELECT DISTINCT 'doc://' || doc_id AS url, dd.class_iri
+                     FROM cdocs, dict dd
+                     WHERE regexp_matches(upper(text), '\\b' || dd.term || '\\b')),
+          $closureCte
+          SELECT url AS subj, 'hasAnnotation' AS pred, class_iri AS obj FROM direct
+          UNION
+          SELECT dr.url AS subj, 'hasExpandedAnnotation' AS pred, cl.ancestor_iri AS obj
+          FROM direct dr JOIN closure cl ON dr.class_iri = cl.child_iri
+          UNION
+          SELECT dr.url AS subj, 'hasMappedAnnotation' AS pred, m.mapped_iri AS obj
+          FROM direct dr JOIN maps m ON dr.class_iri = m.class_iri""",
 
     "text_quality" ->
       """SELECT doc_id, ROUND(

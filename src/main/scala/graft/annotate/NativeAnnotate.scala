@@ -325,9 +325,27 @@ final class CompiledAnnotator(
   val numIds: Int = iriU8.length
   val dense: Boolean = numIds <= denseLimit
 
-  @inline private def row(pred: UTF8String, obj: UTF8String, mt: UTF8String,
-                          dist: Int, score: Double): InternalRow =
-    new GenericInternalRow(Array[Any](pred, obj, mt, dist, score))
+  // pre-boxed constants: hier/map scores and distances are drawn from tiny
+  // fixed sets — boxing them once removes a Double allocation per expanded/
+  // mapped output row (java.lang.Integer ≤127 is JVM-cached already)
+  private val hierScoreBoxed: Array[AnyRef] =
+    (0 to opts.hierarchyMaxLevel).map(d => java.lang.Double.valueOf(graft.Score.hierWeight(d)): AnyRef).toArray
+  private val mapScoreBoxed: AnyRef = java.lang.Double.valueOf(graft.Score.MapWeight)
+  private val distBoxed: Array[AnyRef] =
+    (0 to opts.hierarchyMaxLevel).map(d => java.lang.Integer.valueOf(d): AnyRef).toArray
+  private val oneBoxed: AnyRef = java.lang.Integer.valueOf(1)
+  private val zeroBoxed: AnyRef = java.lang.Integer.valueOf(0)
+
+  @inline private def directRow(obj: UTF8String, pref: Boolean, score: Double): InternalRow =
+    new GenericInternalRow(Array[Any](uPredDirect, obj, if (pref) uPref else uSyn,
+      zeroBoxed, score))
+
+  @inline private def hierRow(obj: UTF8String, dist: Int): InternalRow =
+    new GenericInternalRow(Array[Any](uPredExpanded, obj, uHier,
+      distBoxed(dist), hierScoreBoxed(dist)))
+
+  @inline private def mapRow(obj: UTF8String): InternalRow =
+    new GenericInternalRow(Array[Any](uPredMapped, obj, uMap, oneBoxed, mapScoreBoxed))
 
   def annotate(text: UTF8String, s: ScanScratch): Iterator[InternalRow] = {
     val ok = auto.scanAsciiBytesInto(text.getBaseObject, text.getBaseOffset,
@@ -411,19 +429,19 @@ final class CompiledAnnotator(
       val id = s.touchedD(i)
       val sc = s.scoreD(id)
       if (sc >= opts.scoreThreshold)
-        out += row(uPredDirect, iriU8(id), if (s.prefD(id)) uPref else uSyn, 0, sc)
+        out += directRow(iriU8(id), s.prefD(id), sc)
       i += 1
     }
     i = 0
     while (i < nA) {
       val id = s.touchedA(i)
       val d = s.distA(id)
-      out += row(uPredExpanded, iriU8(id), uHier, d, graft.Score.hierWeight(d))
+      out += hierRow(iriU8(id), d)
       i += 1
     }
     i = 0
     while (i < nM) {
-      out += row(uPredMapped, iriU8(s.touchedM(i)), uMap, 1, graft.Score.MapWeight)
+      out += mapRow(iriU8(s.touchedM(i)))
       i += 1
     }
     out.iterator
@@ -482,14 +500,13 @@ final class CompiledAnnotator(
     val out = new mutable.ArrayBuffer[InternalRow](scores.size + dists.size + mapped.size)
     scores.foreach { case (idL, sc) =>
       if (sc >= opts.scoreThreshold)
-        out += row(uPredDirect, iriU8(idL.toInt),
-          if (prefs(idL)) uPref else uSyn, 0, sc)
+        out += directRow(iriU8(idL.toInt), prefs(idL), sc)
     }
     dists.foreach { case (idL, d) =>
-      out += row(uPredExpanded, iriU8(idL.toInt), uHier, d, graft.Score.hierWeight(d))
+      out += hierRow(iriU8(idL.toInt), d)
     }
     mapped.foreachKey { idL =>
-      out += row(uPredMapped, iriU8(idL.toInt), uMap, 1, graft.Score.MapWeight)
+      out += mapRow(iriU8(idL.toInt))
     }
     out.iterator
   }
