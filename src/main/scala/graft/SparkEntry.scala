@@ -54,6 +54,13 @@ object SparkEntry {
 
   private val MaxLevel = 5
 
+  private val lemmaModelCache = new ConcurrentHashMap[SparkSession, Broadcast[AnnotatorModel]]()
+  private def lemmaModel(s: SparkSession): Broadcast[AnnotatorModel] =
+    lemmaModelCache.computeIfAbsent(s, s => {
+      val dict = DictBuild.buildLemmatized(DictBuild.labelRows(OntologyFixture.conceptsDf(s)))
+      AutomatonBuild.broadcastModel(s, AutomatonBuild.build(s, dict, "v1-lemma"))
+    })
+
   private def docsTable(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -105,6 +112,23 @@ object SparkEntry {
         .select(col("url"), col("from"), col("to"), col("text"),
           col("classIri").as("class_iri"), col("ont"),
           col("matchType").as("match_type"))),
+
+    // Annotator+ lemmatize=true: both sides lemmatized, ORIGINAL offsets —
+    // not SQL-expressible (custom lemma function); covered by the
+    // offset-mapping + identity-parity specs (LemmaAndContextSpec)
+    "ann_lemma" -> ((s, dir) =>
+      graft.annotate.LemmaScan.annotateDirectLemma(corpus(s, dir), lemmaModel(s)).toDF()
+        .select(col("url"), col("from"), col("to"), col("text"),
+          col("classIri").as("class_iri"), col("ont"),
+          col("matchType").as("match_type"))),
+
+    // Annotator+ clinical context (NegEx/ConText-style attributes per match)
+    // — rows-only; the trigger-window scalar is golden-tested in specs
+    "ann_context" -> ((s, dir) =>
+      graft.annotate.ContextScan.annotateWithContext(corpus(s, dir), model(s)).toDF()
+        .select(col("url"), col("from"), col("to"),
+          col("classIri").as("class_iri"), col("negated"),
+          col("experiencer"), col("temporality"))),
 
     // A7: hierarchy expansion (min distance per doc × ancestor)
     "ann_hier" -> ((s, dir) =>

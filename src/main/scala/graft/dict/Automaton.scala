@@ -34,9 +34,15 @@ final class Automaton private[dict] (
     val out: Array[Int], // nearest accepting PROPER-suffix node via fail chain, -1 = none
     val termIdAt: Array[Int], // accepting termId per node, -1 = none
     val depth: Array[Int], // node depth == matched-term length at that node
-    val emitNode: Array[Int] // head of the emission chain per node: the node
+    val emitNode: Array[Int], // head of the emission chain per node: the node
     // itself if accepting, else out(node) — folds the hot path's two loads
     // (termIdAt + out) into one; continue the chain via out(n)
+    val denseNext: Array[Int], // fail-resolved DFA rows δ(s, c) for the first
+    // denseStates nodes × 128 ASCII chars: one load per input byte, NO fail
+    // loop, no CSR search. Nodes are BFS-numbered (shallow = hot = small id),
+    // so the first rows cover virtually all transitions taken on real text.
+    // 0 = back to root (root is never a child target, so 0 is unambiguous).
+    val denseStates: Int
 ) extends Serializable {
 
   def numNodes: Int = fail.length
@@ -72,35 +78,28 @@ final class Automaton private[dict] (
     while (pos < len) {
       val c0 = text.charAt(pos)
       val c = Automaton.normChar(c0)
-      if (state == 0) {
-        val nxt = child(0, c)
-        if (nxt < 0) {
-          pos += 1
-          // WORD-RUN SKIP: at root with no transition on a word char, no
-          // match can start anywhere in the rest of this word run — every
-          // mid-run start fails the boundary-before check, and the AC
-          // invariant says no earlier match is still alive (we are at
-          // root). Skip the run in a tight classify-advance loop.
-          if (Automaton.isWordChar(c0)) {
-            while (pos < len && Automaton.isWordChar(text.charAt(pos))) pos += 1
-          }
-        } else {
-          state = nxt
-          emitChars(nxt, text, len, pos, buf)
-          pos += 1
+      // fail-resolved step: dense DFA row when hot, CSR + fail chain when not
+      val nxt =
+        if (state < denseStates && c < 128) denseNext((state << 7) + c)
+        else {
+          var s = state
+          var t = child(s, c)
+          while (t < 0 && s != 0) { s = fail(s); t = child(s, c) }
+          if (t >= 0) t else 0
+        }
+      pos += 1
+      if (nxt == 0) {
+        state = 0
+        // WORD-RUN SKIP: landing at root after consuming a word char means
+        // no dictionary prefix is live, and every match starting in the
+        // rest of this word run fails the boundary-before check — skip the
+        // run in a tight classify-advance loop.
+        if (Automaton.isWordChar(c0)) {
+          while (pos < len && Automaton.isWordChar(text.charAt(pos))) pos += 1
         }
       } else {
-        // follow fail links until a transition (or root)
-        var s = state
-        var nxt = child(s, c)
-        while (nxt < 0 && s != 0) { s = fail(s); nxt = child(s, c) }
-        if (nxt >= 0) {
-          state = nxt
-          emitChars(nxt, text, len, pos, buf)
-          pos += 1
-        } else {
-          state = 0 // reprocess this char at root (enables the run skip)
-        }
+        state = nxt
+        emitChars(nxt, text, len, pos - 1, buf)
       }
     }
     if (longestOnly) buf.longestPerStartInPlace()
@@ -146,34 +145,30 @@ final class Automaton private[dict] (
     while (pos < numBytes) {
       val b = Platform.getByte(base, offset + pos)
       if (b < 0) return false // multi-byte UTF-8 → char-offset semantics; caller falls back
-      val c = (if (b >= 'a' && b <= 'z') b - 32 else b.toInt).toChar
-      if (state == 0) {
-        val nxt = rootNext(c)
-        if (nxt < 0) {
-          pos += 1
-          // word-run skip (see scanInto) — multi-byte lead bytes are
-          // negative → non-word → the skip stops and the b<0 guard above
-          // triggers the char-scan fallback on the next iteration
-          if (Automaton.isWordByte(b)) {
-            while (pos < numBytes &&
-              Automaton.isWordByte(Platform.getByte(base, offset + pos))) pos += 1
-          }
-        } else {
-          state = nxt
-          emitBytes(nxt, base, offset, numBytes, pos, buf)
-          pos += 1
+      val c = if (b >= 'a' && b <= 'z') b - 32 else b.toInt
+      // fail-resolved step (byte is ASCII → always inside a dense row when
+      // the state is dense)
+      val nxt =
+        if (state < denseStates) denseNext((state << 7) + c)
+        else {
+          var s = state
+          var t = child(s, c.toChar)
+          while (t < 0 && s != 0) { s = fail(s); t = child(s, c.toChar) }
+          if (t >= 0) t else 0
+        }
+      pos += 1
+      if (nxt == 0) {
+        state = 0
+        // word-run skip (see scanInto) — multi-byte lead bytes are negative
+        // → non-word → the skip stops and the b<0 guard above triggers the
+        // char-scan fallback on the next iteration
+        if (Automaton.isWordByte(b)) {
+          while (pos < numBytes &&
+            Automaton.isWordByte(Platform.getByte(base, offset + pos))) pos += 1
         }
       } else {
-        var s = state
-        var nxt = child(s, c)
-        while (nxt < 0 && s != 0) { s = fail(s); nxt = child(s, c) }
-        if (nxt >= 0) {
-          state = nxt
-          emitBytes(nxt, base, offset, numBytes, pos, buf)
-          pos += 1
-        } else {
-          state = 0 // reprocess this byte at root (enables the run skip)
-        }
+        state = nxt
+        emitBytes(nxt, base, offset, numBytes, pos - 1, buf)
       }
     }
     if (longestOnly) buf.longestPerStartInPlace()
@@ -290,26 +285,52 @@ object Automaton {
     hits.filter(h => maxEnd(h.from) == h.to)
   }
 
-  /** Finalize a merged trie: BFS fail links + CSR freeze. Driver-side, once
-    * per dictionary version (SURVEY.md §3.3 S3: shard tries are merged via
-    * treeReduce, then finalized here and broadcast). */
+  /** How many BFS-leading states get a fail-resolved dense DFA row (×128
+    * ASCII ints = 512 B/state). 4096 states = 2 MB of broadcast — shallow
+    * states take virtually all transitions on real text, so the scan's hot
+    * path is one load per byte regardless of dictionary size. */
+  val DenseDfaStates = 4096
+
+  /** Finalize a merged trie: BFS renumber (cache locality: hot shallow
+    * states get small ids, and `fail(v) < v` always holds, which the dense
+    * DFA build relies on), CSR freeze, fail/output links, fail-resolved
+    * dense DFA rows for the leading states. Driver-side, once per dictionary
+    * version (SURVEY.md §3.3 S3: shard tries are merged via treeReduce, then
+    * finalized here and broadcast). */
   def fromTrie(t: TrieBuilder): Automaton = {
     val n = t.size
+    // --- BFS renumber (children visited in char order → deterministic)
+    val oldOf = new Array[Int](n) // new id -> trie id, in BFS visit order
+    oldOf(0) = 0
+    var cnt = 1
+    var head = 0
+    while (head < cnt) {
+      val u = oldOf(head)
+      val sorted = t.children(u).toArray.sortBy(_._1)
+      var j = 0
+      while (j < sorted.length) { oldOf(cnt) = sorted(j)._2; cnt += 1; j += 1 }
+      head += 1
+    }
+
+    // --- CSR over new ids
+    val newOf = new Array[Int](n)
+    var i = 0
+    while (i < n) { newOf(oldOf(i)) = i; i += 1 }
     val childStart = new Array[Int](n + 1)
     var totalChildren = 0
-    var i = 0
+    i = 0
     while (i < n) { totalChildren += t.children(i).size; i += 1 }
     val childChar = new Array[Char](totalChildren)
     val childTo = new Array[Int](totalChildren)
-    i = 0
     var w = 0
+    i = 0
     while (i < n) {
       childStart(i) = w
-      val sorted = t.children(i).toArray.sortBy(_._1)
+      val sorted = t.children(oldOf(i)).toArray.sortBy(_._1)
       var j = 0
       while (j < sorted.length) {
         childChar(w) = sorted(j)._1.toChar
-        childTo(w) = sorted(j)._2
+        childTo(w) = newOf(sorted(j)._2)
         w += 1; j += 1
       }
       i += 1
@@ -329,41 +350,55 @@ object Automaton {
     val termIdAt = new Array[Int](n)
     val emitNode = new Array[Int](n)
     i = 0
-    while (i < n) { termIdAt(i) = t.termIds(i); i += 1 }
+    while (i < n) { termIdAt(i) = t.termIds(oldOf(i)); i += 1 }
 
-    // BFS over the frozen CSR
-    val queue = new mutable.ArrayDeque[Int]()
-    k = childStart(0)
-    while (k < childStart(1)) {
-      val c0 = childTo(k)
-      fail(c0) = 0; depth(c0) = 1
-      queue.append(c0)
-      k += 1
-    }
+    val denseStates = math.min(n, DenseDfaStates)
+    val denseNext = new Array[Int](denseStates * 128)
     val auto = new Automaton(childStart, childChar, childTo, rootNext, fail, out,
-      termIdAt, depth, emitNode)
-    while (queue.nonEmpty) {
-      val u = queue.removeHead()
+      termIdAt, depth, emitNode, denseNext, denseStates)
+
+    // --- fail/out links: new ids ARE BFS order, so a single increasing-id
+    // pass sees every parent before its children and fail(u) < u
+    var u = 0
+    while (u < n) {
       var e = childStart(u)
       while (e < childStart(u + 1)) {
         val c = childChar(e)
         val v = childTo(e)
         depth(v) = depth(u) + 1
-        // fail(v): deepest proper suffix state with a transition on c
-        var f = fail(u)
-        var fn = auto.childViaCsr(f, c)
-        while (fn < 0 && f != 0) { f = fail(f); fn = auto.childViaCsr(f, c) }
-        fail(v) = if (fn >= 0 && fn != v) fn else 0
+        if (u == 0) fail(v) = 0
+        else {
+          // fail(v): deepest proper suffix state with a transition on c
+          var f = fail(u)
+          var fn = auto.childViaCsr(f, c)
+          while (fn < 0 && f != 0) { f = fail(f); fn = auto.childViaCsr(f, c) }
+          fail(v) = if (fn >= 0 && fn != v) fn else 0
+        }
         out(v) = if (termIdAt(fail(v)) >= 0) fail(v) else out(fail(v))
-        queue.append(v)
         e += 1
       }
+      u += 1
     }
-    // emission-chain heads (BFS order guarantees out() is final here)
     i = 0
     while (i < n) {
       emitNode(i) = if (termIdAt(i) >= 0) i else out(i)
       i += 1
+    }
+
+    // --- fail-resolved dense DFA rows: δ(s,c) = goto(s,c) | δ(fail(s),c);
+    // fail(s) < s guarantees the referenced row is already final
+    var s = 0
+    while (s < denseStates) {
+      var c = 0
+      while (c < 128) {
+        val g = if (s == 0) rootNext(c) else auto.childViaCsr(s, c.toChar)
+        denseNext((s << 7) + c) =
+          if (g >= 0) g
+          else if (s == 0) 0
+          else denseNext((fail(s) << 7) + c)
+        c += 1
+      }
+      s += 1
     }
     auto
   }

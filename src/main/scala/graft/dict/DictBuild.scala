@@ -53,6 +53,30 @@ object DictBuild {
       .withColumn("term_id", row_number().over(Window.orderBy("term")))
   }
 
+  /** Annotator+ `lemmatize=true` dictionary: D3 normalization then the same
+    * deterministic lemmatizer the scan side applies
+    * ([[graft.annotate.Lemma.lemmaTerm]]) — both sides MUST share one lemma
+    * function (the reference guarantees this by shelling the same binary).
+    * Inflection variants collapse to one term, entry sets union. Lemma mode
+    * requires word-char-delimited terms (offset back-mapping relies on it),
+    * so terms violating that are dropped here with the filter. */
+  def buildLemmatized(labelRows: DataFrame,
+                      minTermSize: Int = MinTermSizeDefault,
+                      excludeNumbers: Boolean = false): DataFrame = {
+    val lemmaUdf = udf((t: String) => graft.annotate.Lemma.lemmaTerm(t))
+    val numFilter: Column =
+      if (excludeNumbers) !col("term").rlike("^[0-9.,]+$") else lit(true)
+    labelRows
+      .select(lemmaUdf(normalizeTerm(col("label"))).as("term"),
+        col("class_iri"), col("ont"), col("pref"))
+      .filter(length(col("term")) >= minTermSize && numFilter &&
+        col("term").rlike("^[A-Za-z0-9_].*[A-Za-z0-9_]$"))
+      .distinct()
+      .groupBy("term")
+      .agg(sort_array(collect_set(struct(col("class_iri"), col("ont"), col("pref")))).as("entries"))
+      .withColumn("term_id", row_number().over(Window.orderBy("term")))
+  }
+
   /** Flat exploded dictionary `(term, term_id, class_iri, ont, pref)` — the
     * join-friendly / TSV-debuggable view (reference `id\tTERM` file, D7). */
   def flatDict(dict: DataFrame): DataFrame =
