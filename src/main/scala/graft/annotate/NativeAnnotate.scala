@@ -143,14 +143,12 @@ final class CompiledMatcher(m: AnnotatorModel) extends Serializable {
 
   def matches(text: UTF8String, buf: graft.dict.HitBuffer,
               longestOnly: Boolean): Iterator[InternalRow] = {
-    val ascii = auto.scanAsciiBytesInto(text.getBaseObject, text.getBaseOffset,
+    // total UTF-8 scan; the pure-ASCII flag decides how matched text is
+    // sliced (char offsets == byte offsets == code points only when ASCII)
+    val ascii = auto.scanUtf8Into(text.getBaseObject, text.getBaseOffset,
       text.numBytes, buf, longestOnly)
-    var decoded: String = null
-    if (!ascii) {
-      decoded = text.toString
-      auto.scanInto(decoded, buf, longestOnly)
-    }
     if (buf.size == 0) return Iterator.empty
+    val decoded: String = if (ascii) null else text.toString
     val out = new mutable.ArrayBuffer[InternalRow](buf.size)
     var i = 0
     while (i < buf.size) {
@@ -348,9 +346,9 @@ final class CompiledAnnotator(
     new GenericInternalRow(Array[Any](uPredMapped, obj, uMap, oneBoxed, mapScoreBoxed))
 
   def annotate(text: UTF8String, s: ScanScratch): Iterator[InternalRow] = {
-    val ok = auto.scanAsciiBytesInto(text.getBaseObject, text.getBaseOffset,
+    // total UTF-8 scan — handles any script in one pass, no String decode
+    auto.scanUtf8Into(text.getBaseObject, text.getBaseOffset,
       text.numBytes, s.buf, opts.longestOnly)
-    if (!ok) auto.scanInto(text.toString, s.buf, opts.longestOnly)
     if (s.buf.size == 0) Iterator.empty
     else if (dense) annotateDense(s)
     else annotateSparse(s)

@@ -218,13 +218,47 @@ class NativeAnnotateSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
-  test("byte scan refuses non-ASCII (returns false) without emitting garbage") {
+  test("UTF-8 byte scan is TOTAL: non-ASCII text scans in place, char offsets exact") {
     val trie = new TrieBuilder
     trie.insert("SPARK", 0)
     val auto = Automaton.fromTrie(trie)
     val buf = new graft.dict.HitBuffer()
-    val u8 = UTF8String.fromString("spark é spark")
-    val ok = auto.scanAsciiBytesInto(u8.getBaseObject, u8.getBaseOffset, u8.numBytes, buf)
-    assert(!ok)
+    val text = "spark é spark 😀 spark"
+    val u8 = UTF8String.fromString(text)
+    val pure = auto.scanUtf8Into(u8.getBaseObject, u8.getBaseOffset, u8.numBytes, buf)
+    assert(!pure) // flag reports non-ASCII, but the scan is complete
+    val byteHits = (0 until buf.size).map(i => (buf.from(i), buf.to(i))).toSet
+    val charBuf = auto.scanInto(text, new graft.dict.HitBuffer())
+    val charHits = (0 until charBuf.size).map(i => (charBuf.from(i), charBuf.to(i))).toSet
+    assert(byteHits === charHits)
+    assert(byteHits.size === 3)
+    // offsets are UTF-16 char coordinates (😀 counts as 2)
+    byteHits.foreach { case (f, t) => assert(text.substring(f - 1, t) == "spark") }
+  }
+
+  test("UTF-8 byte scan == char scan on random mixed-script text (property)") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("spark", "hash join", "café", "naïve", "日本", "a_b", "x1")
+    val trie = new TrieBuilder
+    vocab.zipWithIndex.foreach { case (t, i) =>
+      trie.insert(t.toUpperCase.trim.replaceAll("\\s+", " "), i)
+    }
+    val auto = Automaton.fromTrie(trie)
+    val fillers = Array("zzz", "é", "ß", "漢字", "😀", "qq", "-", "«»", "_x")
+    val byteBuf = new graft.dict.HitBuffer()
+    val charBuf = new graft.dict.HitBuffer()
+    (1 to 300).foreach { _ =>
+      val n = rnd.nextInt(40)
+      val text = (1 to n).map { _ =>
+        if (rnd.nextBoolean()) vocab(rnd.nextInt(vocab.length))
+        else fillers(rnd.nextInt(fillers.length))
+      }.mkString(Seq(" ", ", ", "·", ".").apply(rnd.nextInt(4)))
+      val u8 = UTF8String.fromString(text)
+      auto.scanUtf8Into(u8.getBaseObject, u8.getBaseOffset, u8.numBytes, byteBuf)
+      auto.scanInto(text, charBuf)
+      val b = (0 until byteBuf.size).map(i => (byteBuf.from(i), byteBuf.to(i), byteBuf.termId(i))).toSet
+      val c = (0 until charBuf.size).map(i => (charBuf.from(i), charBuf.to(i), charBuf.termId(i))).toSet
+      assert(b === c, s"mismatch on: $text")
+    }
   }
 }
