@@ -41,6 +41,11 @@ object ScanMicrobench {
       auto.scanAsciiBytesInto(u8.getBaseObject, u8.getBaseOffset, u8.numBytes, buf)
       buf.size
     }
+    // mixed-script corpus: ~10 % non-ASCII tokens (the real-web shape) —
+    // exercises the general UTF-8 loop end to end
+    val mixed = sparse.split(' ').zipWithIndex
+      .map { case (w, i) => if (i % 10 == 0) "café漢字" else w }.mkString(" ")
+    val mixedU8 = org.apache.spark.unsafe.types.UTF8String.fromString(mixed)
     for (round <- 1 to 2) {
       println(s"--- round $round ---")
       bench("dense  automaton(buf)", dense, d => auto.scanInto(d, buf).size)
@@ -50,6 +55,8 @@ object ScanMicrobench {
       bench("sparse automaton(buf)", sparse, d => auto.scanInto(d, buf).size)
       bench("sparse bytes(u8)", sparse, _ => byteScan(sparseU8))
       bench("sparse naive", sparse, d => naive.scan(d).length)
+      bench("mixed  bytes(u8)", mixed, _ => byteScan(mixedU8))
+      bench("mixed  chars(String)", mixed, d => auto.scanInto(d, buf).size)
     }
   }
 }

@@ -51,4 +51,25 @@ class DictScaleSpec extends AnyFunSuite {
     // and it actually finds things
     assert(model.automaton.scan(samples.head).nonEmpty)
   }
+
+  test("canonical BFS numbering: shard-merge order cannot change the automaton") {
+    import graft.dict.{Automaton, TrieBuilder}
+    // same term set inserted in different orders and merged in different
+    // shapes must FREEZE to bit-identical automata — the invariant that
+    // makes resume/broadcast deterministic under treeReduce's arbitrary
+    // merge order (ids are assigned before sharding; numbering is BFS over
+    // sorted children, a pure function of the term SET)
+    val terms = (0 until 500).map(i => (f"T${i % 97}%03d W${i / 7}%02d", i % 211))
+    val a = TrieBuilder.of(terms.iterator)
+    val shards = terms.grouped(50).map(g => TrieBuilder.of(g.iterator)).toSeq
+    val b = shards.reduceLeft((x, y) => x.merge(y))
+    val c = shards.reverse.reduceLeft((x, y) => x.merge(y))
+    val (fa, fb, fc) = (Automaton.fromTrie(a), Automaton.fromTrie(b), Automaton.fromTrie(c))
+    def arrays(x: Automaton) = Seq(x.childStart, x.childTo, x.fail, x.out,
+      x.termIdAt, x.depth, x.emitNode, x.denseNext)
+    arrays(fa).zip(arrays(fb)).foreach { case (p, q) => assert(p.sameElements(q)) }
+    arrays(fa).zip(arrays(fc)).foreach { case (p, q) => assert(p.sameElements(q)) }
+    assert(fa.childChar.sameElements(fb.childChar))
+    assert(fa.childChar.sameElements(fc.childChar))
+  }
 }
