@@ -168,6 +168,45 @@ object SparkEntry {
         .annotateTriples(corpus(s, dir), model(s), fusedMaps(s), "v1")
         .select("subj", "pred", "obj")),
 
+    // Reference response assembly (A6 + serialization): one row per
+    // (doc, class) carrying the whole annotation record — match-type
+    // breakdown, per-class hierarchy with min distance, mappings, score —
+    // the flat-canonical form of the reference's nested JSON response
+    // (arrays rendered as sorted ';'-joined strings so DuckDB can hash them)
+    "ann_response" -> ((s, dir) => {
+      val m = matches(s, dir)
+      val byType = m.groupBy("url", "class_iri", "ont", "match_type")
+        .agg(count(lit(1)).as("cnt"))
+      val spans = byType.groupBy("url", "class_iri", "ont")
+        .agg(
+          concat_ws(";", sort_array(collect_list(
+            concat(col("match_type"), lit(":"), col("cnt"))))).as("annotations"),
+          sum(when(col("match_type") === MatchType.Pref,
+            col("cnt") * Score.PrefWeight)
+            .otherwise(col("cnt") * Score.SynWeight)).as("score"))
+      val direct = m.select("url", "class_iri").distinct()
+      val hier = direct
+        .join(broadcast(closure(s)), direct("class_iri") === col("child"))
+        .groupBy("url", "class_iri", "ancestor")
+        .agg(min(col("distance")).as("d"))
+        .groupBy("url", "class_iri")
+        .agg(concat_ws(";", sort_array(collect_list(
+          concat(col("ancestor"), lit(":"), col("d"))))).as("hierarchy"))
+      val mp = OntologyFixture.mappingsDf(s)
+        .select(col("class_iri").as("m_class_iri"), col("mapped_iri"))
+      val mapped = direct
+        .join(broadcast(mp), direct("class_iri") === col("m_class_iri"))
+        .select(col("url"), col("class_iri"), col("mapped_iri"))
+        .groupBy("url", "class_iri")
+        .agg(concat_ws(";", sort_array(collect_set(col("mapped_iri")))).as("mappings"))
+      spans
+        .join(hier, Seq("url", "class_iri"), "left")
+        .join(mapped, Seq("url", "class_iri"), "left")
+        .select(col("url"), col("class_iri"), col("ont"), col("annotations"),
+          coalesce(col("hierarchy"), lit("")).as("hierarchy"),
+          coalesce(col("mappings"), lit("")).as("mappings"), col("score"))
+    }),
+
     // A10: 'old'-mode scoring per (doc, concept)
     "ann_score" -> ((s, dir) =>
       Scoring.directScores(
@@ -477,6 +516,40 @@ object SparkEntry {
           SELECT DISTINCT dr.url AS subj, 'hasMappedAnnotation' AS pred, m.mapped_iri AS obj
           FROM (SELECT DISTINCT url, class_iri FROM direct) dr
           JOIN maps m ON dr.class_iri = m.class_iri""",
+
+    "ann_response" ->
+      s"""WITH RECURSIVE $dictCte, $edgesCte, $mappingsCte,
+          cnts2 AS (SELECT 'doc://' || doc_id AS url, d.class_iri, d.ont,
+            CASE WHEN d.pref THEN 'PREF' ELSE 'SYN' END AS mt,
+            CASE WHEN d.pref THEN 10.0 ELSE 8.0 END AS w,
+            len(regexp_extract_all(upper(text), '\\b' || d.term || '\\b')) AS cnt
+            FROM documents, dict d),
+          bytype AS (SELECT url, class_iri, ont, mt, SUM(cnt) AS cnt,
+              SUM(cnt * w) AS sc
+            FROM cnts2 WHERE cnt > 0 GROUP BY url, class_iri, ont, mt),
+          spans AS (SELECT url, class_iri, ont,
+              string_agg(mt || ':' || cnt, ';' ORDER BY mt || ':' || cnt) AS annotations,
+              SUM(sc) AS score
+            FROM bytype GROUP BY url, class_iri, ont),
+          direct AS (SELECT DISTINCT url, class_iri FROM bytype),
+          $closureCte,
+          hier AS (SELECT dr.url, dr.class_iri, cl.ancestor_iri, MIN(cl.distance) AS d
+            FROM direct dr JOIN closure cl ON dr.class_iri = cl.child_iri
+            GROUP BY dr.url, dr.class_iri, cl.ancestor_iri),
+          hierstr AS (SELECT url, class_iri,
+              string_agg(ancestor_iri || ':' || d, ';' ORDER BY ancestor_iri || ':' || d) AS hierarchy
+            FROM hier GROUP BY url, class_iri),
+          mapdist AS (SELECT DISTINCT dr.url, dr.class_iri, m.mapped_iri
+            FROM direct dr JOIN maps m ON dr.class_iri = m.class_iri),
+          mapstr AS (SELECT url, class_iri,
+              string_agg(mapped_iri, ';' ORDER BY mapped_iri) AS mappings
+            FROM mapdist GROUP BY url, class_iri)
+          SELECT s.url, s.class_iri, s.ont, s.annotations,
+                 COALESCE(h.hierarchy, '') AS hierarchy,
+                 COALESCE(p.mappings, '') AS mappings, s.score
+          FROM spans s
+          LEFT JOIN hierstr h ON s.url = h.url AND s.class_iri = h.class_iri
+          LEFT JOIN mapstr p ON s.url = p.url AND s.class_iri = p.class_iri""",
 
     "ann_score" ->
       s"""WITH $dictCte, $cntsCte
