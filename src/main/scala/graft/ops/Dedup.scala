@@ -111,11 +111,16 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
       .filter(col("bucket_pop") <= maxBucket)
       .drop("bucket_pop")
-    val l = bounded.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
-    val rr = bounded.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
-    val candidates = l.join(rr, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    // TRUE self-join of one plan (identical subtrees), so Catalyst's
+    // ReuseExchange computes the signature aggregation ONCE and replays the
+    // shuffle for the other side — aliased left/right projections would be
+    // distinct plans and recompute the full shingle+minhash pass twice
+    val lj = bounded.alias("l")
+    val rj = bounded.alias("r")
+    val candidates = lj.join(rj,
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b")).distinct()
     // exact rerank restricted to candidates
     val ds = docs.select(col("doc_id"), array_distinct(shingles(col("text"), n)).as("sh"))
     candidates
@@ -178,17 +183,20 @@ object Dedup {
     }
     val bandRows = sh
       .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val l = bandRows.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
-    val r = bandRows.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
-    val cands = l.join(r, Seq("band", "bucket")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b")), Seq("doc_b"))
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // true self-join (ReuseExchange — see minhashLshPairs) that CARRIES the
+    // signatures through, so no rerank re-join against the full-text
+    // signature scan is needed at all: hamming filters inline
+    val lj = bandRows.alias("l")
+    val rj = bandRows.alias("r")
+    lj.join(rj,
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
+      .distinct()
   }
 
   /** Embedding cosine near-dup pairs (≥ threshold) via Similarity's LSH
