@@ -236,6 +236,46 @@ class NativeAnnotateSpec extends AnyFunSuite {
     byteHits.foreach { case (f, t) => assert(text.substring(f - 1, t) == "spark") }
   }
 
+  test("giant document (50 MB): linear scan, buffers grow, offsets stay exact") {
+    val terms = OntologyFixture.conceptsDf(spark)
+      .select("pref_label").collect().map(_.getString(0))
+      .filter(_.length >= 4).sorted.take(2)
+    val block = s"filler words between ${terms(0)} and more ${terms(1)} end. "
+    val sb = new java.lang.StringBuilder(52 * 1024 * 1024)
+    while (sb.length < 50 * 1024 * 1024) sb.append(block)
+    val giant = sb.toString
+    val u8 = UTF8String.fromString(giant)
+    val auto = {
+      val dict = graft.dict.DictBuild.build(
+        DictBuild.labelRows(OntologyFixture.conceptsDf(spark)))
+      graft.dict.AutomatonBuild.build(spark, dict, "vG").automaton
+    }
+    val buf = new graft.dict.HitBuffer()
+    val t0 = System.nanoTime()
+    auto.scanUtf8Into(u8.getBaseObject, u8.getBaseOffset, u8.numBytes, buf)
+    val sec = (System.nanoTime() - t0) / 1e9
+    info(f"50 MB scan: $sec%.2f s (${50 / sec}%.0f MB/s), ${buf.size} hits")
+    val perBlock = auto.scanInto(block, new graft.dict.HitBuffer()).size
+    // the trailing space makes every block repetition boundary-identical
+    assert(buf.size === perBlock.toLong * (giant.length / block.length) +
+      auto.scanInto(giant.substring(giant.length / block.length * block.length),
+        new graft.dict.HitBuffer()).size)
+    assert(sec < 10.0, "50 MB must scan in seconds, not minutes")
+    // spot-check a late hit's offsets against the text
+    val i = buf.size - 1
+    val span = giant.substring(buf.from(i) - 1, buf.to(i))
+    assert(span.equalsIgnoreCase(terms(0)) || span.equalsIgnoreCase(terms(1)))
+  }
+
+  test("empty dictionary: scans emit nothing, nothing crashes") {
+    val auto = Automaton.fromTrie(new TrieBuilder)
+    val buf = new graft.dict.HitBuffer()
+    val u8 = UTF8String.fromString("any text at all é 😀")
+    auto.scanUtf8Into(u8.getBaseObject, u8.getBaseOffset, u8.numBytes, buf)
+    assert(buf.size === 0)
+    assert(auto.scanInto("any text", new graft.dict.HitBuffer()).size === 0)
+  }
+
   test("UTF-8 byte scan == char scan on random mixed-script text (property)") {
     val rnd = new scala.util.Random(7)
     val vocab = Array("spark", "hash join", "café", "naïve", "日本", "a_b", "x1")
