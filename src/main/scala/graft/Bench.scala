@@ -35,9 +35,7 @@ object Bench {
     s
   }
 
-  private[graft] def buildModelPublic(spark: SparkSession) = buildModel(spark)
-
-  private def buildModel(spark: SparkSession) = {
+  private[graft] def buildModel(spark: SparkSession) = {
     val dict = DictBuild.build(DictBuild.labelRows(OntologyFixture.conceptsDf(spark)))
     val model = AutomatonBuild.broadcastModel(
       spark, AutomatonBuild.build(spark, dict, "v1"))

@@ -2,10 +2,6 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Child JVM for one scaling level (spawned by Bench under `taskset`): runs
-  * the annotate job over the materialized corpus at local[cores] — warmup +
-  * best of 2 — and prints `SCALING_SEC <s>` for the parent to parse. Being a
-  * separate CPU-pinned process is the point: see Bench.pinnedScalingSec. */
 /** Dev-only: materialize the amplified scaling corpus once (same parameters
   * as the bench) so A/B runs of [[ScalingChild]] don't pay re-materialization. */
 object CorpusPrep {
@@ -63,7 +59,7 @@ object ABProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val (model, maps) = Bench.buildModelPublic(spark)
+    val (model, maps) = Bench.buildModel(spark)
     val corpus = spark.read.parquet(corpusPath)
     def run(native: Boolean): Double = {
       val t0 = System.nanoTime()
@@ -110,6 +106,10 @@ object QueryProbe {
   }
 }
 
+/** Child JVM for one scaling level (spawned by Bench under `taskset`): runs
+  * the annotate job over the materialized corpus at local[cores] — warmup +
+  * best of 2 — and prints `SCALING_SEC <s>` for the parent to parse. Being a
+  * separate CPU-pinned process is the point: see Bench.pinnedScalingSec. */
 object ScalingChild {
   def main(args: Array[String]): Unit = {
     val corpusPath = args(0)

@@ -184,7 +184,9 @@ object SparkEntry {
           sum(when(col("match_type") === MatchType.Pref,
             col("cnt") * Score.PrefWeight)
             .otherwise(col("cnt") * Score.SynWeight)).as("score"))
-      val direct = m.select("url", "class_iri").distinct()
+      // derive from the already-aggregated byType (tiny), NOT the raw match
+      // stream — the latter would rescan the whole corpus a second time
+      val direct = byType.select("url", "class_iri").distinct()
       val hier = direct
         .join(broadcast(closure(s)), direct("class_iri") === col("child"))
         .groupBy("url", "class_iri", "ancestor")

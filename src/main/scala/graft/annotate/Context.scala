@@ -87,7 +87,8 @@ object Context {
       var p = to // 0-based index just after the match
       val n = text.length
       while (p < n && !graft.dict.Automaton.isWordChar(text.charAt(p)) &&
-        text.charAt(p) != '.' && text.charAt(p) != ';') p += 1
+        text.charAt(p) != '.' && text.charAt(p) != ';' &&
+        text.charAt(p) != '!' && text.charAt(p) != '?') p += 1
       if (p < n && graft.dict.Automaton.isWordChar(text.charAt(p))) {
         var q = p
         val sb = new java.lang.StringBuilder()

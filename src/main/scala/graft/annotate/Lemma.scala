@@ -82,13 +82,11 @@ object Lemma {
     def numTokens: Int = tokStartL.length
 
     /** Token index whose lemma-space span contains position `p` (which the
-      * word-boundary contract guarantees is a token start/end). */
-    def tokenAtL(p: Int, fromEnd: Boolean): Int = {
-      val arr = if (fromEnd) tokEndL else tokStartL
+      * word-boundary contract guarantees is a token start/end): the last
+      * token with `tokStartL(t) <= p`. */
+    def tokenAtL(p: Int): Int = {
       var lo = 0
-      var hi = arr.length - 1
-      // find token t with tokStartL(t) <= p < tokEndL(t) via start array
-      lo = 0; hi = tokStartL.length - 1
+      var hi = tokStartL.length - 1
       var ans = -1
       while (lo <= hi) {
         val mid = (lo + hi) >>> 1
@@ -136,8 +134,8 @@ object Lemma {
     * word-char-delimited terms, enforced at lemma-dict build), so the
     * mapping is exact span composition. */
   def mapHit(d: LemmaDoc, fromL: Int, toL: Int): (Int, Int) = {
-    val tFrom = d.tokenAtL(fromL - 1, fromEnd = false)
-    val tTo = d.tokenAtL(toL - 1, fromEnd = true)
+    val tFrom = d.tokenAtL(fromL - 1)
+    val tTo = d.tokenAtL(toL - 1)
     (d.tokStartO(tFrom) + 1, d.tokEndO(tTo)) // end exclusive → 1-based inclusive
   }
 }

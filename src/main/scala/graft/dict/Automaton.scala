@@ -357,7 +357,8 @@ final class Automaton private[dict] (
   /** Memory estimate in bytes (broadcast sizing; SURVEY.md §5 "Spill/memory"). */
   def sizeEstimate: Long =
     4L * (childStart.length + childTo.length + rootNext.length +
-      fail.length + out.length + termIdAt.length + depth.length + emitNode.length) +
+      fail.length + out.length + termIdAt.length + depth.length +
+      emitNode.length + denseNext.length) +
       2L * childChar.length
 }
 

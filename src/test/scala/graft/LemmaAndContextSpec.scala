@@ -124,6 +124,10 @@ class LemmaAndContextSpec extends AnyFunSuite {
 
   test("negation scope is cut by sentence edges and breakers") {
     assert(!attrs("no fever. fracture present", "fracture").negated)
+    // post-hoc lookahead must respect '!'/'?' sentence edges like the
+    // pre-context scan does (review regression)
+    assert(!attrs("has a fracture! unlikely to need surgery", "fracture").negated)
+    assert(!attrs("a fracture? unlikely", "fracture").negated)
     assert(!attrs("no fever but fracture present", "fracture").negated)
     // window bound: trigger 6+ tokens away is out of scope
     assert(!attrs("no one two three four five fracture", "fracture").negated)
