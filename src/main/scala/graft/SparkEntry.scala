@@ -430,7 +430,12 @@ object SparkEntry {
 
     "mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.mediaFromDocuments(docsTable(s, dir)))
-        .toDF().select(col("url"), col("frame_idx"), length(col("frame_bytes")).as("frame_len")))
+        .toDF().select(col("url"), col("frame_idx"), length(col("frame_bytes")).as("frame_len"))),
+
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.resizeImages(Multimodal.mediaFromDocuments(docsTable(s, dir)))
+        .toDF().select(col("url"), col("width"), col("height"),
+          length(col("resized_bytes")).as("n_bytes")))
   )
 
   // ---- oracle SQL -------------------------------------------------------

@@ -72,6 +72,40 @@ object Multimodal {
     else bytes.grouped(stride).map(_.take(64)).toSeq
   // =======================================================================
 
+  case class Resized(url: String, kind: String, width: Int, height: Int,
+                     resized_bytes: Array[Byte])
+
+  // ==== STUB: real resize goes here ======================================
+  /** Deterministic fake resize: byte budget w×h, strided downsample of the
+    * source bytes (shape-preserving: output length == w*h unless source is
+    * smaller). Real impl: codec decode → bilinear resample → re-encode. */
+  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val src = if (bytes == null) Array.emptyByteArray else bytes
+    val target = w * h
+    if (src.length <= target) src
+    else {
+      val out = new Array[Byte](target)
+      val stride = src.length.toDouble / target
+      var i = 0
+      while (i < target) { out(i) = src((i * stride).toInt); i += 1 }
+      out
+    }
+  }
+  // =======================================================================
+
+  /** Image resize over binary media rows — typed mapPartitions so a real
+    * codec's init cost amortizes per partition; output schema carries the
+    * target dimensions alongside the resized payload. */
+  def resizeImages(media: DataFrame, w: Int = 64, h: Int = 64): Dataset[Resized] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .select(col("url"), col("kind"), col("bytes")).as[MediaRow]
+      .mapPartitions { it =>
+        it.map(m => Resized(m.url, m.kind, w, h, resizeStub(m.bytes, w, h)))
+      }
+  }
+
   /** Frame sampling for video rows — one output row per sampled frame
     * (explode-shaped flatMap; batch shape matches a real sampler). */
   def sampleFrames(media: DataFrame, stride: Int = 256): Dataset[Frame] = {

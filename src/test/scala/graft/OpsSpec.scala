@@ -149,4 +149,17 @@ class OpsSpec extends AnyFunSuite {
       fs.foreach(f => assert(f.frame_bytes.length <= 64))
     }
   }
+
+  test("multimodal: resize is deterministic and respects the target byte budget") {
+    val media = Multimodal.mediaFromDocuments(docs.limit(50))
+    val r1 = Multimodal.resizeImages(media, w = 16, h = 16).collect()
+    assert(r1.nonEmpty)
+    r1.foreach { r =>
+      assert(r.width === 16 && r.height === 16)
+      assert(r.resized_bytes.length <= 16 * 16)
+    }
+    val r2 = Multimodal.resizeImages(media, w = 16, h = 16).collect()
+    assert(r1.map(r => r.url -> r.resized_bytes.toSeq).toMap ===
+      r2.map(r => r.url -> r.resized_bytes.toSeq).toMap)
+  }
 }
