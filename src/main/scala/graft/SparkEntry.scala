@@ -252,6 +252,16 @@ object SparkEntry {
             .select(col("class_iri"), explode(col("tuis")).as("tui"))))
         .select(col("url"), col("classIri").as("class_iri")).distinct()),
 
+    // A4: whole_word_only=false — the reference's substring-matching mode
+    // (mgrep boundary checks off); direct classes only
+    "ann_substring" -> ((s, dir) =>
+      graft.annotate.NativeAnnotate
+        .annotateTriples(corpus(s, dir), model(s), fusedMaps(s), "v1",
+          AnnotateOptions(wholeWordOnly = false,
+            expandHierarchy = false, expandMappings = false))
+        .filter(col("pred") === Pred.Direct)
+        .select(col("subj").as("url"), col("obj").as("class_iri")).distinct()),
+
     // A4: exclude_synonyms
     "ann_nosyn" -> ((s, dir) =>
       Filters(matches(s, dir).withColumnRenamed("class_iri", "classIri")
@@ -589,6 +599,12 @@ object SparkEntry {
           SELECT DISTINCT d.url, d.class_iri FROM direct d
           WHERE EXISTS (SELECT 1 FROM semtypes s WHERE s.class_iri = d.class_iri
                         AND s.tui IN ('T050', 'T051', 'T052'))""",
+
+    "ann_substring" ->
+      s"""WITH $dictCte
+          SELECT DISTINCT 'doc://' || doc_id AS url, d.class_iri
+          FROM documents, dict d
+          WHERE contains(upper(text), d.term)""",
 
     "ann_nosyn" ->
       s"""WITH $dictCte, $directCte

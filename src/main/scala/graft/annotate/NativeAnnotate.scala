@@ -348,7 +348,7 @@ final class CompiledAnnotator(
   def annotate(text: UTF8String, s: ScanScratch): Iterator[InternalRow] = {
     // total UTF-8 scan — handles any script in one pass, no String decode
     auto.scanUtf8Into(text.getBaseObject, text.getBaseOffset,
-      text.numBytes, s.buf, opts.longestOnly)
+      text.numBytes, s.buf, opts.longestOnly, opts.wholeWordOnly)
     if (s.buf.size == 0) Iterator.empty
     else if (dense) annotateDense(s)
     else annotateSparse(s)

@@ -166,7 +166,7 @@ object FusedAnnotate {
           .flatMap { case (url, text) =>
           // per-doc direct fold: classIri -> (bestType, score)
           val direct = new scala.collection.mutable.HashMap[String, (String, Double)]()
-          automaton.scanInto(text, buf, opts.longestOnly)
+          automaton.scanInto(text, buf, opts.longestOnly, opts.wholeWordOnly)
           var hi = 0
           while (hi < buf.size) {
             payload(buf.termId(hi)).foreach { p =>

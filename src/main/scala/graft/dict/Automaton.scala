@@ -80,7 +80,8 @@ final class Automaton private[dict] (
     * amortizes). ~10× the throughput of the boxed variant (per-hit case
     * class allocation dominated the scan at realistic hit densities).
     */
-  def scanInto(text: String, buf: HitBuffer, longestOnly: Boolean = false): HitBuffer = {
+  def scanInto(text: String, buf: HitBuffer, longestOnly: Boolean = false,
+               wholeWord: Boolean = true): HitBuffer = {
     buf.clear()
     val len = text.length
     var state = 0
@@ -104,27 +105,31 @@ final class Automaton private[dict] (
         // no dictionary prefix is live, and every match starting in the
         // rest of this word run fails the boundary-before check — skip the
         // run in a tight classify-advance loop.
-        if (Automaton.isWordChar(c0)) {
+        if (wholeWord && Automaton.isWordChar(c0)) {
           while (pos < len && Automaton.isWordChar(text.charAt(pos))) pos += 1
         }
       } else {
         state = nxt
-        emitChars(nxt, text, len, pos - 1, buf)
+        emitChars(nxt, text, len, pos - 1, buf, wholeWord)
       }
     }
     if (longestOnly) buf.longestPerStartInPlace()
     buf
   }
 
-  /** Emit all terms ending at `pos` via the output chain (char coords). */
-  @inline private def emitChars(st: Int, text: String, len: Int, pos: Int, buf: HitBuffer): Unit = {
+  /** Emit all terms ending at `pos` via the output chain (char coords).
+    * `wholeWord=false` (reference `whole_word_only` option off) emits every
+    * occurrence, boundaries ignored. */
+  @inline private def emitChars(st: Int, text: String, len: Int, pos: Int,
+                                buf: HitBuffer, wholeWord: Boolean = true): Unit = {
     var n = emitNode(st)
     if (n >= 0) {
-      val boundAfter = pos == len - 1 || !Automaton.isWordChar(text.charAt(pos + 1))
+      val boundAfter = !wholeWord || pos == len - 1 ||
+        !Automaton.isWordChar(text.charAt(pos + 1))
       if (boundAfter) {
         while (n >= 0) {
           val start = pos - depth(n) + 1
-          if (start == 0 || !Automaton.isWordChar(text.charAt(start - 1)))
+          if (!wholeWord || start == 0 || !Automaton.isWordChar(text.charAt(start - 1)))
             buf.add(start + 1, pos + 1, termIdAt(n)) // 1-based inclusive
           n = out(n)
         }
@@ -156,7 +161,8 @@ final class Automaton private[dict] (
     * terms containing unpaired surrogates are out of contract.
     */
   def scanUtf8Into(base: AnyRef, offset: Long, numBytes: Int,
-                   buf: HitBuffer, longestOnly: Boolean = false): Boolean = {
+                   buf: HitBuffer, longestOnly: Boolean = false,
+                   wholeWord: Boolean = true): Boolean = {
     import org.apache.spark.unsafe.Platform
     buf.clear()
     // pure-ASCII primary loop: byte==char offsets, no ring bookkeeping, no
@@ -181,13 +187,13 @@ final class Automaton private[dict] (
           // word-run skip (see scanInto): mid-run starts are boundary-dead
           // and no prefix is live; negative (multi-byte) bytes are non-word
           // so the skip stops at them
-          if (Automaton.isWordByte(b)) {
+          if (wholeWord && Automaton.isWordByte(b)) {
             while (pos < numBytes &&
               Automaton.isWordByte(Platform.getByte(base, offset + pos))) pos += 1
           }
         } else {
           state = nxt
-          emitAsciiBytes(nxt, base, offset, numBytes, pos - 1, buf)
+          emitAsciiBytes(nxt, base, offset, numBytes, pos - 1, buf, wholeWord)
         }
       }
     }
@@ -196,22 +202,24 @@ final class Automaton private[dict] (
       return true
     }
     buf.clear()
-    scanUtf8General(base, offset, numBytes, buf, longestOnly)
+    scanUtf8General(base, offset, numBytes, buf, longestOnly, wholeWord)
     false
   }
 
   /** Emission for the pure-ASCII loop: byte offsets ARE char offsets. */
   @inline private def emitAsciiBytes(st: Int, base: AnyRef, offset: Long,
-                                     numBytes: Int, pos: Int, buf: HitBuffer): Unit = {
+                                     numBytes: Int, pos: Int, buf: HitBuffer,
+                                     wholeWord: Boolean = true): Unit = {
     import org.apache.spark.unsafe.Platform
     var n = emitNode(st)
     if (n >= 0) {
-      val boundAfter = pos == numBytes - 1 ||
+      val boundAfter = !wholeWord || pos == numBytes - 1 ||
         !Automaton.isWordByte(Platform.getByte(base, offset + pos + 1))
       if (boundAfter) {
         while (n >= 0) {
           val start = pos - depth(n) + 1
-          if (start == 0 || !Automaton.isWordByte(Platform.getByte(base, offset + start - 1)))
+          if (!wholeWord || start == 0 ||
+            !Automaton.isWordByte(Platform.getByte(base, offset + start - 1)))
             buf.add(start + 1, pos + 1, termIdAt(n)) // 1-based inclusive
           n = out(n)
         }
@@ -222,7 +230,8 @@ final class Automaton private[dict] (
   /** General UTF-8 loop (any script): inline codepoint decode, exact UTF-16
     * char offsets, ring-buffered char→byte map for boundary probes. */
   private def scanUtf8General(base: AnyRef, offset: Long, numBytes: Int,
-                              buf: HitBuffer, longestOnly: Boolean): Unit = {
+                              buf: HitBuffer, longestOnly: Boolean,
+                              wholeWord: Boolean = true): Unit = {
     import org.apache.spark.unsafe.Platform
     val ring = buf.ensureRing(ringSize)
     val mask = ringSize - 1
@@ -239,7 +248,7 @@ final class Automaton private[dict] (
         bytePos += 1
         if (nxt == 0) {
           state = 0
-          if (Automaton.isWordByte(b)) {
+          if (wholeWord && Automaton.isWordByte(b)) {
             charPos += 1
             while (bytePos < numBytes &&
               Automaton.isWordByte(Platform.getByte(base, offset + bytePos))) {
@@ -249,7 +258,7 @@ final class Automaton private[dict] (
         } else {
           ring(charPos & mask) = bytePos - 1
           state = nxt
-          emitBytes(nxt, base, offset, numBytes, bytePos - 1, charPos, ring, mask, buf)
+          emitBytes(nxt, base, offset, numBytes, bytePos - 1, charPos, ring, mask, buf, wholeWord)
           charPos += 1
         }
       } else {
@@ -277,17 +286,17 @@ final class Automaton private[dict] (
         if (cp < 0x10000) {
           val c = Automaton.normChar(cp.toChar)
           ring(charPos & mask) = seqStart
-          state = stepEmit(state, c, base, offset, numBytes, bytePos - 1, charPos, ring, mask, buf)
+          state = stepEmit(state, c, base, offset, numBytes, bytePos - 1, charPos, ring, mask, buf, wholeWord)
           charPos += 1
         } else {
           // supplementary plane → two surrogate chars, same byte span
           val hi = (0xD800 + ((cp - 0x10000) >> 10)).toChar
           val lo = (0xDC00 + ((cp - 0x10000) & 0x3FF)).toChar
           ring(charPos & mask) = seqStart
-          state = stepEmit(state, hi, base, offset, numBytes, bytePos - 1, charPos, ring, mask, buf)
+          state = stepEmit(state, hi, base, offset, numBytes, bytePos - 1, charPos, ring, mask, buf, wholeWord)
           charPos += 1
           ring(charPos & mask) = seqStart
-          state = stepEmit(state, lo, base, offset, numBytes, bytePos - 1, charPos, ring, mask, buf)
+          state = stepEmit(state, lo, base, offset, numBytes, bytePos - 1, charPos, ring, mask, buf, wholeWord)
           charPos += 1
         }
       }
@@ -311,12 +320,13 @@ final class Automaton private[dict] (
   /** One fail-resolved transition + emission for a (rare) non-ASCII char. */
   @inline private def stepEmit(state: Int, c: Char, base: AnyRef, offset: Long,
                                numBytes: Int, lastByte: Int, charPos: Int,
-                               ring: Array[Int], mask: Int, buf: HitBuffer): Int = {
+                               ring: Array[Int], mask: Int, buf: HitBuffer,
+                               wholeWord: Boolean): Int = {
     val nxt =
       if (state < denseStates && c < 128) denseNext((state << 7) + c)
       else generalStep(state, c)
     if (nxt != 0)
-      emitBytes(nxt, base, offset, numBytes, lastByte, charPos, ring, mask, buf)
+      emitBytes(nxt, base, offset, numBytes, lastByte, charPos, ring, mask, buf, wholeWord)
     nxt
   }
 
@@ -326,17 +336,18 @@ final class Automaton private[dict] (
     * non-word, matching the char class). */
   @inline private def emitBytes(st: Int, base: AnyRef, offset: Long, numBytes: Int,
                                 lastByte: Int, charPos: Int,
-                                ring: Array[Int], mask: Int, buf: HitBuffer): Unit = {
+                                ring: Array[Int], mask: Int, buf: HitBuffer,
+                                wholeWord: Boolean = true): Unit = {
     import org.apache.spark.unsafe.Platform
     var n = emitNode(st)
     if (n >= 0) {
-      val boundAfter = lastByte == numBytes - 1 ||
+      val boundAfter = !wholeWord || lastByte == numBytes - 1 ||
         !Automaton.isWordByte(Platform.getByte(base, offset + lastByte + 1))
       if (boundAfter) {
         while (n >= 0) {
           val startChar = charPos - depth(n) + 1
           val startByte = ring(startChar & mask)
-          if (startByte == 0 ||
+          if (!wholeWord || startByte == 0 ||
             !Automaton.isWordByte(Platform.getByte(base, offset + startByte - 1)))
             buf.add(startChar + 1, charPos + 1, termIdAt(n)) // 1-based inclusive
           n = out(n)
@@ -627,7 +638,8 @@ object TrieBuilder {
   * normalization contract with [[Automaton]] by construction.
   */
 final class NaiveMatcher(terms: Array[(String, Int)]) extends Serializable {
-  def scan(text: String, longestOnly: Boolean = false): mutable.ArrayBuffer[graft.RawHit] = {
+  def scan(text: String, longestOnly: Boolean = false,
+           wholeWord: Boolean = true): mutable.ArrayBuffer[graft.RawHit] = {
     val up = new Array[Char](text.length)
     var i = 0
     while (i < text.length) { up(i) = Automaton.normChar(text.charAt(i)); i += 1 }
@@ -638,8 +650,8 @@ final class NaiveMatcher(terms: Array[(String, Int)]) extends Serializable {
         var from = upper.indexOf(term, 0)
         while (from >= 0) {
           val end = from + term.length - 1
-          val bb = from == 0 || !Automaton.isWordChar(text.charAt(from - 1))
-          val ba = end == text.length - 1 || !Automaton.isWordChar(text.charAt(end + 1))
+          val bb = !wholeWord || from == 0 || !Automaton.isWordChar(text.charAt(from - 1))
+          val ba = !wholeWord || end == text.length - 1 || !Automaton.isWordChar(text.charAt(end + 1))
           if (bb && ba) hits += graft.RawHit(from + 1, end + 1, id)
           from = upper.indexOf(term, from + 1)
         }

@@ -84,6 +84,7 @@ case class AnnotateOptions(
     semanticTypes: Seq[String] = Nil, // empty = all
     excludeSynonyms: Boolean = false,
     longestOnly: Boolean = false,
+    wholeWordOnly: Boolean = true, // reference whole_word_only (mgrep default)
     expandHierarchy: Boolean = true,
     hierarchyMaxLevel: Int = 5,
     expandMappings: Boolean = true,

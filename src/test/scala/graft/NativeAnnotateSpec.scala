@@ -85,6 +85,30 @@ class NativeAnnotateSpec extends AnyFunSuite {
       hierarchyMaxLevel = 2, scoreThreshold = 3.0))
   }
 
+  test("native == fused: whole_word_only=false (substring matching)") {
+    assertParity(AnnotateOptions(wholeWordOnly = false))
+  }
+
+  test("whole_word_only=false finds mid-word occurrences; true suppresses them") {
+    val trie = new TrieBuilder
+    trie.insert("ASH", 0)
+    val auto = Automaton.fromTrie(trie)
+    val text = "XASHY ash"
+    val strict = auto.scanInto(text, new graft.dict.HitBuffer())
+    assert((0 until strict.size).map(i => (strict.from(i), strict.to(i))).toSet ===
+      Set((7, 9))) // only the standalone word
+    val loose = auto.scanInto(text, new graft.dict.HitBuffer(), wholeWord = false)
+    assert((0 until loose.size).map(i => (loose.from(i), loose.to(i))).toSet ===
+      Set((2, 4), (7, 9))) // mid-word occurrence too
+    // byte scan parity for the substring mode
+    val u8 = UTF8String.fromString(text)
+    val buf = new graft.dict.HitBuffer()
+    auto.scanUtf8Into(u8.getBaseObject, u8.getBaseOffset, u8.numBytes, buf,
+      longestOnly = false, wholeWord = false)
+    assert((0 until buf.size).map(i => (buf.from(i), buf.to(i))).toSet ===
+      Set((2, 4), (7, 9)))
+  }
+
   test("sparse accumulator branch (denseLimit=0) == dense") {
     assertParity(AnnotateOptions(), denseLimit = 0)
     assertParity(AnnotateOptions(longestOnly = true, scoreThreshold = 8.5), denseLimit = 0)
