@@ -61,7 +61,7 @@ object Pipeline {
       // mapPartitions form (Scan.annotateDirect) stays parity-tested.
       Filters(
         graft.annotate.NativeAnnotate
-          .annotateMatches(corpus, bcast, cfg.opts.longestOnly)
+          .annotateMatches(corpus, bcast, cfg.opts.longestOnly, cfg.opts.wholeWordOnly)
           .withColumnRenamed("class_iri", "classIri")
           .withColumnRenamed("match_type", "matchType"),
         cfg.opts,

@@ -115,7 +115,8 @@ object ContextScan {
     * document text is in hand (zero extra shuffles). */
   def annotateWithContext(extracted: DataFrame,
                           model: Broadcast[AnnotatorModel],
-                          longestOnly: Boolean = false): Dataset[ContextMatch] = {
+                          longestOnly: Boolean = false,
+                          wholeWord: Boolean = true): Dataset[ContextMatch] = {
     val spark = extracted.sparkSession
     import spark.implicits._
     extracted.select(col("url"), col("text")).as[(String, String)]
@@ -125,7 +126,7 @@ object ContextScan {
         val payload = m.payload
         val buf = new graft.dict.HitBuffer()
         it.filter(_._2 != null).flatMap { case (url, text) =>
-          automaton.scanInto(text, buf, longestOnly)
+          automaton.scanInto(text, buf, longestOnly, wholeWord)
           val out = new scala.collection.mutable.ArrayBuffer[ContextMatch](buf.size)
           var i = 0
           while (i < buf.size) {

@@ -153,7 +153,11 @@ object LemmaScan {
 
   /** Direct annotation in lemma space. `model` must be built from a
     * LEMMATIZED dictionary ([[graft.dict.DictBuild.buildLemmatized]]) — the
-    * both-sides-same-function invariant the reference's lemmatizer gives. */
+    * both-sides-same-function invariant the reference's lemmatizer gives.
+    * Lemma mode is whole-word BY CONSTRUCTION: the offset back-mapping
+    * relies on hits being token-aligned, so `whole_word_only=false` cannot
+    * be combined with lemmatization (the reference's lemmatizer has the
+    * same implicit constraint — it operates on tokens). */
   def annotateDirectLemma(extracted: DataFrame,
                           model: Broadcast[AnnotatorModel],
                           longestOnly: Boolean = false): Dataset[Match] = {

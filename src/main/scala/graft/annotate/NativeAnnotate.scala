@@ -78,8 +78,10 @@ object NativeAnnotate {
     * mapPartitions form. */
   def annotateMatches(extracted: DataFrame,
                       model: Broadcast[AnnotatorModel],
-                      longestOnly: Boolean = false): DataFrame = {
-    val gen = AnnotateMatchesGen(GraftShim.expression(col("text")), model, longestOnly)
+                      longestOnly: Boolean = false,
+                      wholeWord: Boolean = true): DataFrame = {
+    val gen = AnnotateMatchesGen(GraftShim.expression(col("text")), model,
+      longestOnly, wholeWord)
     extracted.select(col("url"), GraftShim.column(gen))
   }
 }
@@ -92,7 +94,8 @@ object NativeAnnotate {
 case class AnnotateMatchesGen(
     child: Expression,
     model: Broadcast[AnnotatorModel],
-    longestOnly: Boolean)
+    longestOnly: Boolean,
+    wholeWord: Boolean = true)
   extends UnaryExpression with Generator with CodegenFallback {
 
   override def elementSchema: StructType = StructType(Seq(
@@ -116,7 +119,7 @@ case class AnnotateMatchesGen(
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val t = child.eval(input)
     if (t == null) Iterator.empty
-    else compiled.matches(t.asInstanceOf[UTF8String], buf, longestOnly)
+    else compiled.matches(t.asInstanceOf[UTF8String], buf, longestOnly, wholeWord)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -142,11 +145,11 @@ final class CompiledMatcher(m: AnnotatorModel) extends Serializable {
   }
 
   def matches(text: UTF8String, buf: graft.dict.HitBuffer,
-              longestOnly: Boolean): Iterator[InternalRow] = {
+              longestOnly: Boolean, wholeWord: Boolean = true): Iterator[InternalRow] = {
     // total UTF-8 scan; the pure-ASCII flag decides how matched text is
     // sliced (char offsets == byte offsets == code points only when ASCII)
     val ascii = auto.scanUtf8Into(text.getBaseObject, text.getBaseOffset,
-      text.numBytes, buf, longestOnly)
+      text.numBytes, buf, longestOnly, wholeWord)
     if (buf.size == 0) return Iterator.empty
     val decoded: String = if (ascii) null else text.toString
     val out = new mutable.ArrayBuffer[InternalRow](buf.size)

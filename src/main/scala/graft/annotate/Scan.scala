@@ -23,7 +23,8 @@ object Scan {
     */
   def annotateDirect(extracted: DataFrame,
                      model: Broadcast[AnnotatorModel],
-                     longestOnly: Boolean = false): Dataset[Match] = {
+                     longestOnly: Boolean = false,
+                     wholeWord: Boolean = true): Dataset[Match] = {
     val spark = extracted.sparkSession
     import spark.implicits._
     extracted.select(col("url"), col("text")).as[(String, String)]
@@ -34,7 +35,7 @@ object Scan {
         val buf = new graft.dict.HitBuffer() // reused across the partition
         it.filter(_._2 != null) // null-text rows (bad upstream extraction) are skipped, not fatal
           .flatMap { case (url, text) =>
-          automaton.scanInto(text, buf, longestOnly)
+          automaton.scanInto(text, buf, longestOnly, wholeWord)
           val out = new scala.collection.mutable.ArrayBuffer[Match](buf.size)
           var i = 0
           while (i < buf.size) {
@@ -69,7 +70,8 @@ object ScanAgg {
     */
   def annotateDirectAgg(extracted: DataFrame,
                         model: Broadcast[AnnotatorModel],
-                        longestOnly: Boolean = false): Dataset[DirectAgg] = {
+                        longestOnly: Boolean = false,
+                        wholeWord: Boolean = true): Dataset[DirectAgg] = {
     val spark = extracted.sparkSession
     import spark.implicits._
     extracted.select(col("url"), col("text")).as[(String, String)]
@@ -82,7 +84,7 @@ object ScanAgg {
           .flatMap { case (url, text) =>
           // per-doc fold: classIri -> (ont, bestType, n, score)
           val acc = new scala.collection.mutable.HashMap[String, (String, String, Long, Double)]()
-          automaton.scanInto(text, buf, longestOnly)
+          automaton.scanInto(text, buf, longestOnly, wholeWord)
           var i = 0
           while (i < buf.size) {
             payload(buf.termId(i)).foreach { p =>
@@ -220,11 +222,12 @@ object FusedAnnotate {
   }
 }
 
-/** A4–A5 — request filters, mirroring the reference `annotate(text, opts)`
-  * option surface (ontologies whitelist, semantic types, exclude_synonyms,
-  * longest_only). min_term_size / exclude_numbers are dictionary-build-time
-  * (DictBuild). whole_word_only is always true (mgrep semantics baked into
-  * the automaton's word-boundary contract).
+/** A4–A5 — post-scan request filters, mirroring the reference
+  * `annotate(text, opts)` option surface (ontologies whitelist, semantic
+  * types, exclude_synonyms). Scan-TIME options (longest_only,
+  * whole_word_only) must be passed to the scan itself — this object filters
+  * an existing match stream and cannot re-derive spans. min_term_size /
+  * exclude_numbers are dictionary-build-time (DictBuild).
   */
 object Filters {
 

@@ -12,10 +12,12 @@ import scala.collection.mutable
   *     (see [[graft.dict.DictBuild.normalizeTerm]]). ASCII-safe contract —
   *     documented limitation: locale multi-char uppercasings (ß→SS) are not
   *     length-preserving and are out of contract.
-  *   - word boundaries at BOTH ends: a hit `[start, end]` is emitted only if
-  *     the neighbouring characters are non-word. Word char class is
-  *     `[A-Za-z0-9_]` — RE2/`\b` parity so the DuckDB oracle can re-derive
-  *     matches with `regexp_matches(upper(text), '\bTERM\b')`.
+  *   - word boundaries at BOTH ends (when `wholeWord=true`, the mgrep
+  *     default): a hit `[start, end]` is emitted only if the neighbouring
+  *     characters are non-word. Word char class is `[A-Za-z0-9_]` —
+  *     RE2/`\b` parity so the DuckDB oracle can re-derive matches with
+  *     `regexp_matches(upper(text), '\bTERM\b')`. With `wholeWord=false`
+  *     (reference `whole_word_only` off) every occurrence is emitted.
   *   - all occurrences are emitted (reference default); `longestOnly` keeps,
   *     per start offset, only the longest hit (SURVEY.md §3.2 A5 contract:
   *     per (url, from) keep max `to`).
@@ -121,7 +123,7 @@ final class Automaton private[dict] (
     * `wholeWord=false` (reference `whole_word_only` option off) emits every
     * occurrence, boundaries ignored. */
   @inline private def emitChars(st: Int, text: String, len: Int, pos: Int,
-                                buf: HitBuffer, wholeWord: Boolean = true): Unit = {
+                                buf: HitBuffer, wholeWord: Boolean): Unit = {
     var n = emitNode(st)
     if (n >= 0) {
       val boundAfter = !wholeWord || pos == len - 1 ||
@@ -209,7 +211,7 @@ final class Automaton private[dict] (
   /** Emission for the pure-ASCII loop: byte offsets ARE char offsets. */
   @inline private def emitAsciiBytes(st: Int, base: AnyRef, offset: Long,
                                      numBytes: Int, pos: Int, buf: HitBuffer,
-                                     wholeWord: Boolean = true): Unit = {
+                                     wholeWord: Boolean): Unit = {
     import org.apache.spark.unsafe.Platform
     var n = emitNode(st)
     if (n >= 0) {
@@ -231,7 +233,7 @@ final class Automaton private[dict] (
     * char offsets, ring-buffered char→byte map for boundary probes. */
   private def scanUtf8General(base: AnyRef, offset: Long, numBytes: Int,
                               buf: HitBuffer, longestOnly: Boolean,
-                              wholeWord: Boolean = true): Unit = {
+                              wholeWord: Boolean): Unit = {
     import org.apache.spark.unsafe.Platform
     val ring = buf.ensureRing(ringSize)
     val mask = ringSize - 1
@@ -337,7 +339,7 @@ final class Automaton private[dict] (
   @inline private def emitBytes(st: Int, base: AnyRef, offset: Long, numBytes: Int,
                                 lastByte: Int, charPos: Int,
                                 ring: Array[Int], mask: Int, buf: HitBuffer,
-                                wholeWord: Boolean = true): Unit = {
+                                wholeWord: Boolean): Unit = {
     import org.apache.spark.unsafe.Platform
     var n = emitNode(st)
     if (n >= 0) {

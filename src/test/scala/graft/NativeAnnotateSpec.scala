@@ -318,11 +318,15 @@ class NativeAnnotateSpec extends AnyFunSuite {
         else fillers(rnd.nextInt(fillers.length))
       }.mkString(Seq(" ", ", ", "·", ".").apply(rnd.nextInt(4)))
       val u8 = UTF8String.fromString(text)
-      auto.scanUtf8Into(u8.getBaseObject, u8.getBaseOffset, u8.numBytes, byteBuf)
-      auto.scanInto(text, charBuf)
-      val b = (0 until byteBuf.size).map(i => (byteBuf.from(i), byteBuf.to(i), byteBuf.termId(i))).toSet
-      val c = (0 until charBuf.size).map(i => (charBuf.from(i), charBuf.to(i), charBuf.termId(i))).toSet
-      assert(b === c, s"mismatch on: $text")
+      // both boundary modes: byte scan == char scan, offset-exact
+      Seq(true, false).foreach { ww =>
+        auto.scanUtf8Into(u8.getBaseObject, u8.getBaseOffset, u8.numBytes,
+          byteBuf, longestOnly = false, wholeWord = ww)
+        auto.scanInto(text, charBuf, longestOnly = false, wholeWord = ww)
+        val b = (0 until byteBuf.size).map(i => (byteBuf.from(i), byteBuf.to(i), byteBuf.termId(i))).toSet
+        val c = (0 until charBuf.size).map(i => (charBuf.from(i), charBuf.to(i), charBuf.termId(i))).toSet
+        assert(b === c, s"wholeWord=$ww mismatch on: $text")
+      }
     }
   }
 }
