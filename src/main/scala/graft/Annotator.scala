@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.DataFrame
+
+import graft.annotate.{ContextScan, FusedAnnotate, LemmaScan, NativeAnnotate}
+import graft.dict.AnnotatorModel
+
+/** Single user-facing entry point mirroring the reference's
+  * `NcboAnnotator#annotate(text, options)` — one call, the full option
+  * surface, dispatching to the right engine path. Option mapping
+  * (reference → here):
+  *
+  * | reference option          | here                                      |
+  * | ------------------------- | ----------------------------------------- |
+  * | `ontologies`              | `AnnotateOptions.ontologies`              |
+  * | `semantic_types`          | `semanticTypeClasses` (resolved class set)|
+  * | `exclude_synonyms`        | `AnnotateOptions.excludeSynonyms`         |
+  * | `whole_word_only`         | `AnnotateOptions.wholeWordOnly`           |
+  * | `longest_only`            | `AnnotateOptions.longestOnly`             |
+  * | `expand_class_hierarchy` / `class_hierarchy_max_level` | `expandHierarchy` / `hierarchyMaxLevel` |
+  * | `expand_mappings`         | `AnnotateOptions.expandMappings`          |
+  * | `score` / `score_threshold` | weights in [[Score]] / `scoreThreshold` |
+  * | `lemmatize` (Annotator+)  | `Request.lemmatize` (lemma-built model)   |
+  * | `negation`/`experiencer`/`temporality` (Annotator+) | `Request.withContext` |
+  * | `min_term_size` / `exclude_numbers` | dictionary-build-time ([[graft.dict.DictBuild]]) |
+  *
+  * Input: the extracted corpus `(url, text, …)`. Output: the normalized
+  * triple table (default), per-occurrence matches (`matches`), or
+  * context-attributed matches (`annotateWithContext`).
+  */
+object Annotator {
+
+  /** A complete annotation request. `lemmatize=true` requires `lemmaModel`
+    * (built by [[graft.dict.DictBuild.buildLemmatized]]) — enforced loudly. */
+  case class Request(
+      opts: AnnotateOptions = AnnotateOptions(),
+      lemmatize: Boolean = false,
+      semanticTypeClasses: Option[Set[String]] = None)
+
+  /** Corpus → triple table — the scale path (native Catalyst plan); the
+    * lemmatized variant routes through the lemma scan + Catalyst expansion
+    * joins (lemma mode is an opt-in request feature, not the bulk path). */
+  def annotate(extracted: DataFrame,
+               model: Broadcast[AnnotatorModel],
+               maps: Broadcast[FusedAnnotate.ExpansionMaps],
+               dictVersion: String,
+               request: Request = Request(),
+               lemmaModel: Option[Broadcast[AnnotatorModel]] = None): DataFrame = {
+    val spark = extracted.sparkSession
+    val semB = request.semanticTypeClasses.map(spark.sparkContext.broadcast(_))
+    if (!request.lemmatize)
+      NativeAnnotate.annotateTriples(extracted, model, maps, dictVersion,
+        request.opts, semB)
+    else {
+      val lm = lemmaModel.getOrElse(sys.error(
+        "lemmatize=true requires a lemma-built model (DictBuild.buildLemmatized)"))
+      require(request.opts.wholeWordOnly,
+        "lemmatize=true is whole-word by construction (token-aligned offset mapping)")
+      // lemma scan → same fused per-doc expansion/scoring as the main path
+      import org.apache.spark.sql.functions._
+      val m = LemmaScan.annotateDirectLemma(extracted, lm, request.opts.longestOnly)
+        .toDF()
+      val exp = maps.value
+      val byDoc = m
+        .filter(if (request.opts.ontologies.isEmpty) lit(true)
+          else col("ont").isin(request.opts.ontologies: _*))
+        .filter(if (request.opts.excludeSynonyms) col("matchType") === MatchType.Pref
+          else lit(true))
+        .filter(semB.map(b => col("classIri").isInCollection(b.value))
+          .getOrElse(lit(true)))
+        .groupBy(col("url"), col("classIri"))
+        .agg(
+          sum(when(col("matchType") === MatchType.Pref, Score.PrefWeight)
+            .otherwise(Score.SynWeight)).as("score"),
+          min(col("matchType")).as("match_type"))
+      val direct = byDoc
+        .filter(col("score") >= request.opts.scoreThreshold)
+        .select(col("url").as("subj"), lit(Pred.Direct).as("pred"),
+          col("classIri").as("obj"), col("match_type"),
+          lit(0).as("distance"), col("score"), lit(dictVersion).as("dict_version"))
+      val directClasses = byDoc.select(col("url"), col("classIri"))
+      val hier =
+        if (!request.opts.expandHierarchy) spark.emptyDataFrame
+        else {
+          val cl = exp.closure.toSeq.flatMap { case (c, as) =>
+            as.collect { case (a, d) if d <= request.opts.hierarchyMaxLevel => (c, a, d) }
+          }
+          import spark.implicits._
+          directClasses
+            .join(broadcast(cl.toDF("classIri", "ancestor", "distance")), Seq("classIri"))
+            .groupBy(col("url"), col("ancestor")).agg(min("distance").as("distance"))
+            .select(col("url").as("subj"), lit(Pred.Expanded).as("pred"),
+              col("ancestor").as("obj"), lit(MatchType.Hier).as("match_type"),
+              col("distance"),
+              (lit(7.0) / greatest(col("distance"), lit(1))).as("score"),
+              lit(dictVersion).as("dict_version"))
+            .filter(col("score") >= request.opts.scoreThreshold)
+        }
+      val mapped =
+        if (!request.opts.expandMappings ||
+          Score.MapWeight < request.opts.scoreThreshold) spark.emptyDataFrame
+        else {
+          val mp = exp.mappings.toSeq.flatMap { case (c, ms) => ms.map(m2 => (c, m2)) }
+          import spark.implicits._
+          directClasses
+            .join(broadcast(mp.toDF("classIri", "mapped_iri")), Seq("classIri"))
+            .select(col("url"), col("mapped_iri")).distinct()
+            .select(col("url").as("subj"), lit(Pred.Mapped).as("pred"),
+              col("mapped_iri").as("obj"), lit(MatchType.Map).as("match_type"),
+              lit(1).as("distance"), lit(Score.MapWeight).as("score"),
+              lit(dictVersion).as("dict_version"))
+        }
+      Seq(hier, mapped).filter(!_.isEmpty).foldLeft(direct)(_ unionByName _)
+    }
+  }
+
+  /** Corpus → per-occurrence matches with 1-based inclusive offsets
+    * (reference mgrep wire shape), on the native plan. */
+  def matches(extracted: DataFrame,
+              model: Broadcast[AnnotatorModel],
+              request: Request = Request()): DataFrame =
+    NativeAnnotate.annotateMatches(extracted, model,
+      request.opts.longestOnly, request.opts.wholeWordOnly)
+
+  /** Corpus → matches with Annotator+ clinical-context attributes. */
+  def annotateWithContext(extracted: DataFrame,
+                          model: Broadcast[AnnotatorModel],
+                          request: Request = Request()): DataFrame =
+    ContextScan.annotateWithContext(extracted, model,
+      request.opts.longestOnly, request.opts.wholeWordOnly).toDF()
+}
