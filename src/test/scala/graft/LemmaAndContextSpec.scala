@@ -105,6 +105,70 @@ class LemmaAndContextSpec extends AnyFunSuite {
     assert(lemma.nonEmpty)
   }
 
+  // ---- Annotator facade -------------------------------------------------
+
+  test("Annotator facade: lemmatize=true == native path over a pre-lemmatized corpus") {
+    import org.apache.spark.sql.functions.col
+    import graft.annotate.{FusedAnnotate, NativeAnnotate}
+    import graft.graph.Closure
+    val maps = spark.sparkContext.broadcast(
+      FusedAnnotate.expansionMaps(
+        Closure.transitiveClosure(OntologyFixture.edgesDf(spark), 5),
+        OntologyFixture.mappingsDf(spark), 5))
+    val terms = OntologyFixture.conceptsDf(spark)
+      .select("pref_label").collect().map(_.getString(0))
+      .filter(t => t.split(' ').forall { w =>
+        val u = w.toUpperCase
+        u.length > 3 && Lemma.lemmaToken(u) == u
+      }).sorted.take(3)
+    assume(terms.length >= 2)
+    val texts = Seq(
+      s"${terms(0)}s and ${terms(1)} here", // inflected + base
+      s"plain ${terms(1)} only",
+      s"${terms(0)} ${if (terms.length > 2) terms(2) + "s" else terms(0)}")
+    val corpus = docsDf(texts)
+    val viaFacade = Annotator
+      .annotate(corpus, plainModel, maps, "v1",
+        Annotator.Request(lemmatize = true), lemmaModel = Some(lemmaModel))
+      .select("subj", "pred", "obj", "distance", "score").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3), r.getDouble(4)))
+      .toSet
+    // oracle: lemma-normalize the corpus text, then run the ordinary native
+    // path with the lemma dictionary — identical matches by construction
+    val lemmaCorpus = spark.createDataFrame(
+      spark.sparkContext.parallelize(corpus.collect().toSeq.map { r =>
+        org.apache.spark.sql.Row(r.getString(0), r.getTimestamp(1),
+          r.getAs[Array[Byte]](2), Lemma.lemmatizeDoc(r.getString(3)).lemmaText,
+          r.getString(4))
+      }),
+      corpus.schema)
+    val viaNative = NativeAnnotate
+      .annotateTriples(lemmaCorpus, lemmaModel, maps, "v1")
+      .select("subj", "pred", "obj", "distance", "score").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3), r.getDouble(4)))
+      .toSet
+    assert(viaFacade === viaNative)
+    assert(viaFacade.nonEmpty)
+    // the inflected doc matched through lemma space
+    assert(viaFacade.exists(_._1 == "doc://lem/0"))
+  }
+
+  test("Annotator facade: default request routes to the native plan") {
+    import graft.annotate.FusedAnnotate
+    import graft.graph.Closure
+    val maps = spark.sparkContext.broadcast(
+      FusedAnnotate.expansionMaps(
+        Closure.transitiveClosure(OntologyFixture.edgesDf(spark), 5),
+        OntologyFixture.mappingsDf(spark), 5))
+    val corpus = graft.annotate.Corpus.extract(
+      graft.annotate.Corpus.readDriverDocuments(spark, "/root/testdata/sf0.001"))
+    val plan = Annotator.annotate(corpus, plainModel, maps, "v1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate") && !plan.contains("MapPartitions"))
+    assert(Annotator.matches(corpus, plainModel).count() > 0)
+    assert(Annotator.annotate(corpus, plainModel, maps, "v1").count() > 0)
+  }
+
   // ---- clinical context -----------------------------------------------
 
   private def attrs(text: String, span: String): Context.Attrs = {
