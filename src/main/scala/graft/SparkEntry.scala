@@ -209,6 +209,15 @@ object SparkEntry {
           coalesce(col("mappings"), lit("")).as("mappings"), col("score"))
     }),
 
+    // Reference JSON response serialization (score-ordered nested docs) —
+    // rows-only (JSON strings); structure + ordering asserted in specs
+    "ann_response_json" -> ((s, dir) =>
+      graft.emit.Triples.jsonResponses(
+        matches(s, dir).withColumnRenamed("text", "matched_text")
+          .select(col("url"), col("from"), col("to"), col("class_iri"),
+            col("ont"), col("match_type")),
+        closure(s), OntologyFixture.mappingsDf(s), MaxLevel)),
+
     // A10: 'old'-mode scoring per (doc, concept)
     "ann_score" -> ((s, dir) =>
       Scoring.directScores(

@@ -55,4 +55,57 @@ object Triples {
     triplesWithDate.write.mode("overwrite")
       .partitionBy("part_date", "dict_version")
       .parquet(outDir)
+
+  /** The reference's RESPONSE serialization: one JSON document per input
+    * text, annotations ordered by score descending (the reference's ordering
+    * contract), each annotation carrying its class, ontology, match spans,
+    * per-class hierarchy (min distance) and mappings — the nested shape of
+    * `NcboAnnotator#annotate`'s JSON output, produced relationally and
+    * rendered with `to_json` (codegen'd, no UDF).
+    *
+    * Input `matches`: per-occurrence rows `(url, from, to, class_iri, ont,
+    * match_type)`; `closure`: `(child, ancestor, distance)`;
+    * `mappingsTable`: `(class_iri, mapped_iri)`. Output: `(url, response)`
+    * where `response` is the JSON string; `.write.json`-able as-is.
+    */
+  def jsonResponses(matches: DataFrame, closure: DataFrame,
+                    mappingsTable: DataFrame, maxLevel: Int): DataFrame = {
+    val perClass = matches
+      .groupBy(col("url"), col("class_iri"), col("ont"))
+      .agg(
+        sum(when(col("match_type") === MatchType.Pref, Score.PrefWeight)
+          .otherwise(Score.SynWeight)).as("score"),
+        sort_array(collect_list(struct(col("from"), col("to"),
+          col("match_type")))).as("annotations"))
+    val hier = matches.select(col("url"), col("class_iri")).distinct()
+      .join(broadcast(closure.filter(col("distance") <= maxLevel)),
+        col("class_iri") === col("child"))
+      .groupBy(col("url"), col("class_iri"), col("ancestor"))
+      .agg(min(col("distance")).as("distance"))
+      .groupBy(col("url"), col("class_iri"))
+      .agg(sort_array(collect_list(struct(col("ancestor"), col("distance"))))
+        .as("hierarchy"))
+    val mapped = matches.select(col("url"), col("class_iri")).distinct()
+      .join(broadcast(mappingsTable.select(col("class_iri").as("m_class"),
+        col("mapped_iri"))), col("class_iri") === col("m_class"))
+      .groupBy(col("url"), col("class_iri"))
+      .agg(sort_array(collect_set(col("mapped_iri"))).as("mappings"))
+    perClass
+      .join(hier, Seq("url", "class_iri"), "left")
+      .join(mapped, Seq("url", "class_iri"), "left")
+      // struct sorts lexicographically field-by-field: negated score first
+      // = reference's score-descending response ordering, class breaks ties
+      .groupBy(col("url"))
+      .agg(sort_array(collect_list(struct(
+        (-col("score")).as("neg_score"),
+        col("class_iri").as("annotatedClass"),
+        col("ont"),
+        col("score"),
+        col("annotations"),
+        col("hierarchy"), // null (absent class) → field omitted by to_json
+        col("mappings")))).as("ranked"))
+      .select(col("url"), to_json(struct(col("url").as("text_id"),
+        transform(col("ranked"), a => a.dropFields("neg_score"))
+          .as("annotations"))).as("response"))
+  }
 }

@@ -49,6 +49,39 @@ class VersioningAndSinkSpec extends AnyFunSuite {
     assert(byId.contains("MERGE SORT"))
   }
 
+  test("JSON response sink: reference-shaped nested documents, score-ordered") {
+    import org.apache.spark.sql.functions.col
+    val sfDir = "/root/testdata/sf0.001"
+    val corpus = graft.annotate.Corpus.extract(
+      graft.annotate.Corpus.readDriverDocuments(spark, sfDir))
+      .filter(col("url").isin((0 until 30).map(i => s"doc://$i"): _*))
+    val model = {
+      val d = DictBuild.build(DictBuild.labelRows(
+        graft.fixture.OntologyFixture.conceptsDf(spark)))
+      graft.dict.AutomatonBuild.broadcastModel(spark,
+        graft.dict.AutomatonBuild.build(spark, d, "vj"))
+    }
+    val matches = graft.annotate.NativeAnnotate.annotateMatches(corpus, model)
+    val closure = graft.graph.Closure.transitiveClosure(
+      graft.fixture.OntologyFixture.edgesDf(spark), 5)
+    val responses = graft.emit.Triples.jsonResponses(matches, closure,
+      graft.fixture.OntologyFixture.mappingsDf(spark), maxLevel = 5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(responses.nonEmpty)
+    // parse one document back and check the reference response contract
+    val (url, json) = responses.head
+    val parsed = spark.read.json(
+      spark.createDataset(Seq(json))(org.apache.spark.sql.Encoders.STRING))
+    val anns = parsed.selectExpr("explode(annotations) as a")
+      .select("a.annotatedClass", "a.score").collect()
+    assert(anns.nonEmpty)
+    val scores = anns.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sortBy(-_)), "annotations must be score-descending")
+    assert(parsed.select("text_id").head().getString(0) === url)
+    // every annotation carries its class, spans exist in the json
+    assert(json.contains("\"annotations\"") && json.contains("\"annotatedClass\""))
+  }
+
   test("mgrep TSV source: writeTsv → readTsv round-trips (term, term_id) exactly") {
     val out = Files.createTempDirectory("graft-tsv-rt").toString + "/dict_tsv"
     DictVersioning.writeTsv(dict, out)
