@@ -431,7 +431,7 @@ object SparkEntry {
       val curated = docs.join(keep, Seq("doc_id"), "left_semi")
         .join(TextOps.qualityScore(docs), Seq("doc_id"))
         .filter(col("quality") >= 0.5)
-        .select(docs.columns.map(col): _*)
+        .select(docs.columns.toIndexedSeq.map(col): _*)
       graft.annotate.NativeAnnotate
         .annotateTriples(Corpus.extract(Corpus.fromDriverTable(curated)),
           model(s), fusedMaps(s), "v1")
