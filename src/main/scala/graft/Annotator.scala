@@ -48,6 +48,13 @@ object Annotator {
                request: Request = Request(),
                lemmaModel: Option[Broadcast[AnnotatorModel]] = None): DataFrame = {
     val spark = extracted.sparkSession
+    // TUI lists are a different key space than class IRIs: silently ignoring
+    // opts.semanticTypes here would return unfiltered results with no error.
+    // Callers must resolve TUIs to a class set (the (class_iri, tui) table
+    // join Filters does) and pass it via Request.semanticTypeClasses.
+    require(request.opts.semanticTypes.isEmpty,
+      "Annotator.annotate does not take raw TUI lists (opts.semanticTypes); " +
+        "resolve them to a class set and pass Request.semanticTypeClasses")
     val semB = request.semanticTypeClasses.map(spark.sparkContext.broadcast(_))
     if (!request.lemmatize)
       NativeAnnotate.annotateTriples(extracted, model, maps, dictVersion,
@@ -80,9 +87,13 @@ object Annotator {
           col("classIri").as("obj"), col("match_type"),
           lit(0).as("distance"), col("score"), lit(dictVersion).as("dict_version"))
       val directClasses = byDoc.select(col("url"), col("classIri"))
-      val hier =
-        if (!request.opts.expandHierarchy) spark.emptyDataFrame
-        else {
+      // legs are Option-gated on the request flags — NOT row-count-probed:
+      // `DataFrame.isEmpty` is an eager action that would execute the whole
+      // lemma scan + expansion joins once during query CONSTRUCTION and then
+      // recompute them when the caller runs the returned plan (2-3x cost)
+      val hier: Option[DataFrame] =
+        if (!request.opts.expandHierarchy) None
+        else Some {
           val cl = exp.closure.toSeq.flatMap { case (c, as) =>
             as.collect { case (a, d) if d <= request.opts.hierarchyMaxLevel => (c, a, d) }
           }
@@ -97,10 +108,10 @@ object Annotator {
               lit(dictVersion).as("dict_version"))
             .filter(col("score") >= request.opts.scoreThreshold)
         }
-      val mapped =
+      val mapped: Option[DataFrame] =
         if (!request.opts.expandMappings ||
-          Score.MapWeight < request.opts.scoreThreshold) spark.emptyDataFrame
-        else {
+          Score.MapWeight < request.opts.scoreThreshold) None
+        else Some {
           val mp = exp.mappings.toSeq.flatMap { case (c, ms) => ms.map(m2 => (c, m2)) }
           import spark.implicits._
           directClasses
@@ -111,7 +122,7 @@ object Annotator {
               lit(1).as("distance"), lit(Score.MapWeight).as("score"),
               lit(dictVersion).as("dict_version"))
         }
-      Seq(hier, mapped).filter(!_.isEmpty).foldLeft(direct)(_ unionByName _)
+      (hier.toSeq ++ mapped.toSeq).foldLeft(direct)(_ unionByName _)
     }
   }
 

@@ -180,17 +180,65 @@ final class CompiledMatcher(m: AnnotatorModel) extends Serializable {
   }
 }
 
+/** JVM-wide identity registry for broadcast VALUES. Cache keys must not be
+  * `Broadcast.id`: broadcast ids are allocated by a per-SparkContext counter
+  * starting at 0, so a JVM that stops and recreates a SparkContext (sbt test
+  * runs, notebooks, local-mode restarts) can reuse an id and silently serve a
+  * PREVIOUS dictionary's compiled payload. The broadcast VALUE object is the
+  * correct key: it is shared across all tasks on an executor via the block
+  * manager (so caching still hits), and a new context/broadcast always yields
+  * a new value object (so stale hits are impossible). Weak keys let dropped
+  * broadcast blocks be GC'd; a block-manager re-fetch merely recompiles once.
+  */
+private[annotate] object ValueIdentity {
+  // weak IDENTITY map (WeakHashMap would key by equals(), letting two equal
+  // values share a token — reference identity is the contract here): buckets
+  // by identityHashCode, entries compared by `eq`, dead refs swept on access
+  private val buckets =
+    new java.util.HashMap[Int, java.util.ArrayList[(java.lang.ref.WeakReference[AnyRef], Long)]]()
+  private var next = 0L
+  def of(o: AnyRef): Long = buckets.synchronized {
+    val h = System.identityHashCode(o)
+    var list = buckets.get(h)
+    if (list == null) { list = new java.util.ArrayList(); buckets.put(h, list) }
+    var i = 0
+    var found = -1L
+    while (i < list.size()) {
+      val ref = list.get(i)._1.get()
+      if (ref == null) { list.remove(i) } // swept
+      else if (ref eq o) { found = list.get(i)._2; i += 1 }
+      else i += 1
+    }
+    if (found >= 0) found
+    else {
+      next += 1
+      list.add((new java.lang.ref.WeakReference[AnyRef](o), next))
+      next
+    }
+  }
+}
+
+/** Small synchronized LRU (access-order) — evicts ONE eldest entry instead of
+  * clearing the whole cache (a wholesale clear would force every concurrent
+  * task on the executor to recompile under option churn). */
+private[annotate] final class CompileCache[V](maxEntries: Int) {
+  private val m = new java.util.LinkedHashMap[String, V](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean =
+      size() > maxEntries
+  }
+  def getOrCompute(key: String)(compute: => V): V = m.synchronized {
+    val got = m.get(key)
+    if (got != null) got
+    else { val v = compute; m.put(key, v); v }
+  }
+}
+
 object CompiledMatcher {
-  private val cache = new ConcurrentHashMap[Long, CompiledMatcher]()
-  private val MaxEntries = 8
+  private val cache = new CompileCache[CompiledMatcher](8)
 
   def cached(model: Broadcast[AnnotatorModel]): CompiledMatcher = {
-    val got = cache.get(model.id)
-    if (got != null) got
-    else {
-      if (cache.size >= MaxEntries) cache.clear()
-      cache.computeIfAbsent(model.id, _ => new CompiledMatcher(model.value))
-    }
+    val value = model.value
+    cache.getOrCompute(ValueIdentity.of(value).toString)(new CompiledMatcher(value))
   }
 }
 
@@ -516,24 +564,22 @@ final class CompiledAnnotator(
 object CompiledAnnotator {
 
   // JVM-wide cache so every task on an executor shares one compiled payload
-  // per (dictionary version × expansion maps × request options); bounded —
-  // dictionary-version swaps (D9) don't accumulate stale compilations
-  private val cache = new ConcurrentHashMap[String, CompiledAnnotator]()
-  private val MaxEntries = 8
+  // per (dictionary × expansion maps × request options); LRU-bounded so
+  // dictionary-version swaps (D9) don't accumulate stale compilations.
+  // Keys use broadcast-VALUE identity, not Broadcast.id — see [[ValueIdentity]].
+  private val cache = new CompileCache[CompiledAnnotator](8)
 
   def cached(model: Broadcast[AnnotatorModel],
              maps: Broadcast[FusedAnnotate.ExpansionMaps],
              opts: AnnotateOptions,
              sem: Option[Broadcast[Set[String]]],
              denseLimit: Int): CompiledAnnotator = {
-    val key = s"${model.id}:${maps.id}:${sem.map(_.id)}:$opts:$denseLimit"
-    val got = cache.get(key)
-    if (got != null) got
-    else {
-      if (cache.size >= MaxEntries) cache.clear()
-      cache.computeIfAbsent(key, _ =>
-        new CompiledAnnotator(model.value, maps.value, opts, sem.map(_.value), denseLimit))
-    }
+    val mv = model.value
+    val ev = maps.value
+    val sv = sem.map(_.value)
+    val key = s"${ValueIdentity.of(mv)}:${ValueIdentity.of(ev)}:" +
+      s"${sv.map(ValueIdentity.of)}:$opts:$denseLimit"
+    cache.getOrCompute(key)(new CompiledAnnotator(mv, ev, opts, sv, denseLimit))
   }
 }
 

@@ -17,10 +17,20 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup: group identical texts, keep the min doc_id as survivor.
-    * One hash-aggregate shuffle on the text hash; at scale, group on
-    * xxhash64(text) first so the shuffle keys are fixed-width. */
+    * The group key is NOT the text itself — at 100 TB that would shuffle the
+    * whole corpus' bytes. Instead two independently-seeded xxhash64 values +
+    * the length form a fixed-width (~20 B) composite key, and only the
+    * aggregates move. Collision risk: a false merge needs two DIFFERENT
+    * texts agreeing on both 64-bit hashes AND length — ~2^-128 per pair,
+    * ≈ 3e-15 expected false merges across the C(10^12, 2) pairs of the
+    * target corpus, far below any operational concern (and the sf-scale
+    * DuckDB oracle, which groups by raw text, hash-verifies the shortcut on
+    * every run). */
   def exact(docs: DataFrame): DataFrame =
-    docs.groupBy(col("text"))
+    docs.groupBy(
+        xxhash64(lit(1), col("text")).as("h1"),
+        xxhash64(lit(2), col("text")).as("h2"),
+        length(col("text")).as("n"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 

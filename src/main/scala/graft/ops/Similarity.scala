@@ -137,18 +137,25 @@ object Similarity {
   }
 
   /** Embedding-cosine near-dup pairs (cos ≥ threshold, a < b): LSH candidate
-    * generation + exact rerank — the embedding leg of the dedup suite. */
+    * generation + exact rerank — the embedding leg of the dedup suite.
+    * TRUE self-join of one plan (identical subtrees), so Catalyst's
+    * ReuseExchange computes the embedding+bucket subtree ONCE and replays its
+    * shuffle for the other side — the earlier aliased left/right projections
+    * were distinct plans and recomputed the full LSH pass twice (the same
+    * anti-pattern fixed in Dedup.minhashLshPairs/simhashPairs). Each vector
+    * has exactly one bucket, so bucket-equality pairs are already unique —
+    * no distinct needed. */
   def cosineDupPairs(embeddings: DataFrame, threshold: Double = 0.95,
                      planes: Int = 6): DataFrame = {
     val all = asDouble(embeddings)
     val buckets = lshBuckets(embeddings, planes)
     val withB = all.join(buckets, "vec_id")
-    val l = withB.select(col("vec_id").as("doc_a"), col("emb").as("emb_a"), col("bucket"))
-    val r = withB.select(col("vec_id").as("doc_b"), col("emb").as("emb_b"), col("bucket"))
-    l.join(r, Seq("bucket")).filter(col("doc_a") < col("doc_b"))
-      .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 4))
+    val lj = withB.alias("l")
+    val rj = withB.alias("r")
+    lj.join(rj,
+        col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("doc_a"), col("r.vec_id").as("doc_b"),
+        round(cosine(col("l.emb"), col("r.emb")), 4).as("cos"))
       .filter(col("cos") >= threshold)
-      .select("doc_a", "doc_b", "cos")
-      .distinct()
   }
 }

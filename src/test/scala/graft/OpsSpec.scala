@@ -16,6 +16,42 @@ class OpsSpec extends AnyFunSuite {
   test("exact dedup keeps min id per text group and accounts for all docs") {
     val out = Dedup.exact(docs)
     assert(out.agg(sum("n_copies")).head().getLong(0) === docs.count())
+    // same result as grouping by the raw text (the oracle's formulation)
+    val byText = docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === byText)
+    // the scale contract: the shuffle key is fixed-width hashes, never the text
+    val agg = out.queryExecution.executedPlan.toString
+    assert(agg.contains("xxhash64"), "exact dedup must group on fixed-width hash keys")
+    assert(!agg.contains("hashpartitioning(text"),
+      "exact dedup must not shuffle raw text as the group key")
+  }
+
+  test("cosineDupPairs: single LSH subtree (ReuseExchange), pairs == brute force ∩ buckets") {
+    val out = Similarity.cosineDupPairs(embeddings, threshold = 0.3, planes = 6)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the embedding+bucket subtree must be computed once and replayed, not
+    // duplicated into aliased left/right copies (each holding a mapPartitions
+    // LSH pass). Under AQE exchange reuse materializes in the FINAL plan
+    // (after execution), as ReusedExchange/reused query stages.
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Reused"),
+      s"cosineDupPairs must self-join one plan (exchange reuse); got:\n$plan")
+    // sound: every pair really has cos >= threshold (checked via brute force)
+    val emb = embeddings.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    // the query thresholds on round(cos, 4) — soundness bound is 0.29995
+    pairs.foreach { case (a, b) =>
+      assert(a < b && cos(emb(a), emb(b)) >= 0.29995, s"unsound pair ($a,$b)")
+    }
   }
 
   test("minhash-LSH pairs ⊆ exact-jaccard pairs at same threshold, recall ≥ 0.9") {
