@@ -55,6 +55,13 @@ object Annotator {
     require(request.opts.semanticTypes.isEmpty,
       "Annotator.annotate does not take raw TUI lists (opts.semanticTypes); " +
         "resolve them to a class set and pass Request.semanticTypeClasses")
+    // the triple-emitting paths score old-mode inline (scan-fused); cvalue
+    // modes need matched-term word counts, which triples don't carry —
+    // dispatch those through matches() + scores() instead of silently
+    // emitting old-mode numbers under a cvalue label
+    require(request.opts.scoreMode == ScoreMode.Old,
+      s"annotate() emits old-mode scores; for scoreMode=" +
+        s"${request.opts.scoreMode} use Annotator.matches + Annotator.scores")
     val semB = request.semanticTypeClasses.map(spark.sparkContext.broadcast(_))
     if (!request.lemmatize)
       NativeAnnotate.annotateTriples(extracted, model, maps, dictVersion,
@@ -133,6 +140,27 @@ object Annotator {
               request: Request = Request()): DataFrame =
     NativeAnnotate.annotateMatches(extracted, model,
       request.opts.longestOnly, request.opts.wholeWordOnly)
+
+  /** The reference's `score` mode dispatch over a per-occurrence match
+    * stream `(url, classIri, matchType, text, …)`: old (Σ PREF/SYN weights),
+    * cvalue (log2 word-count scaling), cvalueh (cvalue + hierarchy
+    * inheritance — requires the closure table). Output: one row per
+    * (url, classIri) with `score`. */
+  def scores(matches: DataFrame,
+             mode: String,
+             closure: Option[DataFrame] = None,
+             maxLevel: Int = 5): DataFrame = {
+    require(ScoreMode.All.contains(mode),
+      s"unknown score mode '$mode' (expected one of ${ScoreMode.All.mkString(", ")})")
+    mode match {
+      case ScoreMode.Old => graft.annotate.Scoring.directScores(matches)
+      case ScoreMode.CValue => graft.annotate.Scoring.cvalueScores(matches)
+      case ScoreMode.CValueH =>
+        graft.annotate.Scoring.cvaluehScores(matches,
+          closure.getOrElse(sys.error("scoreMode=cvalueh requires the closure table")),
+          maxLevel)
+    }
+  }
 
   /** Corpus → matches with Annotator+ clinical-context attributes. */
   def annotateWithContext(extracted: DataFrame,

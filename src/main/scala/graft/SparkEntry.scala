@@ -279,6 +279,35 @@ object SparkEntry {
         .select(col("url"), col("classIri").as("class_iri"),
           col("matchType").as("match_type")).distinct()),
 
+    // A4: stop_words request option — per-request term blacklist, resolved
+    // to term ids at payload-compile time (normalization exercised: mixed
+    // case + uncollapsed whitespace)
+    "ann_stopwords" -> ((s, dir) =>
+      graft.annotate.NativeAnnotate
+        .annotateTriples(corpus(s, dir), model(s), fusedMaps(s), "v1",
+          AnnotateOptions(stopWords = Seq("data", "  Table  Scan "),
+            expandHierarchy = false, expandMappings = false))
+        .filter(col("pred") === Pred.Direct)
+        .select(col("subj").as("url"), col("obj").as("class_iri")).distinct()),
+
+    // A10: 'cvalue' score mode (Annotator+ score=cvalue) — per-match weight
+    // scaled by log2(term word count + 1)
+    "ann_score_cvalue" -> ((s, dir) =>
+      Annotator.scores(
+        matches(s, dir).withColumnRenamed("class_iri", "classIri")
+          .withColumnRenamed("match_type", "matchType"), ScoreMode.CValue)
+        .select(col("url"), col("classIri").as("class_iri"),
+          round(col("score"), 4).as("score"))),
+
+    // A10: 'cvalueh' score mode — cvalue mass also flows to ancestors,
+    // decayed by 1/(distance+1)
+    "ann_score_cvalueh" -> ((s, dir) =>
+      Annotator.scores(
+        matches(s, dir).withColumnRenamed("class_iri", "classIri")
+          .withColumnRenamed("match_type", "matchType"), ScoreMode.CValueH,
+        Some(closure(s)), MaxLevel)
+        .select(col("url"), col("classIri").as("class_iri"), col("score"))),
+
     // A11: score threshold + per-doc rank
     "ann_rank" -> ((s, dir) =>
       Scoring.thresholdAndRank(
@@ -476,6 +505,14 @@ object SparkEntry {
     raw"""cnts AS (SELECT 'doc://' || doc_id AS url, d.class_iri, d.pref,
           len(regexp_extract_all(upper(text), '\b' || d.term || '\b')) AS cnt
           FROM documents, dict d)"""
+  /** cvalue per-(doc, term) parts: occurrence count, PREF/SYN weight, term
+    * word count — the oracle twin of [[graft.annotate.Scoring.cvalueScores]]. */
+  private val cvCte =
+    raw"""cvparts AS (SELECT 'doc://' || doc_id AS url, d.class_iri,
+          len(regexp_extract_all(upper(text), '\b' || d.term || '\b')) AS cnt,
+          CASE WHEN d.pref THEN 10.0 ELSE 8.0 END AS w,
+          len(string_split(d.term, ' ')) AS words
+          FROM documents, dict d)"""
   private val closureCte =
     """closure(child_iri, ancestor_iri, distance) AS (
        SELECT child_iri, parent_iri, 1 FROM edges
@@ -619,6 +656,32 @@ object SparkEntry {
       s"""WITH $dictCte, $directCte
           SELECT DISTINCT url, class_iri, match_type FROM direct
           WHERE match_type <> 'SYN'""",
+
+    "ann_stopwords" ->
+      s"""WITH $dictCte
+          SELECT DISTINCT 'doc://' || doc_id AS url, d.class_iri
+          FROM documents, dict d
+          WHERE d.term NOT IN ('DATA', 'TABLE SCAN')
+            AND regexp_matches(upper(text), '\\b' || d.term || '\\b')""",
+
+    "ann_score_cvalue" ->
+      s"""WITH $dictCte, $cvCte
+          SELECT url, class_iri,
+                 ROUND(SUM(cnt * w * log2(words + 1)), 4) AS score
+          FROM cvparts WHERE cnt > 0 GROUP BY url, class_iri""",
+
+    "ann_score_cvalueh" ->
+      s"""WITH RECURSIVE $dictCte, $edgesCte, $cvCte,
+          cvagg AS (SELECT url, class_iri, SUM(cnt * w * log2(words + 1)) AS score
+                    FROM cvparts WHERE cnt > 0 GROUP BY url, class_iri),
+          $closureCte,
+          $minClosureCte,
+          inh AS (SELECT c.url, m.ancestor_iri AS class_iri,
+                         c.score / (m.distance + 1) AS score
+                  FROM cvagg c JOIN mincl m ON c.class_iri = m.child_iri)
+          SELECT url, class_iri, ROUND(SUM(score), 4) AS score
+          FROM (SELECT * FROM cvagg UNION ALL SELECT * FROM inh)
+          GROUP BY url, class_iri""",
 
     "ann_rank" ->
       s"""WITH $dictCte, $cntsCte,

@@ -78,6 +78,29 @@ object Scoring {
           .otherwise(Score.SynWeight)) * log(2.0, col("words") + lit(1)))
         .as("score"))
 
+  /** Annotator+ `cvalueh`: the cvalue variant extended over the is-a
+    * hierarchy (Melzi & Jonquet 2014 ship old|cvalue|cvalueh; exact reference
+    * constants unverifiable — empty mount, SURVEY.md §0 — so this is the
+    * named flag-gated contract): every class's cvalue mass also flows to its
+    * ancestors decayed by 1/(distance+1), min distance per (child, ancestor);
+    * a class reachable both directly and as an ancestor sums both
+    * contributions. Output: (url, classIri, score) rounded to 4dp (the
+    * cross-engine float contract). Broadcast closure join — the match-derived
+    * big side is never shuffled by the join itself. */
+  def cvaluehScores(matches: DataFrame, closure: DataFrame, maxLevel: Int): DataFrame = {
+    val cv = cvalueScores(matches) // (url, classIri, score)
+    val minCl = closure.filter(col("distance") <= maxLevel)
+      .groupBy(col("child"), col("ancestor")).agg(min(col("distance")).as("distance"))
+    val inherited = cv
+      .join(broadcast(minCl), cv("classIri") === minCl("child"))
+      .select(col("url"), col("ancestor").as("classIri"),
+        (col("score") / (col("distance") + lit(1))).as("score"))
+    cv.select(col("url"), col("classIri"), col("score"))
+      .unionByName(inherited)
+      .groupBy(col("url"), col("classIri"))
+      .agg(round(sum(col("score")), 4).as("score"))
+  }
+
   /** A11: threshold + per-doc score-desc rank. */
   def thresholdAndRank(scored: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window

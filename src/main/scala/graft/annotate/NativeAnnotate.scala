@@ -319,9 +319,15 @@ final class CompiledAnnotator(
 
   private val ontWhitelist: Set[String] = opts.ontologies.toSet
 
+  /** Reference `stop_words`: blacklisted term ids, resolved once per compile
+    * — blacklisted terms get a null payload row, so the scan skips them with
+    * zero per-hit cost. */
+  private val stopIds: Set[Int] =
+    if (opts.stopWords.isEmpty) Set.empty else m.termIdsOf(opts.stopWords)
+
   /** termId -> packed (classId << 1 | prefBit), request filters pre-applied. */
-  private val payloadC: Array[Array[Long]] = m.payload.map { entries =>
-    if (entries == null) null
+  private val payloadC: Array[Array[Long]] = m.payload.zipWithIndex.map { case (entries, tid) =>
+    if (entries == null || stopIds.contains(tid)) null
     else {
       val kept = entries.filter { p =>
         (ontWhitelist.isEmpty || ontWhitelist.contains(p.ont)) &&

@@ -163,6 +163,10 @@ object FusedAnnotate {
         val payload = m.payload
         val exp = maps.value
         val allowedClasses = semanticTypeClasses.map(_.value)
+        // stop_words resolved once per partition (cheap: one automaton scan
+        // per stopword string), blacklisted ids skipped per hit
+        val stopIds: Set[Int] =
+          if (opts.stopWords.isEmpty) Set.empty else m.termIdsOf(opts.stopWords)
         val buf = new graft.dict.HitBuffer()
         it.filter(_._2 != null) // null-text rows (bad upstream extraction) are skipped, not fatal
           .flatMap { case (url, text) =>
@@ -171,6 +175,7 @@ object FusedAnnotate {
           automaton.scanInto(text, buf, opts.longestOnly, opts.wholeWordOnly)
           var hi = 0
           while (hi < buf.size) {
+            if (!stopIds.contains(buf.termId(hi)))
             payload(buf.termId(hi)).foreach { p =>
               val keep = (ontWhitelist.isEmpty || ontWhitelist.contains(p.ont)) &&
                 (!opts.excludeSynonyms || p.pref) &&
@@ -238,6 +243,16 @@ object Filters {
   def apply(matches: DataFrame, opts: AnnotateOptions,
             semanticTypesTable: Option[DataFrame] = None): DataFrame = {
     var df = matches
+    if (opts.stopWords.nonEmpty) {
+      // post-hoc form of the stop_words blacklist: a whole-word match's
+      // uppercased matched text IS its normalized dictionary term (the scan
+      // is literal after per-char uppercasing), so term equality == matched-
+      // text equality here. Scan-time resolution (termIdsOf) is the scale
+      // path; this covers persisted match streams.
+      val norm = opts.stopWords
+        .map(_.trim.replaceAll("\\s+", " ").toUpperCase(java.util.Locale.ROOT))
+      df = df.filter(!upper(col("text")).isin(norm: _*))
+    }
     if (opts.ontologies.nonEmpty)
       df = df.filter(col("ont").isin(opts.ontologies: _*))
     if (opts.excludeSynonyms)

@@ -91,7 +91,25 @@ object DictBuild {
   */
 case class AnnotatorModel(automaton: Automaton,
                           payload: Array[Array[DictPayload]],
-                          version: String) extends Serializable
+                          version: String) extends Serializable {
+
+  /** Resolve term strings (e.g. a request `stop_words` list) to dictionary
+    * term ids WITHOUT a term table: scan each D3-normalized string with the
+    * automaton and keep full-span hits (from=1, to=length) — exact term
+    * equality by construction. Strings that aren't dictionary terms resolve
+    * to nothing (stopping a non-term is a no-op, reference behavior). */
+  def termIdsOf(terms: Seq[String]): Set[Int] = {
+    val buf = new HitBuffer()
+    terms.flatMap { t =>
+      val norm = t.trim.replaceAll("\\s+", " ").toUpperCase(java.util.Locale.ROOT)
+      automaton.scanInto(norm, buf)
+      (0 until buf.size)
+        .filter(i => buf.from(i) == 1 && buf.to(i) == norm.length)
+        .map(buf.termId)
+        .toList // materialize before the shared buffer is cleared by the next scan
+    }.toSet
+  }
+}
 
 object AutomatonBuild {
 

@@ -88,4 +88,21 @@ case class AnnotateOptions(
     expandHierarchy: Boolean = true,
     hierarchyMaxLevel: Int = 5,
     expandMappings: Boolean = true,
-    scoreThreshold: Double = Double.NegativeInfinity)
+    scoreThreshold: Double = Double.NegativeInfinity,
+    /** Reference `stop_words`: a per-request term blacklist. Entries are
+      * D3-normalized (trim/collapse/upper) and resolved to dictionary term
+      * ids at payload-compile time ([[graft.dict.AnnotatorModel.termIdsOf]]);
+      * non-dictionary entries are no-ops, matching the reference (stopping a
+      * word that is not a term changes nothing). */
+    stopWords: Seq[String] = Nil,
+    /** Reference `score` mode: old | cvalue | cvalueh (Melzi & Jonquet
+      * 2014). Dispatched by [[graft.Annotator.scores]]; the triple-emitting
+      * paths are old-mode by construction and reject other modes loudly. */
+    scoreMode: String = ScoreMode.Old)
+
+object ScoreMode {
+  val Old = "old"
+  val CValue = "cvalue"
+  val CValueH = "cvalueh"
+  val All: Set[String] = Set(Old, CValue, CValueH)
+}

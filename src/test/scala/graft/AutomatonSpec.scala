@@ -27,6 +27,25 @@ class AutomatonSpec extends AnyFunSuite {
     assert(hitsOf(a, "a par b") === Set((3, 5, 1)))
   }
 
+  test("named decision NonWordEdgeBoundary: adjacent-char checks apply even at non-word term edges") {
+    // D3/D4 normalization means real dictionary terms start/end with word
+    // chars, so this edge is normally unexercised — pinned here so it cannot
+    // drift silently (SURVEY.md §7.4). CONTRACT: whole-word matching requires
+    // the char BEFORE the match start and AFTER the match end to be non-word,
+    // REGARDLESS of the term's own edge classes. This intentionally diverges
+    // from \b-regex semantics, which would accept "-ABC" inside "X-ABC"
+    // (\b sits between 'X' and '-') — mgrep-style delimiter checks look at
+    // the chars adjacent to the SPAN, not at word/non-word transitions.
+    val a = build("-ABC" -> 1)
+    assert(hitsOf(a, "X-ABC") === Set.empty) // regex \b would accept this
+    assert(hitsOf(a, " -ABC") === Set((2, 5, 1)))
+    assert(hitsOf(a, "-ABC") === Set((1, 4, 1))) // text edges are boundaries
+    val b = build("ABC-" -> 2)
+    assert(hitsOf(b, "ABC-D") === Set.empty) // regex \b would accept this
+    assert(hitsOf(b, "ABC- d") === Set((1, 4, 2)))
+    assert(hitsOf(b, "ABC-") === Set((1, 4, 2)))
+  }
+
   test("all occurrences incl. nested term, longestOnly keeps max end per start") {
     val a = build("SORT" -> 1, "MERGE SORT" -> 2)
     val text = "merge sort sort"

@@ -80,6 +80,29 @@ class NativeAnnotateSpec extends AnyFunSuite {
     assertParity(AnnotateOptions(), Some(allowed))
   }
 
+  test("native == fused: stop_words blacklist (incl. normalization + non-term no-op)") {
+    // un-normalized entries ("  Table  Scan ", mixed case) must resolve, a
+    // non-dictionary entry ("nonsense term") must be a no-op
+    assertParity(AnnotateOptions(
+      stopWords = Seq("data", "  Table  Scan ", "nonsense term")))
+  }
+
+  test("stop_words actually removes the stopped term's classes (native)") {
+    val stopped = NativeAnnotate.annotateTriples(corpus, model, maps, "v1",
+      AnnotateOptions(stopWords = Seq("data"), expandHierarchy = false,
+        expandMappings = false))
+    val dataIri = OntologyFixture.concepts
+      .find(c => c.ont == "ONT1" && c.prefLabel == "data").get.classIri
+    // DATA the pref term is stopped, but 'big data'/'data stream' synonyms
+    // still resolve their classes — the blacklist is per-TERM, not per-class
+    assert(stopped.filter(org.apache.spark.sql.functions.expr(
+      s"pred = 'hasAnnotation' AND obj = '$dataIri' AND match_type = 'PREF'")).isEmpty)
+    val unstopped = NativeAnnotate.annotateTriples(corpus, model, maps, "v1",
+      AnnotateOptions(expandHierarchy = false, expandMappings = false))
+    assert(!unstopped.filter(org.apache.spark.sql.functions.expr(
+      s"pred = 'hasAnnotation' AND obj = '$dataIri' AND match_type = 'PREF'")).isEmpty)
+  }
+
   test("native == fused: combined options") {
     assertParity(AnnotateOptions(longestOnly = true, excludeSynonyms = true,
       hierarchyMaxLevel = 2, scoreThreshold = 3.0))
