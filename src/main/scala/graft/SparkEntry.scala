@@ -105,8 +105,9 @@ object SparkEntry {
       matches(s, dir).groupBy("url", "class_iri")
         .agg(count(lit(1)).as("n_matches"))),
 
-    // A5 longest_only with offsets — non-SQL-expressible (offsets), covered
-    // by the naive-matcher oracle in tests; rows-only here
+    // A5 longest_only WITH offsets — DuckDB-checked: the oracle recovers
+    // match positions from regexp-split segment lengths and applies the
+    // per-start-max-end contract as a window filter
     "ann_longest" -> ((s, dir) =>
       Scan.annotateDirect(corpus(s, dir), model(s), longestOnly = true).toDF()
         .select(col("url"), col("from"), col("to"), col("text"),
@@ -417,7 +418,8 @@ object SparkEntry {
         n = 3, minOverlap = 2)
     }),
 
-    // xxhash64-based — not SQL-derivable; unit-tested vs exact jaccard
+    // portable md5-hex minhash — the DuckDB oracle recomputes the FULL
+    // pipeline (signatures, banding, bucket cap, candidates, exact rerank)
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLshPairs(docsTable(s, dir), n = 3, k = 16, bands = 4, threshold = 0.8)),
 
@@ -505,6 +507,20 @@ object SparkEntry {
     raw"""cnts AS (SELECT 'doc://' || doc_id AS url, d.class_iri, d.pref,
           len(regexp_extract_all(upper(text), '\b' || d.term || '\b')) AS cnt
           FROM documents, dict d)"""
+  /** DuckDB twin of the engine's 64-bit rolling fingerprint
+    * ([[graft.ops.TextOps.fingerprint64]] / the codegen'd Fingerprint64
+    * expression): h = h*131 + char over HUGEINT with an explicit mod-2^64
+    * wrap per step (Java long overflow semantics), then two's-complement to
+    * signed BIGINT. Valid for ASCII input (Java chars == code points there;
+    * the driver corpus is ASCII, asserted by the all-ascii check in specs). */
+  private def fpSql(colExpr: String): String =
+    s"""list_reduce([1125899906842597::HUGEINT] ||
+        list_transform(string_split($colExpr, ''), c -> unicode(c)::HUGEINT),
+        (acc, c) -> (acc * 131 + c) % 18446744073709551616::HUGEINT)"""
+  private def toSignedSql(v: String): String =
+    s"""CASE WHEN $v >= 9223372036854775808::HUGEINT
+        THEN ($v - 18446744073709551616::HUGEINT)::BIGINT ELSE $v::BIGINT END"""
+
   /** cvalue per-(doc, term) parts: occurrence count, PREF/SYN weight, term
     * word count — the oracle twin of [[graft.annotate.Scoring.cvalueScores]]. */
   private val cvCte =
@@ -813,6 +829,163 @@ object SparkEntry {
                 ORDER BY cos DESC, neighbor_id) AS rank FROM s)
           SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
           FROM r WHERE rank <= 3""",
+
+    // A5 longest_only WITH offsets: match positions are recovered in pure SQL
+    // from the regexp-SPLIT segments (from_k = Σ len(seg_1..k) + (k-1)·|term|
+    // + 1 — \b is zero-width so every removed match has the term's length),
+    // then the automaton's longest-only contract (per start keep max end) is
+    // one window filter. Offsets are 1-based inclusive chars in the ORIGINAL
+    // text; `substring(text, from, len)` re-reads the original-case match.
+    "ann_longest" ->
+      s"""WITH $dictCte,
+          segs AS (SELECT doc_id, text, d.term, d.class_iri, d.ont, d.pref,
+            regexp_split_to_array(upper(text), '\\b' || d.term || '\\b') AS parts,
+            length(d.term) AS tl
+            FROM documents, dict d),
+          pos AS (SELECT doc_id, text, class_iri, ont, pref, parts, tl,
+            unnest(generate_series(1, len(parts) - 1)) AS k
+            FROM segs WHERE len(parts) > 1),
+          hits AS (SELECT doc_id, text, class_iri, ont, pref, tl,
+            CAST((SELECT COALESCE(SUM(length(p)), 0) FROM unnest(parts[1:k]) AS t(p))
+                 + (k - 1) * tl + 1 AS BIGINT) AS f
+            FROM pos),
+          longest AS (SELECT *,
+            MAX(f + tl - 1) OVER (PARTITION BY doc_id, f) AS max_to FROM hits)
+          SELECT 'doc://' || doc_id AS url, CAST(f AS INT) AS "from",
+                 CAST(f + tl - 1 AS INT) AS "to",
+                 substring(text, f, CAST(tl AS BIGINT)) AS text,
+                 class_iri, ont,
+                 CASE WHEN pref THEN 'PREF' ELSE 'SYN' END AS match_type
+          FROM longest WHERE f + tl - 1 = max_to""",
+
+    // full independent recomputation: portable md5-hex minhash → banding →
+    // hot-bucket cap → candidate pairs → exact-jaccard rerank (params
+    // mirrored from the query: n=3, k=16, bands=4 (r=4), maxBucket=1000,
+    // threshold 0.8 on the raw jaccard)
+    "dedup_minhash" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                       WHERE len(string_split(text, ' ')) >= 3),
+          pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks),
+          sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM pos),
+          hs AS (SELECT doc_id, i AS hi, MIN(substr(md5(i || ':' || shingle), 1, 15)) AS mh
+                 FROM sh, (SELECT unnest(range(16)) AS i) GROUP BY doc_id, hi),
+          sig AS (SELECT doc_id, array_agg(mh ORDER BY hi) AS mhs FROM hs GROUP BY doc_id),
+          bands AS (SELECT doc_id, b,
+                      array_to_string(mhs[b*4+1 : b*4+4], '|') AS bucket
+                    FROM sig, (SELECT unnest(range(4)) AS b)),
+          pop AS (SELECT b, bucket, COUNT(*) AS n FROM bands GROUP BY b, bucket),
+          cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+                   FROM bands l
+                   JOIN bands r ON l.b = r.b AND l.bucket = r.bucket
+                     AND l.doc_id < r.doc_id
+                   JOIN pop p ON p.b = l.b AND p.bucket = l.bucket AND p.n <= 1000),
+          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+                    FROM sh a
+                    JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+                    GROUP BY 1, 2),
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+          SELECT doc_a, doc_b,
+                 ROUND(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE n_common / (sa.n + sb.n - n_common) >= 0.8""",
+
+    // full independent recomputation of the 64-bit simhash (per-token rolling
+    // fingerprint → per-bit majority vote → signature) + ALL-PAIRS hamming ≤ 3
+    // — equal to the banded query by the pigeonhole guarantee (≤ 3 differing
+    // bits always leave ≥ 1 of 4 bands identical), so this checks banding
+    // completeness too
+    "dedup_simhash" ->
+      s"""WITH RECURSIVE powers(b, p) AS (
+            SELECT 0, 1::HUGEINT UNION ALL SELECT b + 1, p * 2 FROM powers WHERE b < 63),
+          tokc AS (SELECT doc_id, tok, COUNT(*) AS cnt
+                   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+                   GROUP BY doc_id, tok),
+          tokh AS (SELECT doc_id, cnt, ${fpSql("tok")} AS h FROM tokc),
+          bits AS (SELECT doc_id, p,
+                     SUM(CASE WHEN (h // p) % 2 = 1 THEN cnt ELSE -cnt END) AS c
+                   FROM tokh, powers GROUP BY doc_id, p),
+          rawsig AS (SELECT doc_id,
+                       SUM(CASE WHEN c > 0 THEN p ELSE 0::HUGEINT END) AS v
+                     FROM bits GROUP BY doc_id),
+          sig AS (SELECT doc_id, ${toSignedSql("v")} AS s FROM rawsig)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.s, b.s)) <= 3""",
+
+    // portable recomputation: hyperplane literals are the SAME deterministic
+    // values the Spark side derives (Similarity.hyperplaneSqlValues — single
+    // source of truth), bucket = packed dot-product signs, then the exact
+    // cosine rerank of sim_topk restricted to same-bucket candidates
+    "sim_lsh" ->
+      s"""WITH planes(p, v) AS (SELECT * FROM (VALUES ${Similarity.hyperplaneSqlValues(6, 64)}) x(a, b)),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          buck AS (SELECT vec_id,
+                     CAST(SUM(CASE WHEN list_dot_product(v, emb) >= 0
+                              THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+                   FROM e, planes GROUP BY vec_id),
+          eb AS (SELECT e.vec_id, emb, bucket FROM e JOIN buck USING (vec_id)),
+          q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket AS q_bucket
+                FROM eb WHERE vec_id < 10),
+          s AS (SELECT query_id, eb.vec_id AS neighbor_id,
+                  ROUND(list_dot_product(q_emb, emb) /
+                    sqrt(list_dot_product(q_emb, q_emb) * list_dot_product(emb, emb)), 4) AS cos
+                FROM q JOIN eb ON q.q_bucket = eb.bucket AND eb.vec_id <> q.query_id),
+          r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+          SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
+          FROM r WHERE rank <= 3""",
+
+    // IVF: centroids = first 8 vectors, nearest-centroid assignment on the
+    // UNROUNDED cosine (ties broken by centroid id), probe own list, exact
+    // rerank — no hashing involved, fully SQL-derivable
+    "sim_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          c AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < 8),
+          scored AS (SELECT e.vec_id, e.emb, c.c_id,
+                       list_dot_product(e.emb, c.c_emb) /
+                         sqrt(list_dot_product(e.emb, e.emb) * list_dot_product(c.c_emb, c.c_emb)) AS ccos
+                     FROM e, c),
+          asg AS (SELECT vec_id, emb, c_id AS bucket,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn
+                  FROM scored),
+          a2 AS (SELECT vec_id, emb, bucket FROM asg WHERE rn = 1),
+          q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket AS q_bucket
+                FROM a2 WHERE vec_id < 10),
+          s AS (SELECT query_id, a2.vec_id AS neighbor_id,
+                  ROUND(list_dot_product(q_emb, emb) /
+                    sqrt(list_dot_product(q_emb, q_emb) * list_dot_product(emb, emb)), 4) AS cos
+                FROM q JOIN a2 ON q.q_bucket = a2.bucket AND a2.vec_id <> q.query_id),
+          r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+          SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
+          FROM r WHERE rank <= 3""",
+
+    // embedding near-dup pairs: same bucket SQL as sim_lsh, pair join,
+    // threshold on the 4dp-rounded cosine (the query's output contract)
+    "sim_dup_pairs" ->
+      s"""WITH planes(p, v) AS (SELECT * FROM (VALUES ${Similarity.hyperplaneSqlValues(6, 64)}) x(a, b)),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          buck AS (SELECT vec_id,
+                     CAST(SUM(CASE WHEN list_dot_product(v, emb) >= 0
+                              THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+                   FROM e, planes GROUP BY vec_id),
+          eb AS (SELECT e.vec_id, emb, bucket FROM e JOIN buck USING (vec_id))
+          SELECT l.vec_id AS doc_a, r.vec_id AS doc_b,
+                 ROUND(list_dot_product(l.emb, r.emb) /
+                   sqrt(list_dot_product(l.emb, l.emb) * list_dot_product(r.emb, r.emb)), 4) AS cos
+          FROM eb l JOIN eb r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+          WHERE ROUND(list_dot_product(l.emb, r.emb) /
+                  sqrt(list_dot_product(l.emb, l.emb) * list_dot_product(r.emb, r.emb)), 4) >= 0.3""",
+
+    // independent recomputation of the rolling 64-bit fingerprint in SQL
+    "text_fingerprint" ->
+      s"""WITH fp AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${fpSql("text")} AS v
+                      FROM documents)
+          SELECT doc_id, ${toSignedSql("v")} AS fingerprint FROM fp""",
 
     "text_tokens" ->
       """SELECT doc_id,

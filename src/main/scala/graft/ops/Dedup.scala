@@ -84,11 +84,17 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
   }
 
-  /** MinHash signature columns: k independent permutations approximated by
-    * xxhash64 with distinct salts (codegen'd native function — no UDF). */
+  /** MinHash signature columns: k independent permutations approximated by a
+    * salted PORTABLE hash — the first 15 hex chars of md5("<i>:<shingle>"),
+    * compared lexicographically (fixed-width lowercase hex, so string order
+    * == 60-bit numeric order). md5 is a codegen'd built-in in Spark AND
+    * exists verbatim in DuckDB, which makes the whole minhash+LSH pipeline
+    * independently recomputable by the SQL oracle (xxhash64 was ~2× faster
+    * but engine-private — correctness visibility won). */
   def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
     val ds = docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
-    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    val aggs = (0 until k).map(i =>
+      min(substring(md5(concat(lit(s"$i:"), col("shingle"))), 1, 15)).as(s"mh_$i"))
     ds.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -110,7 +116,9 @@ object Dedup {
     // (verified in the physical plan: 4 redundant exchanges)
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * r until (b + 1) * r).map(i => col(s"mh_$i"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+      // bucket key = the band's minhashes joined verbatim (portable; the
+      // oracle rebuilds the identical key) — fixed-width (15r+r-1 chars)
+      struct(lit(b).as("band"), concat_ws("|", cols: _*).as("bucket"))
     }
     val bandRows = sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
@@ -136,11 +144,13 @@ object Dedup {
     candidates
       .join(ds.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(ds.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      .withColumn("jaccard", round(
+      // threshold the RAW jaccard (same contract as jaccardPairs + the
+      // oracle); round only for output
+      .withColumn("jaccard_raw",
         size(array_intersect(col("sh_a"), col("sh_b"))) /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
   }
 
   /** 64-bit SimHash per doc via the native codegen expression

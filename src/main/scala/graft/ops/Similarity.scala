@@ -55,6 +55,14 @@ object Similarity {
       (h.toDouble / Long.MaxValue.toDouble)
     }
 
+  /** SQL VALUES literal `(p, [v0, v1, …])` of the deterministic hyperplanes —
+    * single source of truth for the DuckDB oracle (Double.toString round-trips
+    * exactly through DuckDB's double parser). */
+  def hyperplaneSqlValues(planes: Int, dim: Int): String =
+    (0 until planes).map { p =>
+      s"($p, ${hyperplane(p, dim).mkString("[", ", ", "]")})"
+    }.mkString(", ")
+
   /** Random-hyperplane LSH bucket id per vector: sign bit per plane packed
     * into an int. Same-bucket vectors are near-duplicate candidates; the
     * expected candidate set shrinks 2^planes-fold vs all-pairs. */
