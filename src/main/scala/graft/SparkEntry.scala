@@ -115,8 +115,8 @@ object SparkEntry {
           col("matchType").as("match_type"))),
 
     // Annotator+ lemmatize=true: both sides lemmatized, ORIGINAL offsets —
-    // not SQL-expressible (custom lemma function); covered by the
-    // offset-mapping + identity-parity specs (LemmaAndContextSpec)
+    // DuckDB-checked end-to-end (SQL lemmatizer + lemma-space offset
+    // back-mapping); plus offset/identity-parity specs (LemmaAndContextSpec)
     "ann_lemma" -> ((s, dir) =>
       graft.annotate.LemmaScan.annotateDirectLemma(corpus(s, dir), lemmaModel(s)).toDF()
         .select(col("url"), col("from"), col("to"), col("text"),
@@ -124,7 +124,8 @@ object SparkEntry {
           col("matchType").as("match_type"))),
 
     // Annotator+ clinical context (NegEx/ConText-style attributes per match)
-    // — rows-only; the trigger-window scalar is golden-tested in specs
+    // — DuckDB-checked (trigger-window algorithm recomputed in SQL); the
+    // scalar is also golden-tested in specs
     "ann_context" -> ((s, dir) =>
       graft.annotate.ContextScan.annotateWithContext(corpus(s, dir), model(s)).toDF()
         .select(col("url"), col("from"), col("to"),
@@ -211,7 +212,8 @@ object SparkEntry {
     }),
 
     // Reference JSON response serialization (score-ordered nested docs) —
-    // rows-only (JSON strings); structure + ordering asserted in specs
+    // DuckDB-checked BYTE-EXACTLY (the oracle reconstructs the same JSON
+    // strings); structure + ordering also asserted in specs
     "ann_response_json" -> ((s, dir) =>
       graft.emit.Triples.jsonResponses(
         matches(s, dir).withColumnRenamed("text", "matched_text")
@@ -521,6 +523,26 @@ object SparkEntry {
     s"""CASE WHEN $v >= 9223372036854775808::HUGEINT
         THEN ($v - 18446744073709551616::HUGEINT)::BIGINT ELSE $v::BIGINT END"""
 
+  /** DuckDB twin of [[graft.annotate.Lemma.lemmaToken]] (uppercase in/out):
+    * the same if/else-if rule chain as a CASE over `v`. Kept rule-for-rule
+    * identical — both sides of lemma matching MUST share one lemma function. */
+  private def lemmaCaseSql(v: String): String =
+    s"""CASE WHEN length($v) <= 3 THEN $v
+        WHEN $v LIKE '%IES' AND length($v) > 4 THEN substr($v, 1, length($v)-3) || 'Y'
+        WHEN $v LIKE '%SSES' THEN substr($v, 1, length($v)-2)
+        WHEN $v LIKE '%XES' OR $v LIKE '%CHES' OR $v LIKE '%SHES' THEN substr($v, 1, length($v)-2)
+        WHEN $v LIKE '%ING' AND length($v) > 5 THEN
+          CASE WHEN length($v)-3 > 2 AND substr($v, length($v)-3, 1) = substr($v, length($v)-4, 1)
+                    AND substr($v, length($v)-3, 1) NOT IN ('A','E','I','O','U')
+               THEN substr($v, 1, length($v)-4) ELSE substr($v, 1, length($v)-3) END
+        WHEN $v LIKE '%ED' AND length($v) > 4 THEN
+          CASE WHEN length($v)-2 > 2 AND substr($v, length($v)-2, 1) = substr($v, length($v)-3, 1)
+                    AND substr($v, length($v)-2, 1) NOT IN ('A','E','I','O','U')
+               THEN substr($v, 1, length($v)-3) ELSE substr($v, 1, length($v)-2) END
+        WHEN $v LIKE '%S' AND $v NOT LIKE '%SS' AND $v NOT LIKE '%US' AND $v NOT LIKE '%IS'
+          THEN substr($v, 1, length($v)-1)
+        ELSE $v END"""
+
   /** cvalue per-(doc, term) parts: occurrence count, PREF/SYN weight, term
     * word count — the oracle twin of [[graft.annotate.Scoring.cvalueScores]]. */
   private val cvCte =
@@ -829,6 +851,174 @@ object SparkEntry {
                 ORDER BY cos DESC, neighbor_id) AS rank FROM s)
           SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
           FROM r WHERE rank <= 3""",
+
+    // Annotator+ lemmatize=true, fully recomputed in SQL: dictionary terms
+    // AND document tokens are lemmatized with the SAME rule chain
+    // (lemmaCaseSql == Lemma.lemmaToken), the lemma-space text is rebuilt
+    // with separators verbatim (ASCII corpus: normChar on separators is
+    // identity), hits are located by the regexp-split machinery, and
+    // lemma-space offsets map back to ORIGINAL offsets through the per-token
+    // cumulative maps (hits start at token starts / end at token ends by the
+    // word-boundary contract, so the mapping is two equi-joins).
+    "ann_lemma" ->
+      s"""WITH $dictCte,
+          ldict AS (
+            SELECT DISTINCT array_to_string(
+              list_transform(string_split(term, ' '), t -> ${lemmaCaseSql("t")}), ' ') AS term,
+              class_iri, ont, pref
+            FROM dict),
+          docs AS (
+            SELECT doc_id, text,
+              regexp_extract_all(text, '[A-Za-z0-9_]+') AS toks,
+              regexp_split_to_array(text, '[A-Za-z0-9_]+') AS seps
+            FROM documents),
+          tokrows AS (
+            SELECT doc_id, text, i, toks[i] AS tok, seps[i] AS sep,
+              (${lemmaCaseSql("upper(toks[i])")}) AS lem
+            FROM (SELECT *, unnest(generate_series(1, len(toks))) AS i FROM docs)),
+          cums AS (
+            SELECT doc_id, i, lem, tok,
+              SUM(length(sep) + length(lem)) OVER w - length(lem) AS lemma_start,
+              SUM(length(sep) + length(tok)) OVER w - length(tok) AS orig_start,
+              SUM(length(sep) + length(tok)) OVER w AS orig_end
+            FROM tokrows WINDOW w AS (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING)),
+          ltext AS (
+            SELECT t.doc_id, string_agg(t.sep || t.lem, '' ORDER BY t.i)
+                   || MIN(d.seps[len(d.toks)+1]) AS ltxt
+            FROM tokrows t JOIN docs d USING (doc_id) GROUP BY t.doc_id),
+          hsegs AS (
+            SELECT lt.doc_id, l.class_iri, l.ont, l.pref, length(l.term) AS tl,
+              regexp_split_to_array(lt.ltxt, '\\b' || l.term || '\\b') AS parts
+            FROM ltext lt, ldict l),
+          hpos AS (
+            SELECT doc_id, class_iri, ont, pref, tl, parts,
+              unnest(generate_series(1, len(parts) - 1)) AS k
+            FROM hsegs WHERE len(parts) > 1),
+          hits AS (
+            SELECT doc_id, class_iri, ont, pref, tl,
+              CAST((SELECT COALESCE(SUM(length(p)), 0) FROM unnest(parts[1:k]) AS t(p))
+                   + (k - 1) * tl AS BIGINT) AS f0
+            FROM hpos),
+          mapped AS (
+            SELECT h.doc_id, h.class_iri, h.ont, h.pref,
+              CAST(cs.orig_start + 1 AS INT) AS f, CAST(ce.orig_end AS INT) AS t
+            FROM hits h
+            JOIN cums cs ON cs.doc_id = h.doc_id AND cs.lemma_start = h.f0
+            JOIN cums ce ON ce.doc_id = h.doc_id
+              AND ce.lemma_start + length(ce.lem) = h.f0 + h.tl)
+          SELECT 'doc://' || m.doc_id AS url, m.f AS "from", m.t AS "to",
+            substring(d.text, m.f, m.t - m.f + 1) AS text,
+            m.class_iri, m.ont, CASE WHEN m.pref THEN 'PREF' ELSE 'SYN' END AS match_type
+          FROM mapped m JOIN documents d USING (doc_id)""",
+
+    // Annotator+ clinical context, fully recomputed in SQL: the ConText-lite
+    // trigger-window algorithm (Context.classify) re-expressed over the
+    // offset machinery — nearest-first ≤5-token window cut at sentence
+    // punctuation, breaker scope cut, single + adjacent-pair triggers, and
+    // the one-token post-hoc negation lookahead.
+    "ann_context" ->
+      s"""WITH $dictCte,
+          segs AS (
+            SELECT doc_id, text, d.class_iri, length(d.term) AS tl,
+              regexp_split_to_array(upper(text), '\\b' || d.term || '\\b') AS parts
+            FROM documents, dict d),
+          pos AS (
+            SELECT doc_id, text, class_iri, tl, parts,
+              unnest(generate_series(1, len(parts) - 1)) AS k
+            FROM segs WHERE len(parts) > 1),
+          hits AS (
+            SELECT doc_id, text, class_iri, tl,
+              CAST((SELECT COALESCE(SUM(length(p)), 0) FROM unnest(parts[1:k]) AS t(p))
+                   + (k - 1) * tl + 1 AS BIGINT) AS f
+            FROM pos),
+          ctx AS (
+            SELECT doc_id, class_iri, f, f + tl - 1 AS t_end,
+              list_slice(list_reverse(regexp_extract_all(
+                regexp_extract(substring(upper(text), 1, CAST(f - 1 AS BIGINT)), '[^.;!?]*$$'),
+                '[A-Z0-9_]+')), 1, 5) AS tk,
+              regexp_extract(substring(upper(text), CAST(f + tl AS BIGINT)),
+                '^[^A-Z0-9_.;!?]*([A-Z0-9_]+)', 1) AS nxt
+            FROM hits),
+          attrs AS (
+            SELECT doc_id, class_iri, f, t_end, tk, nxt,
+              LEAST(coalesce(list_position(tk, 'BUT'), 6),
+                    coalesce(list_position(tk, 'HOWEVER'), 6),
+                    coalesce(list_position(tk, 'EXCEPT'), 6),
+                    coalesce(list_position(tk, 'ALTHOUGH'), 6)) AS cut
+            FROM ctx)
+          SELECT 'doc://' || doc_id AS url, CAST(f AS INT) AS "from",
+            CAST(t_end AS INT) AS "to", class_iri,
+            (len(list_filter(tk[1:cut-1], x -> x IN
+               ('NO','NOT','WITHOUT','DENIES','DENIED','NEVER','ABSENT','NEGATIVE'))) > 0
+             OR len(list_filter(generate_series(1, cut - 1), i -> i + 1 <= len(tk)
+                  AND (tk[i+1] || '|' || tk[i]) IN
+                    ('ABSENCE|OF','NEGATIVE|FOR','RULED|OUT','FREE|OF'))) > 0
+             OR nxt = 'UNLIKELY') AS negated,
+            CASE WHEN len(list_filter(generate_series(1, cut - 1), i -> i + 1 <= len(tk)
+                   AND (tk[i+1] || '|' || tk[i]) IN
+                     ('FAMILY|HISTORY','MOTHER|HAD','FATHER|HAD'))) > 0
+                 THEN 'OTHER' ELSE 'PATIENT' END AS experiencer,
+            CASE WHEN len(list_filter(generate_series(1, cut - 1), i -> i + 1 <= len(tk)
+                   AND (tk[i+1] || '|' || tk[i]) IN
+                     ('HISTORY|OF','PAST|HISTORY'))) > 0
+                 THEN 'HISTORICAL' ELSE 'RECENT' END AS temporality
+          FROM attrs""",
+
+    // the reference's nested JSON response, reconstructed BYTE-EXACTLY in
+    // SQL: per-class span lists (offset machinery), hierarchy + mappings
+    // sub-objects, score-descending annotation order (class breaks ties),
+    // null sections omitted — string-compared against Spark's to_json output
+    "ann_response_json" ->
+      s"""WITH RECURSIVE $dictCte, $edgesCte, $mappingsCte, $closureCte,
+          segs AS (
+            SELECT doc_id, d.class_iri, d.ont, d.pref, length(d.term) AS tl,
+              regexp_split_to_array(upper(text), '\\b' || d.term || '\\b') AS parts
+            FROM documents, dict d),
+          pos AS (
+            SELECT doc_id, class_iri, ont, pref, tl, parts,
+              unnest(generate_series(1, len(parts) - 1)) AS k
+            FROM segs WHERE len(parts) > 1),
+          hits AS (
+            SELECT doc_id, class_iri, ont, pref,
+              CAST((SELECT COALESCE(SUM(length(p)), 0) FROM unnest(parts[1:k]) AS t(p))
+                   + (k - 1) * tl + 1 AS BIGINT) AS f, tl
+            FROM pos),
+          spans AS (
+            SELECT doc_id, class_iri, ont,
+              string_agg('{"from":' || f || ',"to":' || (f + tl - 1) || ',"match_type":"' ||
+                         CASE WHEN pref THEN 'PREF' ELSE 'SYN' END || '"}', ','
+                         ORDER BY f, f + tl - 1,
+                           CASE WHEN pref THEN 'PREF' ELSE 'SYN' END) AS spans_json,
+              SUM(CASE WHEN pref THEN 10.0 ELSE 8.0 END) AS score
+            FROM hits GROUP BY doc_id, class_iri, ont),
+          direct AS (SELECT DISTINCT doc_id, class_iri FROM spans),
+          hier AS (
+            SELECT doc_id, class_iri, ancestor_iri, MIN(distance) AS d
+            FROM direct JOIN closure ON class_iri = child_iri
+            GROUP BY doc_id, class_iri, ancestor_iri),
+          hierstr AS (
+            SELECT doc_id, class_iri,
+              string_agg('{"ancestor":"' || ancestor_iri || '","distance":' || d || '}', ','
+                         ORDER BY ancestor_iri, d) AS hier_json
+            FROM hier GROUP BY doc_id, class_iri),
+          mapstr AS (
+            SELECT doc_id, class_iri,
+              string_agg(DISTINCT '"' || mapped_iri || '"', ','
+                         ORDER BY '"' || mapped_iri || '"') AS map_json
+            FROM direct JOIN maps USING (class_iri) GROUP BY doc_id, class_iri),
+          ann AS (
+            SELECT s.doc_id, s.score, s.class_iri,
+              '{"annotatedClass":"' || s.class_iri || '","ont":"' || s.ont || '","score":' ||
+              CAST(s.score AS VARCHAR) || ',"annotations":[' || s.spans_json || ']' ||
+              COALESCE(',"hierarchy":[' || h.hier_json || ']', '') ||
+              COALESCE(',"mappings":[' || m.map_json || ']', '') || '}' AS ann_json
+            FROM spans s
+            LEFT JOIN hierstr h ON s.doc_id = h.doc_id AND s.class_iri = h.class_iri
+            LEFT JOIN mapstr m ON s.doc_id = m.doc_id AND s.class_iri = m.class_iri)
+          SELECT 'doc://' || doc_id AS url,
+            '{"text_id":"doc://' || doc_id || '","annotations":[' ||
+            string_agg(ann_json, ',' ORDER BY -score, class_iri) || ']}' AS response
+          FROM ann GROUP BY doc_id""",
 
     // A5 longest_only WITH offsets: match positions are recovered in pure SQL
     // from the regexp-SPLIT segments (from_k = Σ len(seg_1..k) + (k-1)·|term|
