@@ -477,17 +477,27 @@ object SparkEntry {
 
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprint(docsTable(s, dir))),
 
+    // REAL ImageIO decode on the image rows: the oracle checks the decoded
+    // width/height/solid-color means against the PNG GENERATION formulas —
+    // an end-to-end codec round-trip, not a stub echo. Non-image kinds keep
+    // the documented stub dims (byte-length formulas, also oracle-checked).
+    // PNG byte payloads (n_bytes/checksum) stay in the Dataset API but are
+    // projected out here (encoder bytes are not SQL-derivable).
     "mm_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docsTable(s, dir))).toDF()),
+      Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docsTable(s, dir)))
+        .toDF().select(col("url"), col("kind"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))),
 
     "mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.mediaFromDocuments(docsTable(s, dir)))
         .toDF().select(col("url"), col("frame_idx"), length(col("frame_bytes")).as("frame_len"))),
 
+    // decode → nearest-neighbor resample → re-encode; resized means must
+    // equal the source solid color (resampling a constant image is constant)
     "mm_resize" -> ((s, dir) =>
       Multimodal.resizeImages(Multimodal.mediaFromDocuments(docsTable(s, dir)))
         .toDF().select(col("url"), col("width"), col("height"),
-          length(col("resized_bytes")).as("n_bytes")))
+          col("mean_r"), col("mean_g"), col("mean_b")))
   )
 
   // ---- oracle SQL -------------------------------------------------------
@@ -1224,6 +1234,41 @@ object SparkEntry {
                 / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.03
                 THEN 'en' ELSE 'und' END AS lang_pred
          FROM documents""",
+
+    // image rows: decoded dims/colors must equal the PNG generation formulas
+    // (Multimodal.imgWidth/imgHeight/imgColor — single source of truth);
+    // audio/video rows: the documented byte-length stub formulas (bytes =
+    // UTF-8 text, ASCII corpus → strlen)
+    "mm_features" ->
+      """SELECT 'doc://' || doc_id AS url,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 16
+                     ELSE 16 + strlen(text) % 64 END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + (doc_id // 16) % 16
+                     ELSE 16 + (strlen(text) // 64) % 64 END AS INT) AS height,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN (doc_id * 7) % 256 ELSE -1 END AS INT) AS mean_r,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN (doc_id * 13) % 256 ELSE -1 END AS INT) AS mean_g,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN (doc_id * 29) % 256 ELSE -1 END AS INT) AS mean_b
+         FROM documents""",
+
+    // stride-256 byte groups, 64-byte frames: count and per-frame lengths
+    // are closed-form in the text byte length
+    "mm_frames" ->
+      """SELECT 'doc://' || doc_id AS url, CAST(idx AS INT) AS frame_idx,
+           CAST(LEAST(64, strlen(text) - idx * 256) AS INT) AS frame_len
+         FROM (SELECT doc_id, text,
+                 unnest(generate_series(0, CAST(ceil(strlen(text) / 256.0) AS BIGINT) - 1)) AS idx
+               FROM documents WHERE doc_id % 3 = 2 AND strlen(text) > 0)""",
+
+    // resized solid images stay solid: means must equal the source color
+    "mm_resize" ->
+      """SELECT 'doc://' || doc_id AS url, CAST(64 AS INT) AS width,
+           CAST(64 AS INT) AS height,
+           CAST((doc_id * 7) % 256 AS INT) AS mean_r,
+           CAST((doc_id * 13) % 256 AS INT) AS mean_g,
+           CAST((doc_id * 29) % 256 AS INT) AS mean_b
+         FROM documents WHERE doc_id % 3 = 0""",
 
     "curate_corpus" ->
       """WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),

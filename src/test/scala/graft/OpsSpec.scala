@@ -171,11 +171,26 @@ class OpsSpec extends AnyFunSuite {
     assert(q.getDouble(0) >= 0.0 && q.getDouble(1) <= 1.0)
   }
 
-  test("multimodal: features deterministic, frames partition the video bytes") {
-    val media = Multimodal.mediaFromDocuments(docs.limit(50))
-    val f1 = Multimodal.extractFeatures(media).collect().map(f => f.url -> f.checksum).toMap
+  test("multimodal: REAL ImageIO round-trip — decoded dims/colors == generation formulas") {
+    val media = Multimodal.mediaFromDocuments(docs.limit(60))
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.nonEmpty)
+    val images = feats.filter(_.kind == "image")
+    assert(images.nonEmpty)
+    images.foreach { f =>
+      val id = f.url.stripPrefix("doc://").toLong
+      val (r, g, b) = Multimodal.imgColor(id)
+      assert(f.width === Multimodal.imgWidth(id), f.url)
+      assert(f.height === Multimodal.imgHeight(id), f.url)
+      assert((f.mean_r, f.mean_g, f.mean_b) === ((r, g, b)), f.url)
+    }
+    // non-image kinds: stub dims, means marked -1
+    feats.filter(_.kind != "image").foreach { f =>
+      assert(f.mean_r === -1 && f.mean_g === -1 && f.mean_b === -1)
+    }
+    // deterministic across runs
     val f2 = Multimodal.extractFeatures(media).collect().map(f => f.url -> f.checksum).toMap
-    assert(f1 === f2 && f1.nonEmpty)
+    assert(feats.map(f => f.url -> f.checksum).toMap === f2)
     val kinds = media.select("kind").distinct().collect().map(_.getString(0)).toSet
     assert(kinds === Set("image", "audio", "video"))
     val frames = Multimodal.sampleFrames(media, stride = 256).collect()
@@ -186,13 +201,17 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
-  test("multimodal: resize is deterministic and respects the target byte budget") {
-    val media = Multimodal.mediaFromDocuments(docs.limit(50))
+  test("multimodal: resize decodes, resamples and re-encodes; solid stays solid") {
+    val media = Multimodal.mediaFromDocuments(docs.limit(60))
     val r1 = Multimodal.resizeImages(media, w = 16, h = 16).collect()
     assert(r1.nonEmpty)
     r1.foreach { r =>
       assert(r.width === 16 && r.height === 16)
-      assert(r.resized_bytes.length <= 16 * 16)
+      val id = r.url.stripPrefix("doc://").toLong
+      assert((r.mean_r, r.mean_g, r.mean_b) === Multimodal.imgColor(id), r.url)
+      // the re-encoded payload must itself decode back to 16×16
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.resized_bytes))
+      assert(img.getWidth === 16 && img.getHeight === 16)
     }
     val r2 = Multimodal.resizeImages(media, w = 16, h = 16).collect()
     assert(r1.map(r => r.url -> r.resized_bytes.toSeq).toMap ===
