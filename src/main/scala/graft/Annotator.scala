@@ -38,6 +38,26 @@ object Annotator {
       lemmatize: Boolean = false,
       semanticTypeClasses: Option[Set[String]] = None)
 
+  /** Annotator+ pluggable-recognizer seam (the reference dispatches
+    * `recognizer ∈ {mgrep, mallet}` from `lib/ncbo_annotator/recognizers/`):
+    * a recognizer turns an extracted corpus into the per-occurrence match
+    * stream `(url, from, to, text, class_iri, ont, match_type)`. The
+    * dictionary recognizer (this engine's product) is the default; an
+    * ML-tagger recognizer plugs in here without touching the facade or
+    * anything downstream (expansion, scoring, triples all consume the
+    * match-stream shape). */
+  trait Recognizer {
+    def recognize(extracted: DataFrame, opts: AnnotateOptions): DataFrame
+  }
+
+  /** The default recognizer: the broadcast-automaton dictionary scan on the
+    * native Catalyst plan. */
+  final class DictionaryRecognizer(model: Broadcast[AnnotatorModel]) extends Recognizer {
+    override def recognize(extracted: DataFrame, opts: AnnotateOptions): DataFrame =
+      NativeAnnotate.annotateMatches(extracted, model,
+        opts.longestOnly, opts.wholeWordOnly)
+  }
+
   /** Corpus → triple table — the scale path (native Catalyst plan); the
     * lemmatized variant routes through the lemma scan + Catalyst expansion
     * joins (lemma mode is an opt-in request feature, not the bulk path). */
@@ -134,12 +154,14 @@ object Annotator {
   }
 
   /** Corpus → per-occurrence matches with 1-based inclusive offsets
-    * (reference mgrep wire shape), on the native plan. */
+    * (reference mgrep wire shape). Routes through the [[Recognizer]] seam —
+    * the dictionary recognizer by default. */
   def matches(extracted: DataFrame,
               model: Broadcast[AnnotatorModel],
-              request: Request = Request()): DataFrame =
-    NativeAnnotate.annotateMatches(extracted, model,
-      request.opts.longestOnly, request.opts.wholeWordOnly)
+              request: Request = Request(),
+              recognizer: Option[Recognizer] = None): DataFrame =
+    recognizer.getOrElse(new DictionaryRecognizer(model))
+      .recognize(extracted, request.opts)
 
   /** The reference's `score` mode dispatch over a per-occurrence match
     * stream `(url, classIri, matchType, text, …)`: old (Σ PREF/SYN weights),

@@ -103,6 +103,21 @@ class NativeAnnotateSpec extends AnyFunSuite {
       s"pred = 'hasAnnotation' AND obj = '$dataIri' AND match_type = 'PREF'")).isEmpty)
   }
 
+  test("Recognizer seam: dictionary recognizer == native matches; custom recognizers dispatch") {
+    val viaSeam = Annotator.matches(corpus, model).collect().map(_.toSeq).toSet
+    val direct = NativeAnnotate.annotateMatches(corpus, model).collect().map(_.toSeq).toSet
+    assert(viaSeam === direct && viaSeam.nonEmpty)
+    // a custom recognizer plugs in without touching the facade
+    val marker = new Annotator.Recognizer {
+      override def recognize(extracted: org.apache.spark.sql.DataFrame,
+                             opts: AnnotateOptions): org.apache.spark.sql.DataFrame =
+        extracted.limit(0).selectExpr("url", "1 as from", "1 as to",
+          "'x' as text", "'c' as class_iri", "'o' as ont", "'PREF' as match_type")
+    }
+    assert(Annotator.matches(corpus, model, recognizer = Some(marker)).columns.toSeq ===
+      Seq("url", "from", "to", "text", "class_iri", "ont", "match_type"))
+  }
+
   test("native == fused: combined options") {
     assertParity(AnnotateOptions(longestOnly = true, excludeSynonyms = true,
       hierarchyMaxLevel = 2, scoreThreshold = 3.0))
