@@ -48,6 +48,14 @@ object SparkEntry {
       AutomatonBuild.broadcastModel(s, AutomatonBuild.build(s, dict, "v1"))
     })
 
+  private val shardedCache =
+    new ConcurrentHashMap[SparkSession, Seq[Broadcast[AnnotatorModel]]]()
+  private def shardedModels(s: SparkSession): Seq[Broadcast[AnnotatorModel]] =
+    shardedCache.computeIfAbsent(s, s => {
+      val dict = DictBuild.build(DictBuild.labelRows(OntologyFixture.conceptsDf(s)))
+      graft.annotate.Sharded.buildModels(s, dict, "v1", numShards = 4)
+    })
+
   private def closure(s: SparkSession): DataFrame =
     closureCache.computeIfAbsent(s, s =>
       Closure.transitiveClosure(OntologyFixture.edgesDf(s), MaxLevel))
@@ -97,6 +105,14 @@ object SparkEntry {
     // both scan formulations stay independently DuckDB-checked
     "ann_direct_typed" -> ((s, dir) =>
       Scan.annotateDirect(corpus(s, dir), model(s)).toDF()
+        .select(col("url"), col("classIri").as("class_iri"), col("ont"),
+          col("matchType").as("match_type")).distinct()),
+
+    // S4: sharded-dictionary scan (>driver-memory escape hatch) — 4 term-id
+    // shards, one corpus pass, cross-shard longest_only semantics; must
+    // equal the single-automaton result, so it shares ann_direct's oracle
+    "ann_sharded" -> ((s, dir) =>
+      graft.annotate.Sharded.annotateDirect(corpus(s, dir), shardedModels(s)).toDF()
         .select(col("url"), col("classIri").as("class_iri"), col("ont"),
           col("matchType").as("match_type")).distinct()),
 
@@ -577,6 +593,10 @@ object SparkEntry {
       s"WITH $dictCte, $directCte SELECT url, class_iri, ont, match_type FROM direct",
 
     "ann_direct_typed" ->
+      s"WITH $dictCte, $directCte SELECT url, class_iri, ont, match_type FROM direct",
+
+    // sharded scan must be indistinguishable from the single-automaton scan
+    "ann_sharded" ->
       s"WITH $dictCte, $directCte SELECT url, class_iri, ont, match_type FROM direct",
 
     "ann_counts" ->

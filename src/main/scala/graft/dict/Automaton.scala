@@ -409,6 +409,13 @@ final class HitBuffer(initialCapacity: Int = 256) {
     size += 1
   }
 
+  /** Append another buffer's hits (sharded-dictionary scans merge per-shard
+    * buffers before applying the cross-shard longest_only policy). */
+  def appendFrom(o: HitBuffer): Unit = {
+    var i = 0
+    while (i < o.size) { add(o.froms(i), o.tos(i), o.ids(i)); i += 1 }
+  }
+
   /** A5 longest_only contract in place: per start offset keep max end. */
   def longestPerStartInPlace(): Unit = {
     if (size <= 1) return
