@@ -341,6 +341,22 @@ object SparkEntry {
       DictBuild.flatDict(
         DictBuild.build(DictBuild.labelRows(OntologyFixture.conceptsDf(s))))),
 
+    // D1 interop: dictionary built from an RDF (N-Triples) round trip of the
+    // fixture ontology — one serialized submission per ontology acronym, as
+    // in the reference's per-ontology submissions; must equal dict_terms
+    "dict_terms_nt" -> ((s, dir) => {
+      import s.implicits._
+      val c = OntologyFixture.conceptsDf(s)
+      val noEdges = OntologyFixture.edgesDf(s).limit(0)
+      val onts = c.select("ont").distinct().as[String].collect().sorted
+      val viaNt = onts.map { o =>
+        val lines = graft.io.NTriples.lines(c.filter(col("ont") === o), noEdges)
+          .select("line").as[String]
+        graft.io.NTriples.concepts(graft.io.NTriples.statements(lines), o)
+      }.reduce(_.unionAll(_))
+      DictBuild.flatDict(DictBuild.build(DictBuild.labelRows(viaNt)))
+    }),
+
     // TPC-H-ish operator coverage: pushed-down filter + hash aggregate
     "q_pushdown_agg" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -762,6 +778,19 @@ object SparkEntry {
             FROM scored WHERE score >= 16.0)""",
 
     "dict_terms" ->
+      s"""WITH raw(class_iri, ont, label, pref) AS (
+            SELECT * FROM (VALUES ${OntologyFixture.labelRowsValues}) v(a,b,c,d)),
+          norm AS (SELECT DISTINCT
+            upper(trim(regexp_replace(label, '\\s+', ' ', 'g'))) AS term,
+            class_iri, ont, pref FROM raw),
+          filtered AS (SELECT * FROM norm WHERE length(term) >= 3),
+          ids AS (SELECT term, row_number() OVER (ORDER BY term) AS term_id
+                  FROM (SELECT DISTINCT term FROM filtered) t)
+          SELECT f.term, CAST(i.term_id AS INT) AS term_id, f.class_iri, f.ont, f.pref
+          FROM filtered f JOIN ids i ON f.term = i.term""",
+
+    // the N-Triples round trip must be invisible — same oracle as dict_terms
+    "dict_terms_nt" ->
       s"""WITH raw(class_iri, ont, label, pref) AS (
             SELECT * FROM (VALUES ${OntologyFixture.labelRowsValues}) v(a,b,c,d)),
           norm AS (SELECT DISTINCT

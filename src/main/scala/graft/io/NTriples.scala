@@ -1,0 +1,188 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** D1 interop: the reference's ontologies live in an RDF triplestore and
+  * arrive as RDF submissions, so the natural at-rest interchange format for
+  * the dictionary-build input is N-Triples (one statement per line — the ONE
+  * RDF serialization that is line-splittable, which is why it is the right
+  * one at 100 TB: `spark.read.text` splits on line boundaries, every
+  * partition parses independently, and the only shuffle in the whole
+  * concept-table build is the final per-subject aggregation).
+  *
+  * Vocabulary: SKOS for labels, RDFS for the is-a hierarchy, and BioPortal's
+  * public UMLS predicates for semantic types / CUIs — the same properties the
+  * reference's annotation pipeline reads from its triplestore.
+  *
+  * The line parser is scalar Scala shared verbatim between the Dataset path
+  * and the specs (same single-source-of-truth pattern as the automaton's
+  * scalar oracle); a typed `flatMap` is the justified non-builtin exception
+  * here because N-Triples literal unescaping (`\"`, `\\`, `\uXXXX`) is not
+  * expressible as a builtin-function chain.
+  */
+object NTriples {
+
+  // ---- public vocabulary -------------------------------------------------
+  val PrefLabel = "http://www.w3.org/2004/02/skos/core#prefLabel"
+  val AltLabel = "http://www.w3.org/2004/02/skos/core#altLabel"
+  val SubClassOf = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+  val HasSty = "http://bioportal.bioontology.org/ontologies/umls/hasSTY"
+  val Cui = "http://bioportal.bioontology.org/ontologies/umls/cui"
+  val StyPrefix = "http://purl.bioontology.org/ontology/STY/"
+
+  /** One parsed statement; `literal` distinguishes `"..."` objects from
+    * `<...>` IRIs (language tags / datatypes are accepted and dropped). */
+  final case class Stmt(subj: String, pred: String, obj: String, literal: Boolean)
+
+  // ---- scalar line parser (single source of truth) -----------------------
+
+  /** Parse one N-Triples line. Returns None for blank lines and `#` comments;
+    * throws on malformed statements (corrupt ontology submissions should fail
+    * the build loudly, not silently drop terms). */
+  def parseLine(raw: String): Option[Stmt] = {
+    val line = raw.trim
+    if (line.isEmpty || line.startsWith("#")) return None
+    var i = 0
+    def fail(msg: String) = throw new IllegalArgumentException(s"bad N-Triples line ($msg): $raw")
+    def ws(): Unit = { while (i < line.length && (line.charAt(i) == ' ' || line.charAt(i) == '\t')) i += 1 }
+    def iri(): String = {
+      if (i >= line.length || line.charAt(i) != '<') fail("expected <IRI>")
+      val end = line.indexOf('>', i + 1)
+      if (end < 0) fail("unterminated IRI")
+      val s = line.substring(i + 1, end); i = end + 1; s
+    }
+    val subj = iri(); ws()
+    val pred = iri(); ws()
+    if (i >= line.length) fail("missing object")
+    val (obj, literal) =
+      if (line.charAt(i) == '<') (iri(), false)
+      else if (line.charAt(i) == '"') {
+        val sb = new StringBuilder
+        i += 1
+        var closed = false
+        while (!closed) {
+          if (i >= line.length) fail("unterminated literal")
+          line.charAt(i) match {
+            case '"' => closed = true; i += 1
+            case '\\' =>
+              if (i + 1 >= line.length) fail("dangling escape")
+              line.charAt(i + 1) match {
+                case '"' => sb += '"'; i += 2
+                case '\\' => sb += '\\'; i += 2
+                case 'n' => sb += '\n'; i += 2
+                case 'r' => sb += '\r'; i += 2
+                case 't' => sb += '\t'; i += 2
+                case 'u' =>
+                  if (i + 6 > line.length) fail("short \\u escape")
+                  sb += Integer.parseInt(line.substring(i + 2, i + 6), 16).toChar; i += 6
+                case 'U' =>
+                  if (i + 10 > line.length) fail("short \\U escape")
+                  sb ++= Character.toChars(Integer.parseInt(line.substring(i + 2, i + 10), 16)); i += 10
+                case c => fail(s"unknown escape \\$c")
+              }
+            case c => sb += c; i += 1
+          }
+        }
+        // optional language tag or datatype — accepted, dropped
+        if (i < line.length && line.charAt(i) == '@') {
+          while (i < line.length && line.charAt(i) != ' ' && line.charAt(i) != '\t') i += 1
+        } else if (i + 1 < line.length && line.charAt(i) == '^' && line.charAt(i + 1) == '^') {
+          i += 2; iri()
+        }
+        (sb.toString, true)
+      } else fail("object must be <IRI> or \"literal\"")
+    ws()
+    if (i >= line.length || line.charAt(i) != '.') fail("missing terminating dot")
+    Some(Stmt(subj, pred, obj, literal))
+  }
+
+  /** Escape a literal for serialization (inverse of the parser's unescape;
+    * UTF-8 is legal in N-Triples 1.1, so non-ASCII passes through). */
+  def escapeLiteral(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => sb ++= "\\\\"
+      case '"' => sb ++= "\\\""
+      case '\n' => sb ++= "\\n"
+      case '\r' => sb ++= "\\r"
+      case '\t' => sb ++= "\\t"
+      case c => sb += c
+    }
+    sb.toString
+  }
+
+  // ---- Dataset source ----------------------------------------------------
+
+  /** Parse a Dataset of raw lines into (subj, pred, obj, is_literal). */
+  def statements(lines: Dataset[String]): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    lines.flatMap(parseLine).toDF("subj", "pred", "obj", "is_literal")
+  }
+
+  /** Read an N-Triples file/directory — line-splittable, parallel parse. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    statements(spark.read.textFile(path))
+  }
+
+  /** Concept table (D1 shape, = [[graft.fixture.OntologyFixture.conceptsDf]]
+    * schema) from parsed statements. One aggregation — the lone shuffle —
+    * keyed by subject; synonym/TUI sets sort-canonicalized. `ont` is the
+    * submission acronym (one ontology per file, as in the reference's
+    * per-ontology submissions; union across files for multi-ontology dicts).
+    */
+  def concepts(stmts: DataFrame, ont: String): DataFrame =
+    stmts
+      .groupBy(col("subj").as("class_iri"))
+      .agg(
+        min(when(col("pred") === PrefLabel && col("is_literal"), col("obj")))
+          .as("pref_label"),
+        sort_array(collect_set(
+          when(col("pred") === AltLabel && col("is_literal"), col("obj"))))
+          .as("synonyms"),
+        sort_array(collect_set(when(col("pred") === HasSty && !col("is_literal"),
+          regexp_extract(col("obj"), "[^/]+$", 0)))).as("tuis"),
+        min(when(col("pred") === Cui && col("is_literal"), col("obj"))).as("cui"))
+      .filter(col("pref_label").isNotNull) // subjects without a prefLabel are not concepts
+      .select(col("class_iri"), lit(ont).as("ont"), col("pref_label"),
+        col("synonyms"), col("tuis"), col("cui"))
+
+  /** Hierarchy edges (H1 shape) from rdfs:subClassOf IRI statements. */
+  def edges(stmts: DataFrame): DataFrame =
+    stmts.filter(col("pred") === SubClassOf && !col("is_literal"))
+      .select(col("subj").as("child_iri"), col("obj").as("parent_iri"))
+      .distinct()
+
+  // ---- Dataset sink ------------------------------------------------------
+
+  private def esc(c: org.apache.spark.sql.Column) = {
+    val backslash = replace(c, lit("\\"), lit("\\\\"))
+    val quote = replace(backslash, lit("\""), lit("\\\""))
+    val nl = replace(quote, lit("\n"), lit("\\n"))
+    val cr = replace(nl, lit("\r"), lit("\\r"))
+    replace(cr, lit("\t"), lit("\\t"))
+  }
+
+  /** Serialize concept + edge tables to N-Triples lines (column `line`) —
+    * distributed, write with `.write.text(path)`. Inverse of
+    * [[concepts]]/[[edges]] up to synonym/TUI ordering. */
+  def lines(conceptsDf: DataFrame, edgesDf: DataFrame): DataFrame = {
+    def literalStmt(p: String, o: org.apache.spark.sql.Column) =
+      concat(lit("<"), col("class_iri"), lit(s"> <$p> \""), esc(o), lit("\" ."))
+    val pref = conceptsDf.select(literalStmt(PrefLabel, col("pref_label")).as("line"))
+    val syn = conceptsDf
+      .select(col("class_iri"), explode(col("synonyms")).as("s"))
+      .select(literalStmt(AltLabel, col("s")).as("line"))
+    val sty = conceptsDf
+      .select(col("class_iri"), explode(col("tuis")).as("t"))
+      .select(concat(lit("<"), col("class_iri"), lit(s"> <$HasSty> <$StyPrefix"),
+        col("t"), lit("> .")).as("line"))
+    val cui = conceptsDf.filter(col("cui").isNotNull)
+      .select(literalStmt(Cui, col("cui")).as("line"))
+    val sub = edgesDf.select(concat(lit("<"), col("child_iri"),
+      lit(s"> <$SubClassOf> <"), col("parent_iri"), lit("> .")).as("line"))
+    pref.unionAll(syn).unionAll(sty).unionAll(cui).unionAll(sub)
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.dict.DictBuild
+import graft.fixture.OntologyFixture
+import graft.io.NTriples
+
+/** D1 interop — the RDF (N-Triples) ontology source: scalar parser contract,
+  * distributed file round-trip against the fixture tables, and dictionary
+  * parity (a dict built from the NT-parsed concept table must be
+  * byte-identical to one built from the in-memory fixture). */
+class NTriplesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("scalar parser: IRIs, literals, escapes, lang tags, datatypes, comments") {
+    import NTriples.{parseLine, Stmt}
+    assert(parseLine("") === None)
+    assert(parseLine("   # a comment") === None)
+    assert(parseLine("<http://x/a> <http://x/p> <http://x/b> .") ===
+      Some(Stmt("http://x/a", "http://x/p", "http://x/b", literal = false)))
+    assert(parseLine("""<http://x/a> <http://x/p> "plain" .""") ===
+      Some(Stmt("http://x/a", "http://x/p", "plain", literal = true)))
+    assert(parseLine("""<http://x/a> <http://x/p> "q\"uote\\slash\nnl\tt" .""") ===
+      Some(Stmt("http://x/a", "http://x/p", "q\"uote\\slash\nnl\tt", literal = true)))
+    assert(parseLine("""<http://x/a> <http://x/p> "café" .""") ===
+      Some(Stmt("http://x/a", "http://x/p", "café", literal = true)))
+    assert(parseLine("""<http://x/a> <http://x/p> "\U0001F600" .""") ===
+      Some(Stmt("http://x/a", "http://x/p", new String(Character.toChars(0x1F600)), literal = true)))
+    assert(parseLine("""<http://x/a> <http://x/p> "hello"@en .""") ===
+      Some(Stmt("http://x/a", "http://x/p", "hello", literal = true)))
+    assert(parseLine("""<http://x/a> <http://x/p> "42"^^<http://www.w3.org/2001/XMLSchema#int> .""") ===
+      Some(Stmt("http://x/a", "http://x/p", "42", literal = true)))
+    intercept[IllegalArgumentException](parseLine("<http://x/a> <http://x/p> ."))
+    intercept[IllegalArgumentException](parseLine("""<http://x/a> <http://x/p> "no dot""""))
+    intercept[IllegalArgumentException](parseLine("""<http://x/a> <http://x/p> "bad\qesc" ."""))
+  }
+
+  test("escapeLiteral is the parser's inverse") {
+    val nasty = "a\"b\\c\nd\re\tf café"
+    val line = s"""<http://x/a> <http://x/p> "${NTriples.escapeLiteral(nasty)}" ."""
+    assert(NTriples.parseLine(line).get.obj === nasty)
+  }
+
+  private def canonConcepts(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("class_iri"), col("ont"), col("pref_label"),
+        sort_array(col("synonyms")).as("synonyms"),
+        sort_array(col("tuis")).as("tuis"), col("cui"))
+      .collect().map(_.toSeq.map {
+        case s: scala.collection.Seq[_] => s.toVector
+        case x => x
+      }).toSet
+
+  test("file round-trip: fixture -> N-Triples text -> concepts/edges") {
+    import spark.implicits._
+    val c = OntologyFixture.conceptsDf(spark)
+    val e = OntologyFixture.edgesDf(spark)
+    val onts = c.select("ont").distinct().as[String].collect().sorted
+    val dir = java.nio.file.Files.createTempDirectory("graft-nt").toString
+    // one submission file per ontology (the reference's model); edges ride
+    // along with the first submission — edge statements are ont-agnostic
+    onts.zipWithIndex.foreach { case (o, idx) =>
+      val edgesFor = if (idx == 0) e else e.limit(0)
+      NTriples.lines(c.filter(col("ont") === o), edgesFor)
+        .coalesce(1).write.mode("overwrite").text(s"$dir/$o")
+    }
+    val rebuilt = onts.map { o =>
+      NTriples.concepts(NTriples.read(spark, s"$dir/$o"), o)
+    }.reduce(_.unionAll(_))
+    assert(canonConcepts(rebuilt) === canonConcepts(c))
+    val rebuiltEdges = NTriples.edges(NTriples.read(spark, s"$dir/${onts.head}"))
+    assert(rebuiltEdges.collect().map(r => (r.getString(0), r.getString(1))).toSet ===
+      e.collect().map(r => (r.getString(0), r.getString(1))).toSet)
+  }
+
+  test("dict built from NT-parsed concepts == dict built from fixture") {
+    import spark.implicits._
+    val c = OntologyFixture.conceptsDf(spark)
+    val onts = c.select("ont").distinct().as[String].collect().sorted
+    val viaNt = onts.map { o =>
+      val lines = NTriples.lines(c.filter(col("ont") === o),
+        OntologyFixture.edgesDf(spark).limit(0)).select("line").as[String]
+      NTriples.concepts(NTriples.statements(lines), o)
+    }.reduce(_.unionAll(_))
+    val dictNt = DictBuild.flatDict(DictBuild.build(DictBuild.labelRows(viaNt)))
+    val dictFx = DictBuild.flatDict(DictBuild.build(DictBuild.labelRows(c)))
+    assert(dictNt.collect().map(_.toSeq).toSet === dictFx.collect().map(_.toSeq).toSet)
+    assert(dictNt.count() > 0)
+  }
+}
