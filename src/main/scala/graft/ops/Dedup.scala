@@ -48,22 +48,29 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold).
-    * Inverted-index formulation with MAP-SIDE pair generation: one shuffle
-    * groups docs per shingle (rarity-bounded, so the per-group pair blow-up
-    * is ≤ C(maxDocFreq,2)), then candidate pairs are emitted by array
-    * expressions — no second shuffle of per-shingle rows and no self-join
-    * (the previous self-join shuffled the postings list twice; verified
-    * faster in the plan and the bench). Jaccard uses full shingle-set sizes
-    * (computed before the rarity filter), thresholded RAW, rounded to 4dp
-    * for output (cross-engine float contract). */
+    * Inverted-index formulation with MAP-SIDE pair generation: ONE shuffle
+    * total — per-doc shingle dedup happens map-side (`array_distinct` before
+    * the explode; (doc_id, shingle) duplicates only exist WITHIN a doc, so
+    * a row-level `distinct()` exchange would be pure waste), and the posting
+    * shuffle keys on `xxhash64(shingle)` instead of the shingle string
+    * (8-byte keys vs ~25-byte text n-grams — the dedup_exact trick; a
+    * colliding pair of distinct shingles inflates one intersection count by
+    * 1 with probability ~2^-64, and the raw-string DuckDB oracle re-proves
+    * the shortcut on every verify run). Posting lists are rarity-bounded so
+    * the per-group pair blow-up is ≤ C(maxDocFreq,2); candidate pairs are
+    * emitted by array expressions — no second shuffle of per-shingle rows
+    * and no self-join. Jaccard uses full shingle-set sizes (computed before
+    * the rarity filter), thresholded RAW, rounded to 4dp for output
+    * (cross-engine float contract). */
   def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                    maxDocFreq: Int = 100): DataFrame = {
     val sizes = docs.select(col("doc_id"),
       size(array_distinct(shingles(col("text"), n))).as("n_shingles"))
     val postings = docs
-      .select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
-      .distinct()
-      .groupBy("shingle")
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("text"), n))).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .groupBy("sh")
       .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
       .filter(size(col("docs")).between(2, maxDocFreq))
     // all (a < b) pairs within each posting list, generated map-side
