@@ -90,6 +90,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("blue/green dictionary swap between microbatches (zero downtime)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.dict.{AutomatonBuild, DictBuild}
+    import graft.fixture.OntologyFixture
+    import graft.streaming.DictSwapStream
+
+    val c = OntologyFixture.conceptsDf(spark)
+    val v1 = AutomatonBuild.broadcastModel(spark, AutomatonBuild.build(spark,
+      DictBuild.build(DictBuild.labelRows(c)), "v1"))
+    // green side: rebuilt WITHOUT ONT2 — post-swap batches must stop
+    // emitting ONT2 annotations while pre-swap output keeps them
+    val v2 = AutomatonBuild.broadcastModel(spark, AutomatonBuild.build(spark,
+      DictBuild.build(DictBuild.labelRows(c.filter(col("ont") === "ONT1"))), "v2"))
+
+    val live = new DictSwapStream.LiveDict(v1)
+    val input = MemoryStream[(String, String)]
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String, String)]()
+    val query = DictSwapStream.start(input.toDF().toDF("url", "text"), live,
+      (df, _) => df.select("url", "class_iri", "ont", "dict_version").collect()
+        .foreach(r => out.add((r.getString(0), r.getString(1), r.getString(2), r.getString(3)))))
+    try {
+      val text = "the hash join beats a merge sort" // ONT1 + ONT2 matches
+      input.addData(("doc://pre", text))
+      query.processAllAvailable()
+      live.swap(v2) // atomic flip; NO stream restart
+      input.addData(("doc://post", text))
+      query.processAllAvailable()
+      val rows = out.toArray(Array.empty[(String, String, String, String)]).toSet
+      val pre = rows.filter(_._1 == "doc://pre")
+      val post = rows.filter(_._1 == "doc://post")
+      assert(pre.forall(_._4 == "v1") && post.forall(_._4 == "v2"))
+      assert(pre.exists(_._3 == "ONT2") && pre.exists(_._3 == "ONT1"))
+      assert(post.nonEmpty && post.forall(_._3 == "ONT1"))
+      // same text, so the ONT1 concept set must be identical across versions
+      assert(pre.filter(_._3 == "ONT1").map(_._2) === post.map(_._2))
+    } finally query.stop()
+  }
+
   test("batch/stream plan parity: hourlyCounts works unchanged on a batch DF") {
     val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val out = EventStream.hourlyCounts(batch)
