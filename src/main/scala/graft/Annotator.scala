@@ -58,6 +58,23 @@ object Annotator {
         opts.longestOnly, opts.wholeWordOnly)
   }
 
+  /** The >driver-memory regime behind the same seam: a dictionary too large
+    * to build/broadcast whole routes through [[graft.annotate.Sharded]]'s
+    * term-id shards; everything downstream of the match stream is
+    * unchanged. Spec-pinned equal to [[DictionaryRecognizer]]. */
+  final class ShardedDictionaryRecognizer(models: Seq[Broadcast[AnnotatorModel]])
+      extends Recognizer {
+    override def recognize(extracted: DataFrame, opts: AnnotateOptions): DataFrame = {
+      import org.apache.spark.sql.functions.col
+      graft.annotate.Sharded
+        .annotateDirect(extracted, models, opts.longestOnly, opts.wholeWordOnly)
+        .toDF()
+        .select(col("url"), col("from"), col("to"), col("text"),
+          col("classIri").as("class_iri"), col("ont"),
+          col("matchType").as("match_type"))
+    }
+  }
+
   /** Corpus → triple table — the scale path (native Catalyst plan); the
     * lemmatized variant routes through the lemma scan + Catalyst expansion
     * joins (lemma mode is an opt-in request feature, not the bulk path). */

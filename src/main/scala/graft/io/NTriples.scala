@@ -114,11 +114,35 @@ object NTriples {
 
   // ---- Dataset source ----------------------------------------------------
 
-  /** Parse a Dataset of raw lines into (subj, pred, obj, is_literal). */
+  /** Parse a Dataset of raw lines into (subj, pred, obj, is_literal).
+    * STRICT: any malformed statement fails the job (the right default for
+    * dictionary builds — a silently dropped label is a silently missing
+    * annotation). */
   def statements(lines: Dataset[String]): DataFrame = {
     val spark = lines.sparkSession
     import spark.implicits._
     lines.flatMap(parseLine).toDF("subj", "pred", "obj", "is_literal")
+  }
+
+  /** PERMISSIVE parse for web-scale ingests where one corrupt line must not
+    * kill the job: good statements carry `bad_line = NULL`, malformed lines
+    * survive as `(NULL, NULL, NULL, NULL, <raw line>)` rows — the
+    * badRecordsPath pattern, side channel and data in ONE pass with no
+    * second read. Callers split with `filter(col("bad_line").isNull)` /
+    * `.isNotNull` and are expected to COUNT the bad side into their ingest
+    * metrics (silent truncation reads as "covered everything"). */
+  def statementsPermissive(lines: Dataset[String]): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    lines.flatMap { l =>
+      try parseLine(l).map(s =>
+        (s.subj, s.pred, s.obj, Some(s.literal), Option.empty[String]))
+      catch {
+        case _: IllegalArgumentException =>
+          Some((null: String, null: String, null: String,
+            Option.empty[Boolean], Some(l)))
+      }
+    }.toDF("subj", "pred", "obj", "is_literal", "bad_line")
   }
 
   /** Read an N-Triples file/directory — line-splittable, parallel parse. */

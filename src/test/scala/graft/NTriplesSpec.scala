@@ -74,6 +74,26 @@ class NTriplesSpec extends AnyFunSuite {
       e.collect().map(r => (r.getString(0), r.getString(1))).toSet)
   }
 
+  test("permissive parse: bad lines to the side channel, good rows identical to strict") {
+    import spark.implicits._
+    val good = Seq(
+      """<http://x/a> <http://x/p> "fine" .""",
+      "<http://x/a> <http://x/p> <http://x/b> .")
+    val bad = Seq(
+      "<http://x/a> <http://x/p> .",           // missing object
+      """<http://x/a> <http://x/p> "no dot"""") // missing terminator
+    val mixed = spark.createDataset(scala.util.Random.shuffle(good ++ bad))
+    val parsed = NTriples.statementsPermissive(mixed)
+    val goodRows = parsed.filter(col("bad_line").isNull).drop("bad_line")
+    val badRows = parsed.filter(col("bad_line").isNotNull)
+    assert(goodRows.collect().map(_.toSeq).toSet ===
+      NTriples.statements(spark.createDataset(good)).collect().map(_.toSeq).toSet)
+    assert(badRows.select("bad_line").as[String].collect().toSet === bad.toSet)
+    intercept[org.apache.spark.SparkException] { // strict mode still fails loudly
+      NTriples.statements(mixed).collect()
+    }
+  }
+
   test("dict built from NT-parsed concepts == dict built from fixture") {
     import spark.implicits._
     val c = OntologyFixture.conceptsDf(spark)

@@ -54,6 +54,18 @@ class ShardedSpec extends AnyFunSuite {
     }
   }
 
+  test("ShardedDictionaryRecognizer == DictionaryRecognizer through the facade seam") {
+    val opts = AnnotateOptions(longestOnly = true)
+    val single = new Annotator.DictionaryRecognizer(model)
+      .recognize(corpus, opts)
+      .collect().map(_.toSeq).toSet
+    val shard = new Annotator.ShardedDictionaryRecognizer(sharded)
+      .recognize(corpus, opts)
+      .collect().map(_.toSeq).toSet
+    assert(shard === single)
+    assert(shard.nonEmpty)
+  }
+
   test("cross-shard longest_only actually bites (shard-local filter would differ)") {
     // a document where a short term and its longer overlapper land in
     // DIFFERENT shards: scan per shard WITH longestOnly, union — if that
