@@ -24,6 +24,53 @@ import graft.io.TableIO
   *   triples  — A6 agg (shuffle on url,classIri — high-cardinality keys, no
   *              hot key), expansion joins all broadcast, partitioned write
   */
+/** The pipeline's ontology-side inputs as plain tables, decoupling stage
+  * orchestration from where the ontology comes from: the deterministic
+  * fixture (tests/bench) or real RDF submissions via [[graft.io.NTriples]].
+  */
+case class OntologyTables(concepts: DataFrame, edges: DataFrame, mappings: DataFrame)
+
+object OntologyTables {
+
+  def fixture(spark: SparkSession): OntologyTables =
+    OntologyTables(OntologyFixture.conceptsDf(spark),
+      OntologyFixture.edgesDf(spark), OntologyFixture.mappingsDf(spark))
+
+  /** Load from a directory of N-Triples submissions, one subdirectory per
+    * ontology (subdir name = acronym — the reference's one-graph-per-
+    * ontology model). Edges union across submissions; mappings are the
+    * CUI-derived pairs (cross-ontology concepts sharing a CUI, both
+    * directions — the reference's CUI mapping kind). LOOM-style lexical
+    * mappings come from an offline matcher in the reference and would be
+    * supplied as a fourth input table, not derived here. */
+  def fromNTriples(spark: SparkSession, root: String): OntologyTables = {
+    import graft.io.NTriples
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val subdirs = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
+    require(subdirs.nonEmpty, s"no ontology submissions under $root")
+    val parsed = subdirs.map(p => (p.getName, NTriples.read(spark, p.toString)))
+    val concepts = parsed.map { case (acr, st) => NTriples.concepts(st, acr) }
+      .reduce(_.unionAll(_))
+    val edges = parsed.map { case (_, st) => NTriples.edges(st) }
+      .reduce(_.unionAll(_)).distinct()
+    OntologyTables(concepts, edges, cuiMappings(concepts))
+  }
+
+  /** (class_iri, mapped_iri, kind="CUI") — all cross-ontology directed pairs
+    * sharing a CUI. Ontology-side join, bounded by concept count. */
+  def cuiMappings(concepts: DataFrame): DataFrame = {
+    val c = concepts.filter(col("cui").isNotNull)
+      .select(col("class_iri"), col("ont"), col("cui"))
+    c.alias("a").join(c.alias("b"),
+        col("a.cui") === col("b.cui") && col("a.ont") =!= col("b.ont"))
+      .select(col("a.class_iri").as("class_iri"),
+        col("b.class_iri").as("mapped_iri"), lit("CUI").as("kind"))
+      .distinct()
+  }
+}
+
 object Pipeline {
 
   case class Config(
@@ -32,17 +79,21 @@ object Pipeline {
       dictVersion: String = "v1",
       runId: String = "run-0",
       opts: AnnotateOptions = AnnotateOptions(),
-      scanPartitions: Int = 32)
+      scanPartitions: Int = 32,
+      /** None = deterministic fixture ontology; Some = caller-supplied
+        * tables (e.g. [[OntologyTables.fromNTriples]] over RDF submissions). */
+      ontology: Option[OntologyTables] = None)
 
   /** Run (or resume) the full pipeline; returns the final triples DataFrame.
     * Table IO routes through [[TableIO.forSession]]: Parquet locally, the
     * Iceberg impl when the runtime has the jar + a configured catalog. */
   def run(spark: SparkSession, cfg: Config): DataFrame = {
     val io = TableIO.forSession(spark, cfg.workDir)
+    val onto = cfg.ontology.getOrElse(OntologyTables.fixture(spark))
 
     val dict = stage(spark, io, "dict", cfg,
-      inputRows = OntologyFixture.concepts.size.toLong) {
-      DictBuild.build(DictBuild.labelRows(OntologyFixture.conceptsDf(spark)))
+      inputRows = onto.concepts.count()) {
+      DictBuild.build(DictBuild.labelRows(onto.concepts))
     }
 
     lazy val nDocs = spark.read.parquet(s"${cfg.sfDir}/documents.parquet").count()
@@ -65,13 +116,13 @@ object Pipeline {
           .withColumnRenamed("class_iri", "classIri")
           .withColumnRenamed("match_type", "matchType"),
         cfg.opts,
-        Some(OntologyFixture.conceptsDf(spark)
+        Some(onto.concepts
           .select(col("class_iri"), explode(col("tuis")).as("tui"))))
     }
 
     val closure = stage(spark, io, "closure", cfg,
-      inputRows = OntologyFixture.edges.size.toLong) {
-      Closure.transitiveClosure(OntologyFixture.edgesDf(spark), cfg.opts.hierarchyMaxLevel)
+      inputRows = onto.edges.count()) {
+      Closure.transitiveClosure(onto.edges, cfg.opts.hierarchyMaxLevel)
     }
 
     lazy val nMatches = matches.count()
@@ -86,7 +137,7 @@ object Pipeline {
           .withColumn("distance", lit(null).cast("int"))
       val mapped =
         if (cfg.opts.expandMappings)
-          Expand.mappings(matches, OntologyFixture.mappingsDf(spark))
+          Expand.mappings(matches, onto.mappings)
         else spark.emptyDataFrame
           .withColumn("url", lit(null).cast("string"))
           .withColumn("mapped_iri", lit(null).cast("string"))
@@ -153,7 +204,11 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val triples = Pipeline.run(spark, Pipeline.Config(sfDir, workDir))
+    // optional 3rd arg: directory of N-Triples ontology submissions
+    // (one subdir per acronym) — real RDF in place of the fixture
+    val ontology =
+      if (args.length > 2) Some(OntologyTables.fromNTriples(spark, args(2))) else None
+    val triples = Pipeline.run(spark, Pipeline.Config(sfDir, workDir, ontology = ontology))
     println(s"triples: ${triples.count()}")
     spark.stop()
   }

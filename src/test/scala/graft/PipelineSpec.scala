@@ -144,6 +144,45 @@ class PipelineSpec extends AnyFunSuite {
     deleteRec(new java.io.File(work))
   }
 
+  test("CUI mappings derived from the concept table == fixture CUI mappings") {
+    val derived = OntologyTables.cuiMappings(
+      graft.fixture.OntologyFixture.conceptsDf(spark))
+      .collect().map(_.toSeq).toSet
+    val fixtureCui = graft.fixture.OntologyFixture.mappingsDf(spark)
+      .filter(col("kind") === "CUI").collect().map(_.toSeq).toSet
+    assert(derived === fixtureCui)
+    assert(derived.nonEmpty)
+  }
+
+  test("pipeline over RDF submissions == pipeline over in-memory tables") {
+    import spark.implicits._
+    import graft.fixture.OntologyFixture
+    import graft.io.NTriples
+    // export the fixture as per-ontology N-Triples submissions
+    val c = OntologyFixture.conceptsDf(spark)
+    val e = OntologyFixture.edgesDf(spark)
+    val ntRoot = Files.createTempDirectory("graft-nt-onto").toString
+    val onts = c.select("ont").distinct().as[String].collect().sorted
+    onts.zipWithIndex.foreach { case (o, idx) =>
+      NTriples.lines(c.filter(col("ont") === o), if (idx == 0) e else e.limit(0))
+        .coalesce(1).write.mode("overwrite").text(s"$ntRoot/$o")
+    }
+    // reference run: SAME mapping semantics (CUI-derived) so only the
+    // ontology TRANSPORT differs between the two pipelines
+    val tables = OntologyTables(c, e, OntologyTables.cuiMappings(c))
+    val wd1 = Files.createTempDirectory("graft-nt-wd1").toString
+    val fromTables = Pipeline.run(spark,
+      Pipeline.Config(sfDir, wd1, scanPartitions = 4, ontology = Some(tables)))
+      .select("subj", "pred", "obj").collect().map(_.toSeq).toSet
+    val wd2 = Files.createTempDirectory("graft-nt-wd2").toString
+    val fromRdf = Pipeline.run(spark,
+      Pipeline.Config(sfDir, wd2, scanPartitions = 4,
+        ontology = Some(OntologyTables.fromNTriples(spark, ntRoot))))
+      .select("subj", "pred", "obj").collect().map(_.toSeq).toSet
+    assert(fromRdf === fromTables)
+    assert(fromRdf.nonEmpty)
+  }
+
   test("fused zero-shuffle annotate == Catalyst-join annotate == oracle") {
     import graft.annotate.{Corpus, Expand, FusedAnnotate, Scan, ScanAgg, Scoring}
     import graft.dict.{AutomatonBuild, DictBuild}
