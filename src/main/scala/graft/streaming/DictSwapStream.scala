@@ -57,4 +57,42 @@ object DictSwapStream {
         sink(annotated, batchId)
       }
       .start()
+
+  /** The fully-deployed shape: follow [[graft.dict.DictVersioning]]'s
+    * ON-DISK blue/green manifest. Each microbatch re-reads the pointer file
+    * (one tiny driver-side read); when the active version changes, the new
+    * snapshot is loaded, compiled, and broadcast ONCE, then reused until the
+    * next flip. The offline rebuild job writes + activates snapshots; the
+    * stream needs no coordination with it beyond the atomic manifest rename.
+    * (The compile happens inside the first post-flip microbatch; to hide
+    * even that latency, prebuild the broadcast and use [[LiveDict]]/
+    * [[start]] instead — both shapes are supported.) */
+  def startFollowingManifest(stream: DataFrame, versionsDir: String,
+                             sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import graft.dict.{AutomatonBuild, DictVersioning}
+    // foreachBatch callbacks run sequentially on the query thread, so the
+    // single-slot (version -> broadcast) cache needs no synchronization
+    var cached: Option[(String, Broadcast[AnnotatorModel])] = None
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val v = DictVersioning.currentVersion(versionsDir).getOrElse(
+          sys.error(s"no active dictionary version under $versionsDir"))
+        val m = cached match {
+          case Some((cv, b)) if cv == v => b
+          case _ =>
+            val dict = spark.read.parquet(DictVersioning.versionPath(versionsDir, v))
+            val b = AutomatonBuild.broadcastModel(spark,
+              AutomatonBuild.build(spark, dict, v))
+            cached = Some((v, b))
+            b
+        }
+        val annotated = graft.annotate.NativeAnnotate
+          .annotateMatches(batch, m)
+          .withColumn("dict_version", lit(v))
+        sink(annotated, batchId)
+      }
+      .start()
+  }
 }

@@ -129,6 +129,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("manifest-following stream picks up an on-disk blue/green flip") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.dict.{DictBuild, DictVersioning}
+    import graft.fixture.OntologyFixture
+    import graft.streaming.DictSwapStream
+
+    val base = java.nio.file.Files.createTempDirectory("graft-bg").toString
+    val c = OntologyFixture.conceptsDf(spark)
+    val dictV1 = DictBuild.build(DictBuild.labelRows(c))
+    DictVersioning.writeSnapshot(dictV1, base, "v1")
+    DictVersioning.activate(base, "v1")
+
+    val input = MemoryStream[(String, String)]
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String)]()
+    val query = DictSwapStream.startFollowingManifest(
+      input.toDF().toDF("url", "text"), base,
+      (df, _) => df.select("url", "ont", "dict_version").collect()
+        .foreach(r => out.add((r.getString(0), r.getString(1), r.getString(2)))))
+    try {
+      val text = "the hash join beats a merge sort"
+      input.addData(("doc://pre", text))
+      query.processAllAvailable()
+      // offline rebuild (green side) + atomic pointer flip — no stream restart
+      val dictV2 = DictBuild.build(DictBuild.labelRows(c.filter(col("ont") === "ONT1")))
+      DictVersioning.writeSnapshot(dictV2, base, "v2")
+      DictVersioning.activate(base, "v2")
+      input.addData(("doc://post", text))
+      query.processAllAvailable()
+      val rows = out.toArray(Array.empty[(String, String, String)]).toSet
+      val pre = rows.filter(_._1 == "doc://pre")
+      val post = rows.filter(_._1 == "doc://post")
+      assert(pre.forall(_._3 == "v1") && post.forall(_._3 == "v2"))
+      assert(pre.exists(_._2 == "ONT2"))
+      assert(post.nonEmpty && post.forall(_._2 == "ONT1"))
+    } finally query.stop()
+  }
+
   test("batch/stream plan parity: hourlyCounts works unchanged on a batch DF") {
     val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val out = EventStream.hourlyCounts(batch)
