@@ -54,6 +54,15 @@ class ShardedSpec extends AnyFunSuite {
     }
   }
 
+  test("shard-count robustness: k=1 (degenerate) and k=7 (uneven) still match") {
+    val single = asSet(Scan.annotateDirect(corpus, model, longestOnly = true).toDF())
+    for (k <- Seq(1, 7)) {
+      val models = Sharded.buildModels(spark, dict, "v1", numShards = k)
+      val got = asSet(Sharded.annotateDirect(corpus, models, longestOnly = true).toDF())
+      assert(got === single, s"numShards=$k")
+    }
+  }
+
   test("ShardedDictionaryRecognizer == DictionaryRecognizer through the facade seam") {
     val opts = AnnotateOptions(longestOnly = true)
     val single = new Annotator.DictionaryRecognizer(model)
