@@ -64,15 +64,9 @@ object Annotator {
     * unchanged. Spec-pinned equal to [[DictionaryRecognizer]]. */
   final class ShardedDictionaryRecognizer(models: Seq[Broadcast[AnnotatorModel]])
       extends Recognizer {
-    override def recognize(extracted: DataFrame, opts: AnnotateOptions): DataFrame = {
-      import org.apache.spark.sql.functions.col
-      graft.annotate.Sharded
-        .annotateDirect(extracted, models, opts.longestOnly, opts.wholeWordOnly)
-        .toDF()
-        .select(col("url"), col("from"), col("to"), col("text"),
-          col("classIri").as("class_iri"), col("ont"),
-          col("matchType").as("match_type"))
-    }
+    override def recognize(extracted: DataFrame, opts: AnnotateOptions): DataFrame =
+      NativeAnnotate.annotateMatchesSharded(extracted, models,
+        opts.longestOnly, opts.wholeWordOnly)
   }
 
   /** Corpus → triple table — the scale path (native Catalyst plan); the

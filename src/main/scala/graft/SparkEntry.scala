@@ -110,11 +110,13 @@ object SparkEntry {
 
     // S4: sharded-dictionary scan (>driver-memory escape hatch) — 4 term-id
     // shards, one corpus pass, cross-shard longest_only semantics; must
-    // equal the single-automaton result, so it shares ann_direct's oracle
+    // equal the single-automaton result, so it shares ann_direct's oracle.
+    // Runs the NATIVE sharded Generator (the scale path); the typed form
+    // stays parity-tested in ShardedSpec
     "ann_sharded" -> ((s, dir) =>
-      graft.annotate.Sharded.annotateDirect(corpus(s, dir), shardedModels(s)).toDF()
-        .select(col("url"), col("classIri").as("class_iri"), col("ont"),
-          col("matchType").as("match_type")).distinct()),
+      graft.annotate.NativeAnnotate
+        .annotateMatchesSharded(corpus(s, dir), shardedModels(s))
+        .select("url", "class_iri", "ont", "match_type").distinct()),
 
     // A2 all-occurrence counts per (doc, concept)
     "ann_counts" -> ((s, dir) =>

@@ -84,6 +84,19 @@ object NativeAnnotate {
       longestOnly, wholeWord)
     extracted.select(col("url"), GraftShim.column(gen))
   }
+
+  /** Sharded-dictionary match stream on the native plan (S4 scale path —
+    * see [[AnnotateMatchesShardedGen]]); spec-pinned equal to the typed
+    * [[Sharded.annotateDirect]] and to the single-automaton scan. */
+  def annotateMatchesSharded(extracted: DataFrame,
+                             models: Seq[Broadcast[AnnotatorModel]],
+                             longestOnly: Boolean = false,
+                             wholeWord: Boolean = true): DataFrame = {
+    require(models.nonEmpty, "at least one shard model required")
+    val gen = AnnotateMatchesShardedGen(GraftShim.expression(col("text")),
+      models, longestOnly, wholeWord)
+    extracted.select(col("url"), GraftShim.column(gen))
+  }
 }
 
 /** Offset-bearing sibling of [[AnnotateTriplesGen]]: emits one row per
@@ -148,36 +161,110 @@ final class CompiledMatcher(m: AnnotatorModel) extends Serializable {
               longestOnly: Boolean, wholeWord: Boolean = true): Iterator[InternalRow] = {
     // total UTF-8 scan; the pure-ASCII flag decides how matched text is
     // sliced (char offsets == byte offsets == code points only when ASCII)
-    val ascii = auto.scanUtf8Into(text.getBaseObject, text.getBaseOffset,
-      text.numBytes, buf, longestOnly, wholeWord)
+    val ascii = scanRaw(text, buf, longestOnly, wholeWord)
     if (buf.size == 0) return Iterator.empty
     val decoded: String = if (ascii) null else text.toString
     val out = new mutable.ArrayBuffer[InternalRow](buf.size)
     var i = 0
     while (i < buf.size) {
-      val from = buf.from(i)
-      val to = buf.to(i)
-      // offsets are 1-based inclusive CHAR positions; on the ASCII path
-      // chars == bytes so the UTF8String substring is exact either way
-      val matched =
-        if (ascii) text.substring(from - 1, to)
-        else UTF8String.fromString(decoded.substring(from - 1, to))
-      val tid = buf.termId(i)
-      val iris = iriOf(tid)
-      if (iris != null) {
-        val onts = ontOf(tid)
-        val mts = mtOf(tid)
-        var j = 0
-        while (j < iris.length) {
-          out += new GenericInternalRow(
-            Array[Any](from, to, matched, iris(j), onts(j), mts(j)))
-          j += 1
-        }
-      }
+      emitHit(out, text, ascii, decoded, buf.from(i), buf.to(i), buf.termId(i))
       i += 1
     }
     out.iterator
   }
+
+  /** Raw automaton pass (no payload fan-out) — the sharded generator scans
+    * each shard with this, merges buffers, then emits via [[emitHit]]. */
+  private[annotate] def scanRaw(text: UTF8String, buf: graft.dict.HitBuffer,
+                                longestOnly: Boolean, wholeWord: Boolean): Boolean =
+    auto.scanUtf8Into(text.getBaseObject, text.getBaseOffset,
+      text.numBytes, buf, longestOnly, wholeWord)
+
+  /** Fan one hit out to its payload rows. Offsets are 1-based inclusive CHAR
+    * positions; on the ASCII path chars == bytes so the UTF8String substring
+    * is exact either way. */
+  private[annotate] def emitHit(out: mutable.ArrayBuffer[InternalRow],
+                                text: UTF8String, ascii: Boolean, decoded: String,
+                                from: Int, to: Int, tid: Int): Unit = {
+    val iris = iriOf(tid)
+    if (iris == null) return
+    val matched =
+      if (ascii) text.substring(from - 1, to)
+      else UTF8String.fromString(decoded.substring(from - 1, to))
+    val onts = ontOf(tid)
+    val mts = mtOf(tid)
+    var j = 0
+    while (j < iris.length) {
+      out += new GenericInternalRow(
+        Array[Any](from, to, matched, iris(j), onts(j), mts(j)))
+      j += 1
+    }
+  }
+}
+
+/** S4 on the native tier: the sharded-dictionary scan (>driver-memory
+  * regime, [[graft.annotate.Sharded]]) as a Catalyst Generator — k term-id
+  * shard automatons scan the SAME in-place `UTF8String` bytes in one pass,
+  * hits merge into a combined buffer, `longest_only` applies to the
+  * cross-shard union, and each hit's payload resolves through its owning
+  * shard (`termId % k` — the sharding key makes origin recoverable). Same
+  * zero-island `Generate` plan as the single-dictionary scan. */
+case class AnnotateMatchesShardedGen(
+    child: Expression,
+    models: Seq[Broadcast[AnnotatorModel]],
+    longestOnly: Boolean,
+    wholeWord: Boolean = true)
+  extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("from", IntegerType, nullable = false),
+    StructField("to", IntegerType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("class_iri", StringType, nullable = false),
+    StructField("ont", StringType, nullable = false),
+    StructField("match_type", StringType, nullable = false)))
+  override def prettyName: String = "annotate_matches_sharded"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"annotate_matches_sharded requires STRING input, got ${other.catalogString}")
+  }
+
+  @transient private lazy val compiled = models.map(CompiledMatcher.cached).toArray
+  @transient private lazy val shardBuf = new graft.dict.HitBuffer()
+  @transient private lazy val comb = new graft.dict.HitBuffer()
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = child.eval(input)
+    if (t == null) return Iterator.empty
+    val text = t.asInstanceOf[UTF8String]
+    val k = compiled.length
+    comb.clear()
+    var ascii = true
+    var s = 0
+    while (s < k) {
+      // longestOnly deliberately false per shard — the policy is cross-shard
+      ascii = compiled(s).scanRaw(text, shardBuf, longestOnly = false, wholeWord)
+      comb.appendFrom(shardBuf)
+      s += 1
+    }
+    if (longestOnly) comb.longestPerStartInPlace()
+    if (comb.size == 0) return Iterator.empty
+    val decoded: String = if (ascii) null else text.toString
+    val out = new mutable.ArrayBuffer[InternalRow](comb.size)
+    var i = 0
+    while (i < comb.size) {
+      val tid = comb.termId(i)
+      compiled(tid % k).emitHit(out, text, ascii, decoded,
+        comb.from(i), comb.to(i), tid)
+      i += 1
+    }
+    out.iterator
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** JVM-wide identity registry for broadcast VALUES. Cache keys must not be

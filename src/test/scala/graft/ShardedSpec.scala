@@ -54,6 +54,27 @@ class ShardedSpec extends AnyFunSuite {
     }
   }
 
+  test("NATIVE sharded Generator == typed sharded scan (all 4 option combos)") {
+    for (longest <- Seq(false, true); whole <- Seq(true, false)) {
+      val typed = asSet(Sharded.annotateDirect(corpus, sharded, longest, whole).toDF())
+      val native = graft.annotate.NativeAnnotate
+        .annotateMatchesSharded(corpus, sharded, longest, whole)
+        .select("url", "from", "to", "class_iri", "ont", "match_type")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+          r.getString(3), r.getString(4), r.getString(5))).toSet
+      assert(native === typed, s"longestOnly=$longest wholeWord=$whole")
+      assert(native.nonEmpty)
+    }
+  }
+
+  test("native sharded plan has no object-mode island") {
+    val df = graft.annotate.NativeAnnotate.annotateMatchesSharded(corpus, sharded)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), plan)
+    assert(!plan.contains("DeserializeToObject"), "object-mode island in native sharded plan")
+    assert(!plan.contains("MapPartitions"), "object-mode island in native sharded plan")
+  }
+
   test("shard-count robustness: k=1 (degenerate) and k=7 (uneven) still match") {
     val single = asSet(Scan.annotateDirect(corpus, model, longestOnly = true).toDF())
     for (k <- Seq(1, 7)) {
