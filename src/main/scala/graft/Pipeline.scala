@@ -82,7 +82,12 @@ object Pipeline {
       scanPartitions: Int = 32,
       /** None = deterministic fixture ontology; Some = caller-supplied
         * tables (e.g. [[OntologyTables.fromNTriples]] over RDF submissions). */
-      ontology: Option[OntologyTables] = None)
+      ontology: Option[OntologyTables] = None,
+      /** 1 = single broadcast automaton; >1 = the S4 sharded regime for
+        * dictionaries beyond driver memory — shards built + broadcast one
+        * at a time, scanned by the native sharded Generator. Output is
+        * spec-identical across values. */
+      dictShards: Int = 1)
 
   /** Run (or resume) the full pipeline; returns the final triples DataFrame.
     * Table IO routes through [[TableIO.forSession]]: Parquet locally, the
@@ -105,14 +110,25 @@ object Pipeline {
 
     lazy val nCorpus = corpus.count()
     val matches = stage(spark, io, "matches", cfg, inputRows = nCorpus) {
-      val model = AutomatonBuild.build(spark, dict, cfg.dictVersion)
-      val bcast = AutomatonBuild.broadcastModel(spark, model)
       // native Generator scan (in-place UTF8String bytes, no object-mode
       // island); columns renamed to the persisted Match schema. The typed
       // mapPartitions form (Scan.annotateDirect) stays parity-tested.
+      // dictShards > 1 = the S4 >driver-memory regime: the full automaton is
+      // never built or broadcast whole — k shard models, one at a time.
+      val scanned =
+        if (cfg.dictShards <= 1) {
+          val bcast = AutomatonBuild.broadcastModel(spark,
+            AutomatonBuild.build(spark, dict, cfg.dictVersion))
+          graft.annotate.NativeAnnotate.annotateMatches(
+            corpus, bcast, cfg.opts.longestOnly, cfg.opts.wholeWordOnly)
+        } else {
+          val shards = graft.annotate.Sharded.buildModels(
+            spark, dict, cfg.dictVersion, cfg.dictShards)
+          graft.annotate.NativeAnnotate.annotateMatchesSharded(
+            corpus, shards, cfg.opts.longestOnly, cfg.opts.wholeWordOnly)
+        }
       Filters(
-        graft.annotate.NativeAnnotate
-          .annotateMatches(corpus, bcast, cfg.opts.longestOnly, cfg.opts.wholeWordOnly)
+        scanned
           .withColumnRenamed("class_iri", "classIri")
           .withColumnRenamed("match_type", "matchType"),
         cfg.opts,

@@ -144,6 +144,18 @@ class PipelineSpec extends AnyFunSuite {
     deleteRec(new java.io.File(work))
   }
 
+  test("flagship with dictShards=4 (S4 regime) emits identical triples") {
+    val wd1 = Files.createTempDirectory("graft-sh-wd1").toString
+    val single = Pipeline.run(spark, Pipeline.Config(sfDir, wd1, scanPartitions = 4))
+      .select("subj", "pred", "obj").collect().map(_.toSeq).toSet
+    val wd2 = Files.createTempDirectory("graft-sh-wd2").toString
+    val sharded = Pipeline.run(spark,
+      Pipeline.Config(sfDir, wd2, scanPartitions = 4, dictShards = 4))
+      .select("subj", "pred", "obj").collect().map(_.toSeq).toSet
+    assert(sharded === single)
+    assert(sharded.nonEmpty)
+  }
+
   test("CUI mappings derived from the concept table == fixture CUI mappings") {
     val derived = OntologyTables.cuiMappings(
       graft.fixture.OntologyFixture.conceptsDf(spark))
