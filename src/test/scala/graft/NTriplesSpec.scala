@@ -43,6 +43,20 @@ class NTriplesSpec extends AnyFunSuite {
     assert(NTriples.parseLine(line).get.obj === nasty)
   }
 
+  test("literal round-trip fuzz: 500 seeded random strings survive escape->parse") {
+    val rnd = new scala.util.Random(42) // seeded — deterministic corpus
+    val alphabet =
+      "abcXYZ 09\"\\\n\r\t<>#.@^éπ漢" + new String(Character.toChars(0x1F600))
+    (1 to 500).foreach { i =>
+      val s = (0 until rnd.nextInt(40))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val line = s"""<http://x/s$i> <http://x/p> "${NTriples.escapeLiteral(s)}" ."""
+      val parsed = NTriples.parseLine(line)
+      assert(parsed.isDefined && parsed.get.obj === s,
+        s"case $i failed for ${s.map(_.toInt.toHexString).mkString(" ")}")
+    }
+  }
+
   private def canonConcepts(df: org.apache.spark.sql.DataFrame) =
     df.select(col("class_iri"), col("ont"), col("pref_label"),
         sort_array(col("synonyms")).as("synonyms"),
