@@ -505,6 +505,23 @@ object SparkEntry {
         .select("subj", "pred", "obj")
     }),
 
+    // ---- graph analytics over the materialized KG ------------------------
+    // concept co-occurrence edges (src < dst, doc count) from the direct
+    // annotation stream — one groupBy(url) + map-side pair explosion
+    "kg_cooccur" -> ((s, dir) =>
+      graft.graph.KgGraph.cooccurrence(
+        matches(s, dir).select("url", "class_iri"))),
+
+    "kg_degree" -> ((s, dir) =>
+      graft.graph.KgGraph.degrees(graft.graph.KgGraph.cooccurrence(
+        matches(s, dir).select("url", "class_iri")))),
+
+    // iterative min-label propagation to fixpoint — component label =
+    // MIN(class_iri) in the component, matching the recursive-CTE oracle
+    "kg_components" -> ((s, dir) =>
+      graft.graph.KgGraph.connectedComponents(graft.graph.KgGraph.cooccurrence(
+        matches(s, dir).select("url", "class_iri")))),
+
     "text_quality" -> ((s, dir) => TextOps.qualityScore(docsTable(s, dir))),
 
     "text_langid" -> ((s, dir) => TextOps.langId(docsTable(s, dir))),
@@ -1275,6 +1292,50 @@ object SparkEntry {
           UNION
           SELECT dr.url AS subj, 'hasMappedAnnotation' AS pred, m.mapped_iri AS obj
           FROM direct dr JOIN maps m ON dr.class_iri = m.class_iri""",
+
+    // co-occurrence graph over the direct annotations (pairs-per-doc, a<b).
+    // The Spark side's maxPerDoc skew cap (1000) is not modeled here: no
+    // fixture doc approaches it, so the oracle proves the UNCAPPED
+    // semantics; the cap behavior is unit-tested in KgGraphSpec.
+    "kg_cooccur" ->
+      s"""WITH $dictCte, $directCte,
+          pairs AS (SELECT DISTINCT url, class_iri FROM direct)
+          SELECT a.class_iri AS src, b.class_iri AS dst,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM pairs a JOIN pairs b
+            ON a.url = b.url AND a.class_iri < b.class_iri
+          GROUP BY 1, 2""",
+
+    "kg_degree" ->
+      s"""WITH $dictCte, $directCte,
+          pairs AS (SELECT DISTINCT url, class_iri FROM direct),
+          cooc AS (SELECT a.class_iri AS src, b.class_iri AS dst,
+                          COUNT(*) AS n_docs
+                   FROM pairs a JOIN pairs b
+                     ON a.url = b.url AND a.class_iri < b.class_iri
+                   GROUP BY 1, 2),
+          und AS (SELECT src AS class_iri, n_docs FROM cooc
+                  UNION ALL SELECT dst, n_docs FROM cooc)
+          SELECT class_iri, CAST(COUNT(*) AS BIGINT) AS degree,
+                 CAST(SUM(n_docs) AS BIGINT) AS weight
+          FROM und GROUP BY 1""",
+
+    // component label = MIN(class_iri) reachable — the declarative twin of
+    // the engine's iterative min-label propagation (undirected closure via
+    // recursive CTE, then per-node min over self + reachable)
+    "kg_components" ->
+      s"""WITH RECURSIVE $dictCte, $directCte,
+          pairs AS (SELECT DISTINCT url, class_iri FROM direct),
+          cooc AS (SELECT DISTINCT a.class_iri AS src, b.class_iri AS dst
+                   FROM pairs a JOIN pairs b
+                     ON a.url = b.url AND a.class_iri < b.class_iri),
+          und AS (SELECT src AS a, dst AS b FROM cooc
+                  UNION SELECT dst, src FROM cooc),
+          reach(a, b) AS (SELECT a, b FROM und
+                          UNION
+                          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+          SELECT a AS class_iri, LEAST(a, MIN(b)) AS component
+          FROM reach GROUP BY a""",
 
     "text_quality" ->
       """SELECT doc_id, ROUND(

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.graph.KgGraph
+
+/** Graph analytics over the materialized KG: co-occurrence pair semantics,
+  * the maxPerDoc skew cap, and connected components vs a scalar union-find
+  * oracle on seeded random graphs. */
+class KgGraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("cooccurrence: pairs, ordering, doc counts") {
+    import spark.implicits._
+    val ann = Seq(
+      ("d1", "B"), ("d1", "A"), ("d1", "C"),
+      ("d2", "A"), ("d2", "B"),
+      ("d3", "A"), ("d3", "B"), ("d3", "A") // duplicate annotation collapses
+    ).toDF("url", "class_iri")
+    val got = KgGraph.cooccurrence(ann).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("A", "B", 3L), ("A", "C", 1L), ("B", "C", 1L)))
+  }
+
+  test("maxPerDoc cap drops pathological docs (documented recall trade)") {
+    import spark.implicits._
+    val ann = Seq(
+      ("big", "A"), ("big", "B"), ("big", "C"), // 3 concepts > cap of 2
+      ("ok", "A"), ("ok", "B"))
+      .toDF("url", "class_iri")
+    val got = KgGraph.cooccurrence(ann, maxPerDoc = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("A", "B", 1L))) // only the small doc contributes
+  }
+
+  test("degrees: both directions, weighted") {
+    import spark.implicits._
+    val cooc = Seq(("A", "B", 3L), ("A", "C", 1L)).toDF("src", "dst", "n_docs")
+    val got = KgGraph.degrees(cooc).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(("A", 2L, 4L), ("B", 1L, 3L), ("C", 1L, 1L)))
+  }
+
+  /** scalar union-find — the oracle for connectedComponents */
+  private def unionFind(nodes: Set[String], edges: Seq[(String, String)]): Map[String, String] = {
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n).toSeq: _*)
+    def find(x: String): String = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.Ordering.String.max(ra, rb)) = math.Ordering.String.min(ra, rb)
+    }
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  test("connected components == union-find on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 3) {
+      val n = 60 + trial * 30
+      val nodes = (0 until n).map(i => f"N$i%03d")
+      // sparse random edges → several components with varied shapes
+      val edges = (0 until n).flatMap { _ =>
+        val a = nodes(rnd.nextInt(n)); val b = nodes(rnd.nextInt(n))
+        if (a < b) Some((a, b)) else if (b < a) Some((b, a)) else None
+      }.distinct
+      val df = edges.toDF("src", "dst")
+      val got = KgGraph.connectedComponents(df, maxIter = 50).collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      // union-find over the SAME node universe the operator sees (nodes
+      // touching at least one edge)
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val expect = unionFind(touched, edges)
+      assert(got === expect, s"trial $trial")
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("long-path graph still converges (diameter-bound rounds)") {
+    import spark.implicits._
+    val chain = (0 until 15).map(i => (f"C$i%02d", f"C${i + 1}%02d")).toDF("src", "dst")
+    val got = KgGraph.connectedComponents(chain, maxIter = 20).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === (0 to 15).map(i => (f"C$i%02d", "C00")).toSet)
+  }
+}
