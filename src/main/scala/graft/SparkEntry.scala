@@ -522,6 +522,12 @@ object SparkEntry {
       graft.graph.KgGraph.connectedComponents(graft.graph.KgGraph.cooccurrence(
         matches(s, dir).select("url", "class_iri")))),
 
+    // fixed-iteration PageRank (10 rounds, d=0.85) — the oracle unrolls the
+    // same 10 iterations as CTEs, so scores match to the 6dp contract
+    "kg_pagerank" -> ((s, dir) =>
+      graft.graph.KgGraph.pageRank(graft.graph.KgGraph.cooccurrence(
+        matches(s, dir).select("url", "class_iri")))),
+
     "text_quality" -> ((s, dir) => TextOps.qualityScore(docsTable(s, dir))),
 
     "text_langid" -> ((s, dir) => TextOps.langId(docsTable(s, dir))),
@@ -566,6 +572,36 @@ object SparkEntry {
           CASE WHEN d.pref THEN 'PREF' ELSE 'SYN' END AS match_type
           FROM documents, dict d
           WHERE regexp_matches(upper(text), '\b' || d.term || '\b'))"""
+  /** Unrolled fixed-iteration PageRank oracle: pr_i from pr_{i-1} as plain
+    * CTEs (recursive CTEs cannot aggregate per step, but a FIXED iteration
+    * count needs no recursion). All arithmetic forced to DOUBLE — DuckDB's
+    * bare `1.0` literal is DECIMAL, which would diverge from Spark's double
+    * semantics. 6dp rounding absorbs cross-engine float-sum ordering. */
+  private def pageRankOracleSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""pr$i AS (SELECT u.b AS node,
+            (CAST(0.15 AS DOUBLE) / (SELECT n FROM nn))
+              + CAST(0.85 AS DOUBLE) * SUM(p.pr / dg.d) AS pr
+          FROM und u JOIN pr${i - 1} p ON p.node = u.a
+          JOIN deg dg ON dg.a = u.a
+          GROUP BY u.b)"""
+    }.mkString(",\n")
+    s"""WITH $dictCte, $directCte,
+        pairs AS (SELECT DISTINCT url, class_iri FROM direct),
+        cooc AS (SELECT DISTINCT a.class_iri AS src, b.class_iri AS dst
+                 FROM pairs a JOIN pairs b
+                   ON a.url = b.url AND a.class_iri < b.class_iri),
+        und AS (SELECT src AS a, dst AS b FROM cooc
+                UNION SELECT dst, src FROM cooc),
+        deg AS (SELECT a, CAST(COUNT(*) AS DOUBLE) AS d FROM und GROUP BY a),
+        nodes AS (SELECT DISTINCT a AS node FROM und),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr
+                FROM nodes),
+        $iterCtes
+        SELECT node AS class_iri, ROUND(pr, 6) AS pagerank FROM pr$iters"""
+  }
+
   private val cntsCte =
     raw"""cnts AS (SELECT 'doc://' || doc_id AS url, d.class_iri, d.pref,
           len(regexp_extract_all(upper(text), '\b' || d.term || '\b')) AS cnt
@@ -1336,6 +1372,8 @@ object SparkEntry {
                           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
           SELECT a AS class_iri, LEAST(a, MIN(b)) AS component
           FROM reach GROUP BY a""",
+
+    "kg_pagerank" -> pageRankOracleSql(iters = 10),
 
     "text_quality" ->
       """SELECT doc_id, ROUND(

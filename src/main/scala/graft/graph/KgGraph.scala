@@ -51,6 +51,34 @@ object KgGraph {
       .groupBy("class_iri")
       .agg(count(lit(1)).as("degree"), sum(col("n_docs")).as("weight"))
 
+  /** Fixed-iteration PageRank over the UNDIRECTED co-occurrence graph
+    * (edges traversed both ways, so there are no dangling nodes — every
+    * node has out-edges and the damping mass needs no sink correction).
+    * Deterministic: a fixed iteration count (not a float-tolerance
+    * fixpoint) makes the computation exactly expressible as unrolled SQL
+    * CTEs, which is how the DuckDB oracle recomputes it. Per iteration:
+    * one join + one aggregation, `localCheckpoint` truncates lineage.
+    * Scores rounded to 6dp on output (cross-engine float-sum contract). */
+  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.groupBy("a").agg(count(lit(1)).as("d"))
+    val withDeg = und.join(deg, "a").localCheckpoint() // (a, b, d) reused per iter
+    val nodes = und.select(col("a").as("node")).distinct().localCheckpoint()
+    val n = nodes.count() // driver action once — graph-side, bounded by |V|
+    var pr = nodes.withColumn("pr", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      pr = withDeg.join(pr, withDeg("a") === pr("node"))
+        .select(col("b").as("node"), (col("pr") / col("d")).as("contrib"))
+        .groupBy("node")
+        .agg((lit((1.0 - damping) / n) + lit(damping) * sum(col("contrib"))).as("pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("node").as("class_iri"), round(col("pr"), 6).as("pagerank"))
+  }
+
   /** Connected components by iterative min-label propagation: every node's
     * component label converges to the MINIMUM class_iri in its component
     * (deterministic, and exactly what the recursive-CTE oracle computes).

@@ -80,6 +80,36 @@ class KgGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("pageRank == scalar reference on a seeded random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val names = (0 until n).map(i => f"P$i%02d")
+    val edges = (0 until 3 * n).flatMap { _ =>
+      val a = names(rnd.nextInt(n)); val b = names(rnd.nextInt(n))
+      if (a < b) Some((a, b)) else None
+    }.distinct
+    val got = KgGraph.pageRank(edges.toDF("src", "dst"), iters = 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    // scalar reference: same undirected expansion, same fixed iterations
+    val und = (edges ++ edges.map(e => (e._2, e._1))).distinct
+    val outd = und.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val nodes = und.map(_._1).distinct.sorted
+    val nv = nodes.size
+    var pr = nodes.map(_ -> 1.0 / nv).toMap
+    (1 to 10).foreach { _ =>
+      val contrib = und.groupBy(_._2).view.mapValues(
+        _.map { case (a, _) => pr(a) / outd(a) }.sum).toMap
+      pr = nodes.map(nd => nd -> (0.15 / nv + 0.85 * contrib(nd))).toMap
+    }
+    assert(got.keySet === pr.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - pr(k)) < 1e-6, s"$k: $v vs ${pr(k)}")
+    }
+    // mass conservation (undirected graph, no dangling leak)
+    assert(math.abs(got.values.sum - 1.0) < 1e-3)
+  }
+
   test("long-path graph still converges (diameter-bound rounds)") {
     import spark.implicits._
     val chain = (0 until 15).map(i => (f"C$i%02d", f"C${i + 1}%02d")).toDF("src", "dst")
