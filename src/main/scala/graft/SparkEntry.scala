@@ -528,6 +528,11 @@ object SparkEntry {
       graft.graph.KgGraph.pageRank(graft.graph.KgGraph.cooccurrence(
         matches(s, dir).select("url", "class_iri")))),
 
+    // per-node triangle counts (canonical a<b<c wedge join)
+    "kg_triangles" -> ((s, dir) =>
+      graft.graph.KgGraph.triangles(graft.graph.KgGraph.cooccurrence(
+        matches(s, dir).select("url", "class_iri")))),
+
     "text_quality" -> ((s, dir) => TextOps.qualityScore(docsTable(s, dir))),
 
     "text_langid" -> ((s, dir) => TextOps.langId(docsTable(s, dir))),
@@ -1374,6 +1379,23 @@ object SparkEntry {
           FROM reach GROUP BY a""",
 
     "kg_pagerank" -> pageRankOracleSql(iters = 10),
+
+    // triangles by the same canonical wedge join, per corner
+    "kg_triangles" ->
+      s"""WITH $dictCte, $directCte,
+          pairs AS (SELECT DISTINCT url, class_iri FROM direct),
+          cooc AS (SELECT DISTINCT a.class_iri AS src, b.class_iri AS dst
+                   FROM pairs a JOIN pairs b
+                     ON a.url = b.url AND a.class_iri < b.class_iri),
+          tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                  FROM cooc e1
+                  JOIN cooc e2 ON e1.src = e2.src AND e1.dst < e2.dst
+                  JOIN cooc e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+          corners AS (SELECT a AS class_iri FROM tri
+                      UNION ALL SELECT b FROM tri
+                      UNION ALL SELECT c FROM tri)
+          SELECT class_iri, CAST(COUNT(*) AS BIGINT) AS n_triangles
+          FROM corners GROUP BY 1""",
 
     "text_quality" ->
       """SELECT doc_id, ROUND(

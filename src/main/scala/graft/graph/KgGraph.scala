@@ -51,6 +51,24 @@ object KgGraph {
       .groupBy("class_iri")
       .agg(count(lit(1)).as("degree"), sum(col("n_docs")).as("weight"))
 
+  /** Per-node triangle counts over the (src < dst) co-occurrence edge set —
+    * the local clustering signal (concepts whose neighbors also co-occur).
+    * Canonical-order edge join: for each wedge a<b, a<c (b<c) test edge
+    * (b, c) with one join — every triangle a<b<c is found exactly once,
+    * then credited to all three corners. Two shuffles (wedge join + final
+    * count); wedge blow-up is Σ C(deg, 2), the standard bound — the
+    * `maxPerDoc` cap upstream already tames degree skew from hot concepts. */
+  def triangles(cooccur: DataFrame): DataFrame = {
+    val e = cooccur.select(col("src"), col("dst")).localCheckpoint()
+    val wedges = e.alias("e1").join(e.alias("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    val tris = wedges.join(e,
+      wedges("b") === e("src") && wedges("c") === e("dst"))
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("class_iri"))
+      .groupBy("class_iri").agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Fixed-iteration PageRank over the UNDIRECTED co-occurrence graph
     * (edges traversed both ways, so there are no dangling nodes — every
     * node has out-edges and the damping mass needs no sink correction).

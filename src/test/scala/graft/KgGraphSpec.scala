@@ -80,6 +80,31 @@ class KgGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("triangles: counts per corner, brute-force oracle on a random graph") {
+    import spark.implicits._
+    // known case: square with one diagonal → two triangles sharing an edge
+    val sq = Seq(("A", "B"), ("A", "C"), ("B", "C"), ("B", "D"), ("C", "D"))
+    val got = KgGraph.triangles(sq.toDF("src", "dst")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === Set(("A", 1L), ("B", 2L), ("C", 2L), ("D", 1L)))
+    // random graph vs brute force
+    val rnd = new scala.util.Random(99)
+    val names = (0 until 25).map(i => f"T$i%02d")
+    val edges = (0 until 80).flatMap { _ =>
+      val a = names(rnd.nextInt(25)); val b = names(rnd.nextInt(25))
+      if (a < b) Some((a, b)) else None
+    }.distinct
+    val es = edges.toSet
+    val brute = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for {
+      a <- names; b <- names if a < b && es((a, b))
+      c <- names if b < c && es((b, c)) && es((a, c))
+    } { brute(a) += 1; brute(b) += 1; brute(c) += 1 }
+    val got2 = KgGraph.triangles(edges.toDF("src", "dst")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got2 === brute.toMap)
+  }
+
   test("pageRank == scalar reference on a seeded random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
