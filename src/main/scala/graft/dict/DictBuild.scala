@@ -132,7 +132,11 @@ object AutomatonBuild {
       .treeReduce((a, b) => a.merge(b))
     val automaton = Automaton.fromTrie(trie)
 
-    val maxId = dict.agg(max("term_id")).head().getInt(0)
+    val maxIdRow = dict.agg(max("term_id")).head()
+    require(!maxIdRow.isNullAt(0),
+      "empty dictionary: no terms to build an automaton from (a sharded " +
+        "build with numShards > distinct term count produces empty shards)")
+    val maxId = maxIdRow.getInt(0)
     val payload = new Array[Array[DictPayload]](maxId + 1)
     dict.select(col("term_id"), col("entries")).collect().foreach { r =>
       val entries = r.getSeq[Row](1)

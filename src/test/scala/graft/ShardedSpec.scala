@@ -75,6 +75,13 @@ class ShardedSpec extends AnyFunSuite {
     assert(!plan.contains("MapPartitions"), "object-mode island in native sharded plan")
   }
 
+  test("empty shard (numShards > term count) fails loudly, not with an NPE") {
+    val e = intercept[IllegalArgumentException] {
+      Sharded.buildModels(spark, dict, "v1", numShards = 10000)
+    }
+    assert(e.getMessage.contains("empty dictionary"))
+  }
+
   test("shard-count robustness: k=1 (degenerate) and k=7 (uneven) still match") {
     val single = asSet(Scan.annotateDirect(corpus, model, longestOnly = true).toDF())
     for (k <- Seq(1, 7)) {
