@@ -233,14 +233,12 @@ object Bench {
       // throughput PER LEVEL then estimates each level's steady state
       // (one-sided noise: steal only slows), and their ratio is the honest
       // efficiency (a best-ROUND ratio would be max-biased and can exceed 1)
-      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
-      // adaptive extension: hypervisor-steal noise is ONE-SIDED (it only
-      // slows a window), so additional interleaved rounds can only sharpen
-      // the per-level steady-state (max) estimates — never inflate them past
-      // truth. A suspiciously low ratio after the base rounds therefore
-      // means some level's windows were all stolen; sample more instead of
-      // reporting the artifact. Bounded by SCALE_MAX_EXTRA (default 3).
-      val maxExtra = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_EXTRA", "3").toInt
+      // FIXED round count, decided before any measurement: an earlier
+      // adaptive design (extend while the ratio looked low) had an
+      // optional-stopping bias — conditioning the sample size on the
+      // statistic inflates the expected reported median. Five pre-committed
+      // rounds, always.
+      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "5").toInt
       val pairs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
       def round(): Unit = {
         val dN = nScaleDocs / pinnedScalingSec(nCores, corpusPath, 4 * nCores)
@@ -262,8 +260,6 @@ object Bench {
         else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
       }
       def ratio() = median(pairs.toSeq.map { case (a, b) => b / (4.0 * a) })
-      var extraLeft = maxExtra
-      while (ratio() < 0.82 && extraLeft > 0) { round(); extraLeft -= 1 }
       val bestN = pairs.map(_._1).max
       val best4N = pairs.map(_._2).max
       // efficiency is ≤ 1 by definition; measured ratios can exceed it when

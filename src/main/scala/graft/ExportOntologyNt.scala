@@ -18,14 +18,8 @@ object ExportOntologyNt {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-    val c = OntologyFixture.conceptsDf(spark)
-    val e = OntologyFixture.edgesDf(spark)
-    val onts = c.select("ont").distinct().as[String].collect().sorted
-    onts.zipWithIndex.foreach { case (o, idx) =>
-      NTriples.lines(c.filter(col("ont") === o), if (idx == 0) e else e.limit(0))
-        .coalesce(1).write.mode("overwrite").text(s"$outDir/$o")
-    }
+    val onts = NTriples.writeSubmissions(OntologyFixture.conceptsDf(spark),
+      OntologyFixture.edgesDf(spark), outDir)
     println(s"exported ${onts.length} submissions to $outDir")
     spark.stop()
   }

@@ -95,7 +95,16 @@ object Pipeline {
   def run(spark: SparkSession, cfg: Config): DataFrame = {
     val io = TableIO.forSession(spark, cfg.workDir)
     val onto = cfg.ontology.getOrElse(OntologyTables.fixture(spark))
+    // the concept table is read by four consumers (dict build, its input
+    // count, the TUI filter table, CUI-mapping derivation) — cache it for
+    // the run so the RDF path parses each submission ONCE, not 4-5 times
+    onto.concepts.cache()
+    try runStages(spark, io, cfg, onto)
+    finally onto.concepts.unpersist()
+  }
 
+  private def runStages(spark: SparkSession, io: TableIO, cfg: Config,
+                        onto: OntologyTables): DataFrame = {
     val dict = stage(spark, io, "dict", cfg,
       inputRows = onto.concepts.count()) {
       DictBuild.build(DictBuild.labelRows(onto.concepts))

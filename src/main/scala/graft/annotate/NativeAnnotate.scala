@@ -246,7 +246,7 @@ case class AnnotateMatchesShardedGen(
     while (s < k) {
       // longestOnly deliberately false per shard — the policy is cross-shard
       ascii = compiled(s).scanRaw(text, shardBuf, longestOnly = false, wholeWord)
-      comb.appendFrom(shardBuf)
+      comb.appendFromMapped(shardBuf, k, s) // local ids → global
       s += 1
     }
     if (longestOnly) comb.longestPerStartInPlace()
@@ -256,8 +256,9 @@ case class AnnotateMatchesShardedGen(
     var i = 0
     while (i < comb.size) {
       val tid = comb.termId(i)
+      // owner shard = tid % k; its payload is indexed by LOCAL id = tid / k
       compiled(tid % k).emitHit(out, text, ascii, decoded,
-        comb.from(i), comb.to(i), tid)
+        comb.from(i), comb.to(i), tid / k)
       i += 1
     }
     out.iterator

@@ -36,12 +36,19 @@ import graft.dict.{AnnotatorModel, AutomatonBuild, HitBuffer}
   */
 object Sharded {
 
-  /** Split a built dictionary (D5/D6 output) into k term-id shards. Global
-    * term ids are preserved — shard automatons emit globally-unique ids. */
+  /** Split a built dictionary (D5/D6 output) into k term-id shards, with
+    * ids REMAPPED to shard-local (`local = global / k`; shard s holds the
+    * globals ≡ s mod k, so locals are dense and `global = local·k + s` is
+    * recoverable). The remap is the point of the whole feature: each
+    * shard's payload array is sized by its own max LOCAL id — O(N/k) —
+    * where keeping global ids would size every shard's array by the GLOBAL
+    * max (O(N) of mostly-null slots per shard, un-sharding the driver peak
+    * and every broadcast; caught in round-2b self-review). */
   def splitDict(dict: DataFrame, numShards: Int): Seq[DataFrame] = {
     require(numShards >= 1, "numShards must be >= 1")
     (0 until numShards).map(sIdx =>
-      dict.filter(pmod(col("term_id"), lit(numShards)) === sIdx))
+      dict.filter(pmod(col("term_id"), lit(numShards)) === sIdx)
+        .withColumn("term_id", (col("term_id") / numShards).cast("int")))
   }
 
   /** Build + broadcast one model per shard, sequentially — the whole point:
@@ -82,7 +89,7 @@ object Sharded {
           while (s < k) {
             // longestOnly deliberately false here — the policy is cross-shard
             ms(s).automaton.scanInto(text, shardBuf, longestOnly = false, wholeWord)
-            comb.appendFrom(shardBuf)
+            comb.appendFromMapped(shardBuf, k, s) // local ids → global
             s += 1
           }
           if (longestOnly) comb.longestPerStartInPlace()
@@ -91,7 +98,8 @@ object Sharded {
           while (i < comb.size) {
             val from = comb.from(i); val to = comb.to(i); val id = comb.termId(i)
             val matched = text.substring(from - 1, to) // offsets 1-based inclusive
-            ms(id % k).payload(id).foreach { p =>
+            // owner shard = id % k; its payload is indexed by LOCAL id = id / k
+            ms(id % k).payload(id / k).foreach { p =>
               out += Match(url, from, to, matched, p.classIri, p.ont,
                 if (p.pref) MatchType.Pref else MatchType.Syn)
             }

@@ -416,6 +416,13 @@ final class HitBuffer(initialCapacity: Int = 256) {
     while (i < o.size) { add(o.froms(i), o.tos(i), o.ids(i)); i += 1 }
   }
 
+  /** Append with an affine id remap (`id·mul + off`) — shard-LOCAL term ids
+    * translate back to global (`local·k + shardIdx`) as they merge. */
+  def appendFromMapped(o: HitBuffer, mul: Int, off: Int): Unit = {
+    var i = 0
+    while (i < o.size) { add(o.froms(i), o.tos(i), o.ids(i) * mul + off); i += 1 }
+  }
+
   /** A5 longest_only contract in place: per start offset keep max end. */
   def longestPerStartInPlace(): Unit = {
     if (size <= 1) return

@@ -29,7 +29,10 @@ object KgGraph {
   /** Undirected concept co-occurrence edges: (src < dst, n_docs) — concepts
     * annotated in the same document, weighted by document count. */
   def cooccurrence(annotations: DataFrame, maxPerDoc: Int = 1000): DataFrame = {
-    val sets = annotations.select(col("url"), col("class_iri")).distinct()
+    // no distinct() before the groupBy: collect_set IS the per-doc dedup,
+    // and a row-level distinct would add a second full exchange of the
+    // annotation stream (hash(url, class_iri) does not satisfy hash(url))
+    val sets = annotations.select(col("url"), col("class_iri"))
       .groupBy("url").agg(sort_array(collect_set(col("class_iri"))).as("cs"))
       // skew guard: docs above maxPerDoc concepts are SKIPPED (documented
       // recall trade — C(n,2) pair explosion is quadratic in doc degree)
@@ -102,7 +105,7 @@ object KgGraph {
     * (deterministic, and exactly what the recursive-CTE oracle computes).
     * Per round: one message shuffle + one aggregation + a convergence count;
     * stops at fixpoint or `maxIter`. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 100): DataFrame = {
     val und = edges.select(col("src").as("a"), col("dst").as("b"))
       .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
       .distinct()

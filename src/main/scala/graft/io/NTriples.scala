@@ -84,9 +84,17 @@ object NTriples {
             case c => sb += c; i += 1
           }
         }
-        // optional language tag or datatype — accepted, dropped
+        // optional language tag or datatype — accepted, dropped. LANGTAG
+        // grammar is [a-zA-Z0-9-]+ only: stopping at the first other char
+        // (NOT at whitespace) keeps `"x"@en.` — dot immediately after the
+        // tag, valid N-Triples — parseable
         if (i < line.length && line.charAt(i) == '@') {
-          while (i < line.length && line.charAt(i) != ' ' && line.charAt(i) != '\t') i += 1
+          i += 1
+          while (i < line.length && {
+            val c = line.charAt(i)
+            (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+              (c >= '0' && c <= '9') || c == '-'
+          }) i += 1
         } else if (i + 1 < line.length && line.charAt(i) == '^' && line.charAt(i + 1) == '^') {
           i += 2; iri()
         }
@@ -94,6 +102,11 @@ object NTriples {
       } else fail("object must be <IRI> or \"literal\"")
     ws()
     if (i >= line.length || line.charAt(i) != '.') fail("missing terminating dot")
+    i += 1; ws()
+    // anything but a comment after the dot means a second statement got
+    // glued onto this line (lost newline) — dropping it silently would be
+    // exactly the "silently missing annotation" strict mode exists to stop
+    if (i < line.length && line.charAt(i) != '#') fail("content after terminating dot")
     Some(Stmt(subj, pred, obj, literal))
   }
 
@@ -208,5 +221,22 @@ object NTriples {
     val sub = edgesDf.select(concat(lit("<"), col("child_iri"),
       lit(s"> <$SubClassOf> <"), col("parent_iri"), lit("> .")).as("line"))
     pref.unionAll(syn).unionAll(sty).unionAll(cui).unionAll(sub)
+  }
+
+  /** Write per-ontology submission directories under `root` — one subdir per
+    * acronym, edge statements riding with the FIRST submission (they are
+    * ont-agnostic). The single source of truth for the layout
+    * `graft.OntologyTables.fromNTriples` reads; returns the acronyms. */
+  def writeSubmissions(conceptsDf: DataFrame, edgesDf: DataFrame,
+                       root: String): Seq[String] = {
+    val spark = conceptsDf.sparkSession
+    import spark.implicits._
+    val onts = conceptsDf.select("ont").distinct().as[String].collect().sorted.toSeq
+    onts.zipWithIndex.foreach { case (o, idx) =>
+      lines(conceptsDf.filter(col("ont") === o),
+          if (idx == 0) edgesDf else edgesDf.limit(0))
+        .coalesce(1).write.mode("overwrite").text(s"$root/$o")
+    }
+    onts
   }
 }

@@ -104,6 +104,8 @@ object Dedup {
     * and one md5 per shingle instead of k salted hashes keeps the signature
     * stage within ~1.1× of the engine-private xxhash64 formulation. */
   def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    // the no-overflow proof above is h1 + (k-1)·h2 < k·P ≤ 16·P < 2^63
+    require(k <= 16, s"k=$k: double-hashing overflow bound holds only for k <= 16")
     val ds = docs
       .select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
       .withColumn("hx", md5(col("shingle")))

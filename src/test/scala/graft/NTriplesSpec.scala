@@ -32,9 +32,19 @@ class NTriplesSpec extends AnyFunSuite {
       Some(Stmt("http://x/a", "http://x/p", "hello", literal = true)))
     assert(parseLine("""<http://x/a> <http://x/p> "42"^^<http://www.w3.org/2001/XMLSchema#int> .""") ===
       Some(Stmt("http://x/a", "http://x/p", "42", literal = true)))
+    // dot IMMEDIATELY after a lang tag is valid N-Triples (review finding:
+    // the tag loop used to swallow it)
+    assert(parseLine("""<http://x/a> <http://x/p> "hi"@en.""") ===
+      Some(Stmt("http://x/a", "http://x/p", "hi", literal = true)))
+    assert(parseLine("""<http://x/a> <http://x/p> "hi"@en-GB . # c""") ===
+      Some(Stmt("http://x/a", "http://x/p", "hi", literal = true)))
     intercept[IllegalArgumentException](parseLine("<http://x/a> <http://x/p> ."))
     intercept[IllegalArgumentException](parseLine("""<http://x/a> <http://x/p> "no dot""""))
     intercept[IllegalArgumentException](parseLine("""<http://x/a> <http://x/p> "bad\qesc" ."""))
+    // two statements glued on one line must FAIL loudly, not silently drop
+    // the second (review finding)
+    intercept[IllegalArgumentException](
+      parseLine("""<http://x/a> <http://x/p> "L1" . <http://x/b> <http://x/p> "L2" ."""))
   }
 
   test("escapeLiteral is the parser's inverse") {
@@ -67,18 +77,10 @@ class NTriplesSpec extends AnyFunSuite {
       }).toSet
 
   test("file round-trip: fixture -> N-Triples text -> concepts/edges") {
-    import spark.implicits._
     val c = OntologyFixture.conceptsDf(spark)
     val e = OntologyFixture.edgesDf(spark)
-    val onts = c.select("ont").distinct().as[String].collect().sorted
     val dir = java.nio.file.Files.createTempDirectory("graft-nt").toString
-    // one submission file per ontology (the reference's model); edges ride
-    // along with the first submission — edge statements are ont-agnostic
-    onts.zipWithIndex.foreach { case (o, idx) =>
-      val edgesFor = if (idx == 0) e else e.limit(0)
-      NTriples.lines(c.filter(col("ont") === o), edgesFor)
-        .coalesce(1).write.mode("overwrite").text(s"$dir/$o")
-    }
+    val onts = NTriples.writeSubmissions(c, e, dir)
     val rebuilt = onts.map { o =>
       NTriples.concepts(NTriples.read(spark, s"$dir/$o"), o)
     }.reduce(_.unionAll(_))

@@ -167,18 +167,13 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("pipeline over RDF submissions == pipeline over in-memory tables") {
-    import spark.implicits._
     import graft.fixture.OntologyFixture
     import graft.io.NTriples
     // export the fixture as per-ontology N-Triples submissions
     val c = OntologyFixture.conceptsDf(spark)
     val e = OntologyFixture.edgesDf(spark)
     val ntRoot = Files.createTempDirectory("graft-nt-onto").toString
-    val onts = c.select("ont").distinct().as[String].collect().sorted
-    onts.zipWithIndex.foreach { case (o, idx) =>
-      NTriples.lines(c.filter(col("ont") === o), if (idx == 0) e else e.limit(0))
-        .coalesce(1).write.mode("overwrite").text(s"$ntRoot/$o")
-    }
+    NTriples.writeSubmissions(c, e, ntRoot)
     // reference run: SAME mapping semantics (CUI-derived) so only the
     // ontology TRANSPORT differs between the two pipelines
     val tables = OntologyTables(c, e, OntologyTables.cuiMappings(c))

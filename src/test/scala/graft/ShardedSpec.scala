@@ -28,13 +28,23 @@ class ShardedSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2),
         r.getString(3), r.getString(4), r.getString(5))).toSet
 
-  test("shards partition the dictionary (disjoint, complete)") {
-    val splits = Sharded.splitDict(dict, 4)
+  test("shards partition the dictionary (disjoint, complete, O(N/k) payloads)") {
+    val k = 4
+    val splits = Sharded.splitDict(dict, k)
     val total = dict.count()
     assert(splits.map(_.count()).sum === total)
-    val ids = splits.flatMap(_.select("term_id").collect().map(_.getInt(0)))
-    assert(ids.distinct.length === ids.length)
-    assert(ids.length.toLong === total)
+    // ids are shard-LOCAL; reconstructed globals must be exactly the originals
+    val globals = splits.zipWithIndex.flatMap { case (sd, s) =>
+      sd.select("term_id").collect().map(_.getInt(0) * k + s)
+    }
+    val originals = dict.select("term_id").collect().map(_.getInt(0))
+    assert(globals.sorted.toSeq === originals.sorted.toSeq)
+    // the remap's purpose: per-shard payload arrays are O(N/k), not O(N)
+    val maxGlobal = originals.max
+    sharded.foreach { m =>
+      assert(m.value.payload.length <= maxGlobal / k + 2,
+        s"shard payload array ${m.value.payload.length} not O(N/k)")
+    }
   }
 
   test("single-pass sharded scan == single automaton (all 4 option combos)") {
