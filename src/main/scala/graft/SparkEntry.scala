@@ -533,6 +533,13 @@ object SparkEntry {
       graft.graph.KgGraph.triangles(graft.graph.KgGraph.cooccurrence(
         matches(s, dir).select("url", "class_iri")))),
 
+    // TF-IDF annotation relevance (tf · ln(N/df)) — boilerplate concepts sink
+    "ann_tfidf" -> ((s, dir) =>
+      Scoring.tfIdf(
+        matches(s, dir).withColumnRenamed("class_iri", "classIri"),
+        docsTable(s, dir).count())
+        .withColumnRenamed("classIri", "class_iri")),
+
     "text_quality" -> ((s, dir) => TextOps.qualityScore(docsTable(s, dir))),
 
     "text_langid" -> ((s, dir) => TextOps.langId(docsTable(s, dir))),
@@ -1379,6 +1386,17 @@ object SparkEntry {
           FROM reach GROUP BY a""",
 
     "kg_pagerank" -> pageRankOracleSql(iters = 10),
+
+    // tf·ln(N/df); N counts ALL docs (zero-match docs included)
+    "ann_tfidf" ->
+      s"""WITH $dictCte, $cntsCte,
+          tf AS (SELECT url, class_iri, CAST(SUM(cnt) AS BIGINT) AS tf
+                 FROM cnts WHERE cnt > 0 GROUP BY 1, 2),
+          df AS (SELECT class_iri, COUNT(*) AS df FROM tf GROUP BY 1),
+          n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
+          SELECT t.url, t.class_iri,
+                 ROUND(t.tf * ln((SELECT n FROM n) / d.df), 6) AS tfidf
+          FROM tf t JOIN df d USING (class_iri)""",
 
     // triangles by the same canonical wedge join, per corner
     "kg_triangles" ->

@@ -101,6 +101,24 @@ object Scoring {
       .agg(round(sum(col("score")), 4).as("score"))
   }
 
+  /** TF-IDF concept relevance: per (doc, concept), tf · ln(N/df) where tf =
+    * occurrence count in the doc, df = number of docs mentioning the
+    * concept, N = corpus size. The classic relevance signal for ranking
+    * annotations beyond the reference's additive weights (hot boilerplate
+    * concepts — headers, navigation terms — carry low idf and sink). Two
+    * aggregations: per-(doc,concept) counts (one shuffle, high-cardinality
+    * keys), then df per concept (tiny, broadcast back). 6dp cross-engine
+    * float contract. `nDocs` is the full corpus count, passed in — docs
+    * with zero matches still count toward N. */
+  def tfIdf(matches: DataFrame, nDocs: Long): DataFrame = {
+    val tf = matches.groupBy(col("url"), col("classIri"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("classIri")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "classIri")
+      .select(col("url"), col("classIri"),
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6).as("tfidf"))
+  }
+
   /** A11: threshold + per-doc score-desc rank. */
   def thresholdAndRank(scored: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
