@@ -236,9 +236,10 @@ object Bench {
       // FIXED round count, decided before any measurement: an earlier
       // adaptive design (extend while the ratio looked low) had an
       // optional-stopping bias — conditioning the sample size on the
-      // statistic inflates the expected reported median. Five pre-committed
-      // rounds, always.
-      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "5").toInt
+      // statistic inflates the expected reported median. Four pre-committed
+      // rounds, always (median of 4 = mean of middle two) — the bench must
+      // stay well inside the driver's per-round budget.
+      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "4").toInt
       val pairs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
       def round(): Unit = {
         val dN = nScaleDocs / pinnedScalingSec(nCores, corpusPath, 4 * nCores)
