@@ -533,6 +533,11 @@ object SparkEntry {
       graft.graph.KgGraph.triangles(graft.graph.KgGraph.cooccurrence(
         matches(s, dir).select("url", "class_iri")))),
 
+    // Jaccard-normalized concept similarity over co-occurrence doc sets
+    "kg_concept_sim" -> ((s, dir) =>
+      graft.graph.KgGraph.conceptSimilarity(
+        matches(s, dir).select("url", "class_iri"))),
+
     // TF-IDF annotation relevance (tf · ln(N/df)) — boilerplate concepts sink
     "ann_tfidf" -> ((s, dir) =>
       Scoring.tfIdf(
@@ -1386,6 +1391,23 @@ object SparkEntry {
           FROM reach GROUP BY a""",
 
     "kg_pagerank" -> pageRankOracleSql(iters = 10),
+
+    // |docs(a) ∩ docs(b)| from the co-occurrence pairs; union via counts
+    "kg_concept_sim" ->
+      s"""WITH $dictCte, $directCte,
+          pairs AS (SELECT DISTINCT url, class_iri FROM direct),
+          cooc AS (SELECT a.class_iri AS src, b.class_iri AS dst,
+                          COUNT(*) AS n_docs
+                   FROM pairs a JOIN pairs b
+                     ON a.url = b.url AND a.class_iri < b.class_iri
+                   GROUP BY 1, 2),
+          dc AS (SELECT class_iri, COUNT(*) AS n FROM pairs GROUP BY 1)
+          SELECT c.src, c.dst,
+                 ROUND(c.n_docs / CAST(sa.n + sb.n - c.n_docs AS DOUBLE), 6)
+                   AS jaccard
+          FROM cooc c
+          JOIN dc sa ON sa.class_iri = c.src
+          JOIN dc sb ON sb.class_iri = c.dst""",
 
     // tf·ln(N/df); N counts ALL docs (zero-match docs included)
     "ann_tfidf" ->

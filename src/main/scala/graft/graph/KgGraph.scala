@@ -47,6 +47,24 @@ object KgGraph {
       .groupBy("src", "dst").agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Jaccard-normalized co-occurrence: edge weight = |docs(a) ∩ docs(b)| /
+    * |docs(a) ∪ docs(b)| — strips raw-frequency bias from the edge weights
+    * (two rare concepts always together outrank two frequent ones that
+    * merely both appear everywhere). Intersections come FROM the
+    * co-occurrence edges (never all-pairs); per-concept doc counts are a
+    * tiny broadcast side. */
+  def conceptSimilarity(annotations: DataFrame, maxPerDoc: Int = 1000): DataFrame = {
+    val cooc = cooccurrence(annotations, maxPerDoc)
+    val docCounts = annotations.select(col("url"), col("class_iri")).distinct()
+      .groupBy("class_iri").agg(count(lit(1)).as("n"))
+    cooc
+      .join(broadcast(docCounts.select(col("class_iri").as("src"), col("n").as("n_a"))), "src")
+      .join(broadcast(docCounts.select(col("class_iri").as("dst"), col("n").as("n_b"))), "dst")
+      .select(col("src"), col("dst"),
+        round(col("n_docs") / (col("n_a") + col("n_b") - col("n_docs")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   /** Per-concept degree + weighted degree over the co-occurrence graph. */
   def degrees(cooccur: DataFrame): DataFrame =
     cooccur.select(col("src").as("class_iri"), col("n_docs"))
