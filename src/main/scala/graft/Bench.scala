@@ -160,9 +160,18 @@ object Bench {
     val spinners: Seq[Process] =
       if (equalize && loadTo > cores) {
         val loS = math.max(0, hi - loadTo + 1)
+        // self-terminating guard: the finally-block reap below never runs if
+        // this JVM is SIGKILLed/OOMed mid-measurement, and an orphaned
+        // spinner would silently skew every later measurement on the host —
+        // so each spinner watches the bench pid (one `kill -0` builtin per
+        // ~100k pure-ALU iterations, no fork) and exits on its own when the
+        // parent disappears
+        val benchPid = ProcessHandle.current().pid()
+        val spin = s"while kill -0 $benchPid 2>/dev/null; do " +
+          "i=0; while [ $i -lt 100000 ]; do i=$((i+1)); done; done"
         (loS until lo).flatMap { c =>
           try Some(new ProcessBuilder("taskset", "-c", c.toString,
-              "bash", "-c", "while :; do :; done")
+              "bash", "-c", spin)
             .redirectOutput(ProcessBuilder.Redirect.DISCARD)
             .redirectError(ProcessBuilder.Redirect.DISCARD).start())
           catch { case _: java.io.IOException => None }

@@ -231,7 +231,7 @@ case class AnnotateMatchesShardedGen(
       s"annotate_matches_sharded requires STRING input, got ${other.catalogString}")
   }
 
-  @transient private lazy val compiled = models.map(CompiledMatcher.cached).toArray
+  @transient private lazy val compiled = CompiledMatcher.cachedAll(models)
   @transient private lazy val shardBuf = new graft.dict.HitBuffer()
   @transient private lazy val comb = new graft.dict.HitBuffer()
 
@@ -308,11 +308,19 @@ private[annotate] object ValueIdentity {
 
 /** Small synchronized LRU (access-order) — evicts ONE eldest entry instead of
   * clearing the whole cache (a wholesale clear would force every concurrent
-  * task on the executor to recompile under option churn). */
-private[annotate] final class CompileCache[V](maxEntries: Int) {
+  * task on the executor to recompile under option churn). Capacity can only
+  * GROW (`ensureCapacity`): the sharded scan resolves one matcher per shard,
+  * so with dictShards > the default cap every task's lazy init would thrash
+  * the LRU and serially recompile shard payloads under the cache lock —
+  * callers that know their working-set size raise the floor first. */
+private[annotate] final class CompileCache[V](initialMax: Int) {
+  private var maxEntries = initialMax // guarded by m's monitor
   private val m = new java.util.LinkedHashMap[String, V](16, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean =
       size() > maxEntries
+  }
+  def ensureCapacity(n: Int): Unit = m.synchronized {
+    if (n > maxEntries) maxEntries = n
   }
   def getOrCompute(key: String)(compute: => V): V = m.synchronized {
     val got = m.get(key)
@@ -327,6 +335,15 @@ object CompiledMatcher {
   def cached(model: Broadcast[AnnotatorModel]): CompiledMatcher = {
     val value = model.value
     cache.getOrCompute(ValueIdentity.of(value).toString)(new CompiledMatcher(value))
+  }
+
+  /** Sharded-scan entry point: k live matchers at once, so the cache must
+    * hold all of them plus headroom for a concurrent single-dictionary scan
+    * — otherwise k > capacity thrashes the LRU (every task recompiles every
+    * shard, serialized under the lock). */
+  def cachedAll(models: Seq[Broadcast[AnnotatorModel]]): Array[CompiledMatcher] = {
+    cache.ensureCapacity(math.max(8, 2 * models.length))
+    models.map(cached).toArray
   }
 }
 

@@ -26,18 +26,21 @@ import org.apache.spark.sql.functions._
   */
 object KgGraph {
 
-  /** Undirected concept co-occurrence edges: (src < dst, n_docs) — concepts
-    * annotated in the same document, weighted by document count. */
-  def cooccurrence(annotations: DataFrame, maxPerDoc: Int = 1000): DataFrame = {
+  /** Per-doc sorted concept sets with the skew guard applied: docs above
+    * `maxPerDoc` concepts are SKIPPED entirely (documented recall trade —
+    * C(n,2) pair explosion is quadratic in doc degree). Shared by
+    * [[cooccurrence]] and [[conceptSimilarity]] so both the intersection
+    * counts AND the per-concept doc counts see the SAME doc universe. */
+  private def conceptSets(annotations: DataFrame, maxPerDoc: Int): DataFrame =
     // no distinct() before the groupBy: collect_set IS the per-doc dedup,
     // and a row-level distinct would add a second full exchange of the
     // annotation stream (hash(url, class_iri) does not satisfy hash(url))
-    val sets = annotations.select(col("url"), col("class_iri"))
+    annotations.select(col("url"), col("class_iri"))
       .groupBy("url").agg(sort_array(collect_set(col("class_iri"))).as("cs"))
-      // skew guard: docs above maxPerDoc concepts are SKIPPED (documented
-      // recall trade — C(n,2) pair explosion is quadratic in doc degree)
-      .filter(size(col("cs")).between(2, maxPerDoc))
-    sets
+      .filter(size(col("cs")) <= maxPerDoc)
+
+  private def pairsFromSets(sets: DataFrame): DataFrame =
+    sets.filter(size(col("cs")) >= 2)
       .select(explode(flatten(transform(col("cs"), (x, i) =>
         transform(
           slice(col("cs"), i + lit(2),
@@ -45,17 +48,26 @@ object KgGraph {
           y => struct(x.as("src"), y.as("dst")))))).as("p"))
       .select(col("p.src"), col("p.dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("n_docs"))
-  }
+
+  /** Undirected concept co-occurrence edges: (src < dst, n_docs) — concepts
+    * annotated in the same document, weighted by document count. */
+  def cooccurrence(annotations: DataFrame, maxPerDoc: Int = 1000): DataFrame =
+    pairsFromSets(conceptSets(annotations, maxPerDoc))
 
   /** Jaccard-normalized co-occurrence: edge weight = |docs(a) ∩ docs(b)| /
     * |docs(a) ∪ docs(b)| — strips raw-frequency bias from the edge weights
     * (two rare concepts always together outrank two frequent ones that
     * merely both appear everywhere). Intersections come FROM the
     * co-occurrence edges (never all-pairs); per-concept doc counts are a
-    * tiny broadcast side. */
+    * tiny broadcast side. Doc counts are computed over the SAME
+    * maxPerDoc-capped doc universe the intersections see (counting skipped
+    * hub docs in n_a/n_b but not n_docs would systematically understate
+    * Jaccard for concepts appearing in them); single-concept docs still
+    * count — they are legitimately in docs(a) and shrink the ratio. */
   def conceptSimilarity(annotations: DataFrame, maxPerDoc: Int = 1000): DataFrame = {
-    val cooc = cooccurrence(annotations, maxPerDoc)
-    val docCounts = annotations.select(col("url"), col("class_iri")).distinct()
+    val sets = conceptSets(annotations, maxPerDoc)
+    val cooc = pairsFromSets(sets)
+    val docCounts = sets.select(explode(col("cs")).as("class_iri"))
       .groupBy("class_iri").agg(count(lit(1)).as("n"))
     cooc
       .join(broadcast(docCounts.select(col("class_iri").as("src"), col("n").as("n_a"))), "src")

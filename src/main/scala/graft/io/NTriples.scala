@@ -37,9 +37,13 @@ object NTriples {
 
   // ---- scalar line parser (single source of truth) -----------------------
 
-  /** Parse one N-Triples line. Returns None for blank lines and `#` comments;
-    * throws on malformed statements (corrupt ontology submissions should fail
-    * the build loudly, not silently drop terms). */
+  /** Parse one N-Triples line. Returns None for blank lines, `#` comments,
+    * and well-formed statements with a BLANK-NODE subject or object (`_:b0`
+    * — ubiquitous in real BioPortal/OWL submissions as axiom reification;
+    * they carry no labels of interest, and failing on them would reject
+    * legitimate real-world ontology dumps). Throws on malformed statements
+    * (corrupt ontology submissions should fail the build loudly, not
+    * silently drop terms). */
   def parseLine(raw: String): Option[Stmt] = {
     val line = raw.trim
     if (line.isEmpty || line.startsWith("#")) return None
@@ -52,11 +56,31 @@ object NTriples {
       if (end < 0) fail("unterminated IRI")
       val s = line.substring(i + 1, end); i = end + 1; s
     }
-    val subj = iri(); ws()
+    // BLANKNODE ::= '_:' label — accepted (syntax still validated so corrupt
+    // lines fail loudly) but the statement is SKIPPED by the caller
+    def bnode(): String = {
+      i += 2 // past "_:"
+      val start = i
+      while (i < line.length && {
+        val c = line.charAt(i)
+        Character.isLetterOrDigit(c) || c == '_' || c == '-' || c == '.'
+      }) i += 1
+      if (i == start) fail("empty blank-node label")
+      // label grammar forbids a trailing '.': that dot is the terminator
+      if (line.charAt(i - 1) == '.') i -= 1
+      "_:" + line.substring(start, i)
+    }
+    def isBnodeAt(): Boolean =
+      i + 1 < line.length && line.charAt(i) == '_' && line.charAt(i + 1) == ':'
+    var hasBnode = false
+    val subj =
+      if (isBnodeAt()) { hasBnode = true; bnode() } else iri()
+    ws()
     val pred = iri(); ws()
     if (i >= line.length) fail("missing object")
     val (obj, literal) =
       if (line.charAt(i) == '<') (iri(), false)
+      else if (isBnodeAt()) { hasBnode = true; (bnode(), false) }
       else if (line.charAt(i) == '"') {
         val sb = new StringBuilder
         i += 1
@@ -107,7 +131,8 @@ object NTriples {
     // glued onto this line (lost newline) — dropping it silently would be
     // exactly the "silently missing annotation" strict mode exists to stop
     if (i < line.length && line.charAt(i) != '#') fail("content after terminating dot")
-    Some(Stmt(subj, pred, obj, literal))
+    if (hasBnode) None // reification plumbing, no labels of interest — skip
+    else Some(Stmt(subj, pred, obj, literal))
   }
 
   /** Escape a literal for serialization (inverse of the parser's unescape;

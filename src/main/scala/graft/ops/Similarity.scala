@@ -65,31 +65,24 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket id per vector: sign bit per plane packed
     * into an int. Same-bucket vectors are near-duplicate candidates; the
-    * expected candidate set shrinks 2^planes-fold vs all-pairs. */
+    * expected candidate set shrinks 2^planes-fold vs all-pairs.
+    *
+    * Computed by the codegen'd [[graft.functions.LshBucket]] expression —
+    * a pure map-side projection with NO object-mode island (the earlier
+    * typed `mapPartitions` deserialized every embedding to `Seq[Double]`;
+    * at 100-TB embedding tables that conversion dominates the dot products).
+    * Plan shape (no `DeserializeToObject`/`MapPartitions`) asserted in
+    * `OpsSpec`. */
   def lshBuckets(embeddings: DataFrame, planes: Int = 8): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
     val all = asDouble(embeddings)
+    // one-row driver action: the hyperplane dimension comes from the data
+    // (embedding arrays are fixed-width per table)
     val dim = all.select(size(col("emb"))).head().getInt(0)
     val hp: Array[Array[Double]] = Array.tabulate(planes)(p => hyperplane(p, dim))
-    val bc = spark.sparkContext.broadcast(hp)
-    all.select(col("vec_id").cast("long"), col("emb")).as[(Long, Seq[Double])]
-      .mapPartitions { it =>
-        val planesArr = bc.value
-        it.map { case (id, emb) =>
-          var bucket = 0
-          var p = 0
-          while (p < planesArr.length) {
-            var s = 0.0
-            var j = 0
-            val pl = planesArr(p)
-            while (j < pl.length && j < emb.length) { s += pl(j) * emb(j); j += 1 }
-            if (s >= 0) bucket |= (1 << p)
-            p += 1
-          }
-          (id, bucket)
-        }
-      }.toDF("vec_id", "bucket")
+    all.select(col("vec_id").cast("long").as("vec_id"),
+      org.apache.spark.sql.GraftShim.column(
+        graft.functions.LshBucket(
+          org.apache.spark.sql.GraftShim.expression(col("emb")), hp)).as("bucket"))
   }
 
   /** LSH-bucketed ANN: bucket-join candidates, exact cosine rerank, top-k per

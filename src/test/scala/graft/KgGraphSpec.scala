@@ -34,6 +34,23 @@ class KgGraphSpec extends AnyFunSuite {
     assert(got === Set(("A", "B", 1L))) // only the small doc contributes
   }
 
+  test("conceptSimilarity: doc counts see the SAME capped universe as intersections") {
+    import spark.implicits._
+    val ann = Seq(
+      ("hub", "A"), ("hub", "B"), ("hub", "C"), // dropped by cap of 2
+      ("d1", "A"), ("d1", "B"),
+      ("d2", "A"), ("d2", "B"),
+      ("solo", "A")) // single-concept doc: no pairs, but IS in docs(A)
+      .toDF("url", "class_iri")
+    val got = KgGraph.conceptSimilarity(ann, maxPerDoc = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // capped universe: docs(A) = {d1, d2, solo}, docs(B) = {d1, d2},
+    // intersection = 2 → jaccard = 2 / (3 + 2 - 2) = 2/3. Counting the
+    // skipped hub doc in n_a/n_b (the old bias) would have given 2/4.
+    assert(got.keySet === Set(("A", "B")))
+    assert(math.abs(got(("A", "B")) - 2.0 / 3.0) < 1e-6)
+  }
+
   test("degrees: both directions, weighted") {
     import spark.implicits._
     val cooc = Seq(("A", "B", 3L), ("A", "C", 1L)).toDF("src", "dst", "n_docs")

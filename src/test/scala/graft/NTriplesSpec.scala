@@ -47,6 +47,28 @@ class NTriplesSpec extends AnyFunSuite {
       parseLine("""<http://x/a> <http://x/p> "L1" . <http://x/b> <http://x/p> "L2" ."""))
   }
 
+  test("blank-node statements: skipped (not rejected) in the strict path") {
+    import NTriples.parseLine
+    // axiom-reification plumbing common in real BioPortal/OWL submissions:
+    // well-formed bnode statements carry no labels of interest → None
+    assert(parseLine("_:b0 <http://x/p> <http://x/b> .") === None)
+    assert(parseLine("<http://x/a> <http://x/p> _:b0 .") === None)
+    assert(parseLine("""_:genid1 <http://x/p> "lit" .""") === None)
+    assert(parseLine("<http://x/a> <http://x/p> _:b0.") === None) // dot glued to label
+    assert(parseLine("_:b.0-x <http://x/p> _:c .") === None) // internal dot/dash
+    // malformed bnode statements still fail loudly
+    assertThrows[IllegalArgumentException](parseLine("_: <http://x/p> <http://x/b> ."))
+    assertThrows[IllegalArgumentException](parseLine("<http://x/a> <http://x/p> _:b0"))
+    // and a whole strict Dataset parse survives interleaved bnode lines
+    import spark.implicits._
+    val lines = Seq(
+      "<http://x/a> <http://www.w3.org/2004/02/skos/core#prefLabel> \"alpha\" .",
+      "_:b0 <http://www.w3.org/2002/07/owl#annotatedSource> <http://x/a> .",
+      "<http://x/a> <http://x/p> _:b0 .").toDS()
+    val parsed = NTriples.statements(lines).collect()
+    assert(parsed.length === 1 && parsed.head.getString(0) === "http://x/a")
+  }
+
   test("escapeLiteral is the parser's inverse") {
     val nasty = "a\"b\\c\nd\re\tf café"
     val line = s"""<http://x/a> <http://x/p> "${NTriples.escapeLiteral(nasty)}" ."""

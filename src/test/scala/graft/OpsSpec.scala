@@ -121,6 +121,32 @@ class OpsSpec extends AnyFunSuite {
     assert(recall > 0.0)
   }
 
+  test("LshBucket expression: no object-mode island, values == scalar recompute") {
+    // the bucket projection must be a pure codegen'd column op — the earlier
+    // typed mapPartitions form was the repo's last object-mode island
+    val buckets = Similarity.lshBuckets(embeddings, planes = 6)
+    val plan = buckets.queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject"), plan)
+    assert(!plan.contains("MapPartitions"), plan)
+    // value parity vs a scalar recompute from the same hyperplane source of
+    // truth (ascending-j fold, s >= 0 sign — the oracle contract)
+    val embs = embeddings.selectExpr("vec_id", "cast(embedding as array<double>) emb")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val dim = embs.head._2.length
+    val hp = Array.tabulate(6)(p => Similarity.hyperplane(p, dim))
+    val expect = embs.map { case (id, emb) =>
+      var b = 0
+      for (p <- 0 until 6) {
+        var s = 0.0
+        for (j <- 0 until math.min(dim, emb.length)) s += hp(p)(j) * emb(j)
+        if (s >= 0) b |= (1 << p)
+      }
+      id -> b
+    }
+    val got = buckets.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === expect)
+  }
+
   test("dot/cosine: exact on known vectors") {
     import spark.implicits._
     val df = Seq((1L, Seq(1.0, 2.0, 2.0)), (2L, Seq(2.0, 4.0, 4.0)),
