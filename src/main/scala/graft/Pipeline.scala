@@ -17,7 +17,7 @@ import graft.io.TableIO
   * whose `_SUCCESS` marker exists and reads the checkpoint instead.
   *
   * Stage → shuffle map (scale design, SURVEY.md §4.3):
-  *   dict     — ontology-side only, tiny; global window for term ids
+  *   dict     — ontology-side only, tiny; range-partitioned two-pass term ids
   *   corpus   — extraction is map-only; S2 range repartition = 1 shuffle
   *   matches  — broadcast automaton + mapPartitions: ZERO shuffles
   *   closure  — iterative broadcast joins, ontology-side only

@@ -83,29 +83,6 @@ object ABProbe {
   }
 }
 
-/** Dev-only: time arbitrary SparkEntry queries by name (warm + timed run)
-  * and report whether the physical plan reuses exchanges. */
-object QueryProbe {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    args.foreach { q =>
-      val fn = SparkEntry.queries(q)
-      fn(spark, sfDir).count() // warm
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-      println(f"QUERY $q: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows, " +
-        s"reusedExchange=${plan.contains("ReusedExchange")}")
-    }
-    spark.stop()
-  }
-}
-
 /** Child JVM for one scaling level (spawned by Bench under `taskset`): runs
   * the annotate job over the materialized corpus at local[cores] — warmup +
   * best of 2 — and prints `SCALING_SEC <s>` for the parent to parse. Being a

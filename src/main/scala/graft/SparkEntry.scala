@@ -69,6 +69,18 @@ object SparkEntry {
       AutomatonBuild.broadcastModel(s, AutomatonBuild.build(s, dict, "v1-lemma"))
     })
 
+  /** Pre-build every session-cached dictionary-side artifact (automaton,
+    * shard models, lemma model, closure, expansion maps). The bench calls
+    * this OUTSIDE its timed sections: dictionary builds are offline
+    * per-dict-version work (BASELINE.md excludes them from the headline),
+    * and without the pre-warm the first timed run of whichever query first
+    * touches a cold cache pays it — BENCH_r02's ann_sharded=3.5 s was the
+    * one-time 4-shard build + a drift window, not the scan (interleaved
+    * QueryProbe: warm sharded scan ≈ 1.03× ann_direct). */
+  def warmCaches(s: SparkSession): Unit = {
+    model(s); shardedModels(s); lemmaModel(s); closure(s); fusedMaps(s)
+  }
+
   private def docsTable(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 

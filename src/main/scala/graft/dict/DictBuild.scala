@@ -2,7 +2,6 @@ package graft.dict
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.DictPayload
@@ -29,28 +28,52 @@ object DictBuild {
         concepts.select(col("class_iri"), col("ont"),
           explode(col("synonyms")).as("label"), lit(false).as("pref")))
 
+  /** D6 dense deterministic term ids, scale-safe form: id = 1-based global
+    * rank in term order, computed WITHOUT a single-partition global window.
+    * Range-repartition by term + per-partition sort yields the global order
+    * across ORDERED partitions; `zipWithIndex` (one count job + one map job
+    * over the SAME materialized layout) then assigns consecutive ids. The
+    * rank is layout-independent — whatever boundaries the range partitioner
+    * samples, id == global rank — so output is value-identical to the old
+    * `row_number() OVER (ORDER BY term)` (the `dict_terms` oracle hash is
+    * the regression gate) while the sort parallelizes: at the 10^8-term
+    * regime the global window was the dictionary build's one serialization
+    * point. The RDD hop is dictionary-side only (DISTINCT TERMS, never the
+    * corpus) — the same sanctioned exception as the automaton `treeReduce`
+    * (SURVEY.md §5.4). Ids are NOT `monotonically_increasing_id`, which is
+    * nondeterministic across retries and would break resume/P-R
+    * reproducibility (SURVEY.md §3.1 D6). */
+  private def withDenseIds(aggregated: DataFrame): DataFrame = {
+    val spark = aggregated.sparkSession
+    val sorted = aggregated
+      .repartitionByRange(col("term")) // numPartitions = spark.sql.shuffle.partitions
+      .sortWithinPartitions("term")
+    val schema = sorted.schema.add(
+      org.apache.spark.sql.types.StructField("term_id",
+        org.apache.spark.sql.types.IntegerType, nullable = false))
+    val withIdx = sorted.rdd.zipWithIndex().map { case (r, idx) =>
+      Row.fromSeq(r.toSeq :+ (idx + 1).toInt)
+    }
+    spark.createDataFrame(withIdx, schema)
+  }
+
   /** D3–D6: normalize, filter, aggregate per term, assign dense term ids.
     *
     * Output: `(term string, entries array<struct<class_iri,ont,pref>>,
-    * term_id int)`. Ids are deterministic (`row_number` over term order) —
-    * NOT `monotonically_increasing_id`, which is nondeterministic across
-    * retries and would break resume/P-R reproducibility (SURVEY.md §3.1 D6).
-    * Scale note: the global window is a single-partition sort of the DISTINCT
-    * TERM SET only (≤10^8 short strings) — acceptable at dictionary scale;
-    * the corpus never flows through it.
+    * term_id int)`; ids deterministic = global rank in term order
+    * ([[withDenseIds]]).
     */
   def build(labelRows: DataFrame,
             minTermSize: Int = MinTermSizeDefault,
             excludeNumbers: Boolean = false): DataFrame = {
     val numFilter: Column =
       if (excludeNumbers) !col("term").rlike("^[0-9.,]+$") else lit(true)
-    labelRows
+    withDenseIds(labelRows
       .select(normalizeTerm(col("label")).as("term"), col("class_iri"), col("ont"), col("pref"))
       .filter(length(col("term")) >= minTermSize && numFilter)
       .distinct()
       .groupBy("term")
-      .agg(sort_array(collect_set(struct(col("class_iri"), col("ont"), col("pref")))).as("entries"))
-      .withColumn("term_id", row_number().over(Window.orderBy("term")))
+      .agg(sort_array(collect_set(struct(col("class_iri"), col("ont"), col("pref")))).as("entries")))
   }
 
   /** Annotator+ `lemmatize=true` dictionary: D3 normalization then the same
@@ -66,15 +89,14 @@ object DictBuild {
     val lemmaUdf = udf((t: String) => graft.annotate.Lemma.lemmaTerm(t))
     val numFilter: Column =
       if (excludeNumbers) !col("term").rlike("^[0-9.,]+$") else lit(true)
-    labelRows
+    withDenseIds(labelRows
       .select(lemmaUdf(normalizeTerm(col("label"))).as("term"),
         col("class_iri"), col("ont"), col("pref"))
       .filter(length(col("term")) >= minTermSize && numFilter &&
         col("term").rlike("^[A-Za-z0-9_].*[A-Za-z0-9_]$"))
       .distinct()
       .groupBy("term")
-      .agg(sort_array(collect_set(struct(col("class_iri"), col("ont"), col("pref")))).as("entries"))
-      .withColumn("term_id", row_number().over(Window.orderBy("term")))
+      .agg(sort_array(collect_set(struct(col("class_iri"), col("ont"), col("pref")))).as("entries")))
   }
 
   /** Flat exploded dictionary `(term, term_id, class_iri, ont, pref)` — the
