@@ -631,6 +631,50 @@ object SparkEntry {
         SELECT node AS class_iri, ROUND(pr, 6) AS pagerank FROM pr$iters"""
   }
 
+  /** Unrolled seeded-Lloyd IVF oracle ([[graft.ops.Similarity.ivfTopK]]
+    * twin): c0 = first-8 seed, each round re-assigns the training sample
+    * (cosine argmax, c_id tie-break) and rebuilds centroids as per-dim
+    * means rounded to 6dp. Dim loop = generate_series(1, 64) (the
+    * embeddings table is 64-dim, already baked into the LSH oracles). */
+  private def ivfOracleSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""s$i AS (SELECT t.vec_id, t.emb, c.c_id,
+            list_dot_product(t.emb, c.c_emb) /
+              sqrt(list_dot_product(t.emb, t.emb) * list_dot_product(c.c_emb, c.c_emb)) AS ccos
+          FROM train t, c${i - 1} c),
+         a$i AS (SELECT vec_id, emb, c_id AS bucket,
+            row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn FROM s$i),
+         m$i AS (SELECT bucket, d, ROUND(AVG(emb[d]), 6) AS m
+            FROM (SELECT * FROM a$i WHERE rn = 1) af,
+                 (SELECT unnest(generate_series(1, 64)) AS d)
+            GROUP BY bucket, d),
+         c$i AS (SELECT bucket AS c_id, array_agg(m ORDER BY d) AS c_emb
+                 FROM m$i GROUP BY bucket)"""
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        train AS (SELECT vec_id, emb FROM e WHERE vec_id < 2048),
+        c0 AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < 8),
+        $iterCtes,
+        sf AS (SELECT e.vec_id, e.emb, c.c_id,
+                 list_dot_product(e.emb, c.c_emb) /
+                   sqrt(list_dot_product(e.emb, e.emb) * list_dot_product(c.c_emb, c.c_emb)) AS ccos
+               FROM e, c$iters c),
+        asgf AS (SELECT vec_id, emb, c_id AS bucket,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn
+                FROM sf),
+        aff AS (SELECT vec_id, emb, bucket FROM asgf WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket AS q_bucket
+              FROM aff WHERE vec_id < 10),
+        s AS (SELECT query_id, aff.vec_id AS neighbor_id,
+                ROUND(list_dot_product(q_emb, emb) /
+                  sqrt(list_dot_product(q_emb, q_emb) * list_dot_product(emb, emb)), 4) AS cos
+              FROM q JOIN aff ON q.q_bucket = aff.bucket AND aff.vec_id <> q.query_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
+        FROM r WHERE rank <= 3"""
+  }
+
   private val cntsCte =
     raw"""cnts AS (SELECT 'doc://' || doc_id AS url, d.class_iri, d.pref,
           len(regexp_extract_all(upper(text), '\b' || d.term || '\b')) AS cnt
@@ -1278,30 +1322,12 @@ object SparkEntry {
           SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
           FROM r WHERE rank <= 3""",
 
-    // IVF: centroids = first 8 vectors, nearest-centroid assignment on the
-    // UNROUNDED cosine (ties broken by centroid id), probe own list, exact
-    // rerank — no hashing involved, fully SQL-derivable
-    "sim_ivf" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-          c AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < 8),
-          scored AS (SELECT e.vec_id, e.emb, c.c_id,
-                       list_dot_product(e.emb, c.c_emb) /
-                         sqrt(list_dot_product(e.emb, e.emb) * list_dot_product(c.c_emb, c.c_emb)) AS ccos
-                     FROM e, c),
-          asg AS (SELECT vec_id, emb, c_id AS bucket,
-                    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn
-                  FROM scored),
-          a2 AS (SELECT vec_id, emb, bucket FROM asg WHERE rn = 1),
-          q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket AS q_bucket
-                FROM a2 WHERE vec_id < 10),
-          s AS (SELECT query_id, a2.vec_id AS neighbor_id,
-                  ROUND(list_dot_product(q_emb, emb) /
-                    sqrt(list_dot_product(q_emb, q_emb) * list_dot_product(emb, emb)), 4) AS cos
-                FROM q JOIN a2 ON q.q_bucket = a2.bucket AND a2.vec_id <> q.query_id),
-          r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                  ORDER BY cos DESC, neighbor_id) AS rank FROM s)
-          SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
-          FROM r WHERE rank <= 3""",
+    // IVF with the seeded-Lloyd quantizer, fully recomputed in SQL: seed
+    // centroids = first 8 vectors, then the SAME 2 Lloyd rounds (cosine
+    // assignment with c_id tie-break, per-dim means ROUNDed to 6dp — the
+    // cross-engine float-sum contract), final assignment of ALL vectors on
+    // the UNROUNDED cosine, probe own list, exact rerank
+    "sim_ivf" -> ivfOracleSql(iters = 2),
 
     // embedding near-dup pairs: same bucket SQL as sim_lsh, pair join,
     // threshold on the 4dp-rounded cosine (the query's output contract)

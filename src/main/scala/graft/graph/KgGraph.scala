@@ -15,14 +15,12 @@ import org.apache.spark.sql.functions._
   *    per-doc pair blow-up is C(concepts-per-doc, 2), naturally bounded by
   *    document length; `maxPerDoc` guards pathological docs (a crawl page
   *    listing an entire ontology would otherwise emit millions of pairs).
-  *  - [[connectedComponents]]: iterative min-label propagation — messages
-  *    shuffle keyed by node per round, `localCheckpoint` truncates plan
-  *    lineage (same pattern as [[Closure.transitiveClosure]]), rounds
-  *    bounded by graph diameter. Concept co-occurrence graphs are
-  *    small-world (diameter ≈ 5-10), so this converges in single-digit
-  *    rounds; for adversarial long-path graphs at web scale the alternating
-  *    large-star/small-star contraction (O(log n) rounds) is the documented
-  *    upgrade path.
+  *  - [[connectedComponents]]: alternating large-star/small-star contraction
+  *    (Kiveris et al. 2014) — O(log² n) rounds on ANY graph shape, including
+  *    the adversarial long-path graphs where min-label propagation needs
+  *    O(diameter) rounds. Per-round lineage is truncated via [[truncate]]:
+  *    reliable `checkpoint()` when a checkpoint dir is configured (cluster
+  *    fault tolerance), `localCheckpoint` otherwise.
   */
 object KgGraph {
 
@@ -120,45 +118,90 @@ object KgGraph {
     val nodes = und.select(col("a").as("node")).distinct().localCheckpoint()
     val n = nodes.count() // driver action once — graph-side, bounded by |V|
     var pr = nodes.withColumn("pr", lit(1.0 / n))
-    for (_ <- 1 to iters) {
-      pr = withDeg.join(pr, withDeg("a") === pr("node"))
+    for (i <- 1 to iters) {
+      pr = truncate(withDeg.join(pr, withDeg("a") === pr("node"))
         .select(col("b").as("node"), (col("pr") / col("d")).as("contrib"))
         .groupBy("node")
-        .agg((lit((1.0 - damping) / n) + lit(damping) * sum(col("contrib"))).as("pr"))
-        .localCheckpoint()
+        .agg((lit((1.0 - damping) / n) + lit(damping) * sum(col("contrib"))).as("pr")),
+        i)
     }
     pr.select(col("node").as("class_iri"), round(col("pr"), 6).as("pagerank"))
   }
 
-  /** Connected components by iterative min-label propagation: every node's
-    * component label converges to the MINIMUM class_iri in its component
-    * (deterministic, and exactly what the recursive-CTE oracle computes).
-    * Per round: one message shuffle + one aggregation + a convergence count;
-    * stops at fixpoint or `maxIter`. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 100): DataFrame = {
-    val und = edges.select(col("src").as("a"), col("dst").as("b"))
-      .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
-      .distinct()
-      .localCheckpoint() // reused every round — never recompute upstream
-    var labels = und.select(col("a").as("node")).distinct()
-      .withColumn("component", col("node"))
+  /** Lineage truncation for iterative jobs. `localCheckpoint` is NOT
+    * fault-tolerant: blocks live only in executor memory/disk, so on a real
+    * cluster an executor loss mid-iteration kills the job (no lineage left
+    * to recompute from). When the session has a checkpoint dir configured
+    * (`spark.sparkContext.setCheckpointDir` — point it at the job work dir
+    * at cluster scale), every `reliableEvery`-th round writes a reliable
+    * `checkpoint()` instead: recovery replays at most `reliableEvery`
+    * rounds. Local runs/tests leave the dir unset and keep the cheap path. */
+  private def truncate(df: DataFrame, round: Int, reliableEvery: Int = 5): DataFrame =
+    if (round % reliableEvery == 0 &&
+        df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
+  /** Connected components by the ALTERNATING LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al. 2014, "Connected Components in MapReduce
+    * and Beyond"): O(log² n) rounds on ANY graph shape — a path graph of
+    * length n converges in ~2·log n rounds where min-label propagation
+    * needs n (spec-pinned on a path ≫ maxIter). Component label = MINIMUM
+    * class_iri in the component (what the recursive-CTE oracle computes).
+    *
+    * Per round: large-star (hook every neighbor ABOVE u to u's neighborhood
+    * min) then small-star (hook every neighbor below u, and u, to it) —
+    * each phase is one aggregation + one same-key join + dedup, all
+    * streaming (no per-node collect_set: a web-scale hub's neighborhood
+    * never materializes in one task; the phases themselves shrink hub
+    * degrees geometrically). Fixed point: a star forest rooted at each
+    * component's minimum. Convergence test is exact set equality via counts
+    * (next ⊆ prev ∧ |next| = |prev|). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // (u, v) edge list, self-loops dropped; orientation is irrelevant
+    // (large-star symmetrizes). Kept deduped throughout.
+    var e = edges.select(col("src").as("u"), col("dst").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint()
-    var converged = false
+    val nodes = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node"))).distinct()
+      .localCheckpoint() // original node set — labels must cover all of it
+    var eCnt = e.count()
+    var converged = eCnt == 0
     var i = 0
     while (!converged && i < maxIter) {
-      val msgs = und.join(labels, und("a") === labels("node"))
-        .select(col("b").as("node"), col("component"))
-      val next = labels.unionAll(msgs)
-        .groupBy("node").agg(min(col("component")).as("component"))
-        .localCheckpoint()
-      val changed = next.alias("n")
-        .join(labels.alias("l"), col("n.node") === col("l.node"))
-        .filter(col("n.component") =!= col("l.component")).count()
-      labels = next
-      converged = changed == 0
+      // large-star: m(u) = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.
+      // m ≤ u < v ⇒ no self-loops.
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val lMins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      val large = sym.join(lMins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+      // small-star (on large's output): orient edges larger→smaller, group
+      // by the larger end u; m = min(N(u)) (< u); emit (v, m) for
+      // v ∈ N(u)\{m} and (u, m).
+      val oriented = large.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val sMins = oriented.groupBy("u").agg(min(col("v")).as("m"))
+      val next = oriented.join(sMins, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(sMins.select(col("u"), col("m").as("v")))
+        .distinct()
+      val truncated = truncate(next, i)
+      // exact convergence: next == e  ⇔  |next| == |e| ∧ |next ∪ e| == |e|
+      val nextCnt = truncated.count()
+      converged = nextCnt == eCnt &&
+        truncated.unionAll(e).distinct().count() == eCnt
+      e = truncated
+      eCnt = nextCnt
       i += 1
     }
-    require(converged, s"label propagation did not converge in $maxIter rounds")
-    labels.select(col("node").as("class_iri"), col("component"))
+    require(converged,
+      s"star contraction did not converge in $maxIter rounds — expected " +
+        "O(log^2 n); raise maxIter only if the graph genuinely has >2^sqrt(maxIter) nodes")
+    // fixed point is a star forest (child → component min); roots and any
+    // single-node components label themselves
+    nodes.join(e.select(col("u").as("node"), col("v").as("component")),
+        Seq("node"), "left")
+      .select(col("node").as("class_iri"),
+        coalesce(col("component"), col("node")).as("component"))
   }
 }

@@ -106,24 +106,50 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
-  /** IVF-style ANN: deterministic coarse quantizer (centroids = the first
-    * `nCentroids` vectors — a stand-in for k-means, which would be an
-    * offline job at scale), every vector assigned to its nearest centroid
-    * (inverted list), queries probe only their own list + exact rerank.
-    * Complements [[lshTopK]]: IVF partitions by data geometry, LSH by random
-    * projections. Recall measured vs brute force in tests. */
-  def ivfTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3,
-              nCentroids: Int = 8): DataFrame = {
-    val all = asDouble(embeddings)
-    val centroids = all.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+  /** Nearest-centroid assignment: broadcast the (tiny) centroid table,
+    * argmax cosine with `c_id` tie-break — `(vec_id, emb, bucket)`. */
+  private def assignToCentroids(vecs: DataFrame, centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("c_id"))
-    val assigned = all.join(broadcast(centroids))
+    vecs.join(broadcast(centroids))
       .withColumn("c_cos", cosine(col("emb"), col("c_emb")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("emb"), col("c_id").as("bucket"))
+  }
+
+  /** IVF-style ANN with a SEEDED-LLOYD coarse quantizer: centroids start as
+    * the first `nCentroids` vectors (deterministic seed), then `kmeansIters`
+    * Lloyd rounds (cosine assignment → per-dimension mean, means rounded to
+    * 6dp — the cross-engine float-sum contract, same as PageRank) refine
+    * them over a TRAINING SAMPLE (`vec_id < trainSample`). Training on a
+    * bounded sample is the honest 100-TB shape (FAISS practice: the coarse
+    * quantizer is trained offline on a sample, then every vector is
+    * assigned); the full table only ever flows through the broadcast
+    * assignment join. Queries probe their own inverted list + exact rerank.
+    * Complements [[lshTopK]]: IVF partitions by data geometry, LSH by random
+    * projections. Recall vs brute force (and vs the unrefined first-N
+    * quantizer) measured in tests; the DuckDB oracle recomputes the full
+    * Lloyd iteration chain. */
+  def ivfTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3,
+              nCentroids: Int = 8, kmeansIters: Int = 2,
+              trainSample: Int = 2048): DataFrame = {
+    val all = asDouble(embeddings)
+    var centroids = all.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+    val train = all.filter(col("vec_id") < trainSample)
+    for (_ <- 1 to kmeansIters) {
+      // Lloyd update: per-(cluster, dim) mean. posexplode + two-key agg —
+      // never a per-cluster collect; empty clusters drop out (both engines)
+      centroids = assignToCentroids(train, centroids)
+        .select(col("bucket"), posexplode(col("emb")).as(Seq("d", "x")))
+        .groupBy(col("bucket"), col("d")).agg(avg(col("x")).as("m"))
+        .groupBy(col("bucket"))
+        .agg(transform(sort_array(collect_list(struct(col("d"), col("m")))),
+          s => round(s.getField("m"), 6)).as("c_emb"))
+        .select(col("bucket").as("c_id"), col("c_emb"))
+    }
+    val assigned = assignToCentroids(all, centroids)
     val queries = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("bucket"))
     val wq = Window.partitionBy(col("query_id"))

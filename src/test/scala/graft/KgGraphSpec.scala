@@ -74,6 +74,28 @@ class KgGraphSpec extends AnyFunSuite {
     nodes.map(n => n -> find(n)).toMap
   }
 
+  test("reliable checkpoints: same results with a checkpoint dir configured") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val edges = Seq(("A", "B"), ("B", "C"), ("D", "E"), ("C", "A")).toDF("src", "dst")
+    val plain = KgGraph.connectedComponents(edges).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val prPlain = KgGraph.pageRank(edges, iters = 10).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val ckpt = KgGraph.connectedComponents(edges).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val prCkpt = KgGraph.pageRank(edges, iters = 10).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(ckpt === plain)
+      assert(prCkpt === prPlain)
+      // the reliable path actually wrote checkpoint files
+      val wrote = new java.io.File(dir).listFiles()
+      assert(wrote != null && wrote.nonEmpty, "no reliable checkpoint written")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("connected components == union-find on seeded random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(1234)
@@ -152,11 +174,15 @@ class KgGraphSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-3)
   }
 
-  test("long-path graph still converges (diameter-bound rounds)") {
+  test("path graph of length ≫ maxIter converges (star contraction is O(log² n))") {
     import spark.implicits._
-    val chain = (0 until 15).map(i => (f"C$i%02d", f"C${i + 1}%02d")).toDF("src", "dst")
-    val got = KgGraph.connectedComponents(chain, maxIter = 20).collect()
+    // 400-node path with maxIter=15: min-label propagation would need ~400
+    // rounds — the star contraction must finish in ~2·log₂(400) ≈ 18 phase
+    // pairs or (much) fewer
+    val n = 400
+    val chain = (0 until n).map(i => (f"C$i%03d", f"C${i + 1}%03d")).toDF("src", "dst")
+    val got = KgGraph.connectedComponents(chain, maxIter = 15).collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
-    assert(got === (0 to 15).map(i => (f"C$i%02d", "C00")).toSet)
+    assert(got === (0 to n).map(i => (f"C$i%03d", "C000")).toSet)
   }
 }

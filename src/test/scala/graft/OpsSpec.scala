@@ -105,7 +105,7 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"implausibly low ANN recall: $recall")
   }
 
-  test("IVF ANN: sound ranks, recall vs brute force reported") {
+  test("IVF ANN: sound ranks; seeded-Lloyd recall ≥ unrefined first-N quantizer") {
     val brute = Similarity.bruteForceTopK(embeddings, nQueries = 10, k = 3)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -116,9 +116,17 @@ class OpsSpec extends AnyFunSuite {
     ivf.groupBy(_.getLong(0)).foreach { case (_, rows) =>
       assert(rows.map(_.getInt(2)).sorted.toSeq === (1 to rows.length))
     }
-    val recall = (brute intersect ivf.map(r => (r.getLong(0), r.getLong(1))).toSet).size.toDouble / brute.size
-    info(f"IVF recall@3 = $recall%.2f (8 centroids, 1 probe)")
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double =
+      (brute intersect rows.map(r => (r.getLong(0), r.getLong(1))).toSet).size.toDouble / brute.size
+    val recall = recallOf(ivf)
+    // kmeansIters=0 degenerates to the round-2 first-N-vectors quantizer —
+    // 2 Lloyd rounds must not LOSE recall (the refinement's whole point)
+    val recall0 = recallOf(Similarity.ivfTopK(embeddings, nQueries = 10, k = 3,
+      kmeansIters = 0).select("query_id", "neighbor_id", "rank").collect())
+    info(f"IVF recall@3 = $recall%.2f (2 Lloyd iters) vs $recall0%.2f (first-N seed)")
     assert(recall > 0.0)
+    assert(recall >= recall0,
+      f"Lloyd refinement lost recall: $recall%.2f < $recall0%.2f")
   }
 
   test("LshBucket expression: no object-mode island, values == scalar recompute") {
