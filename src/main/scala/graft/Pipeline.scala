@@ -40,9 +40,9 @@ object OntologyTables {
     * ontology (subdir name = acronym — the reference's one-graph-per-
     * ontology model). Edges union across submissions; mappings are the
     * CUI-derived pairs (cross-ontology concepts sharing a CUI, both
-    * directions — the reference's CUI mapping kind). LOOM-style lexical
-    * mappings come from an offline matcher in the reference and would be
-    * supplied as a fourth input table, not derived here. */
+    * directions — the reference's CUI mapping kind) plus the LOOM lexical
+    * pairs ([[loomMappings]]) — with both derived, an NT-fed pipeline run
+    * emits exactly the fixture run's triples (spec-pinned). */
   def fromNTriples(spark: SparkSession, root: String): OntologyTables = {
     import graft.io.NTriples
     val fs = new org.apache.hadoop.fs.Path(root)
@@ -55,7 +55,8 @@ object OntologyTables {
       .reduce(_.unionAll(_))
     val edges = parsed.map { case (_, st) => NTriples.edges(st) }
       .reduce(_.unionAll(_)).distinct()
-    OntologyTables(concepts, edges, cuiMappings(concepts))
+    OntologyTables(concepts, edges,
+      cuiMappings(concepts).unionByName(loomMappings(concepts)))
   }
 
   /** (class_iri, mapped_iri, kind="CUI") — all cross-ontology directed pairs
@@ -67,6 +68,27 @@ object OntologyTables {
         col("a.cui") === col("b.cui") && col("a.ont") =!= col("b.ont"))
       .select(col("a.class_iri").as("class_iri"),
         col("b.class_iri").as("mapped_iri"), lit("CUI").as("kind"))
+      .distinct()
+  }
+
+  /** (class_iri, mapped_iri, kind="LOOM") — cross-ontology directed pairs
+    * whose D3-NORMALIZED labels (preferred or synonym) coincide: the
+    * published LOOM lexical-mapping algorithm (Ghazvinian, Noy & Musen 2009)
+    * the reference's BioPortal mappings pipeline runs offline. Equi-join on
+    * the normalized label — ontology-side, bounded by label count; a label
+    * shared by m classes emits O(m²) pairs, which is LOOM's actual output
+    * (BioPortal materializes exactly these), so no cap is applied. */
+  def loomMappings(concepts: DataFrame): DataFrame = {
+    val labels = concepts
+      .select(col("class_iri"), col("ont"),
+        explode(concat(array(col("pref_label")), col("synonyms"))).as("label"))
+      .select(col("class_iri"), col("ont"),
+        graft.dict.DictBuild.normalizeTerm(col("label")).as("term"))
+      .distinct()
+    labels.alias("a").join(labels.alias("b"),
+        col("a.term") === col("b.term") && col("a.ont") =!= col("b.ont"))
+      .select(col("a.class_iri").as("class_iri"),
+        col("b.class_iri").as("mapped_iri"), lit("LOOM").as("kind"))
       .distinct()
   }
 }

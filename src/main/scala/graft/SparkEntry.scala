@@ -371,6 +371,13 @@ object SparkEntry {
       DictBuild.flatDict(DictBuild.build(DictBuild.labelRows(viaNt)))
     }),
 
+    // LOOM lexical mapping derivation (the reference's second mapping kind,
+    // BioPortal's offline lexical matcher): cross-ontology directed pairs
+    // with equal D3-normalized labels (pref or synonym) — feeds A8 when the
+    // ontology arrives as RDF instead of curated tables
+    "dict_loom" -> ((s, dir) =>
+      OntologyTables.loomMappings(OntologyFixture.conceptsDf(s))),
+
     // TPC-H-ish operator coverage: pushed-down filter + hash aggregate
     "q_pushdown_agg" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -929,6 +936,16 @@ object SparkEntry {
                   FROM (SELECT DISTINCT term FROM filtered) t)
           SELECT f.term, CAST(i.term_id AS INT) AS term_id, f.class_iri, f.ont, f.pref
           FROM filtered f JOIN ids i ON f.term = i.term""",
+
+    // LOOM derivation recomputed over the label rows (pref + synonyms),
+    // same D3 normalization as dict_terms
+    "dict_loom" ->
+      s"""WITH raw(class_iri, ont, label, pref) AS (
+            SELECT * FROM (VALUES ${OntologyFixture.labelRowsValues}) v(a,b,c,d)),
+          norm AS (SELECT DISTINCT class_iri, ont,
+            upper(trim(regexp_replace(label, '\\s+', ' ', 'g'))) AS term FROM raw)
+          SELECT DISTINCT a.class_iri, b.class_iri AS mapped_iri, 'LOOM' AS kind
+          FROM norm a JOIN norm b ON a.term = b.term AND a.ont <> b.ont""",
 
     "q_pushdown_agg" ->
       """SELECT l_returnflag, l_linestatus,

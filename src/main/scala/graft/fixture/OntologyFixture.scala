@@ -80,17 +80,29 @@ object OntologyFixture {
     (tree ++ diamond ++ ont2).toVector
   }
 
-  /** Cross-ontology mappings: CUI-identical pairs (both directions) + one
-    * LOOM (lexically identical label across ontologies: "table scan"). */
+  /** Cross-ontology mappings: CUI-identical pairs (both directions) + LOOM
+    * lexical pairs — classes in DIFFERENT ontologies whose D3-normalized
+    * labels (preferred OR synonym) coincide, derived by the same rule
+    * [[graft.OntologyTables.loomMappings]] applies to real RDF submissions
+    * (the published LOOM algorithm: Ghazvinian, Noy & Musen 2009, lexical
+    * match over preferred names and synonyms). Deriving rather than curating
+    * keeps the fixture and the NT-fed pipeline in exact agreement (round 2's
+    * one curated LOOM pair left the NT flagship 111 triples short). */
   val mappings: Vector[Mapping] = {
     val cuiPairs = for {
       c2 <- concepts if c2.ont == "ONT2"
       c1 <- concepts if c1.ont == "ONT1" && c1.cui == c2.cui
       m <- Seq(Mapping(c1.classIri, c2.classIri, "CUI"), Mapping(c2.classIri, c1.classIri, "CUI"))
     } yield m
-    val scanIri = iri1(vocab.indexOf("scan"))
-    val loom = Vector(
-      Mapping(scanIri, iri2(2), "LOOM"), Mapping(iri2(2), scanIri, "LOOM"))
+    def norm(s: String) =
+      s.trim.replaceAll("\\s+", " ").toUpperCase(java.util.Locale.ROOT)
+    val labels = concepts.flatMap(c =>
+      (c.prefLabel +: c.synonyms).map(l => (norm(l), c.ont, c.classIri)))
+    val loom = for {
+      (l1, o1, i1) <- labels
+      (l2, o2, i2) <- labels
+      if l1 == l2 && o1 != o2
+    } yield Mapping(i1, i2, "LOOM")
     (cuiPairs ++ loom).distinct.toVector
   }
 

@@ -166,7 +166,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(derived.nonEmpty)
   }
 
-  test("pipeline over RDF submissions == pipeline over in-memory tables") {
+  test("LOOM mappings derived from the concept table == fixture LOOM mappings") {
+    val derived = OntologyTables.loomMappings(
+      graft.fixture.OntologyFixture.conceptsDf(spark))
+      .collect().map(_.toSeq).toSet
+    val fixtureLoom = graft.fixture.OntologyFixture.mappingsDf(spark)
+      .filter(col("kind") === "LOOM").collect().map(_.toSeq).toSet
+    assert(derived === fixtureLoom)
+    // the fixture has 7 cross-ontology shared labels × 2 directions
+    assert(derived.size === 14, derived.toString)
+  }
+
+  test("pipeline over RDF submissions == pipeline over the FULL fixture (CUI + LOOM)") {
     import graft.fixture.OntologyFixture
     import graft.io.NTriples
     // export the fixture as per-ontology N-Triples submissions
@@ -174,12 +185,12 @@ class PipelineSpec extends AnyFunSuite {
     val e = OntologyFixture.edgesDf(spark)
     val ntRoot = Files.createTempDirectory("graft-nt-onto").toString
     NTriples.writeSubmissions(c, e, ntRoot)
-    // reference run: SAME mapping semantics (CUI-derived) so only the
-    // ontology TRANSPORT differs between the two pipelines
-    val tables = OntologyTables(c, e, OntologyTables.cuiMappings(c))
+    // the NT path derives BOTH mapping kinds now, so it must reproduce the
+    // fixture pipeline exactly — round 2's 111-triple LOOM gap is closed
     val wd1 = Files.createTempDirectory("graft-nt-wd1").toString
     val fromTables = Pipeline.run(spark,
-      Pipeline.Config(sfDir, wd1, scanPartitions = 4, ontology = Some(tables)))
+      Pipeline.Config(sfDir, wd1, scanPartitions = 4,
+        ontology = Some(OntologyTables.fixture(spark))))
       .select("subj", "pred", "obj").collect().map(_.toSeq).toSet
     val wd2 = Files.createTempDirectory("graft-nt-wd2").toString
     val fromRdf = Pipeline.run(spark,
