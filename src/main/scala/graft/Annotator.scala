@@ -69,6 +69,23 @@ object Annotator {
         opts.longestOnly, opts.wholeWordOnly)
   }
 
+  /** The NON-DICTIONARY recognizer filling the reference's `mallet` slot:
+    * a deterministic suffix/shape token classifier
+    * ([[graft.annotate.RuleTagger]] — a real CRF would plug in the same
+    * way). Honors the request ontology whitelist (its classes live under
+    * `ont = TAGGER`); wholeWord by construction (it tags whole tokens);
+    * longestOnly is a no-op (one tag per token). */
+  final class RuleTaggerRecognizer extends Recognizer {
+    override def recognize(extracted: DataFrame, opts: AnnotateOptions): DataFrame = {
+      val tagged = graft.annotate.RuleTagger.tag(extracted)
+      if (opts.ontologies.isEmpty) tagged
+      else {
+        import org.apache.spark.sql.functions.col
+        tagged.filter(col("ont").isin(opts.ontologies: _*))
+      }
+    }
+  }
+
   /** Corpus → triple table — the scale path (native Catalyst plan); the
     * lemmatized variant routes through the lemma scan + Catalyst expansion
     * joins (lemma mode is an opt-in request feature, not the bulk path). */

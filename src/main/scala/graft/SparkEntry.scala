@@ -162,6 +162,14 @@ object SparkEntry {
           col("classIri").as("class_iri"), col("negated"),
           col("experiencer"), col("temporality"))),
 
+    // Annotator+ mallet-slot analogue: the rule-tagger recognizer dispatched
+    // THROUGH the Recognizer seam (Annotator.matches) — a non-dictionary
+    // match stream in the standard shape, DuckDB-recomputed end-to-end
+    // (token offset machinery + the same suffix CASE chain)
+    "ann_tagger" -> ((s, dir) =>
+      Annotator.matches(corpus(s, dir), model(s),
+        recognizer = Some(new Annotator.RuleTaggerRecognizer))),
+
     // A7: hierarchy expansion (min distance per doc × ancestor)
     "ann_hier" -> ((s, dir) =>
       Expand.hierarchy(
@@ -936,6 +944,35 @@ object SparkEntry {
                   FROM (SELECT DISTINCT term FROM filtered) t)
           SELECT f.term, CAST(i.term_id AS INT) AS term_id, f.class_iri, f.ont, f.pref
           FROM filtered f JOIN ids i ON f.term = i.term""",
+
+    // rule-tagger recognizer recomputed in SQL: token offsets from the
+    // cumulative separator+token lengths (the ann_lemma machinery), classes
+    // from the SAME priority-ordered suffix CASE chain
+    // (RuleTagger.ruleCaseSql — single source of truth)
+    "ann_tagger" ->
+      s"""WITH docs AS (
+            SELECT doc_id, text,
+              regexp_extract_all(text, '[A-Za-z0-9_]+') AS toks,
+              regexp_split_to_array(text, '[A-Za-z0-9_]+') AS seps
+            FROM documents),
+          tokrows AS (
+            SELECT doc_id, i, toks[i] AS tok, seps[i] AS sep
+            FROM (SELECT *, unnest(generate_series(1, len(toks))) AS i FROM docs)),
+          cums AS (
+            SELECT doc_id, i, tok,
+              SUM(length(sep) + length(tok)) OVER w AS t
+            FROM tokrows WINDOW w AS (PARTITION BY doc_id ORDER BY i
+              ROWS UNBOUNDED PRECEDING)),
+          tagged AS (
+            SELECT doc_id, tok, CAST(t - length(tok) + 1 AS INT) AS f,
+              CAST(t AS INT) AS t2,
+              ${graft.annotate.RuleTagger.ruleCaseSql("tok")} AS cls
+            FROM cums WHERE length(tok) >= ${graft.annotate.RuleTagger.MinTokenLen})
+          SELECT 'doc://' || doc_id AS url, f AS "from", t2 AS "to", tok AS text,
+            '${graft.annotate.RuleTagger.IriPrefix}' || cls AS class_iri,
+            '${graft.annotate.RuleTagger.Ont}' AS ont,
+            '${graft.annotate.RuleTagger.MatchType}' AS match_type
+          FROM tagged WHERE cls IS NOT NULL""",
 
     // LOOM derivation recomputed over the label rows (pref + synonyms),
     // same D3 normalization as dict_terms
