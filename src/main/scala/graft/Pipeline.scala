@@ -79,9 +79,12 @@ object OntologyTables {
     * shared by m classes emits O(m²) pairs, which is LOOM's actual output
     * (BioPortal materializes exactly these), so no cap is applied. */
   def loomMappings(concepts: DataFrame): DataFrame = {
+    // coalesce: a NULL synonyms column (legal in curated parquet inputs)
+    // would NULL the whole concat and silently drop the PREF label too
     val labels = concepts
       .select(col("class_iri"), col("ont"),
-        explode(concat(array(col("pref_label")), col("synonyms"))).as("label"))
+        explode(concat(array(col("pref_label")),
+          coalesce(col("synonyms"), array()))).as("label"))
       .select(col("class_iri"), col("ont"),
         graft.dict.DictBuild.normalizeTerm(col("label")).as("term"))
       .distinct()

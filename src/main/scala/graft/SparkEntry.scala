@@ -543,8 +543,9 @@ object SparkEntry {
       graft.graph.KgGraph.degrees(graft.graph.KgGraph.cooccurrence(
         matches(s, dir).select("url", "class_iri")))),
 
-    // iterative min-label propagation to fixpoint — component label =
-    // MIN(class_iri) in the component, matching the recursive-CTE oracle
+    // alternating large-star/small-star contraction (O(log² n) rounds) —
+    // component label = MIN(class_iri) in the component, matching the
+    // recursive-CTE oracle
     "kg_components" -> ((s, dir) =>
       graft.graph.KgGraph.connectedComponents(graft.graph.KgGraph.cooccurrence(
         matches(s, dir).select("url", "class_iri")))),

@@ -135,7 +135,11 @@ object KgGraph {
     * (`spark.sparkContext.setCheckpointDir` — point it at the job work dir
     * at cluster scale), every `reliableEvery`-th round writes a reliable
     * `checkpoint()` instead: recovery replays at most `reliableEvery`
-    * rounds. Local runs/tests leave the dir unset and keep the cheap path. */
+    * rounds. Local runs/tests leave the dir unset and keep the cheap path.
+    * Checkpoint FILES are not self-deleting: long-lived cluster drivers
+    * should set `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+    * (GC-driven cleanup of out-of-scope checkpoints) or purge the dir
+    * between jobs. */
   private def truncate(df: DataFrame, round: Int, reliableEvery: Int = 5): DataFrame =
     if (round % reliableEvery == 0 &&
         df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
@@ -159,12 +163,14 @@ object KgGraph {
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     // (u, v) edge list, self-loops dropped; orientation is irrelevant
     // (large-star symmetrizes). Kept deduped throughout.
+    // node set from the UNFILTERED input: a node whose only edges are
+    // self-loops must still get a label (itself), not vanish
+    val nodes = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
     var e = edges.select(col("src").as("u"), col("dst").as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint()
-    val nodes = e.select(col("u").as("node"))
-      .unionAll(e.select(col("v").as("node"))).distinct()
-      .localCheckpoint() // original node set — labels must cover all of it
     var eCnt = e.count()
     var converged = eCnt == 0
     var i = 0
@@ -185,7 +191,8 @@ object KgGraph {
         .select(col("v").as("u"), col("m").as("v"))
         .unionAll(sMins.select(col("u"), col("m").as("v")))
         .distinct()
-      val truncated = truncate(next, i)
+      val truncated = truncate(next, i + 1) // 1-based like pageRank: round 1
+      // (the largest intermediate edge set) is not reliably checkpointed
       // exact convergence: next == e  ⇔  |next| == |e| ∧ |next ∪ e| == |e|
       val nextCnt = truncated.count()
       converged = nextCnt == eCnt &&

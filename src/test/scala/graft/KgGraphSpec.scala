@@ -74,6 +74,14 @@ class KgGraphSpec extends AnyFunSuite {
     nodes.map(n => n -> find(n)).toMap
   }
 
+  test("self-loop-only nodes keep their own label (not dropped)") {
+    import spark.implicits._
+    val edges = Seq(("X", "X"), ("A", "B")).toDF("src", "dst")
+    val got = KgGraph.connectedComponents(edges).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("X", "X"), ("A", "A"), ("B", "A")))
+  }
+
   test("reliable checkpoints: same results with a checkpoint dir configured") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString

@@ -177,6 +177,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(derived.size === 14, derived.toString)
   }
 
+  test("loomMappings: NULL synonyms must not drop the pref label from derivation") {
+    import spark.implicits._
+    // curated parquet inputs can carry synonyms = NULL; the pref label must
+    // still participate in the lexical match
+    val concepts = Seq(
+      ("http://a/1", "A", "shared label", Option.empty[Seq[String]]),
+      ("http://b/1", "B", "shared label", Some(Seq.empty[String])))
+      .toDF("class_iri", "ont", "pref_label", "synonyms")
+    val got = OntologyTables.loomMappings(concepts).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("http://a/1", "http://b/1"), ("http://b/1", "http://a/1")))
+  }
+
   test("pipeline over RDF submissions == pipeline over the FULL fixture (CUI + LOOM)") {
     import graft.fixture.OntologyFixture
     import graft.io.NTriples
