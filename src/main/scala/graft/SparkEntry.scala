@@ -497,6 +497,12 @@ object SparkEntry {
     "sim_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"), nQueries = 10, k = 3)),
 
+    // IVF recall knob: each query probes its 2 nearest inverted lists —
+    // candidate volume ~2×, recall closer to brute force, same rerank
+    "sim_ivf_probe2" -> ((s, dir) =>
+      Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"),
+        nQueries = 10, k = 3, nProbe = 2)),
+
     "sim_dup_pairs" -> ((s, dir) =>
       Similarity.cosineDupPairs(s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.3)),
 
@@ -575,6 +581,14 @@ object SparkEntry {
 
     "text_quality" -> ((s, dir) => TextOps.qualityScore(docsTable(s, dir))),
 
+    // Gopher-style rule filter (word-count band, mean word length, symbol
+    // ratio, stopword hits → keep flag) — map-only column expressions
+    "text_gopher" -> ((s, dir) => TextOps.gopherRules(docsTable(s, dir))),
+
+    // Gopher-style repetition signals: top-bigram fraction via a sorted-
+    // array run-length fold (map-only; oracle recomputes declaratively)
+    "text_repetition" -> ((s, dir) => TextOps.repetitionStats(docsTable(s, dir))),
+
     "text_langid" -> ((s, dir) => TextOps.langId(docsTable(s, dir))),
 
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprint(docsTable(s, dir))),
@@ -652,7 +666,7 @@ object SparkEntry {
     * (cosine argmax, c_id tie-break) and rebuilds centroids as per-dim
     * means rounded to 6dp. Dim loop = generate_series(1, 64) (the
     * embeddings table is 64-dim, already baked into the LSH oracles). */
-  private def ivfOracleSql(iters: Int): String = {
+  private def ivfOracleSql(iters: Int, nprobe: Int = 1): String = {
     val iterCtes = (1 to iters).map { i =>
       s"""s$i AS (SELECT t.vec_id, t.emb, c.c_id,
             list_dot_product(t.emb, c.c_emb) /
@@ -680,7 +694,7 @@ object SparkEntry {
                 FROM sf),
         aff AS (SELECT vec_id, emb, bucket FROM asgf WHERE rn = 1),
         q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket AS q_bucket
-              FROM aff WHERE vec_id < 10),
+              FROM asgf WHERE vec_id < 10 AND rn <= $nprobe),
         s AS (SELECT query_id, aff.vec_id AS neighbor_id,
                 ROUND(list_dot_product(q_emb, emb) /
                   sqrt(list_dot_product(q_emb, q_emb) * list_dot_product(emb, emb)), 4) AS cos
@@ -1384,6 +1398,9 @@ object SparkEntry {
     // the UNROUNDED cosine, probe own list, exact rerank
     "sim_ivf" -> ivfOracleSql(iters = 2),
 
+    // multi-probe: identical chain, the probe set keeps rn <= 2 per query
+    "sim_ivf_probe2" -> ivfOracleSql(iters = 2, nprobe = 2),
+
     // embedding near-dup pairs: same bucket SQL as sim_lsh, pair join,
     // threshold on the 4dp-rounded cosine (the query's output contract)
     "sim_dup_pairs" ->
@@ -1538,6 +1555,45 @@ object SparkEntry {
            + (1.0 - len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
               / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3, 4) AS quality
          FROM documents""",
+
+    // Gopher rules: keep computed from the UNROUNDED values (integer-derived
+    // ratios — identical doubles both engines); stats rounded to 4dp
+    "text_gopher" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+          v AS (SELECT doc_id,
+                  len(tk) AS n_words,
+                  list_sum(list_transform(tk, x -> length(x)))
+                    / CAST(len(tk) AS DOUBLE) AS mean_len,
+                  len(list_filter(tk, x -> NOT regexp_matches(x, '[A-Za-z0-9]')))
+                    / CAST(len(tk) AS DOUBLE) AS sym_ratio,
+                  len(list_filter(tk, x -> x IN ('the', 'a'))) AS stop_hits
+                FROM t)
+          SELECT doc_id, CAST(n_words AS INT) AS n_words,
+                 ROUND(mean_len, 4) AS mean_word_len,
+                 ROUND(sym_ratio, 4) AS symbol_ratio,
+                 CAST(stop_hits AS INT) AS n_stop_hits,
+                 (n_words BETWEEN 50 AND 100000
+                  AND mean_len BETWEEN CAST(3.0 AS DOUBLE) AND CAST(10.0 AS DOUBLE)
+                  AND sym_ratio <= CAST(0.1 AS DOUBLE)
+                  AND stop_hits >= 2) AS keep
+          FROM v""",
+
+    // repetition: max bigram frequency recomputed DECLARATIVELY (unnest +
+    // GROUP BY + MAX) against the engine's sorted-run fold
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+                 FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                       FROM toks WHERE len(t) >= 2)),
+          f AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+          m AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS nb FROM f GROUP BY 1)
+          SELECT tk.doc_id,
+                 COALESCE(ROUND(m.mx / CAST(m.nb AS DOUBLE), 4),
+                          CAST(0.0 AS DOUBLE)) AS top_bigram_frac,
+                 ROUND(CAST(1.0 AS DOUBLE)
+                       - len(list_distinct(tk.t)) / CAST(len(tk.t) AS DOUBLE), 4)
+                   AS dup_token_ratio
+          FROM toks tk LEFT JOIN m ON tk.doc_id = m.doc_id""",
 
     "text_langid" ->
       """SELECT doc_id,

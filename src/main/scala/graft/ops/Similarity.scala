@@ -106,17 +106,21 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
-  /** Nearest-centroid assignment: broadcast the (tiny) centroid table,
-    * argmax cosine with `c_id` tie-break — `(vec_id, emb, bucket)`. */
-  private def assignToCentroids(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+  /** Centroid ranking per vector: broadcast the (tiny) centroid table,
+    * cosine rank with `c_id` tie-break — `(vec_id, emb, bucket, rn)`. */
+  private def rankCentroids(vecs: DataFrame, centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("c_id"))
     vecs.join(broadcast(centroids))
       .withColumn("c_cos", cosine(col("emb"), col("c_emb")))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("emb"), col("c_id").as("bucket"))
+      .select(col("vec_id"), col("emb"), col("c_id").as("bucket"), col("rn"))
   }
+
+  /** Nearest-centroid assignment (`rn = 1`) — `(vec_id, emb, bucket)`. */
+  private def assignToCentroids(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    rankCentroids(vecs, centroids).filter(col("rn") === 1)
+      .select(col("vec_id"), col("emb"), col("bucket"))
 
   /** IVF-style ANN with a SEEDED-LLOYD coarse quantizer: centroids start as
     * the first `nCentroids` vectors (deterministic seed), then `kmeansIters`
@@ -130,10 +134,16 @@ object Similarity {
     * Complements [[lshTopK]]: IVF partitions by data geometry, LSH by random
     * projections. Recall vs brute force (and vs the unrefined first-N
     * quantizer) measured in tests; the DuckDB oracle recomputes the full
-    * Lloyd iteration chain. */
+    * Lloyd iteration chain.
+    *
+    * `nProbe` > 1 is the standard IVF recall knob: each query probes its
+    * `nProbe` NEAREST inverted lists instead of only its own — candidate
+    * volume grows ~linearly in nProbe while recall approaches brute force
+    * (each data vector still lives in exactly one list, so probing more
+    * lists never duplicates a candidate). */
   def ivfTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3,
               nCentroids: Int = 8, kmeansIters: Int = 2,
-              trainSample: Int = 2048): DataFrame = {
+              trainSample: Int = 2048, nProbe: Int = 1): DataFrame = {
     val all = asDouble(embeddings)
     var centroids = all.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
@@ -150,7 +160,9 @@ object Similarity {
         .select(col("bucket").as("c_id"), col("c_emb"))
     }
     val assigned = assignToCentroids(all, centroids)
-    val queries = assigned.filter(col("vec_id") < nQueries)
+    // probe set: each query's nProbe nearest lists (rn ≤ nProbe)
+    val queries = rankCentroids(all.filter(col("vec_id") < nQueries), centroids)
+      .filter(col("rn") <= nProbe)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("bucket"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))

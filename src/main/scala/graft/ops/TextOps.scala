@@ -60,6 +60,70 @@ object TextOps {
       when(ratio >= 0.03, lit("en")).otherwise(lit("und")).as("lang_pred"))
   }
 
+  /** Gopher-style quality rule filter (Rae et al. 2021, public rule set):
+    * word-count band, mean-word-length band, symbol-token ratio cap, and a
+    * minimum stopword-hit count — emitted as per-rule stats plus the
+    * composite `keep` flag. Pure column expressions (whole-stage codegen, no
+    * shuffle — at 100 TB this is a map-only pass). The stopword list is the
+    * suite-wide [[stopwords]] (the driver corpus's vocabulary carries only
+    * those; Gopher's own 8-word list drops in via the same column). `keep`
+    * is computed from the UNROUNDED values in both engines (integer-derived
+    * ratios — identical doubles, no boundary risk); the rounded stats are
+    * the 4dp display contract. */
+  def gopherRules(docs: DataFrame,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1, minStopHits: Int = 2): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val meanLen =
+      aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+        .cast("double") / n
+    val symRatio =
+      size(filter(toks, t => !t.rlike("[A-Za-z0-9]"))).cast("double") / n
+    val stopHits = stopwordCount(col("text"))
+    docs.select(
+      col("doc_id"),
+      n.as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(symRatio, 4).as("symbol_ratio"),
+      stopHits.as("n_stop_hits"),
+      (n.between(minWords, maxWords)
+        && meanLen.between(minMeanLen, maxMeanLen)
+        && symRatio <= maxSymbolRatio
+        && stopHits >= minStopHits).as("keep"))
+  }
+
+  /** Gopher-style repetition signals: `top_bigram_frac` (fraction of all
+    * bigrams taken by the most frequent one) and `dup_token_ratio`
+    * (1 − distinct/total tokens). The max bigram frequency is the longest
+    * equal-run of the SORTED per-doc bigram array — a sequential
+    * `aggregate` fold over a column, so the whole operator is map-only
+    * (the oracle recomputes it the declarative way: unnest + GROUP BY +
+    * MAX, proving the fold). Docs with <2 tokens have no bigrams → 0.0. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val bigrams = transform(sequence(lit(1), n - 1), i =>
+      concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    val maxRun = aggregate(
+      sort_array(bigrams),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val newRun = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), newRun.as("run"),
+          greatest(acc.getField("best"), newRun).as("best"))
+      },
+      acc => acc.getField("best"))
+    docs.select(
+      col("doc_id"),
+      when(n >= 2, round(maxRun.cast("double") / (n - 1), 4))
+        .otherwise(lit(0.0)).as("top_bigram_frac"),
+      round(lit(1.0) - size(array_distinct(toks)).cast("double") / n, 4)
+        .as("dup_token_ratio"))
+  }
+
   /** 64-bit rolling polynomial fingerprint (base 131, natural Long overflow)
     * — deterministic content hash for change-detection/dedup prefiltering.
     * Uses the native codegen'd Catalyst expression

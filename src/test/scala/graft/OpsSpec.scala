@@ -200,6 +200,67 @@ class OpsSpec extends AnyFunSuite {
     assert(viaExpr === viaScalar)
   }
 
+  test("gopher rules: per-rule semantics on crafted docs") {
+    import spark.implicits._
+    val fifty = (1 to 48).map(_ => "word").mkString(" ") + " the a"
+    val crafted = Seq(
+      (1L, fifty), // 50 words, mean len 4ish, 2 stop hits → keep
+      (2L, "the a short doc"), // 4 words → word-count fail
+      (3L, (1 to 48).map(_ => "word").mkString(" ") + " ## !!"), // no stop hits + symbols
+      (4L, (1 to 50).map(_ => "incomprehensibilities").mkString(" ")) // mean len 21 → fail
+    ).toDF("doc_id", "text")
+    val got = TextOps.gopherRules(crafted).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(5))).toMap
+    assert(got(1L) === ((50, true)))
+    assert(got(2L) === ((4, false)))
+    assert(got(3L)._2 === false) // 0 stop hits and symbol ratio 2/50 ≤ 0.1 → stop rule fails it
+    assert(got(4L)._2 === false)
+    // full-corpus run: both keep outcomes occur (the band discriminates)
+    val keeps = TextOps.gopherRules(docs).groupBy("keep").count().collect()
+    assert(keeps.length === 2, keeps.mkString(","))
+  }
+
+  test("repetition stats: sorted-run fold == brute-force scalar count") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "a b a b a b"), // bigrams: ab ba ab ba ab → top 'a b' freq 3/5
+      (2L, "x"), // no bigrams → 0.0
+      (3L, "u v w") // all distinct bigrams → 1/2
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(crafted).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 === 0.6)
+    assert(got(2L)._1 === 0.0)
+    assert(got(3L)._1 === 0.5)
+    // scalar brute force over the real corpus
+    val scalar = docs.select("doc_id", "text").collect().map { r =>
+      val toks = r.getString(1).split(" ")
+      val bgs = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val top = if (bgs.isEmpty) 0.0
+        else BigDecimal(bgs.groupBy(identity).values.map(_.size).max.toDouble / bgs.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      r.getLong(0) -> top
+    }.toMap
+    val engine = TextOps.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(engine === scalar)
+  }
+
+  test("IVF multi-probe: nProbe=2 recall ≥ nProbe=1, ranks stay dense") {
+    val brute = Similarity.bruteForceTopK(embeddings, nQueries = 10, k = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(nProbe: Int): Double = {
+      val rows = Similarity.ivfTopK(embeddings, nQueries = 10, k = 3, nProbe = nProbe)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute intersect rows).size.toDouble / brute.size
+    }
+    val r1 = recallAt(1); val r2 = recallAt(2)
+    info(f"IVF recall@3: nProbe=1 $r1%.2f, nProbe=2 $r2%.2f")
+    assert(r2 >= r1, f"probing MORE lists lost recall: $r2%.2f < $r1%.2f")
+  }
+
   test("quality score bounded in [0,1]") {
     val q = TextOps.qualityScore(docs).agg(min("quality"), max("quality")).head()
     assert(q.getDouble(0) >= 0.0 && q.getDouble(1) <= 1.0)
