@@ -521,6 +521,33 @@ object SparkEntry {
           size(split(col("text"), " ")).as("n_tokens"))
     }),
 
+    // FULL curation capstone (round 3): the complete public-recipe corpus
+    // pipeline in one query — exact-dedup survivors, benchmark
+    // decontamination (anti-join), Gopher rule gate, repetition cap, then
+    // quality + language tags. Every leg is left-semi/anti on doc_id
+    // (fixed-width keys; the text never re-shuffles), and every leg is
+    // itself an independently oracle-checked operator.
+    "curate_corpus_full" -> ((s, dir) => {
+      val docs = docsTable(s, dir)
+      val corpus = docs.filter(col("doc_id") >= 10)
+      val bench = docs.filter(col("doc_id") < 10)
+      val keep = Dedup.exact(corpus).select(col("keep_id").as("doc_id"))
+      val contaminated = Dedup.decontaminate(corpus, bench, n = 3, minOverlap = 2)
+        .select("doc_id")
+      val gopher = TextOps.gopherRules(corpus).filter(col("keep")).select("doc_id")
+      val lowRep = TextOps.repetitionStats(corpus)
+        .filter(col("top_bigram_frac") <= 0.2).select("doc_id")
+      corpus
+        .join(keep, Seq("doc_id"), "left_semi")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .join(gopher, Seq("doc_id"), "left_semi")
+        .join(lowRep, Seq("doc_id"), "left_semi")
+        .join(TextOps.qualityScore(corpus), Seq("doc_id"))
+        .join(TextOps.langId(corpus), Seq("doc_id"))
+        .select(col("doc_id"), col("quality"), col("lang_pred"),
+          size(split(col("text"), " ")).as("n_tokens"))
+    }),
+
     // capstone composition: the training-data curation ops FEED the
     // annotator — exact-dedup survivors + quality gate select the pages, the
     // native annotate builds the KG only over curated pages (the realistic
@@ -1636,6 +1663,58 @@ object SparkEntry {
            CAST((doc_id * 13) % 256 AS INT) AS mean_g,
            CAST((doc_id * 29) % 256 AS INT) AS mean_b
          FROM documents WHERE doc_id % 3 = 0""",
+
+    // the full curation capstone recomposed from the per-operator oracle
+    // pieces (exact dedup, decontamination, Gopher gate, repetition cap,
+    // quality, langid) — prototyped against the Spark dump before wiring
+    "curate_corpus_full" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id >= 10),
+          keep AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY text),
+          toksall AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+                  FROM toksall WHERE len(t) >= 3),
+          sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM pos),
+          bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10),
+          contaminated AS (SELECT s.doc_id FROM sh s JOIN bench b ON s.shingle = b.shingle
+                           WHERE s.doc_id >= 10 GROUP BY s.doc_id HAVING COUNT(*) >= 2),
+          gv AS (SELECT doc_id, len(t) AS n_words,
+                   list_sum(list_transform(t, x -> length(x))) / CAST(len(t) AS DOUBLE) AS mean_len,
+                   len(list_filter(t, x -> NOT regexp_matches(x, '[A-Za-z0-9]')))
+                     / CAST(len(t) AS DOUBLE) AS sym_ratio,
+                   len(list_filter(t, x -> x IN ('the', 'a'))) AS stop_hits
+                 FROM toksall WHERE doc_id >= 10),
+          gopher AS (SELECT doc_id FROM gv WHERE n_words BETWEEN 50 AND 100000
+                     AND mean_len BETWEEN CAST(3.0 AS DOUBLE) AND CAST(10.0 AS DOUBLE)
+                     AND sym_ratio <= CAST(0.1 AS DOUBLE) AND stop_hits >= 2),
+          bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+                 FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                       FROM toksall WHERE doc_id >= 10 AND len(t) >= 2)),
+          f AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+          m AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS nb FROM f GROUP BY 1),
+          lowrep AS (SELECT doc_id FROM m
+                     WHERE ROUND(mx / CAST(nb AS DOUBLE), 4) <= CAST(0.2 AS DOUBLE)),
+          q AS (SELECT doc_id, ROUND(
+                  LEAST(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4
+                  + (len(list_distinct(string_split(text, ' ')))
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
+                  + (1.0 - len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3, 4) AS quality
+                FROM corpus),
+          l AS (SELECT doc_id,
+                  CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+                       / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.03
+                       THEN 'en' ELSE 'und' END AS lang_pred
+                FROM corpus)
+          SELECT c.doc_id, q.quality, l.lang_pred,
+                 CAST(len(string_split(c.text, ' ')) AS INT) AS n_tokens
+          FROM corpus c
+          JOIN keep USING (doc_id)
+          LEFT JOIN contaminated ct ON c.doc_id = ct.doc_id
+          JOIN gopher USING (doc_id)
+          JOIN lowrep USING (doc_id)
+          JOIN q USING (doc_id)
+          JOIN l USING (doc_id)
+          WHERE ct.doc_id IS NULL""",
 
     "curate_corpus" ->
       """WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
