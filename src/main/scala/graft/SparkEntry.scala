@@ -1691,8 +1691,11 @@ object SparkEntry {
                        FROM toksall WHERE doc_id >= 10 AND len(t) >= 2)),
           f AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
           m AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS nb FROM f GROUP BY 1),
-          lowrep AS (SELECT doc_id FROM m
-                     WHERE ROUND(mx / CAST(nb AS DOUBLE), 4) <= CAST(0.2 AS DOUBLE)),
+          lowrep AS (SELECT t.doc_id
+                     FROM (SELECT doc_id FROM toksall WHERE doc_id >= 10) t
+                     LEFT JOIN m ON t.doc_id = m.doc_id
+                     WHERE COALESCE(ROUND(m.mx / CAST(m.nb AS DOUBLE), 4),
+                                    CAST(0.0 AS DOUBLE)) <= CAST(0.2 AS DOUBLE)),
           q AS (SELECT doc_id, ROUND(
                   LEAST(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4
                   + (len(list_distinct(string_split(text, ' ')))

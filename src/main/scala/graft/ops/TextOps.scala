@@ -104,8 +104,9 @@ object TextOps {
   def repetitionStats(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val n = size(toks)
-    val bigrams = transform(sequence(lit(1), n - 1), i =>
-      concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    // Dedup.shingles carries the short-doc guard (empty array, not a
+    // descending sequence) at the data definition, not the use site
+    val bigrams = Dedup.shingles(col("text"), 2)
     val maxRun = aggregate(
       sort_array(bigrams),
       struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
