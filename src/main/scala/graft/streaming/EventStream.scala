@@ -27,6 +27,22 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup — the streaming form of [[graft.ops.Dedup.exact]]
+    * for a continuously-ingested crawl: drop any document whose CONTENT was
+    * already seen, keyed by the same fixed-width double-xxhash64+length
+    * composite (raw text never enters the state store or the shuffle), state
+    * expired by event-time watermark so the store stays bounded — the
+    * standard Structured Streaming `dropDuplicatesWithinWatermark` shape.
+    * Emits the surviving documents unchanged. */
+  def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("h1", xxhash64(lit(1), col("text")))
+      .withColumn("h2", xxhash64(lit(2), col("text")))
+      .withColumn("n", length(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("h1", "h2", "n")
+      .drop("h1", "h2", "n")
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class UserAgg(user_id: Long, n_events: Long, total_value: Double)

@@ -37,6 +37,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming exact dedup: cross-batch duplicates dropped, state keyed by hash") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val query = EventStream.dedupStream(docs).writeStream
+      .format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "alpha beta"),
+        (ts("2024-01-01 10:01:00"), 2L, "gamma delta"),
+        (ts("2024-01-01 10:02:00"), 3L, "alpha beta")) // in-batch dup of 1
+      query.processAllAvailable()
+      input.addData(
+        (ts("2024-01-01 10:10:00"), 4L, "gamma delta"), // cross-batch dup of 2
+        (ts("2024-01-01 10:11:00"), 5L, "epsilon"))
+      query.processAllAvailable()
+      val kept = spark.table("dedup_stream")
+        .select("doc_id").as[Long].collect().toSet
+      // one survivor per distinct content; within-watermark dups dropped
+      assert(kept.contains(5L))
+      assert((kept - 5L).size === 2, kept.toString)
+      assert(!(kept.contains(1L) && kept.contains(3L)))
+      assert(!(kept.contains(2L) && kept.contains(4L)))
+      // output schema untouched (hash columns are internal)
+      assert(spark.table("dedup_stream").columns.toSeq === Seq("ts", "doc_id", "text"))
+    } finally query.stop()
+  }
+
   test("mapGroupsWithState: per-user running totals accumulate across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
