@@ -589,6 +589,12 @@ object SparkEntry {
       graft.graph.KgGraph.pageRank(graft.graph.KgGraph.cooccurrence(
         matches(s, dir).select("url", "class_iri")))),
 
+    // weighted PageRank: rank mass flows in proportion to edge weight
+    // (n_docs) — same unrolled-CTE oracle shape with weighted contributions
+    "kg_pagerank_weighted" -> ((s, dir) =>
+      graft.graph.KgGraph.pageRankWeighted(graft.graph.KgGraph.cooccurrence(
+        matches(s, dir).select("url", "class_iri")))),
+
     // per-node triangle counts (canonical a<b<c wedge join)
     "kg_triangles" -> ((s, dir) =>
       graft.graph.KgGraph.triangles(graft.graph.KgGraph.cooccurrence(
@@ -730,6 +736,35 @@ object SparkEntry {
                 ORDER BY cos DESC, neighbor_id) AS rank FROM s)
         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
         FROM r WHERE rank <= 3"""
+  }
+
+  /** Weighted twin of [[pageRankOracleSql]]: contributions scaled by edge
+    * weight over node strength (Σ weights), everything else identical. */
+  private def pageRankWeightedOracleSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""pr$i AS (SELECT u.b AS node,
+            (CAST(0.15 AS DOUBLE) / (SELECT n FROM nn))
+              + CAST(0.85 AS DOUBLE) * SUM(p.pr * u.w / st.s) AS pr
+          FROM und u JOIN pr${i - 1} p ON p.node = u.a
+          JOIN st ON st.a = u.a
+          GROUP BY u.b)"""
+    }.mkString(",\n")
+    s"""WITH $dictCte, $directCte,
+        pairs AS (SELECT DISTINCT url, class_iri FROM direct),
+        cooc AS (SELECT a.class_iri AS src, b.class_iri AS dst,
+                        CAST(COUNT(*) AS DOUBLE) AS w
+                 FROM pairs a JOIN pairs b
+                   ON a.url = b.url AND a.class_iri < b.class_iri
+                 GROUP BY 1, 2),
+        und AS (SELECT src AS a, dst AS b, w FROM cooc
+                UNION ALL SELECT dst, src, w FROM cooc),
+        st AS (SELECT a, SUM(w) AS s FROM und GROUP BY a),
+        nodes AS (SELECT DISTINCT a AS node FROM und),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr
+                FROM nodes),
+        $iterCtes
+        SELECT node AS class_iri, ROUND(pr, 6) AS pagerank FROM pr$iters"""
   }
 
   private val cntsCte =
@@ -1528,6 +1563,8 @@ object SparkEntry {
           FROM reach GROUP BY a""",
 
     "kg_pagerank" -> pageRankOracleSql(iters = 10),
+
+    "kg_pagerank_weighted" -> pageRankWeightedOracleSql(iters = 10),
 
     // |docs(a) ∩ docs(b)| from the co-occurrence pairs; union via counts
     "kg_concept_sim" ->

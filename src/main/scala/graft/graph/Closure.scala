@@ -33,9 +33,14 @@ object Closure {
       val next = frontier
         .join(e, frontier("ancestor") === col("e_child"))
         .select(col("child"), col("e_parent").as("ancestor"), (lit(level + 1)).as("distance"))
-      closure = closure.unionByName(next)
-        .groupBy("child", "ancestor").agg(min("distance").as("distance"))
-        .localCheckpoint()
+      // same truncation policy as the KG iterative ops: reliable checkpoint
+      // every 5th round when a checkpoint dir is configured (ontology-side
+      // graphs are small, but a deep maxLevel on a real cluster gets the
+      // same executor-loss recovery for free), localCheckpoint otherwise
+      closure = KgGraph.truncate(
+        closure.unionByName(next)
+          .groupBy("child", "ancestor").agg(min("distance").as("distance")),
+        level)
       frontierNonEmpty = closure.filter(col("distance") === level + 1).limit(1).count() > 0
       level += 1
     }

@@ -140,10 +140,41 @@ object KgGraph {
     * should set `spark.cleaner.referenceTracking.cleanCheckpoints=true`
     * (GC-driven cleanup of out-of-scope checkpoints) or purge the dir
     * between jobs. */
-  private def truncate(df: DataFrame, round: Int, reliableEvery: Int = 5): DataFrame =
+  private[graph] def truncate(df: DataFrame, round: Int, reliableEvery: Int = 5): DataFrame =
     if (round % reliableEvery == 0 &&
         df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
+
+  /** Weighted PageRank over the undirected co-occurrence graph: a neighbor's
+    * share of a node's rank mass is proportional to the EDGE WEIGHT
+    * (`n_docs`) — concepts connected by many shared documents pull more mass
+    * than incidental co-occurrences (the standard weighted-PageRank
+    * generalization: contribution = pr(a)·w(a,b)/strength(a), strength =
+    * Σ_b w(a,b)). Same fixed-iteration determinism + 6dp contract as
+    * [[pageRank]]; the oracle unrolls the same weighted iterations.
+    * Precondition: one row per undirected edge (src < dst), as
+    * [[cooccurrence]] emits. */
+  def pageRankWeighted(edges: DataFrame, iters: Int = 10,
+                       damping: Double = 0.85): DataFrame = {
+    val und = edges.select(col("src").as("a"), col("dst").as("b"),
+        col("n_docs").cast("double").as("w"))
+      .unionAll(edges.select(col("dst").as("a"), col("src").as("b"),
+        col("n_docs").cast("double").as("w")))
+      .localCheckpoint()
+    val strength = und.groupBy("a").agg(sum(col("w")).as("s"))
+    val withS = und.join(strength, "a").localCheckpoint() // (a, b, w, s) per iter
+    val nodes = und.select(col("a").as("node")).distinct().localCheckpoint()
+    val n = nodes.count()
+    var pr = nodes.withColumn("pr", lit(1.0 / n))
+    for (i <- 1 to iters) {
+      pr = truncate(withS.join(pr, withS("a") === pr("node"))
+        .select(col("b").as("node"), (col("pr") * col("w") / col("s")).as("contrib"))
+        .groupBy("node")
+        .agg((lit((1.0 - damping) / n) + lit(damping) * sum(col("contrib"))).as("pr")),
+        i)
+    }
+    pr.select(col("node").as("class_iri"), round(col("pr"), 6).as("pagerank"))
+  }
 
   /** Connected components by the ALTERNATING LARGE-STAR / SMALL-STAR
     * contraction (Kiveris et al. 2014, "Connected Components in MapReduce

@@ -182,6 +182,36 @@ class KgGraphSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-3)
   }
 
+  test("weighted pageRank == scalar reference on a seeded random weighted graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val n = 40
+    val names = (0 until n).map(i => f"W$i%02d")
+    val edges = (0 until 3 * n).flatMap { _ =>
+      val a = names(rnd.nextInt(n)); val b = names(rnd.nextInt(n))
+      if (a < b) Some((a, b)) else None
+    }.distinct.map { case (a, b) => (a, b, 1L + rnd.nextInt(9)) }
+    val got = KgGraph.pageRankWeighted(edges.toDF("src", "dst", "n_docs"), iters = 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    // scalar reference: weighted contributions pr(a)·w/strength(a)
+    val und = edges.flatMap { case (a, b, w) =>
+      Seq((a, b, w.toDouble), (b, a, w.toDouble)) }
+    val strength = und.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nodes = und.map(_._1).distinct.sorted
+    val nv = nodes.size
+    var pr = nodes.map(_ -> 1.0 / nv).toMap
+    (1 to 10).foreach { _ =>
+      val contrib = und.groupBy(_._2).view.mapValues(
+        _.map { case (a, _, w) => pr(a) * w / strength(a) }.sum).toMap
+      pr = nodes.map(nd => nd -> (0.15 / nv + 0.85 * contrib(nd))).toMap
+    }
+    assert(got.keySet === pr.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - pr(k)) < 1e-6, s"$k: $v vs ${pr(k)}")
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-3) // mass conserved
+  }
+
   test("path graph of length ≫ maxIter converges (star contraction is O(log² n))") {
     import spark.implicits._
     // 400-node path with maxIter=15: min-label propagation would need ~400
