@@ -450,6 +450,13 @@ object SparkEntry {
         .intersect(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
     }),
 
+    // set operation: EXCEPT (customers with fulfilled but no open orders)
+    "q_except" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        .except(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+    }),
+
     // date_trunc + JSON extraction + aggregate over the events table
     "q_events_hourly" -> ((s, dir) =>
       s.read.parquet(s"$dir/events.parquet")
@@ -1088,6 +1095,11 @@ object SparkEntry {
     "q_setops" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
          INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
+
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         EXCEPT
          SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
 
     "q_rollup" ->
