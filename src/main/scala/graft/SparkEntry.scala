@@ -675,24 +675,30 @@ object SparkEntry {
     * CTEs (recursive CTEs cannot aggregate per step, but a FIXED iteration
     * count needs no recursion). All arithmetic forced to DOUBLE — DuckDB's
     * bare `1.0` literal is DECIMAL, which would diverge from Spark's double
-    * semantics. 6dp rounding absorbs cross-engine float-sum ordering. */
-  private def pageRankOracleSql(iters: Int): String = {
+    * semantics. 6dp rounding absorbs cross-engine float-sum ordering.
+    * ONE builder for both variants, mirroring the engine (pageRank ==
+    * pageRankWeighted at w = 1): contribution = pr·w/strength; unweighted
+    * w = 1.0 makes strength the degree and pr·1.0/s bit-identical to pr/d. */
+  private def pageRankOracleSql(iters: Int, weighted: Boolean): String = {
+    val w = if (weighted) "COUNT(*)" else "1"
     val iterCtes = (1 to iters).map { i =>
       s"""pr$i AS (SELECT u.b AS node,
             (CAST(0.15 AS DOUBLE) / (SELECT n FROM nn))
-              + CAST(0.85 AS DOUBLE) * SUM(p.pr / dg.d) AS pr
+              + CAST(0.85 AS DOUBLE) * SUM(p.pr * u.w / st.s) AS pr
           FROM und u JOIN pr${i - 1} p ON p.node = u.a
-          JOIN deg dg ON dg.a = u.a
+          JOIN st ON st.a = u.a
           GROUP BY u.b)"""
     }.mkString(",\n")
     s"""WITH $dictCte, $directCte,
         pairs AS (SELECT DISTINCT url, class_iri FROM direct),
-        cooc AS (SELECT DISTINCT a.class_iri AS src, b.class_iri AS dst
+        cooc AS (SELECT a.class_iri AS src, b.class_iri AS dst,
+                        CAST($w AS DOUBLE) AS w
                  FROM pairs a JOIN pairs b
-                   ON a.url = b.url AND a.class_iri < b.class_iri),
-        und AS (SELECT src AS a, dst AS b FROM cooc
-                UNION SELECT dst, src FROM cooc),
-        deg AS (SELECT a, CAST(COUNT(*) AS DOUBLE) AS d FROM und GROUP BY a),
+                   ON a.url = b.url AND a.class_iri < b.class_iri
+                 GROUP BY 1, 2),
+        und AS (SELECT src AS a, dst AS b, w FROM cooc
+                UNION ALL SELECT dst, src, w FROM cooc),
+        st AS (SELECT a, SUM(w) AS s FROM und GROUP BY a),
         nodes AS (SELECT DISTINCT a AS node FROM und),
         nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
         pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr
@@ -743,35 +749,6 @@ object SparkEntry {
                 ORDER BY cos DESC, neighbor_id) AS rank FROM s)
         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
         FROM r WHERE rank <= 3"""
-  }
-
-  /** Weighted twin of [[pageRankOracleSql]]: contributions scaled by edge
-    * weight over node strength (Σ weights), everything else identical. */
-  private def pageRankWeightedOracleSql(iters: Int): String = {
-    val iterCtes = (1 to iters).map { i =>
-      s"""pr$i AS (SELECT u.b AS node,
-            (CAST(0.15 AS DOUBLE) / (SELECT n FROM nn))
-              + CAST(0.85 AS DOUBLE) * SUM(p.pr * u.w / st.s) AS pr
-          FROM und u JOIN pr${i - 1} p ON p.node = u.a
-          JOIN st ON st.a = u.a
-          GROUP BY u.b)"""
-    }.mkString(",\n")
-    s"""WITH $dictCte, $directCte,
-        pairs AS (SELECT DISTINCT url, class_iri FROM direct),
-        cooc AS (SELECT a.class_iri AS src, b.class_iri AS dst,
-                        CAST(COUNT(*) AS DOUBLE) AS w
-                 FROM pairs a JOIN pairs b
-                   ON a.url = b.url AND a.class_iri < b.class_iri
-                 GROUP BY 1, 2),
-        und AS (SELECT src AS a, dst AS b, w FROM cooc
-                UNION ALL SELECT dst, src, w FROM cooc),
-        st AS (SELECT a, SUM(w) AS s FROM und GROUP BY a),
-        nodes AS (SELECT DISTINCT a AS node FROM und),
-        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-        pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr
-                FROM nodes),
-        $iterCtes
-        SELECT node AS class_iri, ROUND(pr, 6) AS pagerank FROM pr$iters"""
   }
 
   private val cntsCte =
@@ -1574,9 +1551,9 @@ object SparkEntry {
           SELECT a AS class_iri, LEAST(a, MIN(b)) AS component
           FROM reach GROUP BY a""",
 
-    "kg_pagerank" -> pageRankOracleSql(iters = 10),
+    "kg_pagerank" -> pageRankOracleSql(iters = 10, weighted = false),
 
-    "kg_pagerank_weighted" -> pageRankWeightedOracleSql(iters = 10),
+    "kg_pagerank_weighted" -> pageRankOracleSql(iters = 10, weighted = true),
 
     // |docs(a) ∩ docs(b)| from the co-occurrence pairs; union via counts
     "kg_concept_sim" ->

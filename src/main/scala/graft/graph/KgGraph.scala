@@ -90,7 +90,7 @@ object KgGraph {
     * count); wedge blow-up is Σ C(deg, 2), the standard bound — the
     * `maxPerDoc` cap upstream already tames degree skew from hot concepts. */
   def triangles(cooccur: DataFrame): DataFrame = {
-    val e = cooccur.select(col("src"), col("dst")).localCheckpoint()
+    val e = pin(cooccur.select(col("src"), col("dst")))
     val wedges = e.alias("e1").join(e.alias("e2"),
         col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
       .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
@@ -105,45 +105,56 @@ object KgGraph {
     * node has out-edges and the damping mass needs no sink correction).
     * Deterministic: a fixed iteration count (not a float-tolerance
     * fixpoint) makes the computation exactly expressible as unrolled SQL
-    * CTEs, which is how the DuckDB oracle recomputes it. Per iteration:
-    * one join + one aggregation, `localCheckpoint` truncates lineage.
-    * Scores rounded to 6dp on output (cross-engine float-sum contract). */
-  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
-    val und = edges.select(col("src").as("a"), col("dst").as("b"))
-      .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
-      .distinct()
-      .localCheckpoint()
-    val deg = und.groupBy("a").agg(count(lit(1)).as("d"))
-    val withDeg = und.join(deg, "a").localCheckpoint() // (a, b, d) reused per iter
-    val nodes = und.select(col("a").as("node")).distinct().localCheckpoint()
-    val n = nodes.count() // driver action once — graph-side, bounded by |V|
-    var pr = nodes.withColumn("pr", lit(1.0 / n))
-    for (i <- 1 to iters) {
-      pr = truncate(withDeg.join(pr, withDeg("a") === pr("node"))
-        .select(col("b").as("node"), (col("pr") / col("d")).as("contrib"))
-        .groupBy("node")
-        .agg((lit((1.0 - damping) / n) + lit(damping) * sum(col("contrib"))).as("pr")),
-        i)
-    }
-    pr.select(col("node").as("class_iri"), round(col("pr"), 6).as("pagerank"))
-  }
+    * CTEs, which is how the DuckDB oracle recomputes it.
+    *
+    * Exactly the weighted loop with w = 1 (strength = degree; pr·1/deg is
+    * bit-identical to pr/deg) — ONE iterate-join-agg loop and one oracle
+    * shape to maintain. Input edges are canonicalized (min, max) + distinct
+    * first, preserving the undirected-edge-set semantics for inputs that
+    * carry both directions. */
+  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame =
+    pageRankWeighted(
+      edges.select(least(col("src"), col("dst")).as("src"),
+          greatest(col("src"), col("dst")).as("dst")).distinct()
+        .withColumn("n_docs", lit(1L)),
+      iters, damping)
 
-  /** Lineage truncation for iterative jobs. `localCheckpoint` is NOT
-    * fault-tolerant: blocks live only in executor memory/disk, so on a real
-    * cluster an executor loss mid-iteration kills the job (no lineage left
-    * to recompute from). When the session has a checkpoint dir configured
-    * (`spark.sparkContext.setCheckpointDir` — point it at the job work dir
-    * at cluster scale), every `reliableEvery`-th round writes a reliable
-    * `checkpoint()` instead: recovery replays at most `reliableEvery`
-    * rounds. Local runs/tests leave the dir unset and keep the cheap path.
+  /** Lineage control for iterative jobs, two regimes:
+    *
+    * NO checkpoint dir (local runs/tests): `localCheckpoint` every round —
+    * cheap, truncates the growing plan, NOT fault-tolerant (blocks live only
+    * in executor memory/disk).
+    *
+    * Checkpoint dir configured (`spark.sparkContext.setCheckpointDir` —
+    * point it at the job work dir at cluster scale): the GraphX-style
+    * cache + periodic-reliable-checkpoint pattern — every `reliableEvery`-th
+    * round writes a reliable `checkpoint()` (durable files), intermediate
+    * rounds only `persist()` so their LINEAGE SURVIVES back to the last
+    * reliable checkpoint. An executor loss then recomputes lost blocks from
+    * ≤ `reliableEvery` rounds of lineage. (A `localCheckpoint` between
+    * reliable checkpoints would sever exactly that recovery path — the
+    * reason intermediate rounds must persist, not local-checkpoint.) Static
+    * per-loop inputs go through [[pin]] for the same reason.
+    *
     * Checkpoint FILES are not self-deleting: long-lived cluster drivers
     * should set `spark.cleaner.referenceTracking.cleanCheckpoints=true`
     * (GC-driven cleanup of out-of-scope checkpoints) or purge the dir
-    * between jobs. */
-  private[graph] def truncate(df: DataFrame, round: Int, reliableEvery: Int = 5): DataFrame =
-    if (round % reliableEvery == 0 &&
-        df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
+    * between jobs; persisted intermediates are LRU-evicted by the block
+    * manager. */
+  private[graph] def truncate(df: DataFrame, round: Int, reliableEvery: Int = 5): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty) df.localCheckpoint()
+    else if (round % reliableEvery == 0) df.checkpoint()
+    else df.persist()
+  }
+
+  /** Static per-loop inputs (edge sets, degree tables): `localCheckpoint`
+    * locally; `persist` when a checkpoint dir is configured, so their blocks
+    * stay recomputable from the caller's durable input lineage after an
+    * executor loss. */
+  private def pin(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isEmpty) df.localCheckpoint()
+    else df.persist()
 
   /** Weighted PageRank over the undirected co-occurrence graph: a neighbor's
     * share of a node's rank mass is proportional to the EDGE WEIGHT
@@ -156,14 +167,13 @@ object KgGraph {
     * [[cooccurrence]] emits. */
   def pageRankWeighted(edges: DataFrame, iters: Int = 10,
                        damping: Double = 0.85): DataFrame = {
-    val und = edges.select(col("src").as("a"), col("dst").as("b"),
+    val und = pin(edges.select(col("src").as("a"), col("dst").as("b"),
         col("n_docs").cast("double").as("w"))
       .unionAll(edges.select(col("dst").as("a"), col("src").as("b"),
-        col("n_docs").cast("double").as("w")))
-      .localCheckpoint()
+        col("n_docs").cast("double").as("w"))))
     val strength = und.groupBy("a").agg(sum(col("w")).as("s"))
-    val withS = und.join(strength, "a").localCheckpoint() // (a, b, w, s) per iter
-    val nodes = und.select(col("a").as("node")).distinct().localCheckpoint()
+    val withS = pin(und.join(strength, "a")) // (a, b, w, s) reused per iter
+    val nodes = pin(und.select(col("a").as("node")).distinct())
     val n = nodes.count()
     var pr = nodes.withColumn("pr", lit(1.0 / n))
     for (i <- 1 to iters) {
@@ -196,12 +206,10 @@ object KgGraph {
     // (large-star symmetrizes). Kept deduped throughout.
     // node set from the UNFILTERED input: a node whose only edges are
     // self-loops must still get a label (itself), not vanish
-    val nodes = edges.select(col("src").as("node"))
-      .unionAll(edges.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
-    var e = edges.select(col("src").as("u"), col("dst").as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+    val nodes = pin(edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node"))).distinct())
+    var e = pin(edges.select(col("src").as("u"), col("dst").as("v"))
+      .filter(col("u") =!= col("v")).distinct())
     var eCnt = e.count()
     var converged = eCnt == 0
     var i = 0

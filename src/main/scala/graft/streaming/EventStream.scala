@@ -29,19 +29,22 @@ object EventStream {
 
   /** Streaming exact dedup — the streaming form of [[graft.ops.Dedup.exact]]
     * for a continuously-ingested crawl: drop any document whose CONTENT was
-    * already seen, keyed by the same fixed-width double-xxhash64+length
-    * composite (raw text never enters the state store or the shuffle), state
-    * expired by event-time watermark so the store stays bounded — the
-    * standard Structured Streaming `dropDuplicatesWithinWatermark` shape.
-    * Emits the surviving documents unchanged. */
+    * already seen, keyed by a fixed-width double-xxhash64+length composite —
+    * the STATE STORE holds only ~24-byte keys, never raw text (the dedup
+    * repartition still moves whole rows to their stateful partition, like
+    * any keyed stateful op) — with state expired by event-time watermark so
+    * the store stays bounded: the standard Structured Streaming
+    * `dropDuplicatesWithinWatermark` shape. Survivor rows pass through with
+    * their original schema (internal key columns are prefixed to avoid
+    * clobbering user columns). */
   def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
     docs
-      .withColumn("h1", xxhash64(lit(1), col("text")))
-      .withColumn("h2", xxhash64(lit(2), col("text")))
-      .withColumn("n", length(col("text")))
+      .withColumn("__dedup_h1", xxhash64(lit(1), col("text")))
+      .withColumn("__dedup_h2", xxhash64(lit(2), col("text")))
+      .withColumn("__dedup_n", length(col("text")))
       .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("h1", "h2", "n")
-      .drop("h1", "h2", "n")
+      .dropDuplicatesWithinWatermark("__dedup_h1", "__dedup_h2", "__dedup_n")
+      .drop("__dedup_h1", "__dedup_h2", "__dedup_n")
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
