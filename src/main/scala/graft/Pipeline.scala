@@ -23,6 +23,9 @@ import graft.io.TableIO
   *   closure  — iterative broadcast joins, ontology-side only
   *   triples  — A6 agg (shuffle on url,classIri — high-cardinality keys, no
   *              hot key), expansion joins all broadcast, partitioned write
+  *   kg_*     — (opt-in, `materializeKg`) co-occurrence edges + components
+  *              + weighted PageRank from the PERSISTED matches stage —
+  *              resume never re-scans the corpus for graph stages
   */
 /** The pipeline's ontology-side inputs as plain tables, decoupling stage
   * orchestration from where the ontology comes from: the deterministic
@@ -112,7 +115,13 @@ object Pipeline {
         * dictionaries beyond driver memory — shards built + broadcast one
         * at a time, scanned by the native sharded Generator. Output is
         * spec-identical across values. */
-      dictShards: Int = 1)
+      dictShards: Int = 1,
+      /** Materialize the downstream KG analytics as additional checkpointed
+        * stages (north_rule "graph materialize"): concept co-occurrence
+        * edges, connected components, weighted PageRank — each a resumable
+        * stage with its own lineage rows, derived from the persisted
+        * matches stage (no corpus re-scan). */
+      materializeKg: Boolean = false)
 
   /** Run (or resume) the full pipeline; returns the final triples DataFrame.
     * Table IO routes through [[TableIO.forSession]]: Parquet locally, the
@@ -195,6 +204,23 @@ object Pipeline {
       val assembled = Triples.assemble(direct, hier, mapped, cfg.dictVersion)
         .filter(col("score") >= cfg.opts.scoreThreshold)
       Triples.withPartDate(assembled, corpus)
+    }
+
+    if (cfg.materializeKg) {
+      // KG analytics over the DIRECT annotation stream, fed from the
+      // persisted matches checkpoint — resuming a run never re-scans the
+      // corpus to rebuild graph stages
+      val ann = matches.select(col("url"), col("classIri").as("class_iri"))
+      val kgEdges = stage(spark, io, "kg_edges", cfg, inputRows = nMatches) {
+        graft.graph.KgGraph.cooccurrence(ann)
+      }
+      lazy val nEdges = kgEdges.count()
+      stage(spark, io, "kg_components", cfg, inputRows = nEdges) {
+        graft.graph.KgGraph.connectedComponents(kgEdges)
+      }
+      stage(spark, io, "kg_pagerank", cfg, inputRows = nEdges) {
+        graft.graph.KgGraph.pageRankWeighted(kgEdges)
+      }
     }
     triples
   }

@@ -156,6 +156,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(sharded.nonEmpty)
   }
 
+  test("materializeKg: graph stages checkpoint, resume, and equal direct recomputation") {
+    val wd = Files.createTempDirectory("graft-kg-wd").toString
+    Pipeline.run(spark, Pipeline.Config(sfDir, wd, scanPartitions = 4,
+      materializeKg = true)).count()
+    for (s <- Seq("kg_edges", "kg_components", "kg_pagerank"))
+      assert(new java.io.File(s"$wd/$s/_SUCCESS").exists, s"missing stage $s")
+    // kg_edges == cooccurrence over the persisted matches stage
+    val m = spark.read.parquet(s"$wd/matches")
+      .select(col("url"), col("classIri").as("class_iri"))
+    val edges = spark.read.parquet(s"$wd/kg_edges")
+    assert(edges.collect().map(_.toSeq).toSet ===
+      graft.graph.KgGraph.cooccurrence(m).collect().map(_.toSeq).toSet)
+    // kg_pagerank == weighted PageRank recomputed from the edges stage
+    val pr = spark.read.parquet(s"$wd/kg_pagerank").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exp = graft.graph.KgGraph.pageRankWeighted(edges).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr.keySet === exp.keySet)
+    pr.foreach { case (k, v) => assert(math.abs(v - exp(k)) <= 1e-6, k) }
+    // resume: second run skips every stage (no new lineage rows)
+    val lin1 = spark.read.parquet(s"$wd/lineage").count()
+    Pipeline.run(spark, Pipeline.Config(sfDir, wd, scanPartitions = 4,
+      materializeKg = true)).count()
+    assert(spark.read.parquet(s"$wd/lineage").count() === lin1)
+  }
+
   test("CUI mappings derived from the concept table == fixture CUI mappings") {
     val derived = OntologyTables.cuiMappings(
       graft.fixture.OntologyFixture.conceptsDf(spark))
