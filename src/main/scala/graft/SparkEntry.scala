@@ -11,7 +11,7 @@ import graft.dict.{AnnotatorModel, AutomatonBuild, DictBuild}
 import graft.emit.Triples
 import graft.fixture.OntologyFixture
 import graft.graph.Closure
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{AsOf, Dedup, Multimodal, Sampling, Similarity, Sketch, TextOps}
 import graft.streaming.EventStream
 
 /** Driver contract (SURVEY.md §6.2): one `queries` entry per implemented
@@ -83,6 +83,17 @@ object SparkEntry {
 
   private def docsTable(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+
+  /** Deterministic dictionary-snapshot timeline for the as-of query —
+    * weekly snapshots spanning the seeded events month, with the first two
+    * days uncovered so the no-version-yet (NULL) leg is exercised. Epoch
+    * instants (TZ-proof); the oracle inlines the same instants as UTC
+    * TIMESTAMP literals. */
+  private[graft] val DictSnapshots: Seq[(java.sql.Timestamp, String)] =
+    Seq("2024-01-03" -> "v1", "2024-01-08" -> "v2", "2024-01-15" -> "v3",
+        "2024-01-22" -> "v4", "2024-01-29" -> "v5").map { case (d, v) =>
+      java.sql.Timestamp.from(java.time.Instant.parse(s"${d}T00:00:00Z")) -> v
+    }
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Corpus.extract(Corpus.fromDriverTable(docsTable(s, dir)))
@@ -472,6 +483,44 @@ object SparkEntry {
     "stream_hourly" -> ((s, dir) =>
       EventStream.hourlyCounts(s.read.parquet(s"$dir/events.parquet"))),
 
+    // as-of join, small-dim shape: which dictionary snapshot was live when
+    // each event happened — sorted version list inlined as an array
+    // literal, latest entry <= ts picked map-only (zero shuffle/join)
+    "q_asof_version" -> ((s, dir) =>
+      AsOf.withVersionAsOf(s.read.parquet(s"$dir/events.parquet"),
+          "ts", DictSnapshots)
+        .select(col("event_id"), col("version"))),
+
+    // as-of join, keyed corpus-scale shape: each event's most recent
+    // strictly-preceding 'click' by the same user — ONE shuffle (window on
+    // user_id), no join node at all
+    "q_asof_prev_click" -> ((s, dir) =>
+      AsOf.lastPrecedingWhere(
+          s.read.parquet(s"$dir/events.parquet")
+            .withColumn("is_click", col("event_type") === "click"),
+          keyCol = "user_id", tsCol = "ts", idCol = "event_id",
+          predCol = "is_click", carryCol = "event_id", out = "prev_click_id")
+        .select(col("event_id"), col("user_id"), col("prev_click_id"))),
+
+    // exact per-group quantiles (type-7 interpolation in BOTH engines).
+    // Exact percentile is a per-group sort — fine on grouped data; the
+    // 100-TB ungrouped path is approx_percentile (error-bound spec'd in
+    // SketchSpec, not oracle-able across engines)
+    "q_quantiles" -> ((s, dir) =>
+      docsTable(s, dir).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(expr("percentile(n_chars, 0.25)"), 6).as("p25"),
+          round(expr("percentile(n_chars, 0.5)"), 6).as("p50"),
+          round(expr("percentile(n_chars, 0.75)"), 6).as("p75"),
+          round(expr("percentile(n_chars, 0.95)"), 6).as("p95"))),
+
+    // KMV bottom-k distinct sketch (custom typed Aggregator, bounded 8k-byte
+    // buffer per group) + exact distinct alongside — the DuckDB oracle
+    // recomputes the k smallest distinct hashes declaratively
+    "sketch_distinct" -> ((s, dir) =>
+      Sketch.kmvDistinct(s.read.parquet(s"$dir/events.parquet"),
+        groupCol = "event_type", valueCol = "user_id", k = 64)),
+
     // ---- training-data ops ------------------------------------------
 
     "dedup_exact" -> ((s, dir) => Dedup.exact(docsTable(s, dir))),
@@ -514,6 +563,15 @@ object SparkEntry {
       Similarity.cosineDupPairs(s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.3)),
 
     "text_tokens" -> ((s, dir) => TextOps.tokenStats(docsTable(s, dir))),
+
+    // consistent stratified sampling: keep 10% of English docs, 50% of
+    // everything else (the low-resource upweighting move) — keep decision
+    // is a pure function of doc_id (map-only, reproducible cross-engine)
+    "text_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(docsTable(s, dir), "doc_id", "lang",
+          rates = Map("en" -> 10), defaultPct = 50)
+        .select(col("doc_id"), col("lang"),
+          Sampling.bucket100(col("doc_id")).as("bucket"))),
 
     // capstone training-data curation: exact-dedup survivors + quality gate
     // + language tag — the composed corpus-curation pipeline in one query
@@ -1112,6 +1170,57 @@ object SparkEntry {
            COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
          FROM events GROUP BY 1, 2""",
 
+    // DuckDB's native ASOF JOIN cross-proves the array-literal formulation
+    "q_asof_version" ->
+      """WITH v(vts, version) AS (VALUES
+           (TIMESTAMP '2024-01-03 00:00:00', 'v1'),
+           (TIMESTAMP '2024-01-08 00:00:00', 'v2'),
+           (TIMESTAMP '2024-01-15 00:00:00', 'v3'),
+           (TIMESTAMP '2024-01-22 00:00:00', 'v4'),
+           (TIMESTAMP '2024-01-29 00:00:00', 'v5'))
+         SELECT e.event_id, v.version
+         FROM events e ASOF LEFT JOIN v ON e.ts >= v.vts""",
+
+    "q_asof_prev_click" ->
+      """SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'click' THEN event_id END
+               IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_click_id
+         FROM events""",
+
+    "q_quantiles" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+           ROUND(quantile_cont(n_chars, 0.25), 6) AS p25,
+           ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
+           ROUND(quantile_cont(n_chars, 0.75), 6) AS p75,
+           ROUND(quantile_cont(n_chars, 0.95), 6) AS p95
+         FROM documents GROUP BY lang""",
+
+    // KMV: the k smallest DISTINCT 60-bit hashes per group, recomputed
+    // declaratively (row_number over distinct hashes); estimator shared
+    // with the Scala side — exact below k, (k-1)*2^60/h_(k) at k
+    "sketch_distinct" ->
+      """WITH dv AS (SELECT DISTINCT event_type,
+                       CAST(user_id AS VARCHAR) AS v FROM events),
+           h AS (SELECT event_type,
+                   CAST(concat('0x', substring(md5(v), 1, 15)) AS BIGINT) AS h
+                 FROM dv),
+           bk AS (SELECT event_type, h,
+                    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+                  FROM h),
+           kk AS (SELECT event_type, COUNT(*) AS n, MAX(h) AS kth
+                  FROM bk WHERE rn <= 64 GROUP BY event_type),
+           ex AS (SELECT event_type, COUNT(*) AS exact_distinct
+                  FROM dv GROUP BY event_type)
+         SELECT kk.event_type,
+           ROUND(CASE WHEN kk.n < 64 THEN CAST(kk.n AS DOUBLE)
+                 ELSE CAST(63 AS DOUBLE) * 1152921504606846976.0
+                      / CAST(kk.kth AS DOUBLE) END, 4) AS est_distinct,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+         FROM kk JOIN ex USING (event_type)""",
+
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY text""",
@@ -1481,6 +1590,14 @@ object SparkEntry {
            CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens,
            CAST(length(text) AS INT) AS n_chars
          FROM documents""",
+
+    "text_sample" ->
+      """SELECT doc_id, lang, bucket FROM (
+           SELECT doc_id, lang,
+             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 100 AS bucket
+           FROM documents)
+         WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 50 END""",
 
     "kg_curated_triples" ->
       s"""WITH RECURSIVE $dictCte, $edgesCte, $mappingsCte,

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Distinct-count sketching for corpus-scale cardinalities.
+  *
+  * KMV (k-minimum-values, a.k.a. bottom-k / theta sketch — Bar-Yossef et
+  * al. 2002, the public DataSketches theta family): hash every value to a
+  * uniform 60-bit integer, keep only the k smallest DISTINCT hashes per
+  * group, estimate distinct = (k-1) · 2^60 / h_(k) where h_(k) is the kth
+  * smallest kept hash (exact count when fewer than k distinct values were
+  * seen).
+  *
+  * Why this sketch (vs HLL): the k-smallest-distinct-hashes set is
+  * ORDER-INDEPENDENT and merge = set-union-then-truncate, so the estimate
+  * is bit-deterministic across any partitioning / task order — which makes
+  * it independently recomputable by the DuckDB oracle (k smallest distinct
+  * hashes declaratively via row_number). HLL's register layout would match
+  * too, but its 2^p register array is strictly more state for the same
+  * oracle-checkable determinism at our k.
+  *
+  * Scale: the aggregation buffer is a bounded sorted Array[Long] (≤ k
+  * entries, 8k bytes) regardless of input size — per-group state at a
+  * 10^12-row corpus is k longs, map-side partials combine before the
+  * shuffle, and the shuffle carries ≤ k·8 bytes per (group, partition).
+  * The hash is the same portable md5-derived 60-bit integer the minhash
+  * pipeline uses (codegen'd built-in in Spark, verbatim in DuckDB).
+  */
+object Sketch {
+
+  /** 60-bit uniform hash of a string column: first 15 hex chars of md5,
+    * identical in DuckDB as CAST(concat('0x', substring(md5(x),1,15)) AS
+    * BIGINT). Domain [0, 2^60). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private val Two60: Double = math.pow(2, 60)
+
+  /** Bounded bottom-k distinct-hash aggregator. Buffer = sorted array of
+    * the ≤ k smallest distinct hashes; reduce/merge keep it sorted and
+    * deduplicated, so the final state is a pure function of the input SET
+    * (task order / partitioning invisible). Runs under
+    * ObjectHashAggregate — off the whole-stage-codegen path, which is fine
+    * for an aggregate whose per-row work is an O(log k) binary search. */
+  final class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Double] {
+    require(k >= 2, s"k=$k: KMV needs k >= 2")
+    def zero: Array[Long] = Array.emptyLongArray
+    def reduce(buf: Array[Long], h: Long): Array[Long] = insert(buf, h)
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = b.foldLeft(a)(insert)
+    def finish(buf: Array[Long]): Double = estimate(buf, k)
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Double] = ExpressionEncoder[Double]()
+
+    private def insert(buf: Array[Long], h: Long): Array[Long] = {
+      val pos = java.util.Arrays.binarySearch(buf, h)
+      if (pos >= 0) buf // already kept — set semantics
+      else {
+        val ins = -pos - 1
+        if (buf.length >= k && ins >= k) buf // above the current kth min
+        else {
+          val n = math.min(buf.length + 1, k)
+          val out = new Array[Long](n)
+          System.arraycopy(buf, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(buf, ins, out, ins + 1, n - ins - 1)
+          out
+        }
+      }
+    }
+  }
+
+  /** The estimator, shared with the spec's scalar oracle: exact when the
+    * group had fewer than k distinct hashes, else (k-1)·2^60 / h_(k).
+    * (The +1-free form has O(1/2^60) bias — negligible and identical in
+    * both engines, which compute the same IEEE division.) */
+  def estimate(bottomK: Array[Long], k: Int): Double =
+    if (bottomK.length < k) bottomK.length.toDouble
+    else (k - 1).toDouble * Two60 / bottomK(k - 1).toDouble
+
+  /** Per-group KMV distinct estimate of `valueCol` (stringified before
+    * hashing), with the exact distinct count alongside for error
+    * inspection. One shuffle (partial → final aggregate on the group
+    * key); the estimate column is the sketch path, the exact column a
+    * COUNT(DISTINCT) the optimizer plans as expand+two-phase. */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Int = 64): DataFrame = {
+    val kmv = udaf(new KmvAgg(k), ExpressionEncoder[Long]())
+    df.select(col(groupCol), col(valueCol).cast("string").as("v"))
+      .withColumn("h", hash60(col("v")))
+      .groupBy(groupCol)
+      .agg(round(kmv(col("h")), 4).as("est_distinct"),
+        countDistinct(col("v")).as("exact_distinct"))
+  }
+}

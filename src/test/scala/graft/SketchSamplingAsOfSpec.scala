@@ -1,0 +1,180 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.ops.{AsOf, Sampling, Sketch}
+
+/** KMV distinct sketch, consistent sampling, and as-of joins: property
+  * oracles (declarative recomputation, scalar estimator, crafted temporal
+  * cases) plus the plan shapes the 100-TB arguments rest on. */
+class SketchSamplingAsOfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(s: String): Timestamp =
+    Timestamp.from(Instant.parse(s))
+
+  // ---- KMV sketch -------------------------------------------------------
+
+  test("KMV aggregator == declarative bottom-k recomputation (seeded data)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 5000).map(_ => (s"g${rnd.nextInt(3)}", s"u${rnd.nextInt(900)}"))
+    val df = rows.toDF("grp", "v")
+    val got = Sketch.kmvDistinct(df, "grp", "v", k = 64).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // declarative twin: k smallest DISTINCT hashes per group via a window
+    val kth = df.select(col("grp"), Sketch.hash60(col("v")).as("h")).distinct()
+      .withColumn("rn", row_number().over(Window.partitionBy("grp").orderBy("h")))
+      .filter(col("rn") <= 64)
+      .groupBy("grp").agg(count(lit(1)).as("n"), max("h").as("kth"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = df.groupBy("grp").agg(countDistinct("v").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet === kth.keySet)
+    for ((g, (est, ex)) <- got) {
+      val (n, k64) = kth(g)
+      val want =
+        if (n < 64) n.toDouble
+        else math.rint(63.0 * math.pow(2, 60) / k64.toDouble * 1e4) / 1e4
+      assert(est === want, g)
+      assert(ex === exact(g), g)
+      // the whole point: the estimate is close to the truth
+      assert(math.abs(est - ex) / ex <= 0.5, s"$g: est=$est exact=$ex")
+    }
+  }
+
+  test("KMV is partitioning-invariant (merge = set union)") {
+    import spark.implicits._
+    val df = (0 until 2000).map(i => ("g", s"v${i % 333}")).toDF("grp", "v")
+    val one = Sketch.kmvDistinct(df.repartition(1), "grp", "v").collect()
+    val many = Sketch.kmvDistinct(df.repartition(13), "grp", "v").collect()
+    assert(one.map(_.toSeq).toSet === many.map(_.toSeq).toSet)
+  }
+
+  test("KMV exact branch below k; estimator formula at k") {
+    assert(Sketch.estimate(Array(5L, 9L, 12L), k = 64) === 3.0)
+    val full = (1L to 64L).map(_ * 1000L).toArray
+    assert(Sketch.estimate(full, 64) === 63.0 * math.pow(2, 60) / 64000.0)
+  }
+
+  test("approx_percentile stays within its accuracy bound of exact percentile") {
+    // the 100-TB ungrouped-quantile path: approx_percentile with the
+    // default accuracy; bound its rank error vs the exact sort on a
+    // deterministic skewed distribution
+    import spark.implicits._
+    val xs = (1 to 20000).map(i => (i.toLong * i)).toDF("x")
+    val r = xs.agg(
+      expr("percentile(x, 0.9)").as("exact"),
+      expr("approx_percentile(x, 0.9, 10000)").as("approx")).collect()(0)
+    val (ex, ap) = (r.getDouble(0), r.getLong(1).toDouble)
+    // rank-space error: |rank(approx) - 0.9*n| <= n/accuracy * some slack
+    val rank = math.sqrt(ap) // inverse of i² on this data
+    assert(math.abs(rank - 0.9 * 20000) <= 20000.0 / 10000 * 10 + 1,
+      s"exact=$ex approx=$ap rank=$rank")
+  }
+
+  // ---- consistent sampling ---------------------------------------------
+
+  test("consistent samples nest: pct=10 ⊆ pct=20 ⊆ pct=100") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val s10 = Sampling.consistentSample(docs, "doc_id", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s20 = Sampling.consistentSample(docs, "doc_id", 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = Sampling.consistentSample(docs, "doc_id", 100).count()
+    assert(s10.subsetOf(s20))
+    assert(all === docs.count())
+    // rates land near nominal (hash uniformity on 500 ids)
+    assert(math.abs(s10.size / 500.0 - 0.10) < 0.05)
+    assert(math.abs(s20.size / 500.0 - 0.20) < 0.06)
+  }
+
+  test("stratified sampling applies per-stratum rates off the same hash") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      rates = Map("en" -> 10), defaultPct = 50)
+    // every kept row individually satisfies its stratum's bucket predicate,
+    // and the kept set per stratum equals that stratum's consistent sample
+    val en = Sampling.consistentSample(docs.filter(col("lang") === "en"), "doc_id", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rest = Sampling.consistentSample(docs.filter(col("lang") =!= "en"), "doc_id", 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.select("doc_id").collect().map(_.getLong(0)).toSet === (en ++ rest))
+  }
+
+  test("sampling is map-only: no Exchange in the plan") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      rates = Map("en" -> 10), defaultPct = 50)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  // ---- as-of joins ------------------------------------------------------
+
+  test("withVersionAsOf: boundary, between, and before-first semantics") {
+    import spark.implicits._
+    val versions = Seq(ts("2024-01-03T00:00:00Z") -> "v1",
+      ts("2024-01-10T00:00:00Z") -> "v2")
+    val rows = Seq(
+      ("before", ts("2024-01-02T23:59:59Z")),
+      ("at_v1", ts("2024-01-03T00:00:00Z")),
+      ("mid", ts("2024-01-07T12:00:00Z")),
+      ("at_v2", ts("2024-01-10T00:00:00Z")),
+      ("after", ts("2024-06-01T00:00:00Z"))).toDF("name", "t")
+    val got = AsOf.withVersionAsOf(rows, "t", versions).collect()
+      .map(r => r.getString(0) -> Option(r.getString(2))).toMap
+    assert(got === Map("before" -> None, "at_v1" -> Some("v1"),
+      "mid" -> Some("v1"), "at_v2" -> Some("v2"), "after" -> Some("v2")))
+  }
+
+  test("withVersionAsOf rejects tied effective timestamps") {
+    import spark.implicits._
+    val dup = Seq(ts("2024-01-03T00:00:00Z") -> "a", ts("2024-01-03T00:00:00Z") -> "b")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.withVersionAsOf(Seq(("x", ts("2024-01-04T00:00:00Z"))).toDF("n", "t"), "t", dup)
+    }
+    assert(e.getMessage.contains("distinct"))
+  }
+
+  test("withVersionAsOf is map-only: no Exchange, no Join in the plan") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val plan = AsOf.withVersionAsOf(events, "ts", SparkEntry.DictSnapshots)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.toLowerCase.contains("join"), plan)
+  }
+
+  test("lastPrecedingWhere: strict precedence, NULL when none, id tie-break") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 100L, "u", "click"),
+      (2L, 100L, "u", "view"),  // same ts as the click: id order ⇒ click precedes
+      (3L, 200L, "u", "view"),
+      (4L, 300L, "u", "click"),
+      (5L, 400L, "u", "view"),
+      (6L, 50L, "w", "view"))   // other key, no click ever
+      .toDF("event_id", "tsec", "user_id", "event_type")
+      .withColumn("t", col("tsec").cast("timestamp"))
+      .withColumn("is_click", col("event_type") === "click")
+    val got = AsOf.lastPrecedingWhere(events, "user_id", "t", "event_id",
+        "is_click", "event_id", "prev_click_id")
+      .collect().map(r => r.getLong(0) -> Option(r.get(6))).toMap
+    assert(got === Map(1L -> None, 2L -> Some(1L), 3L -> Some(1L),
+      4L -> Some(1L), 5L -> Some(4L), 6L -> None))
+  }
+
+  test("lastPrecedingWhere: exactly one Exchange (the key shuffle), no join") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("is_click", col("event_type") === "click")
+    val plan = AsOf.lastPrecedingWhere(events, "user_id", "ts", "event_id",
+      "is_click", "event_id", "prev").queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 === 1, plan)
+    assert(!plan.toLowerCase.contains("join"), plan)
+  }
+}
