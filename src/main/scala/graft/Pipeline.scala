@@ -218,7 +218,10 @@ object Pipeline {
       stage(spark, io, "kg_components", cfg, inputRows = nEdges) {
         graft.graph.KgGraph.connectedComponents(kgEdges)
       }
-      stage(spark, io, "kg_pagerank", cfg, inputRows = nEdges) {
+      // stage name says _weighted: the materialized scores use edge weights
+      // (n_docs), matching the kg_pagerank_weighted driver query/oracle —
+      // NOT the unweighted kg_pagerank one
+      stage(spark, io, "kg_pagerank_weighted", cfg, inputRows = nEdges) {
         graft.graph.KgGraph.pageRankWeighted(kgEdges)
       }
     }

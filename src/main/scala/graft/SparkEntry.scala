@@ -1203,8 +1203,9 @@ object SparkEntry {
     // with the Scala side — exact below k, (k-1)*2^60/h_(k) at k
     "sketch_distinct" ->
       """WITH dv AS (SELECT DISTINCT event_type,
-                       CAST(user_id AS VARCHAR) AS v FROM events),
-           h AS (SELECT event_type,
+                       CAST(user_id AS VARCHAR) AS v FROM events
+                     WHERE user_id IS NOT NULL),
+           h AS (SELECT DISTINCT event_type,
                    CAST(concat('0x', substring(md5(v), 1, 15)) AS BIGINT) AS h
                  FROM dv),
            bk AS (SELECT event_type, h,

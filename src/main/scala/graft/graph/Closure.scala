@@ -21,11 +21,15 @@ object Closure {
   def transitiveClosure(edges: DataFrame, maxLevel: Int): DataFrame = {
     val e = broadcast(
       edges.select(col("child_iri").as("e_child"), col("parent_iri").as("e_parent")))
-    var closure = edges
+    // round-0 state follows the shared pin policy: persist (lineage back to
+    // the durable input survives executor loss) when a checkpoint dir is
+    // configured, localCheckpoint otherwise — an unconditional
+    // localCheckpoint here would root every later round's recovery path in
+    // unrecoverable blocks
+    var closure = KgGraph.pin(edges
       .select(col("child_iri").as("child"), col("parent_iri").as("ancestor"))
       .distinct()
-      .withColumn("distance", lit(1))
-      .localCheckpoint()
+      .withColumn("distance", lit(1)))
     var level = 1
     var frontierNonEmpty = true
     while (level < maxLevel && frontierNonEmpty) {

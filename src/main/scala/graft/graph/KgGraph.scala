@@ -148,11 +148,11 @@ object KgGraph {
     else df.persist()
   }
 
-  /** Static per-loop inputs (edge sets, degree tables): `localCheckpoint`
-    * locally; `persist` when a checkpoint dir is configured, so their blocks
-    * stay recomputable from the caller's durable input lineage after an
-    * executor loss. */
-  private def pin(df: DataFrame): DataFrame =
+  /** Static per-loop inputs (edge sets, degree tables, round-0 states):
+    * `localCheckpoint` locally; `persist` when a checkpoint dir is
+    * configured, so their blocks stay recomputable from the caller's durable
+    * input lineage after an executor loss. Shared with [[Closure]]. */
+  private[graph] def pin(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isEmpty) df.localCheckpoint()
     else df.persist()
 
@@ -167,10 +167,14 @@ object KgGraph {
     * [[cooccurrence]] emits. */
   def pageRankWeighted(edges: DataFrame, iters: Int = 10,
                        damping: Double = 0.85): DataFrame = {
+    // reverse direction only for proper edges: a self-loop (a,a) — absent
+    // from cooccurrence's src<dst output but legal via pageRank's
+    // canonicalized delegation — must count ONCE in strength, not twice
     val und = pin(edges.select(col("src").as("a"), col("dst").as("b"),
         col("n_docs").cast("double").as("w"))
-      .unionAll(edges.select(col("dst").as("a"), col("src").as("b"),
-        col("n_docs").cast("double").as("w"))))
+      .unionAll(edges.filter(col("src") =!= col("dst"))
+        .select(col("dst").as("a"), col("src").as("b"),
+          col("n_docs").cast("double").as("w"))))
     val strength = und.groupBy("a").agg(sum(col("w")).as("s"))
     val withS = pin(und.join(strength, "a")) // (a, b, w, s) reused per iter
     val nodes = pin(und.select(col("a").as("node")).distinct())

@@ -37,14 +37,20 @@ object AsOf {
     require(versions.map(_._1).distinct.size == versions.size,
       "as-of requires distinct effective timestamps")
     val sorted = versions.sortBy(_._1.getTime)
-    // array<struct<t:long,v:string>> literal, sorted ascending by t
+    // array<struct<t:long,v:string>> literal, sorted ascending by t —
+    // microsecond precision on BOTH sides (a whole-second truncation here
+    // would activate sub-second version boundaries up to 1s early)
+    def micros(ts: Timestamp): Long = {
+      val i = ts.toInstant
+      Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+    }
     val varr = array(sorted.map { case (ts, v) =>
-      struct(lit(ts.getTime / 1000).as("t"), lit(v).as("v"))
+      struct(lit(micros(ts)).as("t"), lit(v).as("v"))
     }: _*)
     // last element with t <= ts: filter keeps order, try_element_at(-1)
     // takes the latest (NULL — not an ANSI error — on an empty filter
     // result, i.e. rows before the first version)
-    val ep = col(tsCol).cast("timestamp").cast("long")
+    val ep = unix_micros(col(tsCol).cast("timestamp"))
     df.withColumn(out,
       try_element_at(filter(varr, x => x.getField("t") <= ep), lit(-1))
         .getField("v"))

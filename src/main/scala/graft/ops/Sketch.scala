@@ -88,7 +88,10 @@ object Sketch {
   def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
                   k: Int = 64): DataFrame = {
     val kmv = udaf(new KmvAgg(k), ExpressionEncoder[Long]())
+    // NULL values are ignored (as COUNT(DISTINCT) does) — hash60(NULL) is
+    // NULL, which the primitive-Long aggregator input cannot represent
     df.select(col(groupCol), col(valueCol).cast("string").as("v"))
+      .filter(col("v").isNotNull)
       .withColumn("h", hash60(col("v")))
       .groupBy(groupCol)
       .agg(round(kmv(col("h")), 4).as("est_distinct"),

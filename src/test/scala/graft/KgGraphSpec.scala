@@ -212,6 +212,26 @@ class KgGraphSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-3) // mass conserved
   }
 
+  test("pageRank counts a self-loop ONCE in degree (union+distinct semantics)") {
+    import spark.implicits._
+    // {(a,a),(a,b)}: und = {(a,a),(a,b),(b,a)} ⇒ deg(a)=2 — b must receive
+    // pr(a)/2 per round, not pr(a)/3 (a double-counted self-loop)
+    val got = KgGraph.pageRank(Seq(("a", "a"), ("a", "b")).toDF("src", "dst"),
+        iters = 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val und = Seq(("a", "a"), ("a", "b"), ("b", "a"))
+    val outd = und.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    var pr = Map("a" -> 0.5, "b" -> 0.5)
+    (1 to 10).foreach { _ =>
+      val contrib = und.groupBy(_._2).view.mapValues(
+        _.map { case (x, _) => pr(x) / outd(x) }.sum).toMap
+      pr = pr.keySet.map(nd => nd -> (0.15 / 2 + 0.85 * contrib(nd))).toMap
+    }
+    // 1e-6 like the other scalar-reference tests: distributed double sums
+    // associate differently than the scalar loop
+    got.foreach { case (k, v) => assert(math.abs(v - pr(k)) < 1e-6, k) }
+  }
+
   test("path graph of length ≫ maxIter converges (star contraction is O(log² n))") {
     import spark.implicits._
     // 400-node path with maxIter=15: min-label propagation would need ~400

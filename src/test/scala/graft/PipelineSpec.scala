@@ -160,7 +160,7 @@ class PipelineSpec extends AnyFunSuite {
     val wd = Files.createTempDirectory("graft-kg-wd").toString
     Pipeline.run(spark, Pipeline.Config(sfDir, wd, scanPartitions = 4,
       materializeKg = true)).count()
-    for (s <- Seq("kg_edges", "kg_components", "kg_pagerank"))
+    for (s <- Seq("kg_edges", "kg_components", "kg_pagerank_weighted"))
       assert(new java.io.File(s"$wd/$s/_SUCCESS").exists, s"missing stage $s")
     // kg_edges == cooccurrence over the persisted matches stage
     val m = spark.read.parquet(s"$wd/matches")
@@ -169,7 +169,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(edges.collect().map(_.toSeq).toSet ===
       graft.graph.KgGraph.cooccurrence(m).collect().map(_.toSeq).toSet)
     // kg_pagerank == weighted PageRank recomputed from the edges stage
-    val pr = spark.read.parquet(s"$wd/kg_pagerank").collect()
+    val pr = spark.read.parquet(s"$wd/kg_pagerank_weighted").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     val exp = graft.graph.KgGraph.pageRankWeighted(edges).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap

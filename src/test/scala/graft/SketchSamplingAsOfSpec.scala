@@ -133,6 +133,20 @@ class SketchSamplingAsOfSpec extends AnyFunSuite {
       "mid" -> Some("v1"), "at_v2" -> Some("v2"), "after" -> Some("v2")))
   }
 
+  test("withVersionAsOf keeps sub-second boundaries exact (microsecond compare)") {
+    import spark.implicits._
+    val versions = Seq(
+      Timestamp.from(Instant.parse("2024-01-08T00:00:00.700Z")) -> "v2",
+      ts("2024-01-01T00:00:00Z") -> "v1")
+    val rows = Seq(
+      ("just_before", Timestamp.from(Instant.parse("2024-01-08T00:00:00.699999Z"))),
+      ("at_boundary", Timestamp.from(Instant.parse("2024-01-08T00:00:00.700Z"))))
+      .toDF("name", "t")
+    val got = AsOf.withVersionAsOf(rows, "t", versions).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(got === Map("just_before" -> "v1", "at_boundary" -> "v2"))
+  }
+
   test("withVersionAsOf rejects tied effective timestamps") {
     import spark.implicits._
     val dup = Seq(ts("2024-01-03T00:00:00Z") -> "a", ts("2024-01-03T00:00:00Z") -> "b")
