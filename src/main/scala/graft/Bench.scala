@@ -207,7 +207,8 @@ object Bench {
     "dedup_jaccard", "dedup_minhash", "dedup_simhash", "sim_topk", "sim_lsh",
     "q_pushdown_agg", "q_join_nation", "q_window_topk", "q_events_hourly",
     "text_quality", "text_fingerprint", "mm_features",
-    "kg_cooccur", "kg_components", "kg_pagerank")
+    "kg_cooccur", "kg_components", "kg_pagerank",
+    "q_asof_version", "sketch_distinct")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

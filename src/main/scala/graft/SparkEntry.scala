@@ -48,6 +48,13 @@ object SparkEntry {
       AutomatonBuild.broadcastModel(s, AutomatonBuild.build(s, dict, "v1"))
     })
 
+  private val modelV2Cache = new ConcurrentHashMap[SparkSession, Broadcast[AnnotatorModel]]()
+  private def modelV2(s: SparkSession): Broadcast[AnnotatorModel] =
+    modelV2Cache.computeIfAbsent(s, s => {
+      val dict = DictBuild.build(DictBuild.labelRows(OntologyFixture.conceptsV2Df(s)))
+      AutomatonBuild.broadcastModel(s, AutomatonBuild.build(s, dict, "v2"))
+    })
+
   private val shardedCache =
     new ConcurrentHashMap[SparkSession, Seq[Broadcast[AnnotatorModel]]]()
   private def shardedModels(s: SparkSession): Seq[Broadcast[AnnotatorModel]] =
@@ -218,6 +225,31 @@ object SparkEntry {
       graft.annotate.NativeAnnotate
         .annotateTriples(corpus(s, dir), model(s), fusedMaps(s), "v1")
         .select("subj", "pred", "obj")),
+
+    // Incremental re-annotation on the fixture's dict-only v1→v2 update
+    // (graft.annotate.Incremental): dictionary diff → affected urls
+    // (broadcast join over the v1 match stream + a scan with an
+    // added-terms-ONLY automaton) → v1 triples kept for unaffected docs,
+    // full v2 annotation for affected docs only. The oracle recomputes the
+    // FULL v2 result from scratch in SQL — a green row proves the
+    // incremental path equals a complete re-annotation
+    "ann_incremental" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val upd = graft.annotate.Incremental.diff(
+        DictBuild.flatDict(DictBuild.build(
+          DictBuild.labelRows(OntologyFixture.conceptsDf(s)))),
+        DictBuild.flatDict(DictBuild.build(
+          DictBuild.labelRows(OntologyFixture.conceptsV2Df(s)))))
+      val affected = graft.annotate.Incremental.affectedUrls(
+        s, c, matches(s, dir), upd)
+      val v1T = graft.annotate.NativeAnnotate
+        .annotateTriples(c, model(s), fusedMaps(s), "v1")
+      graft.annotate.Incremental
+        .incrementalTriples(c, v1T, affected, "v2", slice =>
+          graft.annotate.NativeAnnotate
+            .annotateTriples(slice, modelV2(s), fusedMaps(s), "v2"))
+        .select("subj", "pred", "obj")
+    }),
 
     // Reference response assembly (A6 + serialization): one row per
     // (doc, class) carrying the whole annotation record — match-type
@@ -718,6 +750,10 @@ object SparkEntry {
 
   private def dictCte =
     s"dict(term, class_iri, ont, pref) AS (SELECT * FROM (VALUES ${OntologyFixture.dictValues}) v(a,b,c,d))"
+  /** v2 dictionary under the SAME CTE name, so `directCte` composes with
+    * either version (the incremental oracle is a full v2 recomputation). */
+  private def dictV2Cte =
+    s"dict(term, class_iri, ont, pref) AS (SELECT * FROM (VALUES ${OntologyFixture.dictValuesV2}) v(a,b,c,d))"
   private def edgesCte =
     s"edges(child_iri, parent_iri) AS (SELECT * FROM (VALUES ${OntologyFixture.edgesValues}) v(a,b))"
   private def mappingsCte =
@@ -916,6 +952,19 @@ object SparkEntry {
 
     "ann_triples_native" ->
       s"""WITH RECURSIVE $dictCte, $edgesCte, $mappingsCte, $directCte, $closureCte
+          SELECT DISTINCT url AS subj, 'hasAnnotation' AS pred, class_iri AS obj FROM direct
+          UNION
+          SELECT DISTINCT dr.url AS subj, 'hasExpandedAnnotation' AS pred, cl.ancestor_iri AS obj
+          FROM (SELECT DISTINCT url, class_iri FROM direct) dr
+          JOIN closure cl ON dr.class_iri = cl.child_iri
+          UNION
+          SELECT DISTINCT dr.url AS subj, 'hasMappedAnnotation' AS pred, m.mapped_iri AS obj
+          FROM (SELECT DISTINCT url, class_iri FROM direct) dr
+          JOIN maps m ON dr.class_iri = m.class_iri""",
+
+    // full v2 recomputation — the incremental path must land exactly here
+    "ann_incremental" ->
+      s"""WITH RECURSIVE $dictV2Cte, $edgesCte, $mappingsCte, $directCte, $closureCte
           SELECT DISTINCT url AS subj, 'hasAnnotation' AS pred, class_iri AS obj FROM direct
           UNION
           SELECT DISTINCT dr.url AS subj, 'hasExpandedAnnotation' AS pred, cl.ancestor_iri AS obj

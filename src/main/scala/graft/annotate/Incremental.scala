@@ -1,0 +1,122 @@
+package graft.annotate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dict.{AnnotatorModel, AutomatonBuild, DictBuild}
+
+/** Incremental re-annotation on a DICT-ONLY update v1 → v2 — the
+  * ontology-refresh move at corpus scale. Ontologies update weekly;
+  * re-annotating a 10^12-document corpus because two synonyms changed is
+  * the single largest avoidable cost in the pipeline. A document's output
+  * can change ONLY if
+  *
+  *   (a) one of its v1 matches hit a dictionary row that v2 removed
+  *       (detected from the PERSISTED matches stage — no corpus text read),
+  *    or
+  *   (b) it contains a term that v2 added (detected by ONE corpus scan with
+  *       an automaton built from the added terms only — a tiny dictionary,
+  *       so the word-run-skip scan is near the read floor; skipped entirely
+  *       for removal-only updates).
+  *
+  * Everything else is byte-identical under v2, so:
+  *
+  *   incremental(v2) = v1 triples (subj ∉ affected, re-versioned)
+  *                     ∪ full-annotate(v2) over affected docs only.
+  *
+  * Cost vs a full v2 run: one broadcast semi-join over the matches stage +
+  * at most one added-terms scan + re-annotation/write of |affected| docs —
+  * instead of full-dictionary scan, expansion, aggregation, and write
+  * amplification over every document.
+  *
+  * Soundness preconditions (asserted equal to the full run in
+  * IncrementalSpec):
+  *   - dict-only update: closure/mapping/semantic-type tables unchanged (a
+  *     hierarchy or mapping change invalidates every doc and needs the full
+  *     rebuild);
+  *   - `v1Matches` was produced under the SAME scan options as the v2 run
+  *     (longest-only interactions resolve correctly because a suppressed
+  *     shorter match only resurfaces when the longer match was REMOVED —
+  *     and that longer match is in the v1 stream, marking the doc
+  *     affected);
+  *   - per-document scoring (the default `old` mode; corpus-global scores
+  *     like tf-idf depend on every doc and cannot update incrementally).
+  */
+object Incremental {
+
+  /** Version-independent dictionary diff at (term, class_iri, ont, pref)
+    * row granularity — term_ids are per-version dense ranks and MUST NOT
+    * participate. Both sides are ontology-scale (small). */
+  case class DictUpdate(removed: DataFrame, added: DataFrame)
+
+  /** `flat` = [[DictBuild.flatDict]] output for each version. */
+  def diff(v1Flat: DataFrame, v2Flat: DataFrame): DictUpdate = {
+    def rows(df: DataFrame) = df.select("term", "class_iri", "ont", "pref")
+    DictUpdate(removed = rows(v1Flat).except(rows(v2Flat)),
+      added = rows(v2Flat).except(rows(v1Flat)))
+  }
+
+  /** Distinct urls whose annotation output can change under `upd`.
+    *
+    * `v1Matches`: the persisted per-occurrence match stream `(url, from,
+    * to, text, class_iri, ont, match_type)`. The removed-leg join
+    * broadcasts the (small) removed rows against it; matched original text
+    * re-normalizes to the dictionary term by the scan contract. The
+    * added-leg scans `corpus` with an automaton over added terms only —
+    * built lazily so removal-only updates never touch the corpus. */
+  def affectedUrls(spark: SparkSession, corpus: DataFrame,
+                   v1Matches: DataFrame, upd: DictUpdate,
+                   wholeWord: Boolean = true): DataFrame = {
+    val rem = upd.removed
+      .select(col("term").as("r_term"), col("class_iri").as("r_class"),
+        col("ont").as("r_ont"), col("pref").as("r_pref"))
+    val removedHits = v1Matches
+      .join(broadcast(rem),
+        DictBuild.normalizeTerm(col("text")) === col("r_term") &&
+          col("class_iri") === col("r_class") && col("ont") === col("r_ont") &&
+          (col("match_type") === "PREF") === col("r_pref"),
+        "left_semi")
+      .select(col("url"))
+
+    // driver-side emptiness check is dict-side (ontology-scale), not corpus
+    val addedTerms = upd.added
+    val addedHits =
+      if (addedTerms.isEmpty) removedHits.limit(0)
+      else {
+        val addedDict = DictBuild.build(
+          addedTerms.withColumnRenamed("term", "label"))
+        val model = AutomatonBuild.broadcastModel(spark,
+          AutomatonBuild.build(spark, addedDict, "delta"))
+        NativeAnnotate.annotateMatches(corpus, model, wholeWord = wholeWord)
+          .select(col("url"))
+      }
+    removedHits.unionByName(addedHits).distinct()
+  }
+
+  /** The incremental result: v1 triples for unaffected docs (re-stamped to
+    * the v2 dict version — their content is identical under v2) plus a full
+    * v2 annotation of the affected docs only. `annotateV2` is the same
+    * annotate-to-triples function a full run would use, applied to the
+    * affected slice. */
+  def incrementalTriples(corpus: DataFrame, v1Triples: DataFrame,
+                         affected: DataFrame, v2Version: String,
+                         annotateV2: DataFrame => DataFrame): DataFrame = {
+    val kept = v1Triples
+      .join(affected.select(col("url").as("subj")), Seq("subj"), "left_anti")
+      .withColumn("dict_version", lit(v2Version))
+    val re = annotateV2(corpus.join(affected, Seq("url"), "left_semi"))
+    kept.unionByName(re)
+  }
+
+  /** Convenience composition for model-driven callers: diff two flat
+    * dictionaries, find affected urls, return (affected, incremental
+    * triples). */
+  def update(spark: SparkSession, corpus: DataFrame, v1Matches: DataFrame,
+             v1Triples: DataFrame, v1Flat: DataFrame, v2Flat: DataFrame,
+             v2Version: String,
+             annotateV2: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+    val affected = affectedUrls(spark, corpus, v1Matches, diff(v1Flat, v2Flat))
+    (affected,
+      incrementalTriples(corpus, v1Triples, affected, v2Version, annotateV2))
+  }
+}

@@ -161,8 +161,9 @@ object OntologyFixture {
   /** Normalized, filtered dictionary `(term, class_iri, ont, pref)` computed
     * in pure Scala with the SAME normalization contract as DictBuild — used
     * both as oracle VALUES and as the in-test expected dictionary. */
-  def dictRows(minTermSize: Int = 3, excludeNumbers: Boolean = false): Vector[graft.DictTerm] =
-    concepts.flatMap { c =>
+  def dictRows(minTermSize: Int = 3, excludeNumbers: Boolean = false,
+               cs: Vector[Concept] = concepts): Vector[graft.DictTerm] =
+    cs.flatMap { c =>
       ((c.prefLabel, true) +: c.synonyms.map(s => (s, false))).map { case (lbl, pref) =>
         val norm = lbl.trim.replaceAll("\\s+", " ").toUpperCase(java.util.Locale.ROOT)
         graft.DictTerm(norm, c.classIri, c.ont, pref)
@@ -174,6 +175,34 @@ object OntologyFixture {
   /** `(term, class_iri, ont, pref)` VALUES of the NORMALIZED dictionary. */
   def dictValues: String =
     dictRows().map(t => s"(${q(t.term)}, ${q(t.classIri)}, ${q(t.ont)}, ${t.pref})")
+      .mkString(", ")
+
+  // ---- v2 dictionary (the incremental-update fixture) --------------------
+
+  /** The DICT-ONLY v1→v2 update for the incremental re-annotation path
+    * ([[graft.annotate.Incremental]]): "query" loses both synonyms
+    * (removed-rows leg), "big data" is renamed to a label that never occurs
+    * in the corpus (remove + no-hit add), and a new ONT3 class reuses the
+    * occurring word "filter" (added-term leg with real hits). Classes,
+    * edges, mappings and CUI tables are UNCHANGED — the precondition under
+    * which an incremental update is sound (a class/hierarchy change
+    * invalidates expansion maps and needs the full rebuild). */
+  val conceptsV2: Vector[Concept] = concepts.map {
+    case c if c.ont == "ONT1" && c.prefLabel == "query" => c.copy(synonyms = Nil)
+    case c if c.ont == "ONT2" && c.prefLabel == "big data" => c.copy(prefLabel = "bigdata")
+    case c => c
+  } :+ Concept("http://fix.onto/ONT3#N001", "ONT3", "filter", Nil, Seq("T060"), "C0009101")
+
+  def conceptsV2Df(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    conceptsV2.map(c => (c.classIri, c.ont, c.prefLabel, c.synonyms, c.tuis, c.cui))
+      .toDF("class_iri", "ont", "pref_label", "synonyms", "tuis", "cui")
+  }
+
+  /** v2 dictionary VALUES for the incremental oracle's dict CTE. */
+  def dictValuesV2: String =
+    dictRows(cs = conceptsV2)
+      .map(t => s"(${q(t.term)}, ${q(t.classIri)}, ${q(t.ont)}, ${t.pref})")
       .mkString(", ")
 
   /** `(class_iri, tui)` exploded semantic-type VALUES rows. */
