@@ -83,8 +83,13 @@ object Incremental {
     val addedHits =
       if (addedTerms.isEmpty) removedHits.limit(0)
       else {
+        // the added rows already passed the v2 build's normalization and
+        // filters — accept them VERBATIM (minTermSize=1, no number filter):
+        // re-applying DEFAULT filters here would silently drop added rows a
+        // non-default v2 build kept, missing their affected docs
         val addedDict = DictBuild.build(
-          addedTerms.withColumnRenamed("term", "label"))
+          addedTerms.withColumnRenamed("term", "label"),
+          minTermSize = 1, excludeNumbers = false)
         val model = AutomatonBuild.broadcastModel(spark,
           AutomatonBuild.build(spark, addedDict, "delta"))
         NativeAnnotate.annotateMatches(corpus, model, wholeWord = wholeWord)

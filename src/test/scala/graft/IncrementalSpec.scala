@@ -81,6 +81,28 @@ class IncrementalSpec extends AnyFunSuite {
     assert(affected === Set("doc://q2", "doc://f1"))
   }
 
+  test("added terms shorter than the DEFAULT filter still mark docs affected") {
+    import spark.implicits._
+    // v1/v2 built with NON-default minTermSize=1; v2 adds the 2-char term
+    // 'ab' — the delta automaton must accept it verbatim, not re-apply the
+    // default min_term_size=3 filter and silently miss the doc
+    val v1c = Seq(("http://x#1", "O", "go", Seq.empty[String]))
+      .toDF("class_iri", "ont", "pref_label", "synonyms")
+    val v2c = v1c.unionByName(Seq(("http://x#2", "O", "ab", Seq.empty[String]))
+      .toDF("class_iri", "ont", "pref_label", "synonyms"))
+    val f1 = DictBuild.flatDict(DictBuild.build(DictBuild.labelRows(v1c), minTermSize = 1))
+    val f2 = DictBuild.flatDict(DictBuild.build(DictBuild.labelRows(v2c), minTermSize = 1))
+    val docs = Seq(("doc://s1", "ab initio"), ("doc://s2", "go west"))
+      .toDF("url", "text")
+    val mV1 = AutomatonBuild.broadcastModel(spark,
+      AutomatonBuild.build(spark, DictBuild.build(DictBuild.labelRows(v1c), minTermSize = 1), "s-v1"))
+    val v1Matches = NativeAnnotate.annotateMatches(docs, mV1)
+    val affected = Incremental.affectedUrls(spark, docs, v1Matches,
+        Incremental.diff(f1, f2))
+      .collect().map(_.getString(0)).toSet
+    assert(affected === Set("doc://s1"))
+  }
+
   test("removal-only update never reads the corpus (added scan skipped)") {
     import spark.implicits._
     // corpus poisoned: ANY evaluation of its text column throws
