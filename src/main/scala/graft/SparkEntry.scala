@@ -429,6 +429,19 @@ object SparkEntry {
     "dict_loom" -> ((s, dir) =>
       OntologyTables.loomMappings(OntologyFixture.conceptsDf(s))),
 
+    // the incremental update's diff leg, oracle-checked on its own:
+    // version-independent dictionary delta (term ids excluded) as one
+    // relation with a delta tag
+    "dict_diff" -> ((s, dir) => {
+      val upd = graft.annotate.Incremental.diff(
+        DictBuild.flatDict(DictBuild.build(
+          DictBuild.labelRows(OntologyFixture.conceptsDf(s)))),
+        DictBuild.flatDict(DictBuild.build(
+          DictBuild.labelRows(OntologyFixture.conceptsV2Df(s)))))
+      upd.removed.withColumn("delta", lit("removed"))
+        .unionByName(upd.added.withColumn("delta", lit("added")))
+    }),
+
     // TPC-H-ish operator coverage: pushed-down filter + hash aggregate
     "q_pushdown_agg" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -961,6 +974,13 @@ object SparkEntry {
           SELECT DISTINCT dr.url AS subj, 'hasMappedAnnotation' AS pred, m.mapped_iri AS obj
           FROM (SELECT DISTINCT url, class_iri FROM direct) dr
           JOIN maps m ON dr.class_iri = m.class_iri""",
+
+    "dict_diff" ->
+      s"""WITH d1(term, class_iri, ont, pref) AS (SELECT * FROM (VALUES ${OntologyFixture.dictValues}) v(a,b,c,d)),
+            d2(term, class_iri, ont, pref) AS (SELECT * FROM (VALUES ${OntologyFixture.dictValuesV2}) v(a,b,c,d))
+          SELECT *, 'removed' AS delta FROM (SELECT * FROM d1 EXCEPT SELECT * FROM d2)
+          UNION ALL
+          SELECT *, 'added' AS delta FROM (SELECT * FROM d2 EXCEPT SELECT * FROM d1)""",
 
     // full v2 recomputation — the incremental path must land exactly here
     "ann_incremental" ->
