@@ -55,6 +55,16 @@ object SparkEntry {
       AutomatonBuild.broadcastModel(s, AutomatonBuild.build(s, dict, "v2"))
     })
 
+  /** The fixture's v1→v2 dictionary delta — ONE definition for both the
+    * `dict_diff` and `ann_incremental` queries (diverging copies would
+    * silently test different deltas). */
+  private def fixtureDictUpdate(s: SparkSession): graft.annotate.Incremental.DictUpdate =
+    graft.annotate.Incremental.diff(
+      DictBuild.flatDict(DictBuild.build(
+        DictBuild.labelRows(OntologyFixture.conceptsDf(s)))),
+      DictBuild.flatDict(DictBuild.build(
+        DictBuild.labelRows(OntologyFixture.conceptsV2Df(s)))))
+
   private val shardedCache =
     new ConcurrentHashMap[SparkSession, Seq[Broadcast[AnnotatorModel]]]()
   private def shardedModels(s: SparkSession): Seq[Broadcast[AnnotatorModel]] =
@@ -235,13 +245,8 @@ object SparkEntry {
     // incremental path equals a complete re-annotation
     "ann_incremental" -> ((s, dir) => {
       val c = corpus(s, dir)
-      val upd = graft.annotate.Incremental.diff(
-        DictBuild.flatDict(DictBuild.build(
-          DictBuild.labelRows(OntologyFixture.conceptsDf(s)))),
-        DictBuild.flatDict(DictBuild.build(
-          DictBuild.labelRows(OntologyFixture.conceptsV2Df(s)))))
       val affected = graft.annotate.Incremental.affectedUrls(
-        s, c, matches(s, dir), upd)
+        s, c, matches(s, dir), fixtureDictUpdate(s))
       val v1T = graft.annotate.NativeAnnotate
         .annotateTriples(c, model(s), fusedMaps(s), "v1")
       graft.annotate.Incremental
@@ -433,11 +438,7 @@ object SparkEntry {
     // version-independent dictionary delta (term ids excluded) as one
     // relation with a delta tag
     "dict_diff" -> ((s, dir) => {
-      val upd = graft.annotate.Incremental.diff(
-        DictBuild.flatDict(DictBuild.build(
-          DictBuild.labelRows(OntologyFixture.conceptsDf(s)))),
-        DictBuild.flatDict(DictBuild.build(
-          DictBuild.labelRows(OntologyFixture.conceptsV2Df(s)))))
+      val upd = fixtureDictUpdate(s)
       upd.removed.withColumn("delta", lit("removed"))
         .unionByName(upd.added.withColumn("delta", lit("added")))
     }),

@@ -40,7 +40,14 @@ import graft.dict.{AnnotatorModel, AutomatonBuild, DictBuild}
   *     and that longer match is in the v1 stream, marking the doc
   *     affected);
   *   - per-document scoring (the default `old` mode; corpus-global scores
-  *     like tf-idf depend on every doc and cannot update incrementally).
+  *     like tf-idf depend on every doc and cannot update incrementally);
+  *   - NON-lemmatized dictionaries: the removed-leg join matches
+  *     `normalizeTerm(matched text) == term`, which holds for the standard
+  *     scan (terms are stored space-collapsed and the automaton only
+  *     uppercases) but NOT for `DictBuild.buildLemmatized` matches (text
+  *     "runs" vs lemma term "RUN"); a lemma-dict update needs a
+  *     lemma-aware diff join + a lemmatized delta automaton — unimplemented,
+  *     use a full rebuild there.
   */
 object Incremental {
 
@@ -78,8 +85,9 @@ object Incremental {
         "left_semi")
       .select(col("url"))
 
-    // driver-side emptiness check is dict-side (ontology-scale), not corpus
-    val addedTerms = upd.added
+    // materialize the (ontology-scale) added rows ONCE: the emptiness check
+    // and the automaton build would otherwise each re-run the diff's EXCEPT
+    val addedTerms = upd.added.localCheckpoint()
     val addedHits =
       if (addedTerms.isEmpty) removedHits.limit(0)
       else {
