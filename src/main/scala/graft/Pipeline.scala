@@ -153,30 +153,7 @@ object Pipeline {
 
     lazy val nCorpus = corpus.count()
     val matches = stage(spark, io, "matches", cfg, inputRows = nCorpus) {
-      // native Generator scan (in-place UTF8String bytes, no object-mode
-      // island); columns renamed to the persisted Match schema. The typed
-      // mapPartitions form (Scan.annotateDirect) stays parity-tested.
-      // dictShards > 1 = the S4 >driver-memory regime: the full automaton is
-      // never built or broadcast whole — k shard models, one at a time.
-      val scanned =
-        if (cfg.dictShards <= 1) {
-          val bcast = AutomatonBuild.broadcastModel(spark,
-            AutomatonBuild.build(spark, dict, cfg.dictVersion))
-          graft.annotate.NativeAnnotate.annotateMatches(
-            corpus, bcast, cfg.opts.longestOnly, cfg.opts.wholeWordOnly)
-        } else {
-          val shards = graft.annotate.Sharded.buildModels(
-            spark, dict, cfg.dictVersion, cfg.dictShards)
-          graft.annotate.NativeAnnotate.annotateMatchesSharded(
-            corpus, shards, cfg.opts.longestOnly, cfg.opts.wholeWordOnly)
-        }
-      Filters(
-        scanned
-          .withColumnRenamed("class_iri", "classIri")
-          .withColumnRenamed("match_type", "matchType"),
-        cfg.opts,
-        Some(onto.concepts
-          .select(col("class_iri"), explode(col("tuis")).as("tui"))))
+      scanAndFilter(spark, cfg, dict, corpus, onto.concepts, cfg.dictVersion)
     }
 
     val closure = stage(spark, io, "closure", cfg,
@@ -186,24 +163,8 @@ object Pipeline {
 
     lazy val nMatches = matches.count()
     val triples = stage(spark, io, "triples", cfg, inputRows = nMatches) {
-      val direct = Scoring.directScores(matches)
-      val hier =
-        if (cfg.opts.expandHierarchy)
-          Expand.hierarchy(matches, closure, cfg.opts.hierarchyMaxLevel)
-        else spark.emptyDataFrame
-          .withColumn("url", lit(null).cast("string"))
-          .withColumn("ancestor", lit(null).cast("string"))
-          .withColumn("distance", lit(null).cast("int"))
-      val mapped =
-        if (cfg.opts.expandMappings)
-          Expand.mappings(matches, onto.mappings)
-        else spark.emptyDataFrame
-          .withColumn("url", lit(null).cast("string"))
-          .withColumn("mapped_iri", lit(null).cast("string"))
-          .withColumn("kind", lit(null).cast("string"))
-      val assembled = Triples.assemble(direct, hier, mapped, cfg.dictVersion)
-        .filter(col("score") >= cfg.opts.scoreThreshold)
-      Triples.withPartDate(assembled, corpus)
+      assembleTriples(spark, cfg, matches, closure, onto.mappings, corpus,
+        cfg.dictVersion)
     }
 
     if (cfg.materializeKg) {
@@ -228,6 +189,104 @@ object Pipeline {
     triples
   }
 
+  /** The matches-stage body, shared with the incremental path: native
+    * Generator scan (in-place UTF8String bytes, no object-mode island);
+    * columns renamed to the persisted Match schema. The typed mapPartitions
+    * form (Scan.annotateDirect) stays parity-tested. dictShards > 1 = the
+    * S4 >driver-memory regime: the full automaton is never built or
+    * broadcast whole — k shard models, one at a time. */
+  private def scanAndFilter(spark: SparkSession, cfg: Config, dict: DataFrame,
+                            corpus: DataFrame, concepts: DataFrame,
+                            version: String): DataFrame = {
+    val scanned =
+      if (cfg.dictShards <= 1) {
+        val bcast = AutomatonBuild.broadcastModel(spark,
+          AutomatonBuild.build(spark, dict, version))
+        graft.annotate.NativeAnnotate.annotateMatches(
+          corpus, bcast, cfg.opts.longestOnly, cfg.opts.wholeWordOnly)
+      } else {
+        val shards = graft.annotate.Sharded.buildModels(
+          spark, dict, version, cfg.dictShards)
+        graft.annotate.NativeAnnotate.annotateMatchesSharded(
+          corpus, shards, cfg.opts.longestOnly, cfg.opts.wholeWordOnly)
+      }
+    Filters(
+      scanned
+        .withColumnRenamed("class_iri", "classIri")
+        .withColumnRenamed("match_type", "matchType"),
+      cfg.opts,
+      Some(concepts.select(col("class_iri"), explode(col("tuis")).as("tui"))))
+  }
+
+  /** The triples-stage body, shared with the incremental path: score the
+    * direct matches, expand hierarchy/mappings, assemble the three legs,
+    * threshold, attach part_date. */
+  private def assembleTriples(spark: SparkSession, cfg: Config,
+                              matches: DataFrame, closure: DataFrame,
+                              mappings: DataFrame, corpus: DataFrame,
+                              version: String): DataFrame = {
+    val direct = Scoring.directScores(matches)
+    val hier =
+      if (cfg.opts.expandHierarchy)
+        Expand.hierarchy(matches, closure, cfg.opts.hierarchyMaxLevel)
+      else spark.emptyDataFrame
+        .withColumn("url", lit(null).cast("string"))
+        .withColumn("ancestor", lit(null).cast("string"))
+        .withColumn("distance", lit(null).cast("int"))
+    val mapped =
+      if (cfg.opts.expandMappings)
+        Expand.mappings(matches, mappings)
+      else spark.emptyDataFrame
+        .withColumn("url", lit(null).cast("string"))
+        .withColumn("mapped_iri", lit(null).cast("string"))
+        .withColumn("kind", lit(null).cast("string"))
+    val assembled = Triples.assemble(direct, hier, mapped, version)
+      .filter(col("score") >= cfg.opts.scoreThreshold)
+    Triples.withPartDate(assembled, corpus)
+  }
+
+  /** Incremental dict-only update over an EXISTING completed work dir
+    * ([[graft.annotate.Incremental]] as a resumable pipeline stage): build
+    * the v2 dictionary as a new `dict_<version>` stage, diff it against the
+    * persisted v1 dict, find affected docs from the PERSISTED matches stage
+    * (plus one added-terms-only scan of the persisted corpus stage), and
+    * write `triples_<version>` = kept v1 triples (re-stamped) ∪ full v2
+    * annotation of the affected slice. Lineage rows and `_SUCCESS` resume
+    * semantics identical to the full pipeline's stages.
+    *
+    * `cfg.dictVersion` names the NEW version (stage names derive from it);
+    * `cfg.ontology` (edges/mappings/closure inputs) must be the run's
+    * original tables — a hierarchy or mapping change is NOT a dict-only
+    * update and requires the full pipeline. */
+  def runIncremental(spark: SparkSession, cfg: Config,
+                     v2Concepts: DataFrame): DataFrame = {
+    import graft.annotate.Incremental
+    val io = TableIO.forSession(spark, cfg.workDir)
+    for (s <- Seq("dict", "corpus", "matches", "closure", "triples"))
+      require(io.exists(spark, s),
+        s"incremental update needs completed stage '$s' — run the full pipeline first")
+    val v2 = cfg.dictVersion
+    val onto = cfg.ontology.getOrElse(OntologyTables.fixture(spark))
+    val corpus = io.read(spark, "corpus")
+    val dictV2 = stage(spark, io, s"dict_$v2", cfg,
+      inputRows = v2Concepts.count()) {
+      DictBuild.build(DictBuild.labelRows(v2Concepts))
+    }
+    lazy val nMatches = io.read(spark, "matches").count()
+    stage(spark, io, s"triples_$v2", cfg, inputRows = nMatches) {
+      val upd = Incremental.diff(
+        DictBuild.flatDict(io.read(spark, "dict")), DictBuild.flatDict(dictV2))
+      val affected = Incremental.affectedUrls(spark, corpus,
+        io.read(spark, "matches"), upd, wholeWord = cfg.opts.wholeWordOnly)
+      Incremental.incrementalTriples(corpus, io.read(spark, "triples"),
+        affected, v2, slice => {
+          val m2 = scanAndFilter(spark, cfg, dictV2, slice, v2Concepts, v2)
+          assembleTriples(spark, cfg, m2, io.read(spark, "closure"),
+            onto.mappings, slice, v2)
+        })
+    }
+  }
+
   /** Execute a stage with checkpoint-or-resume + lineage emission.
     * `inputRows` is the stage's input cardinality (lazy — only forced when
     * the stage actually computes, so resumed runs pay nothing). */
@@ -239,8 +298,8 @@ object Pipeline {
     } else {
       val t0 = System.nanoTime()
       val df = compute
-      val partitionCols =
-        if (name == "triples") Seq("part_date", "dict_version") else Nil
+      val partitionCols = // triples + versioned triples_<v> incremental stages
+        if (name.startsWith("triples")) Seq("part_date", "dict_version") else Nil
       io.write(df, name, partitionCols)
       val persisted = io.read(spark, name)
       val wallMs = (System.nanoTime() - t0) / 1000000

@@ -41,13 +41,12 @@ import graft.dict.{AnnotatorModel, AutomatonBuild, DictBuild}
   *     affected);
   *   - per-document scoring (the default `old` mode; corpus-global scores
   *     like tf-idf depend on every doc and cannot update incrementally);
-  *   - NON-lemmatized dictionaries: the removed-leg join matches
-  *     `normalizeTerm(matched text) == term`, which holds for the standard
-  *     scan (terms are stored space-collapsed and the automaton only
-  *     uppercases) but NOT for `DictBuild.buildLemmatized` matches (text
-  *     "runs" vs lemma term "RUN"); a lemma-dict update needs a
-  *     lemma-aware diff join + a lemmatized delta automaton — unimplemented,
-  *     use a full rebuild there.
+  *   - the match-text → dictionary-term contract of the scan that produced
+  *     `v1Matches`: `normalizeTerm(text) == term` for the standard scan,
+  *     `lemmaTerm(normalizeTerm(text)) == term` for lemma mode — pass
+  *     `lemma = true` so the removed-leg join and the added-terms scan use
+  *     the lemma contract (both dict versions must be
+  *     `DictBuild.buildLemmatized` outputs there).
   */
 object Incremental {
 
@@ -73,13 +72,25 @@ object Incremental {
     * built lazily so removal-only updates never touch the corpus. */
   def affectedUrls(spark: SparkSession, corpus: DataFrame,
                    v1Matches: DataFrame, upd: DictUpdate,
-                   wholeWord: Boolean = true): DataFrame = {
+                   wholeWord: Boolean = true,
+                   lemma: Boolean = false): DataFrame = {
+    // accept both the native snake_case match stream and the typed
+    // Dataset[Match] camelCase one
+    val m = Seq("classIri" -> "class_iri", "matchType" -> "match_type")
+      .foldLeft(v1Matches) { case (df, (a, b)) =>
+        if (df.columns.contains(a)) df.withColumnRenamed(a, b) else df
+      }
     val rem = upd.removed
       .select(col("term").as("r_term"), col("class_iri").as("r_class"),
         col("ont").as("r_ont"), col("pref").as("r_pref"))
-    val removedHits = v1Matches
+    // matched-text → dict-term contract of the producing scan
+    val matchTerm =
+      if (lemma) udf((t: String) => Lemma.lemmaTerm(t))
+        .apply(DictBuild.normalizeTerm(col("text")))
+      else DictBuild.normalizeTerm(col("text"))
+    val removedHits = m
       .join(broadcast(rem),
-        DictBuild.normalizeTerm(col("text")) === col("r_term") &&
+        matchTerm === col("r_term") &&
           col("class_iri") === col("r_class") && col("ont") === col("r_ont") &&
           (col("match_type") === "PREF") === col("r_pref"),
         "left_semi")
@@ -91,17 +102,23 @@ object Incremental {
     val addedHits =
       if (addedTerms.isEmpty) removedHits.limit(0)
       else {
-        // the added rows already passed the v2 build's normalization and
-        // filters — accept them VERBATIM (minTermSize=1, no number filter):
-        // re-applying DEFAULT filters here would silently drop added rows a
-        // non-default v2 build kept, missing their affected docs
+        // the added rows already passed the v2 build's normalization (and,
+        // in lemma mode, its lemmatization) and filters — accept them
+        // VERBATIM (minTermSize=1, no number filter, plain build even for
+        // lemma dicts: re-lemmatizing an already-lemmatized term is not
+        // idempotent for every suffix rule): re-applying DEFAULT filters
+        // here would silently drop added rows a non-default v2 build kept,
+        // missing their affected docs
         val addedDict = DictBuild.build(
           addedTerms.withColumnRenamed("term", "label"),
           minTermSize = 1, excludeNumbers = false)
         val model = AutomatonBuild.broadcastModel(spark,
           AutomatonBuild.build(spark, addedDict, "delta"))
-        NativeAnnotate.annotateMatches(corpus, model, wholeWord = wholeWord)
-          .select(col("url"))
+        if (lemma)
+          LemmaScan.annotateDirectLemma(corpus, model).toDF().select(col("url"))
+        else
+          NativeAnnotate.annotateMatches(corpus, model, wholeWord = wholeWord)
+            .select(col("url"))
       }
     removedHits.unionByName(addedHits).distinct()
   }

@@ -103,6 +103,40 @@ class IncrementalSpec extends AnyFunSuite {
     assert(affected === Set("doc://s1"))
   }
 
+  test("lemma mode: affected set + kept/rescanned matches == full lemma rescan") {
+    import spark.implicits._
+    import graft.annotate.LemmaScan
+    val v1c = Seq(("http://l#A", "L", "run", Seq.empty[String]),
+      ("http://l#B", "L", "jump", Seq.empty[String]))
+      .toDF("class_iri", "ont", "pref_label", "synonyms")
+    val v2c = Seq(("http://l#A", "L", "run", Seq.empty[String]),
+      ("http://l#B", "L", "leap", Seq.empty[String])) // jump renamed to leap
+      .toDF("class_iri", "ont", "pref_label", "synonyms")
+    val d1 = DictBuild.buildLemmatized(DictBuild.labelRows(v1c))
+    val d2 = DictBuild.buildLemmatized(DictBuild.labelRows(v2c))
+    val m1 = AutomatonBuild.broadcastModel(spark, AutomatonBuild.build(spark, d1, "l1"))
+    val m2 = AutomatonBuild.broadcastModel(spark, AutomatonBuild.build(spark, d2, "l2"))
+    val docs = Seq(
+      ("doc://a", "he jumps high"),    // removed JUMP matched here → affected
+      ("doc://b", "she runs fast"),    // RUN unchanged → unaffected
+      ("doc://c", "they leaped over")) // added LEAP matches here → affected
+      .toDF("url", "text")
+    val v1M = LemmaScan.annotateDirectLemma(docs, m1).toDF()
+    val affected = Incremental.affectedUrls(spark, docs, v1M,
+      Incremental.diff(DictBuild.flatDict(d1), DictBuild.flatDict(d2)),
+      lemma = true)
+    assert(affected.collect().map(_.getString(0)).toSet === Set("doc://a", "doc://c"))
+    // incremental match stream (kept unaffected v1 + rescanned affected)
+    // equals a full v2 lemma rescan
+    val kept = v1M.join(affected, Seq("url"), "left_anti")
+    val re = LemmaScan.annotateDirectLemma(
+      docs.join(affected, Seq("url"), "left_semi"), m2).toDF()
+    val inc = kept.unionByName(re).collect().map(_.toSeq).toSet
+    val full = LemmaScan.annotateDirectLemma(docs, m2).toDF()
+      .collect().map(_.toSeq).toSet
+    assert(inc === full)
+  }
+
   test("removal-only update never reads the corpus (added scan skipped)") {
     import spark.implicits._
     // corpus poisoned: ANY evaluation of its text column throws

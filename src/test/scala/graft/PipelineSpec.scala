@@ -182,6 +182,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$wd/lineage").count() === lin1)
   }
 
+  test("runIncremental: triples_v2 stage == full v2 pipeline, resumable") {
+    import graft.fixture.OntologyFixture
+    val wd = Files.createTempDirectory("graft-inc-wd").toString
+    Pipeline.run(spark, Pipeline.Config(sfDir, wd, scanPartitions = 4)).count()
+    val v2c = OntologyFixture.conceptsV2Df(spark)
+    val cfg2 = Pipeline.Config(sfDir, wd, dictVersion = "v2", scanPartitions = 4)
+    val inc = Pipeline.runIncremental(spark, cfg2, v2c)
+    // reference: a FULL v2 pipeline in a fresh work dir (same edges/mappings
+    // — dict-only update)
+    val wdFull = Files.createTempDirectory("graft-incfull-wd").toString
+    val full = Pipeline.run(spark, Pipeline.Config(sfDir, wdFull,
+      dictVersion = "v2", scanPartitions = 4,
+      ontology = Some(OntologyTables(v2c, OntologyFixture.edgesDf(spark),
+        OntologyFixture.mappingsDf(spark)))))
+    val cols = Seq("subj", "pred", "obj", "match_type", "distance", "score",
+      "dict_version", "part_date").map(col)
+    assert(inc.select(cols: _*).collect().map(_.toSeq).toSet ===
+      full.select(cols: _*).collect().map(_.toSeq).toSet)
+    // both versioned stages exist side by side; resume skips everything
+    for (s <- Seq("dict_v2", "triples_v2"))
+      assert(new java.io.File(s"$wd/$s/_SUCCESS").exists, s"missing stage $s")
+    val lin1 = spark.read.parquet(s"$wd/lineage").count()
+    Pipeline.runIncremental(spark, cfg2, v2c).count()
+    assert(spark.read.parquet(s"$wd/lineage").count() === lin1)
+  }
+
   test("CUI mappings derived from the concept table == fixture CUI mappings") {
     val derived = OntologyTables.cuiMappings(
       graft.fixture.OntologyFixture.conceptsDf(spark))
