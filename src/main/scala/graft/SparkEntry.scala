@@ -11,7 +11,7 @@ import graft.dict.{AnnotatorModel, AutomatonBuild, DictBuild}
 import graft.emit.Triples
 import graft.fixture.OntologyFixture
 import graft.graph.Closure
-import graft.ops.{AsOf, Dedup, Multimodal, Sampling, Similarity, Sketch, TextOps}
+import graft.ops.{AsOf, Dedup, Multimodal, RangeJoin, Sampling, Similarity, Sketch, TextOps}
 import graft.streaming.EventStream
 
 /** Driver contract (SURVEY.md §6.2): one `queries` entry per implemented
@@ -547,6 +547,14 @@ object SparkEntry {
           keyCol = "user_id", tsCol = "ts", idCol = "event_id",
           predCol = "is_click", carryCol = "event_id", out = "prev_click_id")
         .select(col("event_id"), col("user_id"), col("prev_click_id"))),
+
+    // range join via bucketized equi-join (NO inequality join node): pairs
+    // of same-user events within 5 minutes — the bin trick turns a
+    // quadratic theta-join into one shuffled equi-join + exact post-filter
+    "q_range_join" -> ((s, dir) =>
+      RangeJoin.pairsWithinGap(s.read.parquet(s"$dir/events.parquet"),
+        keyCol = "user_id", idCol = "event_id", tsCol = "ts",
+        maxGapSec = 300)),
 
     // exact per-group quantiles (type-7 interpolation in BOTH engines).
     // Exact percentile is a per-group sort — fine on grouped data; the
@@ -1259,6 +1267,19 @@ object SparkEntry {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
              AS prev_click_id
          FROM events""",
+
+    // the oracle USES the quadratic inequality join the Spark side avoids —
+    // cross-proving the bucketed formulation finds exactly the same pairs.
+    // floor(epoch(...)) matches Spark's whole-second timestamp→long cast
+    "q_range_join" ->
+      """WITH e AS (SELECT user_id, event_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events)
+         SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+                b.t - a.t AS gap_s
+         FROM e a JOIN e b
+           ON a.user_id = b.user_id
+          AND b.t - a.t BETWEEN 0 AND 300
+          AND (a.t < b.t OR (a.t = b.t AND a.event_id < b.event_id))""",
 
     "q_quantiles" ->
       """SELECT lang, COUNT(*) AS n_docs,

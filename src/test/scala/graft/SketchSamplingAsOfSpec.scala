@@ -115,6 +115,41 @@ class SketchSamplingAsOfSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  // ---- bucketized range join -------------------------------------------
+
+  test("pairsWithinGap == brute-force inequality join on seeded data") {
+    import spark.implicits._
+    import graft.ops.RangeJoin
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 400).map(i =>
+      (i.toLong, s"u${rnd.nextInt(8)}", rnd.nextInt(5000).toLong))
+    val df = rows.toDF("event_id", "user_id", "tsec")
+      .withColumn("ts", col("tsec").cast("timestamp")).drop("tsec")
+    val got = RangeJoin.pairsWithinGap(df, "user_id", "event_id", "ts", 300)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = (for {
+      (ia, ka, ta) <- rows; (ib, kb, tb) <- rows
+      if ka == kb && tb - ta >= 0 && tb - ta <= 300 &&
+        (ta < tb || (ta == tb && ia < ib))
+    } yield (ka, ia, ib, tb - ta)).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // boundary-straddling pairs (different bins) must be present
+    assert(want.exists { case (_, a, b, _) =>
+      val ta = rows(a.toInt)._3; val tb = rows(b.toInt)._3
+      ta / 300 != tb / 300
+    })
+  }
+
+  test("pairsWithinGap plan has no nested-loop/cartesian join") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val plan = graft.ops.RangeJoin
+      .pairsWithinGap(events, "user_id", "event_id", "ts", 300)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   // ---- as-of joins ------------------------------------------------------
 
   test("withVersionAsOf: boundary, between, and before-first semantics") {
