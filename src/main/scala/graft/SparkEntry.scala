@@ -702,6 +702,13 @@ object SparkEntry {
       graft.graph.KgGraph.connectedComponents(graft.graph.KgGraph.cooccurrence(
         matches(s, dir).select("url", "class_iri")))),
 
+    // k-core decomposition by iterated peeling; converges well inside the
+    // 8 rounds the oracle unrolls (peeling is idempotent after convergence,
+    // so fixed-unroll == converged engine result — asserted in-engine)
+    "kg_kcore" -> ((s, dir) =>
+      graft.graph.KgGraph.kcore(graft.graph.KgGraph.cooccurrence(
+        matches(s, dir).select("url", "class_iri")), k = 3)),
+
     // fixed-iteration PageRank (10 rounds, d=0.85) — the oracle unrolls the
     // same 10 iterations as CTEs, so scores match to the 6dp contract
     "kg_pagerank" -> ((s, dir) =>
@@ -821,6 +828,32 @@ object SparkEntry {
                 FROM nodes),
         $iterCtes
         SELECT node AS class_iri, ROUND(pr, 6) AS pagerank FROM pr$iters"""
+  }
+
+  /** Unrolled k-core peeling oracle ([[graft.graph.KgGraph.kcore]] twin):
+    * exactly `iters` peel rounds as plain CTEs — peeling is idempotent
+    * after convergence, so the fixed unroll equals the engine's converged
+    * result (the engine asserts convergence within the same bound). */
+  private def kcoreOracleSql(k: Int, iters: Int): String = {
+    // each e_i is referenced THREE times by round i+1 (both UNION ALL arms
+    // of u_{i+1} and the join in e_{i+1}); DuckDB inlines plain CTEs, which
+    // would expand the tree 3^iters-fold — MATERIALIZED keeps it linear
+    val rounds = (1 to iters).map { i =>
+      s"""u$i AS (SELECT a, b FROM e${i - 1} UNION ALL SELECT b, a FROM e${i - 1}),
+          k$i AS (SELECT a FROM u$i GROUP BY a HAVING COUNT(*) >= $k),
+          e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+                  JOIN k$i x ON e.a = x.a JOIN k$i y ON e.b = y.a)"""
+    }.mkString(",\n")
+    s"""WITH $dictCte, $directCte,
+        pairs AS (SELECT DISTINCT url, class_iri FROM direct),
+        e0 AS MATERIALIZED (SELECT a.class_iri AS a, b.class_iri AS b
+               FROM pairs a JOIN pairs b
+                 ON a.url = b.url AND a.class_iri < b.class_iri
+               GROUP BY 1, 2),
+        $rounds
+        SELECT a AS class_iri, COUNT(*) AS core_degree
+        FROM (SELECT a, b FROM e$iters UNION ALL SELECT b, a FROM e$iters)
+        GROUP BY a"""
   }
 
   /** Unrolled seeded-Lloyd IVF oracle ([[graft.ops.Similarity.ivfTopK]]
@@ -1761,6 +1794,8 @@ object SparkEntry {
           FROM reach GROUP BY a""",
 
     "kg_pagerank" -> pageRankOracleSql(iters = 10, weighted = false),
+
+    "kg_kcore" -> kcoreOracleSql(k = 3, iters = 8),
 
     "kg_pagerank_weighted" -> pageRankOracleSql(iters = 10, weighted = true),
 

@@ -254,4 +254,47 @@ object KgGraph {
       .select(col("node").as("class_iri"),
         coalesce(col("component"), col("node")).as("component"))
   }
+
+  /** k-core decomposition (the densest-subgraph family's workhorse): the
+    * maximal subgraph where every node keeps degree ≥ k, found by iterated
+    * peeling — drop all nodes below k, recompute degrees, repeat to
+    * fixpoint. Output: surviving nodes with their IN-CORE degree.
+    *
+    * Per round: one degree aggregation + two semi-joins filtering the edge
+    * list to surviving endpoints (all shuffles on the node key; AQE
+    * skew-join covers hot concepts); lineage truncated via [[truncate]].
+    * Deterministic, and oracle-able WITHOUT recursion: peeling is
+    * IDEMPOTENT after convergence, so an oracle that unrolls exactly
+    * `maxIter` rounds equals the converged engine result — the engine
+    * asserts convergence within `maxIter` to keep that contract. */
+  def kcore(edges: DataFrame, k: Int, maxIter: Int = 8): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    var e = pin(edges.select(col("src").as("a"), col("dst").as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    var eCnt = e.count()
+    var converged = eCnt == 0
+    var i = 0
+    while (!converged && i < maxIter) {
+      val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      val keep = und.groupBy("a").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= k).select(col("a").as("node"))
+      val next = truncate(
+        e.join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+          .select(col("a"), col("b")),
+        i + 1)
+      val nextCnt = next.count()
+      converged = nextCnt == eCnt
+      e = next
+      eCnt = nextCnt
+      i += 1
+    }
+    require(converged,
+      s"k-core peeling did not converge in $maxIter rounds — raise maxIter " +
+        "(each round removes at least one node, so rounds ≤ peeled nodes)")
+    e.select(col("a"), col("b"))
+      .unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      .groupBy("a").agg(count(lit(1)).as("core_degree"))
+      .select(col("a").as("class_iri"), col("core_degree"))
+  }
 }

@@ -212,6 +212,47 @@ class KgGraphSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-3) // mass conserved
   }
 
+  test("kcore: triangle survives k=2 peeling, tail does not") {
+    import spark.implicits._
+    // triangle a-b-c plus a tail c-d: 2-core = the triangle (d has deg 1;
+    // after d peels, c's degree drops to 2 and the triangle is stable)
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))
+      .toDF("src", "dst")
+    val got = KgGraph.kcore(edges, k = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+  }
+
+  test("kcore == scalar peeling on a seeded random graph; empty core at high k") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val n = 30
+    val names = (0 until n).map(i => f"K$i%02d")
+    val edges = (0 until 2 * n).flatMap { _ =>
+      val a = names(rnd.nextInt(n)); val b = names(rnd.nextInt(n))
+      if (a < b) Some((a, b)) else None
+    }.distinct
+    val got = KgGraph.kcore(edges.toDF("src", "dst"), k = 3, maxIter = 30)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // scalar peeling to fixpoint
+    var es = edges.toSet
+    var changed = true
+    while (changed) {
+      val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= 3).keySet
+      val next = es.filter(e => keep(e._1) && keep(e._2))
+      changed = next != es
+      es = next
+    }
+    val want = es.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got === want)
+    assert(got.values.forall(_ >= 3))
+    // a k beyond the max degree peels everything
+    assert(KgGraph.kcore(edges.toDF("src", "dst"), k = 50, maxIter = 30).count() === 0)
+  }
+
   test("pageRank counts a self-loop ONCE in degree (union+distinct semantics)") {
     import spark.implicits._
     // {(a,a),(a,b)}: und = {(a,a),(a,b),(b,a)} ⇒ deg(a)=2 — b must receive
