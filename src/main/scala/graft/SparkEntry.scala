@@ -529,6 +529,11 @@ object SparkEntry {
     "stream_hourly" -> ((s, dir) =>
       EventStream.hourlyCounts(s.read.parquet(s"$dir/events.parquet"))),
 
+    // SLIDING windows (1h every 15min — each event in exactly 4 windows);
+    // the oracle re-derives the window explosion with generate_series
+    "stream_sliding" -> ((s, dir) =>
+      EventStream.slidingCounts(s.read.parquet(s"$dir/events.parquet"))),
+
     // as-of join, small-dim shape: which dictionary snapshot was live when
     // each event happened — sorted version list inlined as an array
     // literal, latest entry <= ts picked map-only (zero shuffle/join)
@@ -1280,6 +1285,20 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
            COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
          FROM events GROUP BY 1, 2""",
+
+    // every event belongs to the 4 epoch-aligned 900s-stepped windows whose
+    // start is in (t-3600, t]; make_timestamp keeps the NTZ type Spark's
+    // window(start) carries
+    "stream_sliding" ->
+      """WITH j(j) AS (SELECT unnest(generate_series(0, 3))),
+           ev AS (SELECT event_type, value,
+                    CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 AS b
+                  FROM events)
+         SELECT make_timestamp((b - j * 900) * 1000000) AS window_start,
+                event_type, COUNT(*) AS n_events,
+                ROUND(SUM(value), 2) AS total_value
+         FROM ev CROSS JOIN j
+         GROUP BY 1, 2""",
 
     // DuckDB's native ASOF JOIN cross-proves the array-literal formulation
     "q_asof_version" ->

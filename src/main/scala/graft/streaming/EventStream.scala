@@ -27,6 +27,22 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** SLIDING-window aggregation (1-hour windows every 15 minutes): each
+    * event lands in 4 overlapping windows — `window(slide)` explodes rows
+    * into their windows BEFORE the shuffle, so the cost is slide-factor ×
+    * the tumbling shuffle, bounded and explicit. Same plan batch/stream
+    * (the batch form is the DuckDB-oracle-checked one: the oracle rebuilds
+    * the window explosion with generate_series). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
   /** Streaming exact dedup — the streaming form of [[graft.ops.Dedup.exact]]
     * for a continuously-ingested crawl: drop any document whose CONTENT was
     * already seen, keyed by a fixed-width double-xxhash64+length composite —

@@ -37,6 +37,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("sliding windows over a real stream == batch slidingCounts") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val query = EventStream.slidingCounts(events).writeStream
+      .format("memory").queryName("sliding_test").outputMode("complete").start()
+    try {
+      val data = Seq(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:20:00"), "click", 2.0),
+        (ts("2024-01-01 11:05:00"), "view", 4.0))
+      input.addData(data: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("sliding_test")
+        .collect().map(_.toSeq).toSet
+      val batch = EventStream.slidingCounts(
+        data.toDF("ts", "event_type", "value"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      // each event sits in exactly 4 windows: 10:05 click → starts 09:15..10:00
+      val clickWindows = spark.table("sliding_test")
+        .filter(col("event_type") === "click" && col("n_events") >= 1)
+        .count()
+      assert(clickWindows === 5) // 2 events, 4 windows each, 3 shared
+    } finally query.stop()
+  }
+
   test("streaming exact dedup: cross-batch duplicates dropped, state keyed by hash") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
