@@ -500,6 +500,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"))
     }),
 
+    // grouping sets: full CUBE over the agg keys (ROLLUP's big sibling)
+    "q_cube" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))),
+
+    // pivot: per-user event-type counts as columns. Spark's pivot with an
+    // EXPLICIT value list compiles to conditional aggregation — one
+    // shuffle, no second pass to discover distinct values (the implicit
+    // form's extra job is the scale trap)
+    "q_pivot" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+
+    // ranking-function windows: ntile quartiles + dense_rank + percent_rank
+    "q_ntile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"),
+          ntile(4).over(w).as("quartile"),
+          dense_rank().over(w).as("drank"),
+          round(percent_rank().over(w), 6).as("prank"))
+    }),
+
     // set operation: customers with both fulfilled and open orders
     "q_setops" -> ((s, dir) => {
       val o = s.read.parquet(s"$dir/orders.parquet")
@@ -1257,6 +1287,30 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
            ROUND(SUM(l_quantity), 2) AS sum_qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+
+    // pivot == conditional aggregation (exactly what Spark's explicit-value
+    // pivot compiles to)
+    "q_pivot" ->
+      """SELECT user_id,
+           COUNT(*) FILTER (event_type = 'click') AS click,
+           COUNT(*) FILTER (event_type = 'view') AS view,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup') AS signup,
+           COUNT(*) FILTER (event_type = 'error') AS error
+         FROM events GROUP BY user_id""",
+
+    "q_ntile" ->
+      """SELECT event_id, event_type,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           CAST(dense_rank() OVER w AS INT) AS drank,
+           ROUND(percent_rank() OVER w, 6) AS prank
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""",
 
     "q_sessionize" ->
       """WITH g AS (
