@@ -653,6 +653,16 @@ object SparkEntry {
 
     "text_tokens" -> ((s, dir) => TextOps.tokenStats(docsTable(s, dir))),
 
+    // PII scrubbing (emails + phone-shaped digit runs → typed placeholders)
+    // — map-only regexp chain in the Java/RE2-identical pattern subset
+    "text_redact" -> ((s, dir) => TextOps.redact(docsTable(s, dir))),
+
+    // context-window chunking: 200-char windows, 50-char overlap —
+    // sequence + explode + substr, map-side only (the training-sequence
+    // packing pre-step)
+    "text_chunks" -> ((s, dir) =>
+      TextOps.chunk(docsTable(s, dir), size = 200, overlap = 50)),
+
     // consistent stratified sampling: keep 10% of English docs, 50% of
     // everything else (the low-resource upweighting move) — keep decision
     // is a pure function of doc_id (map-only, reproducible cross-engine)
@@ -1788,6 +1798,26 @@ object SparkEntry {
            CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens,
            CAST(length(text) AS INT) AS n_chars
          FROM documents""",
+
+    "text_redact" ->
+      """SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+               'g'),
+             '[+]?[0-9][0-9 ()+.-]{6,}[0-9]', '<PHONE>', 'g') AS text_redacted
+         FROM documents""",
+
+    "text_chunks" ->
+      """WITH st AS (
+           SELECT doc_id, text,
+             unnest(generate_series(1,
+               greatest(length(text) - 50, 1), 150)) AS chunk_start
+           FROM documents WHERE length(text) > 0)
+         SELECT doc_id, CAST(chunk_start AS INT) AS chunk_start,
+                substr(text, chunk_start, 200) AS chunk,
+                CAST(length(substr(text, chunk_start, 200)) AS INT) AS chunk_len
+         FROM st""",
 
     "text_sample" ->
       """SELECT doc_id, lang, bucket FROM (

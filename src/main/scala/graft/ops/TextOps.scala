@@ -125,6 +125,44 @@ object TextOps {
         .as("dup_token_ratio"))
   }
 
+  /** PII scrubbing before training — redact email addresses and long digit
+    * runs (phone-number shaped) with typed placeholders. Map-only
+    * `regexp_replace` chain; the patterns stay inside the POSIX-ish subset
+    * Java regex and DuckDB's RE2 interpret identically (character classes,
+    * +, {n,} — no lookarounds, no backrefs), which is what makes the
+    * DuckDB oracle byte-exact. Redaction BEFORE dedup/sharding so scrubbed
+    * duplicates still collapse. */
+  def redact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_replace(
+        regexp_replace(col("text"),
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "[+]?[0-9][0-9 ()+.-]{6,}[0-9]", "<PHONE>").as("text_redacted"))
+
+  /** Context-window chunking — split each document into fixed-size
+    * character windows with overlap (the training-sequence packing
+    * pre-step). Chunk starts at 1, 1+stride, … (stride = size − overlap);
+    * the final partial window is kept iff non-empty. Pure column
+    * expressions: `sequence` generates the starts, `transform + substring`
+    * cuts the windows — map-side explode, no UDF, no shuffle. */
+  def chunk(docs: DataFrame, size: Int = 200, overlap: Int = 50): DataFrame = {
+    require(size > overlap && overlap >= 0, s"need size > overlap >= 0")
+    val stride = size - overlap
+    val n = length(col("text"))
+    // starts run while start <= n - overlap (every chunk past the first
+    // contributes >= 1 char beyond its overlap; a doc shorter than `size`
+    // gets exactly one chunk). greatest(..., 1): sequence(1, stop)
+    // DESCENDS when stop < 1 (the Dedup.shingles guard pattern) — empty
+    // docs emit zero chunks via the filter instead
+    val starts = sequence(lit(1),
+      greatest(n - lit(overlap), lit(1)), lit(stride))
+    docs.filter(n > 0)
+      .select(col("doc_id"), explode(starts).as("chunk_start"), col("text"))
+      .select(col("doc_id"), col("chunk_start"),
+        col("text").substr(col("chunk_start"), lit(size)).as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")))
+  }
+
   /** 64-bit rolling polynomial fingerprint (base 131, natural Long overflow)
     * — deterministic content hash for change-detection/dedup prefiltering.
     * Uses the native codegen'd Catalyst expression

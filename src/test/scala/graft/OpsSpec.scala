@@ -261,6 +261,49 @@ class OpsSpec extends AnyFunSuite {
     assert(r2 >= r1, f"probing MORE lists lost recall: $r2%.2f < $r1%.2f")
   }
 
+  test("redact: emails and phone-shaped runs become typed placeholders") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact jane.doe+x@sub.example.org or call +1 (555) 123-4567 now"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.io c@d.co and digits 12345678"))
+      .toDF("doc_id", "text")
+    val got = TextOps.redact(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "contact <EMAIL> or call <PHONE> now")
+    assert(got(2L) === "no pii here at all")
+    assert(got(3L) === "two mails <EMAIL> <EMAIL> and digits <PHONE>")
+  }
+
+  test("chunk: overlap coverage reconstructs the doc; count formula holds") {
+    import spark.implicits._
+    // lengths straddling every boundary case of size=200/overlap=50
+    val docs = Seq(1, 150, 200, 201, 250, 499, 700)
+      .map(n => (n.toLong, "abcdefghij" * ((n + 9) / 10) take n))
+      .toDF("doc_id", "text")
+    val chunks = TextOps.chunk(docs, size = 200, overlap = 50).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    for ((n, cs) <- chunks.map { case (k, v) => k.toInt -> v }) {
+      // expected count: one chunk per start in 1, 151, 301, … ≤ max(n-50, 1)
+      val expected = (1 to math.max(n - 50, 1) by 150).size
+      assert(cs.length === expected, s"n=$n")
+      // concatenating chunk 0 + each later chunk's post-overlap tail
+      // rebuilds the document exactly
+      val rebuilt = cs.head._3 + cs.tail.map(_._3.drop(50)).mkString
+      assert(rebuilt === ("abcdefghij" * ((n + 9) / 10) take n), s"n=$n")
+      // every chunk except possibly the last is exactly `size` long — and
+      // consecutive chunks overlap by exactly 50 chars
+      cs.init.foreach(c => assert(c._3.length === 200, s"n=$n"))
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(a._3.takeRight(50) === b._3.take(50), s"n=$n")
+        case _ =>
+      }
+    }
+    // empty docs emit nothing
+    assert(TextOps.chunk(Seq((9L, "")).toDF("doc_id", "text")).count() === 0)
+  }
+
   test("quality score bounded in [0,1]") {
     val q = TextOps.qualityScore(docs).agg(min("quality"), max("quality")).head()
     assert(q.getDouble(0) >= 0.0 && q.getDouble(1) <= 1.0)
