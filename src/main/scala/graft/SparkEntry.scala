@@ -747,6 +747,11 @@ object SparkEntry {
       graft.graph.KgGraph.connectedComponents(graft.graph.KgGraph.cooccurrence(
         matches(s, dir).select("url", "class_iri")))),
 
+    // PMI association strength per co-occurrence edge (Church & Hanks):
+    // ln(n_ab·N / (n_a·n_b)) over the same capped doc universe
+    "kg_pmi" -> ((s, dir) =>
+      graft.graph.KgGraph.pmi(matches(s, dir).select("url", "class_iri"))),
+
     // k-core decomposition by iterated peeling; converges well inside the
     // 8 rounds the oracle unrolls (peeling is idempotent after convergence,
     // so fixed-unroll == converged engine result — asserted in-engine)
@@ -1915,6 +1920,23 @@ object SparkEntry {
           SELECT c.src, c.dst,
                  ROUND(c.n_docs / CAST(sa.n + sb.n - c.n_docs AS DOUBLE), 6)
                    AS jaccard
+          FROM cooc c
+          JOIN dc sa ON sa.class_iri = c.src
+          JOIN dc sb ON sb.class_iri = c.dst""",
+
+    "kg_pmi" ->
+      s"""WITH $dictCte, $directCte,
+          pairs AS (SELECT DISTINCT url, class_iri FROM direct),
+          cooc AS (SELECT a.class_iri AS src, b.class_iri AS dst,
+                          COUNT(*) AS n_docs
+                   FROM pairs a JOIN pairs b
+                     ON a.url = b.url AND a.class_iri < b.class_iri
+                   GROUP BY 1, 2),
+          dc AS (SELECT class_iri, COUNT(*) AS n FROM pairs GROUP BY 1),
+          nn AS (SELECT CAST(COUNT(DISTINCT url) AS DOUBLE) AS n FROM pairs)
+          SELECT c.src, c.dst, c.n_docs,
+                 ROUND(ln(CAST(c.n_docs AS DOUBLE) * (SELECT n FROM nn)
+                   / (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE))), 6) AS pmi
           FROM cooc c
           JOIN dc sa ON sa.class_iri = c.src
           JOIN dc sb ON sb.class_iri = c.dst""",

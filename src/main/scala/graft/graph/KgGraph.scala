@@ -75,6 +75,30 @@ object KgGraph {
           .as("jaccard"))
   }
 
+  /** PMI-weighted co-occurrence: edge weight = ln(n_ab · N / (n_a · n_b))
+    * — pointwise mutual information over the document space (Church &
+    * Hanks 1990), the standard association strength for KG edge curation:
+    * positive = the concepts co-occur more than chance, ≈0 = independent,
+    * negative = they avoid each other. N and all counts come from the SAME
+    * maxPerDoc-capped doc universe as the intersections (the
+    * conceptSimilarity counting contract). Same shuffle shape as
+    * [[conceptSimilarity]]: one groupBy + map-side pairs + two broadcast
+    * doc-count joins. */
+  def pmi(annotations: DataFrame, maxPerDoc: Int = 1000): DataFrame = {
+    val sets = conceptSets(annotations, maxPerDoc).cache()
+    val cooc = pairsFromSets(sets)
+    val docCounts = sets.select(explode(col("cs")).as("class_iri"))
+      .groupBy("class_iri").agg(count(lit(1)).as("n"))
+    val nDocs = sets.count().toDouble
+    cooc
+      .join(broadcast(docCounts.select(col("class_iri").as("src"), col("n").as("n_a"))), "src")
+      .join(broadcast(docCounts.select(col("class_iri").as("dst"), col("n").as("n_b"))), "dst")
+      .select(col("src"), col("dst"), col("n_docs"),
+        round(log(col("n_docs").cast("double") * lit(nDocs)
+          / (col("n_a").cast("double") * col("n_b").cast("double"))), 6)
+          .as("pmi"))
+  }
+
   /** Per-concept degree + weighted degree over the co-occurrence graph. */
   def degrees(cooccur: DataFrame): DataFrame =
     cooccur.select(col("src").as("class_iri"), col("n_docs"))

@@ -212,6 +212,29 @@ class KgGraphSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-3) // mass conserved
   }
 
+  test("pmi: hand-computed association strengths; capped universe shared") {
+    import spark.implicits._
+    // d1{A,B} d2{A,B} d3{A,C} d4{A}: N=4, n_A=4 n_B=2 n_C=1,
+    // pmi(A,B)=ln(2·4/(4·2))=0, pmi(A,C)=ln(1·4/(4·1))=0 — independence
+    // baseline; add d5{B,C}: pmi(B,C)=ln(1·5/(3·2))
+    val ann = Seq(
+      ("d1", "A"), ("d1", "B"), ("d2", "A"), ("d2", "B"),
+      ("d3", "A"), ("d3", "C"), ("d4", "A"), ("d5", "B"), ("d5", "C"))
+      .toDF("url", "class_iri")
+    val got = KgGraph.pmi(ann).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(("A", "B"))._1 === 2L)
+    assert(got(("A", "B"))._2 === math.rint(math.log(2.0 * 5 / (4 * 3)) * 1e6) / 1e6)
+    assert(got(("A", "C"))._2 === math.rint(math.log(1.0 * 5 / (4 * 2)) * 1e6) / 1e6)
+    assert(got(("B", "C"))._2 === math.rint(math.log(5.0 / 6) * 1e6) / 1e6)
+    // hub doc beyond the cap drops from N AND all counts
+    val withHub = ann.unionAll(Seq(("hub", "A"), ("hub", "B"), ("hub", "C"),
+      ("hub", "D")).toDF("url", "class_iri"))
+    val capped = KgGraph.pmi(withHub, maxPerDoc = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(capped === got.map { case (k, v) => k -> v._2 })
+  }
+
   test("kcore: triangle survives k=2 peeling, tail does not") {
     import spark.implicits._
     // triangle a-b-c plus a tail c-d: 2-core = the triangle (d has deg 1;
