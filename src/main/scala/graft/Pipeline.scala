@@ -268,23 +268,50 @@ object Pipeline {
     val v2 = cfg.dictVersion
     val onto = cfg.ontology.getOrElse(OntologyTables.fixture(spark))
     val corpus = io.read(spark, "corpus")
-    val dictV2 = stage(spark, io, s"dict_$v2", cfg,
-      inputRows = v2Concepts.count()) {
-      DictBuild.build(DictBuild.labelRows(v2Concepts))
-    }
-    lazy val nMatches = io.read(spark, "matches").count()
-    stage(spark, io, s"triples_$v2", cfg, inputRows = nMatches) {
-      val upd = Incremental.diff(
-        DictBuild.flatDict(io.read(spark, "dict")), DictBuild.flatDict(dictV2))
-      val affected = Incremental.affectedUrls(spark, corpus,
-        io.read(spark, "matches"), upd, wholeWord = cfg.opts.wholeWordOnly)
-      Incremental.incrementalTriples(corpus, io.read(spark, "triples"),
-        affected, v2, slice => {
-          val m2 = scanAndFilter(spark, cfg, dictV2, slice, v2Concepts, v2)
-          assembleTriples(spark, cfg, m2, io.read(spark, "closure"),
-            onto.mappings, slice, v2)
-        })
-    }
+    // multi-consumer (count, both labelRows legs, the per-rescan TUI
+    // table, the TUI-delta check) — same cache rationale as run()
+    v2Concepts.cache()
+    try {
+      val dictV2 = stage(spark, io, s"dict_$v2", cfg,
+        inputRows = v2Concepts.count()) {
+        DictBuild.build(DictBuild.labelRows(v2Concepts))
+      }
+      lazy val nMatches = io.read(spark, "matches").count()
+      stage(spark, io, s"triples_$v2", cfg, inputRows = nMatches) {
+        val v1Flat = DictBuild.flatDict(io.read(spark, "dict"))
+        val v2Flat = DictBuild.flatDict(dictV2)
+        val upd0 = Incremental.diff(v1Flat, v2Flat)
+        // TUI-sensitive updates: with a semantic-type filter active, a
+        // concept whose TUI set changed can gain or lose matches with NO
+        // dict-row change (the filter, not the dictionary, flips) —
+        // conservatively treat every dict row of a TUI-changed class as
+        // removed (v1-match detection) AND added (delta scan), so its docs
+        // re-annotate under the v2 filter table
+        val upd =
+          if (cfg.opts.semanticTypes.isEmpty) upd0
+          else {
+            def tuiSets(c: DataFrame) =
+              c.select(col("class_iri"), sort_array(col("tuis")).as("t"))
+            val changed = tuiSets(onto.concepts).exceptAll(tuiSets(v2Concepts))
+              .unionByName(tuiSets(v2Concepts).exceptAll(tuiSets(onto.concepts)))
+              .select("class_iri").distinct()
+            def rows(f: DataFrame) = f.select("term", "class_iri", "ont", "pref")
+            Incremental.DictUpdate(
+              removed = upd0.removed.unionByName(
+                rows(v1Flat).join(changed, Seq("class_iri"), "left_semi")).distinct(),
+              added = upd0.added.unionByName(
+                rows(v2Flat).join(changed, Seq("class_iri"), "left_semi")).distinct())
+          }
+        val affected = Incremental.affectedUrls(spark, corpus,
+          io.read(spark, "matches"), upd, wholeWord = cfg.opts.wholeWordOnly)
+        Incremental.incrementalTriples(corpus, io.read(spark, "triples"),
+          affected, v2, slice => {
+            val m2 = scanAndFilter(spark, cfg, dictV2, slice, v2Concepts, v2)
+            assembleTriples(spark, cfg, m2, io.read(spark, "closure"),
+              onto.mappings, slice, v2)
+          })
+      }
+    } finally v2Concepts.unpersist()
   }
 
   /** Execute a stage with checkpoint-or-resume + lineage emission.

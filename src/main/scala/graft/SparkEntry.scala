@@ -755,9 +755,11 @@ object SparkEntry {
     // k-core decomposition by iterated peeling; converges well inside the
     // 8 rounds the oracle unrolls (peeling is idempotent after convergence,
     // so fixed-unroll == converged engine result — asserted in-engine)
+    // maxIter pinned to the oracle's unroll count — the engine's
+    // convergence assertion within 8 is what licenses the fixed unroll
     "kg_kcore" -> ((s, dir) =>
       graft.graph.KgGraph.kcore(graft.graph.KgGraph.cooccurrence(
-        matches(s, dir).select("url", "class_iri")), k = 3)),
+        matches(s, dir).select("url", "class_iri")), k = 3, maxIter = 8)),
 
     // fixed-iteration PageRank (10 rounds, d=0.85) — the oracle unrolls the
     // same 10 iterations as CTEs, so scores match to the 6dp contract

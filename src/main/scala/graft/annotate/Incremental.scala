@@ -97,8 +97,14 @@ object Incremental {
       .select(col("url"))
 
     // materialize the (ontology-scale) added rows ONCE: the emptiness check
-    // and the automaton build would otherwise each re-run the diff's EXCEPT
-    val addedTerms = upd.added.localCheckpoint()
+    // and the automaton build would otherwise each re-run the diff's EXCEPT.
+    // Same pin policy as the iterative graph ops: persist WITH lineage when
+    // a checkpoint dir marks this as a fault-tolerant cluster run (a
+    // localCheckpoint there would die with a lost executor), cheap
+    // localCheckpoint otherwise
+    val addedTerms =
+      if (spark.sparkContext.getCheckpointDir.isEmpty) upd.added.localCheckpoint()
+      else upd.added.persist()
     val addedHits =
       if (addedTerms.isEmpty) removedHits.limit(0)
       else {
@@ -144,8 +150,11 @@ object Incremental {
   def update(spark: SparkSession, corpus: DataFrame, v1Matches: DataFrame,
              v1Triples: DataFrame, v1Flat: DataFrame, v2Flat: DataFrame,
              v2Version: String,
-             annotateV2: DataFrame => DataFrame): (DataFrame, DataFrame) = {
-    val affected = affectedUrls(spark, corpus, v1Matches, diff(v1Flat, v2Flat))
+             annotateV2: DataFrame => DataFrame,
+             wholeWord: Boolean = true,
+             lemma: Boolean = false): (DataFrame, DataFrame) = {
+    val affected = affectedUrls(spark, corpus, v1Matches, diff(v1Flat, v2Flat),
+      wholeWord = wholeWord, lemma = lemma)
     (affected,
       incrementalTriples(corpus, v1Triples, affected, v2Version, annotateV2))
   }

@@ -62,7 +62,18 @@ object KgGraph {
     * hub docs in n_a/n_b but not n_docs would systematically understate
     * Jaccard for concepts appearing in them); single-concept docs still
     * count — they are legitimately in docs(a) and shrink the ratio. */
-  def conceptSimilarity(annotations: DataFrame, maxPerDoc: Int = 1000): DataFrame = {
+  def conceptSimilarity(annotations: DataFrame, maxPerDoc: Int = 1000): DataFrame =
+    coocWithCounts(annotations, maxPerDoc)
+      .select(col("src"), col("dst"),
+        round(col("n_docs") / (col("n_a") + col("n_b") - col("n_docs")).cast("double"), 6)
+          .as("jaccard"))
+
+  /** Shared scaffolding for the normalized edge weights: co-occurrence
+    * edges joined with per-concept doc counts (n_a, n_b), all over the
+    * SAME maxPerDoc-capped doc universe. No caching: the sets aggregation
+    * recomputes per consumer rather than leaking cached blocks into the
+    * session (the policy every KgGraph op follows). */
+  private def coocWithCounts(annotations: DataFrame, maxPerDoc: Int): DataFrame = {
     val sets = conceptSets(annotations, maxPerDoc)
     val cooc = pairsFromSets(sets)
     val docCounts = sets.select(explode(col("cs")).as("class_iri"))
@@ -70,9 +81,6 @@ object KgGraph {
     cooc
       .join(broadcast(docCounts.select(col("class_iri").as("src"), col("n").as("n_a"))), "src")
       .join(broadcast(docCounts.select(col("class_iri").as("dst"), col("n").as("n_b"))), "dst")
-      .select(col("src"), col("dst"),
-        round(col("n_docs") / (col("n_a") + col("n_b") - col("n_docs")).cast("double"), 6)
-          .as("jaccard"))
   }
 
   /** PMI-weighted co-occurrence: edge weight = ln(n_ab · N / (n_a · n_b))
@@ -85,14 +93,8 @@ object KgGraph {
     * [[conceptSimilarity]]: one groupBy + map-side pairs + two broadcast
     * doc-count joins. */
   def pmi(annotations: DataFrame, maxPerDoc: Int = 1000): DataFrame = {
-    val sets = conceptSets(annotations, maxPerDoc).cache()
-    val cooc = pairsFromSets(sets)
-    val docCounts = sets.select(explode(col("cs")).as("class_iri"))
-      .groupBy("class_iri").agg(count(lit(1)).as("n"))
-    val nDocs = sets.count().toDouble
-    cooc
-      .join(broadcast(docCounts.select(col("class_iri").as("src"), col("n").as("n_a"))), "src")
-      .join(broadcast(docCounts.select(col("class_iri").as("dst"), col("n").as("n_b"))), "dst")
+    val nDocs = conceptSets(annotations, maxPerDoc).count().toDouble
+    coocWithCounts(annotations, maxPerDoc)
       .select(col("src"), col("dst"), col("n_docs"),
         round(log(col("n_docs").cast("double") * lit(nDocs)
           / (col("n_a").cast("double") * col("n_b").cast("double"))), 6)
@@ -289,9 +291,14 @@ object KgGraph {
     * skew-join covers hot concepts); lineage truncated via [[truncate]].
     * Deterministic, and oracle-able WITHOUT recursion: peeling is
     * IDEMPOTENT after convergence, so an oracle that unrolls exactly
-    * `maxIter` rounds equals the converged engine result — the engine
-    * asserts convergence within `maxIter` to keep that contract. */
-  def kcore(edges: DataFrame, k: Int, maxIter: Int = 8): DataFrame = {
+    * `maxIter` rounds equals the converged engine result — when
+    * oracle-checking, pass a `maxIter` EQUAL to the oracle's unroll count
+    * (the engine asserts convergence within it, which is what licenses
+    * the fixed unroll). The default bound is generous: a path-shaped
+    * graph at k=2 peels only its endpoints each round, so rounds can be
+    * O(n) on adversarial shapes, and aborting a legitimate long peel is
+    * worse than a few extra cheap converged rounds. */
+  def kcore(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
     var e = pin(edges.select(col("src").as("a"), col("dst").as("b"))
       .filter(col("a") =!= col("b")).distinct())

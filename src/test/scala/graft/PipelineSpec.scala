@@ -208,6 +208,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$wd/lineage").count() === lin1)
   }
 
+  test("runIncremental handles TUI-only changes under a semantic-type filter") {
+    import graft.fixture.OntologyFixture
+    // dict rows identical between v1 and v2 — only 'customer' changes its
+    // TUI OUT of the active filter. The diff alone sees nothing; the
+    // TUI-delta expansion must mark its docs affected or kept v1 triples
+    // leak annotations the v2 filter would drop.
+    val opts = AnnotateOptions(semanticTypes = Seq("T040"))
+    val wd = Files.createTempDirectory("graft-tui-wd").toString
+    Pipeline.run(spark, Pipeline.Config(sfDir, wd, scanPartitions = 4,
+      opts = opts)).count()
+    val v2c = OntologyFixture.conceptsDf(spark)
+      .withColumn("tuis", when(col("pref_label") === "customer",
+        array(lit("T099"))).otherwise(col("tuis")))
+    val inc = Pipeline.runIncremental(spark, Pipeline.Config(sfDir, wd,
+      dictVersion = "v2", scanPartitions = 4, opts = opts), v2c)
+    val wdFull = Files.createTempDirectory("graft-tuifull-wd").toString
+    val full = Pipeline.run(spark, Pipeline.Config(sfDir, wdFull,
+      dictVersion = "v2", scanPartitions = 4, opts = opts,
+      ontology = Some(OntologyTables(v2c, OntologyFixture.edgesDf(spark),
+        OntologyFixture.mappingsDf(spark)))))
+    val cols = Seq("subj", "pred", "obj", "match_type", "distance", "score",
+      "dict_version").map(col)
+    val incSet = inc.select(cols: _*).collect().map(_.toSeq).toSet
+    val fullSet = full.select(cols: _*).collect().map(_.toSeq).toSet
+    assert(incSet === fullSet)
+    // and the change is real: v1 had 'customer' annotations, v2 must not
+    val custIri = OntologyFixture.concepts
+      .find(c => c.ont == "ONT1" && c.prefLabel == "customer").get.classIri
+    assert(spark.read.parquet(s"$wd/triples")
+      .filter(col("obj") === custIri && col("pred") === "hasAnnotation")
+      .count() > 0)
+    assert(!fullSet.exists(r => r(1) == "hasAnnotation" && r(2) == custIri))
+  }
+
   test("CUI mappings derived from the concept table == fixture CUI mappings") {
     val derived = OntologyTables.cuiMappings(
       graft.fixture.OntologyFixture.conceptsDf(spark))
