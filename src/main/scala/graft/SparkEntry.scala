@@ -583,6 +583,21 @@ object SparkEntry {
           predCol = "is_click", carryCol = "event_id", out = "prev_click_id")
         .select(col("event_id"), col("user_id"), col("prev_click_id"))),
 
+    // Bloom-filter semi-join pruning (runtime-filter pattern): an 8KB
+    // bitset over the single-word dictionary terms prunes the corpus's
+    // word stream BEFORE any shuffle/join — membership is a codegen'd
+    // predicate on portable hashes, so the oracle reconstructs the exact
+    // accept set, deterministic false positives included
+    "q_bloom_prune" -> ((s, dir) => {
+      val dict = DictBuild.build(DictBuild.labelRows(OntologyFixture.conceptsDf(s)))
+      val terms = dict.filter(!col("term").contains(" ")).select("term")
+      val words = graft.ops.Bloom.build(terms, "term", m = 4096, k = 3)
+      docsTable(s, dir)
+        .select(col("doc_id"), explode(split(upper(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "").distinct()
+        .filter(graft.ops.Bloom.mightContain(col("word"), words, 4096, 3))
+    }),
+
     // range join via bucketized equi-join (NO inequality join node): pairs
     // of same-user events within 5 minutes — the bin trick turns a
     // quadratic theta-join into one shuffled equi-join + exact post-filter
@@ -1390,6 +1405,28 @@ object SparkEntry {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
              AS prev_click_id
          FROM events""",
+
+    "q_bloom_prune" ->
+      s"""WITH $dictCte,
+           terms AS (SELECT DISTINCT term FROM dict WHERE term NOT LIKE '% %'),
+           ii(i) AS (SELECT unnest(generate_series(0, 2))),
+           th AS (SELECT
+               CAST(concat('0x', substring(md5(term), 1, 15)) AS BIGINT) AS h1,
+               CAST(concat('0x', substring(md5(term), 17, 15)) AS BIGINT) AS h2
+             FROM terms),
+           setbits AS (SELECT DISTINCT (h1 + i * h2) % 4096 AS pos
+                       FROM th CROSS JOIN ii),
+           w AS (SELECT DISTINCT doc_id, w AS word FROM (
+                   SELECT doc_id, unnest(string_split(upper(text), ' ')) AS w
+                   FROM documents) WHERE w <> ''),
+           wh AS (SELECT doc_id, word,
+               CAST(concat('0x', substring(md5(word), 1, 15)) AS BIGINT) AS h1,
+               CAST(concat('0x', substring(md5(word), 17, 15)) AS BIGINT) AS h2
+             FROM w)
+         SELECT doc_id, word
+         FROM wh CROSS JOIN ii
+         JOIN setbits ON (h1 + i * h2) % 4096 = pos
+         GROUP BY doc_id, word HAVING COUNT(*) = 3""",
 
     // the oracle USES the quadratic inequality join the Spark side avoids —
     // cross-proving the bucketed formulation finds exactly the same pairs.
