@@ -280,28 +280,12 @@ object Pipeline {
       stage(spark, io, s"triples_$v2", cfg, inputRows = nMatches) {
         val v1Flat = DictBuild.flatDict(io.read(spark, "dict"))
         val v2Flat = DictBuild.flatDict(dictV2)
-        val upd0 = Incremental.diff(v1Flat, v2Flat)
-        // TUI-sensitive updates: with a semantic-type filter active, a
-        // concept whose TUI set changed can gain or lose matches with NO
-        // dict-row change (the filter, not the dictionary, flips) —
-        // conservatively treat every dict row of a TUI-changed class as
-        // removed (v1-match detection) AND added (delta scan), so its docs
-        // re-annotate under the v2 filter table
+        // with a semantic-type filter active, TUI-only concept changes flip
+        // the filter with NO dict-row delta — the expanded diff covers them
         val upd =
-          if (cfg.opts.semanticTypes.isEmpty) upd0
-          else {
-            def tuiSets(c: DataFrame) =
-              c.select(col("class_iri"), sort_array(col("tuis")).as("t"))
-            val changed = tuiSets(onto.concepts).exceptAll(tuiSets(v2Concepts))
-              .unionByName(tuiSets(v2Concepts).exceptAll(tuiSets(onto.concepts)))
-              .select("class_iri").distinct()
-            def rows(f: DataFrame) = f.select("term", "class_iri", "ont", "pref")
-            Incremental.DictUpdate(
-              removed = upd0.removed.unionByName(
-                rows(v1Flat).join(changed, Seq("class_iri"), "left_semi")).distinct(),
-              added = upd0.added.unionByName(
-                rows(v2Flat).join(changed, Seq("class_iri"), "left_semi")).distinct())
-          }
+          if (cfg.opts.semanticTypes.isEmpty) Incremental.diff(v1Flat, v2Flat)
+          else Incremental.diffWithTuiDelta(v1Flat, v2Flat,
+            onto.concepts, v2Concepts)
         val affected = Incremental.affectedUrls(spark, corpus,
           io.read(spark, "matches"), upd, wholeWord = cfg.opts.wholeWordOnly)
         Incremental.incrementalTriples(corpus, io.read(spark, "triples"),

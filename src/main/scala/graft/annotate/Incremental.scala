@@ -55,11 +55,35 @@ object Incremental {
     * participate. Both sides are ontology-scale (small). */
   case class DictUpdate(removed: DataFrame, added: DataFrame)
 
+  private def rows(df: DataFrame) =
+    df.select("term", "class_iri", "ont", "pref")
+
   /** `flat` = [[DictBuild.flatDict]] output for each version. */
-  def diff(v1Flat: DataFrame, v2Flat: DataFrame): DictUpdate = {
-    def rows(df: DataFrame) = df.select("term", "class_iri", "ont", "pref")
+  def diff(v1Flat: DataFrame, v2Flat: DataFrame): DictUpdate =
     DictUpdate(removed = rows(v1Flat).except(rows(v2Flat)),
       added = rows(v2Flat).except(rows(v1Flat)))
+
+  /** [[diff]] plus the conservative expansion callers need whenever a
+    * SEMANTIC-TYPE filter is active: a concept whose TUI set changed
+    * between the concept tables can gain or lose matches with NO dict-row
+    * delta (the filter, not the dictionary, flips) — so every dict row of
+    * a TUI-changed class is treated as removed (v1-match detection) AND
+    * added (delta scan), forcing its docs to re-annotate under the v2
+    * filter table. Callers with no semantic-type filter should use plain
+    * [[diff]]. */
+  def diffWithTuiDelta(v1Flat: DataFrame, v2Flat: DataFrame,
+                       v1Concepts: DataFrame, v2Concepts: DataFrame): DictUpdate = {
+    val upd0 = diff(v1Flat, v2Flat)
+    def tuiSets(c: DataFrame) =
+      c.select(col("class_iri"), sort_array(col("tuis")).as("t"))
+    val changed = tuiSets(v1Concepts).exceptAll(tuiSets(v2Concepts))
+      .unionByName(tuiSets(v2Concepts).exceptAll(tuiSets(v1Concepts)))
+      .select("class_iri").distinct()
+    DictUpdate(
+      removed = upd0.removed.unionByName(
+        rows(v1Flat).join(changed, Seq("class_iri"), "left_semi")).distinct(),
+      added = upd0.added.unionByName(
+        rows(v2Flat).join(changed, Seq("class_iri"), "left_semi")).distinct())
   }
 
   /** Distinct urls whose annotation output can change under `upd`.
@@ -96,18 +120,18 @@ object Incremental {
         "left_semi")
       .select(col("url"))
 
-    // materialize the (ontology-scale) added rows ONCE: the emptiness check
-    // and the automaton build would otherwise each re-run the diff's EXCEPT.
-    // Same pin policy as the iterative graph ops: persist WITH lineage when
-    // a checkpoint dir marks this as a fault-tolerant cluster run (a
-    // localCheckpoint there would die with a lost executor), cheap
-    // localCheckpoint otherwise
-    val addedTerms =
-      if (spark.sparkContext.getCheckpointDir.isEmpty) upd.added.localCheckpoint()
-      else upd.added.persist()
+    // the added rows are a dictionary DELTA — ontology-scale by definition
+    // — so materialize them on the driver once: the emptiness check and the
+    // automaton build would otherwise each re-run the diff's EXCEPT, and a
+    // persist() here would leak cached blocks with no release point (the
+    // returned DataFrame is consumed lazily by the caller). Collecting is
+    // the same driver footprint the automaton build itself needs.
+    val addedRows = upd.added.collect()
     val addedHits =
-      if (addedTerms.isEmpty) removedHits.limit(0)
+      if (addedRows.isEmpty) removedHits.limit(0)
       else {
+        val addedTerms = spark.createDataFrame(
+          java.util.Arrays.asList(addedRows: _*), upd.added.schema)
         // the added rows already passed the v2 build's normalization (and,
         // in lemma mode, its lemmatization) and filters — accept them
         // VERBATIM (minTermSize=1, no number filter, plain build even for

@@ -27,7 +27,8 @@ case class BloomMightContain(left: Expression, right: Expression,
 
   require(mBits > 0 && (words.length == (mBits + 63) / 64),
     s"words length ${words.length} does not cover $mBits bits")
-  require(k >= 1 && k <= 16, s"k=$k out of the no-overflow bound [1,16]")
+  // h1 + 7·h2 < 8·2^60 = 2^63 for 60-bit inputs; k = 9 would wrap negative
+  require(k >= 1 && k <= 8, s"k=$k out of the no-overflow bound [1,8]")
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {

@@ -63,18 +63,16 @@ object KgGraph {
     * Jaccard for concepts appearing in them); single-concept docs still
     * count — they are legitimately in docs(a) and shrink the ratio. */
   def conceptSimilarity(annotations: DataFrame, maxPerDoc: Int = 1000): DataFrame =
-    coocWithCounts(annotations, maxPerDoc)
+    coocWithCounts(conceptSets(annotations, maxPerDoc))
       .select(col("src"), col("dst"),
         round(col("n_docs") / (col("n_a") + col("n_b") - col("n_docs")).cast("double"), 6)
           .as("jaccard"))
 
   /** Shared scaffolding for the normalized edge weights: co-occurrence
-    * edges joined with per-concept doc counts (n_a, n_b), all over the
-    * SAME maxPerDoc-capped doc universe. No caching: the sets aggregation
-    * recomputes per consumer rather than leaking cached blocks into the
-    * session (the policy every KgGraph op follows). */
-  private def coocWithCounts(annotations: DataFrame, maxPerDoc: Int): DataFrame = {
-    val sets = conceptSets(annotations, maxPerDoc)
+    * edges joined with per-concept doc counts (n_a, n_b) over the given
+    * (already capped) per-doc concept sets. Callers that consume `sets`
+    * more than once (pmi's extra count job) [[pin]] it first. */
+  private def coocWithCounts(sets: DataFrame): DataFrame = {
     val cooc = pairsFromSets(sets)
     val docCounts = sets.select(explode(col("cs")).as("class_iri"))
       .groupBy("class_iri").agg(count(lit(1)).as("n"))
@@ -93,8 +91,12 @@ object KgGraph {
     * [[conceptSimilarity]]: one groupBy + map-side pairs + two broadcast
     * doc-count joins. */
   def pmi(annotations: DataFrame, maxPerDoc: Int = 1000): DataFrame = {
-    val nDocs = conceptSets(annotations, maxPerDoc).count().toDouble
-    coocWithCounts(annotations, maxPerDoc)
+    // pinned: the N count is a separate job from the edge computation, and
+    // exchange reuse cannot span jobs — without the pin the full annotation
+    // stream would aggregate three times
+    val sets = pin(conceptSets(annotations, maxPerDoc))
+    val nDocs = sets.count().toDouble
+    coocWithCounts(sets)
       .select(col("src"), col("dst"), col("n_docs"),
         round(log(col("n_docs").cast("double") * lit(nDocs)
           / (col("n_a").cast("double") * col("n_b").cast("double"))), 6)

@@ -18,15 +18,16 @@ import graft.functions.BloomMightContain
   * positions and accept set, deterministic false positives included. */
 object Bloom {
 
-  /** The two 60-bit halves of one md5 — h1 = hex[1..15], h2 = hex[17..31]
-    * (the minhash pipeline's hashing contract). */
-  def hash1(key: Column): Column =
-    conv(substring(md5(key), 1, 15), 16, 10).cast("long")
+  /** The two 60-bit halves of one md5 — h1 = [[Sketch.hash60]] (the ONE
+    * portable-hash contract, hex[1..15]), h2 = hex[17..31]. */
+  def hash1(key: Column): Column = Sketch.hash60(key)
   def hash2(key: Column): Column =
     conv(substring(md5(key), 17, 15), 16, 10).cast("long")
 
   /** The k probe positions of one key: (h1 + i·h2) mod m, i ∈ [0, k).
-    * No-overflow bound: h1 + 15·h2 < 16·2^60 < 2^63 for k ≤ 16. */
+    * No-overflow bound: h1 + 7·h2 < 8·2^60 = 2^63, so k ≤ 8 (k = 9 would
+    * reach 16·2^60 = 2^64 and wrap negative — negative positions index
+    * outside the bitset). */
   def positions(key: Column, m: Int, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
       i => (hash1(key) + i.cast("long") * hash2(key)) % m)
@@ -35,7 +36,7 @@ object Bloom {
     * One distinct aggregation over ≤ m positions; the collect is bounded by
     * m bits regardless of how many keys went in. */
   def build(keys: DataFrame, keyCol: String, m: Int, k: Int = 3): Array[Long] = {
-    require(k >= 1 && k <= 16, s"k=$k out of the no-overflow bound [1,16]")
+    require(k >= 1 && k <= 8, s"k=$k out of the no-overflow bound [1,8]")
     val words = new Array[Long]((m + 63) / 64)
     keys.select(explode(positions(col(keyCol), m, k)).as("p")).distinct()
       .collect().foreach { r =>

@@ -17,14 +17,19 @@ class BloomSpec extends AnyFunSuite {
     ks.toDF("k")
   }
 
-  test("no false negatives: every inserted key passes, any m") {
-    for (m <- Seq(64, 512, 4096)) {
+  test("no false negatives: every inserted key passes, any m, k up to the bound") {
+    for (m <- Seq(64, 512, 4096); k <- Seq(3, 8)) {
       val keys = (1 to 40).map(i => s"key$i")
-      val words = Bloom.build(keysDf(keys), "k", m = m)
+      val words = Bloom.build(keysDf(keys), "k", m = m, k = k)
       val passed = keysDf(keys)
-        .filter(Bloom.mightContain(col("k"), words, m)).count()
-      assert(passed === keys.size, s"m=$m")
+        .filter(Bloom.mightContain(col("k"), words, m, k)).count()
+      assert(passed === keys.size, s"m=$m k=$k")
     }
+    // k=9 would overflow h1 + 8·h2 past 2^63 (negative positions) — rejected
+    val e = intercept[IllegalArgumentException] {
+      Bloom.build(keysDf(Seq("x")), "k", m = 64, k = 9)
+    }
+    assert(e.getMessage.contains("no-overflow"))
   }
 
   test("false positives are deterministic and expression == scalar contract") {
