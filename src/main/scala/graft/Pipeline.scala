@@ -362,3 +362,32 @@ object Main {
     spark.stop()
   }
 }
+
+/** The ontology-refresh job (spark-submit entry for
+  * [[Pipeline.runIncremental]]): apply a dict-only v2 update to an EXISTING
+  * completed work dir. v2 concepts come from an N-Triples submissions dir
+  * when given, else the fixture's built-in v2 delta ("query" loses its
+  * synonyms, "big data" renamed away, ONT3 gains "filter"). */
+object IncrementalMain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val workDir = if (args.length > 1) args(1) else "/tmp/graft-work"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-annotate-incremental")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val v2Concepts =
+      if (args.length > 2) OntologyTables.fromNTriples(spark, args(2)).concepts
+      else graft.fixture.OntologyFixture.conceptsV2Df(spark)
+    val triples = Pipeline.runIncremental(spark,
+      Pipeline.Config(sfDir, workDir, dictVersion = "v2"), v2Concepts)
+    println(s"triples_v2: ${triples.count()}")
+    spark.stop()
+  }
+}
