@@ -678,6 +678,15 @@ object SparkEntry {
     "text_chunks" -> ((s, dir) =>
       TextOps.chunk(docsTable(s, dir), size = 200, overlap = 50)),
 
+    // tokenizer vocabulary: top-100 tokens, dense deterministic ids
+    "text_vocab" -> ((s, dir) => TextOps.vocab(docsTable(s, dir), topN = 100)),
+
+    // consistent train/val/test assignment (80/10/10) — disjoint +
+    // exhaustive by construction, stable under corpus growth
+    "text_split" -> ((s, dir) =>
+      Sampling.split(docsTable(s, dir), "doc_id")
+        .select(col("doc_id"), col("lang"), col("split"))),
+
     // consistent stratified sampling: keep 10% of English docs, 50% of
     // everything else (the low-resource upweighting move) — keep decision
     // is a pure function of doc_id (map-only, reproducible cross-engine)
@@ -1842,6 +1851,24 @@ object SparkEntry {
            CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens,
            CAST(length(text) AS INT) AS n_chars
          FROM documents""",
+
+    "text_vocab" ->
+      """SELECT token, freq, CAST(rn AS INT) AS token_id FROM (
+           SELECT token, freq,
+             row_number() OVER (ORDER BY freq DESC, token) AS rn
+           FROM (SELECT w AS token, COUNT(*) AS freq FROM (
+                   SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                 WHERE w <> '' GROUP BY 1))
+         WHERE rn <= 100""",
+
+    "text_split" ->
+      """SELECT doc_id, lang,
+           CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split
+         FROM (SELECT doc_id, lang,
+                 CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) % 100 AS b
+               FROM documents)""",
 
     "text_redact" ->
       """SELECT doc_id,

@@ -41,4 +41,21 @@ object Sampling {
     }
     df.filter(bucket100(col(idCol)) < pct)
   }
+
+  /** Train/validation/test assignment off the same hash bucket — disjoint
+    * and exhaustive BY CONSTRUCTION (one bucket, three ranges), stable
+    * under corpus growth (a doc's split never changes when other docs
+    * arrive — the property rng-based splitting lacks), and decontamination
+    * -friendly (membership is recomputable anywhere from the id alone).
+    * Map-only. */
+  def split(df: DataFrame, idCol: String,
+            trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"invalid split $trainPct/$valPct")
+    val b = bucket100(col(idCol))
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
 }

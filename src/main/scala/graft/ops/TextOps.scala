@@ -125,6 +125,23 @@ object TextOps {
         .as("dup_token_ratio"))
   }
 
+  /** Tokenizer-vocabulary build: the `topN` most frequent whitespace
+    * tokens with dense 1-based ids (descending frequency, token-string
+    * tie-break — fully deterministic). The global sort+limit reduces the
+    * VOCAB (distinct tokens, already one aggregation down from the
+    * corpus) and `limit` bounds what reaches the final id window to
+    * `topN` rows — the single-partition window runs over topN entries,
+    * never the full vocabulary. */
+  def vocab(docs: DataFrame, topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(topN)
+    counts.withColumn("token_id",
+      row_number().over(Window.orderBy(col("freq").desc, col("token"))))
+  }
+
   /** PII scrubbing before training — redact email addresses and long digit
     * runs (phone-number shaped) with typed placeholders. Map-only
     * `regexp_replace` chain; the patterns stay inside the POSIX-ish subset

@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{AsOf, Sampling, Sketch}
+import graft.ops.{AsOf, Sampling, Sketch, TextOps}
 
 /** KMV distinct sketch, consistent sampling, and as-of joins: property
   * oracles (declarative recomputation, scalar estimator, crafted temporal
@@ -105,6 +105,32 @@ class SketchSamplingAsOfSpec extends AnyFunSuite {
     val rest = Sampling.consistentSample(docs.filter(col("lang") =!= "en"), "doc_id", 50)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got.select("doc_id").collect().map(_.getLong(0)).toSet === (en ++ rest))
+  }
+
+  test("split: disjoint, exhaustive, stable under corpus growth") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val s1 = Sampling.split(docs, "doc_id")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1.size === docs.count()) // every doc gets exactly one split
+    assert(s1.values.toSet === Set("train", "val", "test"))
+    val frac = s1.values.groupBy(identity).view.mapValues(_.size / 500.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.06)
+    assert(math.abs(frac("val") - 0.1) < 0.05)
+    // growth stability: splitting HALF the corpus assigns the same splits
+    val s2 = Sampling.split(docs.filter(col("doc_id") < 250), "doc_id")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    s2.foreach { case (id, sp) => assert(s1(id) === sp, id) }
+  }
+
+  test("vocab: frequency-descending dense ids with deterministic tie-break") {
+    import spark.implicits._
+    val docs = Seq((1L, "b a a c b a"), (2L, "c d b")).toDF("doc_id", "text")
+    val got = TextOps.vocab(docs, topN = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // freqs: a=3, b=3, c=2, d=1 → ties break by token string
+    assert(got.sortBy(_._3).toSeq === Seq(("a", 3L, 1), ("b", 3L, 2), ("c", 2L, 3)))
   }
 
   test("sampling is map-only: no Exchange in the plan") {
