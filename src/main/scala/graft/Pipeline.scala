@@ -340,19 +340,27 @@ object Pipeline {
 }
 
 object Main {
-  def main(args: Array[String]): Unit = {
-    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
-    val workDir = if (args.length > 1) args(1) else "/tmp/graft-work"
+
+  /** One session builder for both entry points — the runtime config must
+    * not diverge between the full and the incremental job. */
+  private[graft] def session(appName: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .appName("graft-annotate")
+      .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val workDir = if (args.length > 1) args(1) else "/tmp/graft-work"
+    val spark = session("graft-annotate")
     // optional 3rd arg: directory of N-Triples ontology submissions
     // (one subdir per acronym) — real RDF in place of the fixture
     val ontology =
@@ -367,26 +375,25 @@ object Main {
   * [[Pipeline.runIncremental]]): apply a dict-only v2 update to an EXISTING
   * completed work dir. v2 concepts come from an N-Triples submissions dir
   * when given, else the fixture's built-in v2 delta ("query" loses its
-  * synonyms, "big data" renamed away, ONT3 gains "filter"). */
+  * synonyms, "big data" renamed away, ONT3 gains "filter"). In the NT case
+  * the SAME tables also supply `cfg.ontology` (mappings/edges for the
+  * affected-slice rescan) — legal exactly because a dict-only update keeps
+  * them identical to v1's; leaving the fixture default there would expand
+  * rescanned docs against the WRONG mapping IRIs and silently drop their
+  * mapped legs. */
 object IncrementalMain {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val workDir = if (args.length > 1) args(1) else "/tmp/graft-work"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-annotate-incremental")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val v2Concepts =
-      if (args.length > 2) OntologyTables.fromNTriples(spark, args(2)).concepts
-      else graft.fixture.OntologyFixture.conceptsV2Df(spark)
+    val spark = Main.session("graft-annotate-incremental")
+    val (v2Concepts, ontology) =
+      if (args.length > 2) {
+        val t = OntologyTables.fromNTriples(spark, args(2))
+        (t.concepts, Some(t))
+      } else (graft.fixture.OntologyFixture.conceptsV2Df(spark), None)
     val triples = Pipeline.runIncremental(spark,
-      Pipeline.Config(sfDir, workDir, dictVersion = "v2"), v2Concepts)
+      Pipeline.Config(sfDir, workDir, dictVersion = "v2", ontology = ontology),
+      v2Concepts)
     println(s"triples_v2: ${triples.count()}")
     spark.stop()
   }

@@ -134,7 +134,8 @@ object TextOps {
     * never the full vocabulary. */
   def vocab(docs: DataFrame, topN: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = docs.select(explode(split(col("text"), " ")).as("token"))
+    // tokens(): the ONE corpus tokenization contract every text op shares
+    val counts = docs.select(explode(tokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
       .groupBy("token").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token")).limit(topN)

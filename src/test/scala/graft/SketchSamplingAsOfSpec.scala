@@ -114,7 +114,8 @@ class SketchSamplingAsOfSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(s1.size === docs.count()) // every doc gets exactly one split
     assert(s1.values.toSet === Set("train", "val", "test"))
-    val frac = s1.values.groupBy(identity).view.mapValues(_.size / 500.0).toMap
+    val frac = s1.values.groupBy(identity).view
+      .mapValues(_.size.toDouble / s1.size).toMap
     assert(math.abs(frac("train") - 0.8) < 0.06)
     assert(math.abs(frac("val") - 0.1) < 0.05)
     // growth stability: splitting HALF the corpus assigns the same splits
