@@ -11,7 +11,7 @@ import graft.dict.{AnnotatorModel, AutomatonBuild, DictBuild}
 import graft.emit.Triples
 import graft.fixture.OntologyFixture
 import graft.graph.Closure
-import graft.ops.{AsOf, Dedup, Multimodal, RangeJoin, Sampling, Similarity, Sketch, TextOps}
+import graft.ops.{AsOf, Dedup, Multimodal, RangeJoin, Sampling, Similarity, Sketch, TextOps, WebOps}
 import graft.streaming.EventStream
 
 /** Driver contract (SURVEY.md §6.2): one `queries` entry per implemented
@@ -507,6 +507,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           round(sum(col("l_quantity")), 2).as("sum_qty"))),
 
+    // explicit GROUPING SETS (the general form ROLLUP/CUBE special-case):
+    // mixed granularities in one pass — SQL form (the DataFrame API has no
+    // grouping-sets builder), same text as the oracle
+    "q_grouping_sets" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .createOrReplaceTempView("lineitem_gsets")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+             ROUND(SUM(l_quantity), 2) AS sum_qty
+           FROM lineitem_gsets
+           GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                   (l_linestatus), ())""")
+    }),
+
     // pivot: per-user event-type counts as columns. Spark's pivot with an
     // EXPLICIT value list compiles to conditional aggregation — one
     // shuffle, no second pass to discover distinct values (the implicit
@@ -848,7 +862,31 @@ object SparkEntry {
     "mm_resize" -> ((s, dir) =>
       Multimodal.resizeImages(Multimodal.mediaFromDocuments(docsTable(s, dir)))
         .toDF().select(col("url"), col("width"), col("height"),
-          col("mean_r"), col("mean_g"), col("mean_b")))
+          col("mean_r"), col("mean_g"), col("mean_b"))),
+
+    // Adamic–Adar link prediction over the co-occurrence graph: candidate
+    // (non-)edges scored by Σ 1/ln(deg) over common neighbors — degree is
+    // the local size of each sorted neighbor set, so no degree join
+    "kg_adamic_adar" -> ((s, dir) =>
+      graft.graph.KgGraph.adamicAdar(graft.graph.KgGraph.cooccurrence(
+        matches(s, dir).select("url", "class_iri")))),
+
+    // token-unigram Shannon entropy via a sorted-run fold (map-only);
+    // oracle recomputes declaratively (unnest + GROUP BY)
+    "text_entropy" -> ((s, dir) => TextOps.tokenEntropy(docsTable(s, dir))),
+
+    // URL canonicalization map over synthetic (deterministic) URLs
+    "web_canonical" -> ((s, dir) => WebOps.canonicalize(docsTable(s, dir))),
+
+    // crawl first-pass dedup: one hash aggregation on the canonical URL
+    "web_url_dedup" -> ((s, dir) => WebOps.urlDedup(docsTable(s, dir))),
+
+    // per-domain corpus mix report (count / distinct pages / chars)
+    "web_domain_stats" -> ((s, dir) => WebOps.domainStats(docsTable(s, dir))),
+
+    // C4-style repeated-passage removal: first corpus-wide occurrence of
+    // each token chunk survives; docs rebuilt from surviving chunks
+    "web_chunk_dedup" -> ((s, dir) => WebOps.chunkDedup(docsTable(s, dir)))
   )
 
   // ---- oracle SQL -------------------------------------------------------
@@ -2124,6 +2162,89 @@ object SparkEntry {
            CAST((doc_id * 13) % 256 AS INT) AS mean_g,
            CAST((doc_id * 29) % 256 AS INT) AS mean_b
          FROM documents WHERE doc_id % 3 = 0""",
+
+    // same GROUPING SETS text as the engine query (both ANSI)
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_linestatus), ())""",
+
+    // Adamic–Adar recomputed relationally: undirected edge list → degrees →
+    // common-neighbor pair join → Σ 1/ln(deg) → anti-join existing edges.
+    // (Engine's maxDegree=10000 hub skip is a no-op at fixture scale; its
+    // size>=2 neighbor filter is implied by the pair self-join.)
+    "kg_adamic_adar" ->
+      s"""WITH $dictCte, $directCte,
+          pairs AS (SELECT DISTINCT url, class_iri FROM direct),
+          cooc AS (SELECT DISTINCT a.class_iri AS src, b.class_iri AS dst
+                   FROM pairs a JOIN pairs b
+                     ON a.url = b.url AND a.class_iri < b.class_iri),
+          und AS (SELECT src, dst FROM cooc
+                  UNION ALL SELECT dst, src FROM cooc),
+          deg AS (SELECT src AS z, COUNT(*) AS deg FROM und GROUP BY 1),
+          aa AS (SELECT a.dst AS src, b.dst AS dst,
+                        SUM(CAST(1.0 AS DOUBLE) / ln(CAST(d.deg AS DOUBLE))) AS s
+                 FROM und a JOIN und b ON a.src = b.src AND a.dst < b.dst
+                 JOIN deg d ON d.z = a.src
+                 GROUP BY 1, 2)
+          SELECT p.src, p.dst, ROUND(p.s, 6) AS aa
+          FROM aa p
+          WHERE NOT EXISTS (SELECT 1 FROM cooc e
+                            WHERE e.src = p.src AND e.dst = p.dst)""",
+
+    // entropy recomputed declaratively: token counts via unnest + GROUP BY,
+    // H = ln(n) − Σ c·ln(c) / n; 4dp cross-engine contract
+    "text_entropy" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          u AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+          c AS (SELECT doc_id, tok, COUNT(*) AS c FROM u GROUP BY 1, 2),
+          s AS (SELECT doc_id, SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS s,
+                       CAST(SUM(c) AS DOUBLE) AS n
+                FROM c GROUP BY 1)
+          SELECT doc_id, ROUND(ln(n) - s / n, 4) AS token_entropy FROM s""",
+
+    "web_canonical" ->
+      s"""WITH ${WebOps.canonCteSql}
+          SELECT doc_id, url, canon_url FROM canon""",
+
+    "web_url_dedup" ->
+      s"""WITH ${WebOps.canonCteSql}
+          SELECT canon_url, COUNT(*) AS n_docs, MIN(url) AS keep_url
+          FROM canon GROUP BY 1""",
+
+    "web_domain_stats" ->
+      s"""WITH ${WebOps.canonCteSql}
+          SELECT host AS domain, COUNT(*) AS n_docs,
+                 COUNT(DISTINCT canon_url) AS n_pages,
+                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+          FROM canon GROUP BY 1""",
+
+    // chunking mirrored with list_slice windows; "first occurrence" via a
+    // row_number window (the oracle may be lazy where the engine must not);
+    // docs whose every chunk occurred earlier elsewhere rebuild to ''
+    "web_chunk_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          n AS (SELECT doc_id, t,
+                       CAST(ceil(len(t) / CAST(20 AS DOUBLE)) AS INT) AS nc
+                FROM toks),
+          ch AS (SELECT doc_id, i AS pos,
+                        array_to_string(list_slice(t, i*20 + 1, i*20 + 20), ' ') AS chunk
+                 FROM (SELECT doc_id, t, unnest(generate_series(0, nc - 1)) AS i
+                       FROM n)),
+          fst AS (SELECT chunk, doc_id, pos FROM (
+                    SELECT chunk, doc_id, pos,
+                           ROW_NUMBER() OVER (PARTITION BY chunk
+                                              ORDER BY doc_id, pos) AS rn
+                    FROM ch) WHERE rn = 1),
+          kept AS (SELECT ch.doc_id, ch.pos, ch.chunk
+                   FROM ch JOIN fst ON fst.chunk = ch.chunk
+                     AND fst.doc_id = ch.doc_id AND fst.pos = ch.pos),
+          rb AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS text_dedup
+                 FROM kept GROUP BY 1)
+          SELECT d.doc_id, COALESCE(rb.text_dedup, '') AS text_dedup
+          FROM documents d LEFT JOIN rb ON d.doc_id = rb.doc_id""",
 
     // the full curation capstone recomposed from the per-operator oracle
     // pieces (exact dedup, decontamination, Gopher gate, repetition cap,

@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over the MATERIALIZED knowledge graph — the downstream
@@ -37,13 +37,18 @@ object KgGraph {
       .groupBy("url").agg(sort_array(collect_set(col("class_iri"))).as("cs"))
       .filter(size(col("cs")) <= maxPerDoc)
 
+  /** Generator over all ordered pairs (x < y) of a SORTED array column —
+    * the map-side pair explosion shared by the co-occurrence builder and
+    * [[adamicAdar]]'s common-neighbor expansion. */
+  private def orderedPairs(cs: Column): Column =
+    explode(flatten(transform(cs, (x, i) =>
+      transform(
+        slice(cs, i + lit(2), greatest(size(cs) - i - lit(1), lit(0))),
+        y => struct(x.as("src"), y.as("dst"))))))
+
   private def pairsFromSets(sets: DataFrame): DataFrame =
     sets.filter(size(col("cs")) >= 2)
-      .select(explode(flatten(transform(col("cs"), (x, i) =>
-        transform(
-          slice(col("cs"), i + lit(2),
-            greatest(size(col("cs")) - i - lit(1), lit(0))),
-          y => struct(x.as("src"), y.as("dst")))))).as("p"))
+      .select(orderedPairs(col("cs")).as("p"))
       .select(col("p.src"), col("p.dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("n_docs"))
 
@@ -101,6 +106,36 @@ object KgGraph {
         round(log(col("n_docs").cast("double") * lit(nDocs)
           / (col("n_a").cast("double") * col("n_b").cast("double"))), 6)
           .as("pmi"))
+  }
+
+  /** Adamic–Adar link prediction over the co-occurrence graph (Adamic &
+    * Adar 2003) — the standard KG-completion candidate scorer: for every
+    * node pair (x < y) NOT already connected, score = Σ_z 1/ln(deg(z)) over
+    * their common neighbors z (rare shared neighbors say more than hubs).
+    *
+    * Scale shape: one symmetrize + groupBy collects each node's SORTED
+    * neighbor set, whose SIZE is deg(z) — so the per-neighbor weight is
+    * local to the row and needs NO degree join; candidate pairs come from
+    * the same map-side [[orderedPairs]] explosion as co-occurrence (never a
+    * two-sided self-join of the edge list), then one sum aggregation and
+    * one anti-join against the existing edges. The pair blow-up is
+    * C(deg, 2): `maxDegree` skips hub neighborhoods above it (documented
+    * recall trade, like `maxPerDoc` — a hub's contribution is ~1/ln(huge)
+    * ≈ 0 anyway, and at web scale the quadratic explosion of one celebrity
+    * node would dominate the job). Input: one row per undirected edge
+    * (src < dst), as [[cooccurrence]] emits; callers at scale should
+    * [[pin]] the edge set (it is consumed three times here). */
+  def adamicAdar(cooccur: DataFrame, maxDegree: Int = 10000): DataFrame = {
+    val edges = cooccur.select(col("src"), col("dst"))
+    val und = edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val nbrs = und.groupBy(col("src").as("z"))
+      .agg(sort_array(collect_set(col("dst"))).as("cs"))
+      .filter(size(col("cs")).between(2, maxDegree))
+    nbrs.select((lit(1.0) / log(size(col("cs")).cast("double"))).as("w"),
+        orderedPairs(col("cs")).as("p"))
+      .select(col("p.src"), col("p.dst"), col("w"))
+      .groupBy("src", "dst").agg(round(sum(col("w")), 6).as("aa"))
+      .join(edges, Seq("src", "dst"), "left_anti")
   }
 
   /** Per-concept degree + weighted degree over the co-occurrence graph. */

@@ -125,6 +125,39 @@ object TextOps {
         .as("dup_token_ratio"))
   }
 
+  /** Token-unigram Shannon entropy per document (nats) — the classic
+    * gibberish/boilerplate signal (low entropy = repeated tokens, high =
+    * diverse vocabulary; a standard web-corpus quality feature alongside
+    * the Gopher rules). H = ln(n) − (Σ_t c_t·ln(c_t))/n over token counts
+    * c_t, computed as a sequential fold over the SORTED token array (run
+    * lengths = counts) — map-only, no shuffle, same fold pattern as
+    * [[repetitionStats]]; the oracle recomputes it the declarative way
+    * (unnest + GROUP BY + SUM). 4dp cross-engine contract (the two
+    * engines sum the c·ln(c) terms in different orders). */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks).cast("double")
+    def closeRun(acc: Column): Column =
+      acc.getField("s") +
+        when(acc.getField("run") > 0,
+          acc.getField("run").cast("double")
+            * log(acc.getField("run").cast("double"))).otherwise(lit(0.0))
+    val sumClnC = aggregate(
+      sort_array(toks),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0.0).as("s")),
+      (acc, x) => {
+        val same = x === acc.getField("prev")
+        struct(x.as("prev"),
+          when(same, acc.getField("run") + 1).otherwise(lit(1)).as("run"),
+          when(same, acc.getField("s")).otherwise(closeRun(acc)).as("s"))
+      },
+      // flush the final run: toks is never empty (split() worst case [""]),
+      // so run >= 1 here and ln(1)·1 = 0 keeps single-token docs exact
+      acc => closeRun(acc))
+    docs.select(col("doc_id"),
+      round(log(n) - sumClnC / n, 4).as("token_entropy"))
+  }
+
   /** Tokenizer-vocabulary build: the `topN` most frequent whitespace
     * tokens with dense 1-based ids (descending frequency, token-string
     * tie-break — fully deterministic). The global sort+limit reduces the

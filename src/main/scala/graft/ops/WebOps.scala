@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Web-corpus operators for a Common-Crawl-style pipeline: URL
+  * canonicalization, canonical-URL dedup, per-domain stats, and C4-style
+  * repeated-passage removal. All map-only or single-shuffle column
+  * expressions (whole-stage codegen, no UDFs) with exact DuckDB oracle
+  * equivalents.
+  *
+  * The driver corpus carries no web URLs (`doc://<id>` only), so
+  * [[syntheticUrl]] derives a deterministic, collision-rich URL from
+  * `doc_id` — same arithmetic in the oracle SQL, so the canonicalizer is
+  * exercised as a real string op in both engines. No wall clock, no RNG.
+  */
+object WebOps {
+
+  /** Host pool for the synthetic URLs. Deliberately collision-rich under
+    * canonicalization: indices 0/2/4 all canonicalize to `example.org`
+    * (case fold + `www.` strip), 1/6 to `news.example.com`. */
+  val Domains: Seq[String] = Seq(
+    "example.org", "News.Example.com", "www.example.org", "blog.example.net",
+    "EXAMPLE.org", "shop.example.io", "www.News.example.com")
+
+  /** Deterministic URL from doc_id: host (mod 7), path (mod 40), a query
+    * class (mod 3: tracking-params / reordered-params / none), a fragment
+    * (mod 5). Mirrored literally in the oracle SQL. */
+  def syntheticUrl(docId: Column): Column = {
+    val p = (docId % 40).cast("string")
+    concat(
+      lit("https://"),
+      element_at(array(Domains.map(lit): _*), (docId % 7).cast("int") + 1),
+      lit("/p/"), p,
+      when(docId % 3 === 0, concat(lit("?utm_source=feed&id="), p))
+        .when(docId % 3 === 1, concat(lit("?ref=x&id="), p))
+        .otherwise(lit("")),
+      when(docId % 5 === 0, lit("#frag")).otherwise(lit("")))
+  }
+
+  /** docs + a synthetic `url` column. */
+  def withUrls(docs: DataFrame): DataFrame =
+    docs.withColumn("url", syntheticUrl(col("doc_id")))
+
+  /** The canonicalizer's regexes — ONE definition feeding both the Spark
+    * Column code and the DuckDB oracle SQL (Java∩RE2-identical subset: no
+    * lookaround, no backrefs, so both engines run the same patterns). */
+  val HostRe = "^https?://([^/?#]+)"
+  val PathRe = "^https?://[^/?#]+([^?#]*)"
+  val QueryRe = "\\?([^#]*)"
+  val WwwRe = "^www\\."
+  val TrailSlashRe = "/$"
+
+  /** RFC 3986-flavored canonical URL (the crawl-dedup normal form, public
+    * norms — e.g. Apache Nutch/StormCrawler basic URL normalizers):
+    * lowercase scheme+host, strip a leading `www.`, drop the fragment, drop
+    * `utm_*` tracking params, sort the remaining query params, strip a
+    * trailing slash. Pure regexp/array column expressions in the
+    * Java∩RE2-identical pattern subset (no lookaround, no backrefs), so the
+    * DuckDB oracle runs the same regexes. */
+  def canonicalUrl(url: Column): Column = {
+    val host = regexp_replace(
+      lower(regexp_extract(url, HostRe, 1)), WwwRe, "")
+    val path = regexp_replace(
+      regexp_extract(url, PathRe, 1), TrailSlashRe, "")
+    val rawq = regexp_extract(url, QueryRe, 1)
+    // split("") yields [""]; the p =!= "" filter makes the no-query and
+    // empty-query cases collapse to the same empty array
+    val q = array_join(
+      array_sort(filter(split(rawq, "&"),
+        p => p =!= "" && !p.startsWith("utm_"))), "&")
+    concat(lit("https://"), host, path,
+      when(length(q) > 0, concat(lit("?"), q)).otherwise(lit("")))
+  }
+
+  /** Canonical host alone (the per-domain aggregation key). */
+  def canonicalHost(url: Column): Column =
+    regexp_replace(lower(regexp_extract(url, HostRe, 1)), WwwRe, "")
+
+  // ---- oracle-SQL builders (same constants/regexes as the Column code) ---
+
+  /** DuckDB SQL expression for [[syntheticUrl]] over a `doc_id` column. */
+  def urlSqlExpr: String = {
+    val doms = Domains.map(d => s"'$d'").mkString(", ")
+    s"""'https://' || ([$doms])[CAST(doc_id % 7 AS INT) + 1]
+        || '/p/' || CAST(doc_id % 40 AS VARCHAR)
+        || CASE WHEN doc_id % 3 = 0
+                THEN '?utm_source=feed&id=' || CAST(doc_id % 40 AS VARCHAR)
+                WHEN doc_id % 3 = 1
+                THEN '?ref=x&id=' || CAST(doc_id % 40 AS VARCHAR)
+                ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END"""
+  }
+
+  /** DuckDB CTE chain `urls` → `canon(doc_id, n_chars, url, host,
+    * canon_url)` mirroring [[canonicalize]] (regexes shared verbatim; on a
+    * no-query URL DuckDB's regexp_extract misses → NULL query list, which
+    * the length(q)>0 CASE collapses to the same '' suffix as Spark's
+    * empty-string miss). */
+  def canonCteSql: String =
+    s"""urls AS (SELECT doc_id, n_chars, $urlSqlExpr AS url FROM documents),
+        parts AS (SELECT doc_id, n_chars, url,
+          regexp_replace(lower(regexp_extract(url, '$HostRe', 1)), '$WwwRe', '') AS host,
+          regexp_replace(regexp_extract(url, '$PathRe', 1), '$TrailSlashRe', '') AS path,
+          array_to_string(list_sort(list_filter(
+            string_split(regexp_extract(url, '$QueryRe', 1), '&'),
+            p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') AS q
+          FROM urls),
+        canon AS (SELECT doc_id, n_chars, url, host,
+          'https://' || host || path
+            || CASE WHEN length(q) > 0 THEN '?' || q ELSE '' END AS canon_url
+          FROM parts)"""
+
+  /** (doc_id, url, canon_url) — the canonicalization map itself. */
+  def canonicalize(docs: DataFrame): DataFrame =
+    withUrls(docs).select(col("doc_id"), col("url"),
+      canonicalUrl(col("url")).as("canon_url"))
+
+  /** Crawl dedup by canonical URL: one row per canonical URL with the
+    * duplicate count and the lexicographically-first raw URL kept as the
+    * representative (deterministic; a crawl would arg-min on fetch time —
+    * same one-shuffle shape). ONE hash aggregation on the canonical key;
+    * at 10^12 pages this is the classic first-pass dedup and the key is a
+    * short string, so the shuffle carries no page bytes. */
+  def urlDedup(docs: DataFrame): DataFrame =
+    canonicalize(docs)
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_docs"), min(col("url")).as("keep_url"))
+
+  /** Per-domain corpus stats: page count, distinct canonical URLs, total
+    * chars — the crawl-health / domain-mix report (and the input to
+    * per-domain quotas in a training-data pipeline). Integer sums only
+    * (cross-engine exact; a rounded avg can land on a half-even boundary). */
+  def domainStats(docs: DataFrame): DataFrame =
+    withUrls(docs)
+      .select(canonicalHost(col("url")).as("domain"),
+        canonicalUrl(col("url")).as("canon_url"), col("n_chars"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canon_url")).as("n_pages"),
+        sum(col("n_chars")).as("sum_chars"))
+
+  /** C4-style repeated-passage removal (Raffel et al. 2020 drop duplicate
+    * three-sentence spans corpus-wide, keeping one occurrence; Lee et al.
+    * 2021 dedups exact substrings). The driver corpus is single-line word
+    * soup, so the passage granularity here is a fixed window of
+    * `chunkTokens` whitespace tokens (last chunk may be shorter). A chunk
+    * occurrence survives iff it is the FIRST occurrence corpus-wide (min
+    * (doc_id, pos)); docs are rebuilt from their surviving chunks in order.
+    *
+    * Scale shape: chunking is a map-side explode; "first occurrence" is a
+    * min(struct(doc_id, pos)) HASH AGGREGATION on the chunk key — NOT a
+    * row_number window — so hot boilerplate chunks partial-aggregate
+    * map-side instead of serializing into one window partition; then one
+    * left-semi join back and one per-doc rebuild aggregation. At 100 TB
+    * the chunk key should be a 128-bit hash of the chunk text (collision
+    * math as Dedup.exact) so the two chunk-keyed exchanges never carry
+    * text; kept verbatim here because the oracle compares rebuilt text. */
+  def chunkDedup(docs: DataFrame, chunkTokens: Int = 20): DataFrame = {
+    val toks = split(col("text"), " ")
+    // split() never returns an empty array (worst case [""]), so nChunks
+    // >= 1 and the sequence below never descends (Dedup.shingles guard
+    // rationale)
+    val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")
+    val chunks = docs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")))
+        .as(Seq("pos", "chunk")))
+    val first = chunks.groupBy("chunk")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+      .select(col("chunk"), col("k.doc_id").as("doc_id"), col("k.pos").as("pos"))
+    val kept = chunks.join(first, Seq("chunk", "doc_id", "pos"), "left_semi")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          s => s.getField("chunk")), " ").as("text_dedup"))
+    docs.select(col("doc_id")).join(rebuilt, Seq("doc_id"), "left")
+      .na.fill("", Seq("text_dedup"))
+  }
+}

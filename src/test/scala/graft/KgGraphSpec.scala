@@ -307,4 +307,28 @@ class KgGraphSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(got === (0 to n).map(i => (f"C$i%03d", "C000")).toSet)
   }
+
+  test("adamicAdar: path scores 1/ln(deg), triangles yield nothing, hub cap skips") {
+    import spark.implicits._
+    // path a-b-c: only candidate (a,c), common neighbor b with degree 2
+    val path = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val gotPath = KgGraph.adamicAdar(path).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(gotPath === Set(("a", "c",
+      BigDecimal(1.0 / math.log(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)))
+    // triangle: every pair already an edge → anti-join leaves nothing
+    val tri = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    assert(KgGraph.adamicAdar(tri).count() === 0)
+    // star s-l1..l3: each leaf pair shares s (deg 3) → 1/ln 3; and with
+    // maxDegree below 3 the hub neighborhood is skipped entirely
+    val star = Seq(("s", "l1"), ("s", "l2"), ("s", "l3")).toDF("src", "dst")
+    val gotStar = KgGraph.adamicAdar(star).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    val w3 = BigDecimal(1.0 / math.log(3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(gotStar === Map(("l1", "l2") -> w3, ("l1", "l3") -> w3,
+      ("l2", "l3") -> w3))
+    assert(KgGraph.adamicAdar(star, maxDegree = 2).count() === 0)
+  }
 }

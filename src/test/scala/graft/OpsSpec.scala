@@ -355,4 +355,32 @@ class OpsSpec extends AnyFunSuite {
     assert(r1.map(r => r.url -> r.resized_bytes.toSeq).toMap ===
       r2.map(r => r.url -> r.resized_bytes.toSeq).toMap)
   }
+
+  test("tokenEntropy: closed-form cases and scalar recompute on real docs") {
+    import spark.implicits._
+    val hand = Seq(
+      (1L, "a a b b"),   // H = ln4 − (2ln2 + 2ln2)/4 = ln2
+      (2L, "x"),         // single token → 0
+      (3L, "a b c"),     // all distinct → ln3
+      (4L, "a a a a"))   // uniform repeat → 0
+      .toDF("doc_id", "text")
+    val got = TextOps.tokenEntropy(hand).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Map(1L -> r4(math.log(2)), 2L -> 0.0,
+      3L -> r4(math.log(3)), 4L -> 0.0))
+    // scalar recompute over a real corpus slice
+    val real = docs.limit(50)
+    val exp = real.select("doc_id", "text").collect().map { r =>
+      val toks = r.getString(1).split(" ", -1)
+      val n = toks.length.toDouble
+      val s = toks.groupBy(identity).values
+        .map(g => g.length.toDouble * math.log(g.length.toDouble)).sum
+      r.getLong(0) -> (math.log(n) - s / n)
+    }.toMap
+    TextOps.tokenEntropy(real).collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - exp(r.getLong(0))) < 1e-3, r.getLong(0))
+    }
+  }
 }

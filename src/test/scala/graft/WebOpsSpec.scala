@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.WebOps
+
+/** Web-corpus ops: URL canonicalization unit cases, the synthetic-URL
+  * collision structure, canonical-URL dedup accounting, per-domain stats,
+  * and C4-style chunk dedup on handcrafted chunk overlaps. */
+class WebOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def syntheticDocs(n: Int) = {
+    import spark.implicits._
+    (0L until n.toLong).map(i => (i, s"tok$i text", 10L + i % 7))
+      .toDF("doc_id", "text", "n_chars")
+  }
+
+  test("canonicalUrl: case fold, www strip, utm drop, param sort, fragment, trailing slash") {
+    import spark.implicits._
+    val cases = Seq(
+      ("https://WWW.Example.COM/path/?utm_campaign=z&b=2&a=1#sec",
+       "https://example.com/path?a=1&b=2"),
+      ("http://example.org/x", "https://example.org/x"), // scheme normalized
+      ("https://example.org/p/1", "https://example.org/p/1"),
+      ("https://example.org/?utm_only=1", "https://example.org"),
+      ("https://News.Example.com/p/3?ref=x&id=3", "https://news.example.com/p/3?id=3&ref=x"))
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), WebOps.canonicalUrl(col("url")).as("canon"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) => assert(got(in) === want, in) }
+  }
+
+  test("synthetic URLs collide under canonicalization exactly when designed to") {
+    // doc 0 (example.org, utm query) and doc 240 (www.example.org, utm
+    // query, #frag) differ as raw URLs but share path 0 mod 40 and query
+    // class 0 mod 3 → same canonical URL
+    val canon = WebOps.canonicalize(syntheticDocs(300)).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(canon(0L)._1 !== canon(240L)._1, "raw URLs must differ")
+    assert(canon(0L)._2 === canon(240L)._2, "canonical URLs must collide")
+    assert(canon(0L)._2 === "https://example.org/p/0?id=0")
+  }
+
+  test("urlDedup: counts account for every doc; representative is the min raw URL") {
+    val docs = syntheticDocs(600)
+    val out = WebOps.urlDedup(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(out.map(_._2).sum === 600L)
+    val canon = WebOps.canonicalize(docs).collect()
+      .map(r => (r.getString(2), r.getString(1)))
+    val byCanon = canon.groupBy(_._1)
+    out.foreach { case (cu, n, keep) =>
+      assert(n === byCanon(cu).size.toLong, cu)
+      assert(keep === byCanon(cu).map(_._2).min, cu)
+    }
+  }
+
+  test("domainStats: the 7 raw hosts collapse to 4 canonical domains") {
+    val out = WebOps.domainStats(syntheticDocs(140)).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out.keySet === Set("example.org", "news.example.com",
+      "blog.example.net", "shop.example.io"))
+    // indices 0,2,4 of 7 → example.org; 1,6 → news; 3 → blog; 5 → shop
+    assert(out("example.org") === 60L)
+    assert(out("news.example.com") === 40L)
+    assert(out("blog.example.net") === 20L)
+    assert(out("shop.example.io") === 20L)
+  }
+
+  test("chunkDedup: first corpus-wide occurrence survives, docs rebuild in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),  // both chunks first occurrences
+      (2L, "a b c x y z"),  // first chunk duplicates doc 1 → only "x y z"
+      (3L, "a b c"),        // all chunks duplicate → empty
+      (4L, "d e f a b c"),  // both chunks seen (doc 1) → empty
+      (5L, "q q q q q q"))  // within-doc duplicate: second chunk dropped
+      .toDF("doc_id", "text")
+    val got = WebOps.chunkDedup(docs, chunkTokens = 3).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "a b c d e f", 2L -> "x y z",
+      3L -> "", 4L -> "", 5L -> "q q q"))
+  }
+}
