@@ -60,8 +60,7 @@ object WebOps {
     * Java∩RE2-identical pattern subset (no lookaround, no backrefs), so the
     * DuckDB oracle runs the same regexes. */
   def canonicalUrl(url: Column): Column = {
-    val host = regexp_replace(
-      lower(regexp_extract(url, HostRe, 1)), WwwRe, "")
+    val host = canonicalHost(url)
     val path = regexp_replace(
       regexp_extract(url, PathRe, 1), TrailSlashRe, "")
     val rawq = regexp_extract(url, QueryRe, 1)
@@ -152,8 +151,9 @@ object WebOps {
     * Scale shape: chunking is a map-side explode; "first occurrence" is a
     * min(struct(doc_id, pos)) HASH AGGREGATION on the chunk key — NOT a
     * row_number window — so hot boilerplate chunks partial-aggregate
-    * map-side instead of serializing into one window partition; then one
-    * left-semi join back and one per-doc rebuild aggregation. At 100 TB
+    * map-side instead of serializing into one window partition; its output
+    * IS the surviving occurrence set, feeding the per-doc rebuild
+    * aggregation directly (no join back to the chunk stream). At 100 TB
     * the chunk key should be a 128-bit hash of the chunk text (collision
     * math as Dedup.exact) so the two chunk-keyed exchanges never carry
     * text; kept verbatim here because the oracle compares rebuilt text. */
@@ -167,10 +167,12 @@ object WebOps {
       posexplode(transform(sequence(lit(0), nChunks - 1),
         i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")))
         .as(Seq("pos", "chunk")))
-    val first = chunks.groupBy("chunk")
+    // min(struct(doc_id,pos)) per chunk IS the surviving occurrence set —
+    // no join back to `chunks` needed (it would re-explode the corpus a
+    // second time just to reproduce these rows)
+    val kept = chunks.groupBy("chunk")
       .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
       .select(col("chunk"), col("k.doc_id").as("doc_id"), col("k.pos").as("pos"))
-    val kept = chunks.join(first, Seq("chunk", "doc_id", "pos"), "left_semi")
     val rebuilt = kept.groupBy("doc_id")
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
