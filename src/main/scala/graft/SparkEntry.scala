@@ -875,6 +875,16 @@ object SparkEntry {
     // oracle recomputes declaratively (unnest + GROUP BY)
     "text_entropy" -> ((s, dir) => TextOps.tokenEntropy(docsTable(s, dir))),
 
+    // synchronous fixed-round label-propagation communities (arg-min
+    // tie-break makes it deterministic; oracle unrolls the same 4 rounds)
+    "kg_labelprop" -> ((s, dir) =>
+      graft.graph.KgGraph.labelPropagation(graft.graph.KgGraph.cooccurrence(
+        matches(s, dir).select("url", "class_iri")))),
+
+    // PMI-scored adjacent-bigram collocations (phrase mining)
+    "text_collocations" -> ((s, dir) =>
+      TextOps.collocations(docsTable(s, dir))),
+
     // URL canonicalization map over synthetic (deterministic) URLs
     "web_canonical" -> ((s, dir) => WebOps.canonicalize(docsTable(s, dir))),
 
@@ -886,7 +896,18 @@ object SparkEntry {
 
     // C4-style repeated-passage removal: first corpus-wide occurrence of
     // each token chunk survives; docs rebuilt from surviving chunks
-    "web_chunk_dedup" -> ((s, dir) => WebOps.chunkDedup(docsTable(s, dir)))
+    "web_chunk_dedup" -> ((s, dir) => WebOps.chunkDedup(docsTable(s, dir))),
+
+    // WARC container round trip, end-to-end: corpus → deterministic HTML
+    // wrap → WARC response records → multi-record file blobs → parse →
+    // HTML extraction. The oracle is just the documents table — any
+    // framing/extraction defect breaks the equality.
+    "warc_extract" -> ((s, dir) => {
+      val corpus = Corpus.fromDriverTable(docsTable(s, dir))
+      Corpus.extract(graft.io.Warc.recordsFromBlobs(
+          graft.io.Warc.syntheticBlobs(corpus, buckets = 8)))
+        .select("url", "text")
+    })
   )
 
   // ---- oracle SQL -------------------------------------------------------
@@ -968,6 +989,34 @@ object SparkEntry {
         SELECT a AS class_iri, COUNT(*) AS core_degree
         FROM (SELECT a, b FROM e$iters UNION ALL SELECT b, a FROM e$iters)
         GROUP BY a"""
+  }
+
+  /** Unrolled label-propagation oracle ([[graft.graph.KgGraph
+    * .labelPropagation]] twin): `iters` synchronous rounds as plain CTEs,
+    * each taking the neighbor label with the highest count (smallest label
+    * on ties — expressed as the same deterministic order, via ROW_NUMBER
+    * here and min(struct(-c, label)) in the engine). `und` is MATERIALIZED
+    * (referenced every round). */
+  private def labelPropOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT u.src AS node, l.label, COUNT(*) AS c
+            FROM und u JOIN l${i - 1} l ON u.dst = l.node GROUP BY 1, 2),
+          l$i AS (SELECT node, label FROM (
+            SELECT node, label,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY c DESC, label ASC) AS rn
+            FROM r$i) WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""WITH $dictCte, $directCte,
+        pairs AS (SELECT DISTINCT url, class_iri FROM direct),
+        cooc AS (SELECT DISTINCT a.class_iri AS src, b.class_iri AS dst
+                 FROM pairs a JOIN pairs b
+                   ON a.url = b.url AND a.class_iri < b.class_iri),
+        und AS MATERIALIZED (SELECT src, dst FROM cooc
+               UNION ALL SELECT dst AS src, src AS dst FROM cooc),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+        $rounds
+        SELECT node AS class_iri, label AS community FROM l$iters"""
   }
 
   /** Unrolled seeded-Lloyd IVF oracle ([[graft.ops.Similarity.ivfTopK]]
@@ -2245,6 +2294,34 @@ object SparkEntry {
                  FROM kept GROUP BY 1)
           SELECT d.doc_id, COALESCE(rb.text_dedup, '') AS text_dedup
           FROM documents d LEFT JOIN rb ON d.doc_id = rb.doc_id""",
+
+    // WARC serialize→parse→extract must reproduce the table exactly
+    "warc_extract" ->
+      "SELECT 'doc://' || doc_id AS url, text FROM documents",
+
+    "kg_labelprop" -> labelPropOracleSql(iters = 4),
+
+    // collocations recomputed declaratively; arithmetic order mirrored
+    // exactly (ratio-of-ratios before ln) so the doubles are bit-equal
+    "text_collocations" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          bg AS (SELECT t[i] AS x, t[i+1] AS y
+                 FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+                       FROM toks WHERE len(t) >= 2)),
+          bgc AS (SELECT x, y, COUNT(*) AS n_xy FROM bg GROUP BY 1, 2),
+          uni AS (SELECT tok, COUNT(*) AS c
+                  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+          tot AS (SELECT CAST(SUM(len(t)) AS DOUBLE) AS nt,
+                         CAST(SUM(GREATEST(len(t) - 1, 0)) AS DOUBLE) AS nb
+                  FROM toks)
+          SELECT b.x, b.y, b.n_xy,
+                 ROUND(ln((CAST(b.n_xy AS DOUBLE) / (SELECT nb FROM tot))
+                   / ((CAST(ux.c AS DOUBLE) / (SELECT nt FROM tot))
+                      * (CAST(uy.c AS DOUBLE) / (SELECT nt FROM tot)))), 6) AS pmi
+          FROM bgc b
+          JOIN uni ux ON ux.tok = b.x
+          JOIN uni uy ON uy.tok = b.y
+          WHERE b.n_xy >= 5""",
 
     // the full curation capstone recomposed from the per-operator oracle
     // pieces (exact dedup, decontamination, Gopher gate, repetition cap,

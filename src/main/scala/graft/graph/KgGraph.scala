@@ -138,6 +138,39 @@ object KgGraph {
       .join(edges, Seq("src", "dst"), "left_anti")
   }
 
+  /** Label-propagation community detection (Raghavan et al. 2007) over the
+    * co-occurrence graph, made fully deterministic for the oracle contract:
+    * SYNCHRONOUS rounds (every node updates from the previous round's
+    * labels), a FIXED iteration count, and an exact arg-min tie-break — the
+    * new label is the neighbor label with the highest count, smallest label
+    * string on ties, computed as `min(struct(-count, label))` so it is one
+    * hash AGGREGATION (map-side partials on hot nodes), not a window.
+    *
+    * Scale shape per round: one join (labels are (node, label) — same
+    * cardinality as the node set) + two aggregations, all keyed on node
+    * ids; lineage truncated per round via [[truncate]]. Fixed `iters`
+    * (default 4) rather than convergence detection: synchronous LPA can
+    * 2-cycle on bipartite structures, so a fixpoint test may never fire —
+    * the fixed-round form sidesteps that AND unrolls exactly into the
+    * DuckDB oracle's CTE chain. Input: one row per undirected edge
+    * (src < dst), as [[cooccurrence]] emits. */
+  def labelPropagation(cooccur: DataFrame, iters: Int = 4): DataFrame = {
+    val e = cooccur.select(col("src"), col("dst"))
+    val und = pin(e.unionAll(e.select(col("dst").as("src"), col("src").as("dst"))))
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (round <- 1 to iters) {
+      labels = truncate(
+        und.join(labels.withColumnRenamed("node", "dst"), "dst")
+          .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
+          .groupBy(col("src"))
+          .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+          .select(col("src").as("node"), col("m.l").as("label")),
+        round)
+    }
+    labels.select(col("node").as("class_iri"), col("label").as("community"))
+  }
+
   /** Per-concept degree + weighted degree over the co-occurrence graph. */
   def degrees(cooccur: DataFrame): DataFrame =
     cooccur.select(col("src").as("class_iri"), col("n_docs"))

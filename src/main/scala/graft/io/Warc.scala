@@ -1,0 +1,243 @@
+package graft.io
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.GZIPInputStream
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A0 interop: Common-Crawl-style corpora are distributed as WARC files
+  * (ISO 28500 — `WARC/1.0` header block, `Content-Length` payload, records
+  * concatenated back-to-back), so the at-rest source for the web-page input
+  * table is a WARC reader that yields exactly the canonical corpus shape
+  * `(url, warc_ts, html, text=NULL, lang=NULL)` — null `text`, so
+  * [[graft.annotate.Corpus.extract]] pays the HTML extraction on every row,
+  * the same path a real crawl ingest takes.
+  *
+  * Scale shape: WARC records are NOT line-splittable (binary payloads with
+  * declared lengths), so the unit of parallelism is the FILE — which is the
+  * public Common-Crawl processing convention anyway: the crawl ships as
+  * ~1 GB-gzipped segment files, tens of thousands per snapshot, and one
+  * task per file saturates a 1000-executor cluster without any splitting.
+  * Per-record gzip members (the CC on-disk format) decompress as one
+  * multi-member stream. The parser is scalar Scala shared verbatim with the
+  * specs (single-source-of-truth, like [[NTriples.parseLine]]); the typed
+  * `flatMap` is the justified non-builtin exception because length-prefixed
+  * binary framing is not expressible as a builtin-function chain.
+  */
+object Warc {
+
+  /** One extracted response record (canonical corpus row, pre-extraction). */
+  final case class WarcRecord(url: String, warcTs: java.sql.Timestamp,
+                              html: Array[Byte])
+
+  // ---- scalar record builder (single source of truth) --------------------
+
+  private val WarcDateFmt = java.time.format.DateTimeFormatter.ISO_INSTANT
+
+  /** Serialize ONE response record: WARC header block + HTTP/1.1 response
+    * payload carrying `html` as the body. `Content-Length` covers the whole
+    * HTTP block, per the spec. */
+  def recordBytes(url: String, warcTs: java.sql.Timestamp,
+                  html: Array[Byte]): Array[Byte] = {
+    val httpHead =
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n\r\n"
+        .getBytes(UTF_8)
+    val payloadLen = httpHead.length + html.length
+    val date = WarcDateFmt.format(warcTs.toInstant)
+    val head =
+      (s"WARC/1.0\r\n" +
+        s"WARC-Type: response\r\n" +
+        s"WARC-Target-URI: $url\r\n" +
+        s"WARC-Date: $date\r\n" +
+        s"Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: $payloadLen\r\n\r\n").getBytes(UTF_8)
+    val out = new Array[Byte](head.length + payloadLen + 4)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(httpHead, 0, out, head.length, httpHead.length)
+    System.arraycopy(html, 0, out, head.length + httpHead.length, html.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  // ---- scalar file parser (single source of truth) -----------------------
+
+  private def isGzip(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b
+
+  private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
+    // GZIPInputStream consumes concatenated members (the CC record-per-
+    // member layout) as one stream
+    val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 64 * 1024)
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
+  /** Parse one WARC file (plain or gzipped): response records become
+    * [[WarcRecord]]s (HTTP body = the page bytes); warcinfo / request /
+    * metadata records are framing, skipped by Content-Length. STRICT on
+    * malformed framing — a corrupt segment file should fail the ingest
+    * loudly, not silently drop pages ([[NTriples.statements]] rationale;
+    * permissive web-scale callers wrap per-file try/catch and count). */
+  def parseFile(raw: Array[Byte]): Seq[WarcRecord] = {
+    val bytes = if (isGzip(raw)) gunzipAll(raw) else raw
+    def fail(msg: String) =
+      throw new IllegalArgumentException(s"bad WARC framing: $msg")
+    val out = Seq.newBuilder[WarcRecord]
+    var i = 0
+    def lineEnd(from: Int): Int = {
+      var j = from
+      while (j + 1 < bytes.length && !(bytes(j) == '\r' && bytes(j + 1) == '\n')) j += 1
+      if (j + 1 >= bytes.length) fail(s"unterminated header line at $from")
+      j
+    }
+    while (i < bytes.length) {
+      // tolerate trailing blank lines after the final record
+      if (bytes.length - i < 8) {
+        var j = i
+        while (j < bytes.length && (bytes(j) == '\r' || bytes(j) == '\n')) j += 1
+        if (j != bytes.length) fail(s"trailing garbage at $i")
+        i = bytes.length
+      } else {
+        val e0 = lineEnd(i)
+        val version = new String(bytes, i, e0 - i, UTF_8)
+        if (!version.startsWith("WARC/")) fail(s"expected WARC/x.y at $i, got '$version'")
+        i = e0 + 2
+        var warcType: String = null; var uri: String = null
+        var date: String = null; var contentLength = -1L
+        var headerDone = false
+        while (!headerDone) {
+          val e = lineEnd(i)
+          if (e == i) { headerDone = true; i += 2 } // blank line
+          else {
+            val line = new String(bytes, i, e - i, UTF_8)
+            val sep = line.indexOf(':')
+            if (sep < 0) fail(s"header without ':' — '$line'")
+            val name = line.substring(0, sep).trim.toLowerCase
+            val value = line.substring(sep + 1).trim
+            name match {
+              case "warc-type" => warcType = value
+              case "warc-target-uri" => uri = value
+              case "warc-date" => date = value
+              case "content-length" => contentLength = value.toLong
+              case _ => () // other headers are legal and ignored
+            }
+            i = e + 2
+          }
+        }
+        if (contentLength < 0) fail("missing Content-Length")
+        if (i + contentLength > bytes.length) fail("payload past end of file")
+        if (warcType == "response") {
+          if (uri == null) fail("response record without WARC-Target-URI")
+          if (date == null) fail("response record without WARC-Date")
+          // HTTP body starts after the first CRLFCRLF inside the payload
+          var b = i
+          val limit = i + contentLength.toInt - 3
+          while (b < limit && !(bytes(b) == '\r' && bytes(b + 1) == '\n'
+            && bytes(b + 2) == '\r' && bytes(b + 3) == '\n')) b += 1
+          if (b >= limit) fail(s"no HTTP header/body separator in payload at $i")
+          val bodyStart = b + 4
+          val body = java.util.Arrays.copyOfRange(
+            bytes, bodyStart, i + contentLength.toInt)
+          val ts = java.sql.Timestamp.from(java.time.Instant.parse(date))
+          out += WarcRecord(uri, ts, body)
+        }
+        i += contentLength.toInt
+        // the spec's record separator: exactly two CRLFs
+        if (i + 4 <= bytes.length && bytes(i) == '\r' && bytes(i + 1) == '\n'
+          && bytes(i + 2) == '\r' && bytes(i + 3) == '\n') i += 4
+        else if (i != bytes.length) fail(s"missing record separator at $i")
+      }
+    }
+    out.result()
+  }
+
+  // ---- Dataset source ----------------------------------------------------
+
+  /** Read a directory of `.warc` / `.warc.gz` files into the canonical
+    * corpus shape. File-level parallelism (see class doc); `binaryFile`
+    * prunes to `content` only when selected, and each task parses its file
+    * independently — zero shuffles. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile").load(path)
+      .select(col("content")).as[Array[Byte]]
+    files.flatMap(parseFile)
+      .toDF("url", "warc_ts", "html")
+      .select(col("url"), col("warc_ts"), col("html"),
+        lit(null).cast("string").as("text"),
+        lit(null).cast("string").as("lang"))
+  }
+
+  // ---- synthesis / sink (deterministic, for tests + benchmarks) ----------
+
+  /** Deterministic HTML wrap for synthesizing page bytes from bare text
+    * (no metacharacter escaping — the driver corpus is plain word soup, so
+    * [[graft.annotate.Corpus.htmlToText]] inverts this exactly). */
+  def wrapHtml(text: Column): Column =
+    concat(lit("<html><body><p>"), text, lit("</p></body></html>"))
+      .cast("binary")
+
+  private val recordUdf =
+    udf((url: String, ts: java.sql.Timestamp, html: Array[Byte]) =>
+      recordBytes(url, ts, html))
+
+  /** Canonical corpus → per-bucket WARC file blobs (column `file_bytes`),
+    * `xxhash64(url) % buckets` records per blob, url-sorted within the
+    * blob — fully deterministic. Rows with null `html` get [[wrapHtml]]'d
+    * `text` as the page bytes. */
+  def syntheticBlobs(corpus: DataFrame, buckets: Int): DataFrame = {
+    val rec = recordUdf(col("url"), col("warc_ts"),
+      coalesce(col("html"), wrapHtml(col("text"))))
+    corpus
+      .select(pmod(xxhash64(col("url")), lit(buckets.toLong)).as("bucket"),
+        col("url"), rec.as("rec"))
+      .groupBy("bucket")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("url"), col("rec")))),
+          s => s.getField("rec")),
+        lit(Array.emptyByteArray),
+        (acc, x) => concat(acc, x)).as("file_bytes"))
+      .select("file_bytes")
+  }
+
+  /** Parse a DataFrame of WARC file blobs back to the canonical corpus
+    * shape — the in-memory form of [[read]] (same parser). */
+  def recordsFromBlobs(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("file_bytes")).as[Array[Byte]]
+      .flatMap(parseFile)
+      .toDF("url", "warc_ts", "html")
+      .select(col("url"), col("warc_ts"), col("html"),
+        lit(null).cast("string").as("text"),
+        lit(null).cast("string").as("lang"))
+  }
+
+  /** Write the corpus as `numFiles` WARC files under `dir` (one file per
+    * bucket, `.warc.gz` when `gzip`). Executor-side local-FS writes — the
+    * sandbox stand-in for an HDFS/object-store binary sink; the blob
+    * construction itself is the distributed part. */
+  def write(corpus: DataFrame, dir: String, numFiles: Int,
+            gzip: Boolean = false): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val blobs = syntheticBlobs(corpus, numFiles)
+      .collect() // numFiles blobs — driver-side by construction
+    blobs.zipWithIndex.foreach { case (row, i) =>
+      val bytes = row.getAs[Array[Byte]]("file_bytes")
+      val outBytes = if (gzip) {
+        val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(bytes); gz.close(); bos.toByteArray
+      } else bytes
+      val ext = if (gzip) "warc.gz" else "warc"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, f"part-$i%05d.$ext"), outBytes)
+    }
+  }
+}

@@ -158,6 +158,43 @@ object TextOps {
       round(log(n) - sumClnC / n, 4).as("token_entropy"))
   }
 
+  /** Corpus-wide collocation extraction (phrase mining): adjacent token
+    * bigrams PMI-scored against unigram frequencies — the classic
+    * multi-word-expression signal for tokenizer/vocab curation.
+    * pmi = ln( (c_xy/N_b) / ((c_x/N_t)·(c_y/N_t)) ) with corpus totals
+    * N_t tokens / N_b bigrams; `minCount` floors the bigram count (PMI is
+    * noise at low counts). Deterministic; arithmetic order mirrored exactly
+    * in the oracle SQL, 6dp contract.
+    *
+    * Scale shape: bigram emission is a map-side zip_with of two shifted
+    * slices (empty on <2-token docs — no descending-sequence hazard), then
+    * TWO hash aggregations (bigram, unigram) and two hash joins on short
+    * string keys; the totals row is a broadcast. The minCount filter runs
+    * BEFORE the unigram joins, shrinking the join input by the long tail. */
+  def collocations(docs: DataFrame, minCount: Int = 5): DataFrame = {
+    val toks = tokens(col("text"))
+    val bigrams = docs
+      .select(explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("x"), b.as("y")))).as("b"))
+      .select(col("b.x").as("x"), col("b.y").as("y"))
+    val bg = bigrams.groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+    val uni = docs.select(explode(toks).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val totals = docs.agg(
+      sum(size(toks)).as("nt"),
+      sum(greatest(size(toks) - 1, lit(0))).as("nb"))
+    bg.filter(col("n_xy") >= minCount)
+      .join(uni.select(col("t").as("x"), col("c").as("cx")), "x")
+      .join(uni.select(col("t").as("y"), col("c").as("cy")), "y")
+      .crossJoin(broadcast(totals))
+      .select(col("x"), col("y"), col("n_xy"),
+        round(log((col("n_xy").cast("double") / col("nb"))
+          / ((col("cx").cast("double") / col("nt"))
+            * (col("cy").cast("double") / col("nt")))), 6).as("pmi"))
+  }
+
   /** Tokenizer-vocabulary build: the `topN` most frequent whitespace
     * tokens with dense 1-based ids (descending frequency, token-string
     * tie-break — fully deterministic). The global sort+limit reduces the

@@ -308,6 +308,41 @@ class KgGraphSpec extends AnyFunSuite {
     assert(got === (0 to n).map(i => (f"C$i%03d", "C000")).toSet)
   }
 
+  test("labelPropagation: bridged triangles split; == scalar sync-LPA on random graphs") {
+    import spark.implicits._
+    // two triangles joined by one bridge edge — LPA's canonical case
+    val g = Seq(("a", "b"), ("a", "c"), ("b", "c"),
+      ("x", "y"), ("x", "z"), ("y", "z"), ("c", "x")).toDF("src", "dst")
+    val got = KgGraph.labelPropagation(g, iters = 4).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "c", "y" -> "c", "z" -> "c"))
+    // scalar reference: synchronous rounds, max-count/min-label tie-break
+    def scalarLpa(edges: Seq[(String, String)], iters: Int): Map[String, String] = {
+      val und = (edges ++ edges.map(_.swap)).distinct
+      val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var l = nbrs.keySet.map(n => n -> n).toMap
+      (1 to iters).foreach { _ =>
+        l = nbrs.map { case (n, ns) =>
+          val counts = ns.map(l).groupBy(identity).view.mapValues(_.size)
+          n -> counts.toSeq.minBy { case (lab, c) => (-c, lab) }._1
+        }
+      }
+      l
+    }
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val edges = (1 to 60).map(_ =>
+        (f"N${rnd.nextInt(20)}%02d", f"N${rnd.nextInt(20)}%02d"))
+        .filter(e => e._1 < e._2).distinct
+      val want = scalarLpa(edges, 4)
+      val g2 = edges.toDF("src", "dst")
+      val got2 = KgGraph.labelPropagation(g2, iters = 4).collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(got2 === want, s"trial $trial")
+    }
+  }
+
   test("adamicAdar: path scores 1/ln(deg), triangles yield nothing, hub cap skips") {
     import spark.implicits._
     // path a-b-c: only candidate (a,c), common neighbor b with degree 2

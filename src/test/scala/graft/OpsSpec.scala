@@ -356,6 +356,23 @@ class OpsSpec extends AnyFunSuite {
       r2.map(r => r.url -> r.resized_bytes.toSeq).toMap)
   }
 
+  test("collocations: hand-computed PMI; minCount floors the long tail") {
+    import spark.implicits._
+    val hand = Seq(
+      (1L, "new york is big"),
+      (2L, "new york city"))
+      .toDF("doc_id", "text")
+    // N_t = 7 tokens, N_b = 5 bigrams; only (new, york) reaches count 2:
+    // pmi = ln((2/5) / ((2/7)·(2/7))) = ln(4.9)
+    val got = TextOps.collocations(hand, minCount = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val want = BigDecimal(math.log(4.9))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq === Seq(("new", "york", 2L, want)))
+    // minCount = 1 keeps every DISTINCT bigram, singletons included
+    assert(TextOps.collocations(hand, minCount = 1).count() === 4)
+  }
+
   test("tokenEntropy: closed-form cases and scalar recompute on real docs") {
     import spark.implicits._
     val hand = Seq(
