@@ -41,14 +41,22 @@ object Warc {
     * HTTP block, per the spec. */
   def recordBytes(url: String, warcTs: java.sql.Timestamp,
                   html: Array[Byte]): Array[Byte] = {
+    // fail with the offending row's identity, not an NPE deep in a task
+    require(url != null, "WARC record with null url")
+    require(warcTs != null, s"WARC record for $url with null warc_ts")
+    require(html != null, s"WARC record for $url with null html AND null text")
     val httpHead =
       "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n\r\n"
         .getBytes(UTF_8)
     val payloadLen = httpHead.length + html.length
     val date = WarcDateFmt.format(warcTs.toInstant)
+    // WARC-Record-ID is mandatory (ISO 28500); name-derived UUID keeps the
+    // no-wall-clock determinism contract
+    val rid = java.util.UUID.nameUUIDFromBytes(url.getBytes(UTF_8))
     val head =
       (s"WARC/1.0\r\n" +
         s"WARC-Type: response\r\n" +
+        s"WARC-Record-ID: <urn:uuid:$rid>\r\n" +
         s"WARC-Target-URI: $url\r\n" +
         s"WARC-Date: $date\r\n" +
         s"Content-Type: application/http; msgtype=response\r\n" +
@@ -97,13 +105,10 @@ object Warc {
       j
     }
     while (i < bytes.length) {
-      // tolerate trailing blank lines after the final record
-      if (bytes.length - i < 8) {
-        var j = i
-        while (j < bytes.length && (bytes(j) == '\r' || bytes(j) == '\n')) j += 1
-        if (j != bytes.length) fail(s"trailing garbage at $i")
-        i = bytes.length
-      } else {
+      // tolerate any run of trailing CRLF blank lines (writers vary), then
+      // either EOF or another record — never a partial line
+      while (i + 1 < bytes.length && bytes(i) == '\r' && bytes(i + 1) == '\n') i += 2
+      if (i < bytes.length) {
         val e0 = lineEnd(i)
         val version = new String(bytes, i, e0 - i, UTF_8)
         if (!version.startsWith("WARC/")) fail(s"expected WARC/x.y at $i, got '$version'")
@@ -118,7 +123,9 @@ object Warc {
             val line = new String(bytes, i, e - i, UTF_8)
             val sep = line.indexOf(':')
             if (sep < 0) fail(s"header without ':' — '$line'")
-            val name = line.substring(0, sep).trim.toLowerCase
+            // Locale.ROOT: a Turkish-default-locale JVM lowercases 'I' to
+            // dotless 'ı', which would break WARC-Target-URI matching
+            val name = line.substring(0, sep).trim.toLowerCase(java.util.Locale.ROOT)
             val value = line.substring(sep + 1).trim
             name match {
               case "warc-type" => warcType = value
@@ -163,15 +170,22 @@ object Warc {
     * corpus shape. File-level parallelism (see class doc); `binaryFile`
     * prunes to `content` only when selected, and each task parses its file
     * independently — zero shuffles. */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  /** Shared parse → canonical-corpus-shape step for [[read]] and
+    * [[recordsFromBlobs]] — ONE definition of the output schema. */
+  private def toCorpus(files: org.apache.spark.sql.Dataset[Array[Byte]]): DataFrame = {
+    val spark = files.sparkSession
     import spark.implicits._
-    val files = spark.read.format("binaryFile").load(path)
-      .select(col("content")).as[Array[Byte]]
     files.flatMap(parseFile)
       .toDF("url", "warc_ts", "html")
       .select(col("url"), col("warc_ts"), col("html"),
         lit(null).cast("string").as("text"),
         lit(null).cast("string").as("lang"))
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    toCorpus(spark.read.format("binaryFile").load(path)
+      .select(col("content")).as[Array[Byte]])
   }
 
   // ---- synthesis / sink (deterministic, for tests + benchmarks) ----------
@@ -187,6 +201,17 @@ object Warc {
     udf((url: String, ts: java.sql.Timestamp, html: Array[Byte]) =>
       recordBytes(url, ts, html))
 
+  /** Linear binary concat: size the output once, arraycopy each record —
+    * a fold with `concat(acc, x)` recopies the whole accumulated blob per
+    * step (O(B²) bytes for a B-byte file; ruinous at the ~1 GB-file scale
+    * this synthesizes for). */
+  private val concatBlobUdf = udf((recs: Seq[Array[Byte]]) => {
+    val out = new Array[Byte](recs.iterator.map(_.length).sum)
+    var off = 0
+    recs.foreach { r => System.arraycopy(r, 0, out, off, r.length); off += r.length }
+    out
+  })
+
   /** Canonical corpus → per-bucket WARC file blobs (column `file_bytes`),
     * `xxhash64(url) % buckets` records per blob, url-sorted within the
     * blob — fully deterministic. Rows with null `html` get [[wrapHtml]]'d
@@ -198,11 +223,9 @@ object Warc {
       .select(pmod(xxhash64(col("url")), lit(buckets.toLong)).as("bucket"),
         col("url"), rec.as("rec"))
       .groupBy("bucket")
-      .agg(aggregate(
+      .agg(concatBlobUdf(
         transform(array_sort(collect_list(struct(col("url"), col("rec")))),
-          s => s.getField("rec")),
-        lit(Array.emptyByteArray),
-        (acc, x) => concat(acc, x)).as("file_bytes"))
+          s => s.getField("rec"))).as("file_bytes"))
       .select("file_bytes")
   }
 
@@ -211,12 +234,7 @@ object Warc {
   def recordsFromBlobs(blobs: DataFrame): DataFrame = {
     val spark = blobs.sparkSession
     import spark.implicits._
-    blobs.select(col("file_bytes")).as[Array[Byte]]
-      .flatMap(parseFile)
-      .toDF("url", "warc_ts", "html")
-      .select(col("url"), col("warc_ts"), col("html"),
-        lit(null).cast("string").as("text"),
-        lit(null).cast("string").as("lang"))
+    toCorpus(blobs.select(col("file_bytes")).as[Array[Byte]])
   }
 
   /** Write the corpus as `numFiles` WARC files under `dir` (one file per

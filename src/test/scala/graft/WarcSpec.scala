@@ -28,7 +28,8 @@ class WarcSpec extends AnyFunSuite {
       "<p>one</p>".getBytes(UTF_8))
     val r2 = Warc.recordBytes("http://x/2", ts("2024-01-01T00:00:09Z"),
       "<p>two</p>".getBytes(UTF_8))
-    val file = info ++ req ++ r1 ++ r2
+    // four trailing blank CRLF lines (8 bytes) must be tolerated too
+    val file = info ++ req ++ r1 ++ r2 ++ "\r\n\r\n\r\n\r\n".getBytes(UTF_8)
     val got = Warc.parseFile(file)
     assert(got.map(_.url) === Seq("http://x/1", "http://x/2"))
     assert(got.map(_.warcTs) ===
