@@ -123,10 +123,10 @@ object KgGraph {
     * recall trade, like `maxPerDoc` — a hub's contribution is ~1/ln(huge)
     * ≈ 0 anyway, and at web scale the quadratic explosion of one celebrity
     * node would dominate the job). Input: one row per undirected edge
-    * (src < dst), as [[cooccurrence]] emits; callers at scale should
-    * [[pin]] the edge set (it is consumed three times here). */
+    * (src < dst), as [[cooccurrence]] emits; the edge set is [[pin]]ned
+    * here (it is consumed three times — both `und` arms + the anti-join). */
   def adamicAdar(cooccur: DataFrame, maxDegree: Int = 10000): DataFrame = {
-    val edges = cooccur.select(col("src"), col("dst"))
+    val edges = pin(cooccur.select(col("src"), col("dst")))
     val und = edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
     val nbrs = und.groupBy(col("src").as("z"))
       .agg(sort_array(collect_set(col("dst"))).as("cs"))
