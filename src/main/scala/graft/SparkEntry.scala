@@ -11,7 +11,7 @@ import graft.dict.{AnnotatorModel, AutomatonBuild, DictBuild}
 import graft.emit.Triples
 import graft.fixture.OntologyFixture
 import graft.graph.Closure
-import graft.ops.{AsOf, Dedup, Multimodal, RangeJoin, Sampling, Similarity, Sketch, TextOps, WebOps}
+import graft.ops.{AsOf, Dedup, LinkGraph, Multimodal, RangeJoin, Sampling, Similarity, Sketch, TextOps, WebOps}
 import graft.streaming.EventStream
 
 /** Driver contract (SURVEY.md §6.2): one `queries` entry per implemented
@@ -907,6 +907,49 @@ object SparkEntry {
       Corpus.extract(graft.io.Warc.recordsFromBlobs(
           graft.io.Warc.syntheticBlobs(corpus, buckets = 8)))
         .select("url", "text")
+    }),
+
+    // hyperlink extraction from raw HTML: regexp_extract_all + posexplode,
+    // relative hrefs resolved against the source host, both ends
+    // canonicalized — the web-native KG-construction edge source
+    "web_links" -> ((s, dir) =>
+      LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))),
+
+    // host-level link graph (canonical hosts, intra-host links dropped)
+    "web_host_graph" -> ((s, dir) =>
+      LinkGraph.hostGraph(LinkGraph.links(LinkGraph.pages(docsTable(s, dir))))),
+
+    // per-target anchor-text table: top-3 anchors per canonical URL
+    "web_anchor_text" -> ((s, dir) =>
+      LinkGraph.anchorText(LinkGraph.links(LinkGraph.pages(docsTable(s, dir))))),
+
+    // DIRECTED PageRank over the page-level link graph, dangling mass
+    // redistributed per round (the oracle unrolls the same 5 rounds
+    // including each round's dangling scalar)
+    "web_pagerank" -> ((s, dir) =>
+      graft.graph.KgGraph.pageRankDirected(
+        LinkGraph.pageEdges(LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))))),
+
+    // HITS hubs/authorities over the same directed page graph (L1-normalized
+    // per half-round; the oracle unrolls both halves of all 5 rounds)
+    "web_hits" -> ((s, dir) =>
+      graft.graph.KgGraph.hits(
+        LinkGraph.pageEdges(LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))))),
+
+    // per-domain page quota: ≤50 pages per canonical host, selected by
+    // portable hash of the canonical URL (unbiased + cross-engine stable)
+    "web_domain_quota" -> ((s, dir) =>
+      WebOps.domainQuota(docsTable(s, dir), quota = 50)),
+
+    // near-dup CLUSTERS: connected components (large-star/small-star) over
+    // the MinHash+LSH pair set, cluster label = min doc_id — the step that
+    // turns pairwise dup detection into per-cluster canonical selection
+    "dedup_cluster" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(
+        docsTable(s, dir), n = 3, k = 16, bands = 4, threshold = 0.8)
+      graft.graph.KgGraph.connectedComponents(
+          pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        .select(col("class_iri").as("doc_id"), col("component").as("cluster"))
     })
   )
 
@@ -937,6 +980,114 @@ object SparkEntry {
     * ONE builder for both variants, mirroring the engine (pageRank ==
     * pageRankWeighted at w = 1): contribution = pr·w/strength; unweighted
     * w = 1.0 makes strength the degree and pr·1.0/s bit-identical to pr/d. */
+  /** MinHash+LSH pipeline CTEs (signatures → banding → bucket cap →
+    * candidates → exact shingle intersection + sizes) — shared by the
+    * dedup_minhash oracle (jaccard select) and the dedup_cluster oracle
+    * (recursive components over the thresholded pair set). */
+  private def minhashCtes: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                       WHERE len(string_split(text, ' ')) >= 3),
+          pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks),
+          sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM pos),
+          hh AS (SELECT doc_id,
+                   ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 576460752303423433 AS h1,
+                   ('0x' || substr(md5(shingle), 17, 15))::BIGINT % 576460752303423433 AS h2
+                 FROM sh),
+          hs AS (SELECT doc_id, i AS hi,
+                   MIN((h1 + i * h2) % 576460752303423433) AS mh
+                 FROM hh, (SELECT unnest(range(16)) AS i) GROUP BY doc_id, hi),
+          sig AS (SELECT doc_id, array_agg(CAST(mh AS VARCHAR) ORDER BY hi) AS mhs
+                  FROM hs GROUP BY doc_id),
+          bands AS (SELECT doc_id, b,
+                      array_to_string(mhs[b*4+1 : b*4+4], '|') AS bucket
+                    FROM sig, (SELECT unnest(range(4)) AS b)),
+          pop AS (SELECT b, bucket, COUNT(*) AS n FROM bands GROUP BY b, bucket),
+          cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+                   FROM bands l
+                   JOIN bands r ON l.b = r.b AND l.bucket = r.bucket
+                     AND l.doc_id < r.doc_id
+                   JOIN pop p ON p.b = l.b AND p.bucket = l.bucket AND p.n <= 1000),
+          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+                    FROM sh a
+                    JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+                    GROUP BY 1, 2),
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)"""
+
+  /** Unrolled DIRECTED-PageRank oracle ([[graft.graph.KgGraph
+    * .pageRankDirected]] twin over [[graft.ops.LinkGraph]] page edges):
+    * each round recomputes the dangling scalar (rank mass on nodes with no
+    * out-edges) and redistributes it uniformly, exactly as the engine's
+    * per-round 1-row aggregate does. pr CTEs MATERIALIZED — each is
+    * referenced twice per round (dangling + contributions), which plain-CTE
+    * inlining would expand 2^iters-fold. */
+  private def pageRankDirectedOracleSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""dang$i AS (SELECT COALESCE(SUM(p.pr), CAST(0 AS DOUBLE)) AS dm
+            FROM pr${i - 1} p LEFT JOIN ow o ON o.a = p.node
+            WHERE o.a IS NULL),
+          ctr$i AS (SELECT e.b AS node, SUM(p.pr * e.w / e.s) AS c
+            FROM ew e JOIN pr${i - 1} p ON p.node = e.a GROUP BY e.b),
+          pr$i AS MATERIALIZED (SELECT n.node,
+              CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+                + CAST(0.85 AS DOUBLE) * (COALESCE(c.c, CAST(0 AS DOUBLE))
+                    + (SELECT dm FROM dang$i) / (SELECT n FROM nn)) AS pr
+            FROM nodes n LEFT JOIN ctr$i c ON c.node = n.node)"""
+    }.mkString(",\n")
+    s"""WITH ${graft.ops.LinkGraph.linksCteSql},
+        edges AS MATERIALIZED (SELECT
+            ${graft.ops.WebOps.canonUrlSqlOf("src_url")} AS a,
+            dst_url AS b, CAST(COUNT(*) AS DOUBLE) AS w
+          FROM lnk GROUP BY 1, 2),
+        ow AS MATERIALIZED (SELECT a, SUM(w) AS s FROM edges GROUP BY a),
+        ew AS MATERIALIZED (SELECT e.a, e.b, e.w, o.s
+          FROM edges e JOIN ow o USING (a)),
+        nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+          (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr
+                FROM nodes),
+        $iterCtes
+        SELECT node AS page, ROUND(pr, 6) AS pagerank FROM pr$iters"""
+  }
+
+  /** Unrolled HITS oracle ([[graft.graph.KgGraph.hits]] twin): both
+    * half-rounds (auth-from-hubs, hubs-from-auths) of every iteration, each
+    * L1-normalized by a scalar-subquery sum, exactly the engine's order of
+    * operations. All score CTEs MATERIALIZED (each is read twice: by its
+    * normalizer and by the next half-round). */
+  private def hitsOracleSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""ar$i AS MATERIALIZED (SELECT n.node, COALESCE(s.x, CAST(0 AS DOUBLE)) AS x
+            FROM nodes n LEFT JOIN
+              (SELECT e.dst AS node, SUM(h.hub * e.w) AS x
+               FROM edges e JOIN hub${i - 1} h ON h.node = e.src
+               GROUP BY e.dst) s ON s.node = n.node),
+          auth$i AS MATERIALIZED (SELECT node,
+              x / (SELECT SUM(x) FROM ar$i) AS auth FROM ar$i),
+          hr$i AS MATERIALIZED (SELECT n.node, COALESCE(s.x, CAST(0 AS DOUBLE)) AS x
+            FROM nodes n LEFT JOIN
+              (SELECT e.src AS node, SUM(a.auth * e.w) AS x
+               FROM edges e JOIN auth$i a ON a.node = e.dst
+               GROUP BY e.src) s ON s.node = n.node),
+          hub$i AS MATERIALIZED (SELECT node,
+              x / (SELECT SUM(x) FROM hr$i) AS hub FROM hr$i)"""
+    }.mkString(",\n")
+    s"""WITH ${graft.ops.LinkGraph.linksCteSql},
+        edges AS MATERIALIZED (SELECT
+            ${graft.ops.WebOps.canonUrlSqlOf("src_url")} AS src,
+            dst_url AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+          FROM lnk GROUP BY 1, 2),
+        nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+        hub0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes),
+        $iterCtes
+        SELECT n.node AS page, ROUND(h.hub, 6) AS hub,
+               ROUND(a.auth, 6) AS authority
+        FROM nodes n JOIN hub$iters h ON h.node = n.node
+        JOIN auth$iters a ON a.node = n.node"""
+  }
+
   private def pageRankOracleSql(iters: Int, weighted: Boolean): String = {
     val w = if (weighted) "COUNT(*)" else "1"
     val iterCtes = (1 to iters).map { i =>
@@ -1817,40 +1968,30 @@ object SparkEntry {
     // mirrored from the query: n=3, k=16, bands=4 (r=4), maxBucket=1000,
     // threshold 0.8 on the raw jaccard)
     "dedup_minhash" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-                       WHERE len(string_split(text, ' ')) >= 3),
-          pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks),
-          sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM pos),
-          hh AS (SELECT doc_id,
-                   ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 576460752303423433 AS h1,
-                   ('0x' || substr(md5(shingle), 17, 15))::BIGINT % 576460752303423433 AS h2
-                 FROM sh),
-          hs AS (SELECT doc_id, i AS hi,
-                   MIN((h1 + i * h2) % 576460752303423433) AS mh
-                 FROM hh, (SELECT unnest(range(16)) AS i) GROUP BY doc_id, hi),
-          sig AS (SELECT doc_id, array_agg(CAST(mh AS VARCHAR) ORDER BY hi) AS mhs
-                  FROM hs GROUP BY doc_id),
-          bands AS (SELECT doc_id, b,
-                      array_to_string(mhs[b*4+1 : b*4+4], '|') AS bucket
-                    FROM sig, (SELECT unnest(range(4)) AS b)),
-          pop AS (SELECT b, bucket, COUNT(*) AS n FROM bands GROUP BY b, bucket),
-          cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-                   FROM bands l
-                   JOIN bands r ON l.b = r.b AND l.bucket = r.bucket
-                     AND l.doc_id < r.doc_id
-                   JOIN pop p ON p.b = l.b AND p.bucket = l.bucket AND p.n <= 1000),
-          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-                    FROM sh a
-                    JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                    JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
-                    GROUP BY 1, 2),
-          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+      s"""WITH $minhashCtes
           SELECT doc_a, doc_b,
                  ROUND(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
           FROM inter
           JOIN sizes sa ON sa.doc_id = doc_a
           JOIN sizes sb ON sb.doc_id = doc_b
           WHERE n_common / (sa.n + sb.n - n_common) >= 0.8""",
+
+    // the MinHash pair set (same CTEs as dedup_minhash) closed into
+    // clusters by recursive min-label reachability — the kg_components
+    // oracle shape over dup pairs
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE $minhashCtes,
+          prs AS (SELECT doc_a, doc_b FROM inter
+                  JOIN sizes sa ON sa.doc_id = doc_a
+                  JOIN sizes sb ON sb.doc_id = doc_b
+                  WHERE n_common / (sa.n + sb.n - n_common) >= 0.8),
+          und AS (SELECT doc_a AS a, doc_b AS b FROM prs
+                  UNION SELECT doc_b, doc_a FROM prs),
+          reach(a, b) AS (SELECT a, b FROM und
+                          UNION
+                          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+          SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster
+          FROM reach GROUP BY a""",
 
     // full independent recomputation of the 64-bit simhash (per-token rolling
     // fingerprint → per-bit majority vote → signature) + ALL-PAIRS hamming ≤ 3
@@ -2298,6 +2439,44 @@ object SparkEntry {
     // WARC serialize→parse→extract must reproduce the table exactly
     "warc_extract" ->
       "SELECT 'doc://' || doc_id AS url, text FROM documents",
+
+    // HTML rebuilt by the synthesis twin, then DuckDB's own
+    // regexp_extract_all over the SAME pattern + the same resolve/canon
+    // expressions — cross-checks the whole extraction leg
+    "web_links" ->
+      s"""WITH ${graft.ops.LinkGraph.linksCteSql}
+          SELECT src_url, href, anchor, dst_url FROM lnk""",
+
+    "web_host_graph" ->
+      s"""WITH ${graft.ops.LinkGraph.linksCteSql},
+          hosts AS (SELECT ${graft.ops.WebOps.canonHostSqlOf("src_url")} AS src_host,
+                           ${graft.ops.WebOps.canonHostSqlOf("dst_url")} AS dst_host
+                    FROM lnk)
+          SELECT src_host, dst_host, COUNT(*) AS n_links
+          FROM hosts WHERE src_host <> dst_host GROUP BY 1, 2""",
+
+    "web_anchor_text" ->
+      s"""WITH ${graft.ops.LinkGraph.linksCteSql},
+          cnt AS (SELECT dst_url, anchor, COUNT(*) AS n FROM lnk GROUP BY 1, 2),
+          r AS (SELECT dst_url, anchor, n,
+                  ROW_NUMBER() OVER (PARTITION BY dst_url
+                                     ORDER BY n DESC, anchor) AS rank
+                FROM cnt)
+          SELECT dst_url, anchor, n, CAST(rank AS INT) AS rank
+          FROM r WHERE rank <= 3""",
+
+    "web_pagerank" -> pageRankDirectedOracleSql(iters = 5),
+
+    "web_hits" -> hitsOracleSql(iters = 5),
+
+    "web_domain_quota" ->
+      s"""WITH ${graft.ops.WebOps.canonCteSql},
+          r AS (SELECT doc_id, host, canon_url,
+                  ROW_NUMBER() OVER (PARTITION BY host
+                    ORDER BY ('0x' || substr(md5(canon_url), 1, 15))::BIGINT,
+                             doc_id) AS rn
+                FROM canon)
+          SELECT doc_id, host, canon_url FROM r WHERE rn <= 50""",
 
     "kg_labelprop" -> labelPropOracleSql(iters = 4),
 

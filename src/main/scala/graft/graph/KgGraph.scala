@@ -286,6 +286,93 @@ object KgGraph {
     pr.select(col("node").as("class_iri"), round(col("pr"), 6).as("pagerank"))
   }
 
+  /** DIRECTED weighted PageRank — the web-link-graph form (Page/Brin 1998):
+    * rank flows along edge direction, a node's outgoing mass splits in
+    * proportion to `n_links` edge weight, and DANGLING nodes (no outgoing
+    * edges — crawl frontier leaves, PDFs, …) donate their whole mass
+    * uniformly to every node each round, keeping total rank = 1. The
+    * undirected [[pageRankWeighted]] never needs this (symmetrized edges
+    * give every node an out-side); a real link graph is mostly dangling at
+    * the frontier, so the correction is load-bearing here.
+    *
+    * Scale shape: per round, the dangling sum is a 1-ROW in-plan aggregate
+    * (anti-join against the out-weight table, then `sum`) cross-joined back
+    * as a broadcast — no driver collect, no per-round action; contributions
+    * are one join + one hash aggregation exactly like the undirected loop,
+    * with the same [[truncate]] lineage policy. Node set = src ∪ dst of the
+    * edge list. Same fixed-iteration determinism + 6dp contract; the oracle
+    * unrolls the same rounds including the per-round dangling scalar. */
+  def pageRankDirected(edges: DataFrame, iters: Int = 5,
+                       damping: Double = 0.85): DataFrame = {
+    val e = pin(edges.select(col("src").as("a"), col("dst").as("b"),
+      col("n_links").cast("double").as("w")))
+    val outw = pin(e.groupBy("a").agg(sum(col("w")).as("s")))
+    val ew = pin(e.join(outw, "a")) // (a, b, w, s) reused per iter
+    val nodes = pin(e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node"))).distinct())
+    val n = nodes.count()
+    var pr = nodes.withColumn("pr", lit(1.0 / n))
+    for (i <- 1 to iters) {
+      val dangling = pr.join(outw, pr("node") === outw("a"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
+      val contrib = ew.join(pr, ew("a") === pr("node"))
+        .select(col("b").as("node"),
+          (col("pr") * col("w") / col("s")).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("c"))
+      pr = truncate(
+        nodes.join(contrib, Seq("node"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(col("node"),
+            (lit((1.0 - damping) / n) + lit(damping) *
+              (coalesce(col("c"), lit(0.0)) + col("dm") / n)).as("pr")),
+        i)
+    }
+    pr.select(col("node").as("page"), round(col("pr"), 6).as("pagerank"))
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999) over a directed weighted edge
+    * list — the link-graph complement to [[pageRankDirected]]: authorities
+    * are pages many good hubs point AT, hubs are pages that point at many
+    * good authorities. Per round: auth = Σ_in w·hub then L1-normalize, hub
+    * = Σ_out w·auth then L1-normalize (L1 rather than the textbook L2 so
+    * the normalizer is a plain SUM — exactly reproducible in the unrolled
+    * SQL oracle; the ranking is identical, only the scale factor differs).
+    *
+    * Scale shape per round: two join+agg passes over the edge list (same
+    * cost as one PageRank round ×2) plus two 1-row L1 aggregates broadcast
+    * back — no driver action, same [[truncate]] lineage policy. Fixed
+    * iterations, 6dp contract. */
+  def hits(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val e = pin(edges.select(col("src"), col("dst"),
+      col("n_links").cast("double").as("w")))
+    val nodes = pin(e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct())
+    def step(from: DataFrame, score: String, joinOn: String, out: String,
+             i: Int): DataFrame = {
+      // truncate BEFORE the normalizer so the join+agg runs once per round
+      // (the 1-row L1 sum and the divide both read the materialized raw)
+      val raw = truncate(nodes.join(
+        e.join(from, e(joinOn) === from("node"))
+          .groupBy(e(out).as("n")).agg(sum(col(score) * col("w")).as("x")),
+        nodes("node") === col("n"), "left")
+        .select(col("node"), coalesce(col("x"), lit(0.0)).as("x")), i)
+      val norm = raw.agg(sum(col("x")).as("s"))
+      raw.crossJoin(broadcast(norm))
+        .select(col("node"), (col("x") / col("s")).as(score))
+    }
+    var hub = nodes.withColumn("hub", lit(1.0))
+    var auth: DataFrame = null
+    for (i <- 1 to iters) {
+      auth = step(hub.select(col("node"), col("hub").as("auth")),
+        "auth", "src", "dst", i)
+      hub = step(auth.select(col("node"), col("auth").as("hub")),
+        "hub", "dst", "src", i)
+    }
+    nodes.join(hub, "node").join(auth, "node")
+      .select(col("node").as("page"), round(col("hub"), 6).as("hub"),
+        round(col("auth"), 6).as("authority"))
+  }
+
   /** Connected components by the ALTERNATING LARGE-STAR / SMALL-STAR
     * contraction (Kiveris et al. 2014, "Connected Components in MapReduce
     * and Beyond"): O(log² n) rounds on ANY graph shape — a path graph of

@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hyperlink-graph construction over a Common-Crawl-style page table — the
+  * web-native leg of KG construction: extract `<a href>` edges from the raw
+  * HTML, resolve relative links against the source page, canonicalize both
+  * endpoints with [[WebOps.canonicalUrl]], then aggregate to a host-level
+  * graph, a directed page-level PageRank input, and a per-target anchor-text
+  * table (the classic entity-linking / page-title signal: what OTHER pages
+  * call this page).
+  *
+  * Everything is map-only column expressions until the aggregations — the
+  * extraction itself is `regexp_extract_all` + `posexplode`, whole-stage
+  * codegen'd, no UDF — and every regex lives in the Java∩RE2-identical
+  * subset so the DuckDB oracle runs the same pattern verbatim.
+  *
+  * The driver corpus carries no HTML, so [[syntheticHtml]] wraps each doc's
+  * text with a deterministic trailer of 0–3 anchor tags (targets derived
+  * from `doc_id` arithmetic, mirrored literally in the oracle SQL — same
+  * single-source-of-truth discipline as [[WebOps.syntheticUrl]]). Link 3 is
+  * emitted host-RELATIVE (`/p/NN`) so the resolution leg is genuinely
+  * exercised; docs with `doc_id % 4 == 0` get no links, so the no-match
+  * explode leg and PageRank's dangling-mass leg are exercised too.
+  */
+object LinkGraph {
+
+  /** The anchor-tag pattern — group 1 = href, group 2 = anchor text. No
+    * lookaround/backrefs (Java∩RE2 subset): the oracle runs it verbatim. */
+  val LinkRe = "<a href=\"([^\"]*)\">([^<]*)</a>"
+
+  // ---- deterministic page synthesis (single source of truth w/ oracle) ---
+
+  /** Link target id for slot `j` (1-based) of `docId`: spread over 0..96 so
+    * targets cover all host/path/query congruence classes. */
+  private def targetId(docId: Column, j: Column): Column =
+    (docId * 13 + j.cast("long") * 7) % 97
+
+  /** Deterministic HTML page: the doc text plus `doc_id % 4` anchor tags.
+    * Slot 3's href is host-relative (`/p/NN`); slots 1–2 are absolute
+    * [[WebOps.syntheticUrl]]s. */
+  def syntheticHtml(docId: Column, text: Column): Column = {
+    val all = transform(sequence(lit(1), lit(3)), j => {
+      val t = targetId(docId, j)
+      val href = when(j === 3, concat(lit("/p/"), (t % 40).cast("string")))
+        .otherwise(WebOps.syntheticUrl(t))
+      concat(lit("<a href=\""), href, lit("\">see "),
+        (t % 40).cast("string"), lit("</a>"))
+    })
+    concat(lit("<html><body><p>"), text, lit("</p>"),
+      array_join(slice(all, lit(1), (docId % 4).cast("int")), ""),
+      lit("</body></html>"))
+  }
+
+  /** docs → the canonical page shape `(doc_id, url, html)`. */
+  def pages(docs: DataFrame): DataFrame =
+    WebOps.withUrls(docs).select(col("doc_id"), col("url"),
+      syntheticHtml(col("doc_id"), col("text")).as("html"))
+
+  // ---- extraction --------------------------------------------------------
+
+  /** Resolve an href against its source page: host-relative (`/...`) hrefs
+    * get the source's canonical host + https scheme; absolute hrefs pass
+    * through. (Protocol-relative and path-relative forms don't occur in the
+    * synthesis; a crawl ingest would extend this CASE, same shape.) */
+  def resolveHref(srcUrl: Column, href: Column): Column =
+    when(href.startsWith("/"),
+      concat(lit("https://"), WebOps.canonicalHost(srcUrl), href))
+      .otherwise(href)
+
+  /** The link table: one row per anchor tag —
+    * `(src_url, href, anchor, dst_url)` with `dst_url` resolved +
+    * canonicalized. Pure map-side explode over the page scan (zero
+    * shuffles); at 10^12 pages this runs as wide as the corpus scan. */
+  def links(pages: DataFrame): DataFrame = {
+    val hrefs = regexp_extract_all(col("html"), lit(LinkRe), lit(1))
+    val anchors = regexp_extract_all(col("html"), lit(LinkRe), lit(2))
+    pages
+      .select(col("url").as("src_url"), posexplode(hrefs).as(Seq("i", "href")),
+        anchors.as("anchors"))
+      .select(col("src_url"), col("href"),
+        element_at(col("anchors"), col("i") + 1).as("anchor"),
+        WebOps.canonicalUrl(resolveHref(col("src_url"), col("href")))
+          .as("dst_url"))
+  }
+
+  /** Host-level link graph: `(src_host, dst_host, n_links)` over canonical
+    * hosts, intra-host links dropped (the usual host-graph convention —
+    * navigation chrome would otherwise dominate). ONE hash aggregation on
+    * short host-pair keys; no page bytes in the shuffle. */
+  def hostGraph(links: DataFrame): DataFrame =
+    links
+      .select(WebOps.canonicalHost(col("src_url")).as("src_host"),
+        WebOps.canonicalHost(col("dst_url")).as("dst_host"))
+      .filter(col("src_host") =!= col("dst_host"))
+      .groupBy("src_host", "dst_host")
+      .agg(count(lit(1)).as("n_links"))
+
+  /** Directed page-level edge list `(src, dst, n_links)` on canonical URLs
+    * — the [[graft.graph.KgGraph.pageRankDirected]] input. Self-edges kept:
+    * a page linking to itself is real rank flow, and PR handles it. */
+  def pageEdges(links: DataFrame): DataFrame =
+    links
+      .select(WebOps.canonicalUrl(col("src_url")).as("src"),
+        col("dst_url").as("dst"))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("n_links"))
+
+  /** Per-target anchor-text table: the `topK` most frequent anchor strings
+    * pointing at each canonical URL (count desc, anchor asc — fully
+    * deterministic). The window partitions by dst_url (millions of keys at
+    * crawl scale — no single-partition window), after a count aggregation
+    * that partial-aggregates map-side, so hot targets (home pages) cost one
+    * combine, not one task. */
+  def anchorText(links: DataFrame, topK: Int = 3): DataFrame = {
+    val counts = links.groupBy(col("dst_url"), col("anchor"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("dst_url").orderBy(col("n").desc, col("anchor"))))
+      .filter(col("rank") <= topK)
+  }
+
+  // ---- oracle-SQL builders (same constants/regexes as the Column code) ---
+
+  /** CTE chain `pages(doc_id, url, html)` — the synthesis twin (string_agg
+    * ordered by slot; LEFT JOIN keeps the zero-link docs). */
+  def pagesCteSql: String =
+    s"""urls AS (SELECT doc_id, text, ${WebOps.urlSqlExpr} AS url FROM documents),
+        slots AS (SELECT doc_id, j, (doc_id * 13 + j * 7) % 97 AS t
+                  FROM documents, (SELECT unnest(generate_series(1, 3)) AS j)
+                  WHERE j <= doc_id % 4),
+        atags AS (SELECT doc_id, j,
+            '<a href="'
+            || CASE WHEN j = 3 THEN '/p/' || CAST(t % 40 AS VARCHAR)
+                    ELSE ${WebOps.urlSqlExprOf("t")} END
+            || '">see ' || CAST(t % 40 AS VARCHAR) || '</a>' AS a
+          FROM slots),
+        pages AS (SELECT u.doc_id, u.url,
+            '<html><body><p>' || u.text || '</p>' || COALESCE(t.links, '')
+              || '</body></html>' AS html
+          FROM urls u LEFT JOIN (SELECT doc_id, string_agg(a, '' ORDER BY j)
+                                 AS links FROM atags GROUP BY doc_id) t
+            USING (doc_id))"""
+
+  /** CTE chain `... , lnk(src_url, href, anchor, dst_url)` — the extraction
+    * twin: DuckDB's regexp_extract_all over the SAME pattern, then the same
+    * resolve + canonicalize expressions. */
+  def linksCteSql: String = {
+    val resolved = s"""CASE WHEN starts_with(href, '/')
+          THEN 'https://' || ${WebOps.canonHostSqlOf("src_url")} || href
+          ELSE href END"""
+    s"""$pagesCteSql,
+        ext AS (SELECT doc_id, url,
+            regexp_extract_all(html, '$LinkRe', 1) AS hrefs,
+            regexp_extract_all(html, '$LinkRe', 2) AS anchs
+          FROM pages),
+        idx AS (SELECT doc_id, url, hrefs, anchs,
+            unnest(generate_series(1, len(hrefs))) AS i FROM ext),
+        raw AS (SELECT url AS src_url, hrefs[i] AS href, anchs[i] AS anchor
+                FROM idx),
+        lnk AS (SELECT src_url, href, anchor,
+                  ${WebOps.canonUrlSqlOf(resolved)} AS dst_url FROM raw)"""
+  }
+}

@@ -37,6 +37,14 @@ object Sketch {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Scalar twin of [[hash60]] (specs + driver-side tooling). */
+  def hash60Scalar(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(
+      d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
   private val Two60: Double = math.pow(2, 60)
 
   /** Bounded bottom-k distinct-hash aggregator. Buffer = sorted array of

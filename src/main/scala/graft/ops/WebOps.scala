@@ -79,17 +79,39 @@ object WebOps {
 
   // ---- oracle-SQL builders (same constants/regexes as the Column code) ---
 
-  /** DuckDB SQL expression for [[syntheticUrl]] over a `doc_id` column. */
-  def urlSqlExpr: String = {
+  /** DuckDB SQL expression for [[syntheticUrl]] over any integer-typed SQL
+    * expression `id` (parameterized so [[LinkGraph]]'s synthetic link
+    * targets reuse the same single source of truth). */
+  def urlSqlExprOf(id: String): String = {
     val doms = Domains.map(d => s"'$d'").mkString(", ")
-    s"""'https://' || ([$doms])[CAST(doc_id % 7 AS INT) + 1]
-        || '/p/' || CAST(doc_id % 40 AS VARCHAR)
-        || CASE WHEN doc_id % 3 = 0
-                THEN '?utm_source=feed&id=' || CAST(doc_id % 40 AS VARCHAR)
-                WHEN doc_id % 3 = 1
-                THEN '?ref=x&id=' || CAST(doc_id % 40 AS VARCHAR)
+    s"""'https://' || ([$doms])[CAST(($id) % 7 AS INT) + 1]
+        || '/p/' || CAST(($id) % 40 AS VARCHAR)
+        || CASE WHEN ($id) % 3 = 0
+                THEN '?utm_source=feed&id=' || CAST(($id) % 40 AS VARCHAR)
+                WHEN ($id) % 3 = 1
+                THEN '?ref=x&id=' || CAST(($id) % 40 AS VARCHAR)
                 ELSE '' END
-        || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END"""
+        || CASE WHEN ($id) % 5 = 0 THEN '#frag' ELSE '' END"""
+  }
+
+  /** DuckDB SQL expression for [[syntheticUrl]] over a `doc_id` column. */
+  def urlSqlExpr: String = urlSqlExprOf("doc_id")
+
+  /** DuckDB SQL expression for [[canonicalHost]] over any URL-typed SQL
+    * expression `u`. */
+  def canonHostSqlOf(u: String): String =
+    s"regexp_replace(lower(regexp_extract($u, '$HostRe', 1)), '$WwwRe', '')"
+
+  /** DuckDB SQL expression for [[canonicalUrl]] over any URL-typed SQL
+    * expression `u` (same regex constants; the empty-vs-missing-query
+    * collapse mirrors canonCteSql's CASE). */
+  def canonUrlSqlOf(u: String): String = {
+    val q = s"""array_to_string(list_sort(list_filter(
+          string_split(regexp_extract($u, '$QueryRe', 1), '&'),
+          p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&')"""
+    s"""'https://' || ${canonHostSqlOf(u)}
+        || regexp_replace(regexp_extract($u, '$PathRe', 1), '$TrailSlashRe', '')
+        || CASE WHEN length($q) > 0 THEN '?' || $q ELSE '' END"""
   }
 
   /** DuckDB CTE chain `urls` → `canon(doc_id, n_chars, url, host,
@@ -139,6 +161,29 @@ object WebOps {
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("canon_url")).as("n_pages"),
         sum(col("n_chars")).as("sum_chars"))
+
+  /** Per-domain page quota (the training-data domain-mix cap: no host may
+    * contribute more than `quota` pages — C4/Gopher-style source balancing
+    * so boilerplate farms don't dominate the corpus). Selection within a
+    * host is by the portable md5-derived hash of the canonical URL
+    * (doc_id tie-break) — an unbiased, deterministic, cross-engine-
+    * reproducible choice, unlike "first N by id" (crawl order) or rng.
+    *
+    * Scale shape: one window partitioned by HOST (millions of partitions at
+    * crawl scale — parallel; no global window). A pathological single host
+    * funnels only ITS rows through one task; with per-host row counts far
+    * above memory, the two-phase variant (per-host count agg → hash
+    * threshold ≈ quota/count → exact top-up) replaces the sort — the cap
+    * here is the correctness contract either way. */
+  def domainQuota(docs: DataFrame, quota: Int): DataFrame = {
+    val ranked = canonicalize(docs)
+      .withColumn("host", canonicalHost(col("url")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("host"))
+          .orderBy(Sketch.hash60(col("canon_url")), col("doc_id"))))
+    ranked.filter(col("rn") <= quota)
+      .select(col("doc_id"), col("host"), col("canon_url"))
+  }
 
   /** C4-style repeated-passage removal (Raffel et al. 2020 drop duplicate
     * three-sentence spans corpus-wide, keeping one occurrence; Lee et al.

@@ -182,6 +182,99 @@ class KgGraphSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-3)
   }
 
+  test("directed pageRank: dangling mass redistributed, total rank stays 1") {
+    import spark.implicits._
+    // A→B, A→C, B→C; C is DANGLING (no out-edges) — without the dangling
+    // correction total rank leaks toward (1-d) each round
+    val edges = Seq(("A", "B", 1L), ("A", "C", 1L), ("B", "C", 2L))
+    val got = KgGraph.pageRankDirected(edges.toDF("src", "dst", "n_links"),
+        iters = 5).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(got.keySet === Set("A", "B", "C"))
+    assert(math.abs(got.values.sum - 1.0) < 1e-3)
+    // C receives from both A (1/2 of its mass) and B (all of it) — strictly
+    // the largest; A only receives the uniform dangling/teleport share
+    assert(got("C") > got("B") && got("B") > got("A"))
+  }
+
+  test("directed pageRank == scalar reference on a seeded random digraph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val n = 30
+    val names = (0 until n).map(i => f"D$i%02d")
+    val edges = (0 until 3 * n).flatMap { _ =>
+      val a = names(rnd.nextInt(n)); val b = names(rnd.nextInt(n))
+      if (a != b) Some((a, b)) else None // directed: keep both orientations
+    }.distinct.map { case (a, b) => (a, b, 1L + rnd.nextInt(5)) }
+    val got = KgGraph.pageRankDirected(edges.toDF("src", "dst", "n_links"),
+        iters = 5).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    val outw = edges.groupBy(_._1).view.mapValues(_.map(_._3.toDouble).sum).toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val nv = nodes.size
+    var pr = nodes.map(_ -> 1.0 / nv).toMap
+    (1 to 5).foreach { _ =>
+      val dm = nodes.filterNot(outw.contains).map(pr).sum
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map { case (a, _, w) => pr(a) * w / outw(a) }.sum).toMap
+      pr = nodes.map(nd => nd ->
+        (0.15 / nv + 0.85 * (contrib.getOrElse(nd, 0.0) + dm / nv))).toMap
+    }
+    assert(got.keySet === pr.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - pr(k)) < 1e-6, s"$k: $v vs ${pr(k)}")
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-3)
+  }
+
+  test("hits: star graph — center is the authority, leaves are the hubs") {
+    import spark.implicits._
+    // three pages all pointing at one target; one leaf also points at a minor page
+    val edges = Seq(("L1", "T", 1L), ("L2", "T", 1L), ("L3", "T", 1L),
+      ("L1", "M", 1L))
+    val got = KgGraph.hits(edges.toDF("src", "dst", "n_links"), iters = 5)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toList
+    val auth = got.map(r => r._1 -> r._3).toMap
+    val hub = got.map(r => r._1 -> r._2).toMap
+    assert(auth("T") > auth("M") && auth("M") > auth("L2"))
+    assert(auth("L2") === 0.0) // nothing points at a leaf
+    assert(hub("L1") > hub("L2")) // L1 points at both targets
+    assert(hub("T") === 0.0) // T points at nothing
+    // L1 normalization: each score vector sums to 1
+    assert(math.abs(got.map(_._2).sum - 1.0) < 1e-3)
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-3)
+  }
+
+  test("hits == scalar reference on a seeded random digraph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val n = 25
+    val names = (0 until n).map(i => f"H$i%02d")
+    val edges = (0 until 3 * n).flatMap { _ =>
+      val a = names(rnd.nextInt(n)); val b = names(rnd.nextInt(n))
+      if (a != b) Some((a, b)) else None
+    }.distinct.map { case (a, b) => (a, b, 1L + rnd.nextInt(5)) }
+    val got = KgGraph.hits(edges.toDF("src", "dst", "n_links"), iters = 5)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toList
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    var hubS = nodes.map(_ -> 1.0).toMap
+    var authS = Map.empty[String, Double]
+    (1 to 5).foreach { _ =>
+      val ar = nodes.map(v => v ->
+        edges.filter(_._2 == v).map { case (a, _, w) => hubS(a) * w }.sum).toMap
+      val as = ar.values.sum
+      authS = ar.view.mapValues(_ / as).toMap
+      val hr = nodes.map(v => v ->
+        edges.filter(_._1 == v).map { case (_, b, w) => authS(b) * w }.sum).toMap
+      val hs = hr.values.sum
+      hubS = hr.view.mapValues(_ / hs).toMap
+    }
+    got.foreach { case (k, h, a) =>
+      assert(math.abs(h - hubS(k)) < 1e-6, s"hub $k: $h vs ${hubS(k)}")
+      assert(math.abs(a - authS(k)) < 1e-6, s"auth $k: $a vs ${authS(k)}")
+    }
+  }
+
   test("weighted pageRank == scalar reference on a seeded random weighted graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.LinkGraph
+
+/** Hyperlink extraction: anchor-tag parsing from crafted HTML, relative-href
+  * resolution, canonicalization of the target, host-graph conventions, and
+  * the anchor-text ranking contract. */
+class LinkGraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def pagesDf(rows: (String, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("url", "html")
+  }
+
+  test("extraction: hrefs + anchors, relative resolution, canonicalized targets") {
+    val pages = pagesDf(
+      ("https://www.Site.org/a/",
+        """<html><body><p>x</p><a href="https://Other.net/p?utm_source=z&id=3">first</a><a href="/p/7">second</a></body></html>"""),
+      ("https://plain.org/none", "<html><body><p>no links</p></body></html>"))
+    val got = LinkGraph.links(pages).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(got === Set(
+      // absolute href: host lowercased, utm_ param dropped, id kept
+      ("https://www.Site.org/a/", "https://Other.net/p?utm_source=z&id=3",
+        "first", "https://other.net/p?id=3"),
+      // relative href: resolved against the SOURCE's canonical host (www. gone)
+      ("https://www.Site.org/a/", "/p/7", "second", "https://site.org/p/7")))
+    // the no-anchor page contributes no rows (covered by the exact set)
+  }
+
+  test("synthetic pages: link count is doc_id % 4; zero-link docs drop out") {
+    import spark.implicits._
+    val docs = (0L to 19L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val links = LinkGraph.links(LinkGraph.pages(docs))
+    assert(links.count() === (0L to 19L).map(_ % 4).sum)
+    // slot-3 links are host-relative, so their dst host == src canonical host
+    val rel = links.filter(col("href").startsWith("/"))
+      .select(graft.ops.WebOps.canonicalHost(col("src_url")).as("sh"),
+        graft.ops.WebOps.canonicalHost(col("dst_url")).as("dh"))
+      .collect()
+    assert(rel.nonEmpty && rel.forall(r => r.getString(0) === r.getString(1)))
+  }
+
+  test("hostGraph drops intra-host links and counts pairs") {
+    val pages = pagesDf(
+      ("https://a.org/1",
+        """<a href="https://a.org/2">self</a><a href="https://b.org/x">b1</a><a href="https://b.org/y">b2</a>"""))
+    val got = LinkGraph.hostGraph(LinkGraph.links(pages)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSet === Set(("a.org", "b.org", 2L)))
+  }
+
+  test("anchorText: top-k by count desc then anchor asc, rank bounded") {
+    val html = """<a href="https://t.org/p">alpha</a><a href="https://t.org/p">alpha</a>""" +
+      """<a href="https://t.org/p">beta</a><a href="https://t.org/p">aaa</a>""" +
+      """<a href="https://t.org/p">zzz</a>"""
+    val got = LinkGraph.anchorText(
+        LinkGraph.links(pagesDf(("https://s.org/", html))), topK = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getInt(3)))
+    // alpha(2) first; ties at 1 break alphabetically: aaa, beta; zzz cut
+    assert(got.toSeq === Seq(("alpha", 2L, 1), ("aaa", 1L, 2), ("beta", 1L, 3)))
+  }
+}

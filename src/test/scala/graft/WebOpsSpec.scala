@@ -83,4 +83,28 @@ class WebOpsSpec extends AnyFunSuite {
     assert(got === Map(1L -> "a b c d e f", 2L -> "x y z",
       3L -> "", 4L -> "", 5L -> "q q q"))
   }
+
+  test("domainQuota: cap enforced per host; selection is hash-deterministic") {
+    import org.apache.spark.sql.functions._
+    val docs = syntheticDocs(200)
+    val got = WebOps.domainQuota(docs, quota = 10)
+    // no host above quota, and ties on the hash resolved so reruns agree
+    val perHost = got.groupBy("host").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perHost.values.forall(_ <= 10))
+    assert(perHost.values.sum < 200) // the cap actually bit
+    val again = WebOps.domainQuota(docs, quota = 10).collect()
+      .map(_.getLong(0)).sorted
+    assert(again.toSeq === got.collect().map(_.getLong(0)).sorted.toSeq)
+    // selection = the quota smallest by (hash60(canon_url), doc_id) per host
+    val ranked = WebOps.canonicalize(docs)
+      .withColumn("host", WebOps.canonicalHost(col("url")))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3)))
+    val expect = ranked.groupBy(_._3).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy { case (id, cu, _) =>
+        (graft.ops.Sketch.hash60Scalar(cu), id) }.take(10).toSeq
+    }.map(_._1).sorted
+    assert(again.toSeq === expect)
+  }
 }
