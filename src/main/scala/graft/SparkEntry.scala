@@ -972,14 +972,6 @@ object SparkEntry {
           CASE WHEN d.pref THEN 'PREF' ELSE 'SYN' END AS match_type
           FROM documents, dict d
           WHERE regexp_matches(upper(text), '\b' || d.term || '\b'))"""
-  /** Unrolled fixed-iteration PageRank oracle: pr_i from pr_{i-1} as plain
-    * CTEs (recursive CTEs cannot aggregate per step, but a FIXED iteration
-    * count needs no recursion). All arithmetic forced to DOUBLE — DuckDB's
-    * bare `1.0` literal is DECIMAL, which would diverge from Spark's double
-    * semantics. 6dp rounding absorbs cross-engine float-sum ordering.
-    * ONE builder for both variants, mirroring the engine (pageRank ==
-    * pageRankWeighted at w = 1): contribution = pr·w/strength; unweighted
-    * w = 1.0 makes strength the degree and pr·1.0/s bit-identical to pr/d. */
   /** MinHash+LSH pipeline CTEs (signatures → banding → bucket cap →
     * candidates → exact shingle intersection + sizes) — shared by the
     * dedup_minhash oracle (jaccard select) and the dedup_cluster oracle
@@ -1082,12 +1074,19 @@ object SparkEntry {
           (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
         hub0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes),
         $iterCtes
-        SELECT n.node AS page, ROUND(h.hub, 6) AS hub,
+        SELECT h.node AS page, ROUND(h.hub, 6) AS hub,
                ROUND(a.auth, 6) AS authority
-        FROM nodes n JOIN hub$iters h ON h.node = n.node
-        JOIN auth$iters a ON a.node = n.node"""
+        FROM hub$iters h JOIN auth$iters a ON a.node = h.node"""
   }
 
+  /** Unrolled fixed-iteration PageRank oracle: pr_i from pr_{i-1} as plain
+    * CTEs (recursive CTEs cannot aggregate per step, but a FIXED iteration
+    * count needs no recursion). All arithmetic forced to DOUBLE — DuckDB's
+    * bare `1.0` literal is DECIMAL, which would diverge from Spark's double
+    * semantics. 6dp rounding absorbs cross-engine float-sum ordering.
+    * ONE builder for both variants, mirroring the engine (pageRank ==
+    * pageRankWeighted at w = 1): contribution = pr·w/strength; unweighted
+    * w = 1.0 makes strength the degree and pr·1.0/s bit-identical to pr/d. */
   private def pageRankOracleSql(iters: Int, weighted: Boolean): String = {
     val w = if (weighted) "COUNT(*)" else "1"
     val iterCtes = (1 to iters).map { i =>

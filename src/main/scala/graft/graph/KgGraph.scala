@@ -368,7 +368,9 @@ object KgGraph {
       hub = step(auth.select(col("node"), col("auth").as("hub")),
         "hub", "dst", "src", i)
     }
-    nodes.join(hub, "node").join(auth, "node")
+    // hub and auth are node-complete by construction (each round LEFT-joins
+    // from nodes) — joining them directly avoids a third node-sized join
+    hub.join(auth, "node")
       .select(col("node").as("page"), round(col("hub"), 6).as("hub"),
         round(col("auth"), 6).as("authority"))
   }
