@@ -208,7 +208,8 @@ object Bench {
     "q_pushdown_agg", "q_join_nation", "q_window_topk", "q_events_hourly",
     "text_quality", "text_fingerprint", "mm_features",
     "kg_cooccur", "kg_components", "kg_pagerank",
-    "q_asof_version", "sketch_distinct", "q_range_join", "kg_pmi")
+    "q_asof_version", "sketch_distinct", "q_range_join", "kg_pmi",
+    "web_links")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -930,6 +930,19 @@ object SparkEntry {
       graft.graph.KgGraph.pageRankDirected(
         LinkGraph.pageEdges(LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))))),
 
+    // crawl-snapshot merge: latest capture per canonical URL across two
+    // deterministic snapshots — one argmax hash aggregation (max(struct)),
+    // never a window
+    "web_crawl_merge" -> ((s, dir) =>
+      WebOps.crawlMerge(WebOps.crawlSnapshots(docsTable(s, dir)))),
+
+    // collective entity-linking disambiguation: ambiguous surfaces (LOOM
+    // labels living in two ontologies) resolved by co-occurrence votes
+    // from the doc's unambiguous annotations; most-frequent-sense prior,
+    // then class_iri, break ties
+    "ann_disambiguate" -> ((s, dir) =>
+      graft.annotate.Disambiguate.collective(matches(s, dir))),
+
     // HITS hubs/authorities over the same directed page graph (L1-normalized
     // per half-round; the oracle unrolls both halves of all 5 rounds)
     "web_hits" -> ((s, dir) =>
@@ -2467,6 +2480,57 @@ object SparkEntry {
     "web_pagerank" -> pageRankDirectedOracleSql(iters = 5),
 
     "web_hits" -> hitsOracleSql(iters = 5),
+
+    "web_crawl_merge" ->
+      s"""WITH s1 AS (SELECT doc_id, ${graft.ops.WebOps.urlSqlExpr} AS url,
+              1 AS snapshot, 1700000000 + doc_id * 60 AS fetch_epoch
+            FROM documents),
+          snaps AS (SELECT * FROM s1 UNION ALL
+            SELECT doc_id, url, 2 AS snapshot, fetch_epoch + 604800
+            FROM s1 WHERE doc_id % 3 = 0),
+          c AS (SELECT ${graft.ops.WebOps.canonUrlSqlOf("url")} AS canon_url,
+                  doc_id, snapshot, fetch_epoch FROM snaps),
+          r AS (SELECT canon_url, doc_id, snapshot, fetch_epoch,
+                  ROW_NUMBER() OVER (PARTITION BY canon_url
+                    ORDER BY fetch_epoch DESC, snapshot DESC, doc_id DESC) AS rn,
+                  COUNT(*) OVER (PARTITION BY canon_url) AS n_captures
+                FROM c)
+          SELECT canon_url, n_captures, fetch_epoch AS last_epoch,
+                 snapshot AS last_snapshot, doc_id AS keep_doc
+          FROM r WHERE rn = 1""",
+
+    // the full coherence-vote recomputation: per-(url,surface) candidate
+    // sets, unambiguous context, cooc votes, sense prior, deterministic
+    // tie-break — the window's ORDER BY IS the engine's min(struct(...))
+    "ann_disambiguate" ->
+      s"""WITH $dictCte,
+          dwt AS (SELECT DISTINCT 'doc://' || doc_id AS url, d.term, d.class_iri
+                  FROM documents, dict d
+                  WHERE regexp_matches(upper(text), '\\b' || d.term || '\\b')),
+          card AS (SELECT url, term, COUNT(DISTINCT class_iri) AS nc
+                   FROM dwt GROUP BY 1, 2),
+          unamb AS (SELECT DISTINCT w.url, w.class_iri
+                    FROM dwt w JOIN card c USING (url, term) WHERE c.nc = 1),
+          amb AS (SELECT w.url, w.term, w.class_iri AS cand
+                  FROM dwt w JOIN card c USING (url, term) WHERE c.nc > 1),
+          cooc AS (SELECT a.class_iri AS src, b.class_iri AS dst,
+                          COUNT(*) AS n_docs
+                   FROM unamb a JOIN unamb b
+                     ON a.url = b.url AND a.class_iri < b.class_iri
+                   GROUP BY 1, 2),
+          prior AS (SELECT class_iri, COUNT(*) AS p FROM unamb GROUP BY 1),
+          sc AS (SELECT m.url, m.term, m.cand, COALESCE(SUM(k.n_docs), 0) AS score
+                 FROM amb m
+                 LEFT JOIN unamb u ON u.url = m.url AND u.class_iri <> m.cand
+                 LEFT JOIN cooc k ON k.src = LEAST(m.cand, u.class_iri)
+                   AND k.dst = GREATEST(m.cand, u.class_iri)
+                 GROUP BY 1, 2, 3),
+          r AS (SELECT sc.url, sc.term, sc.cand, sc.score,
+                  ROW_NUMBER() OVER (PARTITION BY sc.url, sc.term
+                    ORDER BY sc.score DESC, COALESCE(p.p, 0) DESC, sc.cand) AS rn
+                FROM sc LEFT JOIN prior p ON p.class_iri = sc.cand)
+          SELECT url, term, cand AS class_iri, CAST(score AS BIGINT) AS score
+          FROM r WHERE rn = 1""",
 
     "web_domain_quota" ->
       s"""WITH ${graft.ops.WebOps.canonCteSql},

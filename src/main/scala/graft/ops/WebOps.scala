@@ -162,6 +162,37 @@ object WebOps {
         countDistinct(col("canon_url")).as("n_pages"),
         sum(col("n_chars")).as("sum_chars"))
 
+  /** Two deterministic crawl snapshots for [[crawlMerge]]: snapshot 1 is
+    * every doc fetched at `1700000000 + doc_id·60`; snapshot 2 re-crawls
+    * every third doc one week later. Epochs are plain BIGINTs (the WARC
+    * reader owns real timestamp handling; the merge logic is ordering). */
+  def crawlSnapshots(docs: DataFrame): DataFrame = {
+    val s1 = withUrls(docs).select(col("doc_id"), col("url"),
+      lit(1).as("snapshot"),
+      (lit(1700000000L) + col("doc_id") * 60).as("fetch_epoch"))
+    s1.unionAll(s1.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("url"), lit(2).as("snapshot"),
+        (col("fetch_epoch") + 604800L).as("fetch_epoch")))
+  }
+
+  /** Crawl-snapshot merge (the CDX-index dedup shape): across all captures
+    * of a canonical URL keep the LATEST fetch (epoch desc, snapshot desc,
+    * doc_id desc — total order, so the winner is unique), with the capture
+    * count. ONE hash aggregation via `max(struct(...))` — an argmax that
+    * partial-aggregates map-side, unlike a row_number window, so a URL
+    * captured in thousands of snapshots costs one combine tree, and the
+    * shuffle carries one short row per (partition, canonical URL). */
+  def crawlMerge(snapshots: DataFrame): DataFrame =
+    snapshots
+      .groupBy(canonicalUrl(col("url")).as("canon_url"))
+      .agg(count(lit(1)).as("n_captures"),
+        max(struct(col("fetch_epoch"), col("snapshot"), col("doc_id")))
+          .as("k"))
+      .select(col("canon_url"), col("n_captures"),
+        col("k.fetch_epoch").as("last_epoch"),
+        col("k.snapshot").as("last_snapshot"),
+        col("k.doc_id").as("keep_doc"))
+
   /** Per-domain page quota (the training-data domain-mix cap: no host may
     * contribute more than `quota` pages — C4/Gopher-style source balancing
     * so boilerplate farms don't dominate the corpus). Selection within a

@@ -107,4 +107,22 @@ class WebOpsSpec extends AnyFunSuite {
     }.map(_._1).sorted
     assert(again.toSeq === expect)
   }
+
+  test("crawlMerge: latest capture per canonical URL wins; captures counted") {
+    import spark.implicits._
+    val snaps = Seq(
+      // two raw spellings of the same canonical URL across two snapshots
+      (1L, "https://www.a.org/p/1", 1, 100L),
+      (2L, "https://A.ORG/p/1", 1, 200L),
+      (1L, "https://www.a.org/p/1", 2, 900L), // the winner
+      // a URL captured once
+      (3L, "https://b.org/x", 1, 50L))
+      .toDF("doc_id", "url", "snapshot", "fetch_epoch")
+    val got = WebOps.crawlMerge(snaps).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4))).toMap
+    assert(got === Map(
+      "https://a.org/p/1" -> ((3L, 900L, 2, 1L)),
+      "https://b.org/x" -> ((1L, 50L, 1, 3L))))
+  }
 }
