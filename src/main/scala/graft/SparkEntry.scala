@@ -2509,8 +2509,12 @@ object SparkEntry {
                   WHERE regexp_matches(upper(text), '\\b' || d.term || '\\b')),
           card AS (SELECT url, term, COUNT(DISTINCT class_iri) AS nc
                    FROM dwt GROUP BY 1, 2),
-          unamb AS (SELECT DISTINCT w.url, w.class_iri
-                    FROM dwt w JOIN card c USING (url, term) WHERE c.nc = 1),
+          unamb0 AS (SELECT DISTINCT w.url, w.class_iri
+                     FROM dwt w JOIN card c USING (url, term) WHERE c.nc = 1),
+          kept AS (SELECT url FROM unamb0 GROUP BY url
+                   HAVING COUNT(*) <= 1000),
+          unamb AS (SELECT u.url, u.class_iri
+                    FROM unamb0 u JOIN kept k USING (url)),
           amb AS (SELECT w.url, w.term, w.class_iri AS cand
                   FROM dwt w JOIN card c USING (url, term) WHERE c.nc > 1),
           cooc AS (SELECT a.class_iri AS src, b.class_iri AS dst,

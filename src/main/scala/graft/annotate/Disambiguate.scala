@@ -21,12 +21,16 @@ import org.apache.spark.sql.functions._
   *      unambiguous-annotation count (the most-frequent-sense prior), then
   *      lexicographic class_iri — fully deterministic.
   *
-  * Scale shape: the context join fans each ambiguous mention out by its
-  * document's unambiguous concept count (bounded by the same `maxPerDoc`
-  * cap), joins the cooc edge table on its (small) key, and aggregates —
-  * two shuffles beyond the cooc build, nothing quadratic in the corpus.
-  * Ambiguity is decided per (url, surface), NOT per dictionary term
-  * globally, so a term that is ambiguous only under a request-time
+  * Scale shape: hub documents (more than `maxPerDoc` distinct unambiguous
+  * concepts — a page that lists an ontology) are excluded from the
+  * unambiguous UNIVERSE itself, so the SAME capped set feeds the cooc
+  * build, the context join, and the sense prior (the
+  * [[graft.graph.KgGraph.conceptSimilarity]] one-universe precedent):
+  * the context join's fan-out per ambiguous mention is genuinely bounded
+  * by `maxPerDoc`, it joins the cooc edge table on its (small) key, and
+  * aggregates — two shuffles beyond the cooc build, nothing quadratic in
+  * the corpus. Ambiguity is decided per (url, surface), NOT per dictionary
+  * term globally, so a term that is ambiguous only under a request-time
   * ontology filter resolves correctly for that request. */
 object Disambiguate {
 
@@ -41,8 +45,13 @@ object Disambiguate {
       .distinct()
     val card = withTerm.groupBy("url", "term")
       .agg(countDistinct(col("class_iri")).as("nc"))
-    val unamb = withTerm.join(card.filter(col("nc") === 1), Seq("url", "term"))
+    val unambAll = withTerm.join(card.filter(col("nc") === 1), Seq("url", "term"))
       .select(col("url"), col("class_iri")).distinct()
+    // ONE capped universe for cooc + context + prior: hub docs (> maxPerDoc
+    // unambiguous concepts) drop from all three consistently
+    val kept = unambAll.groupBy("url").agg(count(lit(1)).as("ncon"))
+      .filter(col("ncon") <= maxPerDoc).select("url")
+    val unamb = unambAll.join(kept, "url")
     val amb = withTerm.join(card.filter(col("nc") > 1), Seq("url", "term"))
       .select(col("url"), col("term"), col("class_iri").as("cand"))
 

@@ -37,6 +37,25 @@ class DisambiguateSpec extends AnyFunSuite {
       ("doc6", "MERGE SORT") -> (("AAA", 0L)))) // pure tie → min class_iri
   }
 
+  test("hub docs above maxPerDoc drop from votes, context, AND prior (one universe)") {
+    import spark.implicits._
+    val matches = Seq(
+      // hub doc: 3 unambiguous concepts > cap of 2 — excluded everywhere.
+      // X would otherwise gain cooc(X, CS) and a prior of 1
+      ("hub", "sx", "X"), ("hub", "sort", "CS"), ("hub", "sz", "Z"),
+      // small doc anchors cooc(Y, CS) legitimately
+      ("d1", "sy", "Y"), ("d1", "sort", "CS"),
+      // the ambiguous doc: context CS; candidates X and Y
+      ("d2", "amb term", "X"), ("d2", "amb term", "Y"), ("d2", "sort", "CS"))
+      .toDF("url", "text", "class_iri")
+    val got = Disambiguate.collective(matches, maxPerDoc = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    // with the hub counted, X and Y would tie at one vote each and X would
+    // win the class_iri tie-break; the cap leaves only cooc(Y, CS) → Y wins
+    assert(got === Map(("d2", "AMB TERM") -> (("Y", 1L))))
+  }
+
   test("ambiguity is per (url, surface): unique-candidate mentions never emitted") {
     import spark.implicits._
     val matches = Seq(
