@@ -46,6 +46,28 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(rel.nonEmpty && rel.forall(r => r.getString(0) === r.getString(1)))
   }
 
+  test("links is map-only: no Exchange, generator inside codegen") {
+    import spark.implicits._
+    val docs = (0L to 9L).map(i => (i, s"t $i")).toDF("doc_id", "text")
+    val plan = LinkGraph.links(LinkGraph.pages(docs))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("DeserializeToObject"), plan) // no object-mode island
+    assert(plan.contains("Generate"), plan)
+  }
+
+  test("domainQuota plans a map-side WindowGroupLimit below the exchange") {
+    import spark.implicits._
+    val docs = (0L to 99L).map(i => (i, s"t $i", 10L)).toDF("doc_id", "text", "n_chars")
+    val plan = graft.ops.WebOps.domainQuota(docs, 5)
+      .queryExecution.executedPlan.toString
+    // Spark 4's rank-limit pushdown: a partial WindowGroupLimit on the map
+    // side means only ≤ quota rows per host per partition reach the shuffle
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.indexOf("WindowGroupLimit") != plan.lastIndexOf("WindowGroupLimit"),
+      s"expected partial+final WindowGroupLimit pair:\n$plan")
+  }
+
   test("hostGraph drops intra-host links and counts pairs") {
     val pages = pagesDf(
       ("https://a.org/1",
