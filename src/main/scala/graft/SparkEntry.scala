@@ -943,6 +943,23 @@ object SparkEntry {
     "ann_disambiguate" -> ((s, dir) =>
       graft.annotate.Disambiguate.collective(matches(s, dir))),
 
+    // personalized PageRank: teleport + dangling mass to the 5
+    // lexicographically-first pages — rank concentrates near the seeds
+    "web_ppr" -> ((s, dir) => {
+      val edges = LinkGraph.pageEdges(
+        LinkGraph.links(LinkGraph.pages(docsTable(s, dir))))
+      val nodes = edges.select(col("src").as("node"))
+        .unionAll(edges.select(col("dst").as("node"))).distinct()
+      graft.graph.KgGraph.pageRankPersonalized(
+        edges, nodes.orderBy("node").limit(5))
+    }),
+
+    // crawl frontier: link targets minus the crawled set — one anti-join
+    "web_frontier" -> ((s, dir) => {
+      val pages = LinkGraph.pages(docsTable(s, dir))
+      LinkGraph.frontier(pages, LinkGraph.links(pages))
+    }),
+
     // HITS hubs/authorities over the same directed page graph (L1-normalized
     // per half-round; the oracle unrolls both halves of all 5 rounds)
     "web_hits" -> ((s, dir) =>
@@ -1052,6 +1069,46 @@ object SparkEntry {
         nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
         pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr
                 FROM nodes),
+        $iterCtes
+        SELECT node AS page, ROUND(pr, 6) AS pagerank FROM pr$iters"""
+  }
+
+  /** Unrolled PERSONALIZED-PageRank oracle ([[graft.graph.KgGraph
+    * .pageRankPersonalized]] twin): the teleport vector (1/|S| on the
+    * `nSeeds` lexicographically-first nodes) rides the node CTE; each round
+    * applies pr = (1−d)·t + d·(contrib + dm·t) with the dangling scalar
+    * recomputed per round exactly as the engine does. */
+  private def pprOracleSql(iters: Int, nSeeds: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""dang$i AS (SELECT COALESCE(SUM(p.pr), CAST(0 AS DOUBLE)) AS dm
+            FROM pr${i - 1} p LEFT JOIN ow o ON o.a = p.node
+            WHERE o.a IS NULL),
+          ctr$i AS (SELECT e.b AS node, SUM(p.pr * e.w / e.s) AS c
+            FROM ew e JOIN pr${i - 1} p ON p.node = e.a GROUP BY e.b),
+          pr$i AS MATERIALIZED (SELECT n.node,
+              CAST(0.15 AS DOUBLE) * n.t
+                + CAST(0.85 AS DOUBLE) * (COALESCE(c.c, CAST(0 AS DOUBLE))
+                    + (SELECT dm FROM dang$i) * n.t) AS pr
+            FROM tnodes n LEFT JOIN ctr$i c ON c.node = n.node)"""
+    }.mkString(",\n")
+    s"""WITH ${graft.ops.LinkGraph.linksCteSql},
+        edges AS MATERIALIZED (SELECT
+            ${graft.ops.WebOps.canonUrlSqlOf("src_url")} AS a,
+            dst_url AS b, CAST(COUNT(*) AS DOUBLE) AS w
+          FROM lnk GROUP BY 1, 2),
+        ow AS MATERIALIZED (SELECT a, SUM(w) AS s FROM edges GROUP BY a),
+        ew AS MATERIALIZED (SELECT e.a, e.b, e.w, o.s
+          FROM edges e JOIN ow o USING (a)),
+        nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+          (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)),
+        seeds AS (SELECT node FROM nodes ORDER BY node LIMIT $nSeeds),
+        ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM seeds),
+        tnodes AS MATERIALIZED (SELECT n.node,
+            COALESCE(s.t, CAST(0 AS DOUBLE)) AS t
+          FROM nodes n LEFT JOIN
+            (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM ns) AS t
+             FROM seeds) s ON s.node = n.node),
+        pr0 AS (SELECT node, t AS pr FROM tnodes),
         $iterCtes
         SELECT node AS page, ROUND(pr, 6) AS pagerank FROM pr$iters"""
   }
@@ -2480,6 +2537,15 @@ object SparkEntry {
     "web_pagerank" -> pageRankDirectedOracleSql(iters = 5),
 
     "web_hits" -> hitsOracleSql(iters = 5),
+
+    "web_ppr" -> pprOracleSql(iters = 5, nSeeds = 5),
+
+    "web_frontier" ->
+      s"""WITH ${graft.ops.LinkGraph.linksCteSql}
+          SELECT DISTINCT dst_url AS page FROM lnk
+          EXCEPT
+          SELECT DISTINCT ${graft.ops.WebOps.canonUrlSqlOf("url")} AS page
+          FROM pages""",
 
     "web_crawl_merge" ->
       s"""WITH s1 AS (SELECT doc_id, ${graft.ops.WebOps.urlSqlExpr} AS url,

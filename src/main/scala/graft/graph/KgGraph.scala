@@ -330,6 +330,50 @@ object KgGraph {
     pr.select(col("node").as("page"), round(col("pr"), 6).as("pagerank"))
   }
 
+  /** PERSONALIZED PageRank (topic-sensitive teleport — Haveliwala 2002;
+    * random walk with restart): teleport AND dangling mass return to the
+    * SEED set uniformly instead of to every node, so rank concentrates in
+    * the seeds' neighborhood — the standard KG entity-relatedness /
+    * related-pages measure. pr₀ = the teleport vector itself; per round
+    * pr = (1−d)·t + d·(contrib + dm·t), where t is 1/|S| on seeds, 0
+    * elsewhere. Seeds outside the edge-derived node set contribute no
+    * mass (total rank then sums below 1 — the caller picked dead seeds).
+    *
+    * Same per-round shape and [[truncate]] policy as [[pageRankDirected]];
+    * the teleport vector rides the node table as a column (one small
+    * left join at setup, nothing per-round). */
+  def pageRankPersonalized(edges: DataFrame, seeds: DataFrame, iters: Int = 5,
+                           damping: Double = 0.85): DataFrame = {
+    val e = pin(edges.select(col("src").as("a"), col("dst").as("b"),
+      col("n_links").cast("double").as("w")))
+    val outw = pin(e.groupBy("a").agg(sum(col("w")).as("s")))
+    val ew = pin(e.join(outw, "a"))
+    val sd = seeds.select(col("node")).distinct()
+    val nS = sd.count()
+    require(nS > 0, "personalized PageRank needs a non-empty seed set")
+    val nodes = pin(e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node"))).distinct()
+      .join(sd.withColumn("t", lit(1.0 / nS)), Seq("node"), "left")
+      .na.fill(0.0, Seq("t")))
+    var pr = nodes.select(col("node"), col("t").as("pr"))
+    for (i <- 1 to iters) {
+      val dangling = pr.join(outw, pr("node") === outw("a"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
+      val contrib = ew.join(pr, ew("a") === pr("node"))
+        .select(col("b").as("node"),
+          (col("pr") * col("w") / col("s")).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("c"))
+      pr = truncate(
+        nodes.join(contrib, Seq("node"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(col("node"), col("t"),
+            (lit(1.0 - damping) * col("t") + lit(damping) *
+              (coalesce(col("c"), lit(0.0)) + col("dm") * col("t"))).as("pr")),
+        i)
+    }
+    pr.select(col("node").as("page"), round(col("pr"), 6).as("pagerank"))
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999) over a directed weighted edge
     * list — the link-graph complement to [[pageRankDirected]]: authorities
     * are pages many good hubs point AT, hubs are pages that point at many

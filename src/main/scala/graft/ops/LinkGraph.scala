@@ -123,6 +123,15 @@ object LinkGraph {
       .filter(col("rank") <= topK)
   }
 
+  /** Crawl frontier: canonical URLs that are LINKED TO but never crawled —
+    * the next fetch list a crawler derives from each batch. One anti-join
+    * of two deduped short-key sets (the link targets minus the crawled
+    * set); both sides partial-aggregate before the shuffle. */
+  def frontier(pages: DataFrame, links: DataFrame): DataFrame =
+    links.select(col("dst_url").as("page")).distinct()
+      .join(pages.select(WebOps.canonicalUrl(col("url")).as("page")).distinct(),
+        Seq("page"), "left_anti")
+
   // ---- oracle-SQL builders (same constants/regexes as the Column code) ---
 
   /** CTE chain `pages(doc_id, url, html)` — the synthesis twin (string_agg

@@ -227,6 +227,42 @@ class KgGraphSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-3)
   }
 
+  test("personalized pageRank == scalar reference; rank concentrates at seeds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val n = 24
+    val names = (0 until n).map(i => f"S$i%02d")
+    val edges = (0 until 3 * n).flatMap { _ =>
+      val a = names(rnd.nextInt(n)); val b = names(rnd.nextInt(n))
+      if (a != b) Some((a, b)) else None
+    }.distinct.map { case (a, b) => (a, b, 1L + rnd.nextInt(3)) }
+    val seedNames = names.take(3)
+    val got = KgGraph.pageRankPersonalized(
+        edges.toDF("src", "dst", "n_links"), seedNames.toDF("node"), iters = 5)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val outw = edges.groupBy(_._1).view.mapValues(_.map(_._3.toDouble).sum).toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val t = nodes.map(v => v ->
+      (if (seedNames.contains(v)) 1.0 / seedNames.size else 0.0)).toMap
+    var pr = t
+    (1 to 5).foreach { _ =>
+      val dm = nodes.filterNot(outw.contains).map(pr).sum
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map { case (a, _, w) => pr(a) * w / outw(a) }.sum).toMap
+      pr = nodes.map(nd => nd ->
+        (0.15 * t(nd) + 0.85 * (contrib.getOrElse(nd, 0.0) + dm * t(nd)))).toMap
+    }
+    assert(got.keySet === pr.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - pr(k)) < 1e-6, s"$k: $v vs ${pr(k)}")
+    }
+    // all seeds are live nodes here → mass conservation holds
+    assert(math.abs(got.values.sum - 1.0) < 1e-3)
+    // locality: the seed set holds more rank than an equal-sized random set
+    // would under uniform teleport (each seed keeps ≥ (1-d)/|S| by teleport)
+    seedNames.foreach(s => assert(got(s) >= 0.15 / 3 - 1e-9))
+  }
+
   test("hits: star graph — center is the authority, leaves are the hubs") {
     import spark.implicits._
     // three pages all pointing at one target; one leaf also points at a minor page
