@@ -26,6 +26,9 @@ import graft.io.TableIO
   *   kg_*     — (opt-in, `materializeKg`) co-occurrence edges + components
   *              + weighted PageRank from the PERSISTED matches stage —
   *              resume never re-scans the corpus for graph stages
+  *   web_*    — (opt-in, `materializeWeb`) extracted link table + host
+  *              graph + directed PageRank from the raw page table — the
+  *              hyperlink KG edges next to the concept triples
   */
 /** The pipeline's ontology-side inputs as plain tables, decoupling stage
   * orchestration from where the ontology comes from: the deterministic
@@ -121,7 +124,13 @@ object Pipeline {
         * edges, connected components, weighted PageRank — each a resumable
         * stage with its own lineage rows, derived from the persisted
         * matches stage (no corpus re-scan). */
-      materializeKg: Boolean = false)
+      materializeKg: Boolean = false,
+      /** Materialize the hyperlink-graph leg as checkpointed stages: the
+        * extracted link table, the host graph, and directed PageRank over
+        * page edges — the web-native KG edges next to the concept triples.
+        * Fed from the raw page table (link extraction needs HTML, which
+        * the extracted-text corpus stage no longer carries). */
+      materializeWeb: Boolean = false)
 
   /** Run (or resume) the full pipeline; returns the final triples DataFrame.
     * Table IO routes through [[TableIO.forSession]]: Parquet locally, the
@@ -184,6 +193,23 @@ object Pipeline {
       // NOT the unweighted kg_pagerank one
       stage(spark, io, "kg_pagerank_weighted", cfg, inputRows = nEdges) {
         graft.graph.KgGraph.pageRankWeighted(kgEdges)
+      }
+    }
+    if (cfg.materializeWeb) {
+      // the hyperlink leg runs off the raw page table (driver-table mode
+      // synthesizes the html exactly like the web_* queries do)
+      val pages = graft.ops.LinkGraph.pages(
+        spark.read.parquet(s"${cfg.sfDir}/documents.parquet"))
+      val links = stage(spark, io, "web_links", cfg, inputRows = nDocs) {
+        graft.ops.LinkGraph.links(pages)
+      }
+      lazy val nLinks = links.count()
+      stage(spark, io, "web_host_graph", cfg, inputRows = nLinks) {
+        graft.ops.LinkGraph.hostGraph(links)
+      }
+      stage(spark, io, "web_pagerank", cfg, inputRows = nLinks) {
+        graft.graph.KgGraph.pageRankDirected(
+          graft.ops.LinkGraph.pageEdges(links))
       }
     }
     triples

@@ -182,6 +182,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$wd/lineage").count() === lin1)
   }
 
+  test("materializeWeb: link stages checkpoint, resume, and equal direct recomputation") {
+    val wd = Files.createTempDirectory("graft-web-wd").toString
+    Pipeline.run(spark, Pipeline.Config(sfDir, wd, scanPartitions = 4,
+      materializeWeb = true)).count()
+    for (s <- Seq("web_links", "web_host_graph", "web_pagerank"))
+      assert(new java.io.File(s"$wd/$s/_SUCCESS").exists, s"missing stage $s")
+    // web_links == direct extraction over the synthesized page table
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val direct = graft.ops.LinkGraph.links(graft.ops.LinkGraph.pages(docs))
+    val links = spark.read.parquet(s"$wd/web_links")
+    assert(links.collect().map(_.toSeq).toSet ===
+      direct.collect().map(_.toSeq).toSet)
+    // web_pagerank == directed PageRank recomputed from the links stage
+    val pr = spark.read.parquet(s"$wd/web_pagerank").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exp = graft.graph.KgGraph.pageRankDirected(
+        graft.ops.LinkGraph.pageEdges(links)).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr.keySet === exp.keySet)
+    pr.foreach { case (k, v) => assert(math.abs(v - exp(k)) <= 1e-6, k) }
+    // resume: second run skips every stage (no new lineage rows)
+    val lin1 = spark.read.parquet(s"$wd/lineage").count()
+    Pipeline.run(spark, Pipeline.Config(sfDir, wd, scanPartitions = 4,
+      materializeWeb = true)).count()
+    assert(spark.read.parquet(s"$wd/lineage").count() === lin1)
+  }
+
   test("runIncremental: triples_v2 stage == full v2 pipeline, resumable") {
     import graft.fixture.OntologyFixture
     val wd = Files.createTempDirectory("graft-inc-wd").toString
