@@ -946,12 +946,16 @@ object SparkEntry {
     // personalized PageRank: teleport + dangling mass to the 5
     // lexicographically-first pages — rank concentrates near the seeds
     "web_ppr" -> ((s, dir) => {
+      import s.implicits._
       val edges = LinkGraph.pageEdges(
         LinkGraph.links(LinkGraph.pages(docsTable(s, dir))))
-      val nodes = edges.select(col("src").as("node"))
+      // seeds are QUERY INPUT (an entity set); collecting the 5 names to
+      // the driver keeps the corpus-sized extraction lineage out of the
+      // seed frame (which pageRankPersonalized evaluates twice)
+      val seedNames = edges.select(col("src").as("node"))
         .unionAll(edges.select(col("dst").as("node"))).distinct()
-      graft.graph.KgGraph.pageRankPersonalized(
-        edges, nodes.orderBy("node").limit(5))
+        .orderBy("node").limit(5).collect().map(_.getString(0)).toSeq
+      graft.graph.KgGraph.pageRankPersonalized(edges, seedNames.toDF("node"))
     }),
 
     // crawl frontier: link targets minus the crawled set — one anti-join

@@ -303,32 +303,8 @@ object KgGraph {
     * edge list. Same fixed-iteration determinism + 6dp contract; the oracle
     * unrolls the same rounds including the per-round dangling scalar. */
   def pageRankDirected(edges: DataFrame, iters: Int = 5,
-                       damping: Double = 0.85): DataFrame = {
-    val e = pin(edges.select(col("src").as("a"), col("dst").as("b"),
-      col("n_links").cast("double").as("w")))
-    val outw = pin(e.groupBy("a").agg(sum(col("w")).as("s")))
-    val ew = pin(e.join(outw, "a")) // (a, b, w, s) reused per iter
-    val nodes = pin(e.select(col("a").as("node"))
-      .unionAll(e.select(col("b").as("node"))).distinct())
-    val n = nodes.count()
-    var pr = nodes.withColumn("pr", lit(1.0 / n))
-    for (i <- 1 to iters) {
-      val dangling = pr.join(outw, pr("node") === outw("a"), "left_anti")
-        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
-      val contrib = ew.join(pr, ew("a") === pr("node"))
-        .select(col("b").as("node"),
-          (col("pr") * col("w") / col("s")).as("c"))
-        .groupBy("node").agg(sum(col("c")).as("c"))
-      pr = truncate(
-        nodes.join(contrib, Seq("node"), "left")
-          .crossJoin(broadcast(dangling))
-          .select(col("node"),
-            (lit((1.0 - damping) / n) + lit(damping) *
-              (coalesce(col("c"), lit(0.0)) + col("dm") / n)).as("pr")),
-        i)
-    }
-    pr.select(col("node").as("page"), round(col("pr"), 6).as("pagerank"))
-  }
+                       damping: Double = 0.85): DataFrame =
+    directedPrCore(edges, None, iters, damping)
 
   /** PERSONALIZED PageRank (topic-sensitive teleport — Haveliwala 2002;
     * random walk with restart): teleport AND dangling mass return to the
@@ -336,25 +312,47 @@ object KgGraph {
     * the seeds' neighborhood — the standard KG entity-relatedness /
     * related-pages measure. pr₀ = the teleport vector itself; per round
     * pr = (1−d)·t + d·(contrib + dm·t), where t is 1/|S| on seeds, 0
-    * elsewhere. Seeds outside the edge-derived node set contribute no
-    * mass (total rank then sums below 1 — the caller picked dead seeds).
+    * elsewhere. Uniform t = 1/n recovers [[pageRankDirected]] exactly —
+    * ONE loop implementation serves both.
     *
-    * Same per-round shape and [[truncate]] policy as [[pageRankDirected]];
-    * the teleport vector rides the node table as a column (one small
-    * left join at setup, nothing per-round). */
+    * Callers pass a SMALL seed table (the query's entity set — collected
+    * ids or a tiny frame): its plan is evaluated twice here (count + the
+    * node join), so a seed set derived from a corpus-sized lineage should
+    * be pinned or collected by the caller first. Seeds outside the
+    * edge-derived node set contribute no mass (rank sums below 1); a fully
+    * dead seed set fails loudly rather than returning all-zero ranks. */
   def pageRankPersonalized(edges: DataFrame, seeds: DataFrame, iters: Int = 5,
-                           damping: Double = 0.85): DataFrame = {
+                           damping: Double = 0.85): DataFrame =
+    directedPrCore(edges, Some(seeds), iters, damping)
+
+  /** Shared directed-PageRank loop: teleport vector `t` rides the pinned
+    * node table as a column (uniform 1/n when `seeds` is None); per round
+    * pr = (1−d)·t + d·(contrib + dm·t) with the dangling scalar as a 1-row
+    * in-plan aggregate. See [[pageRankDirected]] for the scale shape. */
+  private def directedPrCore(edges: DataFrame, seeds: Option[DataFrame],
+                             iters: Int, damping: Double): DataFrame = {
     val e = pin(edges.select(col("src").as("a"), col("dst").as("b"),
       col("n_links").cast("double").as("w")))
     val outw = pin(e.groupBy("a").agg(sum(col("w")).as("s")))
-    val ew = pin(e.join(outw, "a"))
-    val sd = seeds.select(col("node")).distinct()
-    val nS = sd.count()
-    require(nS > 0, "personalized PageRank needs a non-empty seed set")
-    val nodes = pin(e.select(col("a").as("node"))
-      .unionAll(e.select(col("b").as("node"))).distinct()
-      .join(sd.withColumn("t", lit(1.0 / nS)), Seq("node"), "left")
-      .na.fill(0.0, Seq("t")))
+    val ew = pin(e.join(outw, "a")) // (a, b, w, s) reused per iter
+    val nodes0 = pin(e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node"))).distinct())
+    val nodes = seeds match {
+      case None =>
+        nodes0.withColumn("t", lit(1.0 / nodes0.count()))
+      case Some(sd0) =>
+        val sd = sd0.select(col("node")).distinct()
+        val nS = sd.count()
+        require(nS > 0, "personalized PageRank needs a non-empty seed set")
+        val withT = pin(nodes0
+          .join(sd.withColumn("t", lit(1.0 / nS)), Seq("node"), "left")
+          .na.fill(0.0, Seq("t")))
+        // all-dead seed set (e.g. raw URLs against canonicalized nodes)
+        // would otherwise return a plausible-looking all-zero ranking
+        require(withT.agg(sum(col("t"))).first().getDouble(0) > 0.0,
+          "no seed is a node of the graph")
+        withT
+    }
     var pr = nodes.select(col("node"), col("t").as("pr"))
     for (i <- 1 to iters) {
       val dangling = pr.join(outw, pr("node") === outw("a"), "left_anti")

@@ -192,6 +192,7 @@ class PipelineSpec extends AnyFunSuite {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val direct = graft.ops.LinkGraph.links(graft.ops.LinkGraph.pages(docs))
     val links = spark.read.parquet(s"$wd/web_links")
+    assert(links.count() === direct.count()) // multiplicity, not just set
     assert(links.collect().map(_.toSeq).toSet ===
       direct.collect().map(_.toSeq).toSet)
     // web_pagerank == directed PageRank recomputed from the links stage
