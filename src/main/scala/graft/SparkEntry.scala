@@ -930,6 +930,25 @@ object SparkEntry {
       graft.graph.KgGraph.pageRankDirected(
         LinkGraph.pageEdges(LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))))),
 
+    // count-min frequency sketch: d×w counter matrix (a few KB at ANY
+    // corpus size), estimates vs exact for the 20 hottest tokens; the
+    // min-over-rows estimate can only over-count
+    "sketch_cm" -> ((s, dir) => {
+      val toks = docsTable(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("tok")).limit(20)
+      val est = Sketch.countMinEstimate(
+        Sketch.countMin(toks, "tok"), top, "tok")
+        .withColumnRenamed("v", "tok")
+      top.join(est, "tok")
+        .select(col("tok"), col("exact_n"), col("cm_estimate"))
+    }),
+
+    // BM25 retrieval over the corpus for a literal query term set
+    "text_bm25" -> ((s, dir) =>
+      TextOps.bm25(docsTable(s, dir), Seq("spark", "join", "data"))),
+
     // crawl-snapshot merge: latest capture per canonical URL across two
     // deterministic snapshots — one argmax hash aggregation (max(struct)),
     // never a window
@@ -2543,6 +2562,50 @@ object SparkEntry {
     "web_hits" -> hitsOracleSql(iters = 5),
 
     "web_ppr" -> pprOracleSql(iters = 5, nSeeds = 5),
+
+    // full sketch recomputation: the same salted md5 row hashes, the same
+    // d×w matrix, min-over-rows point queries for the same top-20 set
+    "sketch_cm" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+          exact AS (SELECT tok, COUNT(*) AS exact_n FROM toks GROUP BY 1),
+          top AS (SELECT tok, exact_n FROM exact
+                  ORDER BY exact_n DESC, tok LIMIT 20),
+          ex AS (SELECT tok, j FROM toks
+                 CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)),
+          sk AS (SELECT j,
+                   ('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || tok), 1, 15))::BIGINT % 256 AS bucket,
+                   COUNT(*) AS n
+                 FROM ex GROUP BY 1, 2),
+          probes AS (SELECT t.tok, t.exact_n, j.j,
+                   ('0x' || substr(md5(CAST(j.j AS VARCHAR) || '|' || t.tok), 1, 15))::BIGINT % 256 AS bucket
+                 FROM top t
+                 CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j)
+          SELECT p.tok, p.exact_n, MIN(s.n) AS cm_estimate
+          FROM probes p JOIN sk s ON s.j = p.j AND s.bucket = p.bucket
+          GROUP BY 1, 2""",
+
+    // BM25 recomputed with the identical arithmetic order (Lucene-form
+    // idf with +1); ties at the rounded score break by doc_id both sides
+    "text_bm25" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          lens AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS len FROM toks),
+          stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                           AVG(len) AS avglen FROM lens),
+          u AS (SELECT doc_id, unnest(t) AS term FROM toks),
+          tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM u
+                 WHERE term IN ('spark', 'join', 'data') GROUP BY 1, 2),
+          dfx AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+          sc AS (SELECT t.doc_id,
+                   ln((st.n_docs - d.df + CAST(0.5 AS DOUBLE))
+                        / (d.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+                   * (t.tf * CAST(2.2 AS DOUBLE))
+                   / (t.tf + CAST(1.2 AS DOUBLE)
+                        * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * l.len / st.avglen)) AS sco
+                 FROM tf t JOIN dfx d USING (term) JOIN lens l USING (doc_id)
+                 CROSS JOIN stats st),
+          agg AS (SELECT doc_id, SUM(sco) AS score FROM sc GROUP BY 1)
+          SELECT doc_id, ROUND(score, 6) AS score FROM agg
+          ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 20""",
 
     "web_frontier" ->
       s"""WITH ${graft.ops.LinkGraph.linksCteSql}

@@ -105,4 +105,40 @@ object Sketch {
       .agg(round(kmv(col("h")), 4).as("est_distinct"),
         countDistinct(col("v")).as("exact_distinct"))
   }
+
+  // ---- count-min (frequency sketching) -----------------------------------
+
+  /** Count-min row hash: row `j`'s bucket for a value — the same portable
+    * md5 hash salted with the row index, so the d hash functions are
+    * independent-enough and IDENTICAL in DuckDB. */
+  def cmBucket(v: Column, j: Column, w: Int): Column =
+    hash60(concat(j.cast("string"), lit("|"), v)) % w
+
+  /** Count-min sketch build (Cormode & Muthukrishnan 2005): a d×w counter
+    * matrix; every value occurrence increments one bucket per row. The
+    * whole build is ONE hash aggregation over a 4× exploded stream of
+    * (row, bucket) keys — d·w total groups (a few KB) regardless of corpus
+    * size, partials combine map-side, and the sketch itself is a
+    * broadcastable table. The frequency estimate (min over rows, see
+    * [[countMinEstimate]]) never under-counts — collisions only inflate. */
+  def countMin(values: DataFrame, valueCol: String, d: Int = 4,
+               w: Int = 256): DataFrame =
+    values
+      .select(explode(sequence(lit(0), lit(d - 1))).as("j"), col(valueCol).as("v"))
+      .groupBy(col("j"), cmBucket(col("v"), col("j"), w).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Point-query the sketch for each distinct value in `queries`: estimate
+    * = min over the d rows of the value's bucket counter. One broadcast
+    * join (the sketch is d·w rows) + one min-aggregation. */
+  def countMinEstimate(sketch: DataFrame, queries: DataFrame,
+                       valueCol: String, d: Int = 4, w: Int = 256): DataFrame = {
+    val probes = queries.select(col(valueCol).as("v")).distinct()
+      .select(col("v"), explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .withColumn("bucket", cmBucket(col("v"), col("j"), w))
+    probes.join(org.apache.spark.sql.functions.broadcast(sketch),
+        Seq("j", "bucket"))
+      .groupBy(col("v"))
+      .agg(min(col("n")).as("cm_estimate"))
+  }
 }

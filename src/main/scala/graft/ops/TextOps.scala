@@ -279,4 +279,46 @@ object TextOps {
     while (i < s.length) { h = h * 131 + s.charAt(i); i += 1 }
     h
   }
+
+  /** BM25 retrieval scoring (Robertson/Walker; the Lucene-form idf with the
+    * +1 so scores stay positive): score(d) = Σ_q idf(q) · tf·(k1+1) /
+    * (tf + k1·(1−b+b·len/avglen)). The query term set is a literal (a
+    * search is driver input); arithmetic order is pinned so the DuckDB
+    * oracle reproduces the doubles bit-for-bit before the 6dp round.
+    *
+    * Scale shape: explode → filter to the query terms (a tiny IN-list the
+    * scan prunes on) → one (doc, term) count aggregation; df and corpus
+    * stats are term-count-sized broadcasts; final score is one per-doc
+    * aggregation. No windows, nothing corpus²; top-k is a sort-limit the
+    * planner runs as TakeOrderedAndProject. */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], topK: Int = 20,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val lens = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("double").as("len"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("len")).as("avglen"))
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df_ = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf
+      .join(org.apache.spark.sql.functions.broadcast(df_), "term")
+      .join(lens, "doc_id")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(stats))
+      .select(col("doc_id"),
+        (log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / col("avglen"))))
+          .as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("s")).as("score"))
+    scored
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
 }

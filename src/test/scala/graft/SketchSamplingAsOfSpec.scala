@@ -62,6 +62,45 @@ class SketchSamplingAsOfSpec extends AnyFunSuite {
     assert(Sketch.estimate(full, 64) === 63.0 * math.pow(2, 60) / 64000.0)
   }
 
+  test("count-min never under-counts; exact when the matrix is collision-free") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val vals = (0 until 2000).map(_ => s"tok${rnd.nextInt(50)}").toDF("v")
+    val exact = vals.groupBy("v").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // tight matrix (w=64): collisions likely — estimates may only inflate
+    val est64 = graft.ops.Sketch.countMinEstimate(
+        graft.ops.Sketch.countMin(vals, "v", w = 64), vals, "v", w = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est64.keySet === exact.keySet)
+    est64.foreach { case (k, e) => assert(e >= exact(k), s"$k under-counted") }
+    // wide matrix (w=8192 ≫ 50 distinct): whp no row collides → exact
+    val estWide = graft.ops.Sketch.countMinEstimate(
+        graft.ops.Sketch.countMin(vals, "v", w = 8192), vals, "v", w = 8192)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estWide === exact)
+  }
+
+  test("bm25 == scalar reference; docs without query terms are absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark join spark"),     // tf(spark)=2, tf(join)=1, len 3
+      (2L, "data data data data"),  // tf(data)=4, len 4
+      (3L, "other words only here") // no query term → no row
+    ).toDF("doc_id", "text")
+    val got = TextOps.bm25(docs, Seq("spark", "join", "data"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!got.contains(3L))
+    val n = 3.0; val avg = (3.0 + 4.0 + 4.0) / 3.0
+    def idf(df: Double) = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    def w(tf: Double, len: Double) =
+      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len / avg))
+    val exp1 = idf(1) * w(2, 3) + idf(1) * w(1, 3)
+    val exp2 = idf(1) * w(4, 4)
+    assert(math.abs(got(1L) - exp1) < 1e-6, s"${got(1L)} vs $exp1")
+    assert(math.abs(got(2L) - exp2) < 1e-6, s"${got(2L)} vs $exp2")
+  }
+
   test("approx_percentile stays within its accuracy bound of exact percentile") {
     // the 100-TB ungrouped-quantile path: approx_percentile with the
     // default accuracy; bound its rank error vs the exact sort on a
