@@ -934,14 +934,19 @@ object SparkEntry {
     // corpus size), estimates vs exact for the 20 hottest tokens; the
     // min-over-rows estimate can only over-count
     "sketch_cm" -> ((s, dir) => {
+      import s.implicits._
       val toks = docsTable(s, dir)
         .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      // the 20-row probe set is QUERY INPUT — collect it so the final plan
+      // doesn't re-evaluate the corpus tokenization + top-k three times
       val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
         .orderBy(col("exact_n").desc, col("tok")).limit(20)
-      val est = Sketch.countMinEstimate(
-        Sketch.countMin(toks, "tok"), top, "tok")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val topDf = top.toDF("tok", "exact_n")
+      val est = Sketch.countMinEstimate(Sketch.countMin(toks, "tok"),
+          topDf, "tok")
         .withColumnRenamed("v", "tok")
-      top.join(est, "tok")
+      topDf.join(est, "tok")
         .select(col("tok"), col("exact_n"), col("cm_estimate"))
     }),
 

@@ -120,25 +120,31 @@ object Sketch {
     * (row, bucket) keys — d·w total groups (a few KB) regardless of corpus
     * size, partials combine map-side, and the sketch itself is a
     * broadcastable table. The frequency estimate (min over rows, see
-    * [[countMinEstimate]]) never under-counts — collisions only inflate. */
+    * [[countMinEstimate]]) never under-counts — collisions only inflate.
+    * NULL values are ignored, the [[kmvDistinct]] COUNT-style policy. */
   def countMin(values: DataFrame, valueCol: String, d: Int = 4,
                w: Int = 256): DataFrame =
     values
       .select(explode(sequence(lit(0), lit(d - 1))).as("j"), col(valueCol).as("v"))
+      .filter(col("v").isNotNull)
       .groupBy(col("j"), cmBucket(col("v"), col("j"), w).as("bucket"))
       .agg(count(lit(1)).as("n"))
 
-  /** Point-query the sketch for each distinct value in `queries`: estimate
-    * = min over the d rows of the value's bucket counter. One broadcast
-    * join (the sketch is d·w rows) + one min-aggregation. */
+  /** Point-query the sketch for each distinct non-NULL value in `queries`:
+    * estimate = min over the d rows of the value's bucket counter, where an
+    * EMPTY (never-incremented) bucket counts as 0 — so a value absent from
+    * the build stream correctly estimates 0 when any of its buckets is
+    * untouched (the left join below; an inner join would silently take the
+    * min over only the collided rows). `d`/`w` must match the build's. One
+    * broadcast join (the sketch is d·w rows) + one min-aggregation. */
   def countMinEstimate(sketch: DataFrame, queries: DataFrame,
                        valueCol: String, d: Int = 4, w: Int = 256): DataFrame = {
     val probes = queries.select(col(valueCol).as("v")).distinct()
+      .filter(col("v").isNotNull)
       .select(col("v"), explode(sequence(lit(0), lit(d - 1))).as("j"))
       .withColumn("bucket", cmBucket(col("v"), col("j"), w))
-    probes.join(org.apache.spark.sql.functions.broadcast(sketch),
-        Seq("j", "bucket"))
+    probes.join(broadcast(sketch), Seq("j", "bucket"), "left")
       .groupBy(col("v"))
-      .agg(min(col("n")).as("cm_estimate"))
+      .agg(min(coalesce(col("n"), lit(0L))).as("cm_estimate"))
   }
 }

@@ -306,9 +306,9 @@ object TextOps {
     val df_ = tf.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
     val scored = tf
-      .join(org.apache.spark.sql.functions.broadcast(df_), "term")
+      .join(broadcast(df_), "term")
       .join(lens, "doc_id")
-      .crossJoin(org.apache.spark.sql.functions.broadcast(stats))
+      .crossJoin(broadcast(stats))
       .select(col("doc_id"),
         (log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
           (col("tf") * lit(k1 + 1.0)) /

@@ -75,10 +75,17 @@ class SketchSamplingAsOfSpec extends AnyFunSuite {
     assert(est64.keySet === exact.keySet)
     est64.foreach { case (k, e) => assert(e >= exact(k), s"$k under-counted") }
     // wide matrix (w=8192 ≫ 50 distinct): whp no row collides → exact
+    val sketchWide = graft.ops.Sketch.countMin(vals, "v", w = 8192)
     val estWide = graft.ops.Sketch.countMinEstimate(
-        graft.ops.Sketch.countMin(vals, "v", w = 8192), vals, "v", w = 8192)
+        sketchWide, vals, "v", w = 8192)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(estWide === exact)
+    // a value ABSENT from the build stream: any untouched bucket ⇒ 0 (the
+    // left-join/coalesce contract — an inner join would drop or inflate it)
+    val ghost = graft.ops.Sketch.countMinEstimate(
+        sketchWide, Seq("never-seen-value").toDF("v"), "v", w = 8192)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ghost === Map("never-seen-value" -> 0L))
   }
 
   test("bm25 == scalar reference; docs without query terms are absent") {
