@@ -231,4 +231,31 @@ class StreamingSpec extends AnyFunSuite {
       Seq("window_start", "event_type", "n_events", "total_value"))
     assert(out.count() > 0)
   }
+
+  test("link extraction runs UNCHANGED on a stream (map-only ⇒ stream-safe)") {
+    // continuous-crawl ingest: the same LinkGraph.links plan over
+    // readStream — no code fork between batch and streaming extraction
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val pageRows = Seq(
+      ("https://www.A.org/x",
+        """<a href="https://b.org/p?utm_s=1&id=2">b</a><a href="/rel">r</a>"""),
+      ("https://c.org/y", "<p>no links</p>"))
+    val input = MemoryStream[(String, String)]
+    val query = graft.ops.LinkGraph.links(input.toDF().toDF("url", "html"))
+      .writeStream.format("memory").queryName("links_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(pageRows: _*)
+      query.processAllAvailable()
+      val got = spark.table("links_stream").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getString(3))).toSet
+      val batch = graft.ops.LinkGraph.links(
+          pageRows.toDF("url", "html")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getString(3))).toSet
+      assert(got === batch && got.size === 2)
+    } finally query.stop()
+  }
 }
