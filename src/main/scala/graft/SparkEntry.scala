@@ -923,6 +923,17 @@ object SparkEntry {
     "web_anchor_text" -> ((s, dir) =>
       LinkGraph.anchorText(LinkGraph.links(LinkGraph.pages(docsTable(s, dir))))),
 
+    // anchor-text ENTITY LINKING: the web leg meets the ontology leg — the
+    // dictionary automaton annotates each distinct (dst_url, anchor) pair,
+    // tagging pages with the concepts OTHER pages call them by
+    "web_anchor_entities" -> ((s, dir) => {
+      val anchors = LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))
+        .select(col("dst_url").as("url"), col("anchor").as("text")).distinct()
+      graft.annotate.NativeAnnotate.annotateMatches(anchors, model(s))
+        .select(col("url").as("dst_url"), col("class_iri"), col("ont"))
+        .distinct()
+    }),
+
     // DIRECTED PageRank over the page-level link graph, dangling mass
     // redistributed per round (the oracle unrolls the same 5 rounds
     // including each round's dangling scalar)
@@ -2563,6 +2574,15 @@ object SparkEntry {
           FROM r WHERE rank <= 3""",
 
     "web_pagerank" -> pageRankDirectedOracleSql(iters = 5),
+
+    // the dictionary regexp twin over the distinct anchor strings — the
+    // same directCte shape applied to anchors instead of documents
+    "web_anchor_entities" ->
+      s"""WITH $dictCte, ${graft.ops.LinkGraph.linksCteSql},
+          aset AS (SELECT DISTINCT dst_url, anchor FROM lnk)
+          SELECT DISTINCT a.dst_url, d.class_iri, d.ont
+          FROM aset a, dict d
+          WHERE regexp_matches(upper(a.anchor), '\\b' || d.term || '\\b')""",
 
     "web_hits" -> hitsOracleSql(iters = 5),
 

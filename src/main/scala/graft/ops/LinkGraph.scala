@@ -38,6 +38,15 @@ object LinkGraph {
   private def targetId(docId: Column, j: Column): Column =
     (docId * 13 + j.cast("long") * 7) % 97
 
+  /** Anchor-text lead words — dictionary-matchable surfaces (incl. two
+    * LOOM-ambiguous labels) so the anchor table is ENTITY-LINKABLE; the
+    * oracle inlines the same list. */
+  val AnchorWords: Seq[String] =
+    Seq("data", "hash join", "batch", "merge sort", "key value")
+
+  private def anchorWord(t: Column): Column =
+    element_at(array(AnchorWords.map(lit): _*), (t % 5).cast("int") + 1)
+
   /** Deterministic HTML page: the doc text plus `doc_id % 4` anchor tags.
     * Slot 3's href is host-relative (`/p/NN`); slots 1–2 are absolute
     * [[WebOps.syntheticUrl]]s. */
@@ -46,7 +55,7 @@ object LinkGraph {
       val t = targetId(docId, j)
       val href = when(j === 3, concat(lit("/p/"), (t % 40).cast("string")))
         .otherwise(WebOps.syntheticUrl(t))
-      concat(lit("<a href=\""), href, lit("\">see "),
+      concat(lit("<a href=\""), href, lit("\">"), anchorWord(t), lit(" "),
         (t % 40).cast("string"), lit("</a>"))
     })
     concat(lit("<html><body><p>"), text, lit("</p>"),
@@ -145,7 +154,9 @@ object LinkGraph {
             '<a href="'
             || CASE WHEN j = 3 THEN '/p/' || CAST(t % 40 AS VARCHAR)
                     ELSE ${WebOps.urlSqlExprOf("t")} END
-            || '">see ' || CAST(t % 40 AS VARCHAR) || '</a>' AS a
+            || '">'
+            || ([${AnchorWords.map(w => s"'$w'").mkString(", ")}])[CAST(t % 5 AS INT) + 1]
+            || ' ' || CAST(t % 40 AS VARCHAR) || '</a>' AS a
           FROM slots),
         pages AS (SELECT u.doc_id, u.url,
             '<html><body><p>' || u.text || '</p>' || COALESCE(t.links, '')
