@@ -38,9 +38,10 @@ object LinkGraph {
   private def targetId(docId: Column, j: Column): Column =
     (docId * 13 + j.cast("long") * 7) % 97
 
-  /** Anchor-text lead words — dictionary-matchable surfaces (incl. two
-    * LOOM-ambiguous labels) so the anchor table is ENTITY-LINKABLE; the
-    * oracle inlines the same list. */
+  /** Anchor-text lead words — dictionary-matchable surfaces (incl. THREE
+    * LOOM-ambiguous labels: "hash join", "merge sort", "key value" each
+    * map to 2 classes across ONT1/ONT2) so the anchor table is
+    * ENTITY-LINKABLE; the oracle inlines the same list. */
   val AnchorWords: Seq[String] =
     Seq("data", "hash join", "batch", "merge sort", "key value")
 
@@ -155,7 +156,7 @@ object LinkGraph {
             || CASE WHEN j = 3 THEN '/p/' || CAST(t % 40 AS VARCHAR)
                     ELSE ${WebOps.urlSqlExprOf("t")} END
             || '">'
-            || ([${AnchorWords.map(w => s"'$w'").mkString(", ")}])[CAST(t % 5 AS INT) + 1]
+            || ([${AnchorWords.map(w => s"'${w.replace("'", "''")}'").mkString(", ")}])[CAST(t % 5 AS INT) + 1]
             || ' ' || CAST(t % 40 AS VARCHAR) || '</a>' AS a
           FROM slots),
         pages AS (SELECT u.doc_id, u.url,
