@@ -61,6 +61,14 @@ object RuleTagger {
   /** DuckDB CASE twin of [[classifyCol]] (same rule order) over `$tok`. */
   def ruleCaseSql(tok: String): String = {
     val suffixes = SuffixRules.map { case (suf, cls) =>
+      // the suffix is interpolated RAW into a SQL LIKE pattern: a future
+      // rule containing %, _ or a quote would silently change the oracle's
+      // semantics (classifyCol's endsWith is literal) — fail loudly instead
+      require(suf.matches("^[A-Z]+$"),
+        s"suffix rule '$suf' must be ^[A-Z]+$$ (LIKE/quote metacharacters " +
+          "would diverge from the literal endsWith in classifyCol)")
+      require(cls.matches("^[A-Za-z]+$"),
+        s"rule class '$cls' must be alphabetic (interpolated into SQL)")
       s"WHEN upper($tok) LIKE '%$suf' THEN '$cls'"
     }.mkString("\n           ")
     s"""CASE WHEN regexp_matches($tok, '^[0-9]+$$') THEN 'Number'

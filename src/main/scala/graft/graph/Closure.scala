@@ -32,6 +32,7 @@ object Closure {
       .withColumn("distance", lit(1)))
     var level = 1
     var frontierNonEmpty = true
+    val trunc = KgGraph.truncator()
     while (level < maxLevel && frontierNonEmpty) {
       val frontier = closure.filter(col("distance") === level)
       val next = frontier
@@ -41,7 +42,7 @@ object Closure {
       // every 5th round when a checkpoint dir is configured (ontology-side
       // graphs are small, but a deep maxLevel on a real cluster gets the
       // same executor-loss recovery for free), localCheckpoint otherwise
-      closure = KgGraph.truncate(
+      closure = trunc(
         closure.unionByName(next)
           .groupBy("child", "ancestor").agg(min("distance").as("distance")),
         level)

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   *  - [[connectedComponents]]: alternating large-star/small-star contraction
   *    (Kiveris et al. 2014) — O(log² n) rounds on ANY graph shape, including
   *    the adversarial long-path graphs where min-label propagation needs
-  *    O(diameter) rounds. Per-round lineage is truncated via [[truncate]]:
+  *    O(diameter) rounds. Per-round lineage is truncated via [[Truncator]]:
   *    reliable `checkpoint()` when a checkpoint dir is configured (cluster
   *    fault tolerance), `localCheckpoint` otherwise.
   */
@@ -148,7 +148,7 @@ object KgGraph {
     *
     * Scale shape per round: one join (labels are (node, label) — same
     * cardinality as the node set) + two aggregations, all keyed on node
-    * ids; lineage truncated per round via [[truncate]]. Fixed `iters`
+    * ids; lineage truncated per round via [[Truncator]]. Fixed `iters`
     * (default 4) rather than convergence detection: synchronous LPA can
     * 2-cycle on bipartite structures, so a fixpoint test may never fire —
     * the fixed-round form sidesteps that AND unrolls exactly into the
@@ -159,8 +159,9 @@ object KgGraph {
     val und = pin(e.unionAll(e.select(col("dst").as("src"), col("src").as("dst"))))
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
+    val trunc = truncator()
     for (round <- 1 to iters) {
-      labels = truncate(
+      labels = trunc(
         und.join(labels.withColumnRenamed("node", "dst"), "dst")
           .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
           .groupBy(col("src"))
@@ -237,11 +238,39 @@ object KgGraph {
     * (GC-driven cleanup of out-of-scope checkpoints) or purge the dir
     * between jobs; persisted intermediates are LRU-evicted by the block
     * manager. */
-  private[graph] def truncate(df: DataFrame, round: Int, reliableEvery: Int = 5): DataFrame = {
-    val sc = df.sparkSession.sparkContext
-    if (sc.getCheckpointDir.isEmpty) df.localCheckpoint()
-    else if (round % reliableEvery == 0) df.checkpoint()
-    else df.persist()
+  private[graph] def truncator(reliableEvery: Int = 5): Truncator =
+    new Truncator(reliableEvery)
+
+  /** One instance PER iterative loop (it tracks that loop's intermediates).
+    *
+    * Eviction policy (the GraphX Pregel pattern): once a round's output is
+    * durably materialized — `localCheckpoint`/`checkpoint` are both eager —
+    * every tracked intermediate OLDER than the immediately previous round is
+    * unpersisted, so a 50-round job holds at most two rounds of blocks (plus
+    * ≤ `reliableEvery`−1 lazily persisted rounds between reliable
+    * checkpoints) instead of accumulating all 50 under block-manager LRU.
+    * The previous round is deliberately KEPT: convergence-testing callers
+    * read round i−1 after truncating round i (`next == e` set equality), and
+    * a localCheckpointed frame must never be unpersisted while still
+    * readable (its lineage is severed — unpersist would destroy the data,
+    * not merely uncache it). Lazily `persist()`ed intermediates between
+    * reliable checkpoints are NOT released early: their blocks are the
+    * recovery path back to the last durable checkpoint, and they may not
+    * have materialized yet in loops with no per-round action. */
+  private[graph] final class Truncator(reliableEvery: Int) {
+    private val pending = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    private def releaseAllButLast(): Unit =
+      while (pending.size > 1) pending.remove(0).unpersist(false)
+    def apply(df: DataFrame, round: Int): DataFrame = {
+      val sc = df.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) {
+        val out = df.localCheckpoint() // eager
+        releaseAllButLast(); pending += out; out
+      } else if (round % reliableEvery == 0) {
+        val out = df.checkpoint() // eager + durable: prior rounds evictable
+        releaseAllButLast(); out  // checkpointed frames need no unpersist
+      } else { pending += df.persist(); df }
+    }
   }
 
   /** Static per-loop inputs (edge sets, degree tables, round-0 states):
@@ -275,9 +304,15 @@ object KgGraph {
     val withS = pin(und.join(strength, "a")) // (a, b, w, s) reused per iter
     val nodes = pin(und.select(col("a").as("node")).distinct())
     val n = nodes.count()
+    // empty edge list ⇒ teleport 1.0/0 = Infinity; an empty ranking is the
+    // honest answer (rank over nothing), not a frame full of Infinity
+    if (n == 0)
+      return nodes.select(col("node").as("class_iri"),
+        lit(0.0).as("pagerank")).limit(0)
     var pr = nodes.withColumn("pr", lit(1.0 / n))
+    val trunc = truncator()
     for (i <- 1 to iters) {
-      pr = truncate(withS.join(pr, withS("a") === pr("node"))
+      pr = trunc(withS.join(pr, withS("a") === pr("node"))
         .select(col("b").as("node"), (col("pr") * col("w") / col("s")).as("contrib"))
         .groupBy("node")
         .agg((lit((1.0 - damping) / n) + lit(damping) * sum(col("contrib"))).as("pr")),
@@ -299,7 +334,7 @@ object KgGraph {
     * (anti-join against the out-weight table, then `sum`) cross-joined back
     * as a broadcast — no driver collect, no per-round action; contributions
     * are one join + one hash aggregation exactly like the undirected loop,
-    * with the same [[truncate]] lineage policy. Node set = src ∪ dst of the
+    * with the same [[Truncator]] lineage policy. Node set = src ∪ dst of the
     * edge list. Same fixed-iteration determinism + 6dp contract; the oracle
     * unrolls the same rounds including the per-round dangling scalar. */
   def pageRankDirected(edges: DataFrame, iters: Int = 5,
@@ -337,9 +372,16 @@ object KgGraph {
     val ew = pin(e.join(outw, "a")) // (a, b, w, s) reused per iter
     val nodes0 = pin(e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node"))).distinct())
+    val nNodes = nodes0.count()
+    // empty edge list ⇒ no nodes ⇒ uniform teleport would be 1.0/0 =
+    // Infinity; return the empty ranking instead (seeded callers get the
+    // same: with zero nodes no seed can be a node)
+    if (nNodes == 0)
+      return nodes0.select(col("node").as("page"),
+        lit(0.0).as("pagerank")).limit(0)
     val nodes = seeds match {
       case None =>
-        nodes0.withColumn("t", lit(1.0 / nodes0.count()))
+        nodes0.withColumn("t", lit(1.0 / nNodes))
       case Some(sd0) =>
         val sd = sd0.select(col("node")).distinct()
         val nS = sd.count()
@@ -354,6 +396,7 @@ object KgGraph {
         withT
     }
     var pr = nodes.select(col("node"), col("t").as("pr"))
+    val trunc = truncator()
     for (i <- 1 to iters) {
       val dangling = pr.join(outw, pr("node") === outw("a"), "left_anti")
         .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
@@ -361,7 +404,7 @@ object KgGraph {
         .select(col("b").as("node"),
           (col("pr") * col("w") / col("s")).as("c"))
         .groupBy("node").agg(sum(col("c")).as("c"))
-      pr = truncate(
+      pr = trunc(
         nodes.join(contrib, Seq("node"), "left")
           .crossJoin(broadcast(dangling))
           .select(col("node"), col("t"),
@@ -382,18 +425,20 @@ object KgGraph {
     *
     * Scale shape per round: two join+agg passes over the edge list (same
     * cost as one PageRank round ×2) plus two 1-row L1 aggregates broadcast
-    * back — no driver action, same [[truncate]] lineage policy. Fixed
+    * back — no driver action, same [[Truncator]] lineage policy. Fixed
     * iterations, 6dp contract. */
   def hits(edges: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"hits needs iters >= 1, got $iters")
     val e = pin(edges.select(col("src"), col("dst"),
       col("n_links").cast("double").as("w")))
     val nodes = pin(e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct())
+    val trunc = truncator()
     def step(from: DataFrame, score: String, joinOn: String, out: String,
              i: Int): DataFrame = {
       // truncate BEFORE the normalizer so the join+agg runs once per round
       // (the 1-row L1 sum and the divide both read the materialized raw)
-      val raw = truncate(nodes.join(
+      val raw = trunc(nodes.join(
         e.join(from, e(joinOn) === from("node"))
           .groupBy(e(out).as("n")).agg(sum(col(score) * col("w")).as("x")),
         nodes("node") === col("n"), "left")
@@ -444,6 +489,7 @@ object KgGraph {
     var eCnt = e.count()
     var converged = eCnt == 0
     var i = 0
+    val trunc = truncator()
     while (!converged && i < maxIter) {
       // large-star: m(u) = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.
       // m ≤ u < v ⇒ no self-loops.
@@ -461,7 +507,7 @@ object KgGraph {
         .select(col("v").as("u"), col("m").as("v"))
         .unionAll(sMins.select(col("u"), col("m").as("v")))
         .distinct()
-      val truncated = truncate(next, i + 1) // 1-based like pageRank: round 1
+      val truncated = trunc(next, i + 1) // 1-based like pageRank: round 1
       // (the largest intermediate edge set) is not reliably checkpointed
       // exact convergence: next == e  ⇔  |next| == |e| ∧ |next ∪ e| == |e|
       val nextCnt = truncated.count()
@@ -489,7 +535,7 @@ object KgGraph {
     *
     * Per round: one degree aggregation + two semi-joins filtering the edge
     * list to surviving endpoints (all shuffles on the node key; AQE
-    * skew-join covers hot concepts); lineage truncated via [[truncate]].
+    * skew-join covers hot concepts); lineage truncated via [[Truncator]].
     * Deterministic, and oracle-able WITHOUT recursion: peeling is
     * IDEMPOTENT after convergence, so an oracle that unrolls exactly
     * `maxIter` rounds equals the converged engine result — when
@@ -506,11 +552,12 @@ object KgGraph {
     var eCnt = e.count()
     var converged = eCnt == 0
     var i = 0
+    val trunc = truncator()
     while (!converged && i < maxIter) {
       val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
       val keep = und.groupBy("a").agg(count(lit(1)).as("n"))
         .filter(col("n") >= k).select(col("a").as("node"))
-      val next = truncate(
+      val next = trunc(
         e.join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
           .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
           .select(col("a"), col("b")),

@@ -495,4 +495,43 @@ class KgGraphSpec extends AnyFunSuite {
       ("l2", "l3") -> w3))
     assert(KgGraph.adamicAdar(star, maxDegree = 2).count() === 0)
   }
+
+  test("empty edge lists: PageRank variants return empty, never Infinity") {
+    import spark.implicits._
+    val e = Seq.empty[(String, String, Long)].toDF("src", "dst", "n_links")
+    val ed = Seq.empty[(String, String, Long)].toDF("src", "dst", "n_docs")
+    assert(KgGraph.pageRankDirected(e).count() === 0)
+    assert(KgGraph.pageRankWeighted(ed).count() === 0)
+    assert(KgGraph.pageRank(ed.select("src", "dst")).count() === 0)
+    // schema stays the contract shape even on the empty path
+    assert(KgGraph.pageRankDirected(e).columns.toSeq === Seq("page", "pagerank"))
+    // personalized PR over an empty graph is equally empty (the "no seed is
+    // a node" require is for NON-empty graphs with disjoint seeds)
+    val seeds = Seq("a").toDF("node")
+    assert(KgGraph.pageRankPersonalized(e, seeds).count() === 0)
+  }
+
+  test("hits rejects iters < 1 loudly (was an opaque NPE)") {
+    import spark.implicits._
+    val e = Seq(("a", "b", 1L)).toDF("src", "dst", "n_links")
+    val ex = intercept[IllegalArgumentException](KgGraph.hits(e, iters = 0))
+    assert(ex.getMessage.contains("iters"))
+  }
+
+  test("Truncator releases old rounds: cached intermediates stay bounded") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    // a 64-node path: labelPropagation runs `iters` synchronous rounds, each
+    // localCheckpoint-truncated; without release the persistent-RDD registry
+    // grows by one per round
+    val path = (0 until 63).map(i => (f"n$i%02d", f"n${i + 1}%02d"))
+      .toDF("src", "dst")
+    val before = sc.getPersistentRDDs.size
+    KgGraph.labelPropagation(path, iters = 12).count()
+    val after = sc.getPersistentRDDs.size
+    // pin()ned loop input + at most 2 tracked rounds (prev + current);
+    // 12 un-released rounds would add ~13
+    assert(after - before <= 4,
+      s"persistent RDDs grew by ${after - before} over 12 rounds - Truncator not releasing")
+  }
 }
