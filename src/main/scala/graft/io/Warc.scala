@@ -237,25 +237,57 @@ object Warc {
     toCorpus(blobs.select(col("file_bytes")).as[Array[Byte]])
   }
 
-  /** Write the corpus as `numFiles` WARC files under `dir` (one file per
-    * bucket, `.warc.gz` when `gzip`). Executor-side local-FS writes — the
-    * sandbox stand-in for an HDFS/object-store binary sink; the blob
-    * construction itself is the distributed part. */
+  /** Write the corpus as one WARC file per NON-EMPTY bucket under `dir`
+    * (`xxhash64(url) % numFiles` bucketing, url-sorted within a file —
+    * byte-identical file contents to [[syntheticBlobs]]' blobs, which the
+    * round-trip spec pins).
+    *
+    * DISTRIBUTED: records are repartitioned by bucket and STREAMED to the
+    * target filesystem from the executors through the Hadoop FileSystem API
+    * (local FS here; HDFS/object store on a cluster — executors resolve the
+    * scheme from their own Hadoop conf). Task memory holds ONE record at a
+    * time — never a whole file blob — and nothing is collected to the
+    * driver (the previous form drove every blob through a driver
+    * `collect()`: an OOM at the ~1 GB-file × thousands-of-files scale WARC
+    * exists for). A task that receives several buckets (hash collision at
+    * small `numFiles`) rolls to a new file on the bucket boundary of the
+    * (bucket, url)-sorted stream, so the file-per-bucket contract holds for
+    * ANY hash→partition distribution. */
   def write(corpus: DataFrame, dir: String, numFiles: Int,
             gzip: Boolean = false): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    val blobs = syntheticBlobs(corpus, numFiles)
-      .collect() // numFiles blobs — driver-side by construction
-    blobs.zipWithIndex.foreach { case (row, i) =>
-      val bytes = row.getAs[Array[Byte]]("file_bytes")
-      val outBytes = if (gzip) {
-        val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
-        val gz = new java.util.zip.GZIPOutputStream(bos)
-        gz.write(bytes); gz.close(); bos.toByteArray
-      } else bytes
-      val ext = if (gzip) "warc.gz" else "warc"
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(dir, f"part-$i%05d.$ext"), outBytes)
-    }
+    val sess = corpus.sparkSession
+    // driver-side mkdir so an EMPTY corpus still yields the directory
+    val base = new org.apache.hadoop.fs.Path(dir)
+    base.getFileSystem(sess.sparkContext.hadoopConfiguration).mkdirs(base)
+    val ext = if (gzip) "warc.gz" else "warc"
+    val rec = recordUdf(col("url"), col("warc_ts"),
+      coalesce(col("html"), wrapHtml(col("text"))))
+    corpus
+      .select(pmod(xxhash64(col("url")), lit(numFiles.toLong)).as("bucket"),
+        col("url"), rec.as("rec"))
+      .repartition(numFiles, col("bucket"))
+      .sortWithinPartitions("bucket", "url")
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val fs = new org.apache.hadoop.fs.Path(dir)
+            .getFileSystem(new org.apache.hadoop.conf.Configuration())
+          var cur = -1L
+          var out: java.io.OutputStream = null
+          it.foreach { r =>
+            val b = r.getLong(0)
+            if (b != cur) { // roll on bucket boundary
+              if (out != null) out.close()
+              val raw = fs.create(new org.apache.hadoop.fs.Path(
+                new org.apache.hadoop.fs.Path(dir), f"part-$b%05d.$ext"), true)
+              out = if (gzip)
+                new java.util.zip.GZIPOutputStream(raw, 64 * 1024)
+              else raw
+              cur = b
+            }
+            out.write(r.getAs[Array[Byte]](2))
+          }
+          out.close()
+        }
+      }
   }
 }

@@ -49,13 +49,23 @@ object LinkGraph {
     element_at(array(AnchorWords.map(lit): _*), (t % 5).cast("int") + 1)
 
   /** Deterministic HTML page: the doc text plus `doc_id % 4` anchor tags.
-    * Slot 3's href is host-relative (`/p/NN`); slots 1–2 are absolute
-    * [[WebOps.syntheticUrl]]s. */
+    * Slots 1–2 are absolute [[WebOps.syntheticUrl]]s; slot 3 cycles through
+    * the four RELATIVE reference forms of RFC 3986 by `t % 4` — 0:
+    * host-relative `/p/N`, 1: dot-segmented path-relative `../q/N`, 2:
+    * protocol-relative `//host/p/N`, 3: same-dir path-relative `./r/N` — so
+    * every [[resolveHref]] CASE leg is exercised by the fixture (and by the
+    * oracle, which rebuilds this HTML in SQL). */
   def syntheticHtml(docId: Column, text: Column): Column = {
     val all = transform(sequence(lit(1), lit(3)), j => {
       val t = targetId(docId, j)
-      val href = when(j === 3, concat(lit("/p/"), (t % 40).cast("string")))
-        .otherwise(WebOps.syntheticUrl(t))
+      val n = (t % 40).cast("string")
+      val rel = when(t % 4 === 0, concat(lit("/p/"), n))
+        .when(t % 4 === 1, concat(lit("../q/"), n))
+        .when(t % 4 === 2, concat(lit("//"),
+          element_at(array(WebOps.Domains.map(lit): _*), (t % 7).cast("int") + 1),
+          lit("/p/"), n))
+        .otherwise(concat(lit("./r/"), n))
+      val href = when(j === 3, rel).otherwise(WebOps.syntheticUrl(t))
       concat(lit("<a href=\""), href, lit("\">"), anchorWord(t), lit(" "),
         (t % 40).cast("string"), lit("</a>"))
     })
@@ -71,14 +81,56 @@ object LinkGraph {
 
   // ---- extraction --------------------------------------------------------
 
-  /** Resolve an href against its source page: host-relative (`/...`) hrefs
-    * get the source's canonical host + https scheme; absolute hrefs pass
-    * through. (Protocol-relative and path-relative forms don't occur in the
-    * synthesis; a crawl ingest would extend this CASE, same shape.) */
-  def resolveHref(srcUrl: Column, href: Column): Column =
-    when(href.startsWith("/"),
-      concat(lit("https://"), WebOps.canonicalHost(srcUrl), href))
-      .otherwise(href)
+  /** RFC 3986 §5.2.4 "remove dot segments" over a path that starts with `/`
+    * (or is empty): a string-accumulator fold over the `/`-split segments —
+    * `.` and empty segments drop (this also collapses `//` runs and strips a
+    * trailing slash, the same normal form [[WebOps.canonicalUrl]] lands on),
+    * `..` pops the last accumulated segment (a no-op at the root, per the
+    * RFC), anything else appends. Fully general — no unroll depth cap — and
+    * the DuckDB twin is the SAME fold via `list_reduce` (the leading empty
+    * segment of a `/`-rooted path is exactly list_reduce's seed). */
+  private def removeDotSegments(path: Column): Column = {
+    val folded = aggregate(split(path, "/"), lit(""), (acc, seg) =>
+      when(seg === "" || seg === ".", acc)
+        .when(seg === "..", regexp_replace(acc, "/[^/]*$", ""))
+        .otherwise(concat(acc, lit("/"), seg)))
+    when(folded === "", lit("/")).otherwise(folded)
+  }
+
+  /** Resolve an href against its source page (RFC 3986 §5.2, http(s)
+    * profile — the four forms a real crawl sees):
+    *  - absolute (`scheme:` prefix) → pass through;
+    *  - protocol-relative (`//host/path`) → source scheme (https — the
+    *    canonical-URL normal form) + authority + dot-fixed path;
+    *  - host-relative (`/path`) → source canonical host + dot-fixed path;
+    *  - path-relative (`a/b`, `../a`, `./a`) → merged against the source
+    *    path's base directory (§5.3: everything up to the last `/`), then
+    *    dot-fixed.
+    * Query/fragment of the href survive untouched (dot removal applies to
+    * the path component only); the downstream [[WebOps.canonicalUrl]] does
+    * its usual fragment/utm/sort normalization. Deviation from the letter
+    * of the RFC: an EMPTY href resolves to the source base directory, not
+    * the source URL itself (same-document self-references are crawl noise
+    * either way). */
+  def resolveHref(srcUrl: Column, href: Column): Column = {
+    val relPath = regexp_extract(href, "^[^?#]*", 0)
+    val relSuffix = regexp_extract(href, "[?#].*$", 0) // '' when absent
+    val srcPath = regexp_extract(srcUrl, WebOps.PathRe, 1)
+    // '/a/b' → '/a/'; an empty source path (bare host) merges from '/'
+    val baseDir = when(srcPath === "", lit("/"))
+      .otherwise(regexp_replace(srcPath, "/[^/]*$", "/"))
+    when(href.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"), href)
+      .when(href.startsWith("//"),
+        concat(lit("https://"), regexp_extract(href, "^//([^/?#]*)", 1),
+          removeDotSegments(regexp_extract(href, "^//[^/?#]*([^?#]*)", 1)),
+          relSuffix))
+      .when(href.startsWith("/"),
+        concat(lit("https://"), WebOps.canonicalHost(srcUrl),
+          removeDotSegments(relPath), relSuffix))
+      .otherwise(
+        concat(lit("https://"), WebOps.canonicalHost(srcUrl),
+          removeDotSegments(concat(baseDir, relPath)), relSuffix))
+  }
 
   /** The link table: one row per anchor tag —
     * `(src_url, href, anchor, dst_url)` with `dst_url` resolved +
@@ -153,7 +205,13 @@ object LinkGraph {
                   WHERE j <= doc_id % 4),
         atags AS (SELECT doc_id, j,
             '<a href="'
-            || CASE WHEN j = 3 THEN '/p/' || CAST(t % 40 AS VARCHAR)
+            || CASE WHEN j = 3 THEN
+                 CASE WHEN t % 4 = 0 THEN '/p/' || CAST(t % 40 AS VARCHAR)
+                      WHEN t % 4 = 1 THEN '../q/' || CAST(t % 40 AS VARCHAR)
+                      WHEN t % 4 = 2 THEN '//'
+                        || ([${WebOps.domainsSqlList}])[CAST(t % 7 AS INT) + 1]
+                        || '/p/' || CAST(t % 40 AS VARCHAR)
+                      ELSE './r/' || CAST(t % 40 AS VARCHAR) END
                     ELSE ${WebOps.urlSqlExprOf("t")} END
             || '">'
             || ([${AnchorWords.map(w => s"'${w.replace("'", "''")}'").mkString(", ")}])[CAST(t % 5 AS INT) + 1]
@@ -166,13 +224,42 @@ object LinkGraph {
                                  AS links FROM atags GROUP BY doc_id) t
             USING (doc_id))"""
 
+  /** DuckDB twin of [[removeDotSegments]] over a `/`-rooted (or empty) path
+    * expression `p`: the SAME string-accumulator fold — `list_reduce`'s
+    * seed is the list's first element, which for a `/`-rooted path is the
+    * empty leading segment, i.e. exactly Spark `aggregate`'s `lit("")` zero
+    * (and the lambda is identity on further empty segments, so the two
+    * engines' seed conventions coincide). */
+  private def dotsSqlOf(p: String): String = {
+    val fold =
+      s"""list_reduce(string_split($p, '/'), (acc, seg) ->
+            CASE WHEN seg = '' OR seg = '.' THEN acc
+                 WHEN seg = '..' THEN regexp_replace(acc, '/[^/]*$$', '')
+                 ELSE acc || '/' || seg END)"""
+    s"COALESCE(NULLIF($fold, ''), '/')"
+  }
+
   /** CTE chain `... , lnk(src_url, href, anchor, dst_url)` — the extraction
     * twin: DuckDB's regexp_extract_all over the SAME pattern, then the same
-    * resolve + canonicalize expressions. */
+    * RFC 3986 resolve (all four reference forms, [[resolveHref]]'s CASE
+    * order) + canonicalize expressions. */
   def linksCteSql: String = {
-    val resolved = s"""CASE WHEN starts_with(href, '/')
-          THEN 'https://' || ${WebOps.canonHostSqlOf("src_url")} || href
-          ELSE href END"""
+    val baseDir =
+      """CASE WHEN src_path = '' THEN '/'
+              ELSE regexp_replace(src_path, '/[^/]*$', '/') END"""
+    val resolved =
+      s"""CASE
+          WHEN regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*:') THEN href
+          WHEN starts_with(href, '//') THEN 'https://'
+            || COALESCE(regexp_extract(href, '^//([^/?#]*)', 1), '')
+            || ${dotsSqlOf("COALESCE(regexp_extract(href, '^//[^/?#]*([^?#]*)', 1), '')")}
+            || rel_suffix
+          WHEN starts_with(href, '/') THEN 'https://'
+            || ${WebOps.canonHostSqlOf("src_url")}
+            || ${dotsSqlOf("rel_path")} || rel_suffix
+          ELSE 'https://' || ${WebOps.canonHostSqlOf("src_url")}
+            || ${dotsSqlOf(s"($baseDir) || rel_path")} || rel_suffix
+          END"""
     s"""$pagesCteSql,
         ext AS (SELECT doc_id, url,
             regexp_extract_all(html, '$LinkRe', 1) AS hrefs,
@@ -182,7 +269,13 @@ object LinkGraph {
             unnest(generate_series(1, len(hrefs))) AS i FROM ext),
         raw AS (SELECT url AS src_url, hrefs[i] AS href, anchs[i] AS anchor
                 FROM idx),
+        rres AS (SELECT src_url, href, anchor,
+            COALESCE(regexp_extract(href, '^[^?#]*', 0), '') AS rel_path,
+            COALESCE(regexp_extract(href, '[?#].*$$', 0), '') AS rel_suffix,
+            COALESCE(regexp_extract(src_url, '${WebOps.PathRe}', 1), '') AS src_path
+          FROM raw),
+        rslv AS (SELECT src_url, href, anchor, $resolved AS resolved FROM rres),
         lnk AS (SELECT src_url, href, anchor,
-                  ${WebOps.canonUrlSqlOf(resolved)} AS dst_url FROM raw)"""
+                  ${WebOps.canonUrlSqlOf("resolved")} AS dst_url FROM rslv)"""
   }
 }

@@ -82,8 +82,12 @@ object WebOps {
   /** DuckDB SQL expression for [[syntheticUrl]] over any integer-typed SQL
     * expression `id` (parameterized so [[LinkGraph]]'s synthetic link
     * targets reuse the same single source of truth). */
+  /** The [[Domains]] pool as a DuckDB list literal (shared by the URL
+    * synthesis and [[LinkGraph]]'s protocol-relative href synthesis). */
+  def domainsSqlList: String = Domains.map(d => s"'$d'").mkString(", ")
+
   def urlSqlExprOf(id: String): String = {
-    val doms = Domains.map(d => s"'$d'").mkString(", ")
+    val doms = domainsSqlList
     s"""'https://' || ([$doms])[CAST(($id) % 7 AS INT) + 1]
         || '/p/' || CAST(($id) % 40 AS VARCHAR)
         || CASE WHEN ($id) % 3 = 0

@@ -38,12 +38,46 @@ class LinkGraphSpec extends AnyFunSuite {
     val docs = (0L to 19L).map(i => (i, s"text $i")).toDF("doc_id", "text")
     val links = LinkGraph.links(LinkGraph.pages(docs))
     assert(links.count() === (0L to 19L).map(_ % 4).sum)
-    // slot-3 links are host-relative, so their dst host == src canonical host
-    val rel = links.filter(col("href").startsWith("/"))
+    // slot-3 host- and path-relative links resolve against the SOURCE's
+    // canonical host (protocol-relative `//host/...` legitimately hops host)
+    val rel = links.filter(
+        (col("href").startsWith("/") && !col("href").startsWith("//"))
+          || col("href").startsWith(".") || col("href").startsWith("r/"))
       .select(graft.ops.WebOps.canonicalHost(col("src_url")).as("sh"),
         graft.ops.WebOps.canonicalHost(col("dst_url")).as("dh"))
       .collect()
     assert(rel.nonEmpty && rel.forall(r => r.getString(0) === r.getString(1)))
+    // the synthesis emits all four relative forms across a big enough range
+    val forms = LinkGraph.links(LinkGraph.pages(
+      (0L to 99L).map(i => (i, s"text $i")).toDF("doc_id", "text")))
+      .select("href").collect().map(_.getString(0))
+    assert(forms.exists(h => h.startsWith("/") && !h.startsWith("//")))
+    assert(forms.exists(_.startsWith("../")))
+    assert(forms.exists(_.startsWith("//")))
+    assert(forms.exists(_.startsWith("./")))
+  }
+
+  test("resolveHref: all four RFC 3986 reference forms + dot-segment removal") {
+    val pages = pagesDf(
+      ("https://www.Site.org/a/b/c?x=1", List(
+        "https://abs.example/p",        // absolute: untouched
+        "//CDN.example/img/../x",        // protocol-relative + dots
+        "/p/./q/../r",                   // host-relative + dots
+        "../up",                         // path-relative: pops b/c's dir
+        "./same/z",                      // same-dir
+        "plain/deep/../y?k=2",           // merged + dots + query survives
+        "../../../overpop")              // .. beyond root clamps at root
+        .map(h => s"""<a href="$h">a</a>""").mkString))
+    val got = LinkGraph.links(pages).collect()
+      .map(r => r.getString(1) -> r.getString(3)).toMap
+    assert(got("https://abs.example/p") === "https://abs.example/p")
+    assert(got("//CDN.example/img/../x") === "https://cdn.example/x")
+    assert(got("/p/./q/../r") === "https://site.org/p/r")
+    // base dir of /a/b/c is /a/b/ → ../up = /a/up
+    assert(got("../up") === "https://site.org/a/up")
+    assert(got("./same/z") === "https://site.org/a/b/same/z")
+    assert(got("plain/deep/../y?k=2") === "https://site.org/a/b/plain/y?k=2")
+    assert(got("../../../overpop") === "https://site.org/overpop")
   }
 
   test("links is map-only: no Exchange, generator inside codegen") {

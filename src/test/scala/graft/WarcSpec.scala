@@ -82,6 +82,27 @@ class WarcSpec extends AnyFunSuite {
     assert(back === want) // byte-identical text through WARC + HTML extraction
   }
 
+  test("distributed sink: executor-streamed files byte-equal the blob builder") {
+    val corpus = Corpus.readDriverDocuments(spark, sfDir).limit(80)
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-dist").toString
+    // 5 buckets hashed into 5 partitions: some task almost surely receives
+    // two buckets, exercising the roll-on-bucket-boundary path; the
+    // byte-parity assertion below is distribution-independent either way
+    Warc.write(corpus, dir, numFiles = 5)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc"))
+    assert(files.length === 5)
+    val fileBytes = files.map(f =>
+      java.nio.file.Files.readAllBytes(f.toPath).toSeq).toSet
+    val blobBytes = Warc.syntheticBlobs(corpus, buckets = 5)
+      .collect().map(_.getAs[Array[Byte]]("file_bytes").toSeq).toSet
+    assert(fileBytes === blobBytes) // same bucketing, same url sort, same bytes
+    // empty corpus: directory exists, zero files, no task failure
+    val empty = java.nio.file.Files.createTempDirectory("graft-warc-empty").toString + "/out"
+    Warc.write(corpus.limit(0), empty, numFiles = 3)
+    assert(new java.io.File(empty).isDirectory)
+    assert(new java.io.File(empty).listFiles().forall(!_.getName.endsWith(".warc")))
+  }
+
   test("on-disk round trip, plain and gzipped, file-parallel read") {
     val corpus = Corpus.readDriverDocuments(spark, sfDir).limit(60)
     val dir = java.nio.file.Files.createTempDirectory("graft-warc").toString
