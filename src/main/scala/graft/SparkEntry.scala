@@ -1010,6 +1010,12 @@ object SparkEntry {
     "web_domain_quota" -> ((s, dir) =>
       WebOps.domainQuota(docsTable(s, dir), quota = 50)),
 
+    // same contract, mega-host-safe plan: count → hash-threshold prefilter
+    // → broadcast underflow fallback → exact window top-up over survivors;
+    // ONE oracle proves both forms equal
+    "web_domain_quota2" -> ((s, dir) =>
+      WebOps.domainQuotaTwoPhase(docsTable(s, dir), quota = 50)),
+
     // near-dup CLUSTERS: connected components (large-star/small-star) over
     // the MinHash+LSH pair set, cluster label = min doc_id — the step that
     // turns pairwise dup detection into per-cluster canonical selection
@@ -1378,6 +1384,16 @@ object SparkEntry {
   private val minClosureCte =
     """mincl AS (SELECT child_iri, ancestor_iri, MIN(distance) AS distance
        FROM closure GROUP BY child_iri, ancestor_iri)"""
+
+  /** One oracle for BOTH domain-quota plans (single-window and two-phase). */
+  private def domainQuotaOracleSql: String =
+    s"""WITH ${graft.ops.WebOps.canonCteSql},
+        r AS (SELECT doc_id, host, canon_url,
+                ROW_NUMBER() OVER (PARTITION BY host
+                  ORDER BY ('0x' || substr(md5(canon_url), 1, 15))::BIGINT,
+                           doc_id) AS rn
+              FROM canon)
+        SELECT doc_id, host, canon_url FROM r WHERE rn <= 50"""
 
   def oracleSql: Map[String, String] = Map(
     "ann_direct" ->
@@ -2694,14 +2710,11 @@ object SparkEntry {
           SELECT url, term, cand AS class_iri, CAST(score AS BIGINT) AS score
           FROM r WHERE rn = 1""",
 
-    "web_domain_quota" ->
-      s"""WITH ${graft.ops.WebOps.canonCteSql},
-          r AS (SELECT doc_id, host, canon_url,
-                  ROW_NUMBER() OVER (PARTITION BY host
-                    ORDER BY ('0x' || substr(md5(canon_url), 1, 15))::BIGINT,
-                             doc_id) AS rn
-                FROM canon)
-          SELECT doc_id, host, canon_url FROM r WHERE rn <= 50""",
+    "web_domain_quota" -> domainQuotaOracleSql,
+
+    // the two-phase engine form must land on the SAME rows (prefilter is a
+    // prefix of the hash order + exact fallback) — one oracle, two plans
+    "web_domain_quota2" -> domainQuotaOracleSql,
 
     "kg_labelprop" -> labelPropOracleSql(iters = 4),
 

@@ -220,6 +220,56 @@ object WebOps {
       .select(col("doc_id"), col("host"), col("canon_url"))
   }
 
+  /** Two-phase [[domainQuota]] — IDENTICAL output (same hash order, same
+    * tie-break; the verify gate runs both against one oracle), built for the
+    * host whose row count exceeds task memory. [[domainQuota]]'s window
+    * already plans a map-side WindowGroupLimit, but a window partition can
+    * never be SPLIT across tasks — one pathological host still funnels its
+    * surviving rows through one task. Here:
+    *
+    *  1. per-host count aggregation (map-side partials);
+    *  2. hash-threshold prefilter: keep a row iff its [[Sketch.hash60]] is
+    *     within `margin · quota / cnt` of the hash space (hosts at/below
+    *     quota keep everything). The selection key is a prefix of the hash
+    *     order, so if ≥ quota rows survive, the quota smallest survivors ARE
+    *     the quota smallest overall — the threshold value affects only the
+    *     survivor count, never correctness;
+    *  3. underflow fallback: hosts whose survivors fell below
+    *     min(quota, cnt) (probability ≈ e^(-quota·(margin−1)²/2·…) — tiny,
+    *     but exactness must not rest on probability) are re-taken WHOLE; the
+    *     `bad` host set is ~empty and broadcast to both legs;
+    *  4. exact window top-up over survivors — now ≤ ~margin·quota rows per
+    *     host, so no host exceeds a task.
+    *
+    * The count join on `host` is skewed by the same mega-host, but JOINS are
+    * AQE-skew-splittable (a skewed join partition can be split because a
+    * join never needs all of a key's rows in one task) — windows are not,
+    * which is exactly what this buys. */
+  def domainQuotaTwoPhase(docs: DataFrame, quota: Int,
+                          margin: Double = 2.0): DataFrame = {
+    val rows = canonicalize(docs)
+      .withColumn("host", canonicalHost(col("url")))
+      .withColumn("h", Sketch.hash60(col("canon_url")))
+    val counts = rows.groupBy("host").agg(count(lit(1)).as("cnt"))
+    val withCnt = rows.join(counts, "host")
+    // double math: the threshold needs ~consistency, not exactness (step 2)
+    val thresh = lit(margin * quota * math.pow(2, 60)) / col("cnt").cast("double")
+    val pre = withCnt.filter(col("cnt") <= quota || col("h").cast("double") <= thresh)
+    // LEFT join from counts: a host whose prefilter kept ZERO rows has no
+    // pre-side group at all — it must still be flagged as underflowed
+    val bad = counts
+      .join(pre.groupBy("host").agg(count(lit(1)).as("kept")), Seq("host"), "left")
+      .filter(coalesce(col("kept"), lit(0L)) < least(lit(quota.toLong), col("cnt")))
+      .select(col("host"))
+    val survivors = pre.join(broadcast(bad), Seq("host"), "left_anti")
+      .unionByName(withCnt.join(broadcast(bad), Seq("host"), "left_semi"))
+    survivors
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("host")).orderBy(col("h"), col("doc_id"))))
+      .filter(col("rn") <= quota)
+      .select(col("doc_id"), col("host"), col("canon_url"))
+  }
+
   /** C4-style repeated-passage removal (Raffel et al. 2020 drop duplicate
     * three-sentence spans corpus-wide, keeping one occurrence; Lee et al.
     * 2021 dedups exact substrings). The driver corpus is single-line word
@@ -229,35 +279,46 @@ object WebOps {
     * (doc_id, pos)); docs are rebuilt from their surviving chunks in order.
     *
     * Scale shape: chunking is a map-side explode; "first occurrence" is a
-    * min(struct(doc_id, pos)) HASH AGGREGATION on the chunk key — NOT a
-    * row_number window — so hot boilerplate chunks partial-aggregate
-    * map-side instead of serializing into one window partition; its output
-    * IS the surviving occurrence set, feeding the per-doc rebuild
-    * aggregation directly (no join back to the chunk stream). At 100 TB
-    * the chunk key should be a 128-bit hash of the chunk text (collision
-    * math as Dedup.exact) so the two chunk-keyed exchanges never carry
-    * text; kept verbatim here because the oracle compares rebuilt text. */
+    * min(struct(doc_id, pos)) HASH AGGREGATION — NOT a row_number window —
+    * so hot boilerplate chunks partial-aggregate map-side instead of
+    * serializing into one window partition. The chunk key is the
+    * [[Dedup.exact]] 128-bit form — two independently-seeded xxhash64
+    * values + the length — so the chunk-keyed exchanges carry ~24-byte
+    * keys, NEVER the chunk text (a colliding pair of distinct chunks
+    * merges two survivors with probability ~2^-128·pairs; the verbatim-text
+    * DuckDB oracle re-proves the shortcut on every verify run, the
+    * dedup_exact contract). Surviving positions aggregate per doc (another
+    * text-free exchange), and each doc is REBUILT by re-chunking its own
+    * text locally and keeping the surviving positions — the only exchange
+    * that carries text is the one doc_id-keyed rebuild join, which is
+    * output-sized by definition. */
   def chunkDedup(docs: DataFrame, chunkTokens: Int = 20): DataFrame = {
     val toks = split(col("text"), " ")
     // split() never returns an empty array (worst case [""]), so nChunks
     // >= 1 and the sequence below never descends (Dedup.shingles guard
     // rationale)
     val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")
-    val chunks = docs.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), nChunks - 1),
-        i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")))
-        .as(Seq("pos", "chunk")))
-    // min(struct(doc_id,pos)) per chunk IS the surviving occurrence set —
-    // no join back to `chunks` needed (it would re-explode the corpus a
-    // second time just to reproduce these rows)
-    val kept = chunks.groupBy("chunk")
+    val chunkArr = transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " "))
+    // pass 1 (chunk-keyed, text-free): first occurrence per 128-bit chunk key
+    val keyed = docs.select(col("doc_id"), posexplode(chunkArr).as(Seq("pos", "chunk")))
+      .select(xxhash64(lit(1), col("chunk")).as("h1"),
+        xxhash64(lit(2), col("chunk")).as("h2"),
+        length(col("chunk")).as("n"), col("doc_id"), col("pos"))
+    val kept = keyed.groupBy("h1", "h2", "n")
       .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
-      .select(col("chunk"), col("k.doc_id").as("doc_id"), col("k.pos").as("pos"))
-    val rebuilt = kept.groupBy("doc_id")
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+    // pass 2 (doc-keyed, text-free): surviving positions per doc
+    val keepPos = kept.groupBy(col("k.doc_id").as("doc_id"))
+      .agg(sort_array(collect_list(col("k.pos"))).as("keep"))
+    // rebuild: re-chunk each doc's own text in place (map-side — the same
+    // chunkArr expression) and keep surviving positions in order
+    val tagged = transform(chunkArr, (c, i) =>
+      struct(i.as("pos"), c.as("chunk")))
+    docs.select(col("doc_id"), col("text"))
+      .join(keepPos, Seq("doc_id"), "left") // null keep → all chunks drop
+      .select(col("doc_id"),
+        array_join(transform(
+          filter(tagged, s => array_contains(col("keep"), s.getField("pos"))),
           s => s.getField("chunk")), " ").as("text_dedup"))
-    docs.select(col("doc_id")).join(rebuilt, Seq("doc_id"), "left")
-      .na.fill("", Seq("text_dedup"))
   }
 }

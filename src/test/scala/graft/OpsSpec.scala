@@ -129,6 +129,20 @@ class OpsSpec extends AnyFunSuite {
       f"Lloyd refinement lost recall: $recall%.2f < $recall0%.2f")
   }
 
+  test("IVF Lloyd loop: kmeansIters=5 runs in bounded plan depth") {
+    // each Lloyd round pins the ≤ nCentroids-row quantizer as a LOCAL table,
+    // so the assignment plan depth is CONSTANT in kmeansIters (the earlier
+    // nested-plan form re-executed all prior rounds per extra iter)
+    val deep = Similarity.ivfTopK(embeddings, nQueries = 5, k = 3, kmeansIters = 5)
+    val plan = deep.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), plan.take(2000)) // local quantizer
+    val rows = deep.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq === (1 to rs.length))
+    }
+  }
+
   test("LshBucket expression: no object-mode island, values == scalar recompute") {
     // the bucket projection must be a pure codegen'd column op — the earlier
     // typed mapPartitions form was the repo's last object-mode island

@@ -84,6 +84,28 @@ class WebOpsSpec extends AnyFunSuite {
       3L -> "", 4L -> "", 5L -> "q q q"))
   }
 
+  test("chunkDedup: no text rides the chunk-keyed exchanges (hashed keys)") {
+    import spark.implicits._
+    val docs = (0L to 49L).map(i => (i, s"w$i x$i y$i a b c d e f " * 3))
+      .toDF("doc_id", "text")
+    val out = WebOps.chunkDedup(docs, chunkTokens = 3)
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // formatted explain lists each Exchange's payload as "Input [n]: [...]"
+    val blocks = """\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]\s*\nArguments: ([^\n]*)""".r
+      .findAllMatchIn(plan).toSeq
+    assert(blocks.nonEmpty, plan.take(3000))
+    blocks.foreach { m =>
+      val (payload, args) = (m.group(1), m.group(2))
+      assert(!payload.contains("chunk#"),
+        s"chunk text in exchange payload: $payload | $args")
+      // only the doc_id-keyed rebuild join may carry the doc text
+      if (payload.contains("text#"))
+        assert(args.contains("doc_id#"),
+          s"text in a non-doc-keyed exchange: $payload | $args")
+    }
+  }
+
   test("domainQuota: cap enforced per host; selection is hash-deterministic") {
     import org.apache.spark.sql.functions._
     val docs = syntheticDocs(200)
@@ -106,6 +128,22 @@ class WebOpsSpec extends AnyFunSuite {
         (graft.ops.Sketch.hash60Scalar(cu), id) }.take(10).toSeq
     }.map(_._1).sorted
     assert(again.toSeq === expect)
+  }
+
+  test("domainQuotaTwoPhase == domainQuota, incl. a skewed host and forced underflow") {
+    // the synthesis sends 3/7 of all docs to canonical host example.org —
+    // at 500 docs and quota 7 that host is ~30× over quota (the skew leg)
+    val docs = syntheticDocs(500)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val one = asSet(WebOps.domainQuota(docs, quota = 7))
+    assert(asSet(WebOps.domainQuotaTwoPhase(docs, quota = 7)) === one)
+    // margin ≈ 0 starves the prefilter for every over-quota host → the
+    // fallback leg must take over and the result must STILL be exact
+    assert(asSet(WebOps.domainQuotaTwoPhase(docs, quota = 7, margin = 1e-9)) === one)
+    // quota above every host's count: both return everything
+    val all = asSet(WebOps.domainQuota(docs, quota = 1000))
+    assert(asSet(WebOps.domainQuotaTwoPhase(docs, quota = 1000)) === all)
   }
 
   test("crawlMerge: latest capture per canonical URL wins; captures counted") {
