@@ -632,6 +632,35 @@ object SparkEntry {
           round(expr("percentile(n_chars, 0.75)"), 6).as("p75"),
           round(expr("percentile(n_chars, 0.95)"), 6).as("p95"))),
 
+    // the 100-TB ungrouped-quantile path, CORRECTNESS-gated via an
+    // error-bound oracle: approx_percentile (GK sketch, rank error ≤
+    // n/accuracy) over the whole corpus, then the EXACT rank window of each
+    // returned value ([count(<v)+1, count(≤v)]) checked in-plan against the
+    // guaranteed window around ceil(pct·n). The emitted rows are (pct,
+    // within_bound); the oracle pins them all true — a bound violation
+    // hash-mismatches the gate. Scale shape: one agg for the sketch + one
+    // pass over the corpus against the broadcast 4-row value set.
+    "q_quantiles_approx" -> ((s, dir) => {
+      val docs = docsTable(s, dir).select(col("n_chars").cast("double").as("x"))
+      val pcts = Seq(0.25, 0.5, 0.75, 0.95)
+      val acc = 100
+      val appr = docs.agg(
+        expr(s"approx_percentile(x, array(${pcts.map(p => s"${p}D").mkString(", ")}), $acc)")
+          .as("av"),
+        count(lit(1)).as("n"))
+        .select(posexplode(col("av")).as(Seq("i", "v")), col("n"))
+        .select(element_at(array(pcts.map(lit): _*), col("i") + 1).as("pct"),
+          col("v"), col("n"))
+      docs.crossJoin(broadcast(appr))
+        .groupBy("pct", "v", "n")
+        .agg(sum(when(col("x") <= col("v"), 1L).otherwise(0L)).as("le"),
+          sum(when(col("x") < col("v"), 1L).otherwise(0L)).as("lt"))
+        .select(col("pct"),
+          ((col("lt") + 1 <= ceil(col("pct") * col("n")) + col("n") / acc + 1) &&
+            (col("le") >= ceil(col("pct") * col("n")) - col("n") / acc - 1))
+            .as("within_bound"))
+    }),
+
     // KMV bottom-k distinct sketch (custom typed Aggregator, bounded 8k-byte
     // buffer per group) + exact distinct alongside — the DuckDB oracle
     // recomputes the k smallest distinct hashes declaratively
@@ -1811,6 +1840,15 @@ object SparkEntry {
            ON a.user_id = b.user_id
           AND b.t - a.t BETWEEN 0 AND 300
           AND (a.t < b.t OR (a.t = b.t AND a.event_id < b.event_id))""",
+
+    // the GK error bound is Spark-internal, so the oracle pins the CHECKED
+    // OUTCOME: every returned approx percentile must sit within the
+    // guaranteed exact-rank window — a violation flips a boolean and
+    // hash-mismatches here
+    "q_quantiles_approx" ->
+      """SELECT CAST(pct AS DOUBLE) AS pct, within_bound
+         FROM (VALUES (0.25, true), (0.5, true), (0.75, true), (0.95, true))
+           AS t(pct, within_bound)""",
 
     "q_quantiles" ->
       """SELECT lang, COUNT(*) AS n_docs,

@@ -67,6 +67,92 @@ object DictSwapStream {
     * (The compile happens inside the first post-flip microbatch; to hide
     * even that latency, prebuild the broadcast and use [[LiveDict]]/
     * [[start]] instead — both shapes are supported.) */
+  /** [[startFollowingManifest]] composed with [[graft.annotate.Incremental]]:
+    * a RUNNING stream that reacts to an on-disk dictionary flip by
+    * re-annotating ONLY the already-emitted docs the v1→v2 delta can affect
+    * — not everything seen so far (that is the flip's whole cost model: a
+    * synonym tweak must not replay a 10^12-doc history).
+    *
+    * State (the A13 sink shape, parquet under `storeDir`, executor-side
+    * writes): every batch appends its raw docs to `corpus/` and its emitted
+    * match rows to the CURRENT `matches/epoch=N/`. On a version flip,
+    * detected at the microbatch boundary:
+    *
+    *  1. the two snapshots' flat dicts diff into a [[Incremental.DictUpdate]]
+    *     (ontology-scale — tiny);
+    *  2. `affected` = [[Incremental.affectedUrls]] over the persisted corpus
+    *     + match stream (removed leg: broadcast semi-join against the
+    *     matches; added leg: an added-terms-only automaton scan);
+    *  3. corrections = a fresh v2 scan of ONLY the affected docs;
+    *  4. the corrected full match state — unaffected rows re-stamped to v2
+    *     (their content is identical under v2) plus the corrections — is
+    *     written as `epoch=N+1` and `onSwap(affected, corrections, v2)`
+    *     fires so the sink can retract/install. The epoch rewrite is the
+    *     plain-parquet stand-in for an Iceberg MERGE (row-level deletes) —
+    *     the same seam as [[graft.io.TableIO]].
+    *
+    * Post-flip batches annotate under v2 as usual. In-flight batches finish
+    * on the version they started with (the blue/green contract). */
+  def startIncrementalFollowingManifest(
+      stream: DataFrame, versionsDir: String, storeDir: String,
+      sink: (DataFrame, Long) => Unit,
+      onSwap: (DataFrame, DataFrame, String) => Unit): StreamingQuery = {
+    import graft.dict.{AutomatonBuild, DictBuild, DictVersioning}
+    import graft.annotate.{Incremental, NativeAnnotate}
+    // foreachBatch callbacks run sequentially on the query thread — the
+    // cache slot and epoch counter need no synchronization
+    var cached: Option[(String, Broadcast[AnnotatorModel])] = None
+    var epoch = 0
+    def exists(spark: org.apache.spark.sql.SparkSession, p: String): Boolean = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+    }
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val v = DictVersioning.currentVersion(versionsDir).getOrElse(
+          sys.error(s"no active dictionary version under $versionsDir"))
+        val prev = cached
+        val m = prev match {
+          case Some((cv, b)) if cv == v => b
+          case _ =>
+            val dict = spark.read.parquet(DictVersioning.versionPath(versionsDir, v))
+            val b = AutomatonBuild.broadcastModel(spark,
+              AutomatonBuild.build(spark, dict, v))
+            cached = Some((v, b))
+            b
+        }
+        prev match {
+          case Some((pv, _)) if pv != v && exists(spark, s"$storeDir/corpus") =>
+            val flatOf = (ver: String) => DictBuild.flatDict(
+              spark.read.parquet(DictVersioning.versionPath(versionsDir, ver)))
+            val upd = Incremental.diff(flatOf(pv), flatOf(v))
+            val corpus = spark.read.parquet(s"$storeDir/corpus")
+            val matches = spark.read.parquet(s"$storeDir/matches/epoch=$epoch")
+              .drop("dict_version")
+            val affected = Incremental.affectedUrls(spark, corpus, matches, upd)
+            val re = NativeAnnotate
+              .annotateMatches(corpus.join(affected, Seq("url"), "left_semi"), m)
+            val corrected = matches.join(affected, Seq("url"), "left_anti")
+              .unionByName(re)
+              .withColumn("dict_version", lit(v))
+            corrected.write.mode("overwrite")
+              .parquet(s"$storeDir/matches/epoch=${epoch + 1}")
+            epoch += 1
+            onSwap(affected, re.withColumn("dict_version", lit(v)), v)
+          case _ => ()
+        }
+        val annotated = NativeAnnotate.annotateMatches(batch, m)
+          .withColumn("dict_version", lit(v))
+        batch.select(col("url"), col("text")).write.mode("append")
+          .parquet(s"$storeDir/corpus")
+        annotated.write.mode("append").parquet(s"$storeDir/matches/epoch=$epoch")
+        sink(annotated, batchId)
+      }
+      .start()
+  }
+
   def startFollowingManifest(stream: DataFrame, versionsDir: String,
                              sink: (DataFrame, Long) => Unit): StreamingQuery = {
     import graft.dict.{AutomatonBuild, DictVersioning}

@@ -224,6 +224,71 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("incremental swap stream: only delta-affected docs re-annotate; state == full v2") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.dict.{DictBuild, DictVersioning}
+    import graft.fixture.OntologyFixture
+    import graft.streaming.DictSwapStream
+
+    val base = java.nio.file.Files.createTempDirectory("graft-incbg").toString
+    val store = java.nio.file.Files.createTempDirectory("graft-incstore").toString
+    val c1 = OntologyFixture.conceptsDf(spark)
+    val c2 = OntologyFixture.conceptsV2Df(spark) // drop 'query' syns, big data→bigdata, +ONT3 filter
+    DictVersioning.writeSnapshot(DictBuild.build(DictBuild.labelRows(c1)), base, "v1")
+    DictVersioning.activate(base, "v1")
+
+    val input = MemoryStream[(String, String)]
+    val sunk = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    @volatile var swapAffected: Set[String] = null
+    @volatile var swapRe: Set[String] = null
+    val query = DictSwapStream.startIncrementalFollowingManifest(
+      input.toDF().toDF("url", "text"), base, store,
+      (df, _) => df.select("url", "dict_version").collect()
+        .foreach(r => sunk.add((r.getString(0), r.getString(1)))),
+      (affected, re, v) => {
+        swapAffected = affected.collect().map(_.getString(0)).toSet
+        swapRe = re.select("url").collect().map(_.getString(0)).toSet
+        assert(v === "v2")
+      })
+    try {
+      // doc A is touched by the delta (big data → bigdata); doc B is not
+      input.addData(
+        ("doc://a", "big data needs a hash join"),
+        ("doc://b", "the hash join beats a merge sort"))
+      query.processAllAvailable()
+      // offline rebuild + atomic flip, NO stream restart
+      DictVersioning.writeSnapshot(DictBuild.build(DictBuild.labelRows(c2)), base, "v2")
+      DictVersioning.activate(base, "v2")
+      // post-flip doc exercises the ADDED ONT3 'filter' concept
+      input.addData(("doc://c", "filter the merge sort"))
+      query.processAllAvailable()
+
+      // the correction pass touched ONLY the delta-affected doc
+      assert(swapAffected === Set("doc://a"))
+      assert(swapRe.subsetOf(swapAffected))
+      // final persisted state (latest epoch) == a FULL v2 annotation of
+      // every doc the stream ever saw — the Incremental batch contract
+      val all = Seq(
+        ("doc://a", "big data needs a hash join"),
+        ("doc://b", "the hash join beats a merge sort"),
+        ("doc://c", "filter the merge sort")).toDF("url", "text")
+      val m2 = graft.dict.AutomatonBuild.broadcastModel(spark,
+        graft.dict.AutomatonBuild.build(spark,
+          DictBuild.build(DictBuild.labelRows(c2)), "v2"))
+      val want = graft.annotate.NativeAnnotate.annotateMatches(all, m2)
+        .collect().map(_.toSeq).toSet
+      val state = spark.read.parquet(s"$store/matches/epoch=1")
+      assert(state.select("dict_version").distinct().collect()
+        .map(_.getString(0)).toSeq === Seq("v2"))
+      assert(state.drop("dict_version").collect().map(_.toSeq).toSet === want)
+      // post-swap sink batches carried v2; pre-swap carried v1
+      val byUrl = sunk.toArray(Array.empty[(String, String)]).groupBy(_._1)
+      assert(byUrl("doc://a").forall(_._2 == "v1"))
+      assert(byUrl("doc://c").forall(_._2 == "v2"))
+    } finally query.stop()
+  }
+
   test("batch/stream plan parity: hourlyCounts works unchanged on a batch DF") {
     val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val out = EventStream.hourlyCounts(batch)
