@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.graph.KgGraph
+import graft.ops.LinkGraph
+
+/** Round-3 verdict item 8: the large-star/small-star trade was argued, not
+  * measured, beyond raw sf0.1 (a 40-node concept graph where per-round fixed
+  * overhead dominates). This probe measures the graph tier at the AMPLIFIED
+  * bench-corpus scale (~2M pages) plus the adversarial long-path shape:
+  *
+  *  1. `cc_star_2m` / `cc_minlabel_2m` — connected components over the link
+  *     graph of 2M synthesized pages (realistic shallow web shape: both
+  *     converge in a handful of rounds; the star algorithm pays ~2× the
+  *     per-round work, the documented toy-scale trade).
+  *  2. `cc_star_path` / `cc_minlabel_path` — a 100k-node path graph: star
+  *     contraction converges in O(log² n) rounds; min-label propagation
+  *     needs O(diameter) rounds and is CAPPED here (the measured crossover:
+  *     the shape the r3 rewrite bought safety against).
+  *  3. `pagerank_2m` — directed PageRank with dangling mass over the same
+  *     2M-page edge list (web_pagerank at scale).
+  *
+  * One JSON line on stdout; numbers land in BASELINE.md. Run:
+  * `sbt "runMain graft.GraphScaleProbe [corpusPath]"`. Reuses (or
+  * materializes) the bench scaling corpus.
+  */
+object GraphScaleProbe {
+
+  /** The ROUND-2 min-label propagation, kept verbatim as the comparison
+    * baseline (replaced in round 3 by large-star/small-star). Returns
+    * (rounds, converged, seconds) and STOPS at `maxIter` instead of
+    * throwing — the path case exists to measure non-convergence. */
+  private def minLabelCC(edges: DataFrame, maxIter: Int): (Int, Boolean, Double) = {
+    val t0 = System.nanoTime()
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = und.select(col("a").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val msgs = und.join(labels, und("a") === labels("node"))
+        .select(col("b").as("node"), col("component"))
+      val next = labels.unionAll(msgs)
+        .groupBy("node").agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      val changed = next.alias("n")
+        .join(labels.alias("l"), col("n.node") === col("l.node"))
+        .filter(col("n.component") =!= col("l.component")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    (i, converged, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val corpusPath = args.headOption.getOrElse("/tmp/graft-bench-corpus")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-graph-scale-probe")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val fs = new org.apache.hadoop.fs.Path(corpusPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(corpusPath))) {
+      Bench.materializeScalingCorpus(spark, "/root/testdata/sf0.1",
+        amplify = 400, pad = 19, corpusPath, files = 32)
+    }
+
+    // 2M-page link graph: each amplified page gets its own DISTINCT
+    // https URL as the graph node (LinkGraph.pages would re-synthesize urls
+    // from doc_id into the tiny canonical universe, and the corpus's raw
+    // doc:// urls don't parse under the https?:// canonicalizer — either
+    // way the node set would collapse); hosts spread over 1000 domains, the
+    // anchor trailer is synthesized from the url-hash doc_id.
+    val docs = spark.read.parquet(corpusPath)
+      .select(pmod(xxhash64(col("url")), lit(9000000000L)).as("doc_id"),
+        col("text"))
+      .select(concat(lit("https://h"), pmod(col("doc_id"), lit(1000L)),
+        lit(".example/d/"), col("doc_id")).as("url"),
+        col("doc_id"), col("text"))
+    val pages = docs.select(col("url"),
+      LinkGraph.syntheticHtml(col("doc_id"), col("text")).as("html"))
+    val edges = LinkGraph.pageEdges(LinkGraph.links(pages))
+      .localCheckpoint() // timed sections measure the ALGORITHMS, not extraction
+    val nEdges = edges.count()
+    val nNodes = edges.select(col("src").as("n"))
+      .unionAll(edges.select(col("dst").as("n"))).distinct().count()
+
+    val (_, starSec2m) = timed(KgGraph.connectedComponents(edges).count())
+    val (mlRounds2m, mlConv2m, mlSec2m) = minLabelCC(edges, maxIter = 50)
+    val (_, prSec2m) = timed(KgGraph.pageRankDirected(edges).count())
+
+    // adversarial shape: a 100k-node path (diameter 10^5). Star converges in
+    // O(log² n); min-label would need ~10^5 rounds — cap it at the SAME
+    // round budget star actually used ×4 and report the non-convergence.
+    val path = spark.range(99999L)
+      .select(concat(lit("n"), format_string("%06d", col("id"))).as("src"),
+        concat(lit("n"), format_string("%06d", col("id") + 1)).as("dst"))
+      .withColumn("n_links", lit(1L))
+      .localCheckpoint()
+    val (_, starSecPath) = timed(KgGraph.connectedComponents(path, maxIter = 60).count())
+    val (mlRoundsPath, mlConvPath, mlSecPath) = minLabelCC(path, maxIter = 40)
+
+    println(
+      s"""{"corpus":"$corpusPath","n_nodes":$nNodes,"n_edges":$nEdges,""" +
+      s""""cc_star_2m_sec":${f"$starSec2m%.2f"},""" +
+      s""""cc_minlabel_2m_sec":${f"$mlSec2m%.2f"},"cc_minlabel_2m_rounds":$mlRounds2m,""" +
+      s""""cc_minlabel_2m_converged":$mlConv2m,""" +
+      s""""pagerank_2m_sec":${f"$prSec2m%.2f"},""" +
+      s""""cc_star_path_sec":${f"$starSecPath%.2f"},""" +
+      s""""cc_minlabel_path_sec":${f"$mlSecPath%.2f"},"cc_minlabel_path_rounds":$mlRoundsPath,""" +
+      s""""cc_minlabel_path_converged":$mlConvPath}""")
+    spark.stop()
+  }
+}
