@@ -109,9 +109,11 @@ object GraphScaleProbe {
     val (mlRounds2m, mlConv2m, mlSec2m) = minLabelCC(edges, maxIter = 50)
     val (_, prSec2m) = timed(KgGraph.pageRankDirected(edges).count())
 
-    // adversarial shape: a 100k-node path (diameter 10^5). Star converges in
-    // O(log² n); min-label would need ~10^5 rounds — cap it at the SAME
-    // round budget star actually used ×4 and report the non-convergence.
+    // adversarial shape: a 100k-node path (diameter 10^5). Star converges
+    // in O(log² n) (~2·log₂ 10^5 ≈ 34 rounds, within the 60 cap); min-label
+    // would need ~10^5 rounds, so it gets a FIXED, pre-committed cap of 40
+    // rounds — enough to measure its per-round cost and extrapolate time to
+    // convergence, cheap enough to keep the probe minutes-scale.
     val path = spark.range(99999L)
       .select(concat(lit("n"), format_string("%06d", col("id"))).as("src"),
         concat(lit("n"), format_string("%06d", col("id") + 1)).as("dst"))

@@ -256,9 +256,13 @@ object Warc {
   def write(corpus: DataFrame, dir: String, numFiles: Int,
             gzip: Boolean = false): Unit = {
     val sess = corpus.sparkSession
+    // the SESSION's Hadoop conf must reach the executors (spark.hadoop.*
+    // credentials/endpoints are not in a bare `new Configuration()`)
+    val confSer = new org.apache.spark.sql.GraftShim.SerializableHadoopConf(
+      sess.sparkContext.hadoopConfiguration)
     // driver-side mkdir so an EMPTY corpus still yields the directory
     val base = new org.apache.hadoop.fs.Path(dir)
-    base.getFileSystem(sess.sparkContext.hadoopConfiguration).mkdirs(base)
+    base.getFileSystem(confSer.value).mkdirs(base)
     val ext = if (gzip) "warc.gz" else "warc"
     val rec = recordUdf(col("url"), col("warc_ts"),
       coalesce(col("html"), wrapHtml(col("text"))))
@@ -266,27 +270,52 @@ object Warc {
       .select(pmod(xxhash64(col("url")), lit(numFiles.toLong)).as("bucket"),
         col("url"), rec.as("rec"))
       .repartition(numFiles, col("bucket"))
-      .sortWithinPartitions("bucket", "url")
+      // rec in the sort keys: duplicate urls (multiple captures) would
+      // otherwise leave equal-url record order up to shuffle arrival —
+      // syntheticBlobs' array_sort(struct(url, rec)) tie-breaks the same way
+      .sortWithinPartitions(col("bucket"), col("url"), col("rec"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) {
-          val fs = new org.apache.hadoop.fs.Path(dir)
-            .getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(confSer.value)
+          val basePath = new org.apache.hadoop.fs.Path(dir)
+          // write-to-temp + rename-on-close: concurrent/speculative attempts
+          // of this partition each stream into their OWN attempt-suffixed
+          // temp file; the rename is the atomic commit (the loser of a
+          // rename race just deletes its temp) — no interleaved bytes, and
+          // a failed attempt leaves only a .inprogress file readers skip
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
           var cur = -1L
           var out: java.io.OutputStream = null
-          it.foreach { r =>
-            val b = r.getLong(0)
-            if (b != cur) { // roll on bucket boundary
-              if (out != null) out.close()
-              val raw = fs.create(new org.apache.hadoop.fs.Path(
-                new org.apache.hadoop.fs.Path(dir), f"part-$b%05d.$ext"), true)
-              out = if (gzip)
-                new java.util.zip.GZIPOutputStream(raw, 64 * 1024)
-              else raw
-              cur = b
+          var tmp: org.apache.hadoop.fs.Path = null
+          var fin: org.apache.hadoop.fs.Path = null
+          def commit(): Unit = if (out != null) {
+            out.close(); out = null
+            if (!fs.rename(tmp, fin)) { // another attempt already committed
+              fs.delete(tmp, false)
             }
-            out.write(r.getAs[Array[Byte]](2))
           }
-          out.close()
+          try {
+            it.foreach { r =>
+              val b = r.getLong(0)
+              if (b != cur) { // roll on bucket boundary
+                commit()
+                fin = new org.apache.hadoop.fs.Path(basePath, f"part-$b%05d.$ext")
+                tmp = new org.apache.hadoop.fs.Path(basePath,
+                  f".part-$b%05d.$ext.inprogress-$attempt")
+                val raw = fs.create(tmp, true)
+                out = if (gzip)
+                  new java.util.zip.GZIPOutputStream(raw, 64 * 1024)
+                else raw
+                cur = b
+              }
+              out.write(r.getAs[Array[Byte]](2))
+            }
+            commit()
+          } finally if (out != null) { // failed attempt: close + drop temp
+            out.close()
+            fs.delete(tmp, false)
+          }
         }
       }
   }

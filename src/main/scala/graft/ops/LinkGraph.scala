@@ -50,21 +50,22 @@ object LinkGraph {
 
   /** Deterministic HTML page: the doc text plus `doc_id % 4` anchor tags.
     * Slots 1–2 are absolute [[WebOps.syntheticUrl]]s; slot 3 cycles through
-    * the four RELATIVE reference forms of RFC 3986 by `t % 4` — 0:
+    * the five RELATIVE reference forms of RFC 3986 by `t % 5` — 0:
     * host-relative `/p/N`, 1: dot-segmented path-relative `../q/N`, 2:
-    * protocol-relative `//host/p/N`, 3: same-dir path-relative `./r/N` — so
-    * every [[resolveHref]] CASE leg is exercised by the fixture (and by the
-    * oracle, which rebuilds this HTML in SQL). */
+    * protocol-relative `//host/p/N`, 3: same-dir path-relative `./r/N`, 4:
+    * query-only `?page=N` — so every [[resolveHref]] CASE leg is exercised
+    * by the fixture (and by the oracle, which rebuilds this HTML in SQL). */
   def syntheticHtml(docId: Column, text: Column): Column = {
     val all = transform(sequence(lit(1), lit(3)), j => {
       val t = targetId(docId, j)
       val n = (t % 40).cast("string")
-      val rel = when(t % 4 === 0, concat(lit("/p/"), n))
-        .when(t % 4 === 1, concat(lit("../q/"), n))
-        .when(t % 4 === 2, concat(lit("//"),
+      val rel = when(t % 5 === 0, concat(lit("/p/"), n))
+        .when(t % 5 === 1, concat(lit("../q/"), n))
+        .when(t % 5 === 2, concat(lit("//"),
           element_at(array(WebOps.Domains.map(lit): _*), (t % 7).cast("int") + 1),
           lit("/p/"), n))
-        .otherwise(concat(lit("./r/"), n))
+        .when(t % 5 === 3, concat(lit("./r/"), n))
+        .otherwise(concat(lit("?page="), n))
       val href = when(j === 3, rel).otherwise(WebOps.syntheticUrl(t))
       concat(lit("<a href=\""), href, lit("\">"), anchorWord(t), lit(" "),
         (t % 40).cast("string"), lit("</a>"))
@@ -108,14 +109,16 @@ object LinkGraph {
     *    dot-fixed.
     * Query/fragment of the href survive untouched (dot removal applies to
     * the path component only); the downstream [[WebOps.canonicalUrl]] does
-    * its usual fragment/utm/sort normalization. Deviation from the letter
-    * of the RFC: an EMPTY href resolves to the source base directory, not
-    * the source URL itself (same-document self-references are crawl noise
-    * either way). */
+    * its usual fragment/utm/sort normalization. Empty-PATH references
+    * follow §5.3 exactly: a query-only href (`?page=2` — real-crawl
+    * pagination) keeps the FULL base path with the new query; a
+    * fragment-only href (`#sec`) keeps base path AND base query. */
   def resolveHref(srcUrl: Column, href: Column): Column = {
     val relPath = regexp_extract(href, "^[^?#]*", 0)
     val relSuffix = regexp_extract(href, "[?#].*$", 0) // '' when absent
+    val srcHost = WebOps.canonicalHost(srcUrl)
     val srcPath = regexp_extract(srcUrl, WebOps.PathRe, 1)
+    val srcQuery = regexp_extract(srcUrl, "(\\?[^#]*)", 1) // '' when absent
     // '/a/b' → '/a/'; an empty source path (bare host) merges from '/'
     val baseDir = when(srcPath === "", lit("/"))
       .otherwise(regexp_replace(srcPath, "/[^/]*$", "/"))
@@ -125,10 +128,13 @@ object LinkGraph {
           removeDotSegments(regexp_extract(href, "^//[^/?#]*([^?#]*)", 1)),
           relSuffix))
       .when(href.startsWith("/"),
-        concat(lit("https://"), WebOps.canonicalHost(srcUrl),
-          removeDotSegments(relPath), relSuffix))
+        concat(lit("https://"), srcHost, removeDotSegments(relPath), relSuffix))
+      .when(href.startsWith("#"), // fragment-only: keep base path + query
+        concat(lit("https://"), srcHost, srcPath, srcQuery, href))
+      .when(relPath === "", // query-only: keep the FULL base path
+        concat(lit("https://"), srcHost, srcPath, relSuffix))
       .otherwise(
-        concat(lit("https://"), WebOps.canonicalHost(srcUrl),
+        concat(lit("https://"), srcHost,
           removeDotSegments(concat(baseDir, relPath)), relSuffix))
   }
 
@@ -206,12 +212,13 @@ object LinkGraph {
         atags AS (SELECT doc_id, j,
             '<a href="'
             || CASE WHEN j = 3 THEN
-                 CASE WHEN t % 4 = 0 THEN '/p/' || CAST(t % 40 AS VARCHAR)
-                      WHEN t % 4 = 1 THEN '../q/' || CAST(t % 40 AS VARCHAR)
-                      WHEN t % 4 = 2 THEN '//'
+                 CASE WHEN t % 5 = 0 THEN '/p/' || CAST(t % 40 AS VARCHAR)
+                      WHEN t % 5 = 1 THEN '../q/' || CAST(t % 40 AS VARCHAR)
+                      WHEN t % 5 = 2 THEN '//'
                         || ([${WebOps.domainsSqlList}])[CAST(t % 7 AS INT) + 1]
                         || '/p/' || CAST(t % 40 AS VARCHAR)
-                      ELSE './r/' || CAST(t % 40 AS VARCHAR) END
+                      WHEN t % 5 = 3 THEN './r/' || CAST(t % 40 AS VARCHAR)
+                      ELSE '?page=' || CAST(t % 40 AS VARCHAR) END
                     ELSE ${WebOps.urlSqlExprOf("t")} END
             || '">'
             || ([${AnchorWords.map(w => s"'${w.replace("'", "''")}'").mkString(", ")}])[CAST(t % 5 AS INT) + 1]
@@ -257,6 +264,10 @@ object LinkGraph {
           WHEN starts_with(href, '/') THEN 'https://'
             || ${WebOps.canonHostSqlOf("src_url")}
             || ${dotsSqlOf("rel_path")} || rel_suffix
+          WHEN starts_with(href, '#') THEN 'https://'
+            || ${WebOps.canonHostSqlOf("src_url")} || src_path || src_query || href
+          WHEN rel_path = '' THEN 'https://'
+            || ${WebOps.canonHostSqlOf("src_url")} || src_path || rel_suffix
           ELSE 'https://' || ${WebOps.canonHostSqlOf("src_url")}
             || ${dotsSqlOf(s"($baseDir) || rel_path")} || rel_suffix
           END"""
@@ -272,7 +283,8 @@ object LinkGraph {
         rres AS (SELECT src_url, href, anchor,
             COALESCE(regexp_extract(href, '^[^?#]*', 0), '') AS rel_path,
             COALESCE(regexp_extract(href, '[?#].*$$', 0), '') AS rel_suffix,
-            COALESCE(regexp_extract(src_url, '${WebOps.PathRe}', 1), '') AS src_path
+            COALESCE(regexp_extract(src_url, '${WebOps.PathRe}', 1), '') AS src_path,
+            COALESCE(regexp_extract(src_url, '(\\?[^#]*)', 1), '') AS src_query
           FROM raw),
         rslv AS (SELECT src_url, href, anchor, $resolved AS resolved FROM rres),
         lnk AS (SELECT src_url, href, anchor,

@@ -79,13 +79,13 @@ object WebOps {
 
   // ---- oracle-SQL builders (same constants/regexes as the Column code) ---
 
-  /** DuckDB SQL expression for [[syntheticUrl]] over any integer-typed SQL
-    * expression `id` (parameterized so [[LinkGraph]]'s synthetic link
-    * targets reuse the same single source of truth). */
   /** The [[Domains]] pool as a DuckDB list literal (shared by the URL
     * synthesis and [[LinkGraph]]'s protocol-relative href synthesis). */
   def domainsSqlList: String = Domains.map(d => s"'$d'").mkString(", ")
 
+  /** DuckDB SQL expression for [[syntheticUrl]] over any integer-typed SQL
+    * expression `id` (parameterized so [[LinkGraph]]'s synthetic link
+    * targets reuse the same single source of truth). */
   def urlSqlExprOf(id: String): String = {
     val doms = domainsSqlList
     s"""'https://' || ([$doms])[CAST(($id) % 7 AS INT) + 1]

@@ -99,13 +99,35 @@ object DictSwapStream {
       onSwap: (DataFrame, DataFrame, String) => Unit): StreamingQuery = {
     import graft.dict.{AutomatonBuild, DictBuild, DictVersioning}
     import graft.annotate.{Incremental, NativeAnnotate}
+    import org.apache.hadoop.fs.Path
     // foreachBatch callbacks run sequentially on the query thread — the
-    // cache slot and epoch counter need no synchronization
+    // cache slot needs no synchronization. (epoch, version) additionally
+    // persist to $storeDir/state (temp + atomic rename, the DictVersioning
+    // manifest pattern), so a RESTARTED query resumes at the right epoch
+    // and detects a flip that happened during downtime instead of silently
+    // appending v2 rows into stale v1 state.
     var cached: Option[(String, Broadcast[AnnotatorModel])] = None
-    var epoch = 0
-    def exists(spark: org.apache.spark.sql.SparkSession, p: String): Boolean = {
-      val path = new org.apache.hadoop.fs.Path(p)
-      path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+    var epoch = -1 // lazily recovered from the state file on first batch
+    def fs(spark: org.apache.spark.sql.SparkSession) =
+      new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readState(spark: org.apache.spark.sql.SparkSession): Option[(Int, String)] = {
+      val f = fs(spark); val p = new Path(s"$storeDir/state")
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val s = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+        val Array(e, ver) = s.split(" ", 2)
+        Some((e.toInt, ver))
+      }
+    }
+    def writeState(spark: org.apache.spark.sql.SparkSession, e: Int, ver: String): Unit = {
+      val f = fs(spark)
+      val tmp = new Path(s"$storeDir/.state.tmp")
+      val out = f.create(tmp, true)
+      out.write(s"$e $ver".getBytes("UTF-8")); out.close()
+      f.delete(new Path(s"$storeDir/state"), false)
+      require(f.rename(tmp, new Path(s"$storeDir/state")),
+        s"state rename failed under $storeDir")
     }
     stream.writeStream
       .outputMode("append")
@@ -113,8 +135,12 @@ object DictSwapStream {
         val spark = batch.sparkSession
         val v = DictVersioning.currentVersion(versionsDir).getOrElse(
           sys.error(s"no active dictionary version under $versionsDir"))
-        val prev = cached
-        val m = prev match {
+        // recover (epoch, last-seen version) across restarts
+        val prevVersion: Option[String] = cached.map(_._1).orElse {
+          readState(spark).map { case (e, ver) => epoch = e; ver }
+        }
+        if (epoch < 0) epoch = 0
+        val m = cached match {
           case Some((cv, b)) if cv == v => b
           case _ =>
             val dict = spark.read.parquet(DictVersioning.versionPath(versionsDir, v))
@@ -123,31 +149,45 @@ object DictSwapStream {
             cached = Some((v, b))
             b
         }
-        prev match {
-          case Some((pv, _)) if pv != v && exists(spark, s"$storeDir/corpus") =>
+        prevVersion match {
+          case Some(pv) if pv != v && fs(spark).exists(new Path(s"$storeDir/corpus")) =>
             val flatOf = (ver: String) => DictBuild.flatDict(
               spark.read.parquet(DictVersioning.versionPath(versionsDir, ver)))
             val upd = Incremental.diff(flatOf(pv), flatOf(v))
             val corpus = spark.read.parquet(s"$storeDir/corpus")
+              .select(col("url"), col("text"))
             val matches = spark.read.parquet(s"$storeDir/matches/epoch=$epoch")
-              .drop("dict_version")
+              .drop("dict_version", "src")
+            // persisted: the epoch write below AND the onSwap callback both
+            // consume these — without the pin each action would re-run the
+            // full corpus scan + annotate join (review finding r4)
             val affected = Incremental.affectedUrls(spark, corpus, matches, upd)
+              .persist()
             val re = NativeAnnotate
               .annotateMatches(corpus.join(affected, Seq("url"), "left_semi"), m)
-            val corrected = matches.join(affected, Seq("url"), "left_anti")
-              .unionByName(re)
-              .withColumn("dict_version", lit(v))
-            corrected.write.mode("overwrite")
-              .parquet(s"$storeDir/matches/epoch=${epoch + 1}")
-            epoch += 1
-            onSwap(affected, re.withColumn("dict_version", lit(v)), v)
+              .persist()
+            try {
+              val corrected = matches.join(affected, Seq("url"), "left_anti")
+                .unionByName(re)
+                .withColumn("dict_version", lit(v))
+              corrected.write.mode("overwrite")
+                .parquet(s"$storeDir/matches/epoch=${epoch + 1}/src=base")
+              epoch += 1
+              writeState(spark, epoch, v)
+              onSwap(affected, re.withColumn("dict_version", lit(v)), v)
+            } finally { affected.unpersist(false); re.unpersist(false) }
           case _ => ()
         }
         val annotated = NativeAnnotate.annotateMatches(batch, m)
           .withColumn("dict_version", lit(v))
-        batch.select(col("url"), col("text")).write.mode("append")
-          .parquet(s"$storeDir/corpus")
-        annotated.write.mode("append").parquet(s"$storeDir/matches/epoch=$epoch")
+        // batchId-keyed subdirs + overwrite = IDEMPOTENT under foreachBatch's
+        // at-least-once retries (a replayed batch rewrites its own output
+        // instead of appending duplicates)
+        batch.select(col("url"), col("text")).write.mode("overwrite")
+          .parquet(s"$storeDir/corpus/batch=$batchId")
+        annotated.write.mode("overwrite")
+          .parquet(s"$storeDir/matches/epoch=$epoch/src=b$batchId")
+        writeState(spark, epoch, v)
         sink(annotated, batchId)
       }
       .start()

@@ -14,4 +14,22 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Java-serializable wrapper for a Hadoop `Configuration` (Spark's own
+    * `SerializableConfiguration` is `private[spark]`) — lets executor-side
+    * sinks resolve filesystems with the SESSION's Hadoop conf (s3a
+    * credentials, endpoints, fs.* overrides set via spark.hadoop.*) instead
+    * of a bare `new Configuration()` that only sees core-site.xml. */
+  final class SerializableHadoopConf(@transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
 }

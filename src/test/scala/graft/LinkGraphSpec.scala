@@ -55,6 +55,7 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(forms.exists(_.startsWith("../")))
     assert(forms.exists(_.startsWith("//")))
     assert(forms.exists(_.startsWith("./")))
+    assert(forms.exists(_.startsWith("?page=")))
   }
 
   test("resolveHref: all four RFC 3986 reference forms + dot-segment removal") {
@@ -66,7 +67,9 @@ class LinkGraphSpec extends AnyFunSuite {
         "../up",                         // path-relative: pops b/c's dir
         "./same/z",                      // same-dir
         "plain/deep/../y?k=2",           // merged + dots + query survives
-        "../../../overpop")              // .. beyond root clamps at root
+        "../../../overpop",              // .. beyond root clamps at root
+        "?page=2",                       // query-only: FULL base path kept
+        "#sec")                          // fragment-only: base path + query kept
         .map(h => s"""<a href="$h">a</a>""").mkString))
     val got = LinkGraph.links(pages).collect()
       .map(r => r.getString(1) -> r.getString(3)).toMap
@@ -78,6 +81,11 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(got("./same/z") === "https://site.org/a/b/same/z")
     assert(got("plain/deep/../y?k=2") === "https://site.org/a/b/plain/y?k=2")
     assert(got("../../../overpop") === "https://site.org/overpop")
+    // query-only pagination: the LAST path segment of the base survives
+    // (canonicalUrl sorts the query params, hence page=2 after the sort)
+    assert(got("?page=2") === "https://site.org/a/b/c?page=2")
+    // fragment-only: base path AND query survive; canonicalUrl drops the frag
+    assert(got("#sec") === "https://site.org/a/b/c?x=1")
   }
 
   test("links is map-only: no Exchange, generator inside codegen") {

@@ -281,7 +281,10 @@ class StreamingSpec extends AnyFunSuite {
       val state = spark.read.parquet(s"$store/matches/epoch=1")
       assert(state.select("dict_version").distinct().collect()
         .map(_.getString(0)).toSeq === Seq("v2"))
-      assert(state.drop("dict_version").collect().map(_.toSeq).toSet === want)
+      assert(state.drop("dict_version", "src").collect().map(_.toSeq).toSet === want)
+      // durable state manifest: epoch + last-seen version survive a restart
+      val st = scala.io.Source.fromFile(s"$store/state").mkString.trim
+      assert(st === "1 v2")
       // post-swap sink batches carried v2; pre-swap carried v1
       val byUrl = sunk.toArray(Array.empty[(String, String)]).groupBy(_._1)
       assert(byUrl("doc://a").forall(_._2 == "v1"))

@@ -83,7 +83,13 @@ class WarcSpec extends AnyFunSuite {
   }
 
   test("distributed sink: executor-streamed files byte-equal the blob builder") {
-    val corpus = Corpus.readDriverDocuments(spark, sfDir).limit(80)
+    // duplicate urls with DIFFERENT record bytes (two captures, one second
+    // apart): the sink's (bucket, url, rec) sort must tie-break identically
+    // to syntheticBlobs' array_sort(struct(url, rec))
+    val base80 = Corpus.readDriverDocuments(spark, sfDir).limit(80)
+    val corpus = base80.unionByName(
+      base80.limit(10).withColumn("warc_ts",
+        col("warc_ts") + org.apache.spark.sql.functions.expr("INTERVAL 1 SECOND")))
     val dir = java.nio.file.Files.createTempDirectory("graft-warc-dist").toString
     // 5 buckets hashed into 5 partitions: some task almost surely receives
     // two buckets, exercising the roll-on-bucket-boundary path; the
