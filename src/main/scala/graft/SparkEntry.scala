@@ -691,6 +691,18 @@ object SparkEntry {
 
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docsTable(s, dir), maxHamming = 3)),
 
+    // the production dedup shape: a NEW batch (doc_id % 7 == 0) against the
+    // existing corpus — only pairs touching a new doc are computed; the
+    // stored-signature scale path documented on the op. Oracle = the full
+    // minhash pipeline restricted to pairs involving a new doc.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = docsTable(s, dir)
+      Dedup.minhashIncrementalPairs(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        n = 3, k = 16, bands = 4, threshold = 0.8)
+    }),
+
     "sim_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(s.read.parquet(s"$dir/embeddings.parquet"), nQueries = 10, k = 3)),
 
@@ -1033,6 +1045,23 @@ object SparkEntry {
     "web_hits" -> ((s, dir) =>
       graft.graph.KgGraph.hits(
         LinkGraph.pageEdges(LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))))),
+
+    // multi-source BFS crawl-depth: min hops from the seed set (canonical
+    // /p/0 pages) over the directed page-link graph, bounded depth 4
+    "web_shortest_paths" -> ((s, dir) => {
+      val edges = LinkGraph.pageEdges(
+        LinkGraph.links(LinkGraph.pages(docsTable(s, dir))))
+      val seeds = edges.select(col("src").as("node"))
+        .unionAll(edges.select(col("dst").as("node"))).distinct()
+        .filter(col("node").rlike("/p/0($|\\?)"))
+      graft.graph.KgGraph.shortestPaths(edges, seeds, maxDepth = 4)
+    }),
+
+    // fetch-list hygiene: blocklisted hosts + trap/binary URL patterns
+    "web_url_filter" -> ((s, dir) => WebOps.urlFilter(docsTable(s, dir))),
+
+    // corpus-trained bigram LM fluency score (add-k smoothed mean NLL)
+    "text_ngram_lm" -> ((s, dir) => TextOps.ngramLmScore(docsTable(s, dir))),
 
     // per-domain page quota: ≤50 pages per canonical host, selected by
     // portable hash of the canonical URL (unbiased + cross-engine stable)
@@ -1413,6 +1442,34 @@ object SparkEntry {
   private val minClosureCte =
     """mincl AS (SELECT child_iri, ancestor_iri, MIN(distance) AS distance
        FROM closure GROUP BY child_iri, ancestor_iri)"""
+
+  /** Unrolled multi-source-BFS oracle ([[graft.graph.KgGraph.shortestPaths]]
+    * twin over the page-link graph): frontier d = dst of frontier d−1 minus
+    * everything already labeled — BFS discovers each node once, so the
+    * unroll is exact. Frontier CTEs MATERIALIZED (each is referenced by the
+    * next round AND the cumulative set). */
+  private def shortestPathsOracleSql(depth: Int): String = {
+    val rounds = (1 to depth).map { d =>
+      s"""fr$d AS MATERIALIZED (SELECT DISTINCT e.b AS node, $d AS dist
+            FROM edges e JOIN fr${d - 1} f ON f.node = e.a
+            WHERE e.b NOT IN (SELECT node FROM all${d - 1})),
+          all$d AS MATERIALIZED (SELECT node FROM all${d - 1}
+            UNION ALL SELECT node FROM fr$d)"""
+    }.mkString(",\n")
+    val unioned = (0 to depth).map(d => s"SELECT node, dist FROM fr$d")
+      .mkString(" UNION ALL ")
+    s"""WITH ${graft.ops.LinkGraph.linksCteSql},
+        edges AS MATERIALIZED (SELECT DISTINCT
+            ${graft.ops.WebOps.canonUrlSqlOf("src_url")} AS a, dst_url AS b
+          FROM lnk),
+        nodes AS (SELECT DISTINCT node FROM
+          (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)),
+        fr0 AS MATERIALIZED (SELECT node, 0 AS dist FROM nodes
+          WHERE regexp_matches(node, '/p/0($$|\\?)')),
+        all0 AS (SELECT node FROM fr0),
+        $rounds
+        SELECT node AS page, dist FROM ($unioned)"""
+  }
 
   /** One oracle for BOTH domain-quota plans (single-window and two-phase). */
   private def domainQuotaOracleSql: String =
@@ -2138,6 +2195,19 @@ object SparkEntry {
           JOIN sizes sb ON sb.doc_id = doc_b
           WHERE n_common / (sa.n + sb.n - n_common) >= 0.8""",
 
+    // the incremental engine path must equal the FULL pipeline restricted
+    // to pairs that touch a new (doc_id % 7 == 0) doc — shared CTEs, so the
+    // bucket-cap population is the combined corpus's, as in the engine
+    "dedup_incremental" ->
+      s"""WITH $minhashCtes
+          SELECT doc_a, doc_b,
+                 ROUND(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE n_common / (sa.n + sb.n - n_common) >= 0.8
+            AND (doc_a % 7 = 0 OR doc_b % 7 = 0)""",
+
     // the MinHash pair set (same CTEs as dedup_minhash) closed into
     // clusters by recursive min-label reachability — the kg_components
     // oracle shape over dup pairs
@@ -2747,6 +2817,36 @@ object SparkEntry {
                 FROM sc LEFT JOIN prior p ON p.class_iri = sc.cand)
           SELECT url, term, cand AS class_iri, CAST(score AS BIGINT) AS score
           FROM r WHERE rn = 1""",
+
+    "web_shortest_paths" -> shortestPathsOracleSql(depth = 4),
+
+    // same canonCteSql + the SAME blocklist/pattern constants interpolated
+    // from the single WebOps source
+    "web_url_filter" ->
+      s"""WITH ${graft.ops.WebOps.canonCteSql}
+          SELECT doc_id, host, canon_url FROM canon
+          WHERE host NOT IN (${graft.ops.WebOps.BlockedHosts.map(h => s"'$h'").mkString(", ")})
+            AND NOT regexp_matches(canon_url, '${graft.ops.WebOps.BlockedUrlRe}')""",
+
+    // bigram counts, prefix counts, vocab scalar, add-k NLL — recomputed
+    // declaratively; LEFT JOIN keeps the <2-token docs as NULL
+    "text_ngram_lm" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          bgr AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bg, t[i] AS w1
+                  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                        FROM toks WHERE len(t) >= 2)),
+          bc AS (SELECT bg, COUNT(*) AS c2 FROM bgr GROUP BY bg),
+          pc AS (SELECT w1, COUNT(*) AS c1 FROM bgr GROUP BY w1),
+          voc AS (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v
+                  FROM (SELECT unnest(t) AS w FROM toks)),
+          sc AS (SELECT doc_id,
+                   ROUND(AVG(-ln((bc.c2 + CAST(0.5 AS DOUBLE))
+                     / (pc.c1 + CAST(0.5 AS DOUBLE) * (SELECT v FROM voc)))), 6)
+                     AS lm_nll
+                 FROM bgr JOIN bc USING (bg) JOIN pc USING (w1)
+                 GROUP BY doc_id)
+          SELECT d.doc_id, sc.lm_nll FROM documents d
+          LEFT JOIN sc ON sc.doc_id = d.doc_id""",
 
     "web_domain_quota" -> domainQuotaOracleSql,
 

@@ -528,6 +528,41 @@ object KgGraph {
         coalesce(col("component"), col("node")).as("component"))
   }
 
+  /** Multi-source BFS shortest-path distances over a DIRECTED edge list:
+    * dist(node) = min hops from ANY seed (crawl-depth analysis, KG
+    * neighborhood queries, seed-set reachability). BFS discovers each node
+    * exactly once, so the per-round shape is frontier ⋈ edges → distinct →
+    * anti-join against everything already labeled — no min-aggregation
+    * rerun over settled nodes, and the result is trivially deterministic
+    * (unique min distance), hence exactly SQL-oracle-able as unrolled CTEs.
+    *
+    * Rounds are BOUNDED by `maxDepth` (the use cases want small depths;
+    * nodes beyond it are simply absent rather than carrying a sentinel
+    * infinity). Per round: one join on the frontier (shrinks geometrically
+    * on expander-like link graphs) + one anti-join against the labeled set;
+    * frontier lineage truncated per round, the labeled set is a union of
+    * ≤ maxDepth truncated frontiers — fine for the bounded depths this is
+    * for (a deep traversal would fold `dist` through [[Truncator]] too). */
+  def shortestPaths(edges: DataFrame, seeds: DataFrame,
+                    maxDepth: Int = 4): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth=$maxDepth must be >= 0")
+    val e = pin(edges.select(col("src"), col("dst")))
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0))
+    var frontier = pin(dist)
+    val trunc = truncator()
+    for (d <- 1 to maxDepth) {
+      frontier = trunc(
+        frontier.join(e, frontier("node") === e("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(dist, Seq("node"), "left_anti")
+          .withColumn("dist", lit(d)),
+        d)
+      dist = dist.unionByName(frontier)
+    }
+    dist.select(col("node").as("page"), col("dist"))
+  }
+
   /** k-core decomposition (the densest-subgraph family's workhorse): the
     * maximal subgraph where every node keeps degree ≥ k, found by iterated
     * peeling — drop all nodes below k, recompute degrees, repeat to

@@ -125,29 +125,58 @@ object Dedup {
     * hot-bucket skew guard; larger buckets are SKIPPED for that band (pairs
     * can still surface via the other bands), trading recall on mega-clusters
     * for bounded O(maxBucket²) per-bucket work. */
-  def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
-                      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
+  /** Signature table → capped LSH band rows `(doc_id, band, bucket [, …])`:
+    * ONE signature aggregation, exploded into band rows (a per-band union
+    * would recompute the shingle+minhash aggregation `bands` times —
+    * verified in the physical plan: 4 redundant exchanges), then the
+    * hot-bucket guard skips (band, bucket) groups above `maxBucket`. Extra
+    * columns on `sigs` (e.g. an `is_new` tag) ride along. */
+  private def bandedRows(sigs: DataFrame, k: Int, bands: Int,
+                         maxBucket: Int): DataFrame = {
     val r = k / bands
-    val sigs = minhashSignatures(docs, n, k)
-    // ONE signature aggregation, exploded into band rows — a per-band
-    // union would recompute the shingle+minhash aggregation `bands` times
-    // (verified in the physical plan: 4 redundant exchanges)
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * r until (b + 1) * r).map(i => col(s"mh_$i"))
       // bucket key = the band's minhashes joined verbatim (portable; the
       // oracle rebuilds the identical key from the same decimal strings)
       struct(lit(b).as("band"), concat_ws("|", cols: _*).as("bucket"))
     }
-    val bandRows = sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    // hot-bucket guard: skip (band, bucket) groups above maxBucket
-    val bounded = bandRows
+    val extras = sigs.columns.filterNot(c => c == "doc_id" || c.startsWith("mh_"))
+      .map(col).toSeq
+    sigs
+      .select(col("doc_id") +: explode(array(bandStructs: _*)).as("bb") +: extras: _*)
+      .select(col("doc_id") +: col("bb.band").as("band") +:
+        col("bb.bucket").as("bucket") +: extras: _*)
       .withColumn("bucket_pop", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
       .filter(col("bucket_pop") <= maxBucket)
       .drop("bucket_pop")
+  }
+
+  /** Exact-Jaccard rerank of a candidate pair set against the doc table:
+    * shingle sets are computed ONLY for docs that appear in a candidate
+    * pair (semi-join pruning — at the incremental scale the candidate set
+    * is daily-batch-sized, not corpus-sized). Thresholds the RAW jaccard
+    * (same contract as jaccardPairs + the oracle); rounds only for output. */
+  private def rerankPairs(candidates: DataFrame, docs: DataFrame, n: Int,
+                          threshold: Double): DataFrame = {
+    val ids = candidates.select(col("doc_a").as("doc_id"))
+      .unionAll(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    val ds = docs.join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), array_distinct(shingles(col("text"), n)).as("sh"))
+    candidates
+      .join(ds.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(ds.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard_raw",
+        size(array_intersect(col("sh_a"), col("sh_b"))) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
+  }
+
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
+                      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val bounded = bandedRows(minhashSignatures(docs, n, k), k, bands, maxBucket)
     // TRUE self-join of one plan (identical subtrees), so Catalyst's
     // ReuseExchange computes the signature aggregation ONCE and replays the
     // shuffle for the other side — aliased left/right projections would be
@@ -158,18 +187,41 @@ object Dedup {
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b")).distinct()
-    // exact rerank restricted to candidates
-    val ds = docs.select(col("doc_id"), array_distinct(shingles(col("text"), n)).as("sh"))
-    candidates
-      .join(ds.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(ds.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      // threshold the RAW jaccard (same contract as jaccardPairs + the
-      // oracle); round only for output
-      .withColumn("jaccard_raw",
-        size(array_intersect(col("sh_a"), col("sh_b"))) /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .filter(col("jaccard_raw") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
+    rerankPairs(candidates, docs, n, threshold)
+  }
+
+  /** INCREMENTAL near-dup detection — the production shape: a new crawl
+    * batch lands and only (new × all) pairs matter; old × old was settled
+    * when the old corpus was ingested. Returns exactly
+    * `minhashLshPairs(old ∪ new)` restricted to pairs touching a new doc
+    * (equivalence spec-pinned): band rows of both sides share one bucket
+    * population (so the hot-bucket cap behaves identically to a full run),
+    * the candidate join requires at least one NEW side, and the exact
+    * rerank reads text only for docs that appear in a candidate pair.
+    *
+    * Scale shape: the old side's signatures are a pure function of the old
+    * corpus — at 10^12 docs they are computed ONCE at ingest and stored
+    * (the [[minhashSignatures]] output is exactly that table; feed it
+    * through here via a parquet/Iceberg read instead of recomputing), so a
+    * daily increment costs new-batch signatures + one bucket join against
+    * the stored band keys + a rerank over candidate texts — linear in the
+    * increment, never in the corpus. */
+  def minhashIncrementalPairs(oldDocs: DataFrame, newDocs: DataFrame,
+                              n: Int = 3, k: Int = 16, bands: Int = 4,
+                              threshold: Double = 0.8,
+                              maxBucket: Int = 1000): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val sigs = minhashSignatures(oldDocs, n, k).withColumn("is_new", lit(false))
+      .unionByName(minhashSignatures(newDocs, n, k).withColumn("is_new", lit(true)))
+    val bounded = bandedRows(sigs, k, bands, maxBucket)
+    val lj = bounded.alias("l")
+    val rj = bounded.alias("r")
+    val candidates = lj.join(rj,
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.doc_id") < col("r.doc_id") &&
+          (col("l.is_new") || col("r.is_new")))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b")).distinct()
+    rerankPairs(candidates, oldDocs.unionByName(newDocs), n, threshold)
   }
 
   /** 64-bit SimHash per doc via the native codegen expression

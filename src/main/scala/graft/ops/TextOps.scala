@@ -321,4 +321,40 @@ object TextOps {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
   }
+
+  /** Corpus-trained bigram language-model fluency score — the KenLM-style
+    * quality signal LLM-data pipelines gate on (CCNet/Gopher use an external
+    * LM; here the LM IS the corpus's own bigram model, so everything stays
+    * one deterministic job): per doc, the mean negative log-likelihood of
+    * its token bigrams under add-k smoothing,
+    * nll(w₁w₂) = −ln((c(w₁w₂) + k) / (c₁(w₁) + k·V)), where c₁ counts
+    * bigram PREFIXES (so the conditional normalizes) and V = distinct
+    * corpus tokens. Low score = phrasing the corpus finds typical; high =
+    * gibberish/boilerplate-mangled text.
+    *
+    * Scale shape: two count aggregations (bigram, prefix) + the V scalar as
+    * a 1-row in-plan aggregate broadcast back (never a driver action); the
+    * per-doc join carries (doc_id, bigram) — at 100 TB hash the bigram key
+    * to 64 bits for the exchanges ([[Dedup.exact]] math; text kept verbatim
+    * here because the oracle recomputes on the raw strings). Docs with < 2
+    * tokens have no bigrams and score NULL (the oracle's LEFT JOIN twin). */
+  def ngramLmScore(docs: DataFrame, kSmooth: Double = 0.5): DataFrame = {
+    val bg = docs.select(col("doc_id"),
+      explode(Dedup.shingles(col("text"), 2)).as("bg"))
+    val bgCounts = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val preCounts = bg.select(substring_index(col("bg"), " ", 1).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    val scored = bg
+      .join(bgCounts, "bg")
+      .join(preCounts, substring_index(col("bg"), " ", 1) === col("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        (-log((col("c2") + lit(kSmooth)) /
+          (col("c1") + lit(kSmooth) * col("v")))).as("nll"))
+      .groupBy("doc_id")
+      .agg(round(avg(col("nll")), 6).as("lm_nll"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+  }
 }

@@ -142,6 +142,27 @@ object WebOps {
     withUrls(docs).select(col("doc_id"), col("url"),
       canonicalUrl(col("url")).as("canon_url"))
 
+  /** Fetch-list hygiene rules — ONE definition feeding the Column code and
+    * the oracle SQL. Hosts: spam/blocked domains (canonical form). Pattern:
+    * binary/media extensions + infinite-calendar crawler traps, on the
+    * CANONICAL url (case-insensitive via inline flag — Java∩RE2-common). */
+  val BlockedHosts: Seq[String] = Seq("shop.example.io", "blog.example.net")
+  val BlockedUrlRe: String = "(?i)\\.(jpg|jpeg|png|gif|pdf|zip|exe|mp4)([?#]|$)|/calendar/"
+
+  /** Crawl URL filtering (the pass every fetch list goes through before
+    * annotation): drop blocklisted canonical hosts + trap/binary URL
+    * patterns. Pure map-side — the host set is a tiny literal IN (a real
+    * blocklist of millions of hosts becomes a broadcast anti-join, same
+    * semantics), the pattern one codegen'd rlike; composes BEFORE the
+    * corpus ever reaches extraction, so at 10^12 pages this prunes at the
+    * scan. Emits the kept rows in [[canonicalize]]'s shape. */
+  def urlFilter(docs: DataFrame): DataFrame =
+    canonicalize(docs)
+      .withColumn("host", canonicalHost(col("url")))
+      .filter(!col("host").isin(BlockedHosts: _*) &&
+        !col("canon_url").rlike(BlockedUrlRe))
+      .select(col("doc_id"), col("host"), col("canon_url"))
+
   /** Crawl dedup by canonical URL: one row per canonical URL with the
     * duplicate count and the lexicographically-first raw URL kept as the
     * representative (deterministic; a crawl would arg-min on fetch time —

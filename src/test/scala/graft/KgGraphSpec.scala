@@ -496,6 +496,42 @@ class KgGraphSpec extends AnyFunSuite {
     assert(KgGraph.adamicAdar(star, maxDegree = 2).count() === 0)
   }
 
+  test("shortestPaths: multi-source BFS == scalar BFS; depth bound respected") {
+    import spark.implicits._
+    // diamond + tail + an unreachable island; directed
+    val edges = Seq(("s1", "a"), ("s2", "a"), ("a", "b"), ("b", "c"),
+      ("c", "d"), ("d", "e"), ("i1", "i2")).toDF("src", "dst")
+    val seeds = Seq("s1", "s2").toDF("node")
+    val got = KgGraph.shortestPaths(edges, seeds, maxDepth = 3).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got === Map("s1" -> 0, "s2" -> 0, "a" -> 1, "b" -> 2, "c" -> 3))
+    // deeper bound reaches the tail; island stays absent (no sentinel inf)
+    val deep = KgGraph.shortestPaths(edges, seeds, maxDepth = 10).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(deep("e") === 5 && !deep.contains("i1") && !deep.contains("i2"))
+    // scalar BFS oracle on a seeded random digraph
+    val rnd = new scala.util.Random(11)
+    val rEdges = (1 to 120).map(_ => (s"n${rnd.nextInt(30)}", s"n${rnd.nextInt(30)}"))
+    val rSeeds = Seq("n0", "n1")
+    def bfs(es: Seq[(String, String)], ss: Seq[String]): Map[String, Int] = {
+      val adj = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      var dist = ss.map(_ -> 0).toMap
+      var frontier = ss.toSet
+      var d = 0
+      while (frontier.nonEmpty && d < 6) {
+        d += 1
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Nil))
+          .filterNot(dist.contains)
+        dist ++= frontier.map(_ -> d)
+      }
+      dist
+    }
+    val gotR = KgGraph.shortestPaths(rEdges.toDF("src", "dst"),
+      rSeeds.toDF("node"), maxDepth = 6).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(gotR === bfs(rEdges, rSeeds))
+  }
+
   test("empty edge lists: PageRank variants return empty, never Infinity") {
     import spark.implicits._
     val e = Seq.empty[(String, String, Long)].toDF("src", "dst", "n_links")

@@ -91,6 +91,42 @@ class OpsSpec extends AnyFunSuite {
     assert(jac.count() > 0, "driver data contains injected near-dups; none found")
   }
 
+  test("incremental minhash == full pipeline restricted to pairs touching a new doc") {
+    import org.apache.spark.sql.functions._
+    val oldDocs = docs.filter(col("doc_id") % 7 =!= 0)
+    val newDocs = docs.filter(col("doc_id") % 7 === 0)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = asSet(Dedup.minhashLshPairs(docs))
+      .filter { case (a, b, _) => a % 7 == 0 || b % 7 == 0 }
+    val inc = asSet(Dedup.minhashIncrementalPairs(oldDocs, newDocs))
+    assert(inc === full)
+    assert(inc.nonEmpty, "fixture contains injected dups crossing the split")
+    // and NO old×old pair leaks through
+    assert(inc.forall { case (a, b, _) => a % 7 == 0 || b % 7 == 0 })
+  }
+
+  test("ngramLmScore: hand-computed add-k NLL on a 3-doc corpus; short docs NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x"))
+      .toDF("doc_id", "text")
+    // bigrams: doc1 [a b, b a, a b], doc2 [a b]; c2(a b)=3, c2(b a)=1;
+    // prefixes: c1(a)=3 (wait: 'a b' x3 -> 3? doc1 has 'a b','b a','a b' ->
+    // a-prefix 2 + doc2 1 = 3), c1(b)=1; V = |{a,b,x}| = 3; k=0.5
+    val pAB = (3 + 0.5) / (3 + 0.5 * 3)
+    val pBA = (1 + 0.5) / (1 + 0.5 * 3)
+    val want1 = BigDecimal((-math.log(pAB) * 2 - math.log(pBA)) / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want2 = BigDecimal(-math.log(pAB))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextOps.ngramLmScore(d).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(got(1L) === want1)
+    assert(got(2L) === want2)
+    assert(got(3L) === null) // single token: no bigrams
+  }
+
   test("LSH ANN: self-consistent and recall vs brute force ≥ 0.5 at 6 planes") {
     val brute = Similarity.bruteForceTopK(embeddings, nQueries = 10, k = 3)
       .select("query_id", "neighbor_id").collect()

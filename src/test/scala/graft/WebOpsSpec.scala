@@ -146,6 +146,31 @@ class WebOpsSpec extends AnyFunSuite {
     assert(asSet(WebOps.domainQuotaTwoPhase(docs, quota = 1000)) === all)
   }
 
+  test("urlFilter: blocklisted hosts dropped, others kept; trap regex fires on crafted urls") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val kept = WebOps.urlFilter(syntheticDocs(200))
+    val hosts = kept.select("host").distinct().collect().map(_.getString(0)).toSet
+    assert(WebOps.BlockedHosts.forall(h => !hosts.contains(h)))
+    assert(hosts.nonEmpty)
+    // expected survivor count by the same congruence arithmetic as the synthesis:
+    // hosts 5 (shop.example.io) and 3 (blog.example.net) are blocked
+    val expect = (0 until 200).count(i => i % 7 != 5 && i % 7 != 3)
+    assert(kept.count() === expect)
+    // the pattern leg never fires on synthetic urls — prove it on crafted ones
+    val crafted = Seq(
+      "https://ok.example/page", "https://ok.example/img/photo.JPG",
+      "https://ok.example/file.pdf?dl=1", "https://ok.example/calendar/2024/01",
+      "https://ok.example/not-a-trap/jpg").toDF("u")
+    val fired = crafted.withColumn("hit", col("u").rlike(WebOps.BlockedUrlRe))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(fired("https://ok.example/page") === false)
+    assert(fired("https://ok.example/img/photo.JPG") === true)  // (?i) + $ leg
+    assert(fired("https://ok.example/file.pdf?dl=1") === true)  // [?#] leg
+    assert(fired("https://ok.example/calendar/2024/01") === true)
+    assert(fired("https://ok.example/not-a-trap/jpg") === false) // no dot
+  }
+
   test("crawlMerge: latest capture per canonical URL wins; captures counted") {
     import spark.implicits._
     val snaps = Seq(
