@@ -1012,6 +1012,18 @@ object SparkEntry {
     "web_crawl_merge" -> ((s, dir) =>
       WebOps.crawlMerge(WebOps.crawlSnapshots(docsTable(s, dir)))),
 
+    // snapshot-to-snapshot diff: added / removed / changed / unchanged per
+    // canonical URL (two argmax aggs + one full-outer join, hash-vs-hash)
+    "web_crawl_diff" -> ((s, dir) =>
+      WebOps.crawlDiff(WebOps.crawlSnapshotsWithContent(docsTable(s, dir)))),
+
+    // Lee et al. ExactSubstr at token granularity: duplicated k-token
+    // windows (non-first occurrence corpus-wide) mark positions for
+    // removal; overlapping spans merge; hashed window keys, text-free
+    // exchanges (the chunkDedup argument)
+    "text_span_dedup" -> ((s, dir) =>
+      Dedup.spanDedup(docsTable(s, dir), k = 5)),
+
     // collective entity-linking disambiguation: ambiguous surfaces (LOOM
     // labels living in two ontologies) resolved by co-occurrence votes
     // from the doc's unambiguous annotations; most-frequent-sense prior,
@@ -2780,6 +2792,66 @@ object SparkEntry {
           SELECT canon_url, n_captures, fetch_epoch AS last_epoch,
                  snapshot AS last_snapshot, doc_id AS keep_doc
           FROM r WHERE rn = 1""",
+
+    // snapshot synthesis twin (content hashes + fresh-host additions), two
+    // latest-capture windows, full-outer status CASE
+    "web_crawl_diff" ->
+      s"""WITH d1 AS (SELECT doc_id, ${graft.ops.WebOps.urlSqlExpr} AS url, text
+            FROM documents),
+          s AS (SELECT doc_id, url, 1 AS snapshot,
+                  1700000000 + doc_id * 60 AS fetch_epoch,
+                  md5(text) AS content_hash FROM d1
+                UNION ALL
+                SELECT doc_id, url, 2, 1700000000 + doc_id * 60 + 604800,
+                  md5(CASE WHEN doc_id % 6 = 0 THEN text || ' v2' ELSE text END)
+                FROM d1 WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT doc_id, 'https://fresh.example/p/' || doc_id, 2,
+                  1700000000 + doc_id * 60 + 604800, md5(text)
+                FROM d1 WHERE doc_id % 11 = 1),
+          c AS (SELECT ${graft.ops.WebOps.canonUrlSqlOf("url")} AS canon_url,
+                  snapshot, fetch_epoch, doc_id, content_hash FROM s),
+          l1 AS (SELECT canon_url, content_hash AS h_a FROM
+                  (SELECT canon_url, content_hash, ROW_NUMBER() OVER
+                     (PARTITION BY canon_url
+                      ORDER BY fetch_epoch DESC, doc_id DESC) AS rn
+                   FROM c WHERE snapshot = 1) WHERE rn = 1),
+          l2 AS (SELECT canon_url, content_hash AS h_b FROM
+                  (SELECT canon_url, content_hash, ROW_NUMBER() OVER
+                     (PARTITION BY canon_url
+                      ORDER BY fetch_epoch DESC, doc_id DESC) AS rn
+                   FROM c WHERE snapshot = 2) WHERE rn = 1)
+          SELECT COALESCE(l1.canon_url, l2.canon_url) AS canon_url,
+                 CASE WHEN l2.canon_url IS NULL THEN 'removed'
+                      WHEN l1.canon_url IS NULL THEN 'added'
+                      WHEN h_a = h_b THEN 'unchanged'
+                      ELSE 'changed' END AS status
+          FROM l1 FULL OUTER JOIN l2 ON l1.canon_url = l2.canon_url""",
+
+    // window explosion + first-occurrence window + per-position marking +
+    // token-level rebuild, all on the RAW gram strings (re-proves the
+    // engine's hashed keys)
+    "text_span_dedup" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          win AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+4], ' ') AS gram
+                  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+                        FROM tk WHERE len(t) >= 5)),
+          fst AS (SELECT gram, doc_id, pos,
+                    ROW_NUMBER() OVER (PARTITION BY gram
+                      ORDER BY doc_id, pos) AS rn FROM win),
+          mk AS (SELECT DISTINCT w.doc_id, w.pos + j AS tp
+                 FROM fst w, (SELECT unnest(generate_series(0, 4)) AS j)
+                 WHERE w.rn > 1),
+          tok2 AS (SELECT doc_id, i AS tp, t[i] AS tok
+                   FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+                         FROM tk)),
+          rb AS (SELECT t2.doc_id,
+                   string_agg(t2.tok, ' ' ORDER BY t2.tp) AS text_dedup
+                 FROM tok2 t2 LEFT JOIN mk
+                   ON mk.doc_id = t2.doc_id AND mk.tp = t2.tp
+                 WHERE mk.tp IS NULL GROUP BY t2.doc_id)
+          SELECT d.doc_id, COALESCE(rb.text_dedup, '') AS text_dedup
+          FROM documents d LEFT JOIN rb ON rb.doc_id = d.doc_id""",
 
     // the full coherence-vote recomputation: per-(url,surface) candidate
     // sets, unambiguous context, cooc votes, sense prior, deterministic

@@ -224,6 +224,50 @@ object Dedup {
     rerankPairs(candidates, oldDocs.unionByName(newDocs), n, threshold)
   }
 
+  /** Exact-substring span dedup at token granularity (the Lee et al. 2021
+    * "Deduplicating Training Data Makes Language Models Better" ExactSubstr
+    * shape, on token windows): every duplicated window of `k` consecutive
+    * tokens marks its positions for REMOVAL unless this occurrence is the
+    * corpus-wide FIRST (min (doc_id, pos) per window content). Overlapping
+    * duplicated windows merge for free — marking is per token position —
+    * so a 200-token copied passage disappears as one maximal span while its
+    * first occurrence survives verbatim. Stronger than [[graft.ops.WebOps
+    * .chunkDedup]]'s fixed-boundary form: a duplicate straddling a chunk
+    * boundary still dies here.
+    *
+    * Scale shape: window explosion is map-side; the window-keyed exchange
+    * carries the [[exact]] 128-bit (2×xxhash64+len) key + (doc_id, pos) —
+    * never text; the non-first-occurrence join is keyed on the same hash
+    * triple; marked positions aggregate per doc (int lists); the ONLY
+    * text-bearing exchange is the output-sized doc-keyed rebuild join (the
+    * chunkDedup argument, verbatim). */
+  def spanDedup(docs: DataFrame, k: Int = 5): DataFrame = {
+    val toks = split(col("text"), " ")
+    // windows: pos p (1-based) covers token positions p..p+k-1
+    val keyed = docs
+      .select(col("doc_id"), posexplode(shingles(col("text"), k))
+        .as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"),
+        xxhash64(lit(1), col("gram")).as("h1"),
+        xxhash64(lit(2), col("gram")).as("h2"),
+        length(col("gram")).as("n"))
+    val first = keyed.groupBy("h1", "h2", "n")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    // occurrences that are NOT the first: their k positions are marked
+    val marked = keyed.join(first, Seq("h1", "h2", "n"))
+      .filter(!(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("tp"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("tp")).as("drop_pos"))
+    docs.select(col("doc_id"), col("text"))
+      .join(marked, Seq("doc_id"), "left") // null drop_pos → keep everything
+      .select(col("doc_id"),
+        array_join(filter(transform(toks, (t, i) =>
+            when(array_contains(col("drop_pos"), i + 1), lit(null)).otherwise(t)),
+          t => t.isNotNull), " ").as("text_dedup"))
+  }
+
   /** 64-bit SimHash per doc via the native codegen expression
     * [[graft.functions.Simhash64]] — stays inside whole-stage codegen (no
     * object-mode island); scalar contract is [[simhash64]]. */

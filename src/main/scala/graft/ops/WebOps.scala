@@ -200,6 +200,57 @@ object WebOps {
         (col("fetch_epoch") + 604800L).as("fetch_epoch")))
   }
 
+  /** Snapshot synthesis for [[crawlDiff]] — [[crawlSnapshots]] plus the two
+    * signals a diff needs: a CONTENT hash (md5 of the text; re-crawls of
+    * `doc_id % 6 == 0` flip to v2 content → 'changed', other re-crawls keep
+    * it → 'unchanged') and genuinely NEW snapshot-2 pages on a fresh host
+    * (`doc_id % 11 == 1` → 'added'); everything not re-crawled is
+    * 'removed'. Mirrored literally in the oracle SQL. */
+  def crawlSnapshotsWithContent(docs: DataFrame): DataFrame = {
+    val s1 = withUrls(docs).select(col("doc_id"), col("url"),
+      lit(1).as("snapshot"),
+      (lit(1700000000L) + col("doc_id") * 60).as("fetch_epoch"),
+      md5(col("text").cast("binary")).as("content_hash"))
+    val recrawl = withUrls(docs).filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("url"), lit(2).as("snapshot"),
+        (lit(1700000000L) + col("doc_id") * 60 + 604800L).as("fetch_epoch"),
+        md5(when(col("doc_id") % 6 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).cast("binary")).as("content_hash"))
+    val added = docs.filter(col("doc_id") % 11 === 1)
+      .select(col("doc_id"),
+        concat(lit("https://fresh.example/p/"), col("doc_id")).as("url"),
+        lit(2).as("snapshot"),
+        (lit(1700000000L) + col("doc_id") * 60 + 604800L).as("fetch_epoch"),
+        md5(col("text").cast("binary")).as("content_hash"))
+    s1.unionByName(recrawl).unionByName(added)
+  }
+
+  /** Crawl-snapshot DIFF (what changed between two crawls — the freshness /
+    * re-fetch-scheduling signal): per canonical URL, compare the LATEST
+    * capture of snapshot `a` against snapshot `b` →
+    * `added | removed | changed | unchanged`.
+    *
+    * Scale shape: two `max(struct(...))` argmax aggregations (map-side
+    * partials — the [[crawlMerge]] shape, with the content hash riding the
+    * struct as a non-ordering trailing field) + ONE full-outer join on the
+    * canonical-URL key. No page bytes anywhere: the content comparison is
+    * hash-vs-hash. */
+  def crawlDiff(snapshots: DataFrame, a: Int = 1, b: Int = 2): DataFrame = {
+    def latest(s: Int) = snapshots.filter(col("snapshot") === s)
+      .groupBy(canonicalUrl(col("url")).as("canon_url"))
+      .agg(max(struct(col("fetch_epoch"), col("doc_id"),
+        col("content_hash"))).as("k"))
+      .select(col("canon_url"), col("k.content_hash"))
+    latest(a).withColumnRenamed("content_hash", "h_a")
+      .join(latest(b).withColumnRenamed("content_hash", "h_b"),
+        Seq("canon_url"), "full_outer")
+      .select(col("canon_url"),
+        when(col("h_b").isNull, lit("removed"))
+          .when(col("h_a").isNull, lit("added"))
+          .when(col("h_a") === col("h_b"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** Crawl-snapshot merge (the CDX-index dedup shape): across all captures
     * of a canonical URL keep the LATEST fetch (epoch desc, snapshot desc,
     * doc_id desc — total order, so the winner is unique), with the capture

@@ -106,6 +106,53 @@ class OpsSpec extends AnyFunSuite {
     assert(inc.forall { case (a, b, _) => a % 7 == 0 || b % 7 == 0 })
   }
 
+  test("spanDedup: duplicated k-token spans vanish except first occurrence; overlaps merge") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e x y"),          // first occurrence of "a b c d e"
+      (2L, "p q a b c d e r s"),      // copied 5-gram mid-doc → removed
+      (3L, "a b c d e f g h i j"),    // overlapping dup windows [1..5],[2..6]? only [1..5] dups doc1 → tokens 1-5 go
+      (4L, "short doc"),              // < k tokens: untouched
+      (5L, "a b c d e x y"))          // exact dup of doc 1 → everything marked
+      .toDF("doc_id", "text")
+    val got = Dedup.spanDedup(d, k = 5).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "a b c d e x y") // first occurrences survive verbatim
+    assert(got(2L) === "p q r s")
+    assert(got(3L) === "f g h i j")
+    assert(got(4L) === "short doc")
+    // doc 5: windows "a b c d e","b c d e x","c d e x y" all first-occurred
+    // in doc 1 → all 7 positions covered → empty rebuild
+    assert(got(5L) === "")
+  }
+
+  test("crawlDiff: all four statuses on crafted snapshots") {
+    import spark.implicits._
+    import graft.ops.WebOps
+    val snaps = Seq(
+      // (doc_id, url, snapshot, fetch_epoch, content_hash)
+      (1L, "https://a.example/p", 1, 100L, "h1"),
+      (1L, "https://a.example/p", 2, 200L, "h1"),   // unchanged
+      (2L, "https://b.example/p", 1, 100L, "h2"),
+      (2L, "https://b.example/p", 2, 200L, "h2x"),  // changed
+      (3L, "https://c.example/p", 1, 100L, "h3"),   // removed
+      (4L, "https://d.example/p", 2, 200L, "h4"),   // added
+      // two captures of one url in snapshot 1: the LATEST (epoch 150) wins,
+      // and it matches snapshot 2 → unchanged despite the older mismatch
+      (5L, "https://e.example/p", 1, 100L, "old"),
+      (6L, "https://e.example/p", 1, 150L, "h5"),
+      (7L, "https://e.example/p", 2, 200L, "h5"))
+      .toDF("doc_id", "url", "snapshot", "fetch_epoch", "content_hash")
+    val got = WebOps.crawlDiff(snaps).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      "https://a.example/p" -> "unchanged",
+      "https://b.example/p" -> "changed",
+      "https://c.example/p" -> "removed",
+      "https://d.example/p" -> "added",
+      "https://e.example/p" -> "unchanged"))
+  }
+
   test("ngramLmScore: hand-computed add-k NLL on a 3-doc corpus; short docs NULL") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
