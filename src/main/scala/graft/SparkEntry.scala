@@ -1012,6 +1012,15 @@ object SparkEntry {
     "web_crawl_merge" -> ((s, dir) =>
       WebOps.crawlMerge(WebOps.crawlSnapshots(docsTable(s, dir)))),
 
+    // stream-stream join's batch twin (same plan minus state stores):
+    // discovery→fetch latency within the event-time bound
+    "stream_join" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      def side(m: Int) = ev.filter(col("event_id") % 2 === m)
+        .select(concat(lit("u"), col("user_id")).as("url"), col("ts"))
+      graft.streaming.EventStream.discoveryFetchJoin(side(0), side(1))
+    }),
+
     // snapshot-to-snapshot diff: added / removed / changed / unchanged per
     // canonical URL (two argmax aggs + one full-outer join, hash-vs-hash)
     "web_crawl_diff" -> ((s, dir) =>
@@ -2792,6 +2801,17 @@ object SparkEntry {
           SELECT canon_url, n_captures, fetch_epoch AS last_epoch,
                  snapshot AS last_snapshot, doc_id AS keep_doc
           FROM r WHERE rn = 1""",
+
+    // plain interval-bounded join (the stream-stream plan minus state)
+    "stream_join" ->
+      """WITH d AS (SELECT 'u' || user_id AS url, ts FROM events
+                    WHERE event_id % 2 = 0),
+          f AS (SELECT 'u' || user_id AS url, ts FROM events
+                WHERE event_id % 2 = 1)
+          SELECT d.url, d.ts AS discover_ts, f.ts AS fetch_ts,
+                 epoch_us(f.ts) - epoch_us(d.ts) AS latency_us
+          FROM d JOIN f ON f.url = d.url AND f.ts >= d.ts
+            AND f.ts <= d.ts + INTERVAL 30 MINUTE""",
 
     // snapshot synthesis twin (content hashes + fresh-host additions), two
     // latest-capture windows, full-outer status CASE

@@ -62,6 +62,33 @@ object EventStream {
       .dropDuplicatesWithinWatermark("__dedup_h1", "__dedup_h2", "__dedup_n")
       .drop("__dedup_h1", "__dedup_h2", "__dedup_n")
 
+  /** STREAM-STREAM join — the crawl-scheduler shape: a link-DISCOVERY
+    * stream (url first seen on some page) joined with the page-FETCH stream
+    * to measure discovery→fetch latency. Both sides are watermarked and the
+    * join condition carries the event-time BOUND (fetch within `maxGap` of
+    * discovery), which is what lets Structured Streaming expire buffered
+    * state on both sides — an unbounded-condition stream-stream inner join
+    * would hold every row forever. Works identically on batch frames
+    * (the batch/stream parity contract every op here keeps): same plan,
+    * minus the state store. */
+  def discoveryFetchJoin(discoveries: DataFrame, fetches: DataFrame,
+                         watermark: String = "1 hour",
+                         maxGap: String = "30 minutes"): DataFrame = {
+    val d = discoveries
+      .select(col("url"), col("ts").as("discover_ts"))
+      .withWatermark("discover_ts", watermark)
+    val f = fetches
+      .select(col("url").as("f_url"), col("ts").as("fetch_ts"))
+      .withWatermark("fetch_ts", watermark)
+    d.join(f,
+        col("url") === col("f_url") &&
+          col("fetch_ts") >= col("discover_ts") &&
+          col("fetch_ts") <= col("discover_ts") + expr(s"INTERVAL $maxGap"))
+      .select(col("url"), col("discover_ts"), col("fetch_ts"),
+        (unix_micros(col("fetch_ts").cast("timestamp")) -
+          unix_micros(col("discover_ts").cast("timestamp"))).as("latency_us"))
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class UserAgg(user_id: Long, n_events: Long, total_value: Double)

@@ -292,6 +292,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stream-stream discovery→fetch join: bound enforced, == batch twin") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val dIn = MemoryStream[(String, Timestamp)]
+    val fIn = MemoryStream[(String, Timestamp)]
+    val joined = EventStream.discoveryFetchJoin(
+      dIn.toDF().toDF("url", "ts"), fIn.toDF().toDF("url", "ts"))
+    val query = joined.writeStream.format("memory")
+      .queryName("sj_test").outputMode("append").start()
+    try {
+      dIn.addData(("u1", ts(0)), ("u3", ts(0)))
+      fIn.addData(("u1", ts(10)), // within 30 min → joins
+        ("u2", ts(5)))            // never discovered → no row
+      query.processAllAvailable()
+      fIn.addData(("u3", ts(45))) // 45 min after discovery → out of bound
+      query.processAllAvailable()
+      val got = spark.table("sj_test")
+        .select("url", "latency_us").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got === Set(("u1", 600000000L)))
+      // batch parity: the same op over batch frames yields the same rows
+      val d = Seq(("u1", ts(0)), ("u3", ts(0))).toDF("url", "ts")
+      val f = Seq(("u1", ts(10)), ("u2", ts(5)), ("u3", ts(45))).toDF("url", "ts")
+      val batch = EventStream.discoveryFetchJoin(d, f)
+        .select("url", "latency_us").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(batch === got)
+    } finally query.stop()
+  }
+
   test("batch/stream plan parity: hourlyCounts works unchanged on a batch DF") {
     val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val out = EventStream.hourlyCounts(batch)
