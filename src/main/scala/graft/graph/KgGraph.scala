@@ -547,9 +547,13 @@ object KgGraph {
                     maxDepth: Int = 4): DataFrame = {
     require(maxDepth >= 0, s"maxDepth=$maxDepth must be >= 0")
     val e = pin(edges.select(col("src"), col("dst")))
-    var dist = seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0))
-    var frontier = pin(dist)
+    // pin the seed leg itself (not a copy): dist accumulates it and the
+    // per-round anti-join re-reads it — an unpinned corpus-derived seed
+    // plan (e.g. the full link-extraction pipeline) would re-execute every
+    // round AND at the final action
+    var dist = pin(seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0)))
+    var frontier = dist
     val trunc = truncator()
     for (d <- 1 to maxDepth) {
       frontier = trunc(

@@ -117,14 +117,6 @@ object Dedup {
     ds.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** MinHash + LSH near-dup candidates with exact-Jaccard rerank:
-    * shingle → k minhashes → bands of r → bucket-join on (band, bucket-hash)
-    * → candidate pairs → rerank. The scale path: cost is linear in corpus +
-    * bucket collisions, never all-pairs. `maxBucket` bounds the population
-    * of a single (band, bucket) before the self-join — the boilerplate /
-    * hot-bucket skew guard; larger buckets are SKIPPED for that band (pairs
-    * can still surface via the other bands), trading recall on mega-clusters
-    * for bounded O(maxBucket²) per-bucket work. */
   /** Signature table → capped LSH band rows `(doc_id, band, bucket [, …])`:
     * ONE signature aggregation, exploded into band rows (a per-band union
     * would recompute the shingle+minhash aggregation `bands` times —
@@ -173,6 +165,14 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
   }
 
+  /** MinHash + LSH near-dup candidates with exact-Jaccard rerank:
+    * shingle → k minhashes → bands of r → bucket-join on (band, bucket-hash)
+    * → candidate pairs → rerank. The scale path: cost is linear in corpus +
+    * bucket collisions, never all-pairs. `maxBucket` bounds the population
+    * of a single (band, bucket) before the self-join — the boilerplate /
+    * hot-bucket skew guard; larger buckets are SKIPPED for that band (pairs
+    * can still surface via the other bands), trading recall on mega-clusters
+    * for bounded O(maxBucket²) per-bucket work. */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
                       threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
     require(k % bands == 0, "bands must divide k")
@@ -201,18 +201,36 @@ object Dedup {
     *
     * Scale shape: the old side's signatures are a pure function of the old
     * corpus — at 10^12 docs they are computed ONCE at ingest and stored
-    * (the [[minhashSignatures]] output is exactly that table; feed it
-    * through here via a parquet/Iceberg read instead of recomputing), so a
-    * daily increment costs new-batch signatures + one bucket join against
-    * the stored band keys + a rerank over candidate texts — linear in the
-    * increment, never in the corpus. */
+    * (the [[minhashSignatures]] output is exactly that table), so a daily
+    * increment costs new-batch signatures + one bucket join against the
+    * stored band keys + a rerank over candidate texts — linear in the
+    * increment, never in the corpus. THIS convenience form recomputes both
+    * signature sides from raw docs (the small-job / test shape); the scale
+    * path is [[minhashIncrementalPairsFromSigs]], which takes the stored
+    * signature table (parquet/Iceberg read) directly. */
   def minhashIncrementalPairs(oldDocs: DataFrame, newDocs: DataFrame,
                               n: Int = 3, k: Int = 16, bands: Int = 4,
                               threshold: Double = 0.8,
-                              maxBucket: Int = 1000): DataFrame = {
+                              maxBucket: Int = 1000): DataFrame =
+    minhashIncrementalPairsFromSigs(
+      minhashSignatures(oldDocs, n, k), minhashSignatures(newDocs, n, k),
+      oldDocs.unionByName(newDocs), n, k, bands, threshold, maxBucket)
+
+  /** The stored-signature form of [[minhashIncrementalPairs]] — the actual
+    * 10^12-doc shape: `oldSigs` is the persisted signature table from
+    * ingest (never recomputed), `newSigs` the increment's signatures, and
+    * `docs` a text source covering every doc that can appear in a candidate
+    * pair (the rerank semi-joins it down to candidates only, so at scale
+    * this is the corpus table read through predicate pushdown, not a
+    * materialized copy). */
+  def minhashIncrementalPairsFromSigs(oldSigs: DataFrame, newSigs: DataFrame,
+                                      docs: DataFrame,
+                                      n: Int = 3, k: Int = 16, bands: Int = 4,
+                                      threshold: Double = 0.8,
+                                      maxBucket: Int = 1000): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val sigs = minhashSignatures(oldDocs, n, k).withColumn("is_new", lit(false))
-      .unionByName(minhashSignatures(newDocs, n, k).withColumn("is_new", lit(true)))
+    val sigs = oldSigs.withColumn("is_new", lit(false))
+      .unionByName(newSigs.withColumn("is_new", lit(true)))
     val bounded = bandedRows(sigs, k, bands, maxBucket)
     val lj = bounded.alias("l")
     val rj = bounded.alias("r")
@@ -221,7 +239,7 @@ object Dedup {
           col("l.doc_id") < col("r.doc_id") &&
           (col("l.is_new") || col("r.is_new")))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b")).distinct()
-    rerankPairs(candidates, oldDocs.unionByName(newDocs), n, threshold)
+    rerankPairs(candidates, docs, n, threshold)
   }
 
   /** Exact-substring span dedup at token granularity (the Lee et al. 2021

@@ -332,18 +332,22 @@ object TextOps {
     * corpus tokens. Low score = phrasing the corpus finds typical; high =
     * gibberish/boilerplate-mangled text.
     *
-    * Scale shape: two count aggregations (bigram, prefix) + the V scalar as
-    * a 1-row in-plan aggregate broadcast back (never a driver action); the
-    * per-doc join carries (doc_id, bigram) — at 100 TB hash the bigram key
-    * to 64 bits for the exchanges ([[Dedup.exact]] math; text kept verbatim
-    * here because the oracle recomputes on the raw strings). Docs with < 2
+    * Scale shape: ONE corpus-sized count aggregation (bigrams); the prefix
+    * counts are derived by RE-AGGREGATING the already-reduced bigram-count
+    * table (c₁(w₁) = Σ c₂ over bigrams prefixed w₁ — a vocabulary-sized
+    * input, not a second corpus explode+shuffle); V rides as a 1-row
+    * in-plan aggregate broadcast back (never a driver action); the per-doc
+    * join carries (doc_id, bigram) — at 100 TB hash the bigram key to 64
+    * bits for the exchanges ([[Dedup.exact]] math; text kept verbatim here
+    * because the oracle recomputes on the raw strings). Docs with < 2
     * tokens have no bigrams and score NULL (the oracle's LEFT JOIN twin). */
   def ngramLmScore(docs: DataFrame, kSmooth: Double = 0.5): DataFrame = {
     val bg = docs.select(col("doc_id"),
       explode(Dedup.shingles(col("text"), 2)).as("bg"))
     val bgCounts = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
-    val preCounts = bg.select(substring_index(col("bg"), " ", 1).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val preCounts = bgCounts
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
     val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
       .agg(count_distinct(col("w")).as("v"))
     val scored = bg

@@ -236,17 +236,22 @@ object WebOps {
     * canonical-URL key. No page bytes anywhere: the content comparison is
     * hash-vs-hash. */
   def crawlDiff(snapshots: DataFrame, a: Int = 1, b: Int = 2): DataFrame = {
-    def latest(s: Int) = snapshots.filter(col("snapshot") === s)
+    // presence is a flag carried out of the aggregation, NOT inferred from
+    // content-hash nullness — a captured-but-hashless row (fetch error)
+    // must still count as present (matching the oracle's
+    // `canon_url IS NULL` presence test); a NULL hash on either present
+    // side then falls through === (null ⇒ not-when) to 'changed'
+    def latest(s: Int, tag: String) = snapshots.filter(col("snapshot") === s)
       .groupBy(canonicalUrl(col("url")).as("canon_url"))
       .agg(max(struct(col("fetch_epoch"), col("doc_id"),
         col("content_hash"))).as("k"))
-      .select(col("canon_url"), col("k.content_hash"))
-    latest(a).withColumnRenamed("content_hash", "h_a")
-      .join(latest(b).withColumnRenamed("content_hash", "h_b"),
-        Seq("canon_url"), "full_outer")
+      .select(col("canon_url"), col("k.content_hash").as(s"h_$tag"),
+        lit(true).as(s"in_$tag"))
+    latest(a, "a")
+      .join(latest(b, "b"), Seq("canon_url"), "full_outer")
       .select(col("canon_url"),
-        when(col("h_b").isNull, lit("removed"))
-          .when(col("h_a").isNull, lit("added"))
+        when(col("in_b").isNull, lit("removed"))
+          .when(col("in_a").isNull, lit("added"))
           .when(col("h_a") === col("h_b"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }

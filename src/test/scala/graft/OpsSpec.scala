@@ -153,6 +153,42 @@ class OpsSpec extends AnyFunSuite {
       "https://e.example/p" -> "unchanged"))
   }
 
+  test("crawlDiff: presence comes from capture rows, not hash nullness") {
+    import spark.implicits._
+    import graft.ops.WebOps
+    val snaps = Seq(
+      // present in both but hashless in snap 1 (fetch error): the row still
+      // counts as present; NULL === h falls through to 'changed'
+      (1L, "https://n.example/p", 1, 100L, null.asInstanceOf[String]),
+      (2L, "https://n.example/p", 2, 200L, "h1"),
+      // hashless in BOTH: NULL === NULL is not-true → 'changed' (matching
+      // the oracle's h_a = h_b CASE under SQL null semantics)
+      (3L, "https://m.example/p", 1, 100L, null.asInstanceOf[String]),
+      (4L, "https://m.example/p", 2, 200L, null.asInstanceOf[String]))
+      .toDF("doc_id", "url", "snapshot", "fetch_epoch", "content_hash")
+    val got = WebOps.crawlDiff(snaps).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      "https://n.example/p" -> "changed",
+      "https://m.example/p" -> "changed"))
+  }
+
+  test("incremental minhash from STORED signatures == recomputed-signature form") {
+    import org.apache.spark.sql.functions._
+    val oldDocs = docs.filter(col("doc_id") % 7 =!= 0)
+    val newDocs = docs.filter(col("doc_id") % 7 === 0)
+    // persist the old side's signatures the way ingest would, then read back
+    val sigDir = java.nio.file.Files.createTempDirectory("graft-sigs").toString
+    Dedup.minhashSignatures(oldDocs, 3, 16).write.mode("overwrite").parquet(sigDir)
+    val storedOldSigs = spark.read.parquet(sigDir)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fromSigs = asSet(Dedup.minhashIncrementalPairsFromSigs(
+      storedOldSigs, Dedup.minhashSignatures(newDocs, 3, 16), docs))
+    assert(fromSigs === asSet(Dedup.minhashIncrementalPairs(oldDocs, newDocs)))
+    assert(fromSigs.nonEmpty)
+  }
+
   test("ngramLmScore: hand-computed add-k NLL on a 3-doc corpus; short docs NULL") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
