@@ -1026,6 +1026,44 @@ object SparkEntry {
     "web_crawl_diff" -> ((s, dir) =>
       WebOps.crawlDiff(WebOps.crawlSnapshotsWithContent(docsTable(s, dir)))),
 
+    // mirror-host detection: host pairs serving ≥2 identical texts (the
+    // synthesis serves every fourth text from a second, shifted host), a
+    // hot-hash cap before the self-join, containment vs the smaller host
+    "web_mirror_hosts" -> ((s, dir) =>
+      WebOps.mirrorHosts(WebOps.withMirrors(docsTable(s, dir)))),
+
+    // Knowledge Vault-style fact fusion: the SAME (page, concept) fact from
+    // three independent extractors — page-text annotation, lemmatized
+    // annotation, incoming anchor-text linking — noisy-OR'd over the
+    // per-extractor precision priors (Relations.ExtractorPriors is the
+    // single source shared with the oracle literals)
+    "kg_triple_confidence" -> ((s, dir) => {
+      val umap = WebOps.withUrls(docsTable(s, dir)).select(
+        concat(lit("doc://"), col("doc_id")).as("doc_url"),
+        WebOps.canonicalUrl(col("url")).as("subj"))
+      val dEv = matches(s, dir)
+        .select(col("url").as("doc_url"), col("class_iri")).distinct()
+        .join(umap, "doc_url")
+        .select(col("subj"), col("class_iri").as("obj"),
+          lit("direct").as("extractor"))
+      val lEv = graft.annotate.LemmaScan
+        .annotateDirectLemma(corpus(s, dir), lemmaModel(s)).toDF()
+        .select(col("url").as("doc_url"),
+          col("classIri").as("class_iri")).distinct()
+        .join(umap, "doc_url")
+        .select(col("subj"), col("class_iri").as("obj"),
+          lit("lemma").as("extractor"))
+      val aEv = {
+        val anchors = LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))
+          .select(col("dst_url").as("url"), col("anchor").as("text")).distinct()
+        graft.annotate.NativeAnnotate.annotateMatches(anchors, model(s))
+          .select(col("url").as("subj"), col("class_iri").as("obj")).distinct()
+          .select(col("subj"), col("obj"), lit("anchor").as("extractor"))
+      }
+      graft.ops.Relations.tripleConfidence(
+        dEv.unionByName(lEv).unionByName(aEv))
+    }),
+
     // Lee et al. ExactSubstr at token granularity: duplicated k-token
     // windows (non-first occurrence corpus-wide) mark positions for
     // removal; overlapping spans merge; hashed window keys, text-free
@@ -1493,6 +1531,63 @@ object SparkEntry {
   }
 
   /** One oracle for BOTH domain-quota plans (single-window and two-phase). */
+  /** Knowledge Vault fusion oracle: recompute all three extractor event
+    * sets (direct = dict regex containment; lemma = the ann_lemma oracle's
+    * lemmatized-text containment, set form; anchor = the
+    * web_anchor_entities oracle's dict-over-anchors scan), then the SAME
+    * noisy-OR with flag columns and literal priors generated from
+    * [[graft.ops.Relations.ExtractorPriors]] in the SAME order (left-assoc
+    * multiplication ⇒ IEEE-identical to the Column expression). */
+  private def tripleConfidenceOracleSql: String = {
+    val priors = graft.ops.Relations.ExtractorPriors
+    val flagCols = priors.map { case (e, _) =>
+      s"MAX(CASE WHEN extractor = '$e' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS f_$e"
+    }.mkString(",\n               ")
+    val missProduct = priors.map { case (e, p) =>
+      s"(CAST(1 AS DOUBLE) - CAST($p AS DOUBLE) * f_$e)"
+    }.mkString("\n            * ")
+    val nSum = priors.map(e => s"f_${e._1}").mkString(" + ")
+    s"""WITH $dictCte, ${graft.ops.LinkGraph.linksCteSql},
+        umap AS (SELECT doc_id, ${graft.ops.WebOps.canonUrlSqlOf("url")} AS subj
+                 FROM urls),
+        ev_d AS (SELECT DISTINCT u.subj, d.class_iri AS obj,
+                   'direct' AS extractor
+                 FROM documents doc JOIN umap u ON u.doc_id = doc.doc_id, dict d
+                 WHERE regexp_matches(upper(doc.text), '\\b' || d.term || '\\b')),
+        ldict AS (SELECT DISTINCT array_to_string(
+                    list_transform(string_split(term, ' '), t -> ${lemmaCaseSql("t")}), ' ') AS term,
+                    class_iri
+                  FROM dict),
+        ltxt AS (SELECT doc_id, string_agg(sep || lem, '' ORDER BY i) AS lt
+                 FROM (SELECT doc_id, i, seps[i] AS sep,
+                         (${lemmaCaseSql("upper(toks[i])")}) AS lem
+                       FROM (SELECT doc_id,
+                               regexp_extract_all(text, '[A-Za-z0-9_]+') AS toks,
+                               regexp_split_to_array(text, '[A-Za-z0-9_]+') AS seps,
+                               unnest(generate_series(1,
+                                 len(regexp_extract_all(text, '[A-Za-z0-9_]+')))) AS i
+                             FROM documents))
+                 GROUP BY doc_id),
+        ev_l AS (SELECT DISTINCT u.subj, l.class_iri AS obj,
+                   'lemma' AS extractor
+                 FROM ltxt JOIN umap u USING (doc_id), ldict l
+                 WHERE regexp_matches(ltxt.lt, '\\b' || l.term || '\\b')),
+        ev_a AS (SELECT DISTINCT a.dst_url AS subj, d.class_iri AS obj,
+                   'anchor' AS extractor
+                 FROM (SELECT DISTINCT dst_url, anchor FROM lnk) a, dict d
+                 WHERE regexp_matches(upper(a.anchor), '\\b' || d.term || '\\b')),
+        ev AS (SELECT * FROM ev_d UNION ALL SELECT * FROM ev_l
+               UNION ALL SELECT * FROM ev_a),
+        fl AS (SELECT subj, obj,
+               $flagCols
+               FROM ev GROUP BY 1, 2)
+        SELECT subj, obj,
+          CAST($nSum AS INT) AS n_extractors,
+          ROUND(CAST(1 AS DOUBLE) -
+            $missProduct, 6) AS confidence
+        FROM fl"""
+  }
+
   private def domainQuotaOracleSql: String =
     s"""WITH ${graft.ops.WebOps.canonCteSql},
         r AS (SELECT doc_id, host, canon_url,
@@ -2847,6 +2942,34 @@ object SparkEntry {
                       WHEN h_a = h_b THEN 'unchanged'
                       ELSE 'changed' END AS status
           FROM l1 FULL OUTER JOIN l2 ON l1.canon_url = l2.canon_url""",
+
+    // per-host content-hash sets, hot-hash cap, host-pair self-join — the
+    // same md5 keys, cap, and containment arithmetic
+    "web_mirror_hosts" ->
+      s"""WITH u AS (SELECT ${graft.ops.WebOps.urlSqlExpr} AS url, text
+                     FROM documents
+                     UNION ALL
+                     SELECT 'https://'
+                       || ([${graft.ops.WebOps.domainsSqlList}])[CAST((doc_id + 3) % 7 AS INT) + 1]
+                       || '/m/' || CAST(doc_id % 40 AS VARCHAR), text
+                     FROM documents WHERE doc_id % 4 = 1),
+          hh AS (SELECT DISTINCT ${graft.ops.WebOps.canonHostSqlOf("url")} AS host,
+                   md5(text) AS h FROM u),
+          capped AS (SELECT host, h FROM
+                      (SELECT host, h, COUNT(*) OVER (PARTITION BY h) AS nh FROM hh)
+                     WHERE nh <= 50),
+          tot AS (SELECT host, COUNT(*) AS n FROM hh GROUP BY 1),
+          sh AS (SELECT l.host AS host_a, r.host AS host_b, COUNT(*) AS shared
+                 FROM capped l JOIN capped r ON l.h = r.h AND l.host < r.host
+                 GROUP BY 1, 2)
+          SELECT s.host_a, s.host_b, s.shared,
+            ROUND(CAST(s.shared AS DOUBLE) / CAST(LEAST(ta.n, tb.n) AS DOUBLE), 6)
+              AS containment
+          FROM sh s JOIN tot ta ON ta.host = s.host_a
+                    JOIN tot tb ON tb.host = s.host_b
+          WHERE s.shared >= 2""",
+
+    "kg_triple_confidence" -> tripleConfidenceOracleSql,
 
     // window explosion + first-occurrence window + per-position marking +
     // token-level rebuild, all on the RAW gram strings (re-proves the

@@ -274,6 +274,62 @@ object WebOps {
         col("k.snapshot").as("last_snapshot"),
         col("k.doc_id").as("keep_doc"))
 
+  /** Mirror synthesis for [[mirrorHosts]] — every fourth doc's text ALSO
+    * served from a shifted host under an `/m/` path (the corpus texts are
+    * all distinct, so without this no exact cross-host duplication exists
+    * to detect). Mirrored literally in the oracle SQL. */
+  def withMirrors(docs: DataFrame): DataFrame = {
+    val base = withUrls(docs).select(col("url"), col("text"))
+    val mirrored = docs.filter(col("doc_id") % 4 === 1)
+      .select(concat(lit("https://"),
+        element_at(array(Domains.map(lit): _*),
+          ((col("doc_id") + 3) % 7).cast("int") + 1),
+        lit("/m/"), (col("doc_id") % 40).cast("string")).as("url"),
+        col("text"))
+    base.unionByName(mirrored)
+  }
+
+  /** Mirror-host detection — the crawl-dedup signal ABOVE document level:
+    * host pairs serving largely identical content (mirrors, parked-domain
+    * farms, CDN aliases the canonicalizer can't fold). Per host, the set of
+    * distinct content hashes it serves; host pairs sharing ≥ `minShared`
+    * hashes are emitted with `containment = shared / min(|a|, |b|)` (the
+    * smaller side's covered fraction — 1.0 means one host is a full mirror
+    * of the other). Input: a `(url, text)` page frame (e.g.
+    * [[withMirrors]], or a real crawl slice).
+    *
+    * Scale shape: content key = md5 of the text (16 bytes — no page bytes
+    * past the first projection); (host, hash) deduped in one exchange;
+    * hashes served by more than `maxHostsPerHash` hosts are dropped BEFORE
+    * the self-join (empty/boilerplate pages would otherwise fan out
+    * quadratically — the LSH hot-bucket-cap argument, and the same
+    * windowed-population guard as [[Dedup]]'s banding); the pair
+    * aggregation shuffles short (host, host) keys. Containment denominators
+    * use the UNCAPPED per-host totals, so the guard can only drop shared
+    * evidence, never inflate a score. */
+  def mirrorHosts(pages: DataFrame, minShared: Long = 2,
+                  maxHostsPerHash: Int = 50): DataFrame = {
+    val hh = pages
+      .select(canonicalHost(col("url")).as("host"),
+        md5(col("text").cast("binary")).as("h"))
+      .distinct()
+    val capped = hh
+      .withColumn("nh", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("nh") <= maxHostsPerHash)
+      .drop("nh")
+    val totals = hh.groupBy("host").agg(count(lit(1)).as("n"))
+    val l = capped.select(col("host").as("host_a"), col("h"))
+    val r = capped.select(col("host").as("host_b"), col("h"))
+    l.join(r, "h").filter(col("host_a") < col("host_b"))
+      .groupBy("host_a", "host_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(totals.select(col("host").as("host_a"), col("n").as("n_a")), "host_a")
+      .join(totals.select(col("host").as("host_b"), col("n").as("n_b")), "host_b")
+      .select(col("host_a"), col("host_b"), col("shared"),
+        round(col("shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"), 6).as("containment"))
+  }
+
   /** Per-domain page quota (the training-data domain-mix cap: no host may
     * contribute more than `quota` pages — C4/Gopher-style source balancing
     * so boilerplate farms don't dominate the corpus). Selection within a

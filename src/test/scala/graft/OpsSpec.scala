@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Relations, Similarity, TextOps}
 
 /** Training-data ops: dedup family cross-checks, ANN recall vs brute force,
   * text analysis determinism, multimodal plumbing. */
@@ -187,6 +187,28 @@ class OpsSpec extends AnyFunSuite {
       storedOldSigs, Dedup.minhashSignatures(newDocs, 3, 16), docs))
     assert(fromSigs === asSet(Dedup.minhashIncrementalPairs(oldDocs, newDocs)))
     assert(fromSigs.nonEmpty)
+  }
+
+  test("tripleConfidence: noisy-OR over extractor priors; unknown extractors dropped") {
+    import spark.implicits._
+    val ev = Seq(
+      // all three extractors agree
+      ("u1", "c1", "direct"), ("u1", "c1", "lemma"), ("u1", "c1", "anchor"),
+      // direct only (emitted twice — presence, not count, drives the score)
+      ("u2", "c1", "direct"), ("u2", "c1", "direct"),
+      // anchor only (the weakest prior alone)
+      ("u3", "c2", "anchor"),
+      // an extractor with no prior must not create or boost a fact
+      ("u4", "c3", "rumor"), ("u2", "c1", "rumor"))
+      .toDF("subj", "obj", "extractor")
+    val got = Relations.tripleConfidence(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getInt(2), r.getDouble(3))).toMap
+    assert(got === Map(
+      ("u1", "c1") -> ((3, math.rint((1.0 - 0.05 * 0.15 * 0.5) * 1e6) / 1e6)),
+      ("u2", "c1") -> ((1, 0.95)),
+      ("u3", "c2") -> ((1, 0.5))))
+    assert(!got.contains(("u4", "c3")))
   }
 
   test("ngramLmScore: hand-computed add-k NLL on a 3-doc corpus; short docs NULL") {

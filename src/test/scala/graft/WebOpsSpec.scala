@@ -188,4 +188,29 @@ class WebOpsSpec extends AnyFunSuite {
       "https://a.org/p/1" -> ((3L, 900L, 2, 1L)),
       "https://b.org/x" -> ((1L, 50L, 1, 3L))))
   }
+
+  test("mirrorHosts: containment, minShared floor, hot-hash cap") {
+    import spark.implicits._
+    val pages = Seq(
+      // host a serves 3 texts; host b mirrors 2 of them (and nothing else)
+      ("https://a.org/1", "t1"), ("https://a.org/2", "t2"),
+      ("https://a.org/3", "t3"),
+      ("https://b.org/1", "t1"), ("https://b.org/2", "t2"),
+      // host c shares only ONE text with a → below minShared=2, dropped
+      ("https://c.org/1", "t1"),
+      // a boilerplate text served by MANY hosts: excluded by the hash cap,
+      // so it creates no pairs among d0..d9 and adds nothing to a/b
+      ("https://a.org/bp", "boiler"), ("https://b.org/bp", "boiler")) ++
+      (0 until 10).map(i => (s"https://d$i.org/bp", "boiler"))
+    val got = WebOps.mirrorHosts(pages.toDF("url", "text"),
+        minShared = 2, maxHostsPerHash = 5).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // b has 3 distinct texts (t1, t2, boiler); min(|a|=4, |b|=3) = 3
+    assert(got.toSeq === Seq(("a.org", "b.org", 2L, math.rint(2.0 / 3 * 1e6) / 1e6)))
+    // same-text URL variants on ONE host count once: no self pair emitted
+    val one = WebOps.mirrorHosts(
+      Seq(("https://a.org/1", "t"), ("https://a.org/2", "t")).toDF("url", "text"),
+      minShared = 1).collect()
+    assert(one.isEmpty)
+  }
 }
