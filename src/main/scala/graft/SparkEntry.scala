@@ -1026,6 +1026,17 @@ object SparkEntry {
     "web_crawl_diff" -> ((s, dir) =>
       WebOps.crawlDiff(WebOps.crawlSnapshotsWithContent(docsTable(s, dir)))),
 
+    // redirect-chain resolution by pointer doubling: maxHops=8 in three
+    // self-joins; the 2-cycle at ids ≡ 21 (mod 50) must come back looped
+    "web_redirects" -> ((s, dir) =>
+      WebOps.resolveRedirects(WebOps.redirectEdges(docsTable(s, dir)))),
+
+    // CCNet-style per-host template strip: the synthesized nav + copyright
+    // lines (100% of each host's pages) vanish, the promo line (~1/3)
+    // and the content lines survive
+    "web_boilerplate" -> ((s, dir) =>
+      WebOps.boilerplateStrip(WebOps.withNavLines(docsTable(s, dir)))),
+
     // mirror-host detection: host pairs serving ≥2 identical texts (the
     // synthesis serves every fourth text from a second, shifted host), a
     // hot-hash cap before the self-join, containment vs the smaller host
@@ -2970,6 +2981,68 @@ object SparkEntry {
           WHERE s.shared >= 2""",
 
     "kg_triple_confidence" -> tripleConfidenceOracleSql,
+
+    // the same pointer-doubling unroll: 3 materialized rounds = 8 hops,
+    // terminals absorb via LEFT JOIN + COALESCE, loop flag = final URL
+    // still has an outgoing redirect
+    "web_redirects" ->
+      s"""WITH redges AS MATERIALIZED (
+            SELECT 'https://go.example/r/' || CAST(doc_id AS VARCHAR) AS src,
+              CASE WHEN doc_id % 50 = 21
+                     THEN 'https://go.example/r/' || CAST(doc_id + 1 AS VARCHAR)
+                   WHEN doc_id % 4 <> 0
+                     THEN 'https://go.example/r/' || CAST(doc_id - 1 AS VARCHAR)
+                   ELSE ${graft.ops.WebOps.urlSqlExpr} END AS dst
+            FROM documents),
+          r1 AS MATERIALIZED (SELECT a.src, COALESCE(b.dst, a.dst) AS dst
+            FROM redges a LEFT JOIN redges b ON a.dst = b.src),
+          r2 AS MATERIALIZED (SELECT a.src, COALESCE(b.dst, a.dst) AS dst
+            FROM r1 a LEFT JOIN r1 b ON a.dst = b.src),
+          r3 AS MATERIALIZED (SELECT a.src, COALESCE(b.dst, a.dst) AS dst
+            FROM r2 a LEFT JOIN r2 b ON a.dst = b.src),
+          srcs AS (SELECT DISTINCT src FROM redges)
+          SELECT r3.src, r3.dst AS final_url, (s.src IS NOT NULL) AS looped
+          FROM r3 LEFT JOIN srcs s ON r3.dst = s.src""",
+
+    // synthesis (nav + 6-token content lines + promo + copyright) rebuilt
+    // in SQL, then the strip recomputed on RAW lines (re-proving the
+    // engine's hashed 128-bit line keys)
+    "web_boilerplate" ->
+      s"""WITH hostd AS (SELECT doc_id, text,
+              ${graft.ops.WebOps.canonHostSqlOf(graft.ops.WebOps.urlSqlExpr)} AS host
+            FROM documents),
+          toks AS (SELECT doc_id, host, string_split(text, ' ') AS t FROM hostd),
+          cl AS (SELECT doc_id, i,
+                   array_to_string(t[i*6+1:i*6+6], ' ') AS line
+                 FROM (SELECT *, unnest(generate_series(0,
+                         CAST(ceil(len(t) / 6.0) AS INT) - 1)) AS i FROM toks)),
+          body AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS b
+                   FROM cl GROUP BY doc_id),
+          pg AS (SELECT t.doc_id, t.host,
+                   'home about contact ' || t.host || chr(10) || b.b
+                   || CASE WHEN t.doc_id % 3 = 0
+                           THEN chr(10) || 'subscribe to our newsletter'
+                           ELSE '' END
+                   || chr(10) || 'copyright ' || t.host AS text
+                 FROM toks t JOIN body b USING (doc_id)),
+          ln AS (SELECT doc_id, host, i - 1 AS pos, l[i] AS line
+                 FROM (SELECT doc_id, host,
+                         string_split(text, chr(10)) AS l,
+                         unnest(generate_series(1,
+                           len(string_split(text, chr(10))))) AS i
+                       FROM pg)),
+          df AS (SELECT host, line, COUNT(DISTINCT doc_id) AS on_docs
+                 FROM ln GROUP BY 1, 2),
+          hd AS (SELECT host, COUNT(DISTINCT doc_id) AS host_docs
+                 FROM pg GROUP BY 1),
+          boiler AS (SELECT host, line FROM df JOIN hd USING (host)
+                     WHERE on_docs >= 2
+                       AND CAST(on_docs AS DOUBLE) / CAST(host_docs AS DOUBLE) >= 0.5),
+          keep AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean
+                   FROM ln ANTI JOIN boiler USING (host, line)
+                   GROUP BY doc_id)
+          SELECT p.doc_id, COALESCE(k.text_clean, '') AS text_clean
+          FROM pg p LEFT JOIN keep k USING (doc_id)""",
 
     // window explosion + first-occurrence window + per-position marking +
     // token-level rebuild, all on the RAW gram strings (re-proves the

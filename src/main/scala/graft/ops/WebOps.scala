@@ -274,6 +274,126 @@ object WebOps {
         col("k.snapshot").as("last_snapshot"),
         col("k.doc_id").as("keep_doc"))
 
+  /** Redirect-map synthesis for [[resolveRedirects]]: one redirect edge per
+    * doc on a dedicated `go.example/r/<id>` namespace (unique srcs — the
+    * synthetic page URLs collide by design, which would make the map
+    * multi-valued). Structure: ids ≡ 21 (mod 50) point FORWARD (`i → i+1`,
+    * forming a 2-cycle with `i+1 → i` since `(i+1) % 4 ≠ 0`); other ids
+    * off the 4-grid chain DOWN (`i → i−1`, chains of ≤ 3 redirects); ids on
+    * the 4-grid land on the real page URL (terminal — a landing page is
+    * never a redirect src). Mirrored literally in the oracle SQL. */
+  def redirectEdges(docs: DataFrame): DataFrame = {
+    def go(id: Column) = concat(lit("https://go.example/r/"), id.cast("string"))
+    docs.select(go(col("doc_id")).as("src"),
+      when(col("doc_id") % 50 === 21, go(col("doc_id") + 1))
+        .when(col("doc_id") % 4 =!= 0, go(col("doc_id") - 1))
+        .otherwise(syntheticUrl(col("doc_id"))).as("dst"))
+  }
+
+  /** Redirect-chain resolution (the crawl-frontier canonicalization step:
+    * a fetch list full of `301` hops must resolve to final landing URLs
+    * before dedup/quota). POINTER DOUBLING, not hop-at-a-time: round `r`
+    * maps every src to the node `2^r` hops away (terminals absorb via the
+    * left join), so `maxHops` is covered in `⌈log₂ maxHops⌉` self-joins —
+    * at web scale (10^9-row redirect maps, chains of dozens) that is 5–6
+    * shuffles instead of dozens. Rows whose final URL still has an outgoing
+    * redirect after the budget are flagged `looped` (redirect cycles —
+    * real crawls hit them constantly — and over-budget chains alike).
+    *
+    * Each round localCheckpoints (eager) — constant plan depth, same
+    * rationale as the Lloyd loop in [[Similarity]]. */
+  def resolveRedirects(edges: DataFrame, maxHops: Int = 8): DataFrame = {
+    require(maxHops >= 1, s"maxHops=$maxHops must be >= 1")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var f = e
+    var hops = 1
+    while (hops < maxHops) {
+      val g = f.select(col("src").as("g_src"), col("dst").as("g_dst"))
+      f = f.join(g, f("dst") === col("g_src"), "left")
+        .select(f("src"), coalesce(col("g_dst"), f("dst")).as("dst"))
+        .localCheckpoint()
+      hops *= 2
+    }
+    val srcs = e.select(col("src").as("out_src")).distinct()
+    f.join(srcs, f("dst") === col("out_src"), "left")
+      .select(col("src"), col("dst").as("final_url"),
+        col("out_src").isNotNull.as("looped"))
+  }
+
+  /** Line-structured page synthesis for [[boilerplateStrip]]: the corpus
+    * texts carry no line structure, so each doc becomes a page of
+    * `\n`-separated lines — a nav line and a copyright line shared by EVERY
+    * page of the host (the template), the doc's tokens re-wrapped 6 per
+    * content line, and a promo line on every third doc (present on ~1/3 of
+    * a host's pages — below the default 50% threshold, so the strip must
+    * keep it). Mirrored literally in the oracle SQL. */
+  def withNavLines(docs: DataFrame): DataFrame = {
+    val url = syntheticUrl(col("doc_id"))
+    val host = canonicalHost(url)
+    val toks = split(col("text"), " ")
+    // split() never returns an empty array, so nLines >= 1 and the
+    // sequence never descends (Dedup.shingles guard rationale)
+    val nLines = ceil(size(toks).cast("double") / 6).cast("int")
+    val content = transform(sequence(lit(0), nLines - 1),
+      i => array_join(slice(toks, i * 6 + 1, lit(6)), " "))
+    val lines = concat(
+      array(concat(lit("home about contact "), host)),
+      content,
+      when(col("doc_id") % 3 === 0, array(lit("subscribe to our newsletter")))
+        .otherwise(array().cast("array<string>")),
+      array(concat(lit("copyright "), host)))
+    docs.select(col("doc_id"), url.as("url"),
+      array_join(lines, "\n").as("text"))
+  }
+
+  /** Per-host boilerplate line removal (the CCNet/jusText template-strip:
+    * nav bars, cookie banners, copyright footers repeat on every page of a
+    * host and would dominate any token-level statistic): a line occurring
+    * on ≥ `minFrac` of a host's pages (and on ≥ `minDocs` pages — small
+    * hosts can't vote a line boilerplate off two observations) is dropped
+    * from every page of that host; pages rebuild from their own surviving
+    * line positions.
+    *
+    * Scale shape (the [[chunkDedup]] pattern): every line-keyed exchange
+    * carries the 128-bit line key (2×xxhash64 + length — [[Dedup]]'s exact
+    * collision math), never line text; the boilerplate set is per-host
+    * tiny (it's the host's TEMPLATE) so the anti-join broadcasts; the
+    * rebuild re-splits each page's own text map-side and keeps surviving
+    * positions in order. Input: `(doc_id, url, text)`; output
+    * `(doc_id, text_clean)` — a fully-templated page ('' after the strip)
+    * stays present, matching the oracle's LEFT JOIN. */
+  def boilerplateStrip(pages: DataFrame, minFrac: Double = 0.5,
+                       minDocs: Long = 2): DataFrame = {
+    val lineArr = split(col("text"), "\n")
+    val lines = pages
+      .select(col("doc_id"), canonicalHost(col("url")).as("host"),
+        posexplode(lineArr).as(Seq("pos", "line")))
+      .select(col("doc_id"), col("host"), col("pos"),
+        xxhash64(lit(1), col("line")).as("h1"),
+        xxhash64(lit(2), col("line")).as("h2"),
+        length(col("line")).as("n"))
+    val docFreq = lines.select("host", "h1", "h2", "n", "doc_id").distinct()
+      .groupBy("host", "h1", "h2", "n").agg(count(lit(1)).as("on_docs"))
+    val hostDocs = pages
+      .select(canonicalHost(col("url")).as("host"), col("doc_id")).distinct()
+      .groupBy("host").agg(count(lit(1)).as("host_docs"))
+    val boiler = docFreq.join(hostDocs, "host")
+      .filter(col("on_docs") >= minDocs &&
+        col("on_docs").cast("double") / col("host_docs").cast("double")
+          >= minFrac)
+      .select("host", "h1", "h2", "n")
+    val keepPos = lines
+      .join(boiler, Seq("host", "h1", "h2", "n"), "left_anti")
+      .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("keep"))
+    val tagged = transform(lineArr, (l, i) => struct(i.as("pos"), l.as("line")))
+    pages.select(col("doc_id"), col("text"))
+      .join(keepPos, Seq("doc_id"), "left") // null keep → every line drops
+      .select(col("doc_id"),
+        array_join(transform(
+          filter(tagged, s => array_contains(col("keep"), s.getField("pos"))),
+          s => s.getField("line")), "\n").as("text_clean"))
+  }
+
   /** Mirror synthesis for [[mirrorHosts]] — every fourth doc's text ALSO
     * served from a shifted host under an `/m/` path (the corpus texts are
     * all distinct, so without this no exact cross-host duplication exists

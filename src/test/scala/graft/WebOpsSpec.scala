@@ -189,6 +189,51 @@ class WebOpsSpec extends AnyFunSuite {
       "https://b.org/x" -> ((1L, 50L, 1, 3L))))
   }
 
+  test("resolveRedirects: chains resolve, terminals absorb, cycles flag looped") {
+    import spark.implicits._
+    val edges = Seq(
+      // a 3-hop chain to a landing page
+      ("r3", "r2"), ("r2", "r1"), ("r1", "https://final.org/a"),
+      // a 2-cycle, plus a chain feeding into it
+      ("c1", "c2"), ("c2", "c1"), ("c3", "c1"),
+      // a chain longer than maxHops=4: over budget → looped
+      ("l5", "l4"), ("l4", "l3"), ("l3", "l2"), ("l2", "l1"),
+      ("l1", "l0"), ("l0", "https://final.org/b"))
+      .toDF("src", "dst")
+    val got = WebOps.resolveRedirects(edges, maxHops = 4).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(got("r3") === (("https://final.org/a", false)))
+    assert(got("r2") === (("https://final.org/a", false)))
+    // cycle members and feeders end ON a redirect src → looped
+    assert(got("c1")._2 && got("c2")._2 && got("c3")._2)
+    // l5 needs 6 hops; after 4 it still sits on a redirect src
+    assert(got("l5")._2 === true)
+    assert(got("l1") === (("https://final.org/b", false)))
+    // raising the budget resolves the long chain (doubling: 8 >= 6)
+    val more = WebOps.resolveRedirects(edges, maxHops = 8).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(more("l5") === (("https://final.org/b", false)))
+  }
+
+  test("boilerplateStrip: host templates vanish, rare lines survive, minDocs guards tiny hosts") {
+    import spark.implicits._
+    val pages = Seq(
+      // host a: 4 pages, nav on all (→ stripped), promo on 2 of 4
+      // (= 0.5 ≥ minFrac → stripped), unique content kept
+      (1L, "https://a.org/1", "nav\ncontent one\npromo"),
+      (2L, "https://a.org/2", "nav\ncontent two\npromo"),
+      (3L, "https://a.org/3", "nav\ncontent three"),
+      (4L, "https://a.org/4", "nav"),            // fully templated → ''
+      // host b: a single page — its lines can't reach minDocs=2
+      (5L, "https://b.org/1", "nav\nsolo"))
+      .toDF("doc_id", "url", "text")
+    val got = WebOps.boilerplateStrip(pages).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      1L -> "content one", 2L -> "content two", 3L -> "content three",
+      4L -> "", 5L -> "nav\nsolo"))
+  }
+
   test("mirrorHosts: containment, minShared floor, hot-hash cap") {
     import spark.implicits._
     val pages = Seq(
