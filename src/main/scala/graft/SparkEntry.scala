@@ -1026,6 +1026,34 @@ object SparkEntry {
     "web_crawl_diff" -> ((s, dir) =>
       WebOps.crawlDiff(WebOps.crawlSnapshotsWithContent(docsTable(s, dir)))),
 
+    // Hearst-pattern mining: all four pattern shapes extracted map-only,
+    // support = distinct docs + total mentions per surface pair
+    "kg_hearst_pairs" -> ((s, dir) =>
+      graft.ops.Relations.hearstSupport(graft.ops.Relations.hearstPairs(
+        graft.ops.Relations.withHearst(docsTable(s, dir))))),
+
+    // Hearst pairs resolved against the dictionary (both surfaces must be
+    // concept labels) → candidate is-a edges the ontology does NOT already
+    // assert — the taxonomy-gap mining step of KG construction
+    "kg_hearst_isa" -> ((s, dir) => {
+      val pairs = graft.ops.Relations.hearstPairs(
+        graft.ops.Relations.withHearst(docsTable(s, dir)))
+      val dict = DictBuild.flatDict(DictBuild.build(
+          DictBuild.labelRows(OntologyFixture.conceptsDf(s))))
+        .select(col("term"), col("class_iri")).distinct()
+      pairs
+        .join(broadcast(dict.select(col("term").as("hypo_t"),
+          col("class_iri").as("child_iri"))),
+          upper(col("hyponym")) === col("hypo_t"))
+        .join(broadcast(dict.select(col("term").as("hyper_t"),
+          col("class_iri").as("parent_iri"))),
+          upper(col("hypernym")) === col("hyper_t"))
+        .filter(col("child_iri") =!= col("parent_iri"))
+        .select("child_iri", "parent_iri").distinct()
+        .join(OntologyFixture.edgesDf(s),
+          Seq("child_iri", "parent_iri"), "left_anti")
+    }),
+
     // redirect-chain resolution by pointer doubling: maxHops=8 in three
     // self-joins; the 2-cycle at ids ≡ 21 (mod 50) must come back looped
     "web_redirects" -> ((s, dir) =>
@@ -1598,6 +1626,22 @@ object SparkEntry {
             $missProduct, 6) AS confidence
         FROM fl"""
   }
+
+  /** One UNION ALL leg per [[graft.ops.Relations.HearstRules]] entry, over
+    * the `hpage` CTE — the SAME regex strings, group orientation, and
+    * occurrence-index zip as the Column code. */
+  private def hearstLegsSql: String =
+    graft.ops.Relations.HearstRules.map { case (name, re, swapped) =>
+      val (hy, ho) = if (swapped) ("b[i]", "a[i]") else ("a[i]", "b[i]")
+      s"""SELECT doc_id, lower($hy) AS hypernym, lower($ho) AS hyponym,
+              '$name' AS pattern
+            FROM (SELECT doc_id, a, b,
+                    unnest(generate_series(1, len(a))) AS i
+                  FROM (SELECT doc_id,
+                          regexp_extract_all(text, '$re', 1) AS a,
+                          regexp_extract_all(text, '$re', 2) AS b
+                        FROM hpage))"""
+    }.mkString("\n           UNION ALL\n           ")
 
   private def domainQuotaOracleSql: String =
     s"""WITH ${graft.ops.WebOps.canonCteSql},
@@ -2981,6 +3025,26 @@ object SparkEntry {
           WHERE s.shared >= 2""",
 
     "kg_triple_confidence" -> tripleConfidenceOracleSql,
+
+    "kg_hearst_pairs" ->
+      s"""WITH ${graft.ops.Relations.hearstPagesCteSql},
+          prs AS ($hearstLegsSql)
+          SELECT hypernym, hyponym, COUNT(DISTINCT doc_id) AS n_docs,
+            COUNT(*) AS n_mentions
+          FROM prs GROUP BY 1, 2""",
+
+    "kg_hearst_isa" ->
+      s"""WITH $dictCte, $edgesCte, ${graft.ops.Relations.hearstPagesCteSql},
+          prs AS ($hearstLegsSql),
+          cand AS (SELECT DISTINCT c.class_iri AS child_iri,
+                     p.class_iri AS parent_iri
+                   FROM prs JOIN dict c ON upper(prs.hyponym) = c.term
+                            JOIN dict p ON upper(prs.hypernym) = p.term
+                   WHERE c.class_iri <> p.class_iri)
+          SELECT cand.child_iri, cand.parent_iri
+          FROM cand ANTI JOIN edges
+            ON cand.child_iri = edges.child_iri
+           AND cand.parent_iri = edges.parent_iri""",
 
     // the same pointer-doubling unroll: 3 materialized rounds = 8 hops,
     // terminals absorb via LEFT JOIN + COALESCE, loop flag = final URL

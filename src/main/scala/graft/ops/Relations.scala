@@ -25,6 +25,79 @@ object Relations {
   val ExtractorPriors: Seq[(String, Double)] = Seq(
     "direct" -> 0.95, "lemma" -> 0.85, "anchor" -> 0.5)
 
+  /** Hearst lexico-syntactic patterns (Hearst, COLING 1992 — the classic
+    * open-taxonomy extractor): `(name, regex, swapped)` where group 1/2 are
+    * hypernym/hyponym unless `swapped`. Java∩RE2-identical subset (`\w` is
+    * ASCII word chars in both engines), so the SAME strings drive the
+    * Column code and the oracle SQL. */
+  val HearstRules: Seq[(String, String, Boolean)] = Seq(
+    ("such_as", "(\\w+) such as (\\w+)", false),
+    ("and_other", "(\\w+) and other (\\w+)", true),
+    ("including", "(\\w+) including (\\w+)", false),
+    ("especially", "(\\w+) , especially (\\w+)", false))
+
+  /** Hearst-sentence synthesis for [[hearstPairs]]: the corpus texts carry
+    * no such-as phrasing, so each doc gets ONE pattern sentence appended,
+    * built from two of its own tokens at deterministic positions, cycling
+    * through all four [[HearstRules]] shapes on `doc_id % 4`. Mirrored in
+    * [[hearstPagesCteSql]]. */
+  def withHearst(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val t1 = element_at(t, ((col("doc_id") * 3) % size(t)).cast("int") + 1)
+    val t2 = element_at(t, ((col("doc_id") * 5) % size(t)).cast("int") + 1)
+    val sent = when(col("doc_id") % 4 === 0, concat(t1, lit(" such as "), t2))
+      .when(col("doc_id") % 4 === 1, concat(t2, lit(" and other "), t1))
+      .when(col("doc_id") % 4 === 2, concat(t1, lit(" including "), t2))
+      .otherwise(concat(t1, lit(" , especially "), t2))
+    docs.select(col("doc_id"),
+      concat(col("text"), lit(" . "), sent, lit(" .")).as("text"))
+  }
+
+  /** DuckDB CTE twin of [[withHearst]] — `hpage(doc_id, text)`. */
+  def hearstPagesCteSql: String = {
+    def tok(mult: Int) = s"t[CAST(doc_id * $mult % len(t) AS INT) + 1]"
+    val (t1, t2) = (tok(3), tok(5))
+    s"""htoks AS (SELECT doc_id, text, string_split(text, ' ') AS t
+                  FROM documents),
+        hpage AS (SELECT doc_id, text || ' . ' ||
+            CASE CAST(doc_id % 4 AS INT)
+              WHEN 0 THEN $t1 || ' such as ' || $t2
+              WHEN 1 THEN $t2 || ' and other ' || $t1
+              WHEN 2 THEN $t1 || ' including ' || $t2
+              ELSE $t1 || ' , especially ' || $t2 END || ' .' AS text
+          FROM htoks)"""
+  }
+
+  /** Hearst-pattern candidate is-a extraction over raw text: all four
+    * [[HearstRules]] regexes run per page, matches zip group 1 against
+    * group 2 by occurrence index (the LinkGraph href/anchor idiom), and
+    * each match lands as one `(doc_id, hypernym, hyponym, pattern)` row,
+    * surfaces lower-cased.
+    *
+    * Scale shape: map-only — `regexp_extract_all` + `posexplode` per rule,
+    * ZERO shuffles until whatever aggregation follows; as wide as the
+    * corpus scan itself at 10^12 pages (the link-extraction argument). */
+  def hearstPairs(docs: DataFrame): DataFrame =
+    HearstRules.map { case (name, re, swapped) =>
+      val g1 = regexp_extract_all(col("text"), lit(re), lit(1))
+      val g2 = regexp_extract_all(col("text"), lit(re), lit(2))
+      val zipped = docs
+        .select(col("doc_id"), posexplode(g1).as(Seq("i", "m1")), g2.as("g2"))
+        .select(col("doc_id"), col("m1"),
+          element_at(col("g2"), col("i") + 1).as("m2"))
+      val (hyper, hypo) = if (swapped) (col("m2"), col("m1"))
+                          else (col("m1"), col("m2"))
+      zipped.select(col("doc_id"), lower(hyper).as("hypernym"),
+        lower(hypo).as("hyponym"), lit(name).as("pattern"))
+    }.reduce(_ unionByName _)
+
+  /** Per-pair support over [[hearstPairs]] output: distinct-doc and total
+    * mention counts — ONE hash aggregation on short surface-pair keys. */
+  def hearstSupport(pairs: DataFrame): DataFrame =
+    pairs.groupBy("hypernym", "hyponym")
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_mentions"))
+
   /** Fuse extraction events `(subj, obj, extractor)` into per-fact rows
     * `(subj, obj, n_extractors, confidence)` with the noisy-OR above.
     *

@@ -189,6 +189,32 @@ class OpsSpec extends AnyFunSuite {
     assert(fromSigs.nonEmpty)
   }
 
+  test("hearstPairs: all four patterns, orientation, repeats, case fold; map-only plan") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "animals such as Dogs roam"),          // group1=hypernym
+      (2L, "dogs and other animals roam"),        // SWAPPED: group2=hypernym
+      (3L, "metals including copper shine"),
+      (4L, "metals , especially gold shine"),
+      // two occurrences of one pattern in one doc → two rows
+      (5L, "fruits such as apples and fruits such as pears"),
+      (6L, "no pattern here"))
+      .toDF("doc_id", "text")
+    val got = Relations.hearstPairs(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(got === Set(
+      (1L, "animals", "dogs", "such_as"),
+      (2L, "animals", "dogs", "and_other"),
+      (3L, "metals", "copper", "including"),
+      (4L, "metals", "gold", "especially"),
+      (5L, "fruits", "apples", "such_as"),
+      (5L, "fruits", "pears", "such_as")))
+    // extraction itself is shuffle-free (as wide as the corpus scan)
+    val plan = Relations.hearstPairs(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("tripleConfidence: noisy-OR over extractor priors; unknown extractors dropped") {
     import spark.implicits._
     val ev = Seq(
