@@ -1026,6 +1026,17 @@ object SparkEntry {
     "web_crawl_diff" -> ((s, dir) =>
       WebOps.crawlDiff(WebOps.crawlSnapshotsWithContent(docsTable(s, dir)))),
 
+    // co-citation: page pairs cited by the same source page (≥2 sources),
+    // out-degree cap before the self-join
+    "web_cocitation" -> ((s, dir) =>
+      LinkGraph.coCitation(LinkGraph.links(LinkGraph.pages(docsTable(s, dir))))),
+
+    // DSIR importance weights toward the English slice of the corpus:
+    // hashed-unigram target/raw distributions, add-α smoothing, per-doc
+    // log-importance sums
+    "text_dsir" -> ((s, dir) =>
+      TextOps.dsirWeights(docsTable(s, dir), col("lang") === "en")),
+
     // Hearst-pattern mining: all four pattern shapes extracted map-only,
     // support = distinct docs + total mentions per surface pair
     "kg_hearst_pairs" -> ((s, dir) =>
@@ -3025,6 +3036,38 @@ object SparkEntry {
           WHERE s.shared >= 2""",
 
     "kg_triple_confidence" -> tripleConfidenceOracleSql,
+
+    "web_cocitation" ->
+      s"""WITH ${graft.ops.LinkGraph.linksCteSql},
+          pe AS (SELECT DISTINCT ${graft.ops.WebOps.canonUrlSqlOf("src_url")} AS src,
+                   dst_url AS dst FROM lnk),
+          capped AS (SELECT src, dst FROM
+                      (SELECT src, dst, COUNT(*) OVER (PARTITION BY src) AS d
+                       FROM pe)
+                     WHERE d <= 100)
+          SELECT l.dst AS page_a, r.dst AS page_b, COUNT(*) AS n_cociting
+          FROM capped l JOIN capped r ON l.src = r.src AND l.dst < r.dst
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2""",
+
+    // the same hashed-bucket distributions, smoothing arithmetic order,
+    // and ROUND(6) contract
+    "text_dsir" ->
+      s"""WITH bk AS (SELECT doc_id, lang = 'en' AS is_target,
+              ('0x' || substr(md5(w), 1, 15))::BIGINT % ${graft.ops.TextOps.DsirBuckets} AS b
+            FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+                  FROM documents)),
+          tgt AS (SELECT b, COUNT(*) AS tc FROM bk WHERE is_target GROUP BY 1),
+          rw AS (SELECT b, COUNT(*) AS rc FROM bk GROUP BY 1),
+          tt AS (SELECT SUM(tc) AS t_total FROM tgt),
+          rt AS (SELECT SUM(rc) AS r_total FROM rw),
+          lr AS (SELECT rw.b,
+                   ln((COALESCE(tgt.tc, 0) + CAST(${graft.ops.TextOps.DsirAlpha} AS DOUBLE))
+                      / (tt.t_total + CAST(${graft.ops.TextOps.DsirAlpha * graft.ops.TextOps.DsirBuckets} AS DOUBLE)))
+                 - ln((rw.rc + CAST(${graft.ops.TextOps.DsirAlpha} AS DOUBLE))
+                      / (rt.r_total + CAST(${graft.ops.TextOps.DsirAlpha * graft.ops.TextOps.DsirBuckets} AS DOUBLE))) AS lr
+                 FROM rw LEFT JOIN tgt USING (b), tt, rt)
+          SELECT bk.doc_id, ROUND(SUM(lr.lr), 6) AS dsir_logweight
+          FROM bk JOIN lr USING (b) GROUP BY 1""",
 
     "kg_hearst_pairs" ->
       s"""WITH ${graft.ops.Relations.hearstPagesCteSql},

@@ -191,6 +191,32 @@ object LinkGraph {
       .filter(col("rank") <= topK)
   }
 
+  /** Co-citation similarity (Small 1973, the web-IR relatedness signal):
+    * page pairs LINKED FROM the same source page, counted over distinct
+    * (src, dst) edges — pages repeatedly cited together are topically
+    * related, a link-structure analogue of the annotation co-occurrence
+    * votes in entity disambiguation.
+    *
+    * Scale shape: sources with out-degree > `maxOut` are dropped BEFORE the
+    * self-join (directory/sitemap pages would contribute O(degree²) pairs —
+    * the same hub cap as Adamic–Adar and the LSH bucket guard); the join is
+    * a TRUE self-join of one plan, so ReuseExchange computes the capped
+    * edge set once; the pair aggregation shuffles short URL-pair keys. */
+  def coCitation(links: DataFrame, maxOut: Int = 100,
+                 minCo: Long = 2): DataFrame = {
+    val pe = links.select(WebOps.canonicalUrl(col("src_url")).as("src"),
+      col("dst_url").as("dst")).distinct()
+    val capped = pe
+      .withColumn("d", count(lit(1)).over(Window.partitionBy("src")))
+      .filter(col("d") <= maxOut).drop("d")
+    capped.alias("l")
+      .join(capped.alias("r"),
+        col("l.src") === col("r.src") && col("l.dst") < col("r.dst"))
+      .groupBy(col("l.dst").as("page_a"), col("r.dst").as("page_b"))
+      .agg(count(lit(1)).as("n_cociting"))
+      .filter(col("n_cociting") >= minCo)
+  }
+
   /** Crawl frontier: canonical URLs that are LINKED TO but never crawled —
     * the next fetch list a crawler derives from each batch. One anti-join
     * of two deduped short-key sets (the link targets minus the crawled

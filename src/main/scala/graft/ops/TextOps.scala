@@ -341,6 +341,51 @@ object TextOps {
     * bits for the exchanges ([[Dedup.exact]] math; text kept verbatim here
     * because the oracle recomputes on the raw strings). Docs with < 2
     * tokens have no bigrams and score NULL (the oracle's LEFT JOIN twin). */
+  /** DSIR smoothing constant and feature-bucket count — SINGLE SOURCE for
+    * the Column code and the oracle literals. */
+  val DsirAlpha: Double = 0.5
+  val DsirBuckets: Int = 64
+
+  /** DSIR importance weights (Xie et al., NeurIPS 2023 — "Data Selection
+    * for Language Models via Importance Resampling"): per-doc
+    * log-importance of the doc under a TARGET token distribution vs the
+    * raw-corpus distribution, over hashed unigram features:
+    * `Σ_tokens ln p̂_target(b(w)) − ln p̂_raw(b(w))` with add-α smoothing
+    * over `buckets` hashed feature buckets. Docs scoring high look like the
+    * target (e.g. the English slice, a wiki-quality slice) and survive
+    * importance resampling; `isTarget` is any deterministic Column gate.
+    *
+    * Scale shape: token explode → bucket via the portable 60-bit md5 hash
+    * ([[Sketch.hash60]] — exchanges carry (doc_id, bucket), never tokens);
+    * two bucket-count aggregations (the bucket table is `buckets` rows);
+    * totals as 1-row in-plan aggregates broadcast back (never a driver
+    * action); the per-doc sum joins a `buckets`-row broadcast. Per-doc
+    * double sums are order-free at the ROUND(6) output contract (the BM25
+    * argument). */
+  def dsirWeights(docs: DataFrame, isTarget: Column,
+                  buckets: Int = DsirBuckets,
+                  alpha: Double = DsirAlpha): DataFrame = {
+    val toks = docs.select(col("doc_id"), isTarget.as("is_target"),
+        explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), col("is_target"),
+        (Sketch.hash60(col("w")) % buckets).as("b"))
+    val tgt = toks.filter(col("is_target"))
+      .groupBy("b").agg(count(lit(1)).as("tc"))
+    val raw = toks.groupBy("b").agg(count(lit(1)).as("rc"))
+    val tTot = tgt.agg(sum(col("tc")).as("t_total"))
+    val rTot = raw.agg(sum(col("rc")).as("r_total"))
+    val logRatio = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("b"),
+        (log((coalesce(col("tc"), lit(0L)) + lit(alpha)) /
+            (col("t_total") + lit(alpha * buckets)))
+          - log((col("rc") + lit(alpha)) /
+            (col("r_total") + lit(alpha * buckets)))).as("lr"))
+    toks.join(broadcast(logRatio), "b")
+      .groupBy("doc_id")
+      .agg(round(sum(col("lr")), 6).as("dsir_logweight"))
+  }
+
   def ngramLmScore(docs: DataFrame, kSmooth: Double = 0.5): DataFrame = {
     val bg = docs.select(col("doc_id"),
       explode(Dedup.shingles(col("text"), 2)).as("bg"))

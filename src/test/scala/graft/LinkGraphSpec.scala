@@ -130,4 +130,26 @@ class LinkGraphSpec extends AnyFunSuite {
     // alpha(2) first; ties at 1 break alphabetically: aaa, beta; zzz cut
     assert(got.toSeq === Seq(("alpha", 2L, 1), ("aaa", 1L, 2), ("beta", 1L, 3)))
   }
+
+  test("coCitation: shared-source pairs, minCo floor, hub cap") {
+    import spark.implicits._
+    val links = (Seq(
+      // two sources each cite {a, b} → pair count 2
+      ("https://s1.org/", "https://x.org/a"),
+      ("https://s1.org/", "https://x.org/b"),
+      ("https://s2.org/", "https://x.org/a"),
+      ("https://s2.org/", "https://x.org/b"),
+      // one source cites {a, c} once → below minCo=2
+      ("https://s3.org/", "https://x.org/a"),
+      ("https://s3.org/", "https://x.org/c")) ++
+      // a 5-out-link hub also citing a and b: over maxOut=4, so it must
+      // NOT lift (a, b) to 3
+      (Seq("a", "b", "h1", "h2", "h3")
+        .map(p => ("https://hub.org/", s"https://x.org/$p"))))
+      .toDF("src_url", "dst_url")
+    val got = LinkGraph.coCitation(links, maxOut = 4, minCo = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("https://x.org/a", "https://x.org/b") -> 2L))
+  }
 }

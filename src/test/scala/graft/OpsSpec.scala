@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Relations, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Relations, Similarity, Sketch, TextOps}
 
 /** Training-data ops: dedup family cross-checks, ANN recall vs brute force,
   * text analysis determinism, multimodal plumbing. */
@@ -187,6 +187,33 @@ class OpsSpec extends AnyFunSuite {
       storedOldSigs, Dedup.minhashSignatures(newDocs, 3, 16), docs))
     assert(fromSigs === asSet(Dedup.minhashIncrementalPairs(oldDocs, newDocs)))
     assert(fromSigs.nonEmpty)
+  }
+
+  test("dsirWeights: hand-recomputed hashed-bucket log-importance") {
+    import spark.implicits._
+    val d = Seq((1L, "apple apple pie", "en"), (2L, "pie crust crust", "fr"),
+      (3L, "apple pie", "en")).toDF("doc_id", "text", "lang")
+    val got = TextOps.dsirWeights(d, col("lang") === "en").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // independent scalar recomputation via the same portable 60-bit hash
+    val toks = Map(1L -> Seq("apple", "apple", "pie"),
+      2L -> Seq("pie", "crust", "crust"), 3L -> Seq("apple", "pie"))
+    val target = Set(1L, 3L)
+    def b(w: String) = Sketch.hash60Scalar(w) % TextOps.DsirBuckets
+    val all = toks.toSeq.flatMap { case (id, ws) => ws.map(w => (id, b(w))) }
+    val tgtC = all.filter(t => target(t._1)).groupBy(_._2).map { case (k, v) => k -> v.size }
+    val rawC = all.groupBy(_._2).map { case (k, v) => k -> v.size }
+    val (tT, rT) = (tgtC.values.sum.toDouble, rawC.values.sum.toDouble)
+    val aB = TextOps.DsirAlpha * TextOps.DsirBuckets
+    def lr(bk: Long) =
+      math.log((tgtC.getOrElse(bk, 0) + TextOps.DsirAlpha) / (tT + aB)) -
+        math.log((rawC.getOrElse(bk, 0) + TextOps.DsirAlpha) / (rT + aB))
+    toks.foreach { case (id, ws) =>
+      val want = ws.map(w => lr(b(w))).sum
+      assert(math.abs(got(id) - want) < 1e-5, s"doc $id: ${got(id)} vs $want")
+    }
+    // english docs look like the target → weigh above the non-target doc
+    assert(got(1L) > got(2L) && got(3L) > got(2L))
   }
 
   test("hearstPairs: all four patterns, orientation, repeats, case fold; map-only plan") {
