@@ -1012,6 +1012,12 @@ object SparkEntry {
     "web_crawl_merge" -> ((s, dir) =>
       WebOps.crawlMerge(WebOps.crawlSnapshots(docsTable(s, dir)))),
 
+    // gap-based sessionization (session_window, 30-min gap) — the batch
+    // form of the streaming sessionizer; epoch-micro session bounds
+    "stream_sessions" -> ((s, dir) =>
+      graft.streaming.EventStream.sessionize(
+        s.read.parquet(s"$dir/events.parquet"))),
+
     // stream-stream join's batch twin (same plan minus state stores):
     // discovery→fetch latency within the event-time bound
     "stream_join" -> ((s, dir) => {
@@ -1036,6 +1042,12 @@ object SparkEntry {
     // log-importance sums
     "text_dsir" -> ((s, dir) =>
       TextOps.dsirWeights(docsTable(s, dir), col("lang") === "en")),
+
+    // schema.org microdata → (subj, pred, obj) triples: itemtype plus
+    // prop/value spans zipped by occurrence index, map-only extraction
+    "kg_microdata" -> ((s, dir) =>
+      graft.ops.Relations.microdataTriples(
+        graft.ops.Relations.withMicrodata(docsTable(s, dir)))),
 
     // Hearst-pattern mining: all four pattern shapes extracted map-only,
     // support = distinct docs + total mentions per surface pair
@@ -2963,6 +2975,25 @@ object SparkEntry {
                  snapshot AS last_snapshot, doc_id AS keep_doc
           FROM r WHERE rn = 1""",
 
+    // gaps-and-islands twin: INCLUSIVE gap merge (only > gap breaks —
+    // session_window's boundary rule, spec-pinned), session end = last
+    // event + gap, all in epoch micros
+    "stream_sessions" ->
+      """WITH e AS (SELECT user_id, value, epoch_us(ts) AS tu FROM events),
+          m AS (SELECT user_id, value, tu,
+                  CASE WHEN tu - LAG(tu) OVER
+                         (PARTITION BY user_id ORDER BY tu) > 1800000000
+                       THEN 1 ELSE 0 END AS brk
+                FROM e),
+          s AS (SELECT user_id, value, tu,
+                  SUM(brk) OVER (PARTITION BY user_id ORDER BY tu
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+                FROM m)
+          SELECT user_id, MIN(tu) AS session_start,
+                 MAX(tu) + 1800000000 AS session_end,
+                 COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+          FROM s GROUP BY user_id, sid""",
+
     // plain interval-bounded join (the stream-stream plan minus state)
     "stream_join" ->
       """WITH d AS (SELECT 'u' || user_id AS url, ts FROM events
@@ -3068,6 +3099,26 @@ object SparkEntry {
                  FROM rw LEFT JOIN tgt USING (b), tt, rt)
           SELECT bk.doc_id, ROUND(SUM(lr.lr), 6) AS dsir_logweight
           FROM bk JOIN lr USING (b) GROUP BY 1""",
+
+    "kg_microdata" ->
+      s"""WITH ${graft.ops.Relations.microdataPagesCteSql},
+          ty AS (SELECT url AS subj, 'rdf:type' AS pred,
+                   'schema:' || t AS obj
+                 FROM (SELECT url,
+                         unnest(regexp_extract_all(html,
+                           '${graft.ops.Relations.MicroTypeRe}', 1)) AS t
+                       FROM mdpg)),
+          pr AS (SELECT url AS subj, 'schema:' || a[i] AS pred, b[i] AS obj
+                 FROM (SELECT url, a, b,
+                         unnest(generate_series(1, len(a))) AS i
+                       FROM (SELECT url,
+                               regexp_extract_all(html,
+                                 '${graft.ops.Relations.MicroPropRe}', 1) AS a,
+                               regexp_extract_all(html,
+                                 '${graft.ops.Relations.MicroPropRe}', 2) AS b
+                             FROM mdpg)))
+          SELECT DISTINCT subj, pred, obj FROM
+            (SELECT * FROM ty UNION ALL SELECT * FROM pr)""",
 
     "kg_hearst_pairs" ->
       s"""WITH ${graft.ops.Relations.hearstPagesCteSql},

@@ -98,6 +98,82 @@ object Relations {
       .agg(count_distinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_mentions"))
 
+  /** Microdata extraction regexes (schema.org HTML annotations — the Web
+    * Data Commons shape: most structured web KG data arrives as
+    * itemscope/itemprop markup). Java∩RE2-identical subset, shared with
+    * the oracle SQL. */
+  val MicroTypeRe: String = "itemtype=\"https://schema\\.org/(\\w+)\""
+  val MicroPropRe: String = "<span itemprop=\"(\\w+)\">([^<]*)</span>"
+
+  /** Item types cycled by the synthesis (and recognized by the oracle). */
+  val MicroTypes: Seq[String] = Seq("Article", "Product", "Person")
+
+  /** Microdata page synthesis for [[microdataTriples]]: each doc becomes a
+    * page with ONE schema.org item — itemtype cycling [[MicroTypes]] on
+    * `doc_id % 3`, a `name` property from the doc's own tokens, and an
+    * `author` property on even docs only (so the extractor must handle
+    * absent properties). Mirrored in [[microdataPagesCteSql]]. */
+  def withMicrodata(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val ty = element_at(array(MicroTypes.map(lit): _*),
+      (col("doc_id") % 3).cast("int") + 1)
+    val v1 = element_at(t, ((col("doc_id") * 7) % size(t)).cast("int") + 1)
+    val v2 = element_at(t, ((col("doc_id") * 11) % size(t)).cast("int") + 1)
+    val html = concat(lit("<html><body><p>"), col("text"),
+      lit("</p><div itemscope itemtype=\"https://schema.org/"), ty,
+      lit("\"><span itemprop=\"name\">"), v1, lit("</span>"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("<span itemprop=\"author\">"), v2, lit("</span>")))
+        .otherwise(lit("")),
+      lit("</div></body></html>"))
+    docs.select(col("doc_id"), WebOps.syntheticUrl(col("doc_id")).as("url"),
+      html.as("html"))
+  }
+
+  /** DuckDB CTE twin of [[withMicrodata]] — `mdpg(doc_id, url, html)`. */
+  def microdataPagesCteSql: String = {
+    val tyList = MicroTypes.map(t => s"'$t'").mkString(", ")
+    s"""mdpg AS (SELECT doc_id, ${WebOps.urlSqlExpr} AS url,
+          '<html><body><p>' || text
+          || '</p><div itemscope itemtype="https://schema.org/'
+          || ([$tyList])[CAST(doc_id % 3 AS INT) + 1] || '">'
+          || '<span itemprop="name">'
+          || t[CAST(doc_id * 7 % len(t) AS INT) + 1] || '</span>'
+          || CASE WHEN doc_id % 2 = 0
+                  THEN '<span itemprop="author">'
+                    || t[CAST(doc_id * 11 % len(t) AS INT) + 1] || '</span>'
+                  ELSE '' END
+          || '</div></body></html>' AS html
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS t
+              FROM documents))"""
+  }
+
+  /** schema.org microdata → triples (the structured-data leg of web KG
+    * construction, next to the text-annotation and link legs): every
+    * `itemtype` becomes `(url, rdf:type, schema:<Type>)`, every itemprop
+    * span `(url, schema:<prop>, <value>)`, prop/value zipped by occurrence
+    * index (the LinkGraph href/anchor idiom).
+    *
+    * Scale shape: map-only regex extraction + posexplode — zero shuffles
+    * until the final distinct (url collisions under the synthesis dedup;
+    * at crawl scale the distinct is the usual short-key exchange). */
+  def microdataTriples(pages: DataFrame): DataFrame = {
+    val types = pages
+      .select(col("url").as("subj"),
+        explode(regexp_extract_all(col("html"), lit(MicroTypeRe), lit(1)))
+          .as("t"))
+      .select(col("subj"), lit("rdf:type").as("pred"),
+        concat(lit("schema:"), col("t")).as("obj"))
+    val p1 = regexp_extract_all(col("html"), lit(MicroPropRe), lit(1))
+    val p2 = regexp_extract_all(col("html"), lit(MicroPropRe), lit(2))
+    val props = pages
+      .select(col("url").as("subj"), posexplode(p1).as(Seq("i", "prop")),
+        p2.as("vals"))
+      .select(col("subj"), concat(lit("schema:"), col("prop")).as("pred"),
+        element_at(col("vals"), col("i") + 1).as("obj"))
+    types.unionByName(props).distinct()
+  }
+
   /** Fuse extraction events `(subj, obj, extractor)` into per-fact rows
     * `(subj, obj, n_extractors, confidence)` with the noisy-OR above.
     *

@@ -43,6 +43,32 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** SESSION-window aggregation (the gap-based sessionization every
+    * click/crawl-event pipeline needs): per user, events closer than `gap`
+    * to their predecessor merge into one session; the session ends `gap`
+    * after its last event (Spark's `session_window` semantics — an event at
+    * EXACTLY start+gap still MERGES, i.e. same-session iff the delta
+    * is <= gap; spec-pinned at the boundary). Same plan batch/stream; the
+    * batch form is
+    * the DuckDB-oracle-checked one (the oracle rebuilds sessions as
+    * gaps-and-islands: a lag-delta break flag cumulatively summed).
+    *
+    * Scale shape: ONE shuffle on the user key; Spark merges each
+    * partition's candidate windows in-sort rather than materializing
+    * per-event windows. Timestamps surface as epoch micros
+    * (`unix_micros`/`epoch_us` — the as-of ops' cross-engine contract). */
+  def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes") // no-op in batch; required to
+      // merge/expire session state in a stream
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("total_value"))
+      .select(col("user_id"),
+        unix_micros(col("w.start").cast("timestamp")).as("session_start"),
+        unix_micros(col("w.end").cast("timestamp")).as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** Streaming exact dedup — the streaming form of [[graft.ops.Dedup.exact]]
     * for a continuously-ingested crawl: drop any document whose CONTENT was
     * already seen, keyed by a fixed-width double-xxhash64+length composite —

@@ -242,6 +242,32 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("microdataTriples: itemtype + prop/value zip, absent props, multiple items") {
+    import spark.implicits._
+    val pages = Seq(
+      ("https://a.org/1",
+        """<div itemscope itemtype="https://schema.org/Product">""" +
+          """<span itemprop="name">Widget</span>""" +
+          """<span itemprop="author">Ann</span></div>"""),
+      ("https://a.org/2",
+        """<div itemscope itemtype="https://schema.org/Person">""" +
+          """<span itemprop="name">Bob</span></div>""" +
+          """<div itemscope itemtype="https://schema.org/Article">""" +
+          """<span itemprop="name">Post</span></div>"""),
+      ("https://a.org/3", "<p>no microdata</p>"))
+      .toDF("url", "html")
+    val got = Relations.microdataTriples(pages).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set(
+      ("https://a.org/1", "rdf:type", "schema:Product"),
+      ("https://a.org/1", "schema:name", "Widget"),
+      ("https://a.org/1", "schema:author", "Ann"),
+      ("https://a.org/2", "rdf:type", "schema:Person"),
+      ("https://a.org/2", "rdf:type", "schema:Article"),
+      ("https://a.org/2", "schema:name", "Bob"),
+      ("https://a.org/2", "schema:name", "Post")))
+  }
+
   test("tripleConfidence: noisy-OR over extractor priors; unknown extractors dropped") {
     import spark.implicits._
     val ev = Seq(

@@ -357,4 +357,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(got === batch && got.size === 2)
     } finally query.stop()
   }
+
+  test("session windows over a real stream == batch sessionize; strict-< gap merge") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    val query = EventStream.sessionize(events).writeStream
+      .format("memory").queryName("sessions_test").outputMode("complete").start()
+    try {
+      val data = Seq(
+        (ts("2024-01-01 10:00:00"), 1L, 1.0),
+        (ts("2024-01-01 10:10:00"), 1L, 2.0), // 10 min gap → same session
+        (ts("2024-01-01 11:00:00"), 1L, 4.0), // 50 min gap → new session
+        (ts("2024-01-01 10:30:00"), 2L, 8.0),
+        (ts("2024-01-01 11:00:00"), 2L, 16.0)) // EXACTLY the 30-min gap →
+      // still MERGES (session_window is inclusive at the boundary)
+      input.addData(data: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("sessions_test").collect().map(_.toSeq).toSet
+      val batchDf = EventStream.sessionize(data.toDF("ts", "user_id", "value"))
+      assert(streamed === batchDf.collect().map(_.toSeq).toSet)
+      val b = batchDf.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4)))
+      val min30 = 30L * 60 * 1000000
+      // tz-neutral assertions on session SHAPES (bounds as deltas)
+      val u1 = b.filter(_._1 == 1L).sortBy(_._2)
+      assert(u1.map(s => (s._3 - s._2, s._4, s._5)).toSeq ===
+        Seq((40L * 60 * 1000000, 2L, 3.0), (min30, 1L, 4.0)))
+      val u2 = b.filter(_._1 == 2L).sortBy(_._2)
+      // one merged session spanning 10:30 → 11:00 + gap
+      assert(u2.map(s => (s._3 - s._2, s._4, s._5)).toSeq ===
+        Seq((min30 + min30, 2L, 24.0)))
+    } finally query.stop()
+  }
 }
