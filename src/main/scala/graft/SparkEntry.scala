@@ -661,6 +661,21 @@ object SparkEntry {
             .as("within_bound"))
     }),
 
+    // HLL++ approx distinct per group, CORRECTNESS-gated like the approx
+    // percentiles: the engine checks the estimate against the exact count
+    // in-plan (10% or ±1 — far wider than rsd 0.02; the estimate is
+    // deterministic for fixed input) and the oracle pins exact_n + the
+    // checked outcome, so a bound violation hash-mismatches
+    "q_distinct_approx" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("est"),
+          count_distinct(col("user_id")).as("exact_n"))
+        .select(col("event_type"), col("exact_n"),
+          (abs(col("est") - col("exact_n")) <=
+            greatest(lit(1.0), lit(0.10) * col("exact_n")))
+            .as("within_bound"))),
+
     // KMV bottom-k distinct sketch (custom typed Aggregator, bounded 8k-byte
     // buffer per group) + exact distinct alongside — the DuckDB oracle
     // recomputes the k smallest distinct hashes declaratively
@@ -1031,6 +1046,12 @@ object SparkEntry {
     // canonical URL (two argmax aggs + one full-outer join, hash-vs-hash)
     "web_crawl_diff" -> ((s, dir) =>
       WebOps.crawlDiff(WebOps.crawlSnapshotsWithContent(docsTable(s, dir)))),
+
+    // reciprocal-link farms: host pairs linking BOTH ways, reciprocity =
+    // min/max of the two directed counts
+    "web_link_farms" -> ((s, dir) =>
+      LinkGraph.linkFarms(LinkGraph.hostGraph(
+        LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))))),
 
     // co-citation: page pairs cited by the same source page (≥2 sources),
     // out-degree cap before the self-join
@@ -3067,6 +3088,28 @@ object SparkEntry {
           WHERE s.shared >= 2""",
 
     "kg_triple_confidence" -> tripleConfidenceOracleSql,
+
+    "web_link_farms" ->
+      s"""WITH ${graft.ops.LinkGraph.linksCteSql},
+          hg AS (SELECT sh AS src_host, dh AS dst_host, COUNT(*) AS n
+                 FROM (SELECT ${graft.ops.WebOps.canonHostSqlOf("src_url")} AS sh,
+                              ${graft.ops.WebOps.canonHostSqlOf("dst_url")} AS dh
+                       FROM lnk)
+                 WHERE sh <> dh GROUP BY 1, 2),
+          f AS (SELECT src_host AS host_a, dst_host AS host_b, n AS ab
+                FROM hg WHERE src_host < dst_host),
+          r AS (SELECT dst_host AS host_a, src_host AS host_b, n AS ba
+                FROM hg WHERE src_host > dst_host)
+          SELECT f.host_a, f.host_b, f.ab, r.ba,
+            ROUND(CAST(LEAST(f.ab, r.ba) AS DOUBLE)
+              / CAST(GREATEST(f.ab, r.ba) AS DOUBLE), 6) AS reciprocity
+          FROM f JOIN r USING (host_a, host_b)
+          WHERE f.ab >= 1 AND r.ba >= 1""",
+
+    "q_distinct_approx" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_n,
+           true AS within_bound
+         FROM events GROUP BY 1""",
 
     "web_cocitation" ->
       s"""WITH ${graft.ops.LinkGraph.linksCteSql},

@@ -217,6 +217,30 @@ object LinkGraph {
       .filter(col("n_cociting") >= minCo)
   }
 
+  /** Reciprocal-link (link-farm) detection — the classic link-spam signal
+    * (TrustRank-era web hygiene): host pairs linking each other in BOTH
+    * directions, with `reciprocity = min(a→b, b→a) / max(a→b, b→a)` (1.0 =
+    * perfectly symmetric exchange, the farm signature; organic links are
+    * highly asymmetric). Input: [[hostGraph]] output.
+    *
+    * Scale shape: the host graph is already aggregated (one row per host
+    * pair), so this is one self-join on ordered host-pair keys — each side
+    * filters to one triangle of the matrix first, halving the join input;
+    * no page bytes, no fan-out. */
+  def linkFarms(hostEdges: DataFrame, minLinks: Long = 1): DataFrame = {
+    val f = hostEdges.filter(col("src_host") < col("dst_host"))
+      .select(col("src_host").as("host_a"), col("dst_host").as("host_b"),
+        col("n_links").as("ab"))
+    val r = hostEdges.filter(col("src_host") > col("dst_host"))
+      .select(col("dst_host").as("host_a"), col("src_host").as("host_b"),
+        col("n_links").as("ba"))
+    f.join(r, Seq("host_a", "host_b")) // inner: both directions must exist
+      .filter(col("ab") >= minLinks && col("ba") >= minLinks)
+      .select(col("host_a"), col("host_b"), col("ab"), col("ba"),
+        round(least(col("ab"), col("ba")).cast("double") /
+          greatest(col("ab"), col("ba")).cast("double"), 6).as("reciprocity"))
+  }
+
   /** Crawl frontier: canonical URLs that are LINKED TO but never crawled —
     * the next fetch list a crawler derives from each batch. One anti-join
     * of two deduped short-key sets (the link targets minus the crawled

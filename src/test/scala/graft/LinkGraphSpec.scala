@@ -152,4 +152,25 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(got === Map(
       ("https://x.org/a", "https://x.org/b") -> 2L))
   }
+
+  test("linkFarms: reciprocal pairs only, ordered once, min/max ratio") {
+    import spark.implicits._
+    val hostEdges = Seq(
+      ("a.org", "b.org", 4L), // reciprocal with b→a
+      ("b.org", "a.org", 1L),
+      ("a.org", "c.org", 7L), // one-way: no c→a row → excluded
+      ("d.org", "e.org", 3L), // perfectly symmetric farm
+      ("e.org", "d.org", 3L))
+      .toDF("src_host", "dst_host", "n_links")
+    val got = LinkGraph.linkFarms(hostEdges).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got === Set(
+      ("a.org", "b.org", 4L, 1L, 0.25),
+      ("d.org", "e.org", 3L, 3L, 1.0)))
+    // minLinks floors BOTH directions, not the sum
+    val floored = LinkGraph.linkFarms(hostEdges, minLinks = 2).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(floored === Set(("d.org", "e.org")))
+  }
 }
