@@ -830,6 +830,11 @@ object SparkEntry {
       graft.graph.KgGraph.cooccurrence(
         matches(s, dir).select("url", "class_iri"))),
 
+    // Milne–Witten relatedness distance over the same annotation doc space
+    "kg_relatedness" -> ((s, dir) =>
+      graft.graph.KgGraph.milneWitten(
+        matches(s, dir).select("url", "class_iri"))),
+
     "kg_degree" -> ((s, dir) =>
       graft.graph.KgGraph.degrees(graft.graph.KgGraph.cooccurrence(
         matches(s, dir).select("url", "class_iri")))),
@@ -1052,6 +1057,28 @@ object SparkEntry {
     "web_link_farms" -> ((s, dir) =>
       LinkGraph.linkFarms(LinkGraph.hostGraph(
         LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))))),
+
+    // TrustRank + relative spam mass over the host graph; the 3 trusted
+    // seed hosts are QUERY INPUT (a human-vetted whitelist), pinned
+    // deterministically as the alphabetically-first hosts and collected
+    // driver-side (same contract as web_ppr's seed set)
+    "web_trustrank" -> ((s, dir) => {
+      import s.implicits._
+      // pinned: the seed collect below and trustRank's two PR loops all
+      // read the materialized host graph, not the page-extraction lineage
+      val hosts = LinkGraph.hostGraph(
+        LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))).localCheckpoint()
+      val seedNames = hosts.select(col("src_host").as("node"))
+        .unionAll(hosts.select(col("dst_host").as("node"))).distinct()
+        .orderBy("node").limit(3).collect().map(_.getString(0)).toSeq
+      LinkGraph.trustRank(hosts, seedNames.toDF("node"))
+    }),
+
+    // URL path templates over the extracted link targets (the crawler-trap
+    // detector feeding per-host fetch budgets)
+    "web_url_templates" -> ((s, dir) =>
+      WebOps.urlTemplates(LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))
+        .select(col("dst_url").as("url")))),
 
     // co-citation: page pairs cited by the same source page (≥2 sources),
     // out-degree cap before the self-join
@@ -1281,27 +1308,36 @@ object SparkEntry {
                     GROUP BY 1, 2),
           sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)"""
 
-  /** Unrolled DIRECTED-PageRank oracle ([[graft.graph.KgGraph
-    * .pageRankDirected]] twin over [[graft.ops.LinkGraph]] page edges):
-    * each round recomputes the dangling scalar (rank mass on nodes with no
-    * out-edges) and redistributes it uniformly, exactly as the engine's
-    * per-round 1-row aggregate does. pr CTEs MATERIALIZED — each is
-    * referenced twice per round (dangling + contributions), which plain-CTE
-    * inlining would expand 2^iters-fold. */
-  private def pageRankDirectedOracleSql(iters: Int): String = {
-    val iterCtes = (1 to iters).map { i =>
-      s"""dang$i AS (SELECT COALESCE(SUM(p.pr), CAST(0 AS DOUBLE)) AS dm
-            FROM pr${i - 1} p LEFT JOIN ow o ON o.a = p.node
+  /** ONE unrolled directed-PR round generator shared by ALL directed-
+    * PageRank-family oracles (uniform, personalized, and both TrustRank
+    * chains) — the `directedPrCore` twin: per round the dangling scalar
+    * (rank mass on out-edge-less nodes, via anti-join on `ow`) and the
+    * contribution agg over `ew`, then pr = (1−d)·t + d·(contrib + dm·t)
+    * with the teleport column `t` read from `tnodes` (uniform 1/n or the
+    * seed vector — the SAME abstraction the engine uses, so the arithmetic
+    * shape is engine-identical in every variant). Rank CTEs MATERIALIZED —
+    * each is referenced twice per round (dangling + contributions), which
+    * plain-CTE inlining would expand 2^iters-fold. Callers provide the
+    * `ow`/`ew` scaffolding and a `$prefix0` base CTE. */
+  private def prRoundsCtesSql(iters: Int, prefix: String,
+                              tnodes: String): String =
+    (1 to iters).map { i =>
+      s"""dang$prefix$i AS (SELECT COALESCE(SUM(x.pr), CAST(0 AS DOUBLE)) AS dm
+            FROM $prefix${i - 1} x LEFT JOIN ow o ON o.a = x.node
             WHERE o.a IS NULL),
-          ctr$i AS (SELECT e.b AS node, SUM(p.pr * e.w / e.s) AS c
-            FROM ew e JOIN pr${i - 1} p ON p.node = e.a GROUP BY e.b),
-          pr$i AS MATERIALIZED (SELECT n.node,
-              CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+          ctr$prefix$i AS (SELECT e.b AS node, SUM(x.pr * e.w / e.s) AS c
+            FROM ew e JOIN $prefix${i - 1} x ON x.node = e.a GROUP BY e.b),
+          $prefix$i AS MATERIALIZED (SELECT n.node,
+              CAST(0.15 AS DOUBLE) * n.t
                 + CAST(0.85 AS DOUBLE) * (COALESCE(c.c, CAST(0 AS DOUBLE))
-                    + (SELECT dm FROM dang$i) / (SELECT n FROM nn)) AS pr
-            FROM nodes n LEFT JOIN ctr$i c ON c.node = n.node)"""
+                    + (SELECT dm FROM dang$prefix$i) * n.t) AS pr
+            FROM $tnodes n LEFT JOIN ctr$prefix$i c ON c.node = n.node)"""
     }.mkString(",\n")
-    s"""WITH ${graft.ops.LinkGraph.linksCteSql},
+
+  /** Shared page-level PR scaffolding: link edges aggregated to
+    * (a, b, w), out-weights, edge+strength, and the node universe. */
+  private def pageEdgesPrScaffoldSql: String =
+    s"""${graft.ops.LinkGraph.linksCteSql},
         edges AS MATERIALIZED (SELECT
             ${graft.ops.WebOps.canonUrlSqlOf("src_url")} AS a,
             dst_url AS b, CAST(COUNT(*) AS DOUBLE) AS w
@@ -1310,42 +1346,26 @@ object SparkEntry {
         ew AS MATERIALIZED (SELECT e.a, e.b, e.w, o.s
           FROM edges e JOIN ow o USING (a)),
         nodes AS MATERIALIZED (SELECT DISTINCT node FROM
-          (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)),
+          (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges))"""
+
+  /** Unrolled DIRECTED-PageRank oracle ([[graft.graph.KgGraph
+    * .pageRankDirected]] twin over [[graft.ops.LinkGraph]] page edges):
+    * [[prRoundsCtesSql]] rounds with the uniform teleport column. */
+  private def pageRankDirectedOracleSql(iters: Int): String =
+    s"""WITH $pageEdgesPrScaffoldSql,
         nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-        pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr
-                FROM nodes),
-        $iterCtes
+        unodes AS MATERIALIZED (SELECT node,
+            CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS t FROM nodes),
+        pr0 AS (SELECT node, t AS pr FROM unodes),
+        ${prRoundsCtesSql(iters, "pr", "unodes")}
         SELECT node AS page, ROUND(pr, 6) AS pagerank FROM pr$iters"""
-  }
 
   /** Unrolled PERSONALIZED-PageRank oracle ([[graft.graph.KgGraph
     * .pageRankPersonalized]] twin): the teleport vector (1/|S| on the
-    * `nSeeds` lexicographically-first nodes) rides the node CTE; each round
-    * applies pr = (1−d)·t + d·(contrib + dm·t) with the dangling scalar
-    * recomputed per round exactly as the engine does. */
-  private def pprOracleSql(iters: Int, nSeeds: Int): String = {
-    val iterCtes = (1 to iters).map { i =>
-      s"""dang$i AS (SELECT COALESCE(SUM(p.pr), CAST(0 AS DOUBLE)) AS dm
-            FROM pr${i - 1} p LEFT JOIN ow o ON o.a = p.node
-            WHERE o.a IS NULL),
-          ctr$i AS (SELECT e.b AS node, SUM(p.pr * e.w / e.s) AS c
-            FROM ew e JOIN pr${i - 1} p ON p.node = e.a GROUP BY e.b),
-          pr$i AS MATERIALIZED (SELECT n.node,
-              CAST(0.15 AS DOUBLE) * n.t
-                + CAST(0.85 AS DOUBLE) * (COALESCE(c.c, CAST(0 AS DOUBLE))
-                    + (SELECT dm FROM dang$i) * n.t) AS pr
-            FROM tnodes n LEFT JOIN ctr$i c ON c.node = n.node)"""
-    }.mkString(",\n")
-    s"""WITH ${graft.ops.LinkGraph.linksCteSql},
-        edges AS MATERIALIZED (SELECT
-            ${graft.ops.WebOps.canonUrlSqlOf("src_url")} AS a,
-            dst_url AS b, CAST(COUNT(*) AS DOUBLE) AS w
-          FROM lnk GROUP BY 1, 2),
-        ow AS MATERIALIZED (SELECT a, SUM(w) AS s FROM edges GROUP BY a),
-        ew AS MATERIALIZED (SELECT e.a, e.b, e.w, o.s
-          FROM edges e JOIN ow o USING (a)),
-        nodes AS MATERIALIZED (SELECT DISTINCT node FROM
-          (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)),
+    * `nSeeds` lexicographically-first nodes) rides the node CTE;
+    * [[prRoundsCtesSql]] rounds against it. */
+  private def pprOracleSql(iters: Int, nSeeds: Int): String =
+    s"""WITH $pageEdgesPrScaffoldSql,
         seeds AS (SELECT node FROM nodes ORDER BY node LIMIT $nSeeds),
         ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM seeds),
         tnodes AS MATERIALIZED (SELECT n.node,
@@ -1354,8 +1374,47 @@ object SparkEntry {
             (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM ns) AS t
              FROM seeds) s ON s.node = n.node),
         pr0 AS (SELECT node, t AS pr FROM tnodes),
-        $iterCtes
+        ${prRoundsCtesSql(iters, "pr", "tnodes")}
         SELECT node AS page, ROUND(pr, 6) AS pagerank FROM pr$iters"""
+
+  /** Unrolled TrustRank oracle ([[graft.ops.LinkGraph.trustRank]] twin):
+    * TWO directed-PR chains over the HOST graph — uniform teleport (`upr*`)
+    * and seed-restricted teleport (`tpr*`) — sharing the edge/out-weight/
+    * node CTEs, each round mirroring [[graft.graph.KgGraph]]'s
+    * `directedPrCore` including the per-round dangling scalar; the mass
+    * ratio is computed on the 6dp-ROUNDED ranks exactly as the engine. */
+  private def trustRankOracleSql(iters: Int, nSeeds: Int): String = {
+    s"""WITH ${graft.ops.LinkGraph.linksCteSql},
+        edges AS MATERIALIZED (SELECT sh AS a, dh AS b,
+            CAST(COUNT(*) AS DOUBLE) AS w
+          FROM (SELECT ${graft.ops.WebOps.canonHostSqlOf("src_url")} AS sh,
+                       ${graft.ops.WebOps.canonHostSqlOf("dst_url")} AS dh
+                FROM lnk)
+          WHERE sh <> dh GROUP BY 1, 2),
+        ow AS MATERIALIZED (SELECT a, SUM(w) AS s FROM edges GROUP BY a),
+        ew AS MATERIALIZED (SELECT e.a, e.b, e.w, o.s
+          FROM edges e JOIN ow o USING (a)),
+        nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+          (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        seeds AS (SELECT node FROM nodes ORDER BY node LIMIT $nSeeds),
+        ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM seeds),
+        unodes AS MATERIALIZED (SELECT node,
+            CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS t FROM nodes),
+        tnodes AS MATERIALIZED (SELECT n.node,
+            COALESCE(s.t, CAST(0 AS DOUBLE)) AS t
+          FROM nodes n LEFT JOIN
+            (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM ns) AS t
+             FROM seeds) s ON s.node = n.node),
+        upr0 AS (SELECT node, t AS pr FROM unodes),
+        tpr0 AS (SELECT node, t AS pr FROM tnodes),
+        ${prRoundsCtesSql(iters, "upr", "unodes")},
+        ${prRoundsCtesSql(iters, "tpr", "tnodes")}
+        SELECT u.node AS host, ROUND(u.pr, 6) AS pagerank,
+          ROUND(t.pr, 6) AS trust,
+          ROUND((ROUND(u.pr, 6) - ROUND(t.pr, 6)) / ROUND(u.pr, 6), 6)
+            AS rel_spam_mass
+        FROM upr$iters u JOIN tpr$iters t ON t.node = u.node"""
   }
 
   /** Unrolled HITS oracle ([[graft.graph.KgGraph.hits]] twin): both
@@ -2682,6 +2741,28 @@ object SparkEntry {
           JOIN dc sa ON sa.class_iri = c.src
           JOIN dc sb ON sb.class_iri = c.dst""",
 
+    // Milne–Witten: same pair/doc-count scaffolding as kg_pmi, distance
+    // form (ln max − ln common) / (ln N − ln min); min-df = N pairs dropped
+    "kg_relatedness" ->
+      s"""WITH $dictCte, $directCte,
+          pairs AS (SELECT DISTINCT url, class_iri FROM direct),
+          cooc AS (SELECT a.class_iri AS src, b.class_iri AS dst,
+                          COUNT(*) AS n_docs
+                   FROM pairs a JOIN pairs b
+                     ON a.url = b.url AND a.class_iri < b.class_iri
+                   GROUP BY 1, 2),
+          dc AS (SELECT class_iri, COUNT(*) AS n FROM pairs GROUP BY 1),
+          nn AS (SELECT CAST(COUNT(DISTINCT url) AS DOUBLE) AS n FROM pairs)
+          SELECT c.src, c.dst, c.n_docs, sa.n AS n_a, sb.n AS n_b,
+                 ROUND((ln(CAST(GREATEST(sa.n, sb.n) AS DOUBLE))
+                     - ln(CAST(c.n_docs AS DOUBLE)))
+                   / (ln((SELECT n FROM nn))
+                     - ln(CAST(LEAST(sa.n, sb.n) AS DOUBLE))), 6) AS mw_distance
+          FROM cooc c
+          JOIN dc sa ON sa.class_iri = c.src
+          JOIN dc sb ON sb.class_iri = c.dst
+          WHERE CAST(LEAST(sa.n, sb.n) AS DOUBLE) < (SELECT n FROM nn)""",
+
     // tf·ln(N/df); N counts ALL docs (zero-match docs included)
     "ann_tfidf" ->
       s"""WITH $dictCte, $cntsCte,
@@ -3110,6 +3191,17 @@ object SparkEntry {
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_n,
            true AS within_bound
          FROM events GROUP BY 1""",
+
+    "web_trustrank" -> trustRankOracleSql(iters = 5, nSeeds = 3),
+
+    "web_url_templates" ->
+      s"""WITH ${graft.ops.LinkGraph.linksCteSql},
+          t AS (SELECT ${graft.ops.WebOps.canonHostSqlOf("dst_url")} AS host,
+                       ${graft.ops.WebOps.canonUrlSqlOf("dst_url")} AS canon_url,
+                       ${graft.ops.WebOps.pathTemplateSqlOf("dst_url")} AS path_template
+                FROM lnk)
+          SELECT host, path_template, COUNT(DISTINCT canon_url) AS n_urls
+          FROM t GROUP BY 1, 2 HAVING COUNT(DISTINCT canon_url) >= 2""",
 
     "web_cocitation" ->
       s"""WITH ${graft.ops.LinkGraph.linksCteSql},

@@ -108,6 +108,34 @@ object KgGraph {
           .as("pmi"))
   }
 
+  /** Milne–Witten semantic relatedness (Milne & Witten 2008, "An effective,
+    * low-cost measure of semantic relatedness") over the annotation doc
+    * space — the standard wikification / entity-linking relatedness, the
+    * normalized-Google-distance form: for co-occurring concepts a, b with
+    * doc sets A, B over an N-doc universe,
+    * `mw = (ln max(|A|,|B|) − ln |A∩B|) / (ln N − ln min(|A|,|B|))`
+    * — 0 = identical doc sets, larger = less related (a DISTANCE, unlike
+    * [[pmi]]'s symmetric association). Complements pmi for entity linking:
+    * MW normalizes by set sizes, so a rare pair and a frequent pair with
+    * the same overlap RATIO score alike where pmi favors the rare one.
+    *
+    * Same scale shape and capped-universe counting contract as [[pmi]]
+    * (one groupBy + map-side pairs + two broadcast doc-count joins; N from
+    * the same capped universe). Pairs where min(|A|,|B|) = N (a concept in
+    * EVERY doc — zero denominator) are dropped, documented: relatedness to
+    * an omnipresent concept is undefined. */
+  def milneWitten(annotations: DataFrame, maxPerDoc: Int = 1000): DataFrame = {
+    val sets = pin(conceptSets(annotations, maxPerDoc))
+    val nDocs = sets.count().toDouble
+    coocWithCounts(sets)
+      .filter(least(col("n_a"), col("n_b")).cast("double") < lit(nDocs))
+      .select(col("src"), col("dst"), col("n_docs"), col("n_a"), col("n_b"),
+        round((log(greatest(col("n_a"), col("n_b")).cast("double"))
+            - log(col("n_docs").cast("double")))
+          / (log(lit(nDocs)) - log(least(col("n_a"), col("n_b")).cast("double"))), 6)
+          .as("mw_distance"))
+  }
+
   /** Adamic–Adar link prediction over the co-occurrence graph (Adamic &
     * Adar 2003) — the standard KG-completion candidate scorer: for every
     * node pair (x < y) NOT already connected, score = Σ_z 1/ln(deg(z)) over

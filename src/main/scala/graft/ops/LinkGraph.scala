@@ -241,6 +241,40 @@ object LinkGraph {
           greatest(col("ab"), col("ba")).cast("double"), 6).as("reciprocity"))
   }
 
+  /** TrustRank + relative spam mass (Gyöngyi, Garcia-Molina & Pedersen
+    * 2004; Gyöngyi et al. 2006) over the host graph: `pagerank` = uniform-
+    * teleport PageRank, `trust` = the same walk with teleport AND dangling
+    * mass restricted to a hand-picked trusted seed set, and
+    * `rel_spam_mass = (pagerank − trust) / pagerank` — the fraction of a
+    * host's rank NOT attributable to the trusted core. Near 1.0 = rank
+    * earned entirely outside trusted reach (the spam signature); NEGATIVE
+    * values are faithful to the paper: hosts closer to the seeds than their
+    * raw rank warrants accumulate trust above their PageRank.
+    *
+    * `seeds` is QUERY INPUT (the human-vetted whitelist — tiny by
+    * definition); callers pass a small pinned frame, same contract as
+    * [[graft.graph.KgGraph.pageRankPersonalized]]. Scale shape: the host
+    * graph (orders of magnitude smaller than the page graph) is pinned
+    * HERE — both PR loops and their seed/node scans read the materialized
+    * edge set, so the upstream page-synthesis → extraction → aggregation
+    * lineage runs ONCE, not once per consumer; then two runs of the shared
+    * directed-PR loop + one node-keyed join — nothing touches page bytes. */
+  def trustRank(hostEdges: DataFrame, seeds: DataFrame,
+                iters: Int = 5): DataFrame = {
+    val e = hostEdges.select(col("src_host").as("src"),
+      col("dst_host").as("dst"), col("n_links")).localCheckpoint()
+    val pr = graft.graph.KgGraph.pageRankDirected(e, iters)
+      .select(col("page").as("host"), col("pagerank"))
+    val tr = graft.graph.KgGraph.pageRankPersonalized(e, seeds, iters)
+      .select(col("page").as("host"), col("pagerank").as("trust"))
+    // both loops emit 6dp-rounded DOUBLEs; the mass ratio is computed ON
+    // the rounded values (deterministic cross-engine) and re-rounded
+    pr.join(tr, "host")
+      .select(col("host"), col("pagerank"), col("trust"),
+        round((col("pagerank") - col("trust")) / col("pagerank"), 6)
+          .as("rel_spam_mass"))
+  }
+
   /** Crawl frontier: canonical URLs that are LINKED TO but never crawled —
     * the next fetch list a crawler derives from each batch. One anti-join
     * of two deduped short-key sets (the link targets minus the crawled

@@ -174,6 +174,51 @@ object WebOps {
       .groupBy("canon_url")
       .agg(count(lit(1)).as("n_docs"), min(col("url")).as("keep_url"))
 
+  /** Path-template segment generalizers (Java∩RE2-identical subset; full
+    * match via anchors under both engines' partial-match semantics). */
+  val DigitSegRe = "^[0-9]+$"
+  val HexSegRe = "^[0-9a-f]{8,}$"
+
+  /** URL path-template mining — the crawler-trap / infinite-URL-space
+    * detector (calendar pages, session ids, pagination): each URL's
+    * canonical path is generalized segment-by-segment (all-digit → `{d}`,
+    * ≥8-char lowercase hex id → `{hex}`) and templates are counted per host
+    * by DISTINCT canonical URL. A template absorbing thousands of URLs on
+    * one host is an id/pagination space the frontier should cap rather than
+    * enumerate — the per-host fetch-budget input [[domainQuota]] consumes.
+    *
+    * Input: any frame with a raw `url` column (frontier, link targets,
+    * crawl log). Scale shape: map-only generalization (split → transform →
+    * array_join, whole-stage codegen), then ONE hash aggregation on short
+    * (host, template) keys; the distinct count rides a 64-bit URL hash —
+    * URL text never enters the distinct buffer (collision math as
+    * [[Dedup]]'s exact key: ~n²/2⁶⁵ expected collisions, immaterial below
+    * 10¹⁵ URLs per template). */
+  def urlTemplates(urls: DataFrame, minUrls: Long = 2): DataFrame = {
+    val path = regexp_replace(
+      regexp_extract(col("url"), PathRe, 1), TrailSlashRe, "")
+    urls
+      .select(canonicalHost(col("url")).as("host"),
+        canonicalUrl(col("url")).as("canon_url"),
+        array_join(transform(split(path, "/"),
+          s => when(s.rlike(DigitSegRe), lit("{d}"))
+            .when(s.rlike(HexSegRe), lit("{hex}"))
+            .otherwise(s)), "/").as("path_template"))
+      .groupBy("host", "path_template")
+      .agg(countDistinct(xxhash64(col("canon_url"))).as("n_urls"))
+      .filter(col("n_urls") >= minUrls)
+  }
+
+  /** DuckDB SQL expression for [[urlTemplates]]' generalized path over any
+    * URL-typed SQL expression `u` (same regex constants). */
+  def pathTemplateSqlOf(u: String): String =
+    s"""array_to_string(list_transform(
+          string_split(regexp_replace(regexp_extract($u, '$PathRe', 1),
+            '$TrailSlashRe', ''), '/'),
+          s -> CASE WHEN regexp_matches(s, '$DigitSegRe') THEN '{d}'
+                    WHEN regexp_matches(s, '$HexSegRe') THEN '{hex}'
+                    ELSE s END), '/')"""
+
   /** Per-domain corpus stats: page count, distinct canonical URLs, total
     * chars — the crawl-health / domain-mix report (and the input to
     * per-domain quotas in a training-data pipeline). Integer sums only

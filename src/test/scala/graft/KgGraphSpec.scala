@@ -570,4 +570,26 @@ class KgGraphSpec extends AnyFunSuite {
     assert(after - before <= 4,
       s"persistent RDDs grew by ${after - before} over 12 rounds - Truncator not releasing")
   }
+
+  test("milneWitten: distance formula, omnipresent-concept pairs dropped") {
+    import spark.implicits._
+    // 4 docs; A in {1,2,3}, B in {2,3}; C and D in EVERY doc
+    val ann = Seq(
+      ("u1", "A"), ("u1", "C"), ("u1", "D"),
+      ("u2", "A"), ("u2", "B"), ("u2", "C"), ("u2", "D"),
+      ("u3", "A"), ("u3", "B"), ("u3", "C"), ("u3", "D"),
+      ("u4", "C"), ("u4", "D")).toDF("url", "class_iri")
+    val got = KgGraph.milneWitten(ann).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // only the pair whose SMALLER df = N (both omnipresent) has a zero
+    // denominator: (C, D) dropped; pairs with one omnipresent side remain
+    assert(got.keySet === Set(("A", "B"), ("A", "C"), ("A", "D"),
+      ("B", "C"), ("B", "D")))
+    val (common, nA, nB, mw) = got(("A", "B"))
+    assert((common, nA, nB) === (2L, 3L, 2L))
+    val expect = (math.log(3.0) - math.log(2.0)) /
+      (math.log(4.0) - math.log(2.0))
+    assert(mw === math.rint(expect * 1e6) / 1e6)
+  }
 }

@@ -173,4 +173,29 @@ class LinkGraphSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(floored === Set(("d.org", "e.org")))
   }
+
+  test("trustRank: unreachable-from-seeds hosts carry full spam mass") {
+    import spark.implicits._
+    // trusted cluster a→b; spam ring c⇄d unreachable from the seed
+    val hostEdges = Seq(
+      ("a.org", "b.org", 2L),
+      ("c.org", "d.org", 5L), ("d.org", "c.org", 5L))
+      .toDF("src_host", "dst_host", "n_links")
+    val got = LinkGraph.trustRank(hostEdges, Seq("a.org").toDF("node"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet === Set("a.org", "b.org", "c.org", "d.org"))
+    // zero trust reaches the ring: relative spam mass is exactly 1.0
+    assert(got("c.org")._3 === 1.0)
+    assert(got("d.org")._3 === 1.0)
+    assert(got("c.org")._2 === 0.0)
+    // the seed and its outlink hold trust ≥ their uniform rank share
+    assert(got("a.org")._3 < 0.0) // trust-rich: negative relative mass
+    assert(got("b.org")._3 < 1.0)
+    // both rank vectors are probability distributions (6dp rounding slack)
+    val sums = got.values.foldLeft((0.0, 0.0)) {
+      case ((p, t), (pr, tr, _)) => (p + pr, t + tr)
+    }
+    assert(math.abs(sums._1 - 1.0) < 1e-4 && math.abs(sums._2 - 1.0) < 1e-4)
+  }
 }

@@ -258,4 +258,26 @@ class WebOpsSpec extends AnyFunSuite {
       minShared = 1).collect()
     assert(one.isEmpty)
   }
+
+  test("urlTemplates: digit/hex segments generalize, distinct-URL support") {
+    import spark.implicits._
+    val urls = Seq(
+      // three distinct ids under one template (query params don't split it)
+      "https://a.org/item/123", "https://a.org/item/456?x=1",
+      "https://a.org/item/789",
+      // session-id space: ≥8 hex chars → {hex}; 'beef' (4) stays literal
+      "https://a.org/s/deadbeefcafe0123/view", "https://a.org/s/0123456789abcdef/view",
+      // www. folds into the same host as a.org
+      "https://www.a.org/item/42",
+      // a singleton template: below minUrls=2, dropped
+      "https://a.org/about",
+      // short non-hex segment survives literally
+      "https://b.org/beef/1", "https://b.org/beef/2").toDF("url")
+    val got = WebOps.urlTemplates(urls).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(
+      ("a.org", "/item/{d}", 4L),
+      ("a.org", "/s/{hex}/view", 2L),
+      ("b.org", "/beef/{d}", 2L)))
+  }
 }
