@@ -65,6 +65,26 @@ object SparkEntry {
       DictBuild.flatDict(DictBuild.build(
         DictBuild.labelRows(OntologyFixture.conceptsV2Df(s)))))
 
+  /** ONE v1→v2 incremental-update orchestration shared by
+    * `ann_incremental` (whose oracle proves incremental == full v2
+    * recompute) and `kg_fact_diff` (the release diff built ON that
+    * guarantee) — diverging copies would silently exercise different
+    * update flows. Returns (v1 triples, v2-via-incremental triples); v1 is
+    * pinned once (it feeds the incremental anti-join and callers' reuse). */
+  private def incrementalV1V2(s: SparkSession,
+                              dir: String): (DataFrame, DataFrame) = {
+    val c = corpus(s, dir)
+    val v1T = graft.annotate.NativeAnnotate
+      .annotateTriples(c, model(s), fusedMaps(s), "v1").localCheckpoint()
+    val affected = graft.annotate.Incremental.affectedUrls(
+      s, c, matches(s, dir), fixtureDictUpdate(s))
+    val v2T = graft.annotate.Incremental
+      .incrementalTriples(c, v1T, affected, "v2", slice =>
+        graft.annotate.NativeAnnotate
+          .annotateTriples(slice, modelV2(s), fusedMaps(s), "v2"))
+    (v1T, v2T)
+  }
+
   private val shardedCache =
     new ConcurrentHashMap[SparkSession, Seq[Broadcast[AnnotatorModel]]]()
   private def shardedModels(s: SparkSession): Seq[Broadcast[AnnotatorModel]] =
@@ -243,18 +263,8 @@ object SparkEntry {
     // full v2 annotation for affected docs only. The oracle recomputes the
     // FULL v2 result from scratch in SQL — a green row proves the
     // incremental path equals a complete re-annotation
-    "ann_incremental" -> ((s, dir) => {
-      val c = corpus(s, dir)
-      val affected = graft.annotate.Incremental.affectedUrls(
-        s, c, matches(s, dir), fixtureDictUpdate(s))
-      val v1T = graft.annotate.NativeAnnotate
-        .annotateTriples(c, model(s), fusedMaps(s), "v1")
-      graft.annotate.Incremental
-        .incrementalTriples(c, v1T, affected, "v2", slice =>
-          graft.annotate.NativeAnnotate
-            .annotateTriples(slice, modelV2(s), fusedMaps(s), "v2"))
-        .select("subj", "pred", "obj")
-    }),
+    "ann_incremental" -> ((s, dir) =>
+      incrementalV1V2(s, dir)._2.select("subj", "pred", "obj")),
 
     // Reference response assembly (A6 + serialization): one row per
     // (doc, class) carrying the whole annotation record — match-type
@@ -1142,6 +1152,29 @@ object SparkEntry {
     "web_mirror_hosts" -> ((s, dir) =>
       WebOps.mirrorHosts(WebOps.withMirrors(docsTable(s, dir)))),
 
+    // filtered negative sampling over the hasAnnotation fact set — the
+    // KG-embedding training-data op (deterministic hash-indexed corruption)
+    "kg_negatives" -> ((s, dir) =>
+      graft.ops.Relations.negatives(
+        matches(s, dir).select(col("url").as("subj"),
+          lit("hasAnnotation").as("pred"), col("class_iri").as("obj"))
+          .distinct())),
+
+    // dict-release fact churn: the (subj, pred, obj) diff between ontology
+    // versions v1 → v2 — the per-release maintenance view of the KG. v2
+    // comes via the shared incrementalV1V2 path (proven == full recompute
+    // by ann_incremental), so this also end-to-end-exercises the
+    // production update flow. v1 is pinned in the helper; v2 pinned here
+    // (both diff legs read it). The diff itself is the crawlDiff shape:
+    // set EXCEPTs on short triple keys.
+    "kg_fact_diff" -> ((s, dir) => {
+      val (v1T, v2T) = incrementalV1V2(s, dir)
+      val v1 = v1T.select("subj", "pred", "obj")
+      val v2 = v2T.select("subj", "pred", "obj").localCheckpoint()
+      v1.except(v2).withColumn("delta", lit("removed"))
+        .unionAll(v2.except(v1).withColumn("delta", lit("added")))
+    }),
+
     // Knowledge Vault-style fact fusion: the SAME (page, concept) fact from
     // three independent extractors — page-text annotation, lemmatized
     // annotation, incoming anchor-text linking — noisy-OR'd over the
@@ -1821,6 +1854,62 @@ object SparkEntry {
           SELECT *, 'removed' AS delta FROM (SELECT * FROM d1 EXCEPT SELECT * FROM d2)
           UNION ALL
           SELECT *, 'added' AS delta FROM (SELECT * FROM d2 EXCEPT SELECT * FROM d1)""",
+
+    // same corruption arithmetic: portable 60-bit md5 hash of
+    // 'subj|pred|obj|slot' mod |entity pool|, dense entity ids by ORDER BY
+    // (ASCII IRIs: binary collation agrees across engines)
+    "kg_negatives" ->
+      s"""WITH $dictCte, $directCte,
+          pos AS (SELECT DISTINCT url AS subj, 'hasAnnotation' AS pred,
+                         class_iri AS obj FROM direct),
+          ents AS (SELECT obj AS neg_obj,
+              ROW_NUMBER() OVER (ORDER BY obj) - 1 AS eid
+            FROM (SELECT DISTINCT obj FROM pos)),
+          nn AS (SELECT COUNT(*) AS n FROM ents),
+          cand AS (SELECT p.subj, p.pred, p.obj, CAST(s.slot AS INT) AS slot,
+              ('0x' || substr(md5(p.subj || '|' || p.pred || '|' || p.obj
+                || '|' || CAST(s.slot AS VARCHAR)), 1, 15))::BIGINT
+                % (SELECT n FROM nn) AS eid
+            FROM pos p, (SELECT unnest(generate_series(0, 1)) AS slot) s),
+          withent AS (SELECT c.subj, c.pred, c.obj, c.slot, e.neg_obj
+            FROM cand c JOIN ents e USING (eid)
+            WHERE e.neg_obj <> c.obj)
+          SELECT w.subj, w.pred, w.obj, w.slot, w.neg_obj
+          FROM withent w LEFT JOIN pos p2
+            ON p2.subj = w.subj AND p2.pred = w.pred AND p2.obj = w.neg_obj
+          WHERE p2.subj IS NULL""",
+
+    // BOTH dictionary versions ride one version-tagged dict CTE (the two
+    // fixed-name dict/direct CTEs cannot coexist), then the same three
+    // triple legs as ann_incremental carry the tag into two EXCEPT legs
+    "kg_fact_diff" ->
+      s"""WITH RECURSIVE
+          dict(v, term, class_iri, ont, pref) AS (
+            SELECT 'v1', * FROM (VALUES ${OntologyFixture.dictValues}) x(a,b,c,d)
+            UNION ALL
+            SELECT 'v2', * FROM (VALUES ${OntologyFixture.dictValuesV2}) x(a,b,c,d)),
+          $edgesCte, $mappingsCte, $closureCte,
+          directv AS (SELECT DISTINCT d.v, 'doc://' || doc_id AS url, d.class_iri
+            FROM documents, dict d
+            WHERE regexp_matches(upper(text), '\\b' || d.term || '\\b')),
+          trip AS (
+            SELECT v, url AS subj, 'hasAnnotation' AS pred, class_iri AS obj
+            FROM directv
+            UNION
+            SELECT dr.v, dr.url AS subj, 'hasExpandedAnnotation' AS pred,
+                   cl.ancestor_iri AS obj
+            FROM directv dr JOIN closure cl ON dr.class_iri = cl.child_iri
+            UNION
+            SELECT dr.v, dr.url AS subj, 'hasMappedAnnotation' AS pred,
+                   m.mapped_iri AS obj
+            FROM directv dr JOIN maps m ON dr.class_iri = m.class_iri)
+          SELECT subj, pred, obj, 'removed' AS delta FROM
+            (SELECT subj, pred, obj FROM trip WHERE v = 'v1'
+             EXCEPT SELECT subj, pred, obj FROM trip WHERE v = 'v2')
+          UNION ALL
+          SELECT subj, pred, obj, 'added' AS delta FROM
+            (SELECT subj, pred, obj FROM trip WHERE v = 'v2'
+             EXCEPT SELECT subj, pred, obj FROM trip WHERE v = 'v1')""",
 
     // full v2 recomputation — the incremental path must land exactly here
     "ann_incremental" ->

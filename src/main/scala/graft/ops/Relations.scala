@@ -206,4 +206,49 @@ object Relations {
           .as("n_extractors"),
         round(lit(1.0) - miss, 6).as("confidence"))
   }
+
+  /** FILTERED negative sampling for KG-embedding training (Bordes et al.
+    * 2013, TransE; the "filtered" protocol of the standard benchmarks):
+    * each positive `(subj, pred, obj)` yields up to `k` corrupted triples
+    * whose object is swapped for a pseudo-random entity — deterministic
+    * (the corruption index is the portable 60-bit hash of the triple + slot,
+    * never rng state), with self-corruptions and corruptions that happen to
+    * be TRUE triples filtered out rather than resampled (dropped negatives
+    * are the documented protocol; resampling would need data-dependent
+    * iteration).
+    *
+    * Scale shape: the entity pool is the distinct OBJECT side — ontology-
+    * scale, so its dense ids come from one tiny window and the pool rides a
+    * broadcast join keyed on `hash % n`; the positives stream is map-only
+    * (explode ×k + one hash column) until the final left-anti against the
+    * positives themselves — one shuffle on the short triple key, the same
+    * cost as any dedup pass over the training set. */
+  def negatives(triples: DataFrame, k: Int = 2): DataFrame = {
+    require(k >= 1, s"negatives per positive must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    // positives feed three consumers (entity pool, candidates, the final
+    // anti-join): pin once so the upstream lineage runs once
+    val t = triples.select(col("subj"), col("pred"), col("obj"))
+      .localCheckpoint()
+    val ents = t.select(col("obj").as("neg_obj")).distinct()
+      .withColumn("eid",
+        row_number().over(Window.orderBy("neg_obj")).cast("long") - 1)
+      .localCheckpoint() // ontology-scale; pinned for the count + the join
+    val n = ents.count()
+    val cand = t
+      .select(col("subj"), col("pred"), col("obj"),
+        explode(array((0 until k).map(lit): _*)).as("slot"))
+      .withColumn("eid", pmod(Sketch.hash60(
+        concat_ws("|", col("subj"), col("pred"), col("obj"), col("slot"))),
+        lit(n)))
+      .join(broadcast(ents), "eid")
+      .filter(col("neg_obj") =!= col("obj"))
+      .select(col("subj"), col("pred"), col("obj"), col("slot"),
+        col("neg_obj"))
+    cand.join(
+      t.select(col("subj"), col("pred"), col("obj").as("neg_obj")),
+      Seq("subj", "pred", "neg_obj"), "left_anti")
+      .select(col("subj"), col("pred"), col("obj"), col("slot"),
+        col("neg_obj")) // the USING join fronts its keys; re-pin the order
+  }
 }

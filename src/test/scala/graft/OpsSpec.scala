@@ -634,4 +634,30 @@ class OpsSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(1) - exp(r.getLong(0))) < 1e-3, r.getLong(0))
     }
   }
+
+  test("negatives: deterministic hash corruption, self/true filtered, <= k") {
+    import spark.implicits._
+    val pos = Seq(
+      ("d1", "hasAnnotation", "C1"), ("d1", "hasAnnotation", "C2"),
+      ("d2", "hasAnnotation", "C2"), ("d2", "hasAnnotation", "C3"),
+      ("d3", "hasAnnotation", "C4")).toDF("subj", "pred", "obj")
+    def run() = Relations.negatives(pos, k = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getInt(3), r.getString(4)))
+    val got = run()
+    assert(got.toSet === run().toSet) // pure function of the input
+    val posSet = Set(("d1", "C1"), ("d1", "C2"), ("d2", "C2"), ("d2", "C3"),
+      ("d3", "C4"))
+    got.foreach { case (s, _, o, slot, neg) =>
+      assert(neg !== o, s"self-corruption survived: $s $o")
+      assert(!posSet((s, neg)), s"true triple survived as negative: $s $neg")
+      assert(slot === 0 || slot === 1)
+      // the corruption index is exactly the portable 60-bit hash mod pool
+      val eid = (Sketch.hash60Scalar(s"$s|hasAnnotation|$o|$slot") % 4).toInt
+      assert(neg === Seq("C1", "C2", "C3", "C4")(eid))
+    }
+    // <= k negatives per positive, and at least one survives on this data
+    val perPos = got.groupBy(t => (t._1, t._3)).view.mapValues(_.length)
+    assert(perPos.values.forall(_ <= 2) && got.nonEmpty)
+  }
 }
