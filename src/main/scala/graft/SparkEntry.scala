@@ -761,6 +761,10 @@ object SparkEntry {
     // tokenizer vocabulary: top-100 tokens, dense deterministic ids
     "text_vocab" -> ((s, dir) => TextOps.vocab(docsTable(s, dir), topN = 100)),
 
+    // BPE tokenizer training: 8 merge rounds over the top-50 word table
+    "text_bpe" -> ((s, dir) =>
+      TextOps.bpeMerges(docsTable(s, dir), vocabWords = 50, merges = 8)),
+
     // consistent train/val/test assignment (80/10/10) — disjoint +
     // exhaustive by construction, stable under corpus growth
     "text_split" -> ((s, dir) =>
@@ -1448,6 +1452,41 @@ object SparkEntry {
           ROUND((ROUND(u.pr, 6) - ROUND(t.pr, 6)) / ROUND(u.pr, 6), 6)
             AS rel_spam_mass
         FROM upr$iters u JOIN tpr$iters t ON t.node = u.node"""
+  }
+
+  /** Unrolled BPE-training oracle ([[graft.ops.TextOps.bpeMerges]] twin):
+    * per round an adjacency-pair count over the delimiter-framed word
+    * strings, the (count desc, lhs, rhs) argmax, and the SAME left-to-right
+    * non-overlapping `replace` application — DuckDB's `replace` and Spark's
+    * share that scan rule, which is what makes the string representation a
+    * cross-engine contract. w/t CTEs MATERIALIZED (each feeds the next
+    * round AND the final union / replace). */
+  private def bpeOracleSql(vocabWords: Int, merges: Int): String = {
+    val rounds = (1 to merges).map { r =>
+      s"""p$r AS (SELECT a, b, SUM(freq) AS cnt FROM (
+            SELECT l[i] AS a, l[i + 1] AS b, freq FROM (
+              SELECT string_split(trim(s, '|'), '||') AS l, freq,
+                unnest(generate_series(1,
+                  len(string_split(trim(s, '|'), '||')) - 1)) AS i
+              FROM w${r - 1}) z) GROUP BY 1, 2),
+          t$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r
+            ORDER BY cnt DESC, a, b LIMIT 1),
+          w$r AS MATERIALIZED (SELECT replace(s,
+              '|' || t.a || '||' || t.b || '|',
+              '|' || t.a || t.b || '|') AS s, freq
+            FROM w${r - 1}, t$r t)"""
+    }.mkString(",\n")
+    val union = (1 to merges).map { r =>
+      s"SELECT $r AS round, a AS lhs, b AS rhs, cnt AS pair_count FROM t$r"
+    }.mkString(" UNION ALL ")
+    s"""WITH words AS (SELECT lower(tok) AS word, COUNT(*) AS freq FROM
+            (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+          WHERE regexp_matches(lower(tok), '^[a-z]+$$')
+          GROUP BY 1 ORDER BY freq DESC, word LIMIT $vocabWords),
+        w0 AS (SELECT '|' || array_to_string(string_split(word, ''), '||')
+            || '|' AS s, freq FROM words),
+        $rounds
+        $union"""
   }
 
   /** Unrolled HITS oracle ([[graft.graph.KgGraph.hits]] twin): both
@@ -2683,6 +2722,8 @@ object SparkEntry {
                    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
                  WHERE w <> '' GROUP BY 1))
          WHERE rn <= 100""",
+
+    "text_bpe" -> bpeOracleSql(vocabWords = 50, merges = 8),
 
     "text_split" ->
       """SELECT doc_id, lang,

@@ -213,6 +213,75 @@ object TextOps {
       row_number().over(Window.orderBy(col("freq").desc, col("token"))))
   }
 
+  /** Distributed BPE tokenizer training (Sennrich, Haddow & Birch 2016 —
+    * the standard subword-vocabulary construction): iteratively merge the
+    * most frequent adjacent symbol pair across the word-frequency table,
+    * starting from characters. Returns the ordered merge list
+    * `(round, lhs, rhs, pair_count)` — the artifact a tokenizer ships.
+    * Ties break (count desc, lhs asc, rhs asc): fully deterministic, no
+    * rng. Variant notes (named decisions): no end-of-word marker (merges
+    * act within words), lowercase `[a-z]+` words only (keeps symbols free
+    * of the delimiter chars below).
+    *
+    * Symbol sequences are stored as ONE delimiter-framed string per word —
+    * `cat → '|c||a||t|'` (leading/trailing `|`, `||` between symbols) — so
+    * applying a merge is a plain left-to-right non-overlapping string
+    * `replace('|a||b|' → '|ab|')`, which is EXACTLY BPE's application rule
+    * (both engines' replace scans left-to-right past each replacement:
+    * `aaaa` + merge(a,a) → `aa,aa`, never the overlapping middle pair).
+    * The framing makes boundary matches exact: a trailing `|` means `b`
+    * cannot false-match a longer symbol's prefix, and the replacement
+    * `'|ab|'` restores the invariant for chained merges.
+    *
+    * Scale shape: the word-frequency table (not the corpus) drives every
+    * round — one explode + hash-agg per round for pair counts (map-side
+    * partials over short symbol pairs), the argmax pair is a 1-ROW frame
+    * broadcast back into the replace (no driver value in the plan), and
+    * each round's word table is localCheckpoint-pinned (constant plan
+    * depth in `merges`, the Lloyd-loop rule). `vocabWords` caps the table
+    * for the oracle's sake; at corpus scale pass Int.MaxValue and the
+    * rounds are k linear passes over the distinct-word table. The per-
+    * round `isEmpty` guard is a driver action by design — the trainer
+    * loop is inherently sequential. */
+  def bpeMerges(docs: DataFrame, vocabWords: Int = 50,
+                merges: Int = 8): DataFrame = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
+    require(vocabWords >= 1, s"vocabWords must be >= 1, got $vocabWords")
+    val words = docs.select(explode(tokens(col("text"))).as("tok"))
+      .select(lower(col("tok")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(vocabWords)
+    var w = words.select(
+      concat(lit("|"), array_join(split(col("word"), ""), "||"), lit("|"))
+        .as("s"),
+      col("freq")).localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to merges) {
+      val syms = w.select(
+        split(trim(col("s"), "|"), "\\|\\|").as("l"), col("freq"))
+      val pairs = syms
+        .select(explode(zip_with(
+          slice(col("l"), lit(1), size(col("l")) - 1),
+          slice(col("l"), lit(2), size(col("l")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"), col("freq"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).localCheckpoint()
+      require(!top.isEmpty,
+        s"BPE round $r: no adjacent pairs left — lower `merges` ($merges)")
+      out += top.select(lit(r).as("round"), col("a").as("lhs"),
+        col("b").as("rhs"), col("cnt").as("pair_count"))
+      w = w.crossJoin(broadcast(top))
+        .select(expr(
+          "replace(s, '|' || a || '||' || b || '|', '|' || a || b || '|')")
+          .as("s"), col("freq"))
+        .localCheckpoint()
+    }
+    out.reduce(_ unionAll _)
+  }
+
   /** PII scrubbing before training — redact email addresses and long digit
     * runs (phone-number shaped) with typed placeholders. Map-only
     * `regexp_replace` chain; the patterns stay inside the POSIX-ish subset

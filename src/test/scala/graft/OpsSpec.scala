@@ -635,6 +635,35 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeMerges: Sennrich merge order, ties lexicographic, chained symbols") {
+    import spark.implicits._
+    // the BPE paper's canonical vocabulary (no end-of-word-marker variant):
+    // low:5 lower:2 newest:6 widest:3
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val got = TextOps.bpeMerges(Seq(text).toDF("text"),
+        vocabWords = 10, merges = 4)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // r1: e-s and s-t tie at 9 → lexicographic pick (e,s); r2 chains the
+    // merged symbol (es,t); r3: l-o and o-w tie at 7 → (l,o); r4 chains
+    assert(got.toSeq === Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L),
+      (3, "l", "o", 7L), (4, "lo", "w", 7L)))
+  }
+
+  test("bpeMerges: left-to-right non-overlapping application (aaaa -> aa,aa)") {
+    import spark.implicits._
+    val got = TextOps.bpeMerges(Seq("aaaa aaaa aaaa").toDF("text"),
+        vocabWords = 5, merges = 2)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // r1: 3 adjacent (a,a) pairs x freq 3 = 9; after applying, each word is
+    // exactly [aa, aa] (the overlapping middle pair must NOT have merged),
+    // so r2 finds (aa, aa) with count 3
+    assert(got.toSeq === Seq((1, "a", "a", 9L), (2, "aa", "aa", 3L)))
+  }
+
   test("negatives: deterministic hash corruption, self/true filtered, <= k") {
     import spark.implicits._
     val pos = Seq(
