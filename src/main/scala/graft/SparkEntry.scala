@@ -1156,6 +1156,33 @@ object SparkEntry {
     "web_mirror_hosts" -> ((s, dir) =>
       WebOps.mirrorHosts(WebOps.withMirrors(docsTable(s, dir)))),
 
+    // entity salience features (Dunietz & Gillick 2014's first-mention +
+    // frequency signals): per (doc, entity) the mention count, the 1-based
+    // first-mention offset, and lead_score = 1 − (first−1)/len — the
+    // ranking signal KG construction uses to pick a page's PRIMARY
+    // entities. One hash agg over the match stream + a broadcast-sized
+    // doc-length join; offsets are the A1 original-text offsets
+    "kg_salience" -> ((s, dir) => {
+      val lens = corpus(s, dir)
+        .select(col("url"), length(col("text")).as("doc_len"))
+      matches(s, dir).groupBy("url", "class_iri")
+        .agg(count(lit(1)).as("n_mentions"), min(col("from")).as("first_pos"))
+        .join(lens, "url")
+        .select(col("url"), col("class_iri"), col("n_mentions"),
+          col("first_pos"),
+          round(lit(1.0) - (col("first_pos") - 1).cast("double") /
+            col("doc_len").cast("double"), 6).as("lead_score"))
+    }),
+
+    // per-label embedding centroids (prototype vectors / drift monitor):
+    // one (label, dim) hash agg after posexplode — map-side partial avgs,
+    // output rows = |labels| × 64
+    "sim_centroids" -> ((s, dir) =>
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("label"), (col("pos") + 1).as("dim"))
+        .agg(round(avg(col("x").cast("double")), 6).as("mean"))),
+
     // filtered negative sampling over the hasAnnotation fact set — the
     // KG-embedding training-data op (deterministic hash-indexed corruption)
     "kg_negatives" -> ((s, dir) =>
@@ -1893,6 +1920,34 @@ object SparkEntry {
           SELECT *, 'removed' AS delta FROM (SELECT * FROM d1 EXCEPT SELECT * FROM d2)
           UNION ALL
           SELECT *, 'added' AS delta FROM (SELECT * FROM d2 EXCEPT SELECT * FROM d1)""",
+
+    // first-mention offsets recovered from regexp-split segment lengths
+    // (the ann_context machinery); counts == the ann_counts contract
+    "kg_salience" ->
+      s"""WITH $dictCte,
+          segs AS (SELECT doc_id, text, d.class_iri, length(d.term) AS tl,
+              regexp_split_to_array(upper(text), '\\b' || d.term || '\\b') AS parts
+            FROM documents, dict d),
+          pos AS (SELECT doc_id, text, class_iri, tl, parts,
+              unnest(generate_series(1, len(parts) - 1)) AS k
+            FROM segs WHERE len(parts) > 1),
+          hits AS (SELECT doc_id, text, class_iri,
+              CAST((SELECT COALESCE(SUM(length(p)), 0)
+                    FROM unnest(parts[1:k]) AS t(p))
+                + (k - 1) * tl + 1 AS BIGINT) AS f
+            FROM pos)
+          SELECT 'doc://' || doc_id AS url, class_iri,
+            COUNT(*) AS n_mentions, CAST(MIN(f) AS INT) AS first_pos,
+            ROUND(CAST(1.0 AS DOUBLE) - CAST(MIN(f) - 1 AS DOUBLE)
+              / CAST(MAX(length(text)) AS DOUBLE), 6) AS lead_score
+          FROM hits GROUP BY 1, 2""",
+
+    "sim_centroids" ->
+      """SELECT label, CAST(d AS INT) AS dim, ROUND(AVG(emb[d]), 6) AS mean
+         FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+              (SELECT unnest(generate_series(1, 64)) AS d)
+         GROUP BY 1, 2""",
 
     // same corruption arithmetic: portable 60-bit md5 hash of
     // 'subj|pred|obj|slot' mod |entity pool|, dense entity ids by ORDER BY
