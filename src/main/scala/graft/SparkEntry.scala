@@ -686,6 +686,46 @@ object SparkEntry {
             greatest(lit(1.0), lit(0.10) * col("exact_n")))
             .as("within_bound"))),
 
+    // approximate heavy hitters, CORRECTNESS-gated like the other approx
+    // ops: the top-10 users by exact count are probed against the count-min
+    // sketch in-plan — the CM guarantee (never undercounts; overshoot
+    // bounded by colliding mass) is checked as exact ≤ est ≤ exact + 2N/w,
+    // and the oracle pins the exact counts + the checked outcome, so a
+    // bound violation hash-mismatches. Total N is a 1-row in-plan aggregate
+    "q_topk_approx" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").cast("string").as("v"))
+      val exact = ev.groupBy("v").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("v")).limit(10)
+      val est = graft.ops.Sketch.countMinEstimate(
+        graft.ops.Sketch.countMin(ev, "v"), exact.select("v"), "v")
+      val tot = ev.agg(count(lit(1)).as("n_total"))
+      exact.join(est, "v").crossJoin(broadcast(tot))
+        .select(col("v").as("user_id"), col("exact_n"),
+          (col("cm_estimate") >= col("exact_n") &&
+            col("cm_estimate") <= col("exact_n")
+              + lit(2.0) * col("n_total") / lit(256.0))
+            .as("within_bound"))
+    }),
+
+    // Iceberg-style compaction planning (the rewrite_data_files bin-pack):
+    // per partition, files in deterministic order are packed greedily into
+    // target-sized bins — bin = floor(bytes-before / target), a running-sum
+    // window per partition key (synthetic file metadata: one "file" per
+    // (event_type, hour) with its row count as size)
+    "q_compaction_plan" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val files = s.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("file_hour"))
+        .agg(count(lit(1)).as("size_rows"))
+      val w = Window.partitionBy("event_type").orderBy("file_hour")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      files.select(col("event_type"), col("file_hour"), col("size_rows"),
+        floor(coalesce(sum(col("size_rows")).over(w), lit(0L)) / lit(1000L))
+          .cast("int").as("bin"))
+    }),
+
     // KMV bottom-k distinct sketch (custom typed Aggregator, bounded 8k-byte
     // buffer per group) + exact distinct alongside — the DuckDB oracle
     // recomputes the k smallest distinct hashes declaratively
@@ -3378,6 +3418,21 @@ object SparkEntry {
          FROM events GROUP BY 1""",
 
     "web_trustrank" -> trustRankOracleSql(iters = 5, nSeeds = 3),
+
+    "q_topk_approx" ->
+      """SELECT CAST(user_id AS VARCHAR) AS user_id, COUNT(*) AS exact_n,
+           true AS within_bound
+         FROM events GROUP BY 1
+         ORDER BY exact_n DESC, user_id LIMIT 10""",
+
+    "q_compaction_plan" ->
+      """SELECT event_type, date_trunc('hour', ts) AS file_hour,
+           COUNT(*) AS size_rows,
+           CAST(FLOOR(COALESCE(SUM(COUNT(*)) OVER (
+               PARTITION BY event_type ORDER BY date_trunc('hour', ts)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             / 1000) AS INT) AS bin
+         FROM events GROUP BY 1, 2""",
 
     "web_url_templates" ->
       s"""WITH ${graft.ops.LinkGraph.linksCteSql},
