@@ -805,6 +805,26 @@ object SparkEntry {
     "text_bpe" -> ((s, dir) =>
       TextOps.bpeMerges(docsTable(s, dir), vocabWords = 50, merges = 8)),
 
+    // sequence packing for LLM pretraining (the greedy doc→fixed-length-
+    // sequence layout): docs are sharded (doc_id % 32 — shards pack
+    // independently, the per-output-file convention), ordered
+    // deterministically within the shard, and each doc starts at the
+    // running token offset; seq_id/offset = divmod(tokens-before, 512).
+    // Windows are PER-SHARD (never a global window — the D6 rule)
+    "text_pack" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docsTable(s, dir)
+        .select(col("doc_id"), (col("doc_id") % 32).as("shard"),
+          size(TextOps.tokens(col("text"))).as("n_tokens"))
+        .select(col("shard"), col("doc_id"), col("n_tokens"),
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)).as("tok_before"))
+        .select(col("shard"), col("doc_id"), col("n_tokens"),
+          floor(col("tok_before") / lit(512L)).cast("int").as("seq_id"),
+          (col("tok_before") % 512).cast("int").as("seq_offset"))
+    }),
+
     // consistent train/val/test assignment (80/10/10) — disjoint +
     // exhaustive by construction, stable under corpus growth
     "text_split" -> ((s, dir) =>
@@ -1292,6 +1312,22 @@ object SparkEntry {
     "ann_disambiguate" -> ((s, dir) =>
       graft.annotate.Disambiguate.collective(matches(s, dir))),
 
+    // incremental PageRank maintenance: cold 5-round v1 run → publish →
+    // edge churn (hash-selected 10% of edges gain a reverse link, counts
+    // merged) → 2 warm rounds resumed from the published ranks. e1 pinned
+    // (feeds the delta, the union, and the cold run)
+    "web_pagerank_warm" -> ((s, dir) => {
+      val e1 = LinkGraph.pageEdges(
+        LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))).localCheckpoint()
+      val delta = e1.filter(pmod(graft.ops.Sketch.hash60(
+          concat(col("src"), lit("|"), col("dst"))), lit(10)) === 0)
+        .select(col("dst").as("src"), col("src").as("dst"), col("n_links"))
+      val e2 = e1.unionAll(delta).groupBy("src", "dst")
+        .agg(sum(col("n_links")).as("n_links"))
+      graft.graph.KgGraph.pageRankWarmStart(e2,
+        graft.graph.KgGraph.pageRankDirected(e1, iters = 5), iters = 2)
+    }),
+
     // personalized PageRank: teleport + dangling mass to the 5
     // lexicographically-first pages — rank concentrates near the seeds
     "web_ppr" -> ((s, dir) => {
@@ -1423,14 +1459,14 @@ object SparkEntry {
     * each is referenced twice per round (dangling + contributions), which
     * plain-CTE inlining would expand 2^iters-fold. Callers provide the
     * `ow`/`ew` scaffolding and a `$prefix0` base CTE. */
-  private def prRoundsCtesSql(iters: Int, prefix: String,
-                              tnodes: String): String =
+  private def prRoundsCtesSql(iters: Int, prefix: String, tnodes: String,
+                              ow: String = "ow", ew: String = "ew"): String =
     (1 to iters).map { i =>
       s"""dang$prefix$i AS (SELECT COALESCE(SUM(x.pr), CAST(0 AS DOUBLE)) AS dm
-            FROM $prefix${i - 1} x LEFT JOIN ow o ON o.a = x.node
+            FROM $prefix${i - 1} x LEFT JOIN $ow o ON o.a = x.node
             WHERE o.a IS NULL),
           ctr$prefix$i AS (SELECT e.b AS node, SUM(x.pr * e.w / e.s) AS c
-            FROM ew e JOIN $prefix${i - 1} x ON x.node = e.a GROUP BY e.b),
+            FROM $ew e JOIN $prefix${i - 1} x ON x.node = e.a GROUP BY e.b),
           $prefix$i AS MATERIALIZED (SELECT n.node,
               CAST(0.15 AS DOUBLE) * n.t
                 + CAST(0.85 AS DOUBLE) * (COALESCE(c.c, CAST(0 AS DOUBLE))
@@ -1463,6 +1499,32 @@ object SparkEntry {
         pr0 AS (SELECT node, t AS pr FROM unodes),
         ${prRoundsCtesSql(iters, "pr", "unodes")}
         SELECT node AS page, ROUND(pr, 6) AS pagerank FROM pr$iters"""
+
+  /** Unrolled WARM-START oracle ([[graft.graph.KgGraph.pageRankWarmStart]]
+    * twin): 5 cold rounds on the v1 edge set, then the published (6dp-
+    * rounded) ranks seed `itersWarm` rounds over the UPDATED edge set
+    * (v1 ∪ the hash-selected reversed 10%, counts merged) — the
+    * incremental-maintenance contract `kg_fact_diff`'s sibling. */
+  private def warmPrOracleSql(itersCold: Int, itersWarm: Int): String =
+    s"""WITH $pageEdgesPrScaffoldSql,
+        dflt AS (SELECT b AS a, a AS b, w FROM edges
+          WHERE ('0x' || substr(md5(a || '|' || b), 1, 15))::BIGINT % 10 = 0),
+        edges2 AS MATERIALIZED (SELECT a, b, SUM(w) AS w FROM
+          (SELECT * FROM edges UNION ALL SELECT * FROM dflt) GROUP BY 1, 2),
+        ow2 AS MATERIALIZED (SELECT a, SUM(w) AS s FROM edges2 GROUP BY a),
+        ew2 AS MATERIALIZED (SELECT e.a, e.b, e.w, o.s
+          FROM edges2 e JOIN ow2 o USING (a)),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        unodes AS MATERIALIZED (SELECT node,
+            CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS t FROM nodes),
+        pr0 AS (SELECT node, t AS pr FROM unodes),
+        ${prRoundsCtesSql(itersCold, "pr", "unodes")},
+        wpr0 AS (SELECT n.node, COALESCE(i.pr, n.t) AS pr
+          FROM unodes n LEFT JOIN
+            (SELECT node, ROUND(pr, 6) AS pr FROM pr$itersCold) i
+            ON i.node = n.node),
+        ${prRoundsCtesSql(itersWarm, "wpr", "unodes", ow = "ow2", ew = "ew2")}
+        SELECT node AS page, ROUND(pr, 6) AS pagerank FROM wpr$itersWarm"""
 
   /** Unrolled PERSONALIZED-PageRank oracle ([[graft.graph.KgGraph
     * .pageRankPersonalized]] twin): the teleport vector (1/|S| on the
@@ -2820,6 +2882,17 @@ object SparkEntry {
 
     "text_bpe" -> bpeOracleSql(vocabWords = 50, merges = 8),
 
+    "text_pack" ->
+      """SELECT shard, doc_id, n_tokens,
+           CAST(FLOOR(tb / 512) AS INT) AS seq_id,
+           CAST(tb % 512 AS INT) AS seq_offset
+         FROM (SELECT shard, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb
+           FROM (SELECT doc_id, doc_id % 32 AS shard,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+             FROM documents))""",
+
     "text_split" ->
       """SELECT doc_id, lang,
            CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
@@ -3232,6 +3305,8 @@ object SparkEntry {
     "web_hits" -> hitsOracleSql(iters = 5),
 
     "web_ppr" -> pprOracleSql(iters = 5, nSeeds = 5),
+
+    "web_pagerank_warm" -> warmPrOracleSql(itersCold = 5, itersWarm = 2),
 
     // full sketch recomputation: the same salted md5 row hashes, the same
     // d×w matrix, min-over-rows point queries for the same top-20 set

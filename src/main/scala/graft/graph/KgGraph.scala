@@ -388,12 +388,34 @@ object KgGraph {
                            damping: Double = 0.85): DataFrame =
     directedPrCore(edges, Some(seeds), iters, damping)
 
+  /** WARM-START directed PageRank — the incremental graph-maintenance
+    * move: after an edge-set update (new crawl batch, link churn), resume
+    * the walk from the PREVIOUSLY PUBLISHED ranks instead of the cold
+    * teleport vector, so a handful of rounds re-converges where a cold run
+    * needs the full budget (Langville & Meyer's restart heuristic; what
+    * every production PageRank does between crawls).
+    *
+    * Contract: `init` is the persisted `(page, pagerank)` output of an
+    * earlier run — i.e. the 6dp-ROUNDED published table, which is exactly
+    * what a pipeline has on disk. Nodes absent from `init` (appeared with
+    * the new edges) start at the uniform teleport 1/n; no renormalization
+    * (the dangling correction conserves whatever mass the init carries,
+    * and the fixed-point is unaffected by the starting vector). Same scale
+    * shape as [[pageRankDirected]] — init rides the node table as one
+    * extra left join before round 1. */
+  def pageRankWarmStart(edges: DataFrame, init: DataFrame,
+                        iters: Int = 2, damping: Double = 0.85): DataFrame =
+    directedPrCore(edges, None, iters, damping,
+      init = Some(init.select(col("page").as("node"),
+        col("pagerank").as("init_pr"))))
+
   /** Shared directed-PageRank loop: teleport vector `t` rides the pinned
     * node table as a column (uniform 1/n when `seeds` is None); per round
     * pr = (1−d)·t + d·(contrib + dm·t) with the dangling scalar as a 1-row
     * in-plan aggregate. See [[pageRankDirected]] for the scale shape. */
   private def directedPrCore(edges: DataFrame, seeds: Option[DataFrame],
-                             iters: Int, damping: Double): DataFrame = {
+                             iters: Int, damping: Double,
+                             init: Option[DataFrame] = None): DataFrame = {
     val e = pin(edges.select(col("src").as("a"), col("dst").as("b"),
       col("n_links").cast("double").as("w")))
     val outw = pin(e.groupBy("a").agg(sum(col("w")).as("s")))
@@ -423,7 +445,12 @@ object KgGraph {
           "no seed is a node of the graph")
         withT
     }
-    var pr = nodes.select(col("node"), col("t").as("pr"))
+    var pr = init match {
+      case None => nodes.select(col("node"), col("t").as("pr"))
+      case Some(iv) => // warm start: published ranks, teleport for new nodes
+        nodes.join(iv, Seq("node"), "left")
+          .select(col("node"), coalesce(col("init_pr"), col("t")).as("pr"))
+    }
     val trunc = truncator()
     for (i <- 1 to iters) {
       val dangling = pr.join(outw, pr("node") === outw("a"), "left_anti")

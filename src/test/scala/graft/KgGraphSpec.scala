@@ -571,6 +571,27 @@ class KgGraphSpec extends AnyFunSuite {
       s"persistent RDDs grew by ${after - before} over 12 rounds - Truncator not releasing")
   }
 
+  test("pageRankWarmStart: fixed point is stable; new nodes start at teleport") {
+    import spark.implicits._
+    // 3-cycle: stationary distribution is exactly uniform 1/3, and every
+    // round maps 1/3 -> 0.15/3 + 0.85·(1/3) = 1/3 — so the published cold
+    // ranks ARE the fixed point and warm rounds must not move them
+    val e = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L))
+      .toDF("src", "dst", "n_links")
+    val cold = KgGraph.pageRankDirected(e, iters = 5)
+    val warm = KgGraph.pageRankWarmStart(e, cold, iters = 2).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(warm.keySet === Set("a", "b", "c"))
+    warm.values.foreach(v => assert(v === 0.333333, warm))
+    // edge churn introduces node d: it is absent from init, so it starts
+    // at the uniform teleport instead of nulling the join
+    val e2 = e.unionAll(Seq(("a", "d", 1L)).toDF("src", "dst", "n_links"))
+    val warm2 = KgGraph.pageRankWarmStart(e2, cold, iters = 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(warm2.keySet === Set("a", "b", "c", "d"))
+    assert(warm2("d") > 0.0, warm2)
+  }
+
   test("milneWitten: distance formula, omnipresent-concept pairs dropped") {
     import spark.implicits._
     // 4 docs; A in {1,2,3}, B in {2,3}; C and D in EVERY doc
