@@ -771,6 +771,20 @@ object SparkEntry {
     "sim_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(s.read.parquet(s"$dir/embeddings.parquet"), nQueries = 10, k = 3)),
 
+    // measured recall@3 of nProbe=2 IVF vs exact brute force — the ANN
+    // quality-eval surface (recall is exact thirds: 6dp round is exact)
+    "sim_ivf_recall" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val exact = Similarity.bruteForceTopK(emb, nQueries = 10, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfTopK(emb, nQueries = 10, k = 3, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(round(sum(coalesce(col("hit"), lit(0L))).cast("double")
+          / lit(3.0), 6).as("recall"))
+    }),
+
     "sim_lsh" -> ((s, dir) =>
       Similarity.lshTopK(s.read.parquet(s"$dir/embeddings.parquet"), nQueries = 10, k = 3)),
 
@@ -1582,6 +1596,20 @@ object SparkEntry {
             AS rel_spam_mass
         FROM upr$iters u JOIN tpr$iters t ON t.node = u.node"""
   }
+
+  /** Exact brute-force top-3 oracle (the `sim_topk` twin) — a val so the
+    * recall gate can nest it as a subquery next to the IVF chain. */
+  private val bruteTopKOracleSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10),
+          s AS (SELECT query_id, e.vec_id AS neighbor_id,
+                ROUND(list_dot_product(q_emb, emb) /
+                  sqrt(list_dot_product(q_emb, q_emb) * list_dot_product(emb, emb)), 4) AS cos
+                FROM q, e WHERE e.vec_id <> q.query_id),
+          r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+          SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
+          FROM r WHERE rank <= 3"""
 
   /** Unrolled BPE-training oracle ([[graft.ops.TextOps.bpeMerges]] twin):
     * per round an adjacency-pair count over the delimiter-framed word
@@ -2533,17 +2561,20 @@ object SparkEntry {
           WHERE s.doc_id >= 10
           GROUP BY s.doc_id HAVING COUNT(*) >= 2""",
 
-    "sim_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-          q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10),
-          s AS (SELECT query_id, e.vec_id AS neighbor_id,
-                ROUND(list_dot_product(q_emb, emb) /
-                  sqrt(list_dot_product(q_emb, q_emb) * list_dot_product(emb, emb)), 4) AS cos
-                FROM q, e WHERE e.vec_id <> q.query_id),
-          r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                ORDER BY cos DESC, neighbor_id) AS rank FROM s)
-          SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
-          FROM r WHERE rank <= 3""",
+    "sim_topk" -> bruteTopKOracleSql,
+
+    // measured recall@3 of the nProbe=2 IVF path vs exact brute force —
+    // the ANN eval surface; each side is its own already-green oracle query
+    // nested as a subquery (DuckDB allows WITH inside parenthesized
+    // subselects), joined on (query, neighbor)
+    "sim_ivf_recall" ->
+      s"""SELECT e.query_id,
+            ROUND(CAST(COUNT(i.neighbor_id) AS DOUBLE)
+              / CAST(3.0 AS DOUBLE), 6) AS recall
+          FROM ($bruteTopKOracleSql) e
+          LEFT JOIN (${ivfOracleSql(iters = 2, nprobe = 2)}) i
+            ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+          GROUP BY 1""",
 
     // Annotator+ lemmatize=true, fully recomputed in SQL: dictionary terms
     // AND document tokens are lemmatized with the SAME rule chain
