@@ -119,6 +119,44 @@ object EventStream {
                    event_type: String, value: Double)
   case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
 
+  case class HHState(counters: Map[String, Long])
+  case class HHEntry(shard: Int, value: String, est: Long)
+
+  /** Streaming heavy hitters by the Misra–Gries space-saving summary
+    * (Misra & Gries 1982; the streaming frequent-items standard): per
+    * SHARD (deterministic `String.hashCode` bucket), keyed state holds at
+    * most `capacity` counters — seen value increments, unseen value takes
+    * a free slot, and with the summary full EVERY counter decrements (the
+    * MG step; zeros evicted). Guarantees: any value with true frequency
+    * > N_shard/(capacity+1) is IN the summary, and each estimate
+    * undercounts its true frequency by at most N_shard/(capacity+1).
+    *
+    * Scale shape: state is BOUNDED at `capacity` entries per shard forever
+    * — the whole point vs an exact groupBy count whose state grows with
+    * the key universe; shards give parallelism and merge by estimate
+    * addition downstream. Order-sensitivity note: the summary CONTENT
+    * (beyond the guarantees) depends on arrival order, so this op is
+    * spec-gated (MemoryStream, controlled order), not SQL-oracle-gated —
+    * same policy as streaming exact dedup. */
+  def heavyHitters(values: Dataset[String], capacity: Int = 8,
+                   nShards: Int = 4): Dataset[HHEntry] = {
+    val spark = values.sparkSession
+    import spark.implicits._
+    values.groupByKey(v => math.floorMod(v.hashCode, nShards))
+      .flatMapGroupsWithState[HHState, HHEntry](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Int, it: Iterator[String], state: GroupState[HHState]) =>
+          var m = state.getOption.map(_.counters).getOrElse(Map.empty)
+          it.foreach { v =>
+            if (m.contains(v)) m += v -> (m(v) + 1L)
+            else if (m.size < capacity) m += v -> 1L
+            else m = m.map { case (k, c) => k -> (c - 1L) }.filter(_._2 > 0L)
+          }
+          state.update(HHState(m))
+          m.iterator.map { case (k, c) => HHEntry(shard, k, c) }
+      }
+  }
+
   /** Custom keyed state: running per-user totals via mapGroupsWithState
     * (processing-time timeout; update mode). */
   def userRunningTotals(events: Dataset[Event]): Dataset[UserAgg] = {

@@ -392,4 +392,37 @@ class StreamingSpec extends AnyFunSuite {
         Seq((min30 + min30, 2L, 24.0)))
     } finally query.stop()
   }
+
+  test("heavyHitters: Misra-Gries guarantees, state bounded at capacity") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[String]
+    // one shard so the capacity bound is exercised deterministically
+    val query = EventStream.heavyHitters(input.toDS(), capacity = 2,
+        nShards = 1).writeStream
+      .format("memory").queryName("hh").outputMode("update").start()
+    try {
+      // N = 16: 'a'×8, 'b'×5, then 3 distinct singletons that must not
+      // evict the heavy items (each triggers a decrement-all instead)
+      input.addData(Seq.fill(8)("a") ++ Seq.fill(5)("b") ++
+        Seq("x", "y", "z"): _*)
+      query.processAllAvailable()
+      val got = spark.table("hh").collect()
+        .map(r => r.getString(1) -> r.getLong(2)).toMap
+      // bounded state: never more than capacity entries
+      assert(got.size <= 2, got)
+      // any value with true freq > N/(c+1) = 16/3 must be present
+      assert(got.contains("a") && got.contains("b"), got)
+      // estimates undercount by at most N/(c+1)
+      assert(got("a") <= 8 && got("a") >= 8 - 16 / 3, got)
+      assert(got("b") <= 5 && got("b") >= 5 - 16 / 3, got)
+      // a second batch keeps counting against the SAME bounded state
+      input.addData(Seq.fill(4)("a"): _*)
+      query.processAllAvailable()
+      val got2 = spark.table("hh").collect()
+        .groupBy(_.getString(1))
+        .map { case (k, rs) => k -> rs.map(_.getLong(2)).max }
+      assert(got2("a") >= got("a") + 4 - 1 && got2("a") <= got("a") + 4, got2)
+    } finally query.stop()
+  }
 }
