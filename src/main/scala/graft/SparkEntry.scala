@@ -1326,6 +1326,13 @@ object SparkEntry {
     "ann_disambiguate" -> ((s, dir) =>
       graft.annotate.Disambiguate.collective(matches(s, dir))),
 
+    // DeepWalk-style deterministic walk corpus over the page graph — the
+    // graph-embedding training-data prep
+    "web_walks" -> ((s, dir) =>
+      graft.graph.KgGraph.randomWalks(
+        LinkGraph.pageEdges(LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))),
+        length = 4)),
+
     // incremental PageRank maintenance: cold 5-round v1 run → publish →
     // edge churn (hash-selected 10% of edges gain a reverse link, counts
     // merged) → 2 warm rounds resumed from the published ranks. e1 pinned
@@ -1513,6 +1520,30 @@ object SparkEntry {
         pr0 AS (SELECT node, t AS pr FROM unodes),
         ${prRoundsCtesSql(iters, "pr", "unodes")}
         SELECT node AS page, ROUND(pr, 6) AS pagerank FROM pr$iters"""
+
+  /** Unrolled deterministic-walk oracle ([[graft.graph.KgGraph
+    * .randomWalks]] twin over page edges): sorted adjacency lists, step t
+    * indexes `hash60(start|t|node) % deg` — the portable md5 hash verbatim;
+    * frontier CTEs MATERIALIZED (each feeds the next step AND the union). */
+  private def walksOracleSql(length: Int): String = {
+    val steps = (1 to length).map { t =>
+      s"""w$t AS MATERIALIZED (SELECT w.start, $t AS step,
+            a.nbrs[CAST(('0x' || substr(md5(w.start || '|' || $t || '|'
+                || w.node), 1, 15))::BIGINT % len(a.nbrs) + 1 AS INT)] AS node
+          FROM w${t - 1} w JOIN adj a ON a.src = w.node)"""
+    }.mkString(",\n")
+    val union = (0 to length).map(t => s"SELECT * FROM w$t")
+      .mkString(" UNION ALL ")
+    s"""WITH ${graft.ops.LinkGraph.linksCteSql},
+        pedges AS (SELECT DISTINCT
+            ${graft.ops.WebOps.canonUrlSqlOf("src_url")} AS src,
+            dst_url AS dst FROM lnk),
+        adj AS MATERIALIZED (SELECT src, list(dst ORDER BY dst) AS nbrs
+          FROM pedges GROUP BY src HAVING COUNT(*) <= 10000),
+        w0 AS (SELECT src AS start, 0 AS step, src AS node FROM adj),
+        $steps
+        $union"""
+  }
 
   /** Unrolled WARM-START oracle ([[graft.graph.KgGraph.pageRankWarmStart]]
     * twin): 5 cold rounds on the v1 edge set, then the published (6dp-
@@ -3338,6 +3369,8 @@ object SparkEntry {
     "web_ppr" -> pprOracleSql(iters = 5, nSeeds = 5),
 
     "web_pagerank_warm" -> warmPrOracleSql(itersCold = 5, itersWarm = 2),
+
+    "web_walks" -> walksOracleSql(length = 4),
 
     // full sketch recomputation: the same salted md5 row hashes, the same
     // d×w matrix, min-over-rows point queries for the same top-20 set

@@ -108,6 +108,49 @@ object KgGraph {
           .as("pmi"))
   }
 
+  /** DETERMINISTIC random-walk corpus generation (the DeepWalk / node2vec
+    * data-prep step — Perozzi et al. 2014: walks feed skip-gram embedding
+    * training): one walk of `length` steps from every node with out-edges,
+    * where step t at node v moves to the neighbor at index
+    * `hash60(start|t|v) % deg(v)` in v's SORTED adjacency list — a pure
+    * function of the graph (no rng state, re-runnable anywhere, the same
+    * portable hash the samplers use). Walks stop early at dangling nodes
+    * (the inner join simply yields no next row). Output long-form:
+    * `(start, step, node)`, step 0 = the start itself.
+    *
+    * Scale shape: adjacency lists are one `collect_set` row per node
+    * (`maxDegree` caps hub rows — the maxPerDoc trade: a capped hub's
+    * walks are the ones that matter least for embedding quality, and one
+    * celebrity node must not create a GB-sized row); each step is ONE
+    * equi-join of the frontier against the pinned adjacency table — L
+    * steps = L joins, no shuffle grows with L, frontier stays ≤ |nodes|
+    * rows. */
+  def randomWalks(edges: DataFrame, length: Int = 4,
+                  maxDegree: Int = 10000): DataFrame = {
+    require(length >= 1, s"walk length must be >= 1, got $length")
+    val adj = pin(edges.select(col("src"), col("dst"))
+      .groupBy("src").agg(sort_array(collect_set(col("dst"))).as("nbrs"))
+      .filter(size(col("nbrs")) <= maxDegree))
+    var frontier = adj.select(col("src").as("start"), lit(0).as("step"),
+      col("src").as("node"))
+    var out = frontier
+    val trunc = truncator()
+    for (t <- 1 to length) {
+      // truncate each frontier (the oracle's MATERIALIZED-CTE twin): the
+      // union would otherwise embed w_1..w_{t-1} in every branch — O(L²)
+      // plan growth and per-branch recomputation at DeepWalk lengths
+      frontier = trunc(frontier
+        .join(adj, frontier("node") === adj("src"))
+        .select(col("start"), lit(t).as("step"),
+          element_at(col("nbrs"),
+            (pmod(graft.ops.Sketch.hash60(concat_ws("|",
+              col("start"), lit(t), col("node"))), size(col("nbrs")))
+              + 1).cast("int")).as("node")), t)
+      out = out.unionAll(frontier)
+    }
+    out
+  }
+
   /** Milne–Witten semantic relatedness (Milne & Witten 2008, "An effective,
     * low-cost measure of semantic relatedness") over the annotation doc
     * space — the standard wikification / entity-linking relatedness, the

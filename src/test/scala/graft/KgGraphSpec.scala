@@ -592,6 +592,25 @@ class KgGraphSpec extends AnyFunSuite {
     assert(warm2("d") > 0.0, warm2)
   }
 
+  test("randomWalks: hash-indexed steps, dangling stop, pure function") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "a"), ("c", "d"))
+      .toDF("src", "dst")
+    def run() = KgGraph.randomWalks(e, length = 2).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val got = run()
+    assert(got === run()) // pure function of the graph
+    // starts = nodes WITH out-edges only (d is dangling)
+    assert(got.filter(_._2 == 0).map(_._1) === Set("a", "b", "c"))
+    // step 1 from a indexes sorted nbrs [b, c] at hash60("a|1|a") % 2
+    val expA1 = Seq("b", "c")(
+      (graft.ops.Sketch.hash60Scalar("a|1|a") % 2).toInt)
+    assert(got.contains(("a", 1, expA1)), got)
+    // c's walk reaches dangling d at step 1 and stops — no step-2 row
+    assert(got.contains(("c", 1, "d")))
+    assert(!got.exists(w => w._1 == "c" && w._2 == 2), got)
+  }
+
   test("milneWitten: distance formula, omnipresent-concept pairs dropped") {
     import spark.implicits._
     // 4 docs; A in {1,2,3}, B in {2,3}; C and D in EVERY doc
