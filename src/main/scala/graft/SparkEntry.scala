@@ -1333,6 +1333,38 @@ object SparkEntry {
         LinkGraph.pageEdges(LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))),
         length = 4)),
 
+    // skip-gram (center, context) pairs from the walk corpus, window 2 —
+    // what actually feeds word2vec-style embedding training. Walks pinned
+    // once; ONE self-join per walk id with the step-distance band in the
+    // join condition (each walk is ≤ length+1 rows, so the band join is
+    // bounded per key)
+    "web_walk_pairs" -> ((s, dir) => {
+      val w = graft.graph.KgGraph.randomWalks(
+        LinkGraph.pageEdges(LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))),
+        length = 4).localCheckpoint()
+      val a = w.select(col("start"), col("step").as("si"), col("node").as("center"))
+      val b = w.select(col("start"), col("step").as("sj"), col("node").as("context"))
+      a.join(b, Seq("start"))
+        .filter(col("si") =!= col("sj") &&
+          abs(col("si") - col("sj")) <= 2)
+        .groupBy("center", "context").agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // crawl politeness scheduling: per-host fetch slots at a fixed delay —
+    // slot rank is a PER-HOST window (deterministic by canonical URL), so
+    // the frontier turns into a time-stamped fetch plan with no global sort
+    "web_fetch_schedule" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("host").orderBy("canon_url")
+      WebOps.urlDedup(docsTable(s, dir))
+        .select(col("canon_url"),
+          WebOps.canonicalHost(col("canon_url")).as("host"))
+        .select(col("host"), col("canon_url"),
+          (row_number().over(w) - 1).as("slot"))
+        .select(col("host"), col("canon_url"), col("slot"),
+          (col("slot") * 15L).as("fetch_offset_sec"))
+    }),
+
     // incremental PageRank maintenance: cold 5-round v1 run → publish →
     // edge churn (hash-selected 10% of edges gain a reverse link, counts
     // merged) → 2 warm rounds resumed from the published ranks. e1 pinned
@@ -3371,6 +3403,26 @@ object SparkEntry {
     "web_pagerank_warm" -> warmPrOracleSql(itersCold = 5, itersWarm = 2),
 
     "web_walks" -> walksOracleSql(length = 4),
+
+    "web_walk_pairs" ->
+      s"""SELECT a.node AS center, b.node AS context, COUNT(*) AS n_pairs
+          FROM (${walksOracleSql(length = 4)}) a
+          JOIN (${walksOracleSql(length = 4)}) b
+            ON b.start = a.start AND b.step <> a.step
+            AND ABS(a.step - b.step) <= 2
+          GROUP BY 1, 2""",
+
+    "web_fetch_schedule" ->
+      s"""WITH ${graft.ops.WebOps.canonCteSql},
+          du AS (SELECT DISTINCT canon_url FROM canon),
+          hu AS (SELECT ${graft.ops.WebOps.canonHostSqlOf("canon_url")} AS host,
+                        canon_url FROM du)
+          SELECT host, canon_url,
+            CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY canon_url) - 1
+              AS INT) AS slot,
+            CAST((ROW_NUMBER() OVER (PARTITION BY host ORDER BY canon_url) - 1)
+              * 15 AS BIGINT) AS fetch_offset_sec
+          FROM hu""",
 
     // full sketch recomputation: the same salted md5 row hashes, the same
     // d×w matrix, min-over-rows point queries for the same top-20 set
