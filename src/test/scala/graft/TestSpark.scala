@@ -11,6 +11,9 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bucketed-table specs write managed tables; keep them out of cwd
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft-test-warehouse-${ProcessHandle.current().pid()}")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
