@@ -819,6 +819,33 @@ object SparkEntry {
     "text_bpe" -> ((s, dir) =>
       TextOps.bpeMerges(docsTable(s, dir), vocabWords = 50, merges = 8)),
 
+    // systematic PPS (probability-proportional-to-size) sampling — the
+    // classic weighted-sampling design, DETERMINISTIC (origin-0 variant, no
+    // random start): a doc is selected when its cumulative-weight interval
+    // crosses a multiple of the stride (per-shard total / 4), so selection
+    // probability ∝ n_chars and big docs can take multiple hits — real PPS
+    // semantics. Sharded like text_pack (per-shard windows, never global);
+    // cumulative sums are exact integers below 2^53, so the double floor
+    // arithmetic is engine-identical
+    "text_sample_pps" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy("shard")
+      val stride = col("w_total").cast("double") / lit(4.0)
+      docsTable(s, dir)
+        .select(col("doc_id"), (col("doc_id") % 16).as("shard"),
+          col("n_chars"))
+        .select(col("shard"), col("doc_id"), col("n_chars"),
+          coalesce(sum(col("n_chars")).over(wOrd), lit(0L)).as("cb"),
+          sum(col("n_chars")).over(wAll).as("w_total"))
+        .select(col("shard"), col("doc_id"), col("n_chars"),
+          (floor((col("cb") + col("n_chars")).cast("double") / stride)
+            - floor(col("cb").cast("double") / stride)).cast("int")
+            .as("n_hits"))
+        .filter(col("n_hits") > 0)
+    }),
+
     // sequence packing for LLM pretraining (the greedy doc→fixed-length-
     // sequence layout): docs are sharded (doc_id % 32 — shards pack
     // independently, the per-output-file convention), ordered
@@ -2975,6 +3002,20 @@ object SparkEntry {
          WHERE rn <= 100""",
 
     "text_bpe" -> bpeOracleSql(vocabWords = 50, merges = 8),
+
+    "text_sample_pps" ->
+      """SELECT shard, doc_id, n_chars,
+           CAST(FLOOR(CAST(cb + n_chars AS DOUBLE) / (CAST(wt AS DOUBLE) / 4.0))
+              - FLOOR(CAST(cb AS DOUBLE) / (CAST(wt AS DOUBLE) / 4.0))
+             AS INT) AS n_hits
+         FROM (SELECT shard, doc_id, n_chars,
+             COALESCE(SUM(n_chars) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+             SUM(n_chars) OVER (PARTITION BY shard) AS wt
+           FROM (SELECT doc_id, doc_id % 16 AS shard, n_chars
+                 FROM documents))
+         WHERE CAST(FLOOR(CAST(cb + n_chars AS DOUBLE) / (CAST(wt AS DOUBLE) / 4.0))
+              - FLOOR(CAST(cb AS DOUBLE) / (CAST(wt AS DOUBLE) / 4.0)) AS INT) > 0""",
 
     "text_pack" ->
       """SELECT shard, doc_id, n_tokens,
