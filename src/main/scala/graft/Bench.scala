@@ -209,7 +209,10 @@ object Bench {
     "text_quality", "text_fingerprint", "mm_features",
     "kg_cooccur", "kg_components", "kg_pagerank",
     "q_asof_version", "sketch_distinct", "q_range_join", "kg_pmi",
-    "web_links")
+    "web_links",
+    // round-4 tier representatives: tokenizer training (iterative word-
+    // table loop), two-chain TrustRank, walk-corpus generation, triple diff
+    "text_bpe", "web_trustrank", "web_walks", "kg_fact_diff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
