@@ -1284,6 +1284,27 @@ object SparkEntry {
         .groupBy(col("label"), (col("pos") + 1).as("dim"))
         .agg(round(avg(col("x").cast("double")), 6).as("mean"))),
 
+    // open (non-taxonomic) relation extraction: verb-frame surface matches
+    // resolved to concept pairs through the dictionary, support-counted —
+    // the arbitrary-predicate KG edges Hearst's is-a mining cannot produce
+    "kg_openre" -> ((s, dir) => {
+      val rels = graft.ops.Relations.openRelations(
+        graft.ops.Relations.withRelSentences(docsTable(s, dir)))
+      val dict = DictBuild.flatDict(DictBuild.build(
+          DictBuild.labelRows(OntologyFixture.conceptsDf(s))))
+        .select(col("term"), col("class_iri")).distinct()
+      rels
+        .join(broadcast(dict.select(col("term").as("s_t"),
+          col("class_iri").as("subj_iri"))),
+          upper(col("subj_surface")) === col("s_t"))
+        .join(broadcast(dict.select(col("term").as("o_t"),
+          col("class_iri").as("obj_iri"))),
+          upper(col("obj_surface")) === col("o_t"))
+        .filter(col("subj_iri") =!= col("obj_iri"))
+        .groupBy("subj_iri", "rel", "obj_iri")
+        .agg(count_distinct(col("doc_id")).as("n_docs"))
+    }),
+
     // filtered negative sampling over the hasAnnotation fact set — the
     // KG-embedding training-data op (deterministic hash-indexed corruption)
     "kg_negatives" -> ((s, dir) =>
@@ -2052,17 +2073,32 @@ object SparkEntry {
   /** One UNION ALL leg per [[graft.ops.Relations.HearstRules]] entry, over
     * the `hpage` CTE — the SAME regex strings, group orientation, and
     * occurrence-index zip as the Column code. */
+  /** ONE per-rule regex group-zip skeleton (two capture groups extracted,
+    * zipped by occurrence index) shared by the Hearst AND OpenRE oracle
+    * legs — a fix to the zip/indexing shape lands in one place. */
+  private def regexPairLegSql(table: String, re: String,
+                              selectList: String): String =
+    s"""SELECT doc_id, $selectList
+          FROM (SELECT doc_id, a, b,
+                  unnest(generate_series(1, len(a))) AS i
+                FROM (SELECT doc_id,
+                        regexp_extract_all(text, '$re', 1) AS a,
+                        regexp_extract_all(text, '$re', 2) AS b
+                      FROM $table))"""
+
   private def hearstLegsSql: String =
     graft.ops.Relations.HearstRules.map { case (name, re, swapped) =>
       val (hy, ho) = if (swapped) ("b[i]", "a[i]") else ("a[i]", "b[i]")
-      s"""SELECT doc_id, lower($hy) AS hypernym, lower($ho) AS hyponym,
-              '$name' AS pattern
-            FROM (SELECT doc_id, a, b,
-                    unnest(generate_series(1, len(a))) AS i
-                  FROM (SELECT doc_id,
-                          regexp_extract_all(text, '$re', 1) AS a,
-                          regexp_extract_all(text, '$re', 2) AS b
-                        FROM hpage))"""
+      regexPairLegSql("hpage", re,
+        s"lower($hy) AS hypernym, lower($ho) AS hyponym, '$name' AS pattern")
+    }.mkString("\n           UNION ALL\n           ")
+
+  /** Per-frame extraction legs of the `kg_openre` oracle (the shared
+    * [[regexPairLegSql]] skeleton over [[graft.ops.Relations.VerbRules]]). */
+  private def openreLegsSql: String =
+    graft.ops.Relations.VerbRules.map { case (name, re) =>
+      regexPairLegSql("rpage", re,
+        s"lower(a[i]) AS subj_surface, '$name' AS rel, lower(b[i]) AS obj_surface")
     }.mkString("\n           UNION ALL\n           ")
 
   private def domainQuotaOracleSql: String =
@@ -3733,6 +3769,17 @@ object SparkEntry {
           SELECT hypernym, hyponym, COUNT(DISTINCT doc_id) AS n_docs,
             COUNT(*) AS n_mentions
           FROM prs GROUP BY 1, 2""",
+
+    "kg_openre" ->
+      s"""WITH $dictCte, ${graft.ops.Relations.relPagesCteSql},
+          prs AS ($openreLegsSql),
+          res AS (SELECT prs.doc_id, cs.class_iri AS subj_iri, prs.rel,
+                    co.class_iri AS obj_iri
+                  FROM prs JOIN dict cs ON upper(prs.subj_surface) = cs.term
+                           JOIN dict co ON upper(prs.obj_surface) = co.term
+                  WHERE cs.class_iri <> co.class_iri)
+          SELECT subj_iri, rel, obj_iri, COUNT(DISTINCT doc_id) AS n_docs
+          FROM res GROUP BY 1, 2, 3""",
 
     "kg_hearst_isa" ->
       s"""WITH $dictCte, $edgesCte, ${graft.ops.Relations.hearstPagesCteSql},

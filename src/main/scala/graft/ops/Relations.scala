@@ -53,10 +53,15 @@ object Relations {
       concat(col("text"), lit(" . "), sent, lit(" .")).as("text"))
   }
 
+  /** Token-at-deterministic-position SQL fragment shared by every
+    * sentence-synthesis CTE twin (Hearst, OpenRE) — one definition of the
+    * CAST/indexing shape. */
+  private def tokAtSql(mult: Int): String =
+    s"t[CAST(doc_id * $mult % len(t) AS INT) + 1]"
+
   /** DuckDB CTE twin of [[withHearst]] — `hpage(doc_id, text)`. */
   def hearstPagesCteSql: String = {
-    def tok(mult: Int) = s"t[CAST(doc_id * $mult % len(t) AS INT) + 1]"
-    val (t1, t2) = (tok(3), tok(5))
+    val (t1, t2) = (tokAtSql(3), tokAtSql(5))
     s"""htoks AS (SELECT doc_id, text, string_split(text, ' ') AS t
                   FROM documents),
         hpage AS (SELECT doc_id, text || ' . ' ||
@@ -97,6 +102,66 @@ object Relations {
     pairs.groupBy("hypernym", "hyponym")
       .agg(count_distinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_mentions"))
+
+  /** Verb-frame open relation extraction rules (OpenIE-lite — the ReVerb
+    * surface shape, Banko et al. 2007 / Fader et al. 2011), restricted to
+    * fixed frames in the Java∩RE2-identical subset so the SAME strings
+    * drive the Column code and the oracle SQL: group 1 = subject surface,
+    * group 2 = object surface. The non-taxonomic complement of
+    * [[HearstRules]] — these emit ARBITRARY relations for the KG, not
+    * is-a edges. */
+  val VerbRules: Seq[(String, String)] = Seq(
+    ("causes", "(\\w+) causes (\\w+)"),
+    ("treats", "(\\w+) treats (\\w+)"),
+    ("part_of", "(\\w+) is part of (\\w+)"),
+    ("interacts_with", "(\\w+) interacts with (\\w+)"))
+
+  /** Relation-sentence synthesis for [[openRelations]] (the [[withHearst]]
+    * discipline): each doc gets ONE verb-frame sentence from two of its own
+    * tokens at deterministic positions (×9 / ×13 — distinct from the
+    * Hearst and microdata multipliers), cycling the four [[VerbRules]]
+    * frames on `doc_id % 4`. Mirrored in [[relPagesCteSql]]. */
+  def withRelSentences(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val t1 = element_at(t, ((col("doc_id") * 9) % size(t)).cast("int") + 1)
+    val t2 = element_at(t, ((col("doc_id") * 13) % size(t)).cast("int") + 1)
+    val sent = when(col("doc_id") % 4 === 0, concat(t1, lit(" causes "), t2))
+      .when(col("doc_id") % 4 === 1, concat(t1, lit(" treats "), t2))
+      .when(col("doc_id") % 4 === 2, concat(t1, lit(" is part of "), t2))
+      .otherwise(concat(t1, lit(" interacts with "), t2))
+    docs.select(col("doc_id"),
+      concat(col("text"), lit(" . "), sent, lit(" .")).as("text"))
+  }
+
+  /** DuckDB CTE twin of [[withRelSentences]] — `rpage(doc_id, text)`. */
+  def relPagesCteSql: String = {
+    val (t1, t2) = (tokAtSql(9), tokAtSql(13))
+    s"""rtoks AS (SELECT doc_id, text, string_split(text, ' ') AS t
+                  FROM documents),
+        rpage AS (SELECT doc_id, text || ' . ' ||
+            CASE CAST(doc_id % 4 AS INT)
+              WHEN 0 THEN $t1 || ' causes ' || $t2
+              WHEN 1 THEN $t1 || ' treats ' || $t2
+              WHEN 2 THEN $t1 || ' is part of ' || $t2
+              ELSE $t1 || ' interacts with ' || $t2 END || ' .' AS text
+          FROM rtoks)"""
+  }
+
+  /** Open relation candidates over raw text: every [[VerbRules]] frame per
+    * page, groups zipped by occurrence index (the [[hearstPairs]] idiom),
+    * surfaces lower-cased — `(doc_id, subj_surface, rel, obj_surface)`.
+    * Map-only; resolution against the dictionary and support aggregation
+    * are the caller's (the `kg_openre` composition). */
+  def openRelations(docs: DataFrame): DataFrame =
+    VerbRules.map { case (name, re) =>
+      val g1 = regexp_extract_all(col("text"), lit(re), lit(1))
+      val g2 = regexp_extract_all(col("text"), lit(re), lit(2))
+      docs
+        .select(col("doc_id"), posexplode(g1).as(Seq("i", "m1")), g2.as("g2"))
+        .select(col("doc_id"), lower(col("m1")).as("subj_surface"),
+          lit(name).as("rel"),
+          lower(element_at(col("g2"), col("i") + 1)).as("obj_surface"))
+    }.reduce(_ unionByName _)
 
   /** Microdata extraction regexes (schema.org HTML annotations — the Web
     * Data Commons shape: most structured web KG data arrives as

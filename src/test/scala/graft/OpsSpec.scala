@@ -242,6 +242,30 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("openRelations: all four verb frames, repeats, case fold; map-only") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "Stress causes illness often"),
+      (2L, "aspirin treats headache quickly"),
+      (3L, "wheel is part of car"),
+      (4L, "drugA interacts with drugB"),
+      // two occurrences in one doc zip by index → two rows
+      (5L, "a causes b and c causes d"),
+      (6L, "no frame here")).toDF("doc_id", "text")
+    val got = Relations.openRelations(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(got === Set(
+      (1L, "stress", "causes", "illness"),
+      (2L, "aspirin", "treats", "headache"),
+      (3L, "wheel", "part_of", "car"),
+      (4L, "druga", "interacts_with", "drugb"),
+      (5L, "a", "causes", "b"),
+      (5L, "c", "causes", "d")))
+    val plan = Relations.openRelations(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("microdataTriples: itemtype + prop/value zip, absent props, multiple items") {
     import spark.implicits._
     val pages = Seq(
