@@ -921,6 +921,39 @@ object SparkEntry {
           size(split(col("text"), " ")).as("n_tokens"))
     }),
 
+    // per-doc curation provenance ledger — WHY each document survived or
+    // died (the observability a production pipeline ships next to the
+    // curated corpus: rejection reasons are how filter regressions are
+    // caught). Same legs as the capstone, LEFT-joined as flags instead of
+    // semi/anti-joined away; every leg emits ≤1 row per doc, so the joins
+    // cannot fan out
+    "curate_ledger" -> ((s, dir) => {
+      val docs = docsTable(s, dir)
+      val corpus = docs.filter(col("doc_id") >= 10)
+      val bench = docs.filter(col("doc_id") < 10)
+      val keep = Dedup.exact(corpus)
+        .select(col("keep_id").as("doc_id"), lit(1).as("k"))
+      val cont = Dedup.decontaminate(corpus, bench, n = 3, minOverlap = 2)
+        .select(col("doc_id"), lit(1).as("ct"))
+      val gop = TextOps.gopherRules(corpus).filter(col("keep"))
+        .select(col("doc_id"), lit(1).as("g"))
+      val rep = TextOps.repetitionStats(corpus)
+        .filter(col("top_bigram_frac") <= 0.2)
+        .select(col("doc_id"), lit(1).as("lr"))
+      corpus.select("doc_id")
+        .join(keep, Seq("doc_id"), "left")
+        .join(cont, Seq("doc_id"), "left")
+        .join(gop, Seq("doc_id"), "left")
+        .join(rep, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("k").isNull.as("is_dup"),
+          col("ct").isNotNull.as("is_contaminated"),
+          col("g").isNull.as("fails_gopher"),
+          col("lr").isNull.as("high_repetition"),
+          (col("k").isNotNull && col("ct").isNull && col("g").isNotNull &&
+            col("lr").isNotNull).as("kept"))
+    }),
+
     // capstone composition: the training-data curation ops FEED the
     // annotator — exact-dedup survivors + quality gate select the pages, the
     // native annotate builds the KG only over curated pages (the realistic
@@ -1707,6 +1740,40 @@ object SparkEntry {
             AS rel_spam_mass
         FROM upr$iters u JOIN tpr$iters t ON t.node = u.node"""
   }
+
+  /** Shared curation-leg CTE chain (exact-dedup keep set, benchmark
+    * contamination, Gopher gate, repetition gate over the doc_id >= 10
+    * corpus split) — ONE definition feeding both the `curate_corpus_full`
+    * capstone and the `curate_ledger` provenance report. */
+  private val curateLegsSql: String =
+    """corpus AS (SELECT * FROM documents WHERE doc_id >= 10),
+          keep AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY text),
+          toksall AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+                  FROM toksall WHERE len(t) >= 3),
+          sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM pos),
+          bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10),
+          contaminated AS (SELECT s.doc_id FROM sh s JOIN bench b ON s.shingle = b.shingle
+                           WHERE s.doc_id >= 10 GROUP BY s.doc_id HAVING COUNT(*) >= 2),
+          gv AS (SELECT doc_id, len(t) AS n_words,
+                   list_sum(list_transform(t, x -> length(x))) / CAST(len(t) AS DOUBLE) AS mean_len,
+                   len(list_filter(t, x -> NOT regexp_matches(x, '[A-Za-z0-9]')))
+                     / CAST(len(t) AS DOUBLE) AS sym_ratio,
+                   len(list_filter(t, x -> x IN ('the', 'a'))) AS stop_hits
+                 FROM toksall WHERE doc_id >= 10),
+          gopher AS (SELECT doc_id FROM gv WHERE n_words BETWEEN 50 AND 100000
+                     AND mean_len BETWEEN CAST(3.0 AS DOUBLE) AND CAST(10.0 AS DOUBLE)
+                     AND sym_ratio <= CAST(0.1 AS DOUBLE) AND stop_hits >= 2),
+          bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+                 FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                       FROM toksall WHERE doc_id >= 10 AND len(t) >= 2)),
+          f AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+          m AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS nb FROM f GROUP BY 1),
+          lowrep AS (SELECT t.doc_id
+                     FROM (SELECT doc_id FROM toksall WHERE doc_id >= 10) t
+                     LEFT JOIN m ON t.doc_id = m.doc_id
+                     WHERE COALESCE(ROUND(m.mx / CAST(m.nb AS DOUBLE), 4),
+                                    CAST(0.0 AS DOUBLE)) <= CAST(0.2 AS DOUBLE))"""
 
   /** Exact brute-force top-3 oracle (the `sim_topk` twin) — a val so the
     * recall gate can nest it as a subquery next to the IVF chain. */
@@ -3981,35 +4048,23 @@ object SparkEntry {
     // the full curation capstone recomposed from the per-operator oracle
     // pieces (exact dedup, decontamination, Gopher gate, repetition cap,
     // quality, langid) — prototyped against the Spark dump before wiring
+    "curate_ledger" ->
+      s"""WITH $curateLegsSql
+          SELECT c.doc_id,
+            (k.doc_id IS NULL) AS is_dup,
+            (ct.doc_id IS NOT NULL) AS is_contaminated,
+            (g.doc_id IS NULL) AS fails_gopher,
+            (lr.doc_id IS NULL) AS high_repetition,
+            (k.doc_id IS NOT NULL AND ct.doc_id IS NULL
+              AND g.doc_id IS NOT NULL AND lr.doc_id IS NOT NULL) AS kept
+          FROM corpus c
+          LEFT JOIN keep k ON c.doc_id = k.doc_id
+          LEFT JOIN contaminated ct ON c.doc_id = ct.doc_id
+          LEFT JOIN gopher g ON c.doc_id = g.doc_id
+          LEFT JOIN lowrep lr ON c.doc_id = lr.doc_id""",
+
     "curate_corpus_full" ->
-      """WITH corpus AS (SELECT * FROM documents WHERE doc_id >= 10),
-          keep AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY text),
-          toksall AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-          pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
-                  FROM toksall WHERE len(t) >= 3),
-          sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM pos),
-          bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10),
-          contaminated AS (SELECT s.doc_id FROM sh s JOIN bench b ON s.shingle = b.shingle
-                           WHERE s.doc_id >= 10 GROUP BY s.doc_id HAVING COUNT(*) >= 2),
-          gv AS (SELECT doc_id, len(t) AS n_words,
-                   list_sum(list_transform(t, x -> length(x))) / CAST(len(t) AS DOUBLE) AS mean_len,
-                   len(list_filter(t, x -> NOT regexp_matches(x, '[A-Za-z0-9]')))
-                     / CAST(len(t) AS DOUBLE) AS sym_ratio,
-                   len(list_filter(t, x -> x IN ('the', 'a'))) AS stop_hits
-                 FROM toksall WHERE doc_id >= 10),
-          gopher AS (SELECT doc_id FROM gv WHERE n_words BETWEEN 50 AND 100000
-                     AND mean_len BETWEEN CAST(3.0 AS DOUBLE) AND CAST(10.0 AS DOUBLE)
-                     AND sym_ratio <= CAST(0.1 AS DOUBLE) AND stop_hits >= 2),
-          bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b
-                 FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
-                       FROM toksall WHERE doc_id >= 10 AND len(t) >= 2)),
-          f AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
-          m AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS nb FROM f GROUP BY 1),
-          lowrep AS (SELECT t.doc_id
-                     FROM (SELECT doc_id FROM toksall WHERE doc_id >= 10) t
-                     LEFT JOIN m ON t.doc_id = m.doc_id
-                     WHERE COALESCE(ROUND(m.mx / CAST(m.nb AS DOUBLE), 4),
-                                    CAST(0.0 AS DOUBLE)) <= CAST(0.2 AS DOUBLE)),
+      s"""WITH $curateLegsSql,
           q AS (SELECT doc_id, ROUND(
                   LEAST(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4
                   + (len(list_distinct(string_split(text, ' ')))
