@@ -686,6 +686,29 @@ object SparkEntry {
             greatest(lit(1.0), lit(0.10) * col("exact_n")))
             .as("within_bound"))),
 
+    // pipeline-monitoring anomaly detection: per event type, each hour's
+    // count against the trailing-6-hour mean/stddev → z-score + flag —
+    // the ingest-volume alarm every production pipeline runs. Per-type
+    // windows (bounded trailing frame), stddev_samp is the cross-engine
+    // contract, 6dp round absorbs float-sum order
+    "q_anomaly" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = s.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(-6, -1)
+      hourly
+        .select(col("event_type"), col("hour"), col("n"),
+          avg(col("n")).over(w).as("mu"),
+          stddev_samp(col("n")).over(w).as("sd"),
+          count(col("n")).over(w).as("n_prior"))
+        .filter(col("n_prior") >= 6 && col("sd") > 0)
+        .select(col("event_type"), col("hour"), col("n"),
+          round((col("n") - col("mu")) / col("sd"), 6).as("z"),
+          (abs((col("n") - col("mu")) / col("sd")) > 3.0).as("anomaly"))
+    }),
+
     // approximate heavy hitters, CORRECTNESS-gated like the other approx
     // ops: the top-10 users by exact count are probed against the count-min
     // sketch in-plan — the CM guarantee (never undercounts; overshoot
@@ -1316,6 +1339,25 @@ object SparkEntry {
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("label"), (col("pos") + 1).as("dim"))
         .agg(round(avg(col("x").cast("double")), 6).as("mean"))),
+
+    // ontology-coverage report: per ontology, how many of its concepts the
+    // corpus actually mentions — the dictionary-health metric a KG team
+    // watches across releases. Concept universe from the dict (tiny),
+    // matched set from one distinct over the match stream
+    "kg_coverage" -> ((s, dir) => {
+      val dict = DictBuild.flatDict(DictBuild.build(
+          DictBuild.labelRows(OntologyFixture.conceptsDf(s))))
+        .select(col("ont"), col("class_iri")).distinct()
+      val matched = matches(s, dir).select(col("class_iri")).distinct()
+        .withColumn("m", lit(1))
+      dict.join(matched, Seq("class_iri"), "left")
+        .groupBy("ont")
+        .agg(count(lit(1)).as("n_concepts"),
+          sum(coalesce(col("m"), lit(0))).as("n_matched"))
+        .select(col("ont"), col("n_concepts"), col("n_matched"),
+          round(col("n_matched").cast("double")
+            / col("n_concepts").cast("double"), 4).as("coverage"))
+    }),
 
     // open (non-taxonomic) relation extraction: verb-frame surface matches
     // resolved to concept pairs through the dictionary, support-counted —
@@ -3753,6 +3795,30 @@ object SparkEntry {
          FROM events GROUP BY 1""",
 
     "web_trustrank" -> trustRankOracleSql(iters = 5, nSeeds = 3),
+
+    "q_anomaly" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+             COUNT(*) AS n FROM events GROUP BY 1, 2),
+          st AS (SELECT event_type, hour, n,
+              AVG(n) OVER w AS mu, STDDEV_SAMP(n) OVER w AS sd,
+              COUNT(n) OVER w AS np
+            FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hour
+              ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+          SELECT event_type, hour, n, ROUND((n - mu) / sd, 6) AS z,
+            (ABS((n - mu) / sd) > 3.0) AS anomaly
+          FROM st WHERE np >= 6 AND sd > 0""",
+
+    "kg_coverage" ->
+      s"""WITH $dictCte, $directCte,
+          u AS (SELECT DISTINCT ont, class_iri FROM dict),
+          mt AS (SELECT DISTINCT class_iri FROM direct)
+          SELECT u.ont, COUNT(*) AS n_concepts,
+            CAST(SUM(CASE WHEN mt.class_iri IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_matched,
+            ROUND(CAST(SUM(CASE WHEN mt.class_iri IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS coverage
+          FROM u LEFT JOIN mt ON mt.class_iri = u.class_iri
+          GROUP BY 1""",
 
     "q_topk_approx" ->
       """SELECT CAST(user_id AS VARCHAR) AS user_id, COUNT(*) AS exact_n,
