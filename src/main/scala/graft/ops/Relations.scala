@@ -203,10 +203,10 @@ object Relations {
           || '</p><div itemscope itemtype="https://schema.org/'
           || ([$tyList])[CAST(doc_id % 3 AS INT) + 1] || '">'
           || '<span itemprop="name">'
-          || t[CAST(doc_id * 7 % len(t) AS INT) + 1] || '</span>'
+          || ${tokAtSql(7)} || '</span>'
           || CASE WHEN doc_id % 2 = 0
                   THEN '<span itemprop="author">'
-                    || t[CAST(doc_id * 11 % len(t) AS INT) + 1] || '</span>'
+                    || ${tokAtSql(11)} || '</span>'
                   ELSE '' END
           || '</div></body></html>' AS html
         FROM (SELECT doc_id, text, string_split(text, ' ') AS t
