@@ -1488,6 +1488,32 @@ object SparkEntry {
           (col("slot") * 15L).as("fetch_offset_sec"))
     }),
 
+    // neighborhood-function probe (the HyperANF shape — Boldi, Rosa &
+    // Vigna 2011: per-node reachable-set sizes via mergeable cardinality
+    // sketches): |distinct nodes within ≤2 out-hops| per page, computed
+    // EXACTLY alongside the HLL++ estimate and gated in-plan (10 % or ±1 —
+    // the q_distinct_approx contract). At 10^12 nodes the exact distinct
+    // is infeasible and the sketch column IS the algorithm; here the exact
+    // side doubles as the oracle's pin. One self-join (2-hop expansion,
+    // dst-keyed) + one src-keyed distinct agg
+    "web_neighborhood" -> ((s, dir) => {
+      val e = LinkGraph.pageEdges(
+          LinkGraph.links(LinkGraph.pages(docsTable(s, dir))))
+        .select(col("src"), col("dst")).localCheckpoint()
+      val twoHop = e.select(col("src"), col("dst").as("mid"))
+        .join(e.select(col("src").as("mid"), col("dst").as("hop2")),
+          Seq("mid"))
+        .select(col("src"), col("hop2").as("n"))
+      val reach = e.select(col("src"), col("dst").as("n")).unionAll(twoHop)
+      reach.groupBy("src")
+        .agg(count_distinct(col("n")).as("exact_n"),
+          approx_count_distinct(col("n"), 0.02).as("est"))
+        .select(col("src"), col("exact_n"),
+          (abs(col("est") - col("exact_n")) <=
+            greatest(lit(1.0), lit(0.10) * col("exact_n")))
+            .as("within_bound"))
+    }),
+
     // incremental PageRank maintenance: cold 5-round v1 run → publish →
     // edge churn (hash-selected 10% of edges gain a reverse link, counts
     // merged) → 2 warm rounds resumed from the published ranks. e1 pinned
@@ -3589,6 +3615,18 @@ object SparkEntry {
     "web_pagerank_warm" -> warmPrOracleSql(itersCold = 5, itersWarm = 2),
 
     "web_walks" -> walksOracleSql(length = 4),
+
+    "web_neighborhood" ->
+      s"""WITH ${graft.ops.LinkGraph.linksCteSql},
+          pedges AS MATERIALIZED (SELECT DISTINCT
+              ${graft.ops.WebOps.canonUrlSqlOf("src_url")} AS src,
+              dst_url AS dst FROM lnk),
+          twohop AS (SELECT a.src, b.dst AS n
+            FROM pedges a JOIN pedges b ON b.src = a.dst),
+          reach AS (SELECT src, dst AS n FROM pedges
+                    UNION ALL SELECT src, n FROM twohop)
+          SELECT src, COUNT(DISTINCT n) AS exact_n, true AS within_bound
+          FROM reach GROUP BY 1""",
 
     "web_walk_pairs" ->
       s"""SELECT a.node AS center, b.node AS context, COUNT(*) AS n_pairs
