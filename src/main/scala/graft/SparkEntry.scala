@@ -686,6 +686,32 @@ object SparkEntry {
             greatest(lit(1.0), lit(0.10) * col("exact_n")))
             .as("within_bound"))),
 
+    // classic star-schema rollup: the 5-way fact⋈dims join (lineitem →
+    // part / supplier → nation → region) as a BROADCAST CHAIN — every dim
+    // is broadcast, so the fact table never shuffles for the join; one agg
+    // on short (region, brand) keys, then a top-2-per-region window over
+    // the 2dp-ROUNDED revenue (rank on rounded values = deterministic)
+    "q_star_revenue" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val part = s.read.parquet(s"$dir/part.parquet")
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+      val nat = s.read.parquet(s"$dir/nation.parquet")
+      val reg = s.read.parquet(s"$dir/region.parquet")
+      val agg = li
+        .join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+        .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy(col("r_name"), col("p_brand"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n_items"))
+      val w = Window.partitionBy("r_name")
+        .orderBy(col("revenue").desc, col("p_brand"))
+      agg.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 2)
+    }),
+
     // pipeline-monitoring anomaly detection: per event type, each hour's
     // count against the trailing-6-hour mean/stddev → z-score + flag —
     // the ingest-volume alarm every production pipeline runs. Per-type
@@ -3833,6 +3859,21 @@ object SparkEntry {
          FROM events GROUP BY 1""",
 
     "web_trustrank" -> trustRankOracleSql(iters = 5, nSeeds = 3),
+
+    "q_star_revenue" ->
+      """WITH agg AS (SELECT r_name, p_brand,
+             ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             COUNT(*) AS n_items
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY 1, 2)
+         SELECT r_name, p_brand, revenue, n_items,
+           CAST(ROW_NUMBER() OVER (PARTITION BY r_name
+             ORDER BY revenue DESC, p_brand) AS INT) AS rank
+         FROM agg QUALIFY rank <= 2""",
 
     "q_anomaly" ->
       """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour,

@@ -58,4 +58,16 @@ class BucketedJoinSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_ord_b")
     }
   }
+
+  test("q_star_revenue plans a pure broadcast chain: fact side never shuffles for the join") {
+    val plan = SparkEntry.queries("q_star_revenue")(spark,
+        "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the only shuffles are the (region, brand) aggregation and the
+    // per-region window — never a join-side repartition of the fact table
+    val joins = plan.split("\n").count(_.contains("BroadcastHashJoin"))
+    assert(joins === 4, s"expected 4 broadcast joins:\n$plan")
+  }
 }
