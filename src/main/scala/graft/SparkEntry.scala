@@ -686,6 +686,26 @@ object SparkEntry {
             greatest(lit(1.0), lit(0.10) * col("exact_n")))
             .as("within_bound"))),
 
+    // salted skew JOIN (the manual AQE-skew-join shape, complementing the
+    // ann_stats_salted AGGREGATION): a hot join key is split across 8
+    // deterministic salt buckets on the fact side while the dim side
+    // replicates ×8 — each (key, salt) partition carries ~1/8 of the hot
+    // key, so one executor never owns the whole celebrity key. The oracle
+    // is the PLAIN join: salting must be invisible in the result
+    "q_salted_join" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          pmod(xxhash64(col("event_id")), lit(8)).as("salt"))
+      val dim = s.read.parquet(s"$dir/customer.parquet")
+        .select((col("c_custkey") % 50).as("user_id"),
+          col("c_mktsegment")).distinct()
+        .select(col("user_id"), col("c_mktsegment"),
+          explode(sequence(lit(0L), lit(7L))).as("salt"))
+      ev.join(dim, Seq("user_id", "salt"))
+        .groupBy("event_type", "c_mktsegment")
+        .agg(count(lit(1)).as("n_events"))
+    }),
+
     // classic star-schema rollup: the 5-way fact⋈dims join (lineitem →
     // part / supplier → nation → region) as a BROADCAST CHAIN — every dim
     // is broadcast, so the fact table never shuffles for the join; one agg
@@ -3859,6 +3879,15 @@ object SparkEntry {
          FROM events GROUP BY 1""",
 
     "web_trustrank" -> trustRankOracleSql(iters = 5, nSeeds = 3),
+
+    // the PLAIN join — salting must be invisible in the result
+    "q_salted_join" ->
+      """SELECT event_type, c_mktsegment, COUNT(*) AS n_events
+         FROM events e
+         JOIN (SELECT DISTINCT c_custkey % 50 AS user_id, c_mktsegment
+               FROM customer) d
+           ON e.user_id = d.user_id
+         GROUP BY 1, 2""",
 
     "q_star_revenue" ->
       """WITH agg AS (SELECT r_name, p_brand,
