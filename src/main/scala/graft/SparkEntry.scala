@@ -739,9 +739,21 @@ object SparkEntry {
     // contract, 6dp round absorbs float-sum order
     "q_anomaly" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val hourly = s.read.parquet(s"$dir/events.parquet")
+      val counts = s.read.parquet(s"$dir/events.parquet")
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
         .agg(count(lit(1)).as("n"))
+      // densify: an hour with ZERO events is the primary outage signal —
+      // without the grid it would produce no row, be invisible to the
+      // alarm, and silently stretch the trailing window past 6 wall-clock
+      // hours. Grid size = type count × observed span (bounded, per-type)
+      val grid = counts.groupBy("event_type")
+        .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"),
+            expr("INTERVAL 1 HOUR"))).as("hour"))
+      val hourly = grid.join(counts, Seq("event_type", "hour"), "left")
+        .select(col("event_type"), col("hour"),
+          coalesce(col("n"), lit(0L)).as("n"))
       val w = Window.partitionBy("event_type").orderBy("hour")
         .rowsBetween(-6, -1)
       hourly
@@ -762,18 +774,20 @@ object SparkEntry {
     // and the oracle pins the exact counts + the checked outcome, so a
     // bound violation hash-mismatches. Total N is a 1-row in-plan aggregate
     "q_topk_approx" -> ((s, dir) => {
+      val cmW = 256 // ONE width for the build, the probe, AND the bound
       val ev = s.read.parquet(s"$dir/events.parquet")
         .select(col("user_id").cast("string").as("v"))
       val exact = ev.groupBy("v").agg(count(lit(1)).as("exact_n"))
         .orderBy(col("exact_n").desc, col("v")).limit(10)
       val est = graft.ops.Sketch.countMinEstimate(
-        graft.ops.Sketch.countMin(ev, "v"), exact.select("v"), "v")
+        graft.ops.Sketch.countMin(ev, "v", w = cmW), exact.select("v"), "v",
+        w = cmW)
       val tot = ev.agg(count(lit(1)).as("n_total"))
       exact.join(est, "v").crossJoin(broadcast(tot))
         .select(col("v").as("user_id"), col("exact_n"),
           (col("cm_estimate") >= col("exact_n") &&
             col("cm_estimate") <= col("exact_n")
-              + lit(2.0) * col("n_total") / lit(256.0))
+              + lit(2.0) * col("n_total") / lit(cmW.toDouble))
             .as("within_bound"))
     }),
 
@@ -3675,9 +3689,10 @@ object SparkEntry {
           FROM reach GROUP BY 1""",
 
     "web_walk_pairs" ->
-      s"""SELECT a.node AS center, b.node AS context, COUNT(*) AS n_pairs
-          FROM (${walksOracleSql(length = 4)}) a
-          JOIN (${walksOracleSql(length = 4)}) b
+      s"""WITH walks AS MATERIALIZED (
+            SELECT * FROM (${walksOracleSql(length = 4)}) w)
+          SELECT a.node AS center, b.node AS context, COUNT(*) AS n_pairs
+          FROM walks a JOIN walks b
             ON b.start = a.start AND b.step <> a.step
             AND ABS(a.step - b.step) <= 2
           GROUP BY 1, 2""",
@@ -3905,8 +3920,15 @@ object SparkEntry {
          FROM agg QUALIFY rank <= 2""",
 
     "q_anomaly" ->
-      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+      """WITH counts AS (SELECT event_type, date_trunc('hour', ts) AS hour,
              COUNT(*) AS n FROM events GROUP BY 1, 2),
+          grid AS (SELECT event_type, unnest(generate_series(h0, h1,
+                INTERVAL 1 HOUR)) AS hour
+            FROM (SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+                  FROM counts GROUP BY 1)),
+          hourly AS (SELECT g.event_type, g.hour, COALESCE(c.n, 0) AS n
+            FROM grid g LEFT JOIN counts c
+              ON c.event_type = g.event_type AND c.hour = g.hour),
           st AS (SELECT event_type, hour, n,
               AVG(n) OVER w AS mu, STDDEV_SAMP(n) OVER w AS sd,
               COUNT(n) OVER w AS np
