@@ -902,6 +902,15 @@ object SparkEntry {
     "text_bpe" -> ((s, dir) =>
       TextOps.bpeMerges(docsTable(s, dir), vocabWords = 50, merges = 8)),
 
+    // train-then-encode: the merge list learned by text_bpe applied back
+    // over the corpus (the production tokenizer path: tiny merge artifact
+    // collected once, map-only replace chain over the token stream)
+    "text_bpe_encode" -> ((s, dir) => {
+      val docs = docsTable(s, dir)
+      TextOps.bpeEncode(docs,
+        TextOps.bpeMerges(docs, vocabWords = 50, merges = 8))
+    }),
+
     // systematic PPS (probability-proportional-to-size) sampling — the
     // classic weighted-sampling design, DETERMINISTIC (origin-0 variant, no
     // random start): a doc is selected when its cumulative-weight interval
@@ -1924,7 +1933,7 @@ object SparkEntry {
     * share that scan rule, which is what makes the string representation a
     * cross-engine contract. w/t CTEs MATERIALIZED (each feeds the next
     * round AND the final union / replace). */
-  private def bpeOracleSql(vocabWords: Int, merges: Int): String = {
+  private def bpeTrainCtes(vocabWords: Int, merges: Int): String = {
     val rounds = (1 to merges).map { r =>
       s"""p$r AS (SELECT a, b, SUM(freq) AS cnt FROM (
             SELECT l[i] AS a, l[i + 1] AS b, freq FROM (
@@ -1939,17 +1948,48 @@ object SparkEntry {
               '|' || t.a || t.b || '|') AS s, freq
             FROM w${r - 1}, t$r t)"""
     }.mkString(",\n")
-    val union = (1 to merges).map { r =>
-      s"SELECT $r AS round, a AS lhs, b AS rhs, cnt AS pair_count FROM t$r"
-    }.mkString(" UNION ALL ")
-    s"""WITH words AS (SELECT lower(tok) AS word, COUNT(*) AS freq FROM
+    s"""words AS (SELECT lower(tok) AS word, COUNT(*) AS freq FROM
             (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
           WHERE regexp_matches(lower(tok), '^[a-z]+$$')
           GROUP BY 1 ORDER BY freq DESC, word LIMIT $vocabWords),
         w0 AS (SELECT '|' || array_to_string(string_split(word, ''), '||')
             || '|' AS s, freq FROM words),
-        $rounds
+        $rounds"""
+  }
+
+  private def bpeOracleSql(vocabWords: Int, merges: Int): String = {
+    val union = (1 to merges).map { r =>
+      s"SELECT $r AS round, a AS lhs, b AS rhs, cnt AS pair_count FROM t$r"
+    }.mkString(" UNION ALL ")
+    s"""WITH ${bpeTrainCtes(vocabWords, merges)}
         $union"""
+  }
+
+  /** Encode oracle ([[graft.ops.TextOps.bpeEncode]] twin): the SAME trained
+    * t1..tN merge tables, applied over the corpus token stream as the SAME
+    * sequential replace chain (one CTE per round — merge ORDER is the
+    * tokenizer), then split back into positioned pieces. */
+  private def bpeEncodeOracleSql(vocabWords: Int, merges: Int): String = {
+    val apply = (1 to merges).map { r =>
+      s"""e$r AS MATERIALIZED (SELECT doc_id, word_pos, replace(s,
+            '|' || t.a || '||' || t.b || '|',
+            '|' || t.a || t.b || '|') AS s
+          FROM e${r - 1}, t$r t)"""
+    }.mkString(",\n")
+    s"""WITH ${bpeTrainCtes(vocabWords, merges)},
+        dtok AS (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) z),
+        wtok AS (SELECT doc_id, CAST(i AS INT) AS word_pos, lower(l[i]) AS word
+          FROM dtok WHERE regexp_matches(lower(l[i]), '^[a-z]+$$')),
+        e0 AS (SELECT doc_id, word_pos,
+            '|' || array_to_string(string_split(word, ''), '||') || '|' AS s
+          FROM wtok),
+        $apply,
+        pieces AS (SELECT doc_id, word_pos,
+            string_split(trim(s, '|'), '||') AS p FROM e$merges)
+        SELECT doc_id, word_pos, CAST(j AS INT) AS piece_pos, p[j] AS piece
+        FROM (SELECT doc_id, word_pos, p,
+                unnest(generate_series(1, len(p))) AS j FROM pieces) z"""
   }
 
   /** Unrolled HITS oracle ([[graft.graph.KgGraph.hits]] twin): both
@@ -3233,6 +3273,8 @@ object SparkEntry {
          WHERE rn <= 100""",
 
     "text_bpe" -> bpeOracleSql(vocabWords = 50, merges = 8),
+
+    "text_bpe_encode" -> bpeEncodeOracleSql(vocabWords = 50, merges = 8),
 
     "text_sample_pps" ->
       """SELECT shard, doc_id, n_chars,

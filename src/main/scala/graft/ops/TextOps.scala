@@ -282,6 +282,44 @@ object TextOps {
     out.reduce(_ unionAll _)
   }
 
+  /** BPE ENCODE — apply a trained merge list ([[bpeMerges]] output) to the
+    * corpus: the tokenizer-application stage that pairs with training.
+    * Emits one row per subword piece:
+    * `(doc_id, word_pos, piece_pos, piece)` — `word_pos` is the 1-based
+    * token index in the doc's whitespace token stream (positions of
+    * non-encodable tokens are skipped, keeping alignment with the original
+    * text), `piece_pos` the 1-based piece index within the word.
+    *
+    * Scale shape: the merge list is a TOKENIZER-sized artifact (≤ |vocab|
+    * rows — 32k–100k in production), so it is collected once and unrolled
+    * into a chain of `replace` expressions over the same delimiter-framed
+    * word strings training used (`cat → '|c||a||t|'`). Application is
+    * therefore MAP-ONLY over the corpus — zero shuffles, whole-stage
+    * codegen, and the left-to-right non-overlapping `replace` scan is
+    * EXACTLY BPE's application rule, in merge order, same as training
+    * (see [[bpeMerges]]). Encoding generalizes past the training vocab:
+    * every `[a-z]+` token is encoded, whether or not training saw it. */
+  def bpeEncode(docs: DataFrame, merges: DataFrame): DataFrame = {
+    // merge order IS the tokenizer: apply strictly by round
+    val ms = merges.orderBy(col("round"))
+      .select(col("lhs"), col("rhs")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val toks = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "tok")))
+      .select(col("doc_id"), (col("p") + 1).cast("int").as("word_pos"),
+        lower(col("tok")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+    val framed =
+      concat(lit("|"), array_join(split(col("word"), ""), "||"), lit("|"))
+    val encoded = ms.foldLeft(framed) { case (c, (a, b)) =>
+      call_function("replace", c, lit(s"|$a||$b|"), lit(s"|$a$b|"))
+    }
+    toks.select(col("doc_id"), col("word_pos"),
+        posexplode(split(trim(encoded, "|"), "\\|\\|")).as(Seq("j", "piece")))
+      .select(col("doc_id"), col("word_pos"),
+        (col("j") + 1).cast("int").as("piece_pos"), col("piece"))
+  }
+
   /** PII scrubbing before training — redact email addresses and long digit
     * runs (phone-number shaped) with typed placeholders. Map-only
     * `regexp_replace` chain; the patterns stay inside the POSIX-ish subset

@@ -688,6 +688,31 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1, "a", "a", 9L), (2, "aa", "aa", 3L)))
   }
 
+  test("bpeEncode: merge order applied, positions 1-based, non-words skipped") {
+    import spark.implicits._
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, s"42 $text")).toDF("doc_id", "text")
+    val merges = TextOps.bpeMerges(docs, vocabWords = 10, merges = 4)
+    val got = TextOps.bpeEncode(docs, merges)
+      .orderBy("word_pos", "piece_pos").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getString(3)))
+    // "42" at word_pos 1 is skipped (non [a-z]+); "low" at word_pos 2
+    // encodes through merges (e,s)(es,t)(l,o)(lo,w) → ["low"]
+    assert(!got.exists(_._1 == 1))
+    assert(got.filter(_._1 == 2).map(_._3).toSeq === Seq("low"))
+    // "lower" (word_pos 7) → lo+w merged then e,r untouched: low,e,r
+    assert(got.filter(_._1 == 7).map(_._3).toSeq === Seq("low", "e", "r"))
+    // "newest" (word_pos 9) → n,e,w,est: (e,s) then (es,t) chains
+    assert(got.filter(_._1 == 9).map(_._3).toSeq === Seq("n", "e", "w", "est"))
+    // reconstruction invariant: concatenated pieces == the original word
+    val byWord = got.groupBy(_._1).values
+    byWord.foreach { ps =>
+      val word = ps.sortBy(_._2).map(_._3).mkString
+      assert(word.matches("^[a-z]+$"))
+    }
+  }
+
   test("negatives: deterministic hash corruption, self/true filtered, <= k") {
     import spark.implicits._
     val pos = Seq(
