@@ -1428,6 +1428,20 @@ object SparkEntry {
             / col("n_concepts").cast("double"), 4).as("coverage"))
     }),
 
+    // incremental closure maintenance: the ontology-release edge delta
+    // (fixture edgesDelta: bridge + chained new edge + distance-improving
+    // shortcut) grafted onto the precomputed v1 closure by semi-naive
+    // composition — result == a cold closure rebuild over edges ∪ delta,
+    // which is exactly what the oracle recomputes recursively
+    "kg_closure_delta" -> ((s, dir) => {
+      val base = OntologyFixture.edgesDf(s)
+      val old = graph.Closure.transitiveClosure(base, maxLevel = 5)
+      graph.Closure.deltaClosure(base, OntologyFixture.edgesDeltaDf(s),
+          maxLevel = 5, oldClosure = old)
+        .select(col("child").as("child_iri"), col("ancestor").as("ancestor_iri"),
+          col("distance").cast("int").as("distance"))
+    }),
+
     // open (non-taxonomic) relation extraction: verb-frame surface matches
     // resolved to concept pairs through the dictionary, support-counted —
     // the arbitrary-predicate KG edges Hearst's is-a mining cannot produce
@@ -3991,6 +4005,18 @@ object SparkEntry {
                 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS coverage
           FROM u LEFT JOIN mt ON mt.class_iri = u.class_iri
           GROUP BY 1""",
+
+    // the incremental result must equal a cold recursive rebuild over the
+    // UNION of v1 edges and the release delta (same ≤5 depth cap as
+    // closureCte, min distance per pair)
+    "kg_closure_delta" ->
+      s"""WITH RECURSIVE edges(child_iri, parent_iri) AS (
+            SELECT * FROM (VALUES ${OntologyFixture.edgesValues}) v(a, b)
+            UNION ALL
+            SELECT * FROM (VALUES ${OntologyFixture.edgesDeltaValues}) w(a, b)),
+          $closureCte
+          SELECT child_iri, ancestor_iri, CAST(MIN(distance) AS INT) AS distance
+          FROM closure GROUP BY 1, 2""",
 
     "q_topk_approx" ->
       """SELECT CAST(user_id AS VARCHAR) AS user_id, COUNT(*) AS exact_n,

@@ -80,6 +80,20 @@ object OntologyFixture {
     (tree ++ diamond ++ ont2).toVector
   }
 
+  /** v2 hierarchy delta — EDGES ADDED by an ontology release (the second
+    * maintenance axis next to the dict-only [[conceptsV2]] delta; feeds
+    * [[graft.graph.Closure.deltaClosure]]). Three shapes on purpose:
+    * a cross-ontology bridge (ONT2's root grafted under ONT1 C003 — every
+    * ONT2 node gains C003/C001/C000 ancestors), a second new edge reachable
+    * only THROUGH the first (C003 → X001: paths D00x ⇒ X001 traverse TWO
+    * new edges — exercises the semi-naive composition rounds), and a
+    * shortcut that IMPROVES an existing distance (C006 → C000 was 2 via
+    * C001/C002, becomes 1 — exercises the min-distance merge). */
+  val edgesDelta: Vector[Edge] = Vector(
+    Edge(iri2(0), iri1(3)),
+    Edge(iri1(3), "http://fix.onto/ONT1#X001"),
+    Edge(iri1(6), iri1(0)))
+
   /** Cross-ontology mappings: CUI-identical pairs (both directions) + LOOM
     * lexical pairs — classes in DIFFERENT ontologies whose D3-normalized
     * labels (preferred OR synonym) coincide, derived by the same rule
@@ -124,6 +138,11 @@ object OntologyFixture {
   def edgesDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
     edges.map(e => (e.childIri, e.parentIri)).toDF("child_iri", "parent_iri")
+  }
+
+  def edgesDeltaDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    edgesDelta.map(e => (e.childIri, e.parentIri)).toDF("child_iri", "parent_iri")
   }
 
   def mappingsDf(spark: SparkSession): DataFrame = {
@@ -211,6 +230,9 @@ object OntologyFixture {
 
   def edgesValues: String =
     edges.map(e => s"(${q(e.childIri)}, ${q(e.parentIri)})").mkString(", ")
+
+  def edgesDeltaValues: String =
+    edgesDelta.map(e => s"(${q(e.childIri)}, ${q(e.parentIri)})").mkString(", ")
 
   def mappingsValues: String =
     mappings.map(m => s"(${q(m.classIri)}, ${q(m.mappedIri)}, ${q(m.kind)})").mkString(", ")

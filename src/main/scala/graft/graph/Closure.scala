@@ -51,4 +51,75 @@ object Closure {
     }
     closure
   }
+
+  /** INCREMENTAL closure maintenance on edge ADDITIONS — the hierarchy-side
+    * sibling of the dict-side incremental re-annotation: a weekly ontology
+    * release adds a handful of is-a edges, and recomputing the closure of a
+    * 10^8-term hierarchy from scratch for three new edges is the same waste
+    * as re-annotating 10^12 docs for three new terms.
+    *
+    * Semi-naive delta evaluation: every v2-only path uses ≥ 1 new edge, so
+    * it factors as `old* (Δ old*)^m, m ≥ 1`. With
+    * `S = Δ ∘ (identity ∪ C1)` (exactly one leading new edge, then old
+    * edges only), round m composes `F_m = F_{m-1} ∘ S` (paths with m new
+    * segments), and the final graft is `N = (identity ∪ C1) ∘ F`. The v2
+    * closure is then `min-distance(C1 ∪ N)`. Pruning intermediates at
+    * `distance > maxLevel` is sound — distances are additive and
+    * non-negative — and an EMPTY round m implies every later round is
+    * empty (an m+1-segment path ≤ L contains an m-segment prefix ≤ L).
+    *
+    * Scale shape: Δ is release-delta-sized → broadcast; composition rounds
+    * touch only delta-reachable pairs (F stays tiny and broadcast); the big
+    * old closure is SCANNED twice (build S, graft N) and shuffled once
+    * (the final min-distance agg) — vs `maxLevel` full join+agg rounds for
+    * a cold rebuild. Distances in, distances out: result == a full
+    * [[transitiveClosure]] over `edges ∪ deltaEdges` (spec + oracle). */
+  def deltaClosure(edges: DataFrame, deltaEdges: DataFrame, maxLevel: Int,
+                   oldClosure: DataFrame): DataFrame = {
+    require(maxLevel >= 1, s"maxLevel must be >= 1, got $maxLevel")
+    val d = broadcast(deltaEdges.select(
+      col("child_iri").as("d_child"), col("parent_iri").as("d_parent")))
+    val ends = edges.select(col("child_iri").as("n"))
+      .unionByName(edges.select(col("parent_iri").as("n")))
+      .unionByName(deltaEdges.select(col("child_iri").as("n")))
+      .unionByName(deltaEdges.select(col("parent_iri").as("n")))
+      .distinct()
+    val ident = ends.select(col("n").as("child"), col("n").as("ancestor"),
+      lit(0).as("distance"))
+    val a = oldClosure.select("child", "ancestor", "distance").unionByName(ident)
+    // S: one new edge, then an (optionally empty) old path
+    val s = KgGraph.pin(
+      d.join(a, col("d_parent") === a("child"))
+        .select(col("d_child").as("child"), col("ancestor"),
+          (col("distance") + 1).as("distance"))
+        .filter(col("distance") <= maxLevel)
+        .groupBy("child", "ancestor").agg(min("distance").as("distance")))
+    val sB = broadcast(s.select(col("child").as("s_child"),
+      col("ancestor").as("s_ancestor"), col("distance").as("s_distance")))
+    var f = s
+    var m = 1
+    var more = s.limit(1).count() > 0
+    val trunc = KgGraph.truncator()
+    while (m < maxLevel && more) {
+      val next = f.join(sB, f("ancestor") === col("s_child"))
+        .select(f("child"), col("s_ancestor").as("ancestor"),
+          (f("distance") + col("s_distance")).as("distance"))
+        .filter(col("distance") <= maxLevel)
+      more = next.limit(1).count() > 0
+      if (more) f = trunc(
+        f.unionByName(next)
+          .groupBy("child", "ancestor").agg(min("distance").as("distance")),
+        m)
+      m += 1
+    }
+    // graft old prefixes onto the delta paths; ident keeps F itself
+    val fB = broadcast(f.select(col("child").as("f_child"),
+      col("ancestor").as("f_ancestor"), col("distance").as("f_distance")))
+    val n = a.join(fB, a("ancestor") === col("f_child"))
+      .select(a("child"), col("f_ancestor").as("ancestor"),
+        (a("distance") + col("f_distance")).as("distance"))
+      .filter(col("distance") <= maxLevel)
+    oldClosure.select("child", "ancestor", "distance").unionByName(n)
+      .groupBy("child", "ancestor").agg(min("distance").as("distance"))
+  }
 }

@@ -101,4 +101,41 @@ class DictAndClosureSpec extends AnyFunSuite {
     assert(got.agg(max("distance")).head().getInt(0) === 1)
     assert(got.count() === OntologyFixture.edges.map(e => (e.childIri, e.parentIri)).distinct.size)
   }
+
+  private def closureSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+
+  test("deltaClosure == cold rebuild over edges ∪ delta (fixture release delta)") {
+    val base = OntologyFixture.edgesDf(spark)
+    val delta = OntologyFixture.edgesDeltaDf(spark)
+    val old = Closure.transitiveClosure(base, 5)
+    val got = closureSet(Closure.deltaClosure(base, delta, 5, old))
+    val want = closureSet(Closure.transitiveClosure(base.unionByName(delta), 5))
+    assert(got === want)
+    // the three engineered delta shapes actually fired:
+    val c6 = "http://fix.onto/ONT1#C006"
+    val c0 = "http://fix.onto/ONT1#C000"
+    assert(got((c6, c0)) === 1,
+      "shortcut edge must IMPROVE the old distance-2 pair") // was 2 in v1
+    assert(got(("http://fix.onto/ONT2#D004", "http://fix.onto/ONT1#X001")) === 3,
+      "chained path D004 → D000 →Δ C003 →Δ X001 uses two new edges")
+    assert(!closureSet(old).contains((c6, c0)) ||
+      closureSet(old)((c6, c0)) === 2)
+  }
+
+  test("deltaClosure: empty delta is the identity; cyclic delta bounded") {
+    import spark.implicits._
+    val base = Seq(("a", "b"), ("b", "c")).toDF("child_iri", "parent_iri")
+    val old = Closure.transitiveClosure(base, 10)
+    val none = Seq.empty[(String, String)].toDF("child_iri", "parent_iri")
+    assert(closureSet(Closure.deltaClosure(base, none, 10, old))
+      === closureSet(old))
+    // delta closes the cycle c → a: every node now reaches every node
+    val cyc = Seq(("c", "a")).toDF("child_iri", "parent_iri")
+    val got = closureSet(Closure.deltaClosure(base, cyc, 10, old))
+    val want = closureSet(Closure.transitiveClosure(
+      base.unionByName(cyc), 10))
+    assert(got === want)
+    assert(got(("a", "a")) === 3)
+  }
 }
