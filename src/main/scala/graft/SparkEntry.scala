@@ -1400,6 +1400,25 @@ object SparkEntry {
             col("doc_len").cast("double"), 6).as("lead_score"))
     }),
 
+    // alias-prior table P(concept | surface) — the wikification commonness
+    // prior (Medelyan/Milne & Witten): per normalized surface form, how
+    // often it resolves to each concept across the corpus. ONE corpus-sized
+    // hash agg (map-side partials on short surface keys) down to a
+    // dictionary-sized table; the per-surface normalizer is a second agg
+    // over that TINY table joined back broadcast — never a window over the
+    // match stream. The artifact entity linkers ship: Disambiguate's
+    // most-frequent-sense prior, exported as a first-class table.
+    "kg_alias_priors" -> ((s, dir) => {
+      val cnt = matches(s, dir)
+        .groupBy(upper(col("text")).as("surface"), col("class_iri"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cnt.groupBy("surface").agg(sum("n").as("n_surface"))
+      cnt.join(broadcast(tot), "surface")
+        .select(col("surface"), col("class_iri"), col("n"),
+          round(col("n").cast("double") / col("n_surface").cast("double"), 6)
+            .as("prior"))
+    }),
+
     // per-label embedding centroids (prototype vectors / drift monitor):
     // one (label, dim) hash agg after posexplode — map-side partial avgs,
     // output rows = |labels| × 64
@@ -3993,6 +4012,20 @@ object SparkEntry {
           SELECT event_type, hour, n, ROUND((n - mu) / sd, 6) AS z,
             (ABS((n - mu) / sd) > 3.0) AS anomaly
           FROM st WHERE np >= 6 AND sd > 0""",
+
+    // occurrence counts per (surface, concept) from the same regex twin the
+    // ann_counts oracle uses (terms are self-overlap-free, asserted in
+    // DictAndClosureSpec, so non-overlapping regex counts == automaton hits)
+    "kg_alias_priors" ->
+      s"""WITH $dictCte,
+          c AS (SELECT d.term AS surface, d.class_iri,
+                  SUM(len(regexp_extract_all(upper(text), '\\b' || d.term || '\\b'))) AS n
+                FROM documents, dict d GROUP BY 1, 2),
+          cc AS (SELECT * FROM c WHERE n > 0),
+          t AS (SELECT surface, SUM(n) AS n_surface FROM cc GROUP BY 1)
+          SELECT cc.surface, cc.class_iri, CAST(cc.n AS BIGINT) AS n,
+            ROUND(CAST(cc.n AS DOUBLE) / CAST(t.n_surface AS DOUBLE), 6) AS prior
+          FROM cc JOIN t USING (surface)""",
 
     "kg_coverage" ->
       s"""WITH $dictCte, $directCte,
