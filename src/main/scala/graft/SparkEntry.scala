@@ -444,6 +444,15 @@ object SparkEntry {
     "dict_loom" -> ((s, dir) =>
       OntologyTables.loomMappings(OntologyFixture.conceptsDf(s))),
 
+    // fuzzy alignment candidates — LOOM's near-match extension: cross-
+    // ontology label pairs by token-set Jaccard ≥ 0.5 via capped posting
+    // lists (reordered tokens and subset labels that exact LOOM misses)
+    "dict_align_fuzzy" -> ((s, dir) =>
+      graft.dict.Align.fuzzyAlign(
+        DictBuild.labelRows(OntologyFixture.conceptsDf(s))
+          .select(DictBuild.normalizeTerm(col("label")).as("term"),
+            col("class_iri"), col("ont")))),
+
     // the incremental update's diff leg, oracle-checked on its own:
     // version-independent dictionary delta (term ids excluded) as one
     // relation with a delta tag
@@ -2718,6 +2727,34 @@ object SparkEntry {
             upper(trim(regexp_replace(label, '\\s+', ' ', 'g'))) AS term FROM raw)
           SELECT DISTINCT a.class_iri, b.class_iri AS mapped_iri, 'LOOM' AS kind
           FROM norm a JOIN norm b ON a.term = b.term AND a.ont <> b.ont""",
+
+    // posting-list pairing + token-set Jaccard, the same cap both engines
+    // apply; jaccard compared on the ROUNDED value in both
+    "dict_align_fuzzy" ->
+      s"""WITH raw(class_iri, ont, label, pref) AS (
+            SELECT * FROM (VALUES ${OntologyFixture.labelRowsValues}) v(a,b,c,d)),
+          lab AS (SELECT DISTINCT
+            upper(trim(regexp_replace(label, '\\s+', ' ', 'g'))) AS term,
+            class_iri, ont FROM raw),
+          tk AS (SELECT DISTINCT term, class_iri, ont, tok FROM
+            (SELECT term, class_iri, ont,
+               unnest(string_split(term, ' ')) AS tok FROM lab) z),
+          keep AS (SELECT tok FROM tk GROUP BY tok HAVING COUNT(*) <= 1000),
+          cap AS (SELECT t.* FROM tk t JOIN keep USING (tok)),
+          pr AS (SELECT a.class_iri AS class_iri_1, a.ont AS ont_1,
+                   a.term AS label_1, b.class_iri AS class_iri_2,
+                   b.ont AS ont_2, b.term AS label_2, COUNT(*) AS shared
+                 FROM cap a JOIN cap b ON a.tok = b.tok AND a.ont < b.ont
+                 GROUP BY 1, 2, 3, 4, 5, 6)
+          SELECT * FROM (
+            SELECT class_iri_1, ont_1, label_1, class_iri_2, ont_2, label_2,
+              CAST(shared AS BIGINT) AS shared,
+              ROUND(CAST(shared AS DOUBLE) /
+                (CAST(len(list_distinct(string_split(label_1, ' '))) AS DOUBLE)
+                 + CAST(len(list_distinct(string_split(label_2, ' '))) AS DOUBLE)
+                 - CAST(shared AS DOUBLE)), 6) AS jaccard
+            FROM pr) q
+          WHERE jaccard >= 0.5""",
 
     "q_pushdown_agg" ->
       """SELECT l_returnflag, l_linestatus,

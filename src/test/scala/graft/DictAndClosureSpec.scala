@@ -102,6 +102,29 @@ class DictAndClosureSpec extends AnyFunSuite {
     assert(got.count() === OntologyFixture.edges.map(e => (e.childIri, e.parentIri)).distinct.size)
   }
 
+  test("fuzzyAlign: reordered/subset labels pair cross-ontology; cap bounds postings") {
+    val labels = graft.dict.DictBuild.labelRows(OntologyFixture.conceptsDf(spark))
+      .select(graft.dict.DictBuild.normalizeTerm(col("label")).as("term"),
+        col("class_iri"), col("ont"))
+    val got = graft.dict.Align.fuzzyAlign(labels).collect()
+      .map(r => (r.getString(2), r.getString(5), r.getLong(6), r.getDouble(7)))
+      .toSet
+    // token-reordered pair exact LOOM cannot see: ONT1 syn "MERGE SORT"
+    // (of sort) vs ONT2 D004 pref "SORT MERGE" — token sets equal
+    assert(got.contains(("MERGE SORT", "SORT MERGE", 2L, 1.0)))
+    // subset label: ONT1 "JOIN" vs ONT2 "HASH JOIN" — 1 shared of 2 union
+    assert(got.contains(("JOIN", "HASH JOIN", 1L, 0.5)))
+    // exact cross-ontology equality (the LOOM case) scores 1.0
+    assert(got.contains(("HASH JOIN", "HASH JOIN", 2L, 1.0)))
+    // everything is cross-ontology and ordered one way
+    graft.dict.Align.fuzzyAlign(labels).collect().foreach { r =>
+      assert(r.getString(1) < r.getString(4)) // ont_1 < ont_2
+    }
+    // a tight posting cap drops hot tokens from pairing entirely
+    val capped = graft.dict.Align.fuzzyAlign(labels, maxPostings = 1).collect()
+    assert(capped.isEmpty) // every pairable token rides >= 2 labels here
+  }
+
   private def closureSet(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
 
