@@ -782,6 +782,14 @@ object SparkEntry {
     // bounded by colliding mass) is checked as exact ≤ est ≤ exact + 2N/w,
     // and the oracle pins the exact counts + the checked outcome, so a
     // bound violation hash-mismatches. Total N is a 1-row in-plan aggregate
+    // Z-order layout: bit-interleaved (user, hour) keys bucketed by top
+    // bits — per-bucket extents tight on BOTH dims = the data-skipping
+    // evidence a table-maintenance planner consumes (companion of
+    // q_compaction_plan). Pure map expression + ONE hash agg.
+    "q_zorder_layout" -> ((s, dir) =>
+      graft.ops.ZOrder.layoutStats(
+        s.read.parquet(s"$dir/events.parquet"))),
+
     "q_topk_approx" -> ((s, dir) => {
       val cmW = 256 // ONE width for the build, the probe, AND the bound
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -4087,6 +4095,17 @@ object SparkEntry {
           $closureCte
           SELECT child_iri, ancestor_iri, CAST(MIN(distance) AS INT) AS distance
           FROM closure GROUP BY 1, 2""",
+
+    // same interleave-term list via the duck-dialect shift syntax;
+    // floor(epoch()) matches Spark's timestamp→long cast (precedent above)
+    "q_zorder_layout" ->
+      s"""WITH p AS (SELECT user_id & 255 AS x,
+              ((CAST(floor(epoch(ts)) AS BIGINT) // 3600) & 255) AS y
+            FROM events),
+          z AS (SELECT x, y, ${graft.ops.ZOrder.duckZ("x", "y", 8)} AS zval FROM p)
+          SELECT (zval >> 8) AS zbucket, COUNT(*) AS n_rows,
+            MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
+          FROM z GROUP BY 1""",
 
     "q_topk_approx" ->
       """SELECT CAST(user_id AS VARCHAR) AS user_id, COUNT(*) AS exact_n,

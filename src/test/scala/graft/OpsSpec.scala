@@ -688,6 +688,31 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1, "a", "a", 9L), (2, "aa", "aa", 3L)))
   }
 
+  test("zOrder: Spark expression == scalar interleave; locality holds") {
+    import spark.implicits._
+    val cases = Seq((0L, 0L), (3L, 0L), (0L, 3L), (65535L, 65535L),
+      (12345L, 54321L), (1L, 65534L))
+    val got = cases.toDF("x", "y")
+      .withColumn("z", expr(graft.ops.ZOrder.sparkZ("x", "y")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    cases.foreach { case (x, y) =>
+      assert(got((x, y)) === graft.ops.ZOrder.zValue(x, y), s"($x,$y)")
+    }
+    assert(graft.ops.ZOrder.zValue(3, 0) === 5L)   // x rides even bits
+    assert(graft.ops.ZOrder.zValue(0, 3) === 10L)  // y rides odd bits
+    assert(graft.ops.ZOrder.zValue(65535, 65535) === (1L << 32) - 1)
+    // locality: a bucket's rows bound BOTH dims within the bucket's span,
+    // and the layout actually splits the data across many buckets
+    val stats = graft.ops.ZOrder.layoutStats(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet")).collect()
+    assert(stats.length > 10, s"expected many buckets, got ${stats.length}")
+    stats.foreach { r =>
+      val span = 1L << 4 // 16-8 top bits → ≤2^8 z-span → ≤2^4 per dim
+      assert(r.getLong(3) - r.getLong(2) < span, "x extent")
+      assert(r.getLong(5) - r.getLong(4) < span, "y extent")
+    }
+  }
+
   test("bpeEncode: merge order applied, positions 1-based, non-words skipped") {
     import spark.implicits._
     val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
