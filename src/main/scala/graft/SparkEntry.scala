@@ -1103,6 +1103,20 @@ object SparkEntry {
       graft.graph.KgGraph.connectedComponents(graft.graph.KgGraph.cooccurrence(
         matches(s, dir).select("url", "class_iri")))),
 
+    // incremental components: a deterministic 1/5 hash-slice of the cooc
+    // edges plays the "new crawl batch" delta — v1 labels from the
+    // remaining 4/5, delta merged by contraction. The result must be
+    // indistinguishable from the cold run, so the oracle IS kg_components'
+    // (the ann_sharded precedent: an execution-strategy variant shares the
+    // semantic oracle)
+    "kg_components_delta" -> ((s, dir) => {
+      val cooc = graft.graph.KgGraph.cooccurrence(
+        matches(s, dir).select("url", "class_iri")).localCheckpoint()
+      val isDelta = pmod(xxhash64(col("src"), col("dst")), lit(5)) === 0
+      val old = graft.graph.KgGraph.connectedComponents(cooc.filter(!isDelta))
+      graft.graph.KgGraph.componentsDelta(old, cooc.filter(isDelta))
+    }),
+
     // PMI association strength per co-occurrence edge (Church & Hanks):
     // ln(n_ab·N / (n_a·n_b)) over the same capped doc universe
     "kg_pmi" -> ((s, dir) =>
@@ -3472,6 +3486,22 @@ object SparkEntry {
     // the engine's iterative min-label propagation (undirected closure via
     // recursive CTE, then per-node min over self + reachable)
     "kg_components" ->
+      s"""WITH RECURSIVE $dictCte, $directCte,
+          pairs AS (SELECT DISTINCT url, class_iri FROM direct),
+          cooc AS (SELECT DISTINCT a.class_iri AS src, b.class_iri AS dst
+                   FROM pairs a JOIN pairs b
+                     ON a.url = b.url AND a.class_iri < b.class_iri),
+          und AS (SELECT src AS a, dst AS b FROM cooc
+                  UNION SELECT dst, src FROM cooc),
+          reach(a, b) AS (SELECT a, b FROM und
+                          UNION
+                          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+          SELECT a AS class_iri, LEAST(a, MIN(b)) AS component
+          FROM reach GROUP BY a""",
+
+    // incremental merge must be invisible in the result — same oracle as
+    // the cold run
+    "kg_components_delta" ->
       s"""WITH RECURSIVE $dictCte, $directCte,
           pairs AS (SELECT DISTINCT url, class_iri FROM direct),
           cooc AS (SELECT DISTINCT a.class_iri AS src, b.class_iri AS dst

@@ -626,6 +626,46 @@ object KgGraph {
         coalesce(col("component"), col("node")).as("component"))
   }
 
+  /** INCREMENTAL connected components on edge ADDITIONS — the component-side
+    * member of the incremental family (dict → re-annotation, closure →
+    * deltaClosure, ranks → pageRankWarmStart, dedup → incremental MinHash):
+    * a new crawl batch adds edges, and re-running star contraction over a
+    * 10^12-edge graph for a day's delta is the waste this avoids.
+    *
+    * CONTRACTION: a new edge can only merge whole v1 components, so map the
+    * delta's endpoints to their v1 labels (endpoints v1 never saw label
+    * themselves), run [[connectedComponents]] on that contracted graph —
+    * COMPONENT-count-sized, not node-count-sized — and relabel v1's output
+    * through the merge map. v1 labels are per-component min nodes and the
+    * contracted run min-reduces over those (new nodes ride as themselves),
+    * so composite labels are global min nodes — exactly what a cold
+    * [[connectedComponents]] over `edges ∪ delta` yields (spec + oracle).
+    *
+    * Scale shape: one scan of the v1 labeling for the endpoint lookup, the
+    * full star-contraction loop only on the tiny contracted graph, then one
+    * join of the v1 labeling against the merge map (component-keyed; merge
+    * maps are delta-sized → broadcast). */
+  def componentsDelta(oldLabels: DataFrame, deltaEdges: DataFrame,
+                      maxIter: Int = 50): DataFrame = {
+    val lbl = oldLabels.select(col("class_iri").as("node"), col("component"))
+    val dNodes = deltaEdges.select(col("src").as("node"))
+      .unionAll(deltaEdges.select(col("dst").as("node"))).distinct()
+    val allLbl = pin(lbl.unionByName(
+      dNodes.join(lbl, Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("component"))))
+    val bySrc = allLbl.select(col("node").as("src"), col("component").as("c_src"))
+    val byDst = allLbl.select(col("node").as("dst"), col("component").as("c_dst"))
+    val contracted = deltaEdges.select("src", "dst")
+      .join(bySrc, "src").join(byDst, "dst")
+      .select(col("c_src").as("src"), col("c_dst").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val merged = connectedComponents(contracted, maxIter)
+      .select(col("class_iri").as("component"), col("component").as("merged"))
+    allLbl.join(broadcast(merged), Seq("component"), "left")
+      .select(col("node").as("class_iri"),
+        coalesce(col("merged"), col("component")).as("component"))
+  }
+
   /** Multi-source BFS shortest-path distances over a DIRECTED edge list:
     * dist(node) = min hops from ANY seed (crawl-depth analysis, KG
     * neighborhood queries, seed-set reachability). BFS discovers each node

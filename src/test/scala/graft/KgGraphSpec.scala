@@ -127,6 +127,44 @@ class KgGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("componentsDelta == cold rebuild; new nodes, merges, no-op deltas") {
+    import spark.implicits._
+    // two chains + an isolate-pair; delta merges the chains, adds a brand-
+    // new pair, and repeats an intra-component edge (must be a no-op)
+    val base = Seq(("A", "B"), ("B", "C"), ("X", "Y"), ("P", "Q"))
+      .toDF("src", "dst")
+    val delta = Seq(("C", "X"), ("N1", "N2"), ("A", "B")).toDF("src", "dst")
+    val old = KgGraph.connectedComponents(base)
+    val got = KgGraph.componentsDelta(old, delta).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    val want = KgGraph.connectedComponents(
+      base.unionByName(delta)).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got === want)
+    assert(got("Y") === "A") // merged across the delta bridge
+    assert(got("N2") === "N1") // delta-only nodes labeled by their own min
+    assert(got("Q") === "P") // untouched component keeps its label
+    // empty delta: labeling unchanged
+    val none = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(KgGraph.componentsDelta(old, none).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+      === old.collect().map(r => (r.getString(0), r.getString(1))).toMap)
+    // randomized: hash-slice a random graph into base+delta, compare cold
+    val rnd = new scala.util.Random(77)
+    val names = (0 until 80).map(i => f"R$i%03d")
+    val edges = (0 until 120).flatMap { _ =>
+      val a = names(rnd.nextInt(80)); val b = names(rnd.nextInt(80))
+      if (a < b) Some((a, b)) else None
+    }.distinct
+    val (d, b2) = edges.partition(e => math.abs((e._1 + e._2).hashCode) % 4 == 0)
+    val oldR = KgGraph.connectedComponents(b2.toDF("src", "dst"))
+    val gotR = KgGraph.componentsDelta(oldR, d.toDF("src", "dst")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    val wantR = KgGraph.connectedComponents(edges.toDF("src", "dst")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(gotR === wantR)
+  }
+
   test("triangles: counts per corner, brute-force oracle on a random graph") {
     import spark.implicits._
     // known case: square with one diagonal → two triangles sharing an edge
