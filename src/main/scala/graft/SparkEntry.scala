@@ -871,6 +871,11 @@ object SparkEntry {
     "sim_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(s.read.parquet(s"$dir/embeddings.parquet"), nQueries = 10, k = 3)),
 
+    // int8 scalar quantization (FAISS SQ8): snap to 256 per-dim levels,
+    // exact top-k on the dequantized vectors — the 4×-memory ANN code path
+    "sim_quantized" -> ((s, dir) =>
+      Similarity.quantizedTopK(s.read.parquet(s"$dir/embeddings.parquet"), nQueries = 10, k = 3)),
+
     // measured recall@3 of nProbe=2 IVF vs exact brute force — the ANN
     // quality-eval surface (recall is exact thirds: 6dp round is exact)
     "sim_ivf_recall" -> ((s, dir) => {
@@ -3015,6 +3020,30 @@ object SparkEntry {
           GROUP BY s.doc_id HAVING COUNT(*) >= 2""",
 
     "sim_topk" -> bruteTopKOracleSql,
+
+    // quantizer stats recomputed declaratively; snap arithmetic is scalar
+    // round/CASE; dequantized vectors reassemble via ORDER BY dim and rank
+    // through the same sequential-fold dot products as sim_topk
+    "sim_quantized" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          ex AS (SELECT vec_id, i AS dim, emb[i] AS x FROM
+            (SELECT vec_id, emb, unnest(generate_series(1, len(emb))) AS i FROM e) z),
+          st AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY 1),
+          dq AS (SELECT vec_id, dim,
+              CASE WHEN mx = mn THEN mn
+                   ELSE mn + round((x - mn) / (mx - mn) * 255.0, 0) * (mx - mn) / 255.0
+              END AS xq
+            FROM ex JOIN st USING (dim)),
+          v AS (SELECT vec_id, list(xq ORDER BY dim) AS emb FROM dq GROUP BY 1),
+          q AS (SELECT vec_id AS query_id, emb AS q_emb FROM v WHERE vec_id < 10),
+          s AS (SELECT query_id, v.vec_id AS neighbor_id,
+                ROUND(list_dot_product(q_emb, emb) /
+                  sqrt(list_dot_product(q_emb, q_emb) * list_dot_product(emb, emb)), 4) AS cos
+                FROM q, v WHERE v.vec_id <> q.query_id),
+          r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+          SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
+          FROM r WHERE rank <= 3""",
 
     // measured recall@3 of the nProbe=2 IVF path vs exact brute force —
     // the ANN eval surface; each side is its own already-green oracle query

@@ -106,6 +106,48 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Int8 SCALAR QUANTIZATION ANN (the FAISS SQ8 shape): per-dimension
+    * min/max over the corpus → each component snapped to one of 256 levels
+    * → exact cosine top-k on the DEQUANTIZED vectors. The production win is
+    * 4× memory (byte codes instead of floats) with SIMD-friendly distance
+    * kernels; quality surfaces as rank churn vs [[bruteForceTopK]], which
+    * tests measure instead of asserting equality.
+    *
+    * The per-dim stats table is QUANTIZER-sized (one row per dimension), so
+    * it is collected into literals — the IVF-centroid precedent — and
+    * dequantization becomes a pure map-side `transform` with index; the
+    * corpus never shuffles before the per-query top-k window. The oracle
+    * recomputes the same stats + snap arithmetic declaratively (scalar
+    * round/CASE only — no float SUMS outside the sequential-fold dot
+    * products both engines share). Degenerate dims (mx == mn) pass through
+    * as the constant. */
+  def quantizedTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    val all = asDouble(embeddings)
+    val statRows = all
+      .select(col("vec_id"), posexplode(col("emb")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("dim").collect()
+    val mn = typedlit(statRows.map(_.getDouble(1)).toSeq)
+    val mx = typedlit(statRows.map(_.getDouble(2)).toSeq)
+    val deq = all.select(col("vec_id"),
+      transform(col("emb"), (x, i) => {
+        val lo = element_at(mn, i + 1)
+        val hi = element_at(mx, i + 1)
+        when(hi === lo, lo).otherwise(
+          lo + round((x - lo) / (hi - lo) * 255.0, 0) * (hi - lo) / 255.0)
+      }).as("emb"))
+    val queries = deq.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val scored = deq.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("q_emb"), col("emb")), 4).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** Centroid ranking per vector: broadcast the (tiny) centroid table,
     * cosine rank with `c_id` tie-break — `(vec_id, emb, bucket, rn)`. */
   private def rankCentroids(vecs: DataFrame, centroids: DataFrame): DataFrame = {

@@ -688,6 +688,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1, "a", "a", 9L), (2, "aa", "aa", 3L)))
   }
 
+  test("quantizedTopK: snap error bounded by half a level; high agreement with exact") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = graft.ops.Similarity.bruteForceTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val got = graft.ops.Similarity.quantizedTopK(emb).collect()
+    assert(got.map(r => r.getLong(0)).distinct.length === 10)
+    assert(got.length === 30)
+    // 8-bit snap barely moves cosines: top-3 sets mostly agree with exact
+    val gotSets = got.groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val exactSets = exact.groupBy(_._1._1)
+      .map { case (q, m) => q -> m.values.toSet }
+    val overlap = gotSets.map { case (q, s) => (s & exactSets(q)).size }.sum
+    assert(overlap >= 24, s"quantized top-3 overlap with exact = $overlap/30")
+  }
+
   test("zOrder: Spark expression == scalar interleave; locality holds") {
     import spark.implicits._
     val cases = Seq((0L, 0L), (3L, 0L), (0L, 3L), (65535L, 65535L),
