@@ -1108,6 +1108,46 @@ object SparkEntry {
       graft.graph.KgGraph.connectedComponents(graft.graph.KgGraph.cooccurrence(
         matches(s, dir).select("url", "class_iri")))),
 
+    // TEMPORAL fact history — the KG-maintenance view over TIME (the
+    // crawl-snapshot sibling of kg_fact_diff's release axis): each fact's
+    // first/last observation epoch, snapshot support, and whether it
+    // SURVIVED the doc's latest capture. Snapshot 2 re-crawls every third
+    // doc with its first half of tokens (facts can die, never appear —
+    // deterministic, oracle-mirrored). Per-snapshot annotation is the
+    // flagship zero-shuffle scan; history is ONE fact-keyed aggregation.
+    "kg_fact_history" -> ((s, dir) => {
+      val docs = docsTable(s, dir)
+      val s1 = docs.select(col("doc_id"), col("text"), lit(1).as("snapshot"),
+        (lit(1700000000L) + col("doc_id") * 60).as("fetch_epoch"))
+      val s2 = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          expr("array_join(slice(split(text, ' '), 1, " +
+            "(size(split(text, ' ')) + 1) div 2), ' ')").as("text"),
+          lit(2).as("snapshot"),
+          (lit(1700000000L) + col("doc_id") * 60 + 604800L).as("fetch_epoch"))
+      val snaps = s1.unionByName(s2)
+      val m = graft.annotate.NativeAnnotate.annotateMatches(
+        snaps.select(concat(lit("doc://"), col("doc_id"), lit("@"),
+          col("snapshot")).as("url"), col("text")), model(s))
+      val urlRe = "^doc://(\\d+)@(\\d+)$"
+      val facts = m.select(
+          regexp_extract(col("url"), urlRe, 1).cast("long").as("doc_id"),
+          regexp_extract(col("url"), urlRe, 2).cast("int").as("snapshot"),
+          col("class_iri")).distinct()
+        .join(snaps.select("doc_id", "snapshot", "fetch_epoch"),
+          Seq("doc_id", "snapshot"))
+      val cap = snaps.groupBy("doc_id").agg(max("fetch_epoch").as("last_cap"))
+      facts.groupBy("doc_id", "class_iri")
+        .agg(min("fetch_epoch").as("first_epoch"),
+          max("fetch_epoch").as("last_epoch"),
+          count_distinct(col("snapshot")).as("n_snapshots"))
+        .join(cap, "doc_id")
+        .select(concat(lit("doc://"), col("doc_id")).as("subj"),
+          col("class_iri").as("obj"), col("first_epoch"), col("last_epoch"),
+          col("n_snapshots"),
+          (col("last_epoch") === col("last_cap")).as("current"))
+    }),
+
     // incremental components: a deterministic 1/5 hash-slice of the cooc
     // edges plays the "new crawl batch" delta — v1 labels from the
     // remaining 4/5, delta merged by contraction. The result must be
@@ -3527,6 +3567,32 @@ object SparkEntry {
                           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
           SELECT a AS class_iri, LEAST(a, MIN(b)) AS component
           FROM reach GROUP BY a""",
+
+    // same snapshot synthesis + the regex twin of the direct scan, per
+    // snapshot; survival = last fact epoch equals the doc's last capture
+    "kg_fact_history" ->
+      s"""WITH $dictCte,
+          s1 AS (SELECT doc_id, text, 1 AS snapshot,
+              1700000000 + doc_id * 60 AS fetch_epoch FROM documents),
+          s2 AS (SELECT doc_id,
+              array_to_string(l[1:(len(l) + 1) // 2], ' ') AS text,
+              2 AS snapshot, 1700000000 + doc_id * 60 + 604800 AS fetch_epoch
+            FROM (SELECT doc_id, text, string_split(text, ' ') AS l
+                  FROM documents) z
+            WHERE doc_id % 3 = 0),
+          snaps AS (SELECT doc_id, text, snapshot, fetch_epoch FROM s1
+                    UNION ALL SELECT doc_id, text, snapshot, fetch_epoch FROM s2),
+          facts AS (SELECT DISTINCT doc_id, snapshot, fetch_epoch, d.class_iri
+            FROM snaps, dict d
+            WHERE regexp_matches(upper(text), '\\b' || d.term || '\\b')),
+          cap AS (SELECT doc_id, MAX(fetch_epoch) AS last_cap
+                  FROM snaps GROUP BY 1)
+          SELECT 'doc://' || f.doc_id AS subj, f.class_iri AS obj,
+            MIN(f.fetch_epoch) AS first_epoch, MAX(f.fetch_epoch) AS last_epoch,
+            COUNT(DISTINCT f.snapshot) AS n_snapshots,
+            (MAX(f.fetch_epoch) = MAX(c.last_cap)) AS current
+          FROM facts f JOIN cap c USING (doc_id)
+          GROUP BY 1, 2""",
 
     // incremental merge must be invisible in the result — same oracle as
     // the cold run
