@@ -1749,6 +1749,10 @@ object SparkEntry {
     // fetch-list hygiene: blocklisted hosts + trap/binary URL patterns
     "web_url_filter" -> ((s, dir) => WebOps.urlFilter(docsTable(s, dir))),
 
+    // RFC 9309 robots verdicts: longest-matching-prefix rule, Allow wins
+    // length ties, no match → allowed (broadcast rules + one argmax agg)
+    "web_robots" -> ((s, dir) => WebOps.robotsFilter(docsTable(s, dir))),
+
     // corpus-trained bigram LM fluency score (add-k smoothed mean NLL)
     "text_ngram_lm" -> ((s, dir) => TextOps.ngramLmScore(docsTable(s, dir))),
 
@@ -4472,6 +4476,26 @@ object SparkEntry {
           SELECT doc_id, host, canon_url FROM canon
           WHERE host NOT IN (${graft.ops.WebOps.BlockedHosts.map(h => s"'$h'").mkString(", ")})
             AND NOT regexp_matches(canon_url, '${graft.ops.WebOps.BlockedUrlRe}')""",
+
+    // same rules VALUES, prefix match by substr, winner by the same
+    // (length, allow, prefix) order the engine's struct-argmax encodes
+    "web_robots" ->
+      s"""WITH rules(r_host, allow, prefix) AS (
+            SELECT * FROM (VALUES ${graft.ops.WebOps.robotsRulesSqlValues}) v(a, b, c)),
+          ${graft.ops.WebOps.canonCteSql},
+          u AS (SELECT doc_id, host, path FROM parts),
+          m AS (SELECT u.doc_id, u.host, u.path, r.allow, r.prefix
+                FROM u JOIN rules r ON r.r_host = u.host
+                  AND substr(u.path, 1, length(r.prefix)) = r.prefix),
+          w AS (SELECT doc_id, host, path, allow, prefix,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY length(prefix) DESC,
+                      CASE WHEN allow THEN 1 ELSE 0 END DESC,
+                      prefix DESC) AS rn
+                FROM m)
+          SELECT u.doc_id, u.host, u.path,
+            COALESCE(w.allow, true) AS allowed, w.prefix AS matched_prefix
+          FROM u LEFT JOIN w ON w.doc_id = u.doc_id AND w.rn = 1""",
 
     // bigram counts, prefix counts, vocab scalar, add-k NLL — recomputed
     // declaratively; LEFT JOIN keeps the <2-token docs as NULL

@@ -142,6 +142,51 @@ object WebOps {
     withUrls(docs).select(col("doc_id"), col("url"),
       canonicalUrl(col("url")).as("canon_url"))
 
+  /** Deterministic robots rules per canonical host (ONE definition feeding
+    * the Column code and the oracle VALUES): every host disallows the
+    * `/p/1` prefix (which string-matches /p/1 and /p/10…/p/19 — the classic
+    * prefix subtlety) but allows the more specific `/p/12`; each host also
+    * blocks one host-specific prefix. (host, allow, prefix). */
+  val RobotsRules: Vector[(String, Boolean, String)] = {
+    val hosts = Vector("example.org", "news.example.com",
+      "blog.example.net", "shop.example.io")
+    hosts.zipWithIndex.flatMap { case (h, i) =>
+      Vector((h, false, "/p/1"), (h, true, "/p/12"),
+        (h, false, s"/p/${2 + i}"))
+    }
+  }
+
+  def robotsRulesSqlValues: String =
+    RobotsRules.map { case (h, a, p) => s"('$h', $a, '$p')" }.mkString(", ")
+
+  /** ROBOTS EXCLUSION (RFC 9309) verdict per page — crawl-politeness
+    * filtering next to [[urlFilter]]'s trap hygiene: a URL's verdict is the
+    * rule with the LONGEST matching path prefix; on a length tie Allow
+    * wins (the RFC rule); no matching rule → allowed.
+    *
+    * Scale shape: the rules table is robots-corpus-sized (rules × hosts —
+    * small even for the real web) → broadcast; the corpus side is one
+    * map-side prefix-match join + ONE argmax aggregation via `max(struct)`
+    * (longest, then allow, then prefix — total order, unique winner), the
+    * crawlMerge discipline. No windows, no corpus self-joins. */
+  def robotsFilter(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rules = broadcast(RobotsRules.toDF("r_host", "allow", "prefix"))
+    val u = withUrls(docs).select(col("doc_id"),
+      canonicalHost(col("url")).as("host"),
+      regexp_replace(regexp_extract(col("url"), PathRe, 1), TrailSlashRe, "")
+        .as("path"))
+    u.join(rules, col("host") === col("r_host") &&
+        expr("substring(path, 1, length(prefix)) = prefix"), "left")
+      .groupBy("doc_id", "host", "path")
+      .agg(max(struct(length(col("prefix")).as("l"),
+        col("allow").cast("int").as("a"), col("prefix").as("p"))).as("k"))
+      .select(col("doc_id"), col("host"), col("path"),
+        coalesce(col("k.a") === 1, lit(true)).as("allowed"),
+        col("k.p").as("matched_prefix"))
+  }
+
   /** Fetch-list hygiene rules — ONE definition feeding the Column code and
     * the oracle SQL. Hosts: spam/blocked domains (canonical form). Pattern:
     * binary/media extensions + infinite-calendar crawler traps, on the

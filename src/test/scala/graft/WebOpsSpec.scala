@@ -280,4 +280,24 @@ class WebOpsSpec extends AnyFunSuite {
       ("a.org", "/s/{hex}/view", 2L),
       ("b.org", "/beef/{d}", 2L)))
   }
+
+  test("robotsFilter: longest prefix wins, Allow beats Disallow on ties, no match allows") {
+    import spark.implicits._
+    // doc_id → host = Domains(id % 7) canonicalized, path = /p/(id % 40)
+    val docs = Seq(12L, 13L, 25L, 33L, 5L).toDF("doc_id")
+    val got = WebOps.robotsFilter(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getBoolean(3),
+          Option(r.getString(4)))).toMap
+    // 12 → shop.example.io /p/12: Allow /p/12 (len 5) beats Disallow /p/1
+    assert(got(12L) === ("shop.example.io", "/p/12", true, Some("/p/12")))
+    // 13 → news.example.com /p/13: only Disallow /p/1 matches
+    assert(got(13L) === ("news.example.com", "/p/13", false, Some("/p/1")))
+    // 25 → example.org /p/25: the host-specific Disallow /p/2 fires
+    assert(got(25L) === ("example.org", "/p/25", false, Some("/p/2")))
+    // 33 → shop.example.io /p/33: no rule matches → allowed
+    assert(got(33L) === ("shop.example.io", "/p/33", true, None))
+    // 5 → shop.example.io /p/5: shop's host-specific Disallow /p/5
+    assert(got(5L) === ("shop.example.io", "/p/5", false, Some("/p/5")))
+  }
 }
