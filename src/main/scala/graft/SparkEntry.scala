@@ -837,6 +837,12 @@ object SparkEntry {
 
     "dedup_exact" -> ((s, dir) => Dedup.exact(docsTable(s, dir))),
 
+    // Broder containment over the quote-augmented corpus: the asymmetric
+    // sub-document duplication Jaccard misses (quote pages score 1.0 into
+    // their source while their Jaccard sits under the dedup threshold)
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Dedup.withQuotes(docsTable(s, dir)))),
+
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(docsTable(s, dir), n = 3, threshold = 0.8, maxDocFreq = 100)),
 
@@ -3051,6 +3057,37 @@ object SparkEntry {
           JOIN sizes sa ON sa.doc_id = doc_a
           JOIN sizes sb ON sb.doc_id = doc_b
           WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.8""",
+
+    // quote synthesis mirrored, then the jaccard candidate chain with the
+    // containment formulas; threshold RAW on the larger direction
+    "dedup_containment" ->
+      """WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT 100000 + doc_id AS doc_id,
+              array_to_string(l[1:(3 * len(l)) // 5], ' ') AS text
+            FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) z
+            WHERE doc_id % 13 = 0),
+          toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+                   WHERE len(string_split(text, ' ')) >= 3),
+          pos AS (SELECT doc_id, t,
+                  unnest(generate_series(1, len(t) - 2)) AS i FROM toks),
+          sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM pos),
+          sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+          keep AS (SELECT shingle FROM sh GROUP BY shingle
+                   HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 100),
+          rare AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+                    FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+          SELECT doc_a, doc_b,
+                 ROUND(n_common / CAST(sa.n_shingles AS DOUBLE), 4) AS containment_a,
+                 ROUND(n_common / CAST(sb.n_shingles AS DOUBLE), 4) AS containment_b
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE GREATEST(n_common / CAST(sa.n_shingles AS DOUBLE),
+                         n_common / CAST(sb.n_shingles AS DOUBLE)) >= 0.9""",
 
     "dedup_decontaminate" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

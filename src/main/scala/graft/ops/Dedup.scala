@@ -91,6 +91,59 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
   }
 
+  /** Broder CONTAINMENT pairs — the ASYMMETRIC near-dup relation Jaccard
+    * misses: c(A in B) = |S(A)∩S(B)| / |S(A)| (Broder 1997 defines both
+    * resemblance and containment; dedup pipelines ship resemblance and then
+    * wonder why syndicated wrappers survive). A quote page or a
+    * boilerplate-wrapped syndication copy has containment ≈ 1 in one
+    * direction while its Jaccard sits far below any dedup threshold
+    * (sizes differ), so this is the operator that catches sub-document
+    * duplication at the whole-relation level (span dedup catches it at
+    * the position level).
+    *
+    * Same scale shape as [[jaccardPairs]] — identical capped-posting-list
+    * candidate generation (hashed 8-byte keys, map-side pair explosion, ONE
+    * shuffle), one extra size join; thresholded RAW on the LARGER direction
+    * (either containment qualifies a pair), rounded 4dp for output. */
+  def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.9,
+                       maxDocFreq: Int = 100): DataFrame = {
+    val sizes = docs.select(col("doc_id"),
+      size(array_distinct(shingles(col("text"), n))).as("n_shingles"))
+    val postings = docs
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("text"), n))).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .groupBy("sh")
+      .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")).between(2, maxDocFreq))
+    val pairs = postings.select(explode(flatten(transform(col("docs"),
+      (x, i) => transform(
+        slice(col("docs"), i + lit(2),
+          greatest(size(col("docs")) - i - lit(1), lit(0))),
+        y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+    pairs.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_shingles").as("size_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_shingles").as("size_b")), Seq("doc_b"))
+      .withColumn("ca_raw", col("n_common") / col("size_a"))
+      .withColumn("cb_raw", col("n_common") / col("size_b"))
+      .filter(greatest(col("ca_raw"), col("cb_raw")) >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("ca_raw"), 4).as("containment_a"),
+        round(col("cb_raw"), 4).as("containment_b"))
+  }
+
+  /** Deterministic quote-page synthesis for the containment tests/oracle:
+    * every 13th doc gains a companion (doc_id + 100000) holding its first
+    * 60 % of tokens — containment(quote in source) = 1.0 by construction,
+    * Jaccard well under the 0.8 dedup threshold. */
+  def withQuotes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text")).unionByName(
+      docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          expr("array_join(slice(split(text, ' '), 1, " +
+            "(3 * size(split(text, ' '))) div 5), ' ')").as("text")))
+
   /** Double-hashing modulus: the largest prime below 2^59, so
     * h1 + 15·h2 < 16·P < 2^63 — no Long overflow anywhere in the chain. */
   val MinhashP: Long = 576460752303423433L

@@ -688,6 +688,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1, "a", "a", 9L), (2, "aa", "aa", 3L)))
   }
 
+  test("containmentPairs: asymmetric containment caught where Jaccard misses") {
+    import spark.implicits._
+    val src = "aa bb cc dd ee ff gg hh ii jj" // 10 tokens → 8 shingles
+    val quote = "aa bb cc dd ee ff"           // prefix 6 → 4 shingles, all shared
+    val docs = Seq((1L, src), (2L, quote), (3L, "zz yy xx ww vv")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((1L, 2L, 0.5, 1.0))) // quote fully contained
+    // the same pair is INVISIBLE to resemblance dedup: jaccard = 4/12
+    assert(Dedup.jaccardPairs(docs).collect().isEmpty)
+    // quote synthesis: every companion is fully contained in its source
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val pairs = Dedup.containmentPairs(Dedup.withQuotes(real)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val quotePairs = pairs.filter { case (a, b, _) => b === a + 100000L }
+    assert(quotePairs.nonEmpty)
+    quotePairs.foreach { case (_, _, cb) => assert(cb === 1.0) }
+  }
+
   test("quantizedTopK: snap error bounded by half a level; high agreement with exact") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = graft.ops.Similarity.bruteForceTopK(emb).collect()
