@@ -939,6 +939,24 @@ object SparkEntry {
         TextOps.bpeMerges(docs, vocabWords = 50, merges = 8))
     }),
 
+    // tokenizer-eval metrics: per-doc fertility (pieces/word — THE standard
+    // subword-tokenizer quality number) + chars/piece compression, one hash
+    // agg over the encode stream
+    "text_bpe_stats" -> ((s, dir) => {
+      val docs = docsTable(s, dir)
+      TextOps.bpeEncode(docs,
+          TextOps.bpeMerges(docs, vocabWords = 50, merges = 8))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pieces"),
+          count_distinct(col("word_pos")).as("n_words"),
+          sum(length(col("piece"))).as("sum_chars"))
+        .select(col("doc_id"), col("n_pieces"), col("n_words"),
+          round(col("n_pieces").cast("double")
+            / col("n_words").cast("double"), 6).as("fertility"),
+          round(col("sum_chars").cast("double")
+            / col("n_pieces").cast("double"), 6).as("chars_per_piece"))
+    }),
+
     // systematic PPS (probability-proportional-to-size) sampling — the
     // classic weighted-sampling design, DETERMINISTIC (origin-0 variant, no
     // random start): a doc is selected when its cumulative-weight interval
@@ -2084,18 +2102,19 @@ object SparkEntry {
         $union"""
   }
 
-  /** Encode oracle ([[graft.ops.TextOps.bpeEncode]] twin): the SAME trained
-    * t1..tN merge tables, applied over the corpus token stream as the SAME
-    * sequential replace chain (one CTE per round — merge ORDER is the
-    * tokenizer), then split back into positioned pieces. */
-  private def bpeEncodeOracleSql(vocabWords: Int, merges: Int): String = {
+  /** Encode-chain CTEs shared by the `text_bpe_encode` oracle and the
+    * `text_bpe_stats` oracle: the SAME trained t1..tN merge tables applied
+    * over the corpus token stream as the SAME sequential replace chain (one
+    * CTE per round — merge ORDER is the tokenizer), split back into
+    * positioned pieces as `enc_pieces(doc_id, word_pos, piece_pos, piece)`. */
+  private def bpeEncodeCtes(vocabWords: Int, merges: Int): String = {
     val apply = (1 to merges).map { r =>
       s"""e$r AS MATERIALIZED (SELECT doc_id, word_pos, replace(s,
             '|' || t.a || '||' || t.b || '|',
             '|' || t.a || t.b || '|') AS s
           FROM e${r - 1}, t$r t)"""
     }.mkString(",\n")
-    s"""WITH ${bpeTrainCtes(vocabWords, merges)},
+    s"""${bpeTrainCtes(vocabWords, merges)},
         dtok AS (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
           FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) z),
         wtok AS (SELECT doc_id, CAST(i AS INT) AS word_pos, lower(l[i]) AS word
@@ -2105,11 +2124,16 @@ object SparkEntry {
           FROM wtok),
         $apply,
         pieces AS (SELECT doc_id, word_pos,
-            string_split(trim(s, '|'), '||') AS p FROM e$merges)
-        SELECT doc_id, word_pos, CAST(j AS INT) AS piece_pos, p[j] AS piece
-        FROM (SELECT doc_id, word_pos, p,
-                unnest(generate_series(1, len(p))) AS j FROM pieces) z"""
+            string_split(trim(s, '|'), '||') AS p FROM e$merges),
+        enc_pieces AS (SELECT doc_id, word_pos, CAST(j AS INT) AS piece_pos,
+            p[j] AS piece
+          FROM (SELECT doc_id, word_pos, p,
+                  unnest(generate_series(1, len(p))) AS j FROM pieces) z)"""
   }
+
+  private def bpeEncodeOracleSql(vocabWords: Int, merges: Int): String =
+    s"""WITH ${bpeEncodeCtes(vocabWords, merges)}
+        SELECT doc_id, word_pos, piece_pos, piece FROM enc_pieces"""
 
   /** Unrolled HITS oracle ([[graft.graph.KgGraph.hits]] twin): both
     * half-rounds (auth-from-hubs, hubs-from-auths) of every iteration, each
@@ -3477,6 +3501,17 @@ object SparkEntry {
     "text_bpe" -> bpeOracleSql(vocabWords = 50, merges = 8),
 
     "text_bpe_encode" -> bpeEncodeOracleSql(vocabWords = 50, merges = 8),
+
+    // fertility (pieces/word) and chars/piece over the same encode chain
+    "text_bpe_stats" ->
+      s"""WITH ${bpeEncodeCtes(vocabWords = 50, merges = 8)}
+          SELECT doc_id, COUNT(*) AS n_pieces,
+            COUNT(DISTINCT word_pos) AS n_words,
+            ROUND(CAST(COUNT(*) AS DOUBLE)
+              / CAST(COUNT(DISTINCT word_pos) AS DOUBLE), 6) AS fertility,
+            ROUND(CAST(SUM(length(piece)) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE), 6) AS chars_per_piece
+          FROM enc_pieces GROUP BY doc_id""",
 
     "text_sample_pps" ->
       """SELECT shard, doc_id, n_chars,
