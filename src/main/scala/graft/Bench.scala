@@ -212,7 +212,10 @@ object Bench {
     "web_links",
     // round-4 tier representatives: tokenizer training (iterative word-
     // table loop), two-chain TrustRank, walk-corpus generation, triple diff
-    "text_bpe", "web_trustrank", "web_walks", "kg_fact_diff")
+    "text_bpe", "web_trustrank", "web_walks", "kg_fact_diff",
+    // round-4 fourth-pass representatives: the delta-maintenance pair
+    // (closure graft, component contraction) and the asymmetric dedup leg
+    "kg_closure_delta", "kg_components_delta", "dedup_containment")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

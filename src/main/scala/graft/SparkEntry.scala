@@ -1800,6 +1800,26 @@ object SparkEntry {
       graft.graph.KgGraph.connectedComponents(
           pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
         .select(col("class_iri").as("doc_id"), col("component").as("cluster"))
+    }),
+
+    // canonical-doc SELECTION per near-dup cluster — production keeps the
+    // BEST-quality member, not the min id: one argmax `max(struct(quality,
+    // −doc_id))` per cluster (map-side partials; ties → smaller id), member
+    // count rides the same agg. Clusters and quality are the two audited
+    // legs (dedup_cluster, text_quality) composed.
+    "dedup_canonical" -> ((s, dir) => {
+      val docs = docsTable(s, dir)
+      val pairs = Dedup.minhashLshPairs(docs, n = 3, k = 16, bands = 4,
+        threshold = 0.8)
+      val clusters = graft.graph.KgGraph.connectedComponents(
+          pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        .select(col("class_iri").as("doc_id"), col("component").as("cluster"))
+      clusters.join(TextOps.qualityScore(docs), "doc_id")
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("quality"), (-col("doc_id")).as("negid"))).as("k"))
+        .select(col("cluster"), (-col("k.negid")).as("canonical_id"),
+          col("k.quality").as("quality"), col("n_members"))
     })
   )
 
@@ -3401,6 +3421,39 @@ object SparkEntry {
                           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
           SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster
           FROM reach GROUP BY a""",
+
+    // the cluster chain + the text_quality formula + a per-cluster argmax
+    // window (quality desc, doc_id asc — the engine's struct order)
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE $minhashCtes,
+          prs AS (SELECT doc_a, doc_b FROM inter
+                  JOIN sizes sa ON sa.doc_id = doc_a
+                  JOIN sizes sb ON sb.doc_id = doc_b
+                  WHERE n_common / (sa.n + sb.n - n_common) >= 0.8),
+          und AS (SELECT doc_a AS a, doc_b AS b FROM prs
+                  UNION SELECT doc_b, doc_a FROM prs),
+          reach(a, b) AS (SELECT a, b FROM und
+                          UNION
+                          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+          cl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster
+                 FROM reach GROUP BY a),
+          q AS (SELECT doc_id, ROUND(
+                  LEAST(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4
+                  + (len(list_distinct(string_split(text, ' ')))
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
+                  + (1.0 - len(list_filter(string_split(text, ' '),
+                       x -> x IN ('the', 'a')))
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3, 4)
+                  AS quality
+                FROM documents),
+          w AS (SELECT cl.cluster, cl.doc_id, q.quality,
+                  row_number() OVER (PARTITION BY cl.cluster
+                    ORDER BY q.quality DESC, cl.doc_id) AS rn,
+                  COUNT(*) OVER (PARTITION BY cl.cluster) AS n_members
+                FROM cl JOIN q USING (doc_id))
+          SELECT cluster, doc_id AS canonical_id, quality,
+            CAST(n_members AS BIGINT) AS n_members
+          FROM w WHERE rn = 1""",
 
     // full independent recomputation of the 64-bit simhash (per-token rolling
     // fingerprint → per-bit majority vote → signature) + ALL-PAIRS hamming ≤ 3
