@@ -688,6 +688,42 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1, "a", "a", 9L), (2, "aa", "aa", 3L)))
   }
 
+  test("fourth-pass plan contracts: encode map-only, zorder sort-free, align join-bounded, containment hash-keyed") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // BPE ENCODE (merges given): a pure scan→project→generate chain — the
+    // corpus must NOT shuffle to be tokenized
+    val merges = Seq((1, "a", "b", 3L)).toDF("round", "lhs", "rhs", "pair_count")
+    val encPlan = TextOps.bpeEncode(docs, merges)
+      .queryExecution.executedPlan.toString
+    assert(!encPlan.contains("Exchange"),
+      s"bpeEncode must be map-only once merges are literal; got:\n$encPlan")
+    // ZORDER layout: no Sort, no Window — bucketing by top bits is one agg
+    val zPlan = graft.ops.ZOrder.layoutStats(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+      .queryExecution.executedPlan.toString
+    assert(!zPlan.contains("Window") && !zPlan.contains("Sort "),
+      s"zorder layout must not sort or window; got:\n$zPlan")
+    // FUZZY ALIGN: posting-list equi-joins only — never a cartesian/NLJ
+    val labels = graft.dict.DictBuild.labelRows(
+        graft.fixture.OntologyFixture.conceptsDf(spark))
+      .select(graft.dict.DictBuild.normalizeTerm(col("label")).as("term"),
+        col("class_iri"), col("ont"))
+    val alignPlan = graft.dict.Align.fuzzyAlign(labels)
+      .queryExecution.executedPlan.toString
+    assert(!alignPlan.contains("CartesianProduct"),
+      s"fuzzyAlign must pair only inside posting lists; got:\n$alignPlan")
+    // CONTAINMENT: same contract as jaccardPairs — hashed posting keys,
+    // no raw-shingle shuffle key
+    val contPlan = Dedup.containmentPairs(docs)
+      .queryExecution.executedPlan.toString
+    assert(contPlan.contains("xxhash64"),
+      "containment postings must key on fixed-width hashes")
+    assert(!contPlan.contains("hashpartitioning(shingle"),
+      "containment must not shuffle raw shingle text")
+  }
+
   test("containmentPairs: asymmetric containment caught where Jaccard misses") {
     import spark.implicits._
     val src = "aa bb cc dd ee ff gg hh ii jj" // 10 tokens → 8 shingles
