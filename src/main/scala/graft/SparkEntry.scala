@@ -939,6 +939,12 @@ object SparkEntry {
         TextOps.bpeMerges(docs, vocabWords = 50, merges = 8))
     }),
 
+    // MOSS winnowing fingerprints: window-min shingle-hash selection
+    // (rightmost ties), ~2/(w+1) of positions kept — the sub-document match
+    // index that fits at corpus scale; map-only, one output distinct
+    "text_winnow" -> ((s, dir) =>
+      TextOps.winnow(docsTable(s, dir), k = 3, w = 4)),
+
     // tokenizer-eval metrics: per-doc fertility (pieces/word — THE standard
     // subword-tokenizer quality number) + chars/piece compression, one hash
     // agg over the encode stream
@@ -3554,6 +3560,26 @@ object SparkEntry {
     "text_bpe" -> bpeOracleSql(vocabWords = 50, merges = 8),
 
     "text_bpe_encode" -> bpeEncodeOracleSql(vocabWords = 50, merges = 8),
+
+    // positioned shingle hashes in HUGEINT (the fpSql twin), per-window
+    // argmin with the rightmost-tie order, distinct selected pairs
+    "text_winnow" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                        WHERE len(string_split(text, ' ')) >= 3),
+          pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS p FROM toks),
+          sh AS (SELECT doc_id, p, array_to_string(t[p:p+2], ' ') AS g FROM pos),
+          hh AS (SELECT doc_id, p, ${toSignedSql(fpSql("g"))} AS hv FROM sh),
+          np AS (SELECT doc_id, MAX(p) AS n FROM hh GROUP BY 1),
+          win AS (SELECT hh.doc_id, hh.p AS wstart FROM hh JOIN np USING (doc_id)
+                  WHERE np.n >= 4 AND hh.p <= np.n - 3),
+          cand AS (SELECT w.doc_id, w.wstart, h2.p, h2.hv
+                   FROM win w JOIN hh h2 ON h2.doc_id = w.doc_id
+                     AND h2.p BETWEEN w.wstart AND w.wstart + 3),
+          sel AS (SELECT doc_id, wstart, p, hv, row_number() OVER (
+                    PARTITION BY doc_id, wstart ORDER BY hv, p DESC) AS rn
+                  FROM cand)
+          SELECT DISTINCT doc_id, CAST(p AS INT) AS pos, hv AS hash
+          FROM sel WHERE rn = 1""",
 
     // fertility (pieces/word) and chars/piece over the same encode chain
     "text_bpe_stats" ->

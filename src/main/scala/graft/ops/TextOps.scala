@@ -320,6 +320,42 @@ object TextOps {
         (col("j") + 1).cast("int").as("piece_pos"), col("piece"))
   }
 
+  /** WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS plagiarism-detection algorithm): hash every k-token shingle,
+    * slide a window of `w` consecutive hashes, select each window's MINIMUM
+    * (RIGHTMOST position on ties — "robust winnowing", which makes the
+    * selection stable under edits outside the window), and emit the
+    * distinct selected `(pos, hash)` pairs as the document's fingerprint.
+    * Guarantee: two documents sharing a run of ≥ w+k−1 tokens share a
+    * fingerprint hash — the sub-document match detector that samples ~2/(w+1)
+    * of positions instead of keeping every shingle (what makes fingerprint
+    * indexes fit at corpus scale).
+    *
+    * Entirely MAP-ONLY: shingle hashes via the codegen'd `fingerprint64`
+    * (registered SQL function — same rolling hash the oracle recomputes in
+    * HUGEINT), window argmin as an `aggregate` fold per window inside one
+    * `transform` — a doc never leaves its partition; the only exchange is
+    * the final distinct on (doc, pos, hash) output rows. Docs with fewer
+    * than `w` shingles emit nothing (mirrored in the oracle). */
+  def winnow(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(w >= 2, s"w must be >= 2, got $w")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sel = expr(
+      s"""array_distinct(transform(sequence(1, size(h) - ${w - 1}), i ->
+            aggregate(sequence(i + 1, i + ${w - 1}),
+              named_struct('hv', element_at(h, i), 'p', i),
+              (acc, j) -> IF(element_at(h, j) <= acc.hv,
+                named_struct('hv', element_at(h, j), 'p', j), acc))))""")
+    docs.select(col("doc_id"), Dedup.shingles(col("text"), k).as("g"))
+      .withColumn("h", transform(col("g"),
+        s => call_function("fingerprint64", s)))
+      .filter(size(col("h")) >= w)
+      .select(col("doc_id"), explode(sel).as("s"))
+      .select(col("doc_id"), col("s.p").as("pos"), col("s.hv").as("hash"))
+      .distinct()
+  }
+
   /** PII scrubbing before training — redact email addresses and long digit
     * runs (phone-number shaped) with typed placeholders. Map-only
     * `regexp_replace` chain; the patterns stay inside the POSIX-ish subset

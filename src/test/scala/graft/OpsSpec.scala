@@ -724,6 +724,36 @@ class OpsSpec extends AnyFunSuite {
       "containment must not shuffle raw shingle text")
   }
 
+  test("winnow: scalar winnowing oracle; shared-run guarantee; short docs empty") {
+    import spark.implicits._
+    def scalarWinnow(text: String, k: Int, w: Int): Set[(Int, Long)] = {
+      val t = text.split(" ")
+      val hs = (0 to t.length - k)
+        .map(i => TextOps.fingerprint64(t.slice(i, i + k).mkString(" ")))
+      if (hs.length < w) Set.empty
+      else (0 to hs.length - w).map { i =>
+        // rightmost min in hs[i..i+w-1]
+        val j = (i until i + w).minBy(j => (hs(j), -j))
+        (j + 1, hs(j)) // 1-based pos
+      }.toSet
+    }
+    val a = "the quick brown fox jumps over the lazy dog today again"
+    val b = "xx yy quick brown fox jumps over the zz" // shares a 6-token run
+    val docs = Seq((1L, a), (2L, b), (3L, "too short")).toDF("doc_id", "text")
+    val got = TextOps.winnow(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byDoc = got.groupBy(_._1).map { case (d, rs) =>
+      d -> rs.map(r => (r._2, r._3)).toSet
+    }
+    assert(byDoc(1L) === scalarWinnow(a, 3, 4))
+    assert(byDoc(2L) === scalarWinnow(b, 3, 4))
+    assert(!byDoc.contains(3L)) // < w shingles → no fingerprint
+    // winnowing guarantee: a shared run of length >= w+k-1 (= 6) tokens
+    // must leave at least one shared selected HASH
+    val shared = byDoc(1L).map(_._2) & byDoc(2L).map(_._2)
+    assert(shared.nonEmpty, "shared 6-token run must share a fingerprint")
+  }
+
   test("containmentPairs: asymmetric containment caught where Jaccard misses") {
     import spark.implicits._
     val src = "aa bb cc dd ee ff gg hh ii jj" // 10 tokens → 8 shingles
