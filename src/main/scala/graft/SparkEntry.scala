@@ -790,6 +790,27 @@ object SparkEntry {
       graft.ops.ZOrder.layoutStats(
         s.read.parquet(s"$dir/events.parquet"))),
 
+    // snapshot-retention planning (Iceberg expire_snapshots shape — the
+    // third table-maintenance member next to compaction and zorder): keep
+    // the newest 5 snapshots per type plus everything younger than 12h of
+    // the type's latest; the rest expire. Per-TYPE windows only (the
+    // q_compaction_plan discipline — never a global sort).
+    "q_snapshot_expire" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val snaps = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"),
+          date_trunc("hour", col("ts")).as("snapshot_hour")).distinct()
+      val byType = Window.partitionBy("event_type")
+      snaps
+        .withColumn("recency_rank",
+          row_number().over(byType.orderBy(col("snapshot_hour").desc)))
+        .withColumn("latest", max(col("snapshot_hour")).over(byType))
+        .select(col("event_type"), col("snapshot_hour"), col("recency_rank"),
+          (!(col("recency_rank") <= 5 ||
+            col("snapshot_hour") >= col("latest") - expr("INTERVAL 12 HOURS")))
+            .as("expire"))
+    }),
+
     "q_topk_approx" -> ((s, dir) => {
       val cmW = 256 // ONE width for the build, the probe, AND the bound
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -1552,6 +1573,18 @@ object SparkEntry {
           round(col("n_matched").cast("double")
             / col("n_concepts").cast("double"), 4).as("coverage"))
     }),
+
+    // owl:sameAs identity closure — KG identity resolution: the mapping
+    // edges (CUI + LOOM, both directions) form sameAs cliques across
+    // ontologies; connected components over that TINY graph yield the
+    // canonical representative (min IRI) every fact table can join through.
+    // The entity-resolution step between mapping derivation and triple
+    // canonicalization.
+    "kg_sameas_closure" -> ((s, dir) =>
+      graft.graph.KgGraph.connectedComponents(
+          OntologyFixture.mappingsDf(s)
+            .select(col("class_iri").as("src"), col("mapped_iri").as("dst")))
+        .select(col("class_iri"), col("component").as("canonical_iri"))),
 
     // incremental closure maintenance: the ontology-release edge delta
     // (fixture edgesDelta: bridge + chained new edge + distance-improving
@@ -3723,6 +3756,19 @@ object SparkEntry {
           SELECT a AS class_iri, LEAST(a, MIN(b)) AS component
           FROM reach GROUP BY a""",
 
+    // recursive mutual-reachability over the symmetrized mapping edges,
+    // canonical = min IRI of the clique (the components-oracle shape over
+    // the mappings VALUES)
+    "kg_sameas_closure" ->
+      s"""WITH RECURSIVE $mappingsCte,
+          und AS (SELECT class_iri AS a, mapped_iri AS b FROM maps
+                  UNION SELECT mapped_iri, class_iri FROM maps),
+          reach(a, b) AS (SELECT a, b FROM und
+                          UNION
+                          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+          SELECT a AS class_iri, LEAST(a, MIN(b)) AS canonical_iri
+          FROM reach GROUP BY a""",
+
     // same snapshot synthesis + the regex twin of the direct scan, per
     // snapshot; survival = last fact epoch equals the doc's last capture
     "kg_fact_history" ->
@@ -4386,6 +4432,21 @@ object SparkEntry {
           SELECT (zval >> 8) AS zbucket, COUNT(*) AS n_rows,
             MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
           FROM z GROUP BY 1""",
+
+    // same per-type recency windows; expire = neither in the newest 5 nor
+    // within 12h of the type's latest
+    "q_snapshot_expire" ->
+      """WITH snaps AS (SELECT DISTINCT event_type,
+              date_trunc('hour', ts) AS snapshot_hour FROM events),
+          r AS (SELECT event_type, snapshot_hour,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY snapshot_hour DESC) AS recency_rank,
+                  MAX(snapshot_hour) OVER (PARTITION BY event_type) AS latest
+                FROM snaps)
+          SELECT event_type, snapshot_hour, CAST(recency_rank AS INT) AS recency_rank,
+            NOT (recency_rank <= 5
+                 OR snapshot_hour >= latest - INTERVAL 12 HOUR) AS expire
+          FROM r""",
 
     "q_topk_approx" ->
       """SELECT CAST(user_id AS VARCHAR) AS user_id, COUNT(*) AS exact_n,
