@@ -109,6 +109,19 @@ object GraphScaleProbe {
     val (mlRounds2m, mlConv2m, mlSec2m) = minLabelCC(edges, maxIter = 50)
     val (_, prSec2m) = timed(KgGraph.pageRankDirected(edges).count())
 
+    // incremental components at scale (round-4 fourth pass): a 5% hash
+    // slice of the 2M-page edges plays the "new crawl batch"; v1 labels are
+    // PRECOMPUTED state (pinned, not timed — that is the operator's whole
+    // premise), the timed section is the contraction + relabel only. The
+    // honest comparison for "what does the daily delta cost vs a cold run".
+    val isDelta = pmod(xxhash64(col("src"), col("dst")), lit(20)) === 0
+    val oldLabels = KgGraph.connectedComponents(edges.filter(!isDelta))
+      .localCheckpoint()
+    oldLabels.count() // materialize before the clock starts
+    val deltaEdges = edges.filter(isDelta).localCheckpoint()
+    val (_, deltaSec2m) = timed(
+      KgGraph.componentsDelta(oldLabels, deltaEdges).count())
+
     // adversarial shape: a 100k-node path (diameter 10^5). Star converges
     // in O(log² n) (~2·log₂ 10^5 ≈ 34 rounds, within the 60 cap); min-label
     // would need ~10^5 rounds, so it gets a FIXED, pre-committed cap of 40
@@ -128,6 +141,7 @@ object GraphScaleProbe {
       s""""cc_minlabel_2m_sec":${f"$mlSec2m%.2f"},"cc_minlabel_2m_rounds":$mlRounds2m,""" +
       s""""cc_minlabel_2m_converged":$mlConv2m,""" +
       s""""pagerank_2m_sec":${f"$prSec2m%.2f"},""" +
+      s""""cc_delta_2m_sec":${f"$deltaSec2m%.2f"},""" +
       s""""cc_star_path_sec":${f"$starSecPath%.2f"},""" +
       s""""cc_minlabel_path_sec":${f"$mlSecPath%.2f"},"cc_minlabel_path_rounds":$mlRoundsPath,""" +
       s""""cc_minlabel_path_converged":$mlConvPath}""")

@@ -790,6 +790,33 @@ object SparkEntry {
       graft.ops.ZOrder.layoutStats(
         s.read.parquet(s"$dir/events.parquet"))),
 
+    // MERGE INTO (the lakehouse upsert shape — Iceberg/Delta MERGE): one
+    // FULL OUTER join of base and a changes batch on the row key — deletes
+    // drop, updates replace, inserts flow from the right, untouched rows
+    // keep. Change classes are synthesized DISJOINT (delete wins over
+    // update — MERGE forbids multiple matches per target row; mirrored in
+    // the oracle). At 100 TB this is exactly one key-keyed exchange per
+    // side, AQE-skew-splittable.
+    "q_merge_upsert" -> ((s, dir) => {
+      val base = docsTable(s, dir).select(col("doc_id"), col("text"))
+      val upd = base
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") % 13 =!= 4)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" updated")).as("new_text"),
+          lit("update").as("op"))
+      val ins = base.filter(col("doc_id") % 11 === 5)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(lit("new page "), col("doc_id")).as("new_text"),
+          lit("insert").as("op"))
+      val del = base.filter(col("doc_id") % 13 === 4)
+        .select(col("doc_id"), lit(null).cast("string").as("new_text"),
+          lit("delete").as("op"))
+      base.join(upd.unionByName(ins).unionByName(del), Seq("doc_id"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "delete")
+        .select(col("doc_id"), coalesce(col("op"), lit("keep")).as("op"),
+          length(coalesce(col("new_text"), col("text"))).cast("int").as("n_chars"))
+    }),
+
     // snapshot-retention planning (Iceberg expire_snapshots shape — the
     // third table-maintenance member next to compaction and zorder): keep
     // the newest 5 snapshots per type plus everything younger than 12h of
@@ -1330,6 +1357,23 @@ object SparkEntry {
     // wrap → WARC response records → multi-record file blobs → parse →
     // HTML extraction. The oracle is just the documents table — any
     // framing/extraction defect breaks the equality.
+    // JSONL source/sink round trip — the crawl-pipeline interchange format
+    // next to parquet/TSV/N-Triples/WARC: write the docs table as
+    // line-delimited JSON (splittable at scale), read it back with a PINNED
+    // schema (no inference job — schema-on-read is a second full scan at
+    // 100 TB), and derive stats that must equal the parquet-direct oracle —
+    // sink+source fidelity proven through the format
+    "io_jsonl_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft-jsonl/${new java.io.File(dir).getName}"
+      docsTable(s, dir).write.mode("overwrite").json(out)
+      val back = s.read
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .json(out)
+      back.select(col("doc_id"),
+        length(col("text")).as("n_chars_text"),
+        size(split(col("text"), " ")).as("n_tokens"))
+    }),
+
     "warc_extract" -> ((s, dir) => {
       val corpus = Corpus.fromDriverTable(docsTable(s, dir))
       Corpus.extract(graft.io.Warc.recordsFromBlobs(
@@ -4078,6 +4122,12 @@ object SparkEntry {
     "warc_extract" ->
       "SELECT 'doc://' || doc_id AS url, text FROM documents",
 
+    // JSON write→read must reproduce the parquet-direct values exactly
+    "io_jsonl_roundtrip" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS n_chars_text,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+         FROM documents""",
+
     // HTML rebuilt by the synthesis twin, then DuckDB's own
     // regexp_extract_all over the SAME pattern + the same resolve/canon
     // expressions — cross-checks the whole extraction leg
@@ -4432,6 +4482,23 @@ object SparkEntry {
           SELECT (zval >> 8) AS zbucket, COUNT(*) AS n_rows,
             MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
           FROM z GROUP BY 1""",
+
+    // same disjoint change classes, one FULL OUTER join on the key
+    "q_merge_upsert" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+          ch AS (
+            SELECT doc_id, text || ' updated' AS new_text, 'update' AS op
+            FROM base WHERE doc_id % 7 = 0 AND doc_id % 13 <> 4
+            UNION ALL
+            SELECT doc_id + 200000, 'new page ' || doc_id, 'insert'
+            FROM base WHERE doc_id % 11 = 5
+            UNION ALL
+            SELECT doc_id, NULL, 'delete' FROM base WHERE doc_id % 13 = 4)
+          SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+            COALESCE(c.op, 'keep') AS op,
+            CAST(length(COALESCE(c.new_text, b.text)) AS INT) AS n_chars
+          FROM base b FULL OUTER JOIN ch c ON b.doc_id = c.doc_id
+          WHERE c.op IS NULL OR c.op <> 'delete'""",
 
     // same per-type recency windows; expire = neither in the newest 5 nor
     // within 12h of the type's latest
