@@ -1618,6 +1618,34 @@ object SparkEntry {
             / col("n_concepts").cast("double"), 4).as("coverage"))
     }),
 
+    // per-concept ENTITY CARD — the KG-side observability capstone (the
+    // curate_ledger discipline applied to concepts): every dictionary
+    // concept LEFT-joined with its corpus footprint (docs, mentions),
+    // hierarchy reach, and mapping degree. Each leg aggregates to ≤ 1 row
+    // per concept before the fan-in, so the join cannot explode; the only
+    // corpus-scale work is the match-stream agg every ann_* query shares.
+    "kg_concept_profile" -> ((s, dir) => {
+      val dict = DictBuild.flatDict(DictBuild.build(
+        DictBuild.labelRows(OntologyFixture.conceptsDf(s))))
+      val uni = dict.groupBy("class_iri", "ont")
+        .agg(count_distinct(col("term")).as("n_terms"))
+      val m = matches(s, dir).groupBy("class_iri")
+        .agg(count_distinct(col("url")).as("n_docs"),
+          count(lit(1)).as("n_mentions"))
+      val anc = closure(s).groupBy(col("child").as("class_iri"))
+        .agg(count(lit(1)).as("n_ancestors"))
+      val mp = OntologyFixture.mappingsDf(s).groupBy("class_iri")
+        .agg(count(lit(1)).as("n_mappings"))
+      uni.join(m, Seq("class_iri"), "left")
+        .join(anc, Seq("class_iri"), "left")
+        .join(mp, Seq("class_iri"), "left")
+        .select(col("class_iri"), col("ont"), col("n_terms"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("n_mentions"), lit(0L)).as("n_mentions"),
+          coalesce(col("n_ancestors"), lit(0L)).as("n_ancestors"),
+          coalesce(col("n_mappings"), lit(0L)).as("n_mappings"))
+    }),
+
     // owl:sameAs identity closure — KG identity resolution: the mapping
     // edges (CUI + LOOM, both directions) form sameAs cliques across
     // ontologies; connected components over that TINY graph yield the
@@ -3799,6 +3827,32 @@ object SparkEntry {
                           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
           SELECT a AS class_iri, LEAST(a, MIN(b)) AS component
           FROM reach GROUP BY a""",
+
+    // each leg recomputed from its audited oracle chain (dict universe,
+    // occurrence counts, min-distance closure, mapping VALUES), LEFT-joined
+    // with zero coalesces
+    "kg_concept_profile" ->
+      s"""WITH RECURSIVE $dictCte, $directCte, $cntsCte, $edgesCte, $closureCte, $mappingsCte,
+          uni AS (SELECT class_iri, ont, COUNT(DISTINCT term) AS n_terms
+                  FROM dict GROUP BY 1, 2),
+          md AS (SELECT class_iri, COUNT(DISTINCT url) AS n_docs
+                 FROM direct GROUP BY 1),
+          mm AS (SELECT class_iri, CAST(SUM(cnt) AS BIGINT) AS n_mentions
+                 FROM cnts WHERE cnt > 0 GROUP BY 1),
+          anc AS (SELECT child_iri AS class_iri,
+                    COUNT(DISTINCT ancestor_iri) AS n_ancestors
+                  FROM closure GROUP BY 1),
+          mp AS (SELECT class_iri, COUNT(*) AS n_mappings FROM maps GROUP BY 1)
+          SELECT uni.class_iri, uni.ont, uni.n_terms,
+            COALESCE(md.n_docs, 0) AS n_docs,
+            COALESCE(mm.n_mentions, 0) AS n_mentions,
+            COALESCE(anc.n_ancestors, 0) AS n_ancestors,
+            COALESCE(mp.n_mappings, 0) AS n_mappings
+          FROM uni
+          LEFT JOIN md ON md.class_iri = uni.class_iri
+          LEFT JOIN mm ON mm.class_iri = uni.class_iri
+          LEFT JOIN anc ON anc.class_iri = uni.class_iri
+          LEFT JOIN mp ON mp.class_iri = uni.class_iri""",
 
     // recursive mutual-reachability over the symmetrized mapping edges,
     // canonical = min IRI of the clique (the components-oracle shape over
