@@ -1387,6 +1387,12 @@ object SparkEntry {
     "web_links" -> ((s, dir) =>
       LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))),
 
+    // rel=canonical resolution: the page-DECLARED dup signal folded onto
+    // canonical targets (map-only; the crawl-dedup key upgrade)
+    "web_rel_canonical" -> ((s, dir) =>
+      LinkGraph.relCanonical(
+        LinkGraph.withCanonicalLink(LinkGraph.pages(docsTable(s, dir))))),
+
     // host-level link graph (canonical hosts, intra-host links dropped)
     "web_host_graph" -> ((s, dir) =>
       LinkGraph.hostGraph(LinkGraph.links(LinkGraph.pages(docsTable(s, dir))))),
@@ -4181,6 +4187,26 @@ object SparkEntry {
       """SELECT doc_id, CAST(length(text) AS INT) AS n_chars_text,
            CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
          FROM documents""",
+
+    // pages twin + the same link-tag append, extraction via the same
+    // regex, both legs canonicalized by the shared expression builders
+    "web_rel_canonical" ->
+      s"""WITH ${graft.ops.LinkGraph.pagesCteSql},
+          p2 AS (SELECT doc_id, url,
+              html || CASE WHEN doc_id % 9 = 2
+                THEN '<link rel="canonical" href="'
+                  || ${graft.ops.WebOps.urlSqlExprOf("doc_id % 40")} || '">'
+                ELSE '' END AS html
+            FROM pages),
+          x AS (SELECT doc_id, url,
+              regexp_extract(html, '<link rel="canonical" href="([^"]*)"', 1) AS decl
+            FROM p2)
+          SELECT doc_id, ${graft.ops.WebOps.canonUrlSqlOf("url")} AS page_url,
+            CASE WHEN decl IS NULL OR decl = ''
+                 THEN ${graft.ops.WebOps.canonUrlSqlOf("url")}
+                 ELSE ${graft.ops.WebOps.canonUrlSqlOf("decl")} END AS canonical_target,
+            (decl IS NOT NULL AND decl <> '') AS declared
+          FROM x""",
 
     // HTML rebuilt by the synthesis twin, then DuckDB's own
     // regexp_extract_all over the SAME pattern + the same resolve/canon

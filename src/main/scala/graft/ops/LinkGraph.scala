@@ -288,6 +288,34 @@ object LinkGraph {
 
   /** CTE chain `pages(doc_id, url, html)` — the synthesis twin (string_agg
     * ordered by slot; LEFT JOIN keeps the zero-link docs). */
+  /** rel=canonical declaration synthesis: every 9th page (doc_id % 9 == 2)
+    * declares the mod-40 base URL as its canonical — the page-declared dup
+    * signal (syndication copies, session-id variants) that URL
+    * canonicalization alone cannot see. Mirrored in the oracle SQL. */
+  def withCanonicalLink(pages: DataFrame): DataFrame =
+    pages.withColumn("html", concat(col("html"),
+      when(col("doc_id") % 9 === 2,
+        concat(lit("<link rel=\"canonical\" href=\""),
+          WebOps.syntheticUrl(col("doc_id") % 40), lit("\">")))
+        .otherwise(lit(""))))
+
+  /** rel=canonical RESOLUTION — per page, the canonical target it should
+    * fold into: the declared `<link rel="canonical">` href (canonicalized)
+    * when present, else the page's own canonical URL. Entirely MAP-ONLY
+    * (one regexp_extract + the canonicalizer expressions — no joins, no
+    * shuffles); downstream crawl-dedup groups by `canonical_target` exactly
+    * as it groups by canon_url today. */
+  def relCanonical(pages: DataFrame): DataFrame = {
+    val decl = regexp_extract(col("html"),
+      "<link rel=\"canonical\" href=\"([^\"]*)\"", 1)
+    pages.select(col("doc_id"), col("url"), decl.as("decl"))
+      .select(col("doc_id"),
+        WebOps.canonicalUrl(col("url")).as("page_url"),
+        when(col("decl") === "", WebOps.canonicalUrl(col("url")))
+          .otherwise(WebOps.canonicalUrl(col("decl"))).as("canonical_target"),
+        (col("decl") =!= "").as("declared"))
+  }
+
   def pagesCteSql: String =
     s"""urls AS (SELECT doc_id, text, ${WebOps.urlSqlExpr} AS url FROM documents),
         slots AS (SELECT doc_id, j, (doc_id * 13 + j * 7) % 97 AS t
