@@ -157,6 +157,67 @@ object EventStream {
       }
   }
 
+  case class AnomState(curHour: Long, curN: Long, prior: Seq[Long])
+  case class AnomalyRow(event_type: String, hour: Timestamp, n: Long,
+                        z: Double, anomaly: Boolean)
+
+  /** STREAMING ingest-anomaly alarm — the continuous form of the batch
+    * `q_anomaly` z-score: per event type, keyed state holds the current
+    * hour's accumulating count plus the trailing 6 COMPLETED hourly counts;
+    * when the stream advances past an hour boundary the hour closes and is
+    * z-scored against the trailing window (|z| > 3 flags). Hours the stream
+    * SKIPS close as explicit ZERO counts — the batch op's densified grid,
+    * reproduced in state (an outage is the primary signal; without the
+    * zero-fill it would silently stretch the window).
+    *
+    * State is BOUNDED: one (hour, count) accumulator + 6 longs per event
+    * type, forever — the Misra–Gries discipline. The final in-flight hour
+    * never closes (no successor has arrived); tests compare closed hours
+    * against the batch result with the per-type last hour excluded.
+    * Summary content is arrival-order-insensitive ACROSS batches as long as
+    * event time is non-decreasing per type (each micro-batch sorts its own
+    * slice); wildly late events belong to the watermarked variants — so
+    * this is spec-gated (MemoryStream, controlled order), the streaming
+    * exact-dedup / heavy-hitters policy. */
+  def anomalyStream(events: Dataset[Event]): Dataset[AnomalyRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def closeHour(tpe: String, hour: Long, n: Long,
+                  prior: Seq[Long]): Option[AnomalyRow] =
+      if (prior.size < 6) None
+      else {
+        val mu = prior.map(_.toDouble).sum / prior.size
+        val sd = math.sqrt(
+          prior.map(x => (x - mu) * (x - mu)).sum / (prior.size - 1))
+        if (sd <= 0) None
+        else {
+          val z = (n - mu) / sd
+          Some(AnomalyRow(tpe, new Timestamp(hour * 1000L), n,
+            math.rint(z * 1e6) / 1e6, math.abs(z) > 3.0))
+        }
+      }
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomState, AnomalyRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (tpe: String, it: Iterator[Event], state: GroupState[AnomState]) =>
+          val rows = it.toSeq.sortBy(_.ts.getTime)
+          val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyRow]
+          var st = state.getOption.orNull
+          rows.foreach { e =>
+            val h = e.ts.getTime / 1000L / 3600L * 3600L
+            if (st == null) st = AnomState(h, 0L, Vector.empty)
+            while (st.curHour < h) { // close current + zero-fill skipped
+              out ++= closeHour(tpe, st.curHour, st.curN, st.prior)
+              st = AnomState(st.curHour + 3600L, 0L,
+                (st.prior :+ st.curN).takeRight(6))
+            }
+            st = st.copy(curN = st.curN + 1L)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   /** Custom keyed state: running per-user totals via mapGroupsWithState
     * (processing-time timeout; update mode). */
   def userRunningTotals(events: Dataset[Event]): Dataset[UserAgg] = {

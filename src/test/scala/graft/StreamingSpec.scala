@@ -393,6 +393,68 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("anomalyStream: zero-filled outage hour flagged; stream == batch q_anomaly") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = 1700000000L / 3600 * 3600
+    def ts(h: Int, m: Int = 0) = new Timestamp((base + h * 3600L + m * 60L) * 1000L)
+    // six warm-up hours with counts 9,10,11,9,10,11 → mu=10, sample sd=√0.8;
+    // hour 6 has NO events (the outage); the hour-7 event closes it as zero
+    val warm = (0 until 6).flatMap { h =>
+      val c = Seq(9, 10, 11)(h % 3)
+      (0 until c).map(i =>
+        EventStream.Event(h * 100L + i, ts(h, i % 50), 1L, "err", 1.0))
+    }
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.anomalyStream(input.toDS()).writeStream
+      .format("memory").queryName("anom").outputMode("update").start()
+    try {
+      input.addData(warm: _*)
+      q.processAllAvailable()
+      assert(spark.table("anom").collect().isEmpty) // every hour has <6 priors
+      input.addData(EventStream.Event(999L, ts(7), 1L, "err", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("anom").collect().map(r =>
+        (r.getString(0), r.getTimestamp(1), r.getLong(2),
+          r.getDouble(3), r.getBoolean(4)))
+      assert(got.length === 1)
+      val (tpe, hour, n, z, flagged) = got.head
+      assert(tpe === "err" && n === 0L && flagged && hour === ts(6))
+      assert(math.abs(z - (-10.0 / math.sqrt(0.8))) < 1e-5, z)
+    } finally q.stop()
+
+    // real events: one in-order pass == the batch q_anomaly result with
+    // each type's final (never-closed) grid hour excluded
+    val evs = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[EventStream.Event].collect().sortBy(_.ts.getTime)
+    val input2 = MemoryStream[EventStream.Event]
+    val q2 = EventStream.anomalyStream(input2.toDS()).writeStream
+      .format("memory").queryName("anom2").outputMode("update").start()
+    val streamed = try {
+      input2.addData(evs: _*)
+      q2.processAllAvailable()
+      spark.table("anom2").collect().map(r =>
+        (r.getString(0), r.getTimestamp(1)) ->
+          (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    } finally q2.stop()
+    val lastHour = evs.groupBy(_.event_type)
+      .map { case (t, es) => t -> es.map(_.ts.getTime / 3600000L * 3600000L).max }
+    val batch = SparkEntry.queries("q_anomaly")(spark, "/root/testdata/sf0.001")
+      .collect().map(r =>
+        (r.getString(0), r.getTimestamp(1)) ->
+          (r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .filter { case ((t, h), _) => h.getTime < lastHour(t) }
+      .toMap
+    assert(streamed.keySet === batch.keySet)
+    streamed.foreach { case (k, (n, z, fl)) =>
+      val (bn, bz, bfl) = batch(k)
+      assert(n === bn && fl === bfl, k)
+      assert(math.abs(z - bz) < 1e-5, s"$k: $z vs $bz")
+    }
+  }
+
   test("heavyHitters: Misra-Gries guarantees, state bounded at capacity") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
