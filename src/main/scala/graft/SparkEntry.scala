@@ -1652,6 +1652,26 @@ object SparkEntry {
           coalesce(col("n_mappings"), lit(0L)).as("n_mappings"))
     }),
 
+    // TRANSITIVE REDUCTION verdicts — ontology-release hygiene: an is-a
+    // edge (u, v) is REDUNDANT when some other out-edge (u, w) already
+    // reaches v through the closure (the diamond shortcut a careless release
+    // adds; fixture: edgesDelta's C006→C000 is implied by C006→C001→C000).
+    // One broadcast edges⋈edges probe into the closure — the edge table is
+    // ontology-scale; the corpus is never touched.
+    "kg_transitive_reduction" -> ((s, dir) => {
+      val e = OntologyFixture.edgesDf(s)
+        .unionByName(OntologyFixture.edgesDeltaDf(s)).distinct()
+      val cl = graph.Closure.transitiveClosure(e, maxLevel = 5)
+      val viaSibling = e.select(col("child_iri"), col("parent_iri").as("w"))
+        .join(cl.select(col("child").as("w"), col("ancestor")),
+          Seq("w"))
+        .select(col("child_iri"), col("ancestor").as("parent_iri"))
+        .distinct().withColumn("red", lit(true))
+      e.join(viaSibling, Seq("child_iri", "parent_iri"), "left")
+        .select(col("child_iri"), col("parent_iri"),
+          coalesce(col("red"), lit(false)).as("redundant"))
+    }),
+
     // owl:sameAs identity closure — KG identity resolution: the mapping
     // edges (CUI + LOOM, both directions) form sameAs cliques across
     // ontologies; connected components over that TINY graph yield the
@@ -3859,6 +3879,22 @@ object SparkEntry {
           LEFT JOIN mm ON mm.class_iri = uni.class_iri
           LEFT JOIN anc ON anc.class_iri = uni.class_iri
           LEFT JOIN mp ON mp.class_iri = uni.class_iri""",
+
+    // redundant = reachable through a sibling out-edge's closure (same ≤5
+    // depth cap both sides)
+    "kg_transitive_reduction" ->
+      s"""WITH RECURSIVE edges(child_iri, parent_iri) AS (
+            SELECT DISTINCT * FROM (
+              SELECT * FROM (VALUES ${OntologyFixture.edgesValues}) v(a, b)
+              UNION ALL
+              SELECT * FROM (VALUES ${OntologyFixture.edgesDeltaValues}) w(a, b)) z),
+          $closureCte,
+          via AS (SELECT DISTINCT e.child_iri, c.ancestor_iri AS parent_iri
+                  FROM edges e JOIN closure c ON c.child_iri = e.parent_iri)
+          SELECT e.child_iri, e.parent_iri,
+            (v.child_iri IS NOT NULL) AS redundant
+          FROM edges e LEFT JOIN via v
+            ON v.child_iri = e.child_iri AND v.parent_iri = e.parent_iri""",
 
     // recursive mutual-reachability over the symmetrized mapping edges,
     // canonical = min IRI of the clique (the components-oracle shape over
