@@ -1146,6 +1146,33 @@ object SparkEntry {
             col("lr").isNotNull).as("kept"))
     }),
 
+    // the datasheet a data team ships next to the corpus: the rejection
+    // ledger aggregated to one row of counts + kept fraction (reuses the
+    // ledger query — one extra global agg over ≤1 row/doc flags)
+    "curate_summary" -> ((s, dir) =>
+      queries("curate_ledger")(s, dir)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("is_dup").cast("long")).as("n_dup"),
+          sum(col("is_contaminated").cast("long")).as("n_contaminated"),
+          sum(col("fails_gopher").cast("long")).as("n_fails_gopher"),
+          sum(col("high_repetition").cast("long")).as("n_high_repetition"),
+          sum(col("kept").cast("long")).as("n_kept"))
+        .withColumn("kept_frac", round(
+          col("n_kept").cast("double") / col("n_docs").cast("double"), 6))),
+
+    // per-language corpus datasheet: docs, token mass, mean quality — the
+    // "datasheets for datasets" stratification report (lang-keyed hash agg
+    // over per-doc map-side stats)
+    "text_lang_report" -> ((s, dir) => {
+      val docs = docsTable(s, dir)
+      docs.select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+        .join(TextOps.qualityScore(docs), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+          round(avg(col("quality")), 4).as("mean_quality"))
+    }),
+
     // capstone composition: the training-data curation ops FEED the
     // annotator — exact-dedup survivors + quality gate select the pages, the
     // native annotate builds the KG only over curated pages (the realistic
@@ -4959,6 +4986,47 @@ object SparkEntry {
           LEFT JOIN contaminated ct ON c.doc_id = ct.doc_id
           LEFT JOIN gopher g ON c.doc_id = g.doc_id
           LEFT JOIN lowrep lr ON c.doc_id = lr.doc_id""",
+
+    // the ledger aggregated into the published dataset datasheet
+    "curate_summary" ->
+      s"""WITH $curateLegsSql,
+          led AS (SELECT c.doc_id,
+              (k.doc_id IS NULL) AS is_dup,
+              (ct.doc_id IS NOT NULL) AS is_contaminated,
+              (g.doc_id IS NULL) AS fails_gopher,
+              (lr.doc_id IS NULL) AS high_repetition,
+              (k.doc_id IS NOT NULL AND ct.doc_id IS NULL
+                AND g.doc_id IS NOT NULL AND lr.doc_id IS NOT NULL) AS kept
+            FROM corpus c
+            LEFT JOIN keep k ON c.doc_id = k.doc_id
+            LEFT JOIN contaminated ct ON c.doc_id = ct.doc_id
+            LEFT JOIN gopher g ON c.doc_id = g.doc_id
+            LEFT JOIN lowrep lr ON c.doc_id = lr.doc_id)
+          SELECT COUNT(*) AS n_docs,
+            CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+            CAST(SUM(CASE WHEN is_contaminated THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+            CAST(SUM(CASE WHEN fails_gopher THEN 1 ELSE 0 END) AS BIGINT) AS n_fails_gopher,
+            CAST(SUM(CASE WHEN high_repetition THEN 1 ELSE 0 END) AS BIGINT) AS n_high_repetition,
+            CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+            ROUND(CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE), 6) AS kept_frac
+          FROM led""",
+
+    // per-language corpus datasheet: docs, token mass, mean quality — the
+    // "datasheets for datasets" stratification report
+    "text_lang_report" ->
+      """WITH q AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS nt,
+             ROUND(
+               LEAST(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4
+               + (len(list_distinct(string_split(text, ' ')))
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
+               + (1.0 - len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3, 4) AS quality
+           FROM documents)
+         SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           ROUND(AVG(quality), 4) AS mean_quality
+         FROM q GROUP BY lang""",
 
     "curate_corpus_full" ->
       s"""WITH $curateLegsSql,
