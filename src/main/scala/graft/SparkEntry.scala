@@ -1679,6 +1679,22 @@ object SparkEntry {
           coalesce(col("n_mappings"), lit(0L)).as("n_mappings"))
     }),
 
+    // CYCLE detection — the other ontology-release QA check next to
+    // transitive reduction: an is-a cycle makes hierarchy expansion
+    // ill-defined, so releases are gated on "closure has no (x, x) row".
+    // A crafted back-edge (root → C006) closes a 3-cycle through the
+    // diamond; emitted rows = the nodes on cycles with their cycle length.
+    "dict_cycle_check" -> ((s, dir) => {
+      import s.implicits._
+      val cyc = OntologyFixture.edgesDf(s).unionByName(
+        Seq(("http://fix.onto/ONT1#C000", "http://fix.onto/ONT1#C006"))
+          .toDF("child_iri", "parent_iri"))
+      graph.Closure.transitiveClosure(cyc, maxLevel = 5)
+        .filter(col("child") === col("ancestor"))
+        .select(col("child").as("class_iri"),
+          col("distance").cast("int").as("cycle_len"))
+    }),
+
     // TRANSITIVE REDUCTION verdicts — ontology-release hygiene: an is-a
     // edge (u, v) is REDUNDANT when some other out-edge (u, w) already
     // reaches v through the closure (the diamond shortcut a careless release
@@ -3906,6 +3922,17 @@ object SparkEntry {
           LEFT JOIN mm ON mm.class_iri = uni.class_iri
           LEFT JOIN anc ON anc.class_iri = uni.class_iri
           LEFT JOIN mp ON mp.class_iri = uni.class_iri""",
+
+    // same crafted back-edge; cycles surface as (x, x) closure rows with
+    // min distance = cycle length
+    "dict_cycle_check" ->
+      s"""WITH RECURSIVE edges(child_iri, parent_iri) AS (
+            SELECT * FROM (VALUES ${OntologyFixture.edgesValues}) v(a, b)
+            UNION ALL
+            SELECT 'http://fix.onto/ONT1#C000', 'http://fix.onto/ONT1#C006'),
+          $closureCte
+          SELECT child_iri AS class_iri, CAST(MIN(distance) AS INT) AS cycle_len
+          FROM closure WHERE child_iri = ancestor_iri GROUP BY 1""",
 
     // redundant = reachable through a sibling out-edge's closure (same ≤5
     // depth cap both sides)
