@@ -930,6 +930,12 @@ object SparkEntry {
     "sim_quantized" -> ((s, dir) =>
       Similarity.quantizedTopK(s.read.parquet(s"$dir/embeddings.parquet"), nQueries = 10, k = 3)),
 
+    // IVF index-balance report: per inverted list, size + mean member-to-
+    // centroid cosine — the ANN index health surface (skew predicts recall
+    // and latency degradation before queries show it)
+    "sim_ivf_stats" -> ((s, dir) =>
+      Similarity.ivfStats(s.read.parquet(s"$dir/embeddings.parquet"))),
+
     // measured recall@3 of nProbe=2 IVF vs exact brute force — the ANN
     // quality-eval surface (recall is exact thirds: 6dp round is exact)
     "sim_ivf_recall" -> ((s, dir) => {
@@ -2466,7 +2472,9 @@ object SparkEntry {
     * (cosine argmax, c_id tie-break) and rebuilds centroids as per-dim
     * means rounded to 6dp. Dim loop = generate_series(1, 64) (the
     * embeddings table is 64-dim, already baked into the LSH oracles). */
-  private def ivfOracleSql(iters: Int, nprobe: Int = 1): String = {
+  /** The Lloyd-chain + final-assignment CTEs (up to `aff`/`asgf`) shared by
+    * the ivf top-k oracles and the `sim_ivf_stats` oracle. */
+  private def ivfChainCtes(iters: Int): String = {
     val iterCtes = (1 to iters).map { i =>
       s"""s$i AS (SELECT t.vec_id, t.emb, c.c_id,
             list_dot_product(t.emb, c.c_emb) /
@@ -2481,7 +2489,7 @@ object SparkEntry {
          c$i AS (SELECT bucket AS c_id, array_agg(m ORDER BY d) AS c_emb
                  FROM m$i GROUP BY bucket)"""
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         train AS (SELECT vec_id, emb FROM e WHERE vec_id < 2048),
         c0 AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < 8),
         $iterCtes,
@@ -2492,7 +2500,11 @@ object SparkEntry {
         asgf AS (SELECT vec_id, emb, c_id AS bucket,
                   row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn
                 FROM sf),
-        aff AS (SELECT vec_id, emb, bucket FROM asgf WHERE rn = 1),
+        aff AS (SELECT vec_id, emb, bucket FROM asgf WHERE rn = 1)"""
+  }
+
+  private def ivfOracleSql(iters: Int, nprobe: Int = 1): String = {
+    s"""WITH ${ivfChainCtes(iters)},
         q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket AS q_bucket
               FROM asgf WHERE vec_id < 10 AND rn <= $nprobe),
         s AS (SELECT query_id, aff.vec_id AS neighbor_id,
@@ -3688,6 +3700,18 @@ object SparkEntry {
     // cross-engine float-sum contract), final assignment of ALL vectors on
     // the UNROUNDED cosine, probe own list, exact rerank
     "sim_ivf" -> ivfOracleSql(iters = 2),
+
+    // same trained-quantizer chain; per-member 4dp cosine, then 4dp mean
+    "sim_ivf_stats" ->
+      s"""WITH ${ivfChainCtes(2)},
+          cj AS (SELECT aff.bucket,
+                   ROUND(list_dot_product(aff.emb, c.c_emb) /
+                     sqrt(list_dot_product(aff.emb, aff.emb)
+                          * list_dot_product(c.c_emb, c.c_emb)), 4) AS ccos
+                 FROM aff JOIN c2 c ON c.c_id = aff.bucket)
+          SELECT bucket, COUNT(*) AS list_size,
+            ROUND(AVG(ccos), 4) AS mean_cos
+          FROM cj GROUP BY bucket""",
 
     // multi-probe: identical chain, the probe set keeps rn <= 2 per query
     "sim_ivf_probe2" -> ivfOracleSql(iters = 2, nprobe = 2),

@@ -183,11 +183,11 @@ object Similarity {
     * volume grows ~linearly in nProbe while recall approaches brute force
     * (each data vector still lives in exactly one list, so probing more
     * lists never duplicates a candidate). */
-  def ivfTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3,
-              nCentroids: Int = 8, kmeansIters: Int = 2,
-              trainSample: Int = 2048, nProbe: Int = 1): DataFrame = {
-    val all = asDouble(embeddings)
-    val spark = embeddings.sparkSession
+  /** The trained coarse quantizer (shared by [[ivfTopK]] and [[ivfStats]]):
+    * first-N seed + `kmeansIters` Lloyd rounds over the training sample. */
+  private def trainQuantizer(all: DataFrame, nCentroids: Int,
+                             kmeansIters: Int, trainSample: Int): DataFrame = {
+    val spark = all.sparkSession
     var centroids = all.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").cast("long").as("c_id"), col("emb").as("c_emb"))
     val train = all.filter(col("vec_id") < trainSample)
@@ -213,6 +213,14 @@ object Similarity {
         updated.collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1))))
         .toDF("c_id", "c_emb")
     }
+    centroids
+  }
+
+  def ivfTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3,
+              nCentroids: Int = 8, kmeansIters: Int = 2,
+              trainSample: Int = 2048, nProbe: Int = 1): DataFrame = {
+    val all = asDouble(embeddings)
+    val centroids = trainQuantizer(all, nCentroids, kmeansIters, trainSample)
     val assigned = assignToCentroids(all, centroids)
     // probe set: each query's nProbe nearest lists (rn ≤ nProbe)
     val queries = rankCentroids(all.filter(col("vec_id") < nQueries), centroids)
@@ -227,6 +235,26 @@ object Similarity {
       .withColumn("rank", row_number().over(wq))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** IVF INDEX-BALANCE stats — the ANN observability surface an index
+    * operator watches: per inverted list, its size and the mean cosine of
+    * members to their centroid (a skewed list-size distribution or a low
+    * mean affinity predicts degraded recall/latency BEFORE queries do).
+    * Same trained quantizer as [[ivfTopK]]; one assignment pass + ONE
+    * bucket-keyed agg. Per-member cosine rounded 4dp before the mean and
+    * the mean rounded 4dp — the cross-engine float-sum contract. */
+  def ivfStats(embeddings: DataFrame, nCentroids: Int = 8,
+               kmeansIters: Int = 2, trainSample: Int = 2048): DataFrame = {
+    val all = asDouble(embeddings)
+    val centroids = trainQuantizer(all, nCentroids, kmeansIters, trainSample)
+    assignToCentroids(all, centroids)
+      .join(broadcast(centroids), col("bucket") === col("c_id"))
+      .select(col("bucket"),
+        round(cosine(col("emb"), col("c_emb")), 4).as("ccos"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("list_size"),
+        round(avg(col("ccos")), 4).as("mean_cos"))
   }
 
   /** Embedding-cosine near-dup pairs (cos ≥ threshold, a < b): LSH candidate
