@@ -885,6 +885,25 @@ object SparkEntry {
 
     "dedup_exact" -> ((s, dir) => Dedup.exact(docsTable(s, dir))),
 
+    // measured LSH candidate recall vs the exact-Jaccard ground truth —
+    // the banding/cap quality surface (the sim_ivf_recall discipline on
+    // the dedup side); one full-outer join of the two audited pair sets
+    "dedup_lsh_recall" -> ((s, dir) => {
+      val docs = docsTable(s, dir)
+      val exact = Dedup.jaccardPairs(docs, n = 3, threshold = 0.8)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("e"))
+      val lsh = Dedup.minhashLshPairs(docs, n = 3, k = 16, bands = 4,
+          threshold = 0.8)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("l"))
+      exact.join(lsh, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(coalesce(sum(col("e")), lit(0L)).as("n_exact"),
+          coalesce(sum(col("l")), lit(0L)).as("n_lsh"),
+          coalesce(sum(col("e") * col("l")), lit(0L)).as("n_common"))
+        .select(col("n_exact"), col("n_lsh"), col("n_common"),
+          round(col("n_common").cast("double")
+            / col("n_exact").cast("double"), 6).as("recall"))
+    }),
+
     // Broder containment over the quote-augmented corpus: the asymmetric
     // sub-document duplication Jaccard misses (quote pages score 1.0 into
     // their source while their Jaccard sits under the dedup threshold)
@@ -2472,6 +2491,38 @@ object SparkEntry {
     * (cosine argmax, c_id tie-break) and rebuilds centroids as per-dim
     * means rounded to 6dp. Dim loop = generate_series(1, 64) (the
     * embeddings table is 64-dim, already baked into the LSH oracles). */
+  /** Full dedup_jaccard oracle — a val so `dedup_lsh_recall` can nest the
+    * ground-truth chain as a derived table (the ivfOracleSql precedent). */
+  private val jaccardPairsOracleSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                     WHERE len(string_split(text, ' ')) >= 3),
+        pos AS (SELECT doc_id, t,
+                unnest(generate_series(1, len(t) - 2)) AS i FROM toks),
+        sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM pos),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+        keep AS (SELECT shingle FROM sh GROUP BY shingle
+                 HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 100),
+        rare AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+                  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               ROUND(n_common / (sa.n_shingles + sb.n_shingles - n_common), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.8"""
+
+  /** Full dedup_minhash oracle (same nesting rationale). */
+  private def minhashPairsOracleSql =
+    s"""WITH $minhashCtes
+        SELECT doc_a, doc_b,
+               ROUND(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common / (sa.n + sb.n - n_common) >= 0.8"""
+
   /** The Lloyd-chain + final-assignment CTEs (up to `aff`/`asgf`) shared by
     * the ivf top-k oracles and the `sim_ivf_stats` oracle. */
   private def ivfChainCtes(iters: Int): String = {
@@ -3274,25 +3325,7 @@ object SparkEntry {
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY text""",
 
-    "dedup_jaccard" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-                       WHERE len(string_split(text, ' ')) >= 3),
-          pos AS (SELECT doc_id, t,
-                  unnest(generate_series(1, len(t) - 2)) AS i FROM toks),
-          sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM pos),
-          sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
-          keep AS (SELECT shingle FROM sh GROUP BY shingle
-                   HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 100),
-          rare AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
-          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-                    FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                    GROUP BY 1, 2)
-          SELECT doc_a, doc_b,
-                 ROUND(n_common / (sa.n_shingles + sb.n_shingles - n_common), 4) AS jaccard
-          FROM inter
-          JOIN sizes sa ON sa.doc_id = doc_a
-          JOIN sizes sb ON sb.doc_id = doc_b
-          WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.8""",
+    "dedup_jaccard" -> jaccardPairsOracleSql,
 
     // quote synthesis mirrored, then the jaccard candidate chain with the
     // containment formulas; threshold RAW on the larger direction
@@ -3575,14 +3608,24 @@ object SparkEntry {
     // hot-bucket cap → candidate pairs → exact-jaccard rerank (params
     // mirrored from the query: n=3, k=16, bands=4 (r=4), maxBucket=1000,
     // threshold 0.8 on the raw jaccard)
-    "dedup_minhash" ->
-      s"""WITH $minhashCtes
-          SELECT doc_a, doc_b,
-                 ROUND(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
-          FROM inter
-          JOIN sizes sa ON sa.doc_id = doc_a
-          JOIN sizes sb ON sb.doc_id = doc_b
-          WHERE n_common / (sa.n + sb.n - n_common) >= 0.8""",
+    "dedup_minhash" -> minhashPairsOracleSql,
+
+    // LSH candidate recall vs the exact-Jaccard ground truth — the dedup
+    // sibling of sim_ivf_recall: both audited chains nested as derived
+    // tables (the LSH pipeline reranks on exact jaccard, so its pairs are
+    // a SUBSET of the ground truth and n_common == n_lsh by construction
+    // — asserted by the shared count)
+    "dedup_lsh_recall" ->
+      s"""WITH ex AS (SELECT COUNT(*) AS n_exact
+                      FROM ($jaccardPairsOracleSql) a),
+          ls AS (SELECT COUNT(*) AS n_lsh FROM ($minhashPairsOracleSql) b),
+          cm AS (SELECT COUNT(*) AS n_common
+                 FROM ($jaccardPairsOracleSql) a
+                 JOIN ($minhashPairsOracleSql) b USING (doc_a, doc_b))
+          SELECT ex.n_exact, ls.n_lsh, cm.n_common,
+            ROUND(CAST(cm.n_common AS DOUBLE)
+              / CAST(ex.n_exact AS DOUBLE), 6) AS recall
+          FROM ex, ls, cm""",
 
     // the incremental engine path must equal the FULL pipeline restricted
     // to pairs that touch a new (doc_id % 7 == 0) doc — shared CTEs, so the

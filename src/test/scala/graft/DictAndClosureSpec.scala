@@ -146,6 +146,30 @@ class DictAndClosureSpec extends AnyFunSuite {
       closureSet(old)((c6, c0)) === 2)
   }
 
+  test("deltaClosure == cold rebuild on seeded random DAGs and deltas") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 10
+      // random DAG: edges only from higher to lower index (acyclic), plus a
+      // random 1/4 slice held out as the release delta
+      val edges = (0 until 3 * n).flatMap { _ =>
+        val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+        if (a > b) Some((f"N$a%03d", f"N$b%03d")) else None
+      }.distinct
+      val (delta, base) = edges.partition(_ => rnd.nextInt(4) == 0)
+      if (base.nonEmpty && delta.nonEmpty) {
+        val baseDf = base.toDF("child_iri", "parent_iri")
+        val deltaDf = delta.toDF("child_iri", "parent_iri")
+        val old = Closure.transitiveClosure(baseDf, 5)
+        val got = closureSet(Closure.deltaClosure(baseDf, deltaDf, 5, old))
+        val want = closureSet(
+          Closure.transitiveClosure(baseDf.unionByName(deltaDf), 5))
+        assert(got === want, s"trial $trial")
+      }
+    }
+  }
+
   test("deltaClosure: empty delta is the identity; cyclic delta bounded") {
     import spark.implicits._
     val base = Seq(("a", "b"), ("b", "c")).toDF("child_iri", "parent_iri")
