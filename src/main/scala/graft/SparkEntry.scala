@@ -1426,6 +1426,17 @@ object SparkEntry {
         size(split(col("text"), " ")).as("n_tokens"))
     }),
 
+    // ORC sibling of the JSONL round trip (ORC is the other first-class
+    // columnar at-rest format next to parquet; native Spark reader with
+    // predicate pushdown) — same fidelity contract through the format
+    "io_orc_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft-orc/${new java.io.File(dir).getName}"
+      docsTable(s, dir).write.mode("overwrite").orc(out)
+      s.read.orc(out).select(col("doc_id"),
+        length(col("text")).as("n_chars_text"),
+        size(split(col("text"), " ")).as("n_tokens"))
+    }),
+
     "warc_extract" -> ((s, dir) => {
       val corpus = Corpus.fromDriverTable(docsTable(s, dir))
       Corpus.extract(graft.io.Warc.recordsFromBlobs(
@@ -4341,6 +4352,12 @@ object SparkEntry {
 
     // JSON write→read must reproduce the parquet-direct values exactly
     "io_jsonl_roundtrip" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS n_chars_text,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+         FROM documents""",
+
+    // ORC write→read, same fidelity contract
+    "io_orc_roundtrip" ->
       """SELECT doc_id, CAST(length(text) AS INT) AS n_chars_text,
            CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
          FROM documents""",

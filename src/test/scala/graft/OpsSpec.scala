@@ -752,6 +752,20 @@ class OpsSpec extends AnyFunSuite {
     // must leave at least one shared selected HASH
     val shared = byDoc(1L).map(_._2) & byDoc(2L).map(_._2)
     assert(shared.nonEmpty, "shared 6-token run must share a fingerprint")
+    // property: engine == scalar oracle on seeded random docs
+    val rnd = new scala.util.Random(31337)
+    val vocabW = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val rdocs = (0 until 20).map { i =>
+      (100L + i, (0 until 4 + rnd.nextInt(20))
+        .map(_ => vocabW(rnd.nextInt(vocabW.size))).mkString(" "))
+    }
+    val rgot = TextOps.winnow(rdocs.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).map { case (d, rs) => d -> rs.map(r => (r._2, r._3)).toSet }
+    rdocs.foreach { case (id, text) =>
+      val want = scalarWinnow(text, 3, 4)
+      assert(rgot.getOrElse(id, Set.empty) === want, s"doc $id: '$text'")
+    }
   }
 
   test("containmentPairs: asymmetric containment caught where Jaccard misses") {
