@@ -1171,6 +1171,16 @@ object SparkEntry {
             col("lr").isNotNull).as("kept"))
     }),
 
+    // decontamination attribution: per benchmark item, leaked-doc count +
+    // total shingle overlap — the report eval owners read (the semi-join
+    // decontaminate keeps no attribution; this keys the same broadcast by
+    // bench doc)
+    "curate_contamination_report" -> ((s, dir) => {
+      val docs = docsTable(s, dir)
+      Dedup.contaminationReport(
+        docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10))
+    }),
+
     // the datasheet a data team ships next to the corpus: the rejection
     // ledger aggregated to one row of counts + kept fraction (reuses the
     // ledger query — one extra global agg over ≤1 row/doc flags)
@@ -5097,6 +5107,21 @@ object SparkEntry {
           LEFT JOIN contaminated ct ON c.doc_id = ct.doc_id
           LEFT JOIN gopher g ON c.doc_id = g.doc_id
           LEFT JOIN lowrep lr ON c.doc_id = lr.doc_id""",
+
+    // per-bench-doc attribution over the same shingle machinery
+    "curate_contamination_report" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                       WHERE len(string_split(text, ' ')) >= 3),
+          pos AS (SELECT doc_id, t,
+                  unnest(generate_series(1, len(t) - 2)) AS i FROM toks),
+          sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM pos),
+          b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id < 10),
+          c AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 10),
+          o AS (SELECT b.bench_id, c.doc_id, COUNT(*) AS n_overlap
+                FROM c JOIN b USING (shingle) GROUP BY 1, 2)
+          SELECT bench_id, COUNT(*) AS n_leaked_docs,
+            CAST(SUM(n_overlap) AS BIGINT) AS total_overlap
+          FROM o WHERE n_overlap >= 2 GROUP BY 1""",
 
     // the ledger aggregated into the published dataset datasheet
     "curate_summary" ->

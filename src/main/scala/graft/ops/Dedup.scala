@@ -412,6 +412,27 @@ object Dedup {
     * distinct n-gram shingles with any benchmark text (the standard
     * training-data hygiene pass before pretraining). Benchmark side is tiny
     * → broadcast; corpus side shuffles once on the shingle aggregate. */
+  /** Decontamination ATTRIBUTION — the report eval owners actually read:
+    * per BENCHMARK item, how many corpus docs it leaked into and the total
+    * shingle overlap (the [[decontaminate]] semi-join keeps no bench
+    * attribution; this keys the same bounded bench-shingle broadcast by
+    * bench doc instead). Same scale shape: the benchmark side is tiny and
+    * broadcast; the corpus side is one scan + one (bench, doc)-keyed agg. */
+  def contaminationReport(docs: DataFrame, benchmark: DataFrame, n: Int = 3,
+                          minOverlap: Int = 2): DataFrame = {
+    val bench = benchmark.select(col("doc_id").as("bench_id"),
+      explode(shingles(col("text"), n)).as("shingle")).distinct()
+    val ds = docs
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
+      .distinct()
+    ds.join(broadcast(bench), Seq("shingle"))
+      .groupBy("bench_id", "doc_id").agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .groupBy("bench_id")
+      .agg(count(lit(1)).as("n_leaked_docs"),
+        sum("n_overlap").as("total_overlap"))
+  }
+
   def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 3,
                     minOverlap: Int = 2): DataFrame = {
     val benchShingles = benchmark
