@@ -776,12 +776,6 @@ object SparkEntry {
           (abs((col("n") - col("mu")) / col("sd")) > 3.0).as("anomaly"))
     }),
 
-    // approximate heavy hitters, CORRECTNESS-gated like the other approx
-    // ops: the top-10 users by exact count are probed against the count-min
-    // sketch in-plan — the CM guarantee (never undercounts; overshoot
-    // bounded by colliding mass) is checked as exact ≤ est ≤ exact + 2N/w,
-    // and the oracle pins the exact counts + the checked outcome, so a
-    // bound violation hash-mismatches. Total N is a 1-row in-plan aggregate
     // Z-order layout: bit-interleaved (user, hour) keys bucketed by top
     // bits — per-bucket extents tight on BOTH dims = the data-skipping
     // evidence a table-maintenance planner consumes (companion of
@@ -838,6 +832,12 @@ object SparkEntry {
             .as("expire"))
     }),
 
+    // approximate heavy hitters, CORRECTNESS-gated like the other approx
+    // ops: the top-10 users by exact count are probed against the count-min
+    // sketch in-plan — the CM guarantee (never undercounts; overshoot
+    // bounded by colliding mass) is checked as exact ≤ est ≤ exact + 2N/w,
+    // and the oracle pins the exact counts + the checked outcome, so a
+    // bound violation hash-mismatches. Total N is a 1-row in-plan aggregate
     "q_topk_approx" -> ((s, dir) => {
       val cmW = 256 // ONE width for the build, the probe, AND the bound
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -1415,10 +1415,6 @@ object SparkEntry {
     // each token chunk survives; docs rebuilt from surviving chunks
     "web_chunk_dedup" -> ((s, dir) => WebOps.chunkDedup(docsTable(s, dir))),
 
-    // WARC container round trip, end-to-end: corpus → deterministic HTML
-    // wrap → WARC response records → multi-record file blobs → parse →
-    // HTML extraction. The oracle is just the documents table — any
-    // framing/extraction defect breaks the equality.
     // JSONL source/sink round trip — the crawl-pipeline interchange format
     // next to parquet/TSV/N-Triples/WARC: write the docs table as
     // line-delimited JSON (splittable at scale), read it back with a PINNED
@@ -1426,7 +1422,10 @@ object SparkEntry {
     // 100 TB), and derive stats that must equal the parquet-direct oracle —
     // sink+source fidelity proven through the format
     "io_jsonl_roundtrip" -> ((s, dir) => {
-      val out = s"/tmp/graft-jsonl/${new java.io.File(dir).getName}"
+      // per-session path: concurrent JVMs (Verify + Bench) must not race
+      // each other's overwrite/read on a shared fixed location
+      val out = s"/tmp/graft-jsonl-${s.sparkContext.applicationId}/" +
+        new java.io.File(dir).getName
       docsTable(s, dir).write.mode("overwrite").json(out)
       val back = s.read
         .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
@@ -1440,13 +1439,18 @@ object SparkEntry {
     // columnar at-rest format next to parquet; native Spark reader with
     // predicate pushdown) — same fidelity contract through the format
     "io_orc_roundtrip" -> ((s, dir) => {
-      val out = s"/tmp/graft-orc/${new java.io.File(dir).getName}"
+      val out = s"/tmp/graft-orc-${s.sparkContext.applicationId}/" +
+        new java.io.File(dir).getName
       docsTable(s, dir).write.mode("overwrite").orc(out)
       s.read.orc(out).select(col("doc_id"),
         length(col("text")).as("n_chars_text"),
         size(split(col("text"), " ")).as("n_tokens"))
     }),
 
+    // WARC container round trip, end-to-end: corpus → deterministic HTML
+    // wrap → WARC response records → multi-record file blobs → parse →
+    // HTML extraction. The oracle is just the documents table — any
+    // framing/extraction defect breaks the equality.
     "warc_extract" -> ((s, dir) => {
       val corpus = Corpus.fromDriverTable(docsTable(s, dir))
       Corpus.extract(graft.io.Warc.recordsFromBlobs(
@@ -1779,10 +1783,10 @@ object SparkEntry {
     // composition — result == a cold closure rebuild over edges ∪ delta,
     // which is exactly what the oracle recomputes recursively
     "kg_closure_delta" -> ((s, dir) => {
-      val base = OntologyFixture.edgesDf(s)
-      val old = graph.Closure.transitiveClosure(base, maxLevel = 5)
-      graph.Closure.deltaClosure(base, OntologyFixture.edgesDeltaDf(s),
-          maxLevel = 5, oldClosure = old)
+      // v1 closure comes from the session cache (the operator's premise:
+      // the old closure is PRECOMPUTED state, not work the delta pays for)
+      graph.Closure.deltaClosure(OntologyFixture.edgesDf(s),
+          OntologyFixture.edgesDeltaDf(s), MaxLevel, oldClosure = closure(s))
         .select(col("child").as("child_iri"), col("ancestor").as("ancestor_iri"),
           col("distance").cast("int").as("distance"))
     }),
@@ -2355,10 +2359,13 @@ object SparkEntry {
     * positioned pieces as `enc_pieces(doc_id, word_pos, piece_pos, piece)`. */
   private def bpeEncodeCtes(vocabWords: Int, merges: Int): String = {
     val apply = (1 to merges).map { r =>
-      s"""e$r AS MATERIALIZED (SELECT doc_id, word_pos, replace(s,
+      // LEFT JOIN ON true: if training exhausted pairs before round r
+      // (empty t$r), the round is an identity pass instead of emptying the
+      // whole chain — matching bpeEncode, which folds only existing merges
+      s"""e$r AS MATERIALIZED (SELECT doc_id, word_pos, COALESCE(replace(s,
             '|' || t.a || '||' || t.b || '|',
-            '|' || t.a || t.b || '|') AS s
-          FROM e${r - 1}, t$r t)"""
+            '|' || t.a || t.b || '|'), s) AS s
+          FROM e${r - 1} LEFT JOIN t$r t ON true)"""
     }.mkString(",\n")
     s"""${bpeTrainCtes(vocabWords, merges)},
         dtok AS (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
@@ -2507,11 +2514,6 @@ object SparkEntry {
         SELECT node AS class_iri, label AS community FROM l$iters"""
   }
 
-  /** Unrolled seeded-Lloyd IVF oracle ([[graft.ops.Similarity.ivfTopK]]
-    * twin): c0 = first-8 seed, each round re-assigns the training sample
-    * (cosine argmax, c_id tie-break) and rebuilds centroids as per-dim
-    * means rounded to 6dp. Dim loop = generate_series(1, 64) (the
-    * embeddings table is 64-dim, already baked into the LSH oracles). */
   /** Full dedup_jaccard oracle — a val so `dedup_lsh_recall` can nest the
     * ground-truth chain as a derived table (the ivfOracleSql precedent). */
   private val jaccardPairsOracleSql =
@@ -2544,8 +2546,13 @@ object SparkEntry {
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE n_common / (sa.n + sb.n - n_common) >= 0.8"""
 
-  /** The Lloyd-chain + final-assignment CTEs (up to `aff`/`asgf`) shared by
-    * the ivf top-k oracles and the `sim_ivf_stats` oracle. */
+  /** Unrolled seeded-Lloyd IVF oracle pieces ([[graft.ops.Similarity.ivfTopK]]
+    * twin): c0 = first-8 seed, each round re-assigns the training sample
+    * (cosine argmax, c_id tie-break) and rebuilds centroids as per-dim
+    * means rounded to 6dp. Dim loop = generate_series(1, 64) (the
+    * embeddings table is 64-dim, already baked into the LSH oracles).
+    * The Lloyd-chain + final-assignment CTEs (up to `aff`/`asgf`) are
+    * shared by the ivf top-k oracles and the `sim_ivf_stats` oracle. */
   private def ivfChainCtes(iters: Int): String = {
     val iterCtes = (1 to iters).map { i =>
       s"""s$i AS (SELECT t.vec_id, t.emb, c.c_id,

@@ -96,20 +96,37 @@ object Closure {
         .groupBy("child", "ancestor").agg(min("distance").as("distance")))
     val sB = broadcast(s.select(col("child").as("s_child"),
       col("ancestor").as("s_ancestor"), col("distance").as("s_distance")))
+    // TRUE semi-naive iteration: each round composes only the PREVIOUS
+    // round's IMPROVED pairs with S (recomposing the whole cumulative set
+    // would re-derive earlier rounds and keep the empty-round exit from
+    // ever firing once two new edges chain). Completeness: a round-(m+1)
+    // improvement extends a pair that was itself improved in round m —
+    // had its prefix been no better than an older distance, the same
+    // composite would already have been derived from that older pair.
     var f = s
+    var frontier = s
     var m = 1
     var more = s.limit(1).count() > 0
     val trunc = KgGraph.truncator()
     while (m < maxLevel && more) {
-      val next = f.join(sB, f("ancestor") === col("s_child"))
-        .select(f("child"), col("s_ancestor").as("ancestor"),
-          (f("distance") + col("s_distance")).as("distance"))
+      val composed = frontier.join(sB, frontier("ancestor") === col("s_child"))
+        .select(frontier("child"), col("s_ancestor").as("ancestor"),
+          (frontier("distance") + col("s_distance")).as("distance"))
         .filter(col("distance") <= maxLevel)
-      more = next.limit(1).count() > 0
-      if (more) f = trunc(
-        f.unionByName(next)
-          .groupBy("child", "ancestor").agg(min("distance").as("distance")),
-        m)
+        .groupBy("child", "ancestor").agg(min("distance").as("d_new"))
+      val improved = composed
+        .join(f.select(col("child"), col("ancestor"),
+          col("distance").as("d_old")), Seq("child", "ancestor"), "left")
+        .filter(col("d_old").isNull || col("d_new") < col("d_old"))
+        .select(col("child"), col("ancestor"), col("d_new").as("distance"))
+      more = improved.limit(1).count() > 0
+      if (more) {
+        frontier = KgGraph.pin(improved) // read twice: union + next round
+        f = trunc(
+          f.unionByName(frontier)
+            .groupBy("child", "ancestor").agg(min("distance").as("distance")),
+          m)
+      }
       m += 1
     }
     // graft old prefixes onto the delta paths; ident keeps F itself

@@ -47,66 +47,23 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold).
-    * Inverted-index formulation with MAP-SIDE pair generation: ONE shuffle
-    * total — per-doc shingle dedup happens map-side (`array_distinct` before
-    * the explode; (doc_id, shingle) duplicates only exist WITHIN a doc, so
-    * a row-level `distinct()` exchange would be pure waste), and the posting
-    * shuffle keys on `xxhash64(shingle)` instead of the shingle string
-    * (8-byte keys vs ~25-byte text n-grams — the dedup_exact trick; a
-    * colliding pair of distinct shingles inflates one intersection count by
-    * 1 with probability ~2^-64, and the raw-string DuckDB oracle re-proves
-    * the shortcut on every verify run). Posting lists are rarity-bounded so
-    * the per-group pair blow-up is ≤ C(maxDocFreq,2); candidate pairs are
-    * emitted by array expressions — no second shuffle of per-shingle rows
-    * and no self-join. Jaccard uses full shingle-set sizes (computed before
-    * the rarity filter), thresholded RAW, rounded to 4dp for output
-    * (cross-engine float contract). */
-  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
-                   maxDocFreq: Int = 100): DataFrame = {
-    val sizes = docs.select(col("doc_id"),
-      size(array_distinct(shingles(col("text"), n))).as("n_shingles"))
-    val postings = docs
-      .select(col("doc_id"),
-        explode(array_distinct(shingles(col("text"), n))).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-      .groupBy("sh")
-      .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
-      .filter(size(col("docs")).between(2, maxDocFreq))
-    // all (a < b) pairs within each posting list, generated map-side
-    val pairs = postings.select(explode(flatten(transform(col("docs"),
-      (x, i) => transform(
-        slice(col("docs"), i + lit(2),
-          greatest(size(col("docs")) - i - lit(1), lit(0))),
-        y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-    val inter = pairs.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_shingles").as("size_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_shingles").as("size_b")), Seq("doc_b"))
-      // threshold on the RAW jaccard (oracle parity); round only for output
-      .withColumn("jaccard_raw",
-        col("n_common") / (col("size_a") + col("size_b") - col("n_common")))
-      .filter(col("jaccard_raw") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
-  }
-
-  /** Broder CONTAINMENT pairs — the ASYMMETRIC near-dup relation Jaccard
-    * misses: c(A in B) = |S(A)∩S(B)| / |S(A)| (Broder 1997 defines both
-    * resemblance and containment; dedup pipelines ship resemblance and then
-    * wonder why syndicated wrappers survive). A quote page or a
-    * boilerplate-wrapped syndication copy has containment ≈ 1 in one
-    * direction while its Jaccard sits far below any dedup threshold
-    * (sizes differ), so this is the operator that catches sub-document
-    * duplication at the whole-relation level (span dedup catches it at
-    * the position level).
-    *
-    * Same scale shape as [[jaccardPairs]] — identical capped-posting-list
-    * candidate generation (hashed 8-byte keys, map-side pair explosion, ONE
-    * shuffle), one extra size join; thresholded RAW on the LARGER direction
-    * (either containment qualifies a pair), rounded 4dp for output. */
-  def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.9,
-                       maxDocFreq: Int = 100): DataFrame = {
+  /** Shared capped-posting-list candidate machinery behind [[jaccardPairs]]
+    * and [[containmentPairs]] — per candidate pair (a < b): shared-shingle
+    * count + both full shingle-set sizes (sizes computed BEFORE the rarity
+    * filter). Inverted-index formulation with MAP-SIDE pair generation: ONE
+    * shuffle total — per-doc shingle dedup happens map-side
+    * (`array_distinct` before the explode; (doc_id, shingle) duplicates
+    * only exist WITHIN a doc, so a row-level `distinct()` exchange would be
+    * pure waste), and the posting shuffle keys on `xxhash64(shingle)`
+    * instead of the shingle string (8-byte keys vs ~25-byte text n-grams —
+    * the dedup_exact trick; a colliding pair of distinct shingles inflates
+    * one intersection count by 1 with probability ~2^-64, and the
+    * raw-string DuckDB oracles re-prove the shortcut on every verify run).
+    * Posting lists are rarity-bounded so the per-group pair blow-up is
+    * ≤ C(maxDocFreq,2); candidate pairs are emitted by array expressions —
+    * no second shuffle of per-shingle rows and no self-join. */
+  private def pairIntersections(docs: DataFrame, n: Int,
+                                maxDocFreq: Int): DataFrame = {
     val sizes = docs.select(col("doc_id"),
       size(array_distinct(shingles(col("text"), n))).as("n_shingles"))
     val postings = docs
@@ -125,13 +82,43 @@ object Dedup {
     pairs.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_shingles").as("size_a")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_shingles").as("size_b")), Seq("doc_b"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold) over
+    * [[pairIntersections]]; thresholded RAW, rounded to 4dp for output
+    * (cross-engine float contract). */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                   maxDocFreq: Int = 100): DataFrame =
+    pairIntersections(docs, n, maxDocFreq)
+      // threshold on the RAW jaccard (oracle parity); round only for output
+      .withColumn("jaccard_raw",
+        col("n_common") / (col("size_a") + col("size_b") - col("n_common")))
+      .filter(col("jaccard_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
+
+  /** Broder CONTAINMENT pairs — the ASYMMETRIC near-dup relation Jaccard
+    * misses: c(A in B) = |S(A)∩S(B)| / |S(A)| (Broder 1997 defines both
+    * resemblance and containment; dedup pipelines ship resemblance and then
+    * wonder why syndicated wrappers survive). A quote page or a
+    * boilerplate-wrapped syndication copy has containment ≈ 1 in one
+    * direction while its Jaccard sits far below any dedup threshold
+    * (sizes differ), so this is the operator that catches sub-document
+    * duplication at the whole-relation level (span dedup catches it at
+    * the position level).
+    *
+    * Same scale shape as [[jaccardPairs]] — identical capped-posting-list
+    * candidate generation (hashed 8-byte keys, map-side pair explosion, ONE
+    * shuffle), one extra size join; thresholded RAW on the LARGER direction
+    * (either containment qualifies a pair), rounded 4dp for output. */
+  def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.9,
+                       maxDocFreq: Int = 100): DataFrame =
+    pairIntersections(docs, n, maxDocFreq)
       .withColumn("ca_raw", col("n_common") / col("size_a"))
       .withColumn("cb_raw", col("n_common") / col("size_b"))
       .filter(greatest(col("ca_raw"), col("cb_raw")) >= threshold)
       .select(col("doc_a"), col("doc_b"),
         round(col("ca_raw"), 4).as("containment_a"),
         round(col("cb_raw"), 4).as("containment_b"))
-  }
 
   /** Deterministic quote-page synthesis for the containment tests/oracle:
     * every 13th doc gains a companion (doc_id + 100000) holding its first
@@ -408,10 +395,6 @@ object Dedup {
   /** Embedding cosine near-dup pairs (≥ threshold) via Similarity's LSH
     * candidates — see [[Similarity.cosineDupPairs]]. */
 
-  /** Benchmark decontamination: flag corpus docs sharing ≥ `minOverlap`
-    * distinct n-gram shingles with any benchmark text (the standard
-    * training-data hygiene pass before pretraining). Benchmark side is tiny
-    * → broadcast; corpus side shuffles once on the shingle aggregate. */
   /** Decontamination ATTRIBUTION — the report eval owners actually read:
     * per BENCHMARK item, how many corpus docs it leaked into and the total
     * shingle overlap (the [[decontaminate]] semi-join keeps no bench
@@ -433,6 +416,10 @@ object Dedup {
         sum("n_overlap").as("total_overlap"))
   }
 
+  /** Benchmark decontamination: flag corpus docs sharing ≥ `minOverlap`
+    * distinct n-gram shingles with any benchmark text (the standard
+    * training-data hygiene pass before pretraining). Benchmark side is tiny
+    * → broadcast; corpus side shuffles once on the shingle aggregate. */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 3,
                     minOverlap: Int = 2): DataFrame = {
     val benchShingles = benchmark

@@ -286,8 +286,6 @@ object LinkGraph {
 
   // ---- oracle-SQL builders (same constants/regexes as the Column code) ---
 
-  /** CTE chain `pages(doc_id, url, html)` — the synthesis twin (string_agg
-    * ordered by slot; LEFT JOIN keeps the zero-link docs). */
   /** rel=canonical declaration synthesis: every 9th page (doc_id % 9 == 2)
     * declares the mod-40 base URL as its canonical — the page-declared dup
     * signal (syndication copies, session-id variants) that URL
@@ -316,6 +314,8 @@ object LinkGraph {
         (col("decl") =!= "").as("declared"))
   }
 
+  /** CTE chain `pages(doc_id, url, html)` — the synthesis twin (string_agg
+    * ordered by slot; LEFT JOIN keeps the zero-link docs). */
   def pagesCteSql: String =
     s"""urls AS (SELECT doc_id, text, ${WebOps.urlSqlExpr} AS url FROM documents),
         slots AS (SELECT doc_id, j, (doc_id * 13 + j * 7) % 97 AS t

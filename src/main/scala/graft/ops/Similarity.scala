@@ -33,8 +33,14 @@ object Similarity {
     * big side streams map-only until the per-query top-k window. Cosine
     * rounded to 4dp. At 100 TB this is the rerank stage only — candidate
     * generation goes through [[lshBuckets]]. */
-  def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3): DataFrame = {
-    val all = asDouble(embeddings)
+  def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3): DataFrame =
+    exactTopK(asDouble(embeddings), nQueries, k)
+
+  /** The exact rerank tail shared by [[bruteForceTopK]] and
+    * [[quantizedTopK]] over any `(vec_id, emb)` frame: broadcast the query
+    * rows, 4dp cosine, per-query top-k window (cos desc, neighbor_id
+    * tie-break) — ONE place owns the rounding/tie contract. */
+  private def exactTopK(all: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val queries = all.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
     val scored = all.join(broadcast(queries), col("vec_id") =!= col("query_id"))
@@ -136,16 +142,7 @@ object Similarity {
         when(hi === lo, lo).otherwise(
           lo + round((x - lo) / (hi - lo) * 255.0, 0) * (hi - lo) / 255.0)
       }).as("emb"))
-    val queries = deq.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
-    val scored = deq.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosine(col("q_emb"), col("emb")), 4).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cos")
+    exactTopK(deq, nQueries, k)
   }
 
   /** Centroid ranking per vector: broadcast the (tiny) centroid table,
@@ -164,25 +161,6 @@ object Similarity {
     rankCentroids(vecs, centroids).filter(col("rn") === 1)
       .select(col("vec_id"), col("emb"), col("bucket"))
 
-  /** IVF-style ANN with a SEEDED-LLOYD coarse quantizer: centroids start as
-    * the first `nCentroids` vectors (deterministic seed), then `kmeansIters`
-    * Lloyd rounds (cosine assignment → per-dimension mean, means rounded to
-    * 6dp — the cross-engine float-sum contract, same as PageRank) refine
-    * them over a TRAINING SAMPLE (`vec_id < trainSample`). Training on a
-    * bounded sample is the honest 100-TB shape (FAISS practice: the coarse
-    * quantizer is trained offline on a sample, then every vector is
-    * assigned); the full table only ever flows through the broadcast
-    * assignment join. Queries probe their own inverted list + exact rerank.
-    * Complements [[lshTopK]]: IVF partitions by data geometry, LSH by random
-    * projections. Recall vs brute force (and vs the unrefined first-N
-    * quantizer) measured in tests; the DuckDB oracle recomputes the full
-    * Lloyd iteration chain.
-    *
-    * `nProbe` > 1 is the standard IVF recall knob: each query probes its
-    * `nProbe` NEAREST inverted lists instead of only its own — candidate
-    * volume grows ~linearly in nProbe while recall approaches brute force
-    * (each data vector still lives in exactly one list, so probing more
-    * lists never duplicates a candidate). */
   /** The trained coarse quantizer (shared by [[ivfTopK]] and [[ivfStats]]):
     * first-N seed + `kmeansIters` Lloyd rounds over the training sample. */
   private def trainQuantizer(all: DataFrame, nCentroids: Int,
@@ -216,6 +194,25 @@ object Similarity {
     centroids
   }
 
+  /** IVF-style ANN with a SEEDED-LLOYD coarse quantizer: centroids start as
+    * the first `nCentroids` vectors (deterministic seed), then `kmeansIters`
+    * Lloyd rounds (cosine assignment → per-dimension mean, means rounded to
+    * 6dp — the cross-engine float-sum contract, same as PageRank) refine
+    * them over a TRAINING SAMPLE (`vec_id < trainSample`). Training on a
+    * bounded sample is the honest 100-TB shape (FAISS practice: the coarse
+    * quantizer is trained offline on a sample, then every vector is
+    * assigned); the full table only ever flows through the broadcast
+    * assignment join. Queries probe their own inverted list + exact rerank.
+    * Complements [[lshTopK]]: IVF partitions by data geometry, LSH by random
+    * projections. Recall vs brute force (and vs the unrefined first-N
+    * quantizer) measured in tests; the DuckDB oracle recomputes the full
+    * Lloyd iteration chain.
+    *
+    * `nProbe` > 1 is the standard IVF recall knob: each query probes its
+    * `nProbe` NEAREST inverted lists instead of only its own — candidate
+    * volume grows ~linearly in nProbe while recall approaches brute force
+    * (each data vector still lives in exactly one list, so probing more
+    * lists never duplicates a candidate). */
   def ivfTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3,
               nCentroids: Int = 8, kmeansIters: Int = 2,
               trainSample: Int = 2048, nProbe: Int = 1): DataFrame = {

@@ -192,8 +192,12 @@ object EventStream {
         if (sd <= 0) None
         else {
           val z = (n - mu) / sd
-          Some(AnomalyRow(tpe, new Timestamp(hour * 1000L), n,
-            math.rint(z * 1e6) / 1e6, math.abs(z) > 3.0))
+          // HALF_UP to 6dp — Spark round()'s mode, so stream == batch holds
+          // bit-for-bit (math.rint is half-even and diverges on exact .5)
+          val z6 = BigDecimal(z)
+            .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+          Some(AnomalyRow(tpe, new Timestamp(hour * 1000L), n, z6,
+            math.abs(z) > 3.0))
         }
       }
     events.groupByKey(_.event_type)
