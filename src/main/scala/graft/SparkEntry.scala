@@ -1302,6 +1302,28 @@ object SparkEntry {
       graft.graph.KgGraph.componentsDelta(old, cooc.filter(isDelta))
     }),
 
+    // TYPE-level schema graph (schema induction): the concept co-occurrence
+    // graph rolled up to semantic types — per unordered (tui_a, tui_b)
+    // pair, total edge mass + distinct concept-pair count. The type table
+    // is dictionary-scale → broadcast; one (tui, tui)-keyed agg over the
+    // already-aggregated cooc edges. What ontology engineers read to see
+    // WHICH KINDS of things co-occur, not which instances.
+    "kg_type_graph" -> ((s, dir) => {
+      val cooc = graft.graph.KgGraph.cooccurrence(
+        matches(s, dir).select("url", "class_iri"))
+      val tuis = OntologyFixture.conceptsDf(s)
+        .select(col("class_iri"), explode(col("tuis")).as("tui"))
+      cooc
+        .join(broadcast(tuis.select(col("class_iri").as("src"),
+          col("tui").as("t_src"))), "src")
+        .join(broadcast(tuis.select(col("class_iri").as("dst"),
+          col("tui").as("t_dst"))), "dst")
+        .select(least(col("t_src"), col("t_dst")).as("tui_a"),
+          greatest(col("t_src"), col("t_dst")).as("tui_b"), col("n_docs"))
+        .groupBy("tui_a", "tui_b")
+        .agg(sum("n_docs").as("edge_mass"), count(lit(1)).as("n_pairs"))
+    }),
+
     // PMI association strength per co-occurrence edge (Church & Hanks):
     // ln(n_ab·N / (n_a·n_b)) over the same capped doc universe
     "kg_pmi" -> ((s, dir) =>
@@ -3960,6 +3982,27 @@ object SparkEntry {
           FROM pairs a JOIN pairs b
             ON a.url = b.url AND a.class_iri < b.class_iri
           GROUP BY 1, 2""",
+
+    // cooc-with-counts chain + the type VALUES, unordered type pairs via
+    // LEAST/GREATEST (the engine's least/greatest twin)
+    "kg_type_graph" ->
+      s"""WITH $dictCte, $directCte,
+          pairs AS (SELECT DISTINCT url, class_iri FROM direct),
+          cooc AS (SELECT a.class_iri AS src, b.class_iri AS dst,
+                     COUNT(*) AS n_docs
+                   FROM pairs a JOIN pairs b
+                     ON a.url = b.url AND a.class_iri < b.class_iri
+                   GROUP BY 1, 2),
+          tt(class_iri, tui) AS (
+            SELECT * FROM (VALUES ${OntologyFixture.tuisValues}) v(a, b)),
+          j AS (SELECT LEAST(ta.tui, tb.tui) AS tui_a,
+                  GREATEST(ta.tui, tb.tui) AS tui_b, c.n_docs
+                FROM cooc c
+                JOIN tt ta ON ta.class_iri = c.src
+                JOIN tt tb ON tb.class_iri = c.dst)
+          SELECT tui_a, tui_b, CAST(SUM(n_docs) AS BIGINT) AS edge_mass,
+            COUNT(*) AS n_pairs
+          FROM j GROUP BY 1, 2""",
 
     "kg_degree" ->
       s"""WITH $dictCte, $directCte,
