@@ -1302,6 +1302,30 @@ object SparkEntry {
       graft.graph.KgGraph.componentsDelta(old, cooc.filter(isDelta))
     }),
 
+    // MENTION CONTEXT windows — the training artifact entity-disambiguation
+    // and entity-embedding models consume: each occurrence with ±30 chars
+    // of its ORIGINAL-text surroundings. ONE url-keyed join of the match
+    // stream back to the corpus (the standard context-extraction shape —
+    // the corpus is scanned once; nothing wider than the match stream
+    // shuffles), window cut by pure substring arithmetic, clipped at doc
+    // edges identically in both engines.
+    "kg_mention_contexts" -> ((s, dir) => {
+      val c = corpus(s, dir).select(col("url"), col("text"))
+      matches(s, dir)
+        .select(col("url"), col("class_iri"), col("from"), col("to"))
+        .distinct()
+        .join(c, "url")
+        .select(col("url"), col("class_iri"),
+          col("from").cast("int").as("mention_from"),
+          expr("substring(text, greatest(1, `from` - 30), " +
+            "`to` + 30 - greatest(1, `from` - 30) + 1)").as("context"))
+        // distinct AFTER the projection: same-class prefix terms (e.g.
+        // KEY / KEY VALUE) at one start whose windows both clip at the doc
+        // end collapse to identical rows — the oracle's DISTINCT is
+        // post-projection too
+        .distinct()
+    }),
+
     // TYPE-level schema graph (schema induction): the concept co-occurrence
     // graph rolled up to semantic types — per unordered (tui_a, tui_b)
     // pair, total edge mass + distinct concept-pair count. The type table
@@ -3982,6 +4006,28 @@ object SparkEntry {
           FROM pairs a JOIN pairs b
             ON a.url = b.url AND a.class_iri < b.class_iri
           GROUP BY 1, 2""",
+
+    // every occurrence offset recovered from regexp-split segment lengths
+    // (the kg_salience machinery, with the term length carried so the
+    // window end is exact); same clipping arithmetic
+    "kg_mention_contexts" ->
+      s"""WITH $dictCte,
+          segs AS (SELECT doc_id, text, d.class_iri, length(d.term) AS tl,
+              regexp_split_to_array(upper(text), '\\b' || d.term || '\\b') AS parts
+            FROM documents, dict d),
+          pos AS (SELECT doc_id, text, class_iri, tl, parts,
+              unnest(generate_series(1, len(parts) - 1)) AS k
+            FROM segs WHERE len(parts) > 1),
+          hits AS (SELECT doc_id, text, class_iri, tl,
+              CAST((SELECT COALESCE(SUM(length(p)), 0)
+                    FROM unnest(parts[1:k]) AS t(p))
+                + (k - 1) * tl + 1 AS BIGINT) AS f
+            FROM pos)
+          SELECT DISTINCT 'doc://' || doc_id AS url, class_iri,
+            CAST(f AS INT) AS mention_from,
+            substr(text, CAST(GREATEST(1, f - 30) AS BIGINT),
+              CAST((f + tl - 1 + 30) - GREATEST(1, f - 30) + 1 AS BIGINT)) AS context
+          FROM hits""",
 
     // cooc-with-counts chain + the type VALUES, unordered type pairs via
     // LEAST/GREATEST (the engine's least/greatest twin)
