@@ -2096,7 +2096,78 @@ object SparkEntry {
           max(struct(col("quality"), (-col("doc_id")).as("negid"))).as("k"))
         .select(col("cluster"), (-col("k.negid")).as("canonical_id"),
           col("k.quality").as("quality"), col("n_members"))
-    })
+    }),
+
+    // ---- KG-release QA + provenance IO (round-4 continuation) ----------
+
+    // SHACL-lite validation report over the constructed KG: sh:maxCount
+    // (hub pages over the direct-annotation cap), sh:minCount (documents
+    // with no cross-ontology mapped annotation), plus two checked NEGATIVE
+    // controls (sh:class dangling expanded objects, sh:pattern subject
+    // IRIs) — the shape gate an ontology-release pipeline runs before
+    // publishing a triple batch
+    "kg_shacl_report" -> ((s, dir) =>
+      graft.ops.KgQuality.shaclReport(
+        graft.annotate.NativeAnnotate
+          .annotateTriples(corpus(s, dir), model(s), fusedMaps(s), "v1")
+          .select("subj", "pred", "obj"),
+        OntologyFixture.conceptsDf(s).select("class_iri"))),
+
+    // RDFS entailment materialization: rdfs2/rdfs3 domain-range typing of
+    // every triple's endpoints + rdfs9 subclass lift through a two-level
+    // type schema — the typed A-Box KG consumers filter on
+    "kg_rdfs_types" -> ((s, dir) =>
+      graft.ops.KgQuality.rdfsTypes(
+        graft.annotate.NativeAnnotate
+          .annotateTriples(corpus(s, dir), model(s), fusedMaps(s), "v1")
+          .select("subj", "pred", "obj"))),
+
+    // SPARQL basic graph pattern over the triple store:
+    //   ?d hasAnnotation ?c . ?d hasMappedAnnotation ?m . ?c rdfs:subClassOf+ C001
+    // — the star-join a KG query engine answers: the closure-derived
+    // descendant set broadcasts (ontology-scale), the triple table
+    // self-joins on subj (its sink partition key)
+    "kg_bgp_star" -> ((s, dir) => {
+      val t = graft.annotate.NativeAnnotate
+        .annotateTriples(corpus(s, dir), model(s), fusedMaps(s), "v1")
+        .select("subj", "pred", "obj")
+      val directLeg = t.filter(col("pred") === graft.Pred.Direct)
+        .select(col("subj").as("d"), col("obj").as("c"))
+      val mappedLeg = t.filter(col("pred") === graft.Pred.Mapped)
+        .select(col("subj").as("d"), col("obj").as("m"))
+      val desc = closure(s).filter(col("ancestor") === graft.ops.KgQuality.bgpRoot)
+        .select(col("child").as("c"))
+      directLeg.join(broadcast(desc), "c").join(mappedLeg, "d")
+        .select("d", "c", "m").distinct()
+    }),
+
+    // N-Quads named-graph round trip: triples + a crawl-batch provenance
+    // graph IRI (doc_id % 4 — the batch a subject arrived in), serialized
+    // as N-Quads lines, written as splittable text, read back and
+    // STRICT-parsed — the provenance-preserving interchange dump next to
+    // N-Triples/JSONL/ORC/WARC
+    "io_nquads_roundtrip" -> ((s, dir) => {
+      val quads = graft.annotate.NativeAnnotate
+        .annotateTriples(corpus(s, dir), model(s), fusedMaps(s), "v1")
+        .select(col("subj"),
+          concat(lit("http://graft.kg/p#"), col("pred")).as("pred"),
+          col("obj"),
+          concat(lit("http://graft.kg/g#batch"),
+            (regexp_extract(col("subj"), "[0-9]+$", 0).cast("bigint") % 4)
+              .cast("string")).as("graph"))
+      val out = s"/tmp/graft-nquads-${s.sparkContext.applicationId}/" +
+        new java.io.File(dir).getName
+      graft.io.NTriples.quadLines(quads).write.mode("overwrite").text(out)
+      graft.io.NTriples.quadStatements(s.read.textFile(out))
+        .select("subj", "pred", "obj", "graph")
+    }),
+
+    // hreflang alternate clusters: the page-DECLARED language-variant
+    // grouping (one logical document, N language editions) — extraction is
+    // map-only, the cluster key needs exactly one per-page window
+    "web_hreflang_clusters" -> ((s, dir) =>
+      LinkGraph.hreflangClusters(
+        LinkGraph.withHreflangLinks(LinkGraph.pages(docsTable(s, dir)))))
   )
 
   // ---- oracle SQL -------------------------------------------------------
@@ -2698,6 +2769,22 @@ object SparkEntry {
   private val minClosureCte =
     """mincl AS (SELECT child_iri, ancestor_iri, MIN(distance) AS distance
        FROM closure GROUP BY child_iri, ancestor_iri)"""
+  /** The canonical (subj, pred, obj) triple table as a composable CTE — the
+    * ann_triples oracle body verbatim, shared by every KG-QA oracle that
+    * consumes the triple store (SHACL report, RDFS typing, BGP star,
+    * N-Quads dump). Requires dictCte + edgesCte + mappingsCte + directCte +
+    * closureCte upstream (and WITH RECURSIVE for the closure). */
+  private val kgTriplesCte =
+    """triples AS (
+       SELECT DISTINCT url AS subj, 'hasAnnotation' AS pred, class_iri AS obj FROM direct
+       UNION
+       SELECT DISTINCT dr.url AS subj, 'hasExpandedAnnotation' AS pred, cl.ancestor_iri AS obj
+       FROM (SELECT DISTINCT url, class_iri FROM direct) dr
+       JOIN closure cl ON dr.class_iri = cl.child_iri
+       UNION
+       SELECT DISTINCT dr.url AS subj, 'hasMappedAnnotation' AS pred, m.mapped_iri AS obj
+       FROM (SELECT DISTINCT url, class_iri FROM direct) dr
+       JOIN maps m ON dr.class_iri = m.class_iri)"""
 
   /** Unrolled multi-source-BFS oracle ([[graft.graph.KgGraph.shortestPaths]]
     * twin over the page-link graph): frontier d = dst of frontier d−1 minus
@@ -5305,6 +5392,106 @@ object SparkEntry {
           JOIN keep ON d.doc_id = keep.doc_id
           JOIN q ON d.doc_id = q.doc_id
           JOIN l ON d.doc_id = l.doc_id
-          WHERE q.quality >= 0.5"""
+          WHERE q.quality >= 0.5""",
+
+    // ---- KG-release QA + provenance IO (round-4 continuation) ----------
+
+    // triples CTE = ann_triples verbatim; constraint constants interpolated
+    // from KgQuality (single source of truth); the two negative-control
+    // shapes are recomputed the same way and must both be empty
+    "kg_shacl_report" ->
+      s"""WITH RECURSIVE $dictCte, $edgesCte, $mappingsCte, $directCte, $closureCte,
+          $kgTriplesCte,
+          concepts(class_iri) AS (SELECT * FROM (VALUES ${OntologyFixture.conceptIriValues}) v(a)),
+          direct_n AS (SELECT subj, COUNT(DISTINCT obj) AS n FROM triples
+                       WHERE pred = 'hasAnnotation' GROUP BY subj)
+          SELECT subj AS focus, 'MaxDirectAnnotations' AS shape,
+                 CAST(n AS VARCHAR) AS detail
+          FROM direct_n WHERE n > ${graft.ops.KgQuality.shaclMaxDirect}
+          UNION ALL
+          SELECT subj, 'MissingMappedAnnotation', CAST(n AS VARCHAR)
+          FROM direct_n
+          WHERE subj NOT IN (SELECT subj FROM triples WHERE pred = 'hasMappedAnnotation')
+          UNION ALL
+          SELECT DISTINCT subj, 'DanglingExpandedObject', obj
+          FROM triples
+          WHERE pred = 'hasExpandedAnnotation'
+            AND obj NOT IN (SELECT class_iri FROM concepts)
+          UNION ALL
+          SELECT DISTINCT subj, 'SubjectPattern', subj
+          FROM triples
+          WHERE NOT regexp_matches(subj, '^doc://[0-9]+$$')""",
+
+    // rdfs2/rdfs3 via the schema join, rdfs9 via an (unbounded — the type
+    // graph is a 2-level DAG) recursive closure over the T-Box edges
+    "kg_rdfs_types" ->
+      s"""WITH RECURSIVE $dictCte, $edgesCte, $mappingsCte, $directCte, $closureCte,
+          $kgTriplesCte,
+          schema(pred, domain_type, range_type) AS (
+            SELECT * FROM (VALUES ${graft.ops.KgQuality.propSchemaValues}) v(a,b,c)),
+          tedges(child_iri, parent_iri) AS (
+            SELECT * FROM (VALUES ${graft.ops.KgQuality.typeEdgesValues}) v(a,b)),
+          tclosure(child_iri, ancestor_iri) AS (
+            SELECT child_iri, parent_iri FROM tedges
+            UNION ALL
+            SELECT c.child_iri, e.parent_iri
+            FROM tclosure c JOIN tedges e ON c.ancestor_iri = e.child_iri),
+          base AS (SELECT t.subj AS node, s.domain_type AS rdf_type
+                   FROM triples t JOIN schema s USING (pred)
+                   UNION ALL
+                   SELECT t.obj, s.range_type
+                   FROM triples t JOIN schema s USING (pred)),
+          lifted AS (SELECT b.node, c.ancestor_iri AS rdf_type
+                     FROM base b JOIN tclosure c ON b.rdf_type = c.child_iri)
+          SELECT DISTINCT node, rdf_type
+          FROM (SELECT * FROM base UNION ALL SELECT * FROM lifted)""",
+
+    // star join: direct leg restricted to the bgpRoot descendant set
+    // (closure CTE), mapped leg joined back on the shared subject
+    "kg_bgp_star" ->
+      s"""WITH RECURSIVE $dictCte, $edgesCte, $mappingsCte, $directCte, $closureCte,
+          $kgTriplesCte,
+          desc_set AS (SELECT DISTINCT child_iri AS c FROM closure
+                       WHERE ancestor_iri = '${graft.ops.KgQuality.bgpRoot}')
+          SELECT DISTINCT dl.subj AS d, dl.obj AS c, ml.obj AS m
+          FROM triples dl
+          JOIN desc_set ds ON dl.obj = ds.c
+          JOIN triples ml ON ml.subj = dl.subj AND ml.pred = 'hasMappedAnnotation'
+          WHERE dl.pred = 'hasAnnotation'""",
+
+    // the expected quads computed directly (the Spark side proves the
+    // serialize→write→read→parse loop returns exactly this set)
+    "io_nquads_roundtrip" ->
+      s"""WITH RECURSIVE $dictCte, $edgesCte, $mappingsCte, $directCte, $closureCte,
+          $kgTriplesCte
+          SELECT subj, 'http://graft.kg/p#' || pred AS pred, obj,
+                 'http://graft.kg/g#batch' ||
+                 CAST(CAST(regexp_extract(subj, '[0-9]+$$', 0) AS BIGINT) % 4 AS VARCHAR) AS graph
+          FROM triples""",
+
+    // pages twin + the same hreflang-tag append (shared index arithmetic +
+    // url builders), extraction via the same two-group pattern, cluster key
+    // = least(page, min(target)) over the per-doc declared set
+    "web_hreflang_clusters" ->
+      s"""WITH ${graft.ops.LinkGraph.pagesCteSql},
+          p2 AS (SELECT doc_id, url,
+              html || CASE WHEN doc_id % 7 = 3
+                THEN '<link rel="alternate" hreflang="fr" href="'
+                  || ${graft.ops.WebOps.urlSqlExprOf("(doc_id * 3 + 1) % 97")} || '">'
+                  || '<link rel="alternate" hreflang="de" href="'
+                  || ${graft.ops.WebOps.urlSqlExprOf("(doc_id * 5 + 2) % 97")} || '">'
+                ELSE '' END AS html
+            FROM pages),
+          x AS (SELECT doc_id, ${graft.ops.WebOps.canonUrlSqlOf("url")} AS page_url,
+              regexp_extract_all(html, '<link rel="alternate" hreflang="([a-z-]+)" href="([^"]*)"', 1) AS ls,
+              regexp_extract_all(html, '<link rel="alternate" hreflang="([a-z-]+)" href="([^"]*)"', 2) AS hs
+            FROM p2),
+          e AS (SELECT doc_id, page_url, ls[CAST(i AS INT)] AS hreflang,
+                  ${graft.ops.WebOps.canonUrlSqlOf("hs[CAST(i AS INT)]")} AS target_url
+                FROM x, (SELECT unnest(generate_series(1, 2)) AS i)
+                WHERE i <= len(ls))
+          SELECT page_url, hreflang, target_url,
+                 LEAST(page_url, MIN(target_url) OVER (PARTITION BY doc_id)) AS cluster_key
+          FROM e"""
   )
 }

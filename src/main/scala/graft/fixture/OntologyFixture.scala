@@ -191,6 +191,12 @@ object OntologyFixture {
         !(excludeNumbers && t.term.matches("^[0-9.,]+$")))
       .distinct.sortBy(t => (t.term, t.classIri, t.ont))
 
+  /** All declared concept IRIs as SQL VALUES — the sh:class universe for
+    * the SHACL dangling-object leg (UNFILTERED: the concept scheme, not the
+    * minTermSize-filtered dictionary). */
+  def conceptIriValues: String =
+    concepts.map(c => s"(${q(c.classIri)})").mkString(", ")
+
   /** `(term, class_iri, ont, pref)` VALUES of the NORMALIZED dictionary. */
   def dictValues: String =
     dictRows().map(t => s"(${q(t.term)}, ${q(t.classIri)}, ${q(t.ont)}, ${t.pref})")

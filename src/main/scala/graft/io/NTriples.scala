@@ -44,7 +44,25 @@ object NTriples {
     * legitimate real-world ontology dumps). Throws on malformed statements
     * (corrupt ontology submissions should fail the build loudly, not
     * silently drop terms). */
-  def parseLine(raw: String): Option[Stmt] = {
+  def parseLine(raw: String): Option[Stmt] = parseN(raw, allowGraph = false).map(_._1)
+
+  /** One parsed N-Quads statement: [[Stmt]] + the named graph (None = the
+    * default graph — a plain triple line is legal N-Quads). */
+  final case class Quad(subj: String, pred: String, obj: String,
+                        literal: Boolean, graph: Option[String])
+
+  /** Parse one N-Quads line (same grammar as [[parseLine]] plus an optional
+    * `<graph>` IRI between the object and the terminating dot). */
+  def parseQuadLine(raw: String): Option[Quad] =
+    parseN(raw, allowGraph = true).map { case (s, g) =>
+      Quad(s.subj, s.pred, s.obj, s.literal, g)
+    }
+
+  /** The ONE scanner behind [[parseLine]] and [[parseQuadLine]] — a fourth
+    * term is a syntax error in triples mode and the graph label in quads
+    * mode; everything else (IRIs, literals with escapes/langtag/datatype,
+    * blank-node skip semantics, strict trailing-content check) is shared. */
+  private def parseN(raw: String, allowGraph: Boolean): Option[(Stmt, Option[String])] = {
     val line = raw.trim
     if (line.isEmpty || line.startsWith("#")) return None
     var i = 0
@@ -125,6 +143,10 @@ object NTriples {
         (sb.toString, true)
       } else fail("object must be <IRI> or \"literal\"")
     ws()
+    val graph =
+      if (allowGraph && i < line.length && line.charAt(i) == '<') {
+        val g = iri(); ws(); Some(g)
+      } else None
     if (i >= line.length || line.charAt(i) != '.') fail("missing terminating dot")
     i += 1; ws()
     // anything but a comment after the dot means a second statement got
@@ -132,7 +154,7 @@ object NTriples {
     // exactly the "silently missing annotation" strict mode exists to stop
     if (i < line.length && line.charAt(i) != '#') fail("content after terminating dot")
     if (hasBnode) None // reification plumbing, no labels of interest — skip
-    else Some(Stmt(subj, pred, obj, literal))
+    else Some((Stmt(subj, pred, obj, literal), graph))
   }
 
   /** Escape a literal for serialization (inverse of the parser's unescape;
@@ -160,6 +182,17 @@ object NTriples {
     val spark = lines.sparkSession
     import spark.implicits._
     lines.flatMap(parseLine).toDF("subj", "pred", "obj", "is_literal")
+  }
+
+  /** Parse N-Quads lines → (subj, pred, obj, is_literal, graph); `graph` is
+    * NULL for default-graph statements. STRICT, like [[statements]] — a
+    * provenance dump with corrupt lines should fail the reload loudly. */
+  def quadStatements(lines: Dataset[String]): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    lines.flatMap(parseQuadLine(_).map(q =>
+      (q.subj, q.pred, q.obj, q.literal, q.graph)))
+      .toDF("subj", "pred", "obj", "is_literal", "graph")
   }
 
   /** PERMISSIVE parse for web-scale ingests where one corrupt line must not
@@ -247,6 +280,14 @@ object NTriples {
       lit(s"> <$SubClassOf> <"), col("parent_iri"), lit("> .")).as("line"))
     pref.unionAll(syn).unionAll(sty).unionAll(cui).unionAll(sub)
   }
+
+  /** Serialize an all-IRI quad table `(subj, pred, obj, graph)` to N-Quads
+    * lines (column `line`) — the named-graph provenance dump of the triple
+    * sink. Distributed concat (codegen), write with `.write.text(path)`;
+    * inverse of [[quadStatements]] for IRI-object statements. */
+  def quadLines(quads: DataFrame): DataFrame =
+    quads.select(concat(lit("<"), col("subj"), lit("> <"), col("pred"),
+      lit("> <"), col("obj"), lit("> <"), col("graph"), lit("> .")).as("line"))
 
   /** Write per-ontology submission directories under `root` — one subdir per
     * acronym, edge statements riding with the FIRST submission (they are

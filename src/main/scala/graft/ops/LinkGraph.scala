@@ -314,6 +314,48 @@ object LinkGraph {
         (col("decl") =!= "").as("declared"))
   }
 
+  /** Append declared language-alternate tags (`<link rel="alternate"
+    * hreflang=… href=…>`) to every 7th page — the multilingual-site signal
+    * hreflang clustering consumes; the SQL synthesis twin is inlined in the
+    * `web_hreflang_clusters` oracle with the SAME index arithmetic. */
+  def withHreflangLinks(pages: DataFrame): DataFrame =
+    pages.withColumn("html", concat(col("html"),
+      when(col("doc_id") % 7 === 3,
+        concat(
+          lit("<link rel=\"alternate\" hreflang=\"fr\" href=\""),
+          WebOps.syntheticUrl((col("doc_id") * 3 + 1) % 97), lit("\">"),
+          lit("<link rel=\"alternate\" hreflang=\"de\" href=\""),
+          WebOps.syntheticUrl((col("doc_id") * 5 + 2) % 97), lit("\">")))
+        .otherwise(lit(""))))
+
+  private val HreflangPattern =
+    "<link rel=\"alternate\" hreflang=\"([a-z-]+)\" href=\"([^\"]*)\""
+
+  /** hreflang ALTERNATE clusters — the page-declared language-variant
+    * grouping (the dedup/quota unit for multilingual sites: one logical
+    * document, N language editions). Extraction is map-only
+    * (regexp_extract_all × two capture groups, zipped and exploded); the
+    * cluster key is `least(page, min(alternate))` over the page's declared
+    * set — declared clusters are one hop by construction (each page lists
+    * its own alternates), so no iterative components pass is needed. The
+    * single exchange is the per-page window, keyed by doc_id — the layout
+    * the page table already has at rest. */
+  def hreflangClusters(pages: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val langs = regexp_extract_all(col("html"), lit(HreflangPattern), lit(1))
+    val hrefs = regexp_extract_all(col("html"), lit(HreflangPattern), lit(2))
+    val edges = pages
+      .select(col("doc_id"), WebOps.canonicalUrl(col("url")).as("page_url"),
+        explode(arrays_zip(langs.as("l"), hrefs.as("h"))).as("a"))
+      .select(col("doc_id"), col("page_url"), col("a.l").as("hreflang"),
+        WebOps.canonicalUrl(col("a.h")).as("target_url"))
+    val w = Window.partitionBy("doc_id")
+    edges
+      .withColumn("cluster_key",
+        least(col("page_url"), min(col("target_url")).over(w)))
+      .select("page_url", "hreflang", "target_url", "cluster_key")
+  }
+
   /** CTE chain `pages(doc_id, url, html)` — the synthesis twin (string_agg
     * ordered by slot; LEFT JOIN keeps the zero-link docs). */
   def pagesCteSql: String =

@@ -33,6 +33,27 @@ class LinkGraphSpec extends AnyFunSuite {
     // the no-anchor page contributes no rows (covered by the exact set)
   }
 
+  test("hreflangClusters: declared alternates group under least(page, min(target))") {
+    import spark.implicits._
+    val pages = Seq(
+      // two declared alternates; the de target canonicalizes below the page
+      (1L, "https://www.A.org/x/",
+        """<html><link rel="alternate" hreflang="fr" href="https://a.org/fr/x">""" +
+          """<link rel="alternate" hreflang="de" href="https://A.org/de/x?utm_source=t"></html>"""),
+      // no alternates → contributes no rows (declared clusters only)
+      (2L, "https://b.org/y", "<html>plain</html>"),
+      // page url sorts below its only target → the page anchors the cluster
+      (3L, "https://aa.org/a",
+        """<html><link rel="alternate" hreflang="fr" href="https://zz.org/b"></html>"""))
+      .toDF("doc_id", "url", "html")
+    val got = LinkGraph.hreflangClusters(pages)
+      .as[(String, String, String, String)].collect().toSet
+    assert(got === Set(
+      ("https://a.org/x", "fr", "https://a.org/fr/x", "https://a.org/de/x"),
+      ("https://a.org/x", "de", "https://a.org/de/x", "https://a.org/de/x"),
+      ("https://aa.org/a", "fr", "https://zz.org/b", "https://aa.org/a")))
+  }
+
   test("synthetic pages: link count is doc_id % 4; zero-link docs drop out") {
     import spark.implicits._
     val docs = (0L to 19L).map(i => (i, s"text $i")).toDF("doc_id", "text")

@@ -132,6 +132,37 @@ class NTriplesSpec extends AnyFunSuite {
     }
   }
 
+  test("N-Quads: scalar parser + distributed serialize/parse round trip") {
+    import NTriples.{parseLine, parseQuadLine, Quad}
+    // graph label present
+    assert(parseQuadLine("<http://x/a> <http://x/p> <http://x/b> <http://x/g> .") ===
+      Some(Quad("http://x/a", "http://x/p", "http://x/b", literal = false, Some("http://x/g"))))
+    // a plain triple line is legal N-Quads → default graph (None)
+    assert(parseQuadLine("""<http://x/a> <http://x/p> "lit"@en .""") ===
+      Some(Quad("http://x/a", "http://x/p", "lit", literal = true, None)))
+    // comments / blank-node statements keep triples-mode skip semantics
+    assert(parseQuadLine("  # comment") === None)
+    assert(parseQuadLine("_:b <http://x/p> <http://x/b> <http://x/g> .") === None)
+    // a fourth term in TRIPLES mode is a loud syntax error, not a graph
+    intercept[IllegalArgumentException](
+      parseLine("<http://x/a> <http://x/p> <http://x/b> <http://x/g> ."))
+    // strictness survives the extra term: trailing junk still fails
+    intercept[IllegalArgumentException](
+      parseQuadLine("<http://x/a> <http://x/p> <http://x/b> <http://x/g> . junk"))
+    intercept[IllegalArgumentException](
+      parseQuadLine("<http://x/a> <http://x/p> <http://x/b> <http://x/g>"))
+    // distributed: quadLines → quadStatements is the identity on IRI quads
+    import spark.implicits._
+    val quads = Seq(
+      ("http://x/a", "http://x/p", "http://x/b", "http://x/g0"),
+      ("http://x/c", "http://x/p", "http://x/d", "http://x/g1"))
+      .toDF("subj", "pred", "obj", "graph")
+    val back = NTriples.quadStatements(NTriples.quadLines(quads).as[String])
+    assert(back.select("subj", "pred", "obj", "graph").collect().map(_.toSeq).toSet ===
+      quads.collect().map(_.toSeq).toSet)
+    assert(back.filter(col("is_literal")).count() === 0)
+  }
+
   test("dict built from NT-parsed concepts == dict built from fixture") {
     import spark.implicits._
     val c = OntologyFixture.conceptsDf(spark)
