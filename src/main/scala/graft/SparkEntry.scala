@@ -1444,6 +1444,15 @@ object SparkEntry {
       graft.graph.KgGraph.labelPropagation(graft.graph.KgGraph.cooccurrence(
         matches(s, dir).select("url", "class_iri")))),
 
+    // partition-quality QA: weighted modularity of the label-propagation
+    // communities — per-community e_c/m − (S_c/2m)² (Newman 2004)
+    "kg_modularity" -> ((s, dir) => {
+      val cooc = graft.graph.KgGraph.cooccurrence(
+        matches(s, dir).select("url", "class_iri"))
+      graft.graph.KgGraph.modularity(cooc,
+        graft.graph.KgGraph.labelPropagation(cooc))
+    }),
+
     // PMI-scored adjacent-bigram collocations (phrase mining)
     "text_collocations" -> ((s, dir) =>
       TextOps.collocations(docsTable(s, dir))),
@@ -2609,7 +2618,15 @@ object SparkEntry {
     * on ties — expressed as the same deterministic order, via ROW_NUMBER
     * here and min(struct(-c, label)) in the engine). `und` is MATERIALIZED
     * (referenced every round). */
-  private def labelPropOracleSql(iters: Int): String = {
+  private def labelPropOracleSql(iters: Int): String =
+    s"""WITH $dictCte, $directCte, ${labelPropChainCtes(iters)}
+        SELECT node AS class_iri, label AS community FROM l$iters"""
+
+  /** The shared label-propagation CTE chain (weighted cooc edges + `iters`
+    * synchronous rounds), reused by the kg_labelprop and kg_modularity
+    * oracles. `cooc` carries the edge weight `w` (doc count) even though
+    * propagation ignores it — modularity consumes it downstream. */
+  private def labelPropChainCtes(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       s"""r$i AS (SELECT u.src AS node, l.label, COUNT(*) AS c
             FROM und u JOIN l${i - 1} l ON u.dst = l.node GROUP BY 1, 2),
@@ -2619,17 +2636,42 @@ object SparkEntry {
                                       ORDER BY c DESC, label ASC) AS rn
             FROM r$i) WHERE rn = 1)"""
     }.mkString(",\n")
-    s"""WITH $dictCte, $directCte,
-        pairs AS (SELECT DISTINCT url, class_iri FROM direct),
-        cooc AS (SELECT DISTINCT a.class_iri AS src, b.class_iri AS dst
+    s"""pairs AS (SELECT DISTINCT url, class_iri FROM direct),
+        cooc AS MATERIALIZED (SELECT a.class_iri AS src, b.class_iri AS dst,
+                 CAST(COUNT(*) AS BIGINT) AS w
                  FROM pairs a JOIN pairs b
-                   ON a.url = b.url AND a.class_iri < b.class_iri),
+                   ON a.url = b.url AND a.class_iri < b.class_iri
+                 GROUP BY 1, 2),
         und AS MATERIALIZED (SELECT src, dst FROM cooc
                UNION ALL SELECT dst AS src, src AS dst FROM cooc),
         l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
-        $rounds
-        SELECT node AS class_iri, label AS community FROM l$iters"""
+        $rounds"""
   }
+
+  /** [[graft.graph.KgGraph.modularity]] twin over the label-propagation
+    * partition: the same weighted-degree / intra-weight / total-weight
+    * rollups with the identical division order, 6dp. */
+  private def modularityOracleSql(iters: Int): String =
+    s"""WITH $dictCte, $directCte, ${labelPropChainCtes(iters)},
+        comm AS (SELECT node AS class_iri, label AS community FROM l$iters),
+        deg AS (SELECT class_iri, CAST(SUM(w) AS BIGINT) AS k
+                FROM (SELECT src AS class_iri, w FROM cooc
+                      UNION ALL SELECT dst AS class_iri, w FROM cooc)
+                GROUP BY 1),
+        tot AS (SELECT CAST(SUM(w) AS DOUBLE) AS m FROM cooc),
+        cd AS (SELECT community, COUNT(*) AS n_nodes,
+                 CAST(SUM(k) AS BIGINT) AS degree_w
+               FROM deg JOIN comm USING (class_iri) GROUP BY 1),
+        intra AS (SELECT ca.community, CAST(SUM(e.w) AS BIGINT) AS internal_w
+                  FROM cooc e
+                  JOIN comm ca ON e.src = ca.class_iri
+                  JOIN comm cb ON e.dst = cb.class_iri
+                  WHERE ca.community = cb.community GROUP BY 1)
+        SELECT cd.community, cd.n_nodes,
+               COALESCE(i.internal_w, 0) AS internal_w, cd.degree_w,
+               ROUND(COALESCE(i.internal_w, 0) / m
+                 - POW(cd.degree_w / (2.0 * m), 2.0), 6) AS q_contrib
+        FROM cd LEFT JOIN intra i USING (community), tot"""
 
   /** Full dedup_jaccard oracle — a val so `dedup_lsh_recall` can nest the
     * ground-truth chain as a derived table (the ivfOracleSql precedent). */
@@ -5250,6 +5292,8 @@ object SparkEntry {
     "web_domain_quota2" -> domainQuotaOracleSql,
 
     "kg_labelprop" -> labelPropOracleSql(iters = 4),
+
+    "kg_modularity" -> modularityOracleSql(iters = 4),
 
     // collocations recomputed declaratively; arithmetic order mirrored
     // exactly (ratio-of-ratios before ln) so the doubles are bit-equal

@@ -243,6 +243,50 @@ object KgGraph {
     labels.select(col("node").as("class_iri"), col("label").as("community"))
   }
 
+  /** Weighted Newman–Girvan modularity of a community partition (Newman
+    * 2004): per community c, `Q_c = e_c/m − (S_c/2m)²` where `m` = total
+    * edge weight, `e_c` = intra-community edge weight and `S_c` = summed
+    * weighted degree of c's members; the partition's modularity is ΣQ_c.
+    * The release-QA metric for [[labelPropagation]] output — a partition
+    * whose Q collapses between KG releases signals the community structure
+    * (not just the labels) changed.
+    *
+    * Scale shape: the community map is node-table-sized (concept
+    * vocabulary, not corpus) → BROADCAST onto the edge list twice; then two
+    * short-key aggregations (per-node degree, per-community rollup) and a
+    * 1-row total-weight scalar attached in-plan via crossJoin (the dangling-
+    * mass pattern — no driver action). Both Q terms are exact-integer
+    * ratios computed in one division order mirrored by the oracle, rounded
+    * 6dp. Input: canonical (src < dst, n_docs) edges + (class_iri,
+    * community) labels over the same node set. */
+  def modularity(cooccur: DataFrame, communities: DataFrame): DataFrame = {
+    val edges = pin(cooccur.select(col("src"), col("dst"),
+      col("n_docs").cast("long").as("w")))
+    val comm = communities.select(col("class_iri"), col("community"))
+    val deg = edges.select(col("src").as("class_iri"), col("w"))
+      .unionAll(edges.select(col("dst").as("class_iri"), col("w")))
+      .groupBy("class_iri").agg(sum(col("w")).as("k"))
+    val total = edges.agg(sum(col("w")).cast("double").as("m"))
+    val commDeg = deg.join(broadcast(comm), "class_iri")
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("k")).as("degree_w"))
+    val intra = edges
+      .join(broadcast(comm.select(col("class_iri").as("src"),
+        col("community").as("ca"))), "src")
+      .join(broadcast(comm.select(col("class_iri").as("dst"),
+        col("community").as("cb"))), "dst")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(sum(col("w")).as("internal_w"))
+    commDeg.join(intra, Seq("community"), "left")
+      .crossJoin(total)
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("internal_w"), lit(0L)).as("internal_w"),
+        col("degree_w"),
+        round(coalesce(col("internal_w"), lit(0L)) / col("m")
+          - pow(col("degree_w") / (lit(2.0) * col("m")), lit(2.0)), 6)
+          .as("q_contrib"))
+  }
+
   /** Per-concept degree + weighted degree over the co-occurrence graph. */
   def degrees(cooccur: DataFrame): DataFrame =
     cooccur.select(col("src").as("class_iri"), col("n_docs"))

@@ -510,6 +510,40 @@ class KgGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("modularity: bridged triangles match hand formula; trivial partition scores 0") {
+    import spark.implicits._
+    // weighted bridged triangles: m = 9; each triangle community has
+    // internal weight 4 and summed degree 9 → Q_c = 4/9 − (9/18)² = 0.194444
+    val g = Seq(("a", "b", 2L), ("a", "c", 1L), ("b", "c", 1L),
+      ("x", "y", 1L), ("x", "z", 1L), ("y", "z", 2L), ("c", "x", 1L))
+      .toDF("src", "dst", "n_docs")
+    val comm = Seq(("a", "a"), ("b", "a"), ("c", "a"),
+      ("x", "c"), ("y", "c"), ("z", "c")).toDF("class_iri", "community")
+    val got = KgGraph.modularity(g, comm).collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val qc = BigDecimal(4.0 / 9 - math.pow(9.0 / 18, 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Map("a" -> ((3L, 4L, 9L, qc)), "c" -> ((3L, 4L, 9L, qc))))
+    // the everything-in-one-community partition always scores exactly 0:
+    // e_c/m = 1 and (S_c/2m)² = 1
+    val one = comm.select(col("class_iri"), lit("all").as("community"))
+    val trivial = KgGraph.modularity(g, one).collect()
+    assert(trivial.length === 1 && trivial.head.getDouble(4) === 0.0)
+    // a community with NO internal edges contributes only the negative
+    // degree term (left-join null → 0 internal weight)
+    val split = Seq(("a", "p"), ("b", "q"), ("c", "p"), ("x", "q"),
+      ("y", "p"), ("z", "q")).toDF("class_iri", "community")
+    val gotSplit = KgGraph.modularity(g, split).collect()
+      .map(r => (r.getString(0), (r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // p = {a,c,y}: internal (a,c)=1; degrees 3+3+3=9. q = {b,x,z}:
+    // internal (x,z)=1; degrees 3+3+3=9 → both 1/9 − (9/18)²
+    val qs = BigDecimal(1.0 / 9 - math.pow(9.0 / 18, 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(gotSplit === Map("p" -> ((1L, 9L, qs)), "q" -> ((1L, 9L, qs))))
+  }
+
   test("adamicAdar: path scores 1/ln(deg), triangles yield nothing, hub cap skips") {
     import spark.implicits._
     // path a-b-c: only candidate (a,c), common neighbor b with degree 2
