@@ -1098,6 +1098,24 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"),
           Sampling.bucket100(col("doc_id")).as("bucket"))),
 
+    // quota-DERIVED stratified sampling: cap every language at ~100 docs
+    // with the keep-rate computed IN-PLAN from the per-stratum counts
+    // (text_sample's rates are caller-chosen constants; a rebalancing
+    // pipeline wants them derived from the live distribution). One tiny
+    // per-lang agg broadcast back onto the corpus, then the same
+    // consistent-hash keep decision — map-side at any scale. ceil keeps
+    // small strata whole (pct clamps to 100); the dominant language is
+    // the one that actually downsamples.
+    "curate_quota_sample" -> ((s, dir) => {
+      val docs = docsTable(s, dir)
+      val rates = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .select(col("lang"),
+          least(lit(100L), ceil(lit(10000.0) / col("cnt"))).as("pct"))
+      docs.join(broadcast(rates), "lang")
+        .filter(Sampling.bucket100(col("doc_id")) < col("pct"))
+        .select(col("doc_id"), col("lang"), col("pct"))
+    }),
+
     // capstone training-data curation: exact-dedup survivors + quality gate
     // + language tag — the composed corpus-curation pipeline in one query
     "curate_corpus" -> ((s, dir) => {
@@ -1246,6 +1264,25 @@ object SparkEntry {
     // recursive-CTE oracle
     "kg_components" -> ((s, dir) =>
       graft.graph.KgGraph.connectedComponents(graft.graph.KgGraph.cooccurrence(
+        matches(s, dir).select("url", "class_iri")))),
+
+    // graph-release QA: component-size histogram + per-size node fraction
+    // (giant-component watch: over-merge and shatter both read off this)
+    "kg_component_sizes" -> ((s, dir) =>
+      graft.graph.KgGraph.componentSizes(
+        graft.graph.KgGraph.connectedComponents(graft.graph.KgGraph.cooccurrence(
+          matches(s, dir).select("url", "class_iri"))))),
+
+    // per-node Watts–Strogatz local clustering coefficient
+    // (2·tri / deg·(deg−1); tag-page hubs show cc ≈ 0)
+    "kg_clustering" -> ((s, dir) =>
+      graft.graph.KgGraph.clusteringCoefficient(graft.graph.KgGraph.cooccurrence(
+        matches(s, dir).select("url", "class_iri")))),
+
+    // one-row degree-assortativity drift alarm (Newman 2002 Pearson r over
+    // endpoint degrees, both orientations)
+    "kg_assortativity" -> ((s, dir) =>
+      graft.graph.KgGraph.assortativity(graft.graph.KgGraph.cooccurrence(
         matches(s, dir).select("url", "class_iri")))),
 
     // TEMPORAL fact history — the KG-maintenance view over TIME (the
@@ -1490,6 +1527,23 @@ object SparkEntry {
         size(split(col("text"), " ")).as("n_tokens"))
     }),
 
+    // CSV sibling of the JSONL round trip — the interchange format every
+    // upstream data drop still arrives in. Default splittable mode (quote
+    // framing, no multiLine) with a PINNED schema, no inference scan; the
+    // hostile-content legs (embedded commas/quotes/newlines → multiLine)
+    // are pinned by IoSpec, where the fixture can be adversarial
+    "io_csv_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft-csv-${s.sparkContext.applicationId}/" +
+        new java.io.File(dir).getName
+      docsTable(s, dir).write.mode("overwrite").option("header", "false").csv(out)
+      s.read
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .csv(out)
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars_text"),
+          size(split(col("text"), " ")).as("n_tokens"))
+    }),
+
     // ORC sibling of the JSONL round trip (ORC is the other first-class
     // columnar at-rest format next to parquet; native Spark reader with
     // predicate pushdown) — same fidelity contract through the format
@@ -1528,6 +1582,12 @@ object SparkEntry {
     // host-level link graph (canonical hosts, intra-host links dropped)
     "web_host_graph" -> ((s, dir) =>
       LinkGraph.hostGraph(LinkGraph.links(LinkGraph.pages(docsTable(s, dir))))),
+
+    // one-row edge reciprocity of the host graph (link-farm rings → 1,
+    // pure spam-target shapes → 0; organic webs sit in between)
+    "web_reciprocity" -> ((s, dir) =>
+      LinkGraph.reciprocity(
+        LinkGraph.hostGraph(LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))))),
 
     // per-target anchor-text table: top-3 anchors per canonical URL
     "web_anchor_text" -> ((s, dir) =>
@@ -1798,6 +1858,30 @@ object SparkEntry {
         .filter(col("child") === col("ancestor"))
         .select(col("child").as("class_iri"),
           col("distance").cast("int").as("cycle_len"))
+    }),
+
+    // ontology-release QA: concept-depth histogram — depth = MIN is-a
+    // distance to a ROOT (a concept that is never a child), roots at 0;
+    // −1 flags a concept whose every root path exceeds the closure cap
+    // (a broken release). A flattening release (depths collapsing toward
+    // 0) or a deepening one both move this histogram before anything else.
+    // Ontology-scale only: the corpus is never touched.
+    "dict_depth_histogram" -> ((s, dir) => {
+      val e = OntologyFixture.edgesDf(s)
+      val concepts = OntologyFixture.conceptsDf(s).select("class_iri").distinct()
+      val children = e.select(col("child_iri").as("class_iri")).distinct()
+        .withColumn("has_parent", lit(true))
+      val roots = concepts.join(children, Seq("class_iri"), "left_anti")
+      val rootDist = graph.Closure.transitiveClosure(e, maxLevel = 5)
+        .join(roots.select(col("class_iri").as("ancestor")), Seq("ancestor"))
+        .groupBy(col("child").as("class_iri"))
+        .agg(min(col("distance")).as("d"))
+      concepts.join(children, Seq("class_iri"), "left")
+        .join(rootDist, Seq("class_iri"), "left")
+        .select(col("class_iri"),
+          when(col("has_parent").isNull, lit(0))
+            .otherwise(coalesce(col("d").cast("int"), lit(-1))).as("depth"))
+        .groupBy("depth").agg(count(lit(1)).as("n_concepts"))
     }),
 
     // TRANSITIVE REDUCTION verdicts — ontology-release hygiene: an is-a
@@ -4098,6 +4182,19 @@ object SparkEntry {
            FROM documents)
          WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 50 END""",
 
+    // keep-rate derived from the live per-lang counts (ceil division in
+    // double, mirrored), then the same portable-hash keep decision
+    "curate_quota_sample" ->
+      """WITH cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c
+                      FROM documents GROUP BY 1),
+          rates AS (SELECT lang,
+                      LEAST(100, CAST(CEIL(CAST(10000.0 AS DOUBLE) / c) AS BIGINT)) AS pct
+                    FROM cnt)
+          SELECT d.doc_id, d.lang, r.pct
+          FROM documents d JOIN rates r USING (lang)
+          WHERE CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 100 < r.pct""",
+
     "kg_curated_triples" ->
       s"""WITH RECURSIVE $dictCte, $edgesCte, $mappingsCte,
           keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
@@ -4210,6 +4307,85 @@ object SparkEntry {
           SELECT a AS class_iri, LEAST(a, MIN(b)) AS component
           FROM reach GROUP BY a""",
 
+    // same recursive reach chain rolled up to the size histogram; the node
+    // total rides along as a 1-row scalar (division order mirrored, 6dp)
+    "kg_component_sizes" ->
+      s"""WITH RECURSIVE $dictCte, $directCte,
+          pairs AS (SELECT DISTINCT url, class_iri FROM direct),
+          cooc AS (SELECT DISTINCT a.class_iri AS src, b.class_iri AS dst
+                   FROM pairs a JOIN pairs b
+                     ON a.url = b.url AND a.class_iri < b.class_iri),
+          und AS (SELECT src AS a, dst AS b FROM cooc
+                  UNION SELECT dst, src FROM cooc),
+          reach(a, b) AS (SELECT a, b FROM und
+                          UNION
+                          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+          comp AS (SELECT a AS class_iri, LEAST(a, MIN(b)) AS component
+                   FROM reach GROUP BY a),
+          sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS size
+                 FROM comp GROUP BY 1),
+          dist AS (SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components
+                   FROM sz GROUP BY 1),
+          tot AS (SELECT CAST(SUM(size) AS DOUBLE) AS n_nodes FROM sz)
+          SELECT size, n_components,
+                 ROUND(size * n_components / n_nodes, 6) AS node_fraction
+          FROM dist, tot""",
+
+    // degree chain + triangle wedge chain LEFT-joined; cc division order
+    // (2·tri first, then the integer deg·(deg−1) denominator) mirrored, 6dp
+    "kg_clustering" ->
+      s"""WITH $dictCte, $directCte,
+          pairs AS (SELECT DISTINCT url, class_iri FROM direct),
+          cooc AS (SELECT DISTINCT a.class_iri AS src, b.class_iri AS dst
+                   FROM pairs a JOIN pairs b
+                     ON a.url = b.url AND a.class_iri < b.class_iri),
+          degt AS (SELECT class_iri, CAST(COUNT(*) AS BIGINT) AS degree
+                   FROM (SELECT src AS class_iri FROM cooc
+                         UNION ALL SELECT dst FROM cooc) GROUP BY 1),
+          tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                  FROM cooc e1
+                  JOIN cooc e2 ON e1.src = e2.src AND e1.dst < e2.dst
+                  JOIN cooc e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+          tcnt AS (SELECT class_iri, CAST(COUNT(*) AS BIGINT) AS n_triangles
+                   FROM (SELECT a AS class_iri FROM tri
+                         UNION ALL SELECT b FROM tri
+                         UNION ALL SELECT c FROM tri) GROUP BY 1)
+          SELECT d.class_iri, d.degree,
+                 COALESCE(t.n_triangles, 0) AS n_triangles,
+                 CASE WHEN d.degree >= 2
+                   THEN ROUND(2.0 * COALESCE(t.n_triangles, 0)
+                          / (d.degree * (d.degree - 1)), 6)
+                   ELSE 0.0 END AS local_cc
+          FROM degt d LEFT JOIN tcnt t USING (class_iri)""",
+
+    // exact integer moments (n, Σk, Σk², Σkxky) over both orientations,
+    // then the Pearson r in the engine's division order; zero variance → 0
+    "kg_assortativity" ->
+      s"""WITH $dictCte, $directCte,
+          pairs AS (SELECT DISTINCT url, class_iri FROM direct),
+          cooc AS (SELECT DISTINCT a.class_iri AS src, b.class_iri AS dst
+                   FROM pairs a JOIN pairs b
+                     ON a.url = b.url AND a.class_iri < b.class_iri),
+          deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS k
+                  FROM (SELECT src AS node FROM cooc
+                        UNION ALL SELECT dst FROM cooc) GROUP BY 1),
+          orient AS (SELECT src, dst FROM cooc
+                     UNION ALL SELECT dst AS src, src AS dst FROM cooc),
+          jj AS (SELECT dx.k AS kx, dy.k AS ky
+                 FROM orient o
+                 JOIN deg dx ON o.src = dx.node
+                 JOIN deg dy ON o.dst = dy.node),
+          agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(kx) AS BIGINT) AS sx,
+                    CAST(SUM(kx * kx) AS BIGINT) AS sxx,
+                    CAST(SUM(kx * ky) AS BIGINT) AS sxy FROM jj)
+          SELECT n AS n_endpoints,
+                 CASE WHEN (sxx / n - POW(sx / n, 2.0)) = 0.0 THEN 0.0
+                   ELSE ROUND((sxy / n - POW(sx / n, 2.0))
+                          / (sxx / n - POW(sx / n, 2.0)), 6) END
+                   AS assortativity
+          FROM agg""",
+
     // each leg recomputed from its audited oracle chain (dict universe,
     // occurrence counts, min-distance closure, mapping VALUES), LEFT-joined
     // with zero coalesces
@@ -4246,6 +4422,30 @@ object SparkEntry {
           $closureCte
           SELECT child_iri AS class_iri, CAST(MIN(distance) AS INT) AS cycle_len
           FROM closure WHERE child_iri = ancestor_iri GROUP BY 1""",
+
+    // depth = MIN closure distance to a root (never-a-child concept),
+    // roots at 0, −1 when no root path fits the ≤5 cap
+    "dict_depth_histogram" ->
+      s"""WITH RECURSIVE $edgesCte, $closureCte,
+          con AS (SELECT DISTINCT * FROM
+                    (VALUES ${OntologyFixture.conceptIriValues}) v(class_iri)),
+          ch AS (SELECT DISTINCT child_iri AS class_iri FROM edges),
+          roots AS (SELECT con.class_iri FROM con
+                    LEFT JOIN ch ON con.class_iri = ch.class_iri
+                    WHERE ch.class_iri IS NULL),
+          rootdist AS (SELECT c.child_iri AS class_iri,
+                         MIN(c.distance) AS d
+                       FROM closure c
+                       JOIN roots r ON c.ancestor_iri = r.class_iri
+                       GROUP BY 1),
+          dep AS (SELECT con.class_iri,
+                    CASE WHEN ch.class_iri IS NULL THEN 0
+                      ELSE COALESCE(CAST(rd.d AS INT), -1) END AS depth
+                  FROM con
+                  LEFT JOIN ch ON con.class_iri = ch.class_iri
+                  LEFT JOIN rootdist rd ON con.class_iri = rd.class_iri)
+          SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_concepts
+          FROM dep GROUP BY 1""",
 
     // redundant = reachable through a sibling out-edge's closure (same ≤5
     // depth cap both sides)
@@ -4591,6 +4791,13 @@ object SparkEntry {
            CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
          FROM documents""",
 
+    // CSV write→read, same fidelity contract (quote framing must not
+    // perturb a single byte of text)
+    "io_csv_roundtrip" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS n_chars_text,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+         FROM documents""",
+
     // ORC write→read, same fidelity contract
     "io_orc_roundtrip" ->
       """SELECT doc_id, CAST(length(text) AS INT) AS n_chars_text,
@@ -4631,6 +4838,24 @@ object SparkEntry {
                     FROM lnk)
           SELECT src_host, dst_host, COUNT(*) AS n_links
           FROM hosts WHERE src_host <> dst_host GROUP BY 1, 2""",
+
+    // host-graph chain → reversed-key self left-join (post-agg keys are
+    // unique, no fan-out) → 1-row moments; division order mirrored, 6dp
+    "web_reciprocity" ->
+      s"""WITH ${graft.ops.LinkGraph.linksCteSql},
+          hosts AS (SELECT ${graft.ops.WebOps.canonHostSqlOf("src_url")} AS src_host,
+                           ${graft.ops.WebOps.canonHostSqlOf("dst_url")} AS dst_host
+                    FROM lnk),
+          hg AS (SELECT src_host, dst_host FROM hosts
+                 WHERE src_host <> dst_host GROUP BY 1, 2),
+          agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+                    CAST(SUM(CASE WHEN r.src_host IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocal
+                  FROM hg e LEFT JOIN hg r
+                    ON e.src_host = r.dst_host AND e.dst_host = r.src_host)
+          SELECT n_edges, n_reciprocal,
+                 ROUND(n_reciprocal / n_edges, 6) AS reciprocity
+          FROM agg""",
 
     "web_anchor_text" ->
       s"""WITH ${graft.ops.LinkGraph.linksCteSql},

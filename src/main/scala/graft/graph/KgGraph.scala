@@ -312,6 +312,87 @@ object KgGraph {
       .groupBy("class_iri").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Component-size distribution over a (class_iri, component) labeling —
+    * the graph-release QA rollup next to [[modularity]]: the judge of a KG
+    * build is often "did the giant component swallow everything?" (an
+    * over-merged release) or "did it shatter?" (a broken edge source), and
+    * both read directly off this histogram plus `node_fraction`.
+    *
+    * Scale shape: two short-key hash aggregations (component → size,
+    * size → count) — the second's key space is at most O(√edges) distinct
+    * sizes — and the 1-row node total attached in-plan via crossJoin. No
+    * driver action, nothing wider than the label table ever shuffles. */
+  def componentSizes(labels: DataFrame): DataFrame = {
+    val sizes = labels.groupBy("component").agg(count(lit(1)).as("size"))
+    val total = sizes.agg(sum(col("size")).cast("double").as("n_nodes"))
+    sizes.groupBy("size").agg(count(lit(1)).as("n_components"))
+      .crossJoin(total)
+      .select(col("size"), col("n_components"),
+        round(col("size") * col("n_components") / col("n_nodes"), 6)
+          .as("node_fraction"))
+  }
+
+  /** Per-node local clustering coefficient over the canonical (src < dst)
+    * edge set: `cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1))`, 0 when deg < 2 —
+    * [[triangles]] and [[degrees]] composed into the standard
+    * Watts–Strogatz local density signal (how club-like each concept's
+    * neighborhood is; hubs with cc ≈ 0 are the tag-page/stop-concept
+    * smell in a web-built KG).
+    *
+    * Scale shape: inherits the wedge-join bound from [[triangles]] (the
+    * upstream `maxPerDoc` cap tames degree skew); the final left join is
+    * degree-table-sized on both sides, keyed by concept. Division order
+    * (2·tri first, then the integer deg·(deg−1) denominator) is mirrored
+    * by the oracle, 6dp. */
+  def clusteringCoefficient(cooccur: DataFrame): DataFrame = {
+    // pin the edge set once — degrees and triangles both consume it, and
+    // without the pin each leg re-runs the corpus-side co-occurrence agg
+    val edges = pin(cooccur.select(col("src"), col("dst"), col("n_docs")))
+    val deg = degrees(edges).select(col("class_iri"), col("degree"))
+    val tri = triangles(edges)
+    deg.join(tri, Seq("class_iri"), "left")
+      .select(col("class_iri"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - lit(1L))), 6))
+          .otherwise(lit(0.0)).as("local_cc"))
+  }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the undirected edge set, each edge contributing
+    * both orientations so the marginals coincide (Sx = Sy, Sxx = Syy) and
+    * `r = (Sxy/n − (Sx/n)²) / (Sxx/n − (Sx/n)²)`. Positive r = hubs link
+    * hubs (social shape), negative = hubs link leaves (web/biology shape) —
+    * a one-number release-over-release drift alarm for the KG topology.
+    *
+    * Scale shape: the degree table is concept-vocabulary-sized → BROADCAST
+    * onto the edge list twice; all moments accumulate as EXACT integer
+    * sums in one hash aggregate (map-side partials), so the single final
+    * row is deterministic under any partitioning; double arithmetic
+    * happens once, on the driver-visible 1-row result, in the oracle's
+    * division order. Degenerate regular graphs (zero variance) return 0. */
+  def assortativity(cooccur: DataFrame): DataFrame = {
+    val e = pin(cooccur.select(col("src"), col("dst")))
+    val deg = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("k"))
+    val orient = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    val joined = orient
+      .join(broadcast(deg.select(col("node").as("src"), col("k").as("kx"))), "src")
+      .join(broadcast(deg.select(col("node").as("dst"), col("k").as("ky"))), "dst")
+    val moments = joined.agg(count(lit(1)).as("n"),
+      sum(col("kx")).as("sx"),
+      sum(col("kx") * col("kx")).as("sxx"),
+      sum(col("kx") * col("ky")).as("sxy"))
+    val den = col("sxx") / col("n") - pow(col("sx") / col("n"), lit(2.0))
+    moments.select(col("n").as("n_endpoints"),
+      when(den === lit(0.0), lit(0.0))
+        .otherwise(round((col("sxy") / col("n")
+          - pow(col("sx") / col("n"), lit(2.0))) / den, 6))
+        .as("assortativity"))
+  }
+
   /** Fixed-iteration PageRank over the UNDIRECTED co-occurrence graph
     * (edges traversed both ways, so there are no dangling nodes — every
     * node has out-edges and the damping mass needs no sink correction).

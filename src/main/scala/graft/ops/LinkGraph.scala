@@ -166,6 +166,26 @@ object LinkGraph {
       .groupBy("src_host", "dst_host")
       .agg(count(lit(1)).as("n_links"))
 
+  /** Edge reciprocity of the directed host graph: the fraction of host
+    * edges whose reverse edge also exists — the link-farm / partnership
+    * signal at graph level (organic web graphs sit near 0.2–0.3; a farm
+    * ring pushes toward 1, a pure spam-target shape toward 0). One
+    * self-join of the already-aggregated host edge list on the reversed
+    * key (host-pair keys are unique post-aggregation, so the left join
+    * cannot fan out), then a single 1-row count/sum aggregate; division
+    * order mirrored by the oracle, 6dp. Host-table-scale — page bytes
+    * never enter. */
+  def reciprocity(hostEdges: DataFrame): DataFrame = {
+    val e = hostEdges.select(col("src_host"), col("dst_host"))
+    val rev = e.select(col("dst_host").as("src_host"),
+      col("src_host").as("dst_host")).withColumn("rev", lit(1L))
+    e.join(rev, Seq("src_host", "dst_host"), "left")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(coalesce(col("rev"), lit(0L))).as("n_reciprocal"))
+      .select(col("n_edges"), col("n_reciprocal"),
+        round(col("n_reciprocal") / col("n_edges"), 6).as("reciprocity"))
+  }
+
   /** Directed page-level edge list `(src, dst, n_links)` on canonical URLs
     * — the [[graft.graph.KgGraph.pageRankDirected]] input. Self-edges kept:
     * a page linking to itself is real rank flow, and PR handles it. */

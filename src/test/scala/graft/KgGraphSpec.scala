@@ -544,6 +544,50 @@ class KgGraphSpec extends AnyFunSuite {
     assert(gotSplit === Map("p" -> ((1L, 9L, qs)), "q" -> ((1L, 9L, qs))))
   }
 
+  test("componentSizes: histogram + node fractions over a 3/3/1 labeling") {
+    import spark.implicits._
+    val labels = Seq(("a", "a"), ("b", "a"), ("c", "a"),
+      ("x", "x"), ("y", "x"), ("z", "x"), ("q", "q"))
+      .toDF("class_iri", "component")
+    val got = KgGraph.componentSizes(labels).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    // two 3-node components hold 6/7 of nodes, the singleton 1/7
+    assert(got === Map(
+      3L -> ((2L, BigDecimal(6.0 / 7).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)),
+      1L -> ((1L, BigDecimal(1.0 / 7).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble))))
+  }
+
+  test("clusteringCoefficient: triangle corners vs pendant; deg<2 pins 0") {
+    import spark.implicits._
+    // triangle a-b-c with a pendant d on a: cc(a) = 2/(3·2), cc(b)=cc(c)=1
+    val g = Seq(("a", "b", 1L), ("a", "c", 1L), ("b", "c", 1L), ("a", "d", 1L))
+      .toDF("src", "dst", "n_docs")
+    val got = KgGraph.clusteringCoefficient(g).collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      "a" -> ((3L, 1L, 0.333333)), "b" -> ((2L, 1L, 1.0)),
+      "c" -> ((2L, 1L, 1.0)), "d" -> ((1L, 0L, 0.0))))
+  }
+
+  test("assortativity: a star is perfectly disassortative; a cycle degenerates to 0") {
+    import spark.implicits._
+    // K1,3: hub degree 3 against leaf degree 1 in every orientation → r = −1
+    val star = Seq(("h", "a", 1L), ("h", "b", 1L), ("h", "c", 1L))
+      .toDF("src", "dst", "n_docs")
+    val rs = KgGraph.assortativity(star).collect()
+    assert(rs.length === 1 &&
+      rs.head.getLong(0) === 6L && rs.head.getDouble(1) === -1.0)
+    // 3-cycle: every degree 2 → zero variance → the guarded 0, not NaN
+    val cyc = Seq(("a", "b", 1L), ("b", "c", 1L), ("a", "c", 1L))
+      .toDF("src", "dst", "n_docs")
+    val rc = KgGraph.assortativity(cyc).collect()
+    assert(rc.length === 1 &&
+      rc.head.getLong(0) === 6L && rc.head.getDouble(1) === 0.0)
+  }
+
   test("adamicAdar: path scores 1/ln(deg), triangles yield nothing, hub cap skips") {
     import spark.implicits._
     // path a-b-c: only candidate (a,c), common neighbor b with degree 2

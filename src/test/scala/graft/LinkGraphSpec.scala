@@ -195,6 +195,24 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(floored === Set(("d.org", "e.org")))
   }
 
+  test("reciprocity: mutual pair + one-way edge → 2/3; post-agg join cannot fan out") {
+    import spark.implicits._
+    // a⇄b mutual, a→c one-way: 3 directed edges, 2 reciprocated
+    val hostEdges = Seq(
+      ("a.org", "b.org", 4L), ("b.org", "a.org", 1L), ("a.org", "c.org", 2L))
+      .toDF("src_host", "dst_host", "n_links")
+    val got = LinkGraph.reciprocity(hostEdges).collect()
+    assert(got.length === 1)
+    assert(got.head.getLong(0) === 3L && got.head.getLong(1) === 2L)
+    assert(got.head.getDouble(2) ===
+      BigDecimal(2.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // a pure ring reads 1.0, a pure DAG 0.0
+    val ring = Seq(("x", "y", 1L), ("y", "x", 1L)).toDF("src_host", "dst_host", "n_links")
+    assert(LinkGraph.reciprocity(ring).collect().head.getDouble(2) === 1.0)
+    val dag = Seq(("x", "y", 1L), ("y", "z", 1L)).toDF("src_host", "dst_host", "n_links")
+    assert(LinkGraph.reciprocity(dag).collect().head.getDouble(2) === 0.0)
+  }
+
   test("trustRank: unreachable-from-seeds hosts carry full spam mass") {
     import spark.implicits._
     // trusted cluster a→b; spam ring c⇄d unreachable from the seed
