@@ -201,6 +201,51 @@ object SparkEntry {
           col("classIri").as("class_iri"), col("ont"),
           col("matchType").as("match_type"))),
 
+    // inter-annotator agreement: Cohen's kappa between the strict and
+    // lemmatized annotators over the doc × concept presence universe — the
+    // QA number for "how much does lemmatization actually change the KG"
+    // (and the template for scoring any recognizer pair through the seam).
+    // All cells are EXACT integer counts from one full-outer join of two
+    // distinct-pair streams; the universe size attaches as two 1-row
+    // scalars (no driver action); kappa arithmetic runs once on the final
+    // row in the oracle's division order, 6dp.
+    "ann_agreement" -> ((s, dir) => {
+      val strict = matches(s, dir).select("url", "class_iri").distinct()
+        .withColumn("in_s", lit(1))
+      val lem = graft.annotate.LemmaScan
+        .annotateDirectLemma(corpus(s, dir), lemmaModel(s)).toDF()
+        .select(col("url"), col("classIri").as("class_iri")).distinct()
+        .withColumn("in_l", lit(1))
+      val cells = strict.join(lem, Seq("url", "class_iri"), "full_outer")
+        .agg(
+          sum(when(col("in_s").isNotNull && col("in_l").isNotNull, 1L)
+            .otherwise(0L)).as("b11"),
+          sum(when(col("in_s").isNotNull && col("in_l").isNull, 1L)
+            .otherwise(0L)).as("b10"),
+          sum(when(col("in_s").isNull && col("in_l").isNotNull, 1L)
+            .otherwise(0L)).as("b01"))
+      val nDocs = docsTable(s, dir).agg(count(lit(1)).as("n_docs"))
+      val nCls = DictBuild.flatDict(DictBuild.build(DictBuild.labelRows(
+          OntologyFixture.conceptsDf(s))))
+        .agg(countDistinct(col("class_iri")).as("n_classes"))
+      val withN = cells.crossJoin(nDocs).crossJoin(nCls)
+        .select(col("b11"), col("b10"), col("b01"),
+          (col("n_docs") * col("n_classes")).as("n"))
+      val a00 = col("n") - col("b11") - col("b10") - col("b01")
+      val poRaw = (col("b11") + a00) / col("n")
+      val peRaw =
+        ((col("b11") + col("b10")) / col("n")) *
+          ((col("b11") + col("b01")) / col("n")) +
+        ((col("b01") + a00) / col("n")) *
+          ((col("b10") + a00) / col("n"))
+      withN.select(col("n").as("n_units"), col("b11").as("both_present"),
+        col("b10").as("strict_only"), col("b01").as("lemma_only"),
+        round(poRaw, 6).as("po"), round(peRaw, 6).as("pe"),
+        when(peRaw === lit(1.0), lit(0.0))
+          .otherwise(round((poRaw - peRaw) / (lit(1.0) - peRaw), 6))
+          .as("kappa"))
+    }),
+
     // Annotator+ clinical context (NegEx/ConText-style attributes per match)
     // — DuckDB-checked (trigger-window algorithm recomputed in SQL); the
     // scalar is also golden-tested in specs
@@ -913,6 +958,11 @@ object SparkEntry {
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(docsTable(s, dir), n = 3, threshold = 0.8, maxDocFreq = 100)),
 
+    // content-defined chunk dedup: boundaries from token-local hashes, so
+    // an early insertion shifts fixed frames but CDC chunks resynchronize
+    // (CdcSpec pins the property); exchange key = 8-byte chunk fingerprint
+    "dedup_cdc" -> ((s, dir) => Dedup.cdcDedup(docsTable(s, dir))),
+
     // benchmark decontamination: docs sharing shingles with a benchmark set
     // (benchmark = the 10 lowest-id docs, deterministic)
     "dedup_decontaminate" -> ((s, dir) => {
@@ -1587,6 +1637,13 @@ object SparkEntry {
     // pure spam-target shapes → 0; organic webs sit in between)
     "web_reciprocity" -> ((s, dir) =>
       LinkGraph.reciprocity(
+        LinkGraph.hostGraph(LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))))),
+
+    // pay-level-domain (eTLD+1) rollup of the host graph: subdomain shards
+    // collapse into registrable domains — the node set crawl quota/ranking
+    // policy actually operates on
+    "web_pld_graph" -> ((s, dir) =>
+      LinkGraph.pldGraph(
         LinkGraph.hostGraph(LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))))),
 
     // per-target anchor-text table: top-3 anchors per canonical URL
@@ -2849,6 +2906,56 @@ object SparkEntry {
     * wrap per step (Java long overflow semantics), then two's-complement to
     * signed BIGINT. Valid for ASCII input (Java chars == code points there;
     * the driver corpus is ASCII, asserted by the all-ascii check in specs). */
+  /** The lemma-annotator match chain (SQL lemmatizer, lemma-space scan,
+    * offset back-mapping) ending at `mapped(doc_id, class_iri, ont, pref,
+    * f, t)` — shared by the ann_lemma and ann_agreement oracles. Requires
+    * dictCte upstream. */
+  private def lemmaMatchCtes: String =
+    s"""ldict AS (
+            SELECT DISTINCT array_to_string(
+              list_transform(string_split(term, ' '), t -> ${lemmaCaseSql("t")}), ' ') AS term,
+              class_iri, ont, pref
+            FROM dict),
+          docs AS (
+            SELECT doc_id, text,
+              regexp_extract_all(text, '[A-Za-z0-9_]+') AS toks,
+              regexp_split_to_array(text, '[A-Za-z0-9_]+') AS seps
+            FROM documents),
+          tokrows AS (
+            SELECT doc_id, text, i, toks[i] AS tok, seps[i] AS sep,
+              (${lemmaCaseSql("upper(toks[i])")}) AS lem
+            FROM (SELECT *, unnest(generate_series(1, len(toks))) AS i FROM docs)),
+          cums AS (
+            SELECT doc_id, i, lem, tok,
+              SUM(length(sep) + length(lem)) OVER w - length(lem) AS lemma_start,
+              SUM(length(sep) + length(tok)) OVER w - length(tok) AS orig_start,
+              SUM(length(sep) + length(tok)) OVER w AS orig_end
+            FROM tokrows WINDOW w AS (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING)),
+          ltext AS (
+            SELECT t.doc_id, string_agg(t.sep || t.lem, '' ORDER BY t.i)
+                   || MIN(d.seps[len(d.toks)+1]) AS ltxt
+            FROM tokrows t JOIN docs d USING (doc_id) GROUP BY t.doc_id),
+          hsegs AS (
+            SELECT lt.doc_id, l.class_iri, l.ont, l.pref, length(l.term) AS tl,
+              regexp_split_to_array(lt.ltxt, '\\b' || l.term || '\\b') AS parts
+            FROM ltext lt, ldict l),
+          hpos AS (
+            SELECT doc_id, class_iri, ont, pref, tl, parts,
+              unnest(generate_series(1, len(parts) - 1)) AS k
+            FROM hsegs WHERE len(parts) > 1),
+          hits AS (
+            SELECT doc_id, class_iri, ont, pref, tl,
+              CAST((SELECT COALESCE(SUM(length(p)), 0) FROM unnest(parts[1:k]) AS t(p))
+                   + (k - 1) * tl AS BIGINT) AS f0
+            FROM hpos),
+          mapped AS (
+            SELECT h.doc_id, h.class_iri, h.ont, h.pref,
+              CAST(cs.orig_start + 1 AS INT) AS f, CAST(ce.orig_end AS INT) AS t
+            FROM hits h
+            JOIN cums cs ON cs.doc_id = h.doc_id AND cs.lemma_start = h.f0
+            JOIN cums ce ON ce.doc_id = h.doc_id
+              AND ce.lemma_start + length(ce.lem) = h.f0 + h.tl)"""
+
   private def fpSql(colExpr: String): String =
     s"""list_reduce([1125899906842597::HUGEINT] ||
         list_transform(string_split($colExpr, ''), c -> unicode(c)::HUGEINT),
@@ -3614,6 +3721,35 @@ object SparkEntry {
 
     "dedup_jaccard" -> jaccardPairsOracleSql,
 
+    // CDC chain mirrored: boundary mark via the HUGEINT fingerprint fold
+    // (unsigned % 4 == signed pmod 4 — 4 divides 2^64), segment renumber
+    // AFTER the empty-drop, first-occurrence argmin per chunk fingerprint
+    "dedup_cdc" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                        FROM documents),
+          marked AS (SELECT doc_id, list_transform(t, x -> x ||
+                       CASE WHEN (${fpSql("x")}) % 4 = 0
+                            THEN chr(31) ELSE ' ' END) AS m
+                     FROM toks),
+          segs AS (SELECT doc_id,
+                     string_split(array_to_string(m, ''), chr(31)) AS ss
+                   FROM marked),
+          raw AS (SELECT doc_id, i, trim(ss[i]) AS chunk
+                  FROM (SELECT doc_id, ss,
+                          unnest(generate_series(1, len(ss))) AS i
+                        FROM segs)
+                  WHERE length(trim(ss[i])) > 0),
+          chunks AS (SELECT doc_id,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                               ORDER BY i) AS INT)
+                         AS chunk_idx,
+                       ${toSignedSql(s"(${fpSql("chunk")})")} AS chunk_hash
+                     FROM raw)
+          SELECT FIRST(doc_id ORDER BY doc_id, chunk_idx) AS doc_id,
+                 FIRST(chunk_idx ORDER BY doc_id, chunk_idx) AS chunk_idx,
+                 chunk_hash, CAST(COUNT(*) AS BIGINT) AS n_copies
+          FROM chunks GROUP BY chunk_hash""",
+
     // quote synthesis mirrored, then the jaccard candidate chain with the
     // containment formulas; threshold RAW on the larger direction
     "dedup_containment" ->
@@ -3704,55 +3840,50 @@ object SparkEntry {
     // cumulative maps (hits start at token starts / end at token ends by the
     // word-boundary contract, so the mapping is two equi-joins).
     "ann_lemma" ->
-      s"""WITH $dictCte,
-          ldict AS (
-            SELECT DISTINCT array_to_string(
-              list_transform(string_split(term, ' '), t -> ${lemmaCaseSql("t")}), ' ') AS term,
-              class_iri, ont, pref
-            FROM dict),
-          docs AS (
-            SELECT doc_id, text,
-              regexp_extract_all(text, '[A-Za-z0-9_]+') AS toks,
-              regexp_split_to_array(text, '[A-Za-z0-9_]+') AS seps
-            FROM documents),
-          tokrows AS (
-            SELECT doc_id, text, i, toks[i] AS tok, seps[i] AS sep,
-              (${lemmaCaseSql("upper(toks[i])")}) AS lem
-            FROM (SELECT *, unnest(generate_series(1, len(toks))) AS i FROM docs)),
-          cums AS (
-            SELECT doc_id, i, lem, tok,
-              SUM(length(sep) + length(lem)) OVER w - length(lem) AS lemma_start,
-              SUM(length(sep) + length(tok)) OVER w - length(tok) AS orig_start,
-              SUM(length(sep) + length(tok)) OVER w AS orig_end
-            FROM tokrows WINDOW w AS (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING)),
-          ltext AS (
-            SELECT t.doc_id, string_agg(t.sep || t.lem, '' ORDER BY t.i)
-                   || MIN(d.seps[len(d.toks)+1]) AS ltxt
-            FROM tokrows t JOIN docs d USING (doc_id) GROUP BY t.doc_id),
-          hsegs AS (
-            SELECT lt.doc_id, l.class_iri, l.ont, l.pref, length(l.term) AS tl,
-              regexp_split_to_array(lt.ltxt, '\\b' || l.term || '\\b') AS parts
-            FROM ltext lt, ldict l),
-          hpos AS (
-            SELECT doc_id, class_iri, ont, pref, tl, parts,
-              unnest(generate_series(1, len(parts) - 1)) AS k
-            FROM hsegs WHERE len(parts) > 1),
-          hits AS (
-            SELECT doc_id, class_iri, ont, pref, tl,
-              CAST((SELECT COALESCE(SUM(length(p)), 0) FROM unnest(parts[1:k]) AS t(p))
-                   + (k - 1) * tl AS BIGINT) AS f0
-            FROM hpos),
-          mapped AS (
-            SELECT h.doc_id, h.class_iri, h.ont, h.pref,
-              CAST(cs.orig_start + 1 AS INT) AS f, CAST(ce.orig_end AS INT) AS t
-            FROM hits h
-            JOIN cums cs ON cs.doc_id = h.doc_id AND cs.lemma_start = h.f0
-            JOIN cums ce ON ce.doc_id = h.doc_id
-              AND ce.lemma_start + length(ce.lem) = h.f0 + h.tl)
+      s"""WITH $dictCte, $lemmaMatchCtes
           SELECT 'doc://' || m.doc_id AS url, m.f AS "from", m.t AS "to",
             substring(d.text, m.f, m.t - m.f + 1) AS text,
             m.class_iri, m.ont, CASE WHEN m.pref THEN 'PREF' ELSE 'SYN' END AS match_type
           FROM mapped m JOIN documents d USING (doc_id)""",
+
+    // Cohen's kappa between the strict (direct) and lemma match chains:
+    // exact integer cells from a full-outer join of the two distinct-pair
+    // streams, universe = docs × dict classes, kappa in one division order
+    "ann_agreement" ->
+      s"""WITH $dictCte, $directCte, $lemmaMatchCtes,
+          strict AS (SELECT DISTINCT url, class_iri FROM direct),
+          lem AS (SELECT DISTINCT 'doc://' || doc_id AS url, class_iri
+                  FROM mapped),
+          pres AS (SELECT s.one AS in_s, l.one AS in_l
+                   FROM (SELECT url, class_iri, 1 AS one FROM strict) s
+                   FULL OUTER JOIN
+                        (SELECT url, class_iri, 1 AS one FROM lem) l
+                     ON s.url = l.url AND s.class_iri = l.class_iri),
+          cells AS (SELECT
+              CAST(SUM(CASE WHEN in_s IS NOT NULL AND in_l IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS b11,
+              CAST(SUM(CASE WHEN in_s IS NOT NULL AND in_l IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS b10,
+              CAST(SUM(CASE WHEN in_s IS NULL AND in_l IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS b01
+            FROM pres),
+          tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+                    * (SELECT CAST(COUNT(DISTINCT class_iri) AS BIGINT)
+                       FROM dict) AS n),
+          k AS (SELECT n, b11, b10, b01,
+                  n - b11 - b10 - b01 AS a00,
+                  (b11 + (n - b11 - b10 - b01)) / n AS po_raw,
+                  ((b11 + b10) / n) * ((b11 + b01) / n)
+                    + ((b01 + (n - b11 - b10 - b01)) / n)
+                      * ((b10 + (n - b11 - b10 - b01)) / n) AS pe_raw
+                FROM cells, tot)
+          SELECT n AS n_units, b11 AS both_present, b10 AS strict_only,
+                 b01 AS lemma_only,
+                 ROUND(po_raw, 6) AS po, ROUND(pe_raw, 6) AS pe,
+                 CASE WHEN pe_raw = 1.0 THEN 0.0
+                   ELSE ROUND((po_raw - pe_raw) / (1.0 - pe_raw), 6) END
+                   AS kappa
+          FROM k""",
 
     // Annotator+ clinical context, fully recomputed in SQL: the ConText-lite
     // trigger-window algorithm (Context.classify) re-expressed over the
@@ -4856,6 +4987,22 @@ object SparkEntry {
           SELECT n_edges, n_reciprocal,
                  ROUND(n_reciprocal / n_edges, 6) AS reciprocity
           FROM agg""",
+
+    // host-graph chain → shared PLD CASE expression on both endpoints →
+    // intra-PLD drop → one short-key rollup
+    "web_pld_graph" ->
+      s"""WITH ${graft.ops.LinkGraph.linksCteSql},
+          hosts AS (SELECT ${graft.ops.WebOps.canonHostSqlOf("src_url")} AS src_host,
+                           ${graft.ops.WebOps.canonHostSqlOf("dst_url")} AS dst_host
+                    FROM lnk),
+          hg AS (SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+                 FROM hosts WHERE src_host <> dst_host GROUP BY 1, 2),
+          pe AS (SELECT ${graft.ops.WebOps.pldSqlOf("src_host")} AS src_pld,
+                        ${graft.ops.WebOps.pldSqlOf("dst_host")} AS dst_pld,
+                        n_links
+                 FROM hg)
+          SELECT src_pld, dst_pld, CAST(SUM(n_links) AS BIGINT) AS n_links
+          FROM pe WHERE src_pld <> dst_pld GROUP BY 1, 2""",
 
     "web_anchor_text" ->
       s"""WITH ${graft.ops.LinkGraph.linksCteSql},

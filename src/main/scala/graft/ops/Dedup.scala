@@ -326,6 +326,50 @@ object Dedup {
           t => t.isNotNull), " ").as("text_dedup"))
   }
 
+  /** Content-defined chunking (the FastCDC/LBFS idea at token granularity):
+    * a token CLOSES a chunk when `fingerprint64(token) % divisor == 0`, so
+    * boundaries are a pure function of local content — inserting or
+    * deleting a token early in a document shifts FIXED chunk frames for the
+    * whole rest of the doc, but content-defined boundaries resynchronize at
+    * the next boundary token and every later chunk hashes identically (the
+    * property CdcSpec pins; mean chunk length ≈ `divisor` tokens).
+    * Entirely MAP-ONLY: mark each token with its separator (boundary →
+    * US control char, else space) in one `transform`, join, split, drop
+    * empties — the RFC 3986 fold discipline, linear per doc. Divisor must
+    * divide 2^64 (a power of two) so unsigned HUGEINT `%` in the oracle
+    * equals signed `pmod` here. */
+  def cdcChunks(docs: DataFrame, divisor: Int = 4): DataFrame = {
+    require(divisor > 0 && (divisor & (divisor - 1)) == 0,
+      s"divisor must be a power of two, got $divisor")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val marked = transform(split(col("text"), " "), t => concat(t,
+      when(pmod(call_function("fingerprint64", t), lit(divisor.toLong)) === 0,
+        lit("\u001f")).otherwise(lit(" "))))
+    val segs = transform(split(array_join(marked, ""), "\u001f"), c => trim(c))
+    docs
+      .select(col("doc_id"),
+        posexplode(filter(segs, c => length(c) > 0)).as(Seq("i0", "chunk")))
+      .select(col("doc_id"), (col("i0") + 1).as("chunk_idx"), col("chunk"))
+  }
+
+  /** First-occurrence dedup over [[cdcChunks]]: keeper = min (doc_id,
+    * chunk_idx) per chunk, copies counted on the same aggregate. The
+    * exchange key is the 8-byte `fingerprint64` of the chunk text — chunk
+    * bytes never shuffle (the hashed-key chunkDedup discipline; collision
+    * math as [[exact]]). The variable-boundary sibling of the fixed-frame
+    * C4 passage dedup: boundary-straddling edits stop invalidating every
+    * downstream chunk. */
+  def cdcDedup(docs: DataFrame, divisor: Int = 4): DataFrame =
+    cdcChunks(docs, divisor)
+      .select(col("doc_id"), col("chunk_idx"),
+        call_function("fingerprint64", col("chunk")).as("chunk_hash"))
+      .groupBy("chunk_hash")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("keep"),
+        count(lit(1)).as("n_copies"))
+      .select(col("keep.doc_id").as("doc_id"),
+        col("keep.chunk_idx").as("chunk_idx"),
+        col("chunk_hash"), col("n_copies"))
+
   /** 64-bit SimHash per doc via the native codegen expression
     * [[graft.functions.Simhash64]] — stays inside whole-stage codegen (no
     * object-mode island); scalar contract is [[simhash64]]. */

@@ -166,6 +166,21 @@ object LinkGraph {
       .groupBy("src_host", "dst_host")
       .agg(count(lit(1)).as("n_links"))
 
+  /** Host graph rolled up to pay-level domains (eTLD+1): the registrable-
+    * domain edge list crawl policy ranks and quotas against — subdomain
+    * shards (news./shop./blog.) collapse into one node, intra-PLD edges
+    * (which host graphs keep when a site links across its own subdomains)
+    * drop. [[WebOps.pld]] is map-side; the rollup is ONE short-key
+    * aggregation over the already-aggregated host edges — strictly
+    * smaller than its input at any scale. */
+  def pldGraph(hostEdges: DataFrame): DataFrame =
+    hostEdges
+      .select(WebOps.pld(col("src_host")).as("src_pld"),
+        WebOps.pld(col("dst_host")).as("dst_pld"), col("n_links"))
+      .filter(col("src_pld") =!= col("dst_pld"))
+      .groupBy("src_pld", "dst_pld")
+      .agg(sum(col("n_links")).as("n_links"))
+
   /** Edge reciprocity of the directed host graph: the fraction of host
     * edges whose reverse edge also exists — the link-farm / partnership
     * signal at graph level (organic web graphs sit near 0.2–0.3; a farm

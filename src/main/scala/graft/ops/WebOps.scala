@@ -106,6 +106,48 @@ object WebOps {
   def canonHostSqlOf(u: String): String =
     s"regexp_replace(lower(regexp_extract($u, '$HostRe', 1)), '$WwwRe', '')"
 
+  /** Multi-label public suffixes recognized by [[pld]] — a deliberately
+    * small snapshot standing in for the Mozilla Public Suffix List (the
+    * full list is a data file a production deploy would broadcast; the
+    * LOGIC — longest-matching-suffix, then one extra label — is what's
+    * under test). Single source of truth for the Column expression AND
+    * the oracle SQL. */
+  val MultiLabelSuffixes: Seq[String] = Seq("co.uk", "ac.uk", "com.au")
+
+  /** Pay-level domain (eTLD+1) of an already-canonical host: the
+    * registrable-domain aggregation key crawl policy actually wants —
+    * host-level rollups overcount sites that shard across subdomains
+    * (news./shop./blog.example.com are ONE site). Rule: if the last two
+    * labels form a known multi-label public suffix and a third label
+    * exists, keep three labels; otherwise keep two (or the bare host when
+    * it has no dot). Pure map-side array arithmetic, no join — the suffix
+    * set compiles into the expression (the RuleTagger single-source
+    * discipline). */
+  def pld(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val lastTwo = concat_ws(".",
+      element_at(labels, -2), element_at(labels, -1))
+    val lastThree = concat_ws(".", element_at(labels, -3),
+      element_at(labels, -2), element_at(labels, -1))
+    when(n <= lit(1), host)
+      .when(lastTwo.isin(MultiLabelSuffixes: _*) && n >= lit(3), lastThree)
+      .otherwise(lastTwo)
+  }
+
+  /** DuckDB SQL twin of [[pld]] over any host-typed SQL expression `h`. */
+  def pldSqlOf(h: String): String = {
+    val sufs = MultiLabelSuffixes.map(s => s"'$s'").mkString(", ")
+    s"""CASE WHEN len(string_split($h, '.')) <= 1 THEN $h
+         WHEN list_contains([$sufs],
+                string_split($h, '.')[-2] || '.' || string_split($h, '.')[-1])
+              AND len(string_split($h, '.')) >= 3
+         THEN string_split($h, '.')[-3] || '.' ||
+              string_split($h, '.')[-2] || '.' || string_split($h, '.')[-1]
+         ELSE string_split($h, '.')[-2] || '.' || string_split($h, '.')[-1]
+         END"""
+  }
+
   /** DuckDB SQL expression for [[canonicalUrl]] over any URL-typed SQL
     * expression `u` (same regex constants; the empty-vs-missing-query
     * collapse mirrors canonCteSql's CASE). */

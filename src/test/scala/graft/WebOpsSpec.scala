@@ -300,4 +300,13 @@ class WebOpsSpec extends AnyFunSuite {
     // 5 → shop.example.io /p/5: shop's host-specific Disallow /p/5
     assert(got(5L) === ("shop.example.io", "/p/5", false, Some("/p/5")))
   }
+
+  test("pld: multi-label public suffixes keep three labels, others two, bare host passes") {
+    import spark.implicits._
+    val got = Seq("news.example.co.uk", "example.co.uk", "co.uk",
+      "shop.news.example.com", "example.org", "localhost", "a.b.ac.uk")
+      .toDF("h").select(WebOps.pld(col("h"))).as[String].collect()
+    assert(got === Array("example.co.uk", "example.co.uk", "co.uk",
+      "example.com", "example.org", "localhost", "b.ac.uk"))
+  }
 }
