@@ -1544,6 +1544,12 @@ object SparkEntry {
     "text_collocations" -> ((s, dir) =>
       TextOps.collocations(docsTable(s, dir))),
 
+    // Schwartz–Hearst-style acronym mining over the acronym-augmented
+    // corpus: (abbr, long form) pairs whose initials spell the abbreviation
+    // — synonym discovery feeding the next dictionary release
+    "text_acronyms" -> ((s, dir) =>
+      TextOps.acronyms(TextOps.withAcronyms(docsTable(s, dir)))),
+
     // URL canonicalization map over synthetic (deterministic) URLs
     "web_canonical" -> ((s, dir) => WebOps.canonicalize(docsTable(s, dir))),
 
@@ -1644,6 +1650,12 @@ object SparkEntry {
     // policy actually operates on
     "web_pld_graph" -> ((s, dir) =>
       LinkGraph.pldGraph(
+        LinkGraph.hostGraph(LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))))),
+
+    // log2-bucketed in/out degree histogram — the power-law sanity check
+    // (bit-length bucketing, no float log at boundaries)
+    "web_degree_dist" -> ((s, dir) =>
+      LinkGraph.degreeDist(
         LinkGraph.hostGraph(LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))))),
 
     // per-target anchor-text table: top-3 anchors per canonical URL
@@ -2192,8 +2204,20 @@ object SparkEntry {
         LinkGraph.links(LinkGraph.pages(docsTable(s, dir))))
       val seeds = edges.select(col("src").as("node"))
         .unionAll(edges.select(col("dst").as("node"))).distinct()
-        .filter(col("node").rlike("/p/0($|\\?)"))
+        .filter(col("node").rlike("/p/1($|\\?)"))
       graft.graph.KgGraph.shortestPaths(edges, seeds, maxDepth = 4)
+    }),
+
+    // seed-sampled harmonic centrality estimate (Eppstein–Wang shape) over
+    // the same seed rule — per-seed BFS, reciprocals summed as exact
+    // integers (lcm-12 trick), one division at the end
+    "web_harmonic" -> ((s, dir) => {
+      val edges = LinkGraph.pageEdges(
+        LinkGraph.links(LinkGraph.pages(docsTable(s, dir))))
+      val seeds = edges.select(col("src").as("node"))
+        .unionAll(edges.select(col("dst").as("node"))).distinct()
+        .filter(col("node").rlike("/p/1($|\\?)"))
+      graft.graph.KgGraph.harmonicFromSeeds(edges, seeds, maxDepth = 4)
     }),
 
     // fetch-list hygiene: blocklisted hosts + trap/binary URL patterns
@@ -3041,10 +3065,42 @@ object SparkEntry {
         nodes AS (SELECT DISTINCT node FROM
           (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)),
         fr0 AS MATERIALIZED (SELECT node, 0 AS dist FROM nodes
-          WHERE regexp_matches(node, '/p/0($$|\\?)')),
+          WHERE regexp_matches(node, '/p/1($$|\\?)')),
         all0 AS (SELECT node FROM fr0),
         $rounds
         SELECT node AS page, dist FROM ($unioned)"""
+  }
+
+  /** [[graft.graph.KgGraph.harmonicFromSeeds]] twin: the per-seed variant
+    * of the BFS unroll (frontier keyed by (seed, node), per-seed visited
+    * exclusion), reciprocals summed as the exact integer 12/d before the
+    * single final division. */
+  private def harmonicOracleSql(depth: Int): String = {
+    val rounds = (1 to depth).map { d =>
+      s"""fr$d AS MATERIALIZED (SELECT DISTINCT f.seed, e.b AS node, $d AS dist
+            FROM edges e JOIN fr${d - 1} f ON f.node = e.a
+            WHERE NOT EXISTS (SELECT 1 FROM all${d - 1} a
+                              WHERE a.seed = f.seed AND a.node = e.b)),
+          all$d AS MATERIALIZED (SELECT seed, node FROM all${d - 1}
+            UNION ALL SELECT seed, node FROM fr$d)"""
+    }.mkString(",\n")
+    val unioned = (1 to depth).map(d => s"SELECT seed, node, dist FROM fr$d")
+      .mkString(" UNION ALL ")
+    s"""WITH ${graft.ops.LinkGraph.linksCteSql},
+        edges AS MATERIALIZED (SELECT DISTINCT
+            ${graft.ops.WebOps.canonUrlSqlOf("src_url")} AS a, dst_url AS b
+          FROM lnk),
+        nodes AS (SELECT DISTINCT node FROM
+          (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)),
+        fr0 AS MATERIALIZED (SELECT node AS seed, node, 0 AS dist FROM nodes
+          WHERE regexp_matches(node, '/p/1($$|\\?)')),
+        all0 AS (SELECT seed, node FROM fr0),
+        $rounds,
+        reached AS (SELECT seed, node, dist FROM ($unioned))
+        SELECT node AS page, CAST(COUNT(*) AS BIGINT) AS n_reached,
+               ROUND(CAST(SUM(CAST(12 / dist AS BIGINT)) AS BIGINT) / 12.0, 6)
+                 AS harmonic
+        FROM reached GROUP BY 1"""
   }
 
   /** One oracle for BOTH domain-quota plans (single-window and two-phase). */
@@ -5609,6 +5665,25 @@ object SparkEntry {
 
     "web_shortest_paths" -> shortestPathsOracleSql(depth = 4),
 
+    "web_harmonic" -> harmonicOracleSql(depth = 4),
+
+    // degree histogram via exact bit-length bucketing (length(bin(x)) - 1)
+    "web_degree_dist" ->
+      s"""WITH ${graft.ops.LinkGraph.linksCteSql},
+          hosts AS (SELECT ${graft.ops.WebOps.canonHostSqlOf("src_url")} AS src_host,
+                           ${graft.ops.WebOps.canonHostSqlOf("dst_url")} AS dst_host
+                    FROM lnk),
+          hg AS (SELECT src_host, dst_host FROM hosts
+                 WHERE src_host <> dst_host GROUP BY 1, 2),
+          degs AS (SELECT 'out' AS direction, src_host AS host,
+                     CAST(COUNT(*) AS BIGINT) AS deg FROM hg GROUP BY 2
+                   UNION ALL
+                   SELECT 'in' AS direction, dst_host AS host,
+                     CAST(COUNT(*) AS BIGINT) AS deg FROM hg GROUP BY 2)
+          SELECT direction, CAST(length(bin(deg)) - 1 AS INT) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_hosts
+          FROM degs GROUP BY 1, 2""",
+
     // same canonCteSql + the SAME blocklist/pattern constants interpolated
     // from the single WebOps source
     "web_url_filter" ->
@@ -5666,6 +5741,36 @@ object SparkEntry {
     "kg_labelprop" -> labelPropOracleSql(iters = 4),
 
     "kg_modularity" -> modularityOracleSql(iters = 4),
+
+    // acronym synthesis mirrored, then the miner chain: regex scan, slice
+    // the |abbr| preceding tokens, initials fold, accept on exact spell
+    "text_acronyms" ->
+      raw"""WITH aug AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 11 = 0 AND len(string_split(text, ' ')) >= 2
+                THEN text || ' ' || string_split(text, ' ')[1] || ' '
+                  || string_split(text, ' ')[2] || ' ('
+                  || upper(substring(string_split(text, ' ')[1], 1, 1))
+                  || upper(substring(string_split(text, ' ')[2], 1, 1)) || ')'
+                ELSE text END AS text
+            FROM documents),
+          ms AS (SELECT doc_id, unnest(regexp_extract_all(text,
+                   '(?:[A-Za-z0-9]+ ){1,5}\([A-Z]{2,5}\)')) AS m FROM aug),
+          parsed AS (SELECT doc_id,
+              regexp_extract(m, '\(([A-Z]{2,5})\)', 1) AS abbr,
+              string_split(regexp_replace(m, ' \([A-Z]{2,5}\)$$', ''), ' ') AS pre
+            FROM ms),
+          sliced AS (SELECT doc_id, abbr,
+              pre[len(pre) - length(abbr) + 1 : len(pre)] AS lf
+            FROM parsed WHERE len(pre) >= length(abbr)),
+          checked AS (SELECT doc_id, abbr,
+              array_to_string(lf, ' ') AS long_form,
+              list_reduce([''] || list_transform(lf,
+                t -> upper(substring(t, 1, 1))), (a, b) -> a || b) AS initials
+            FROM sliced)
+          SELECT abbr, long_form,
+                 CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM checked WHERE initials = abbr GROUP BY 1, 2""",
 
     // collocations recomputed declaratively; arithmetic order mirrored
     // exactly (ratio-of-ratios before ln) so the doubles are bit-equal

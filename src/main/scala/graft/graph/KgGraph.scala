@@ -830,6 +830,46 @@ object KgGraph {
     dist.select(col("node").as("page"), col("dist"))
   }
 
+  /** Seed-sampled harmonic centrality (the Eppstein–Wang estimation shape):
+    * `h(v) = Σ_{s ∈ seeds} 1/d(s, v)` over a bounded-depth per-seed BFS —
+    * full harmonic centrality is an all-pairs problem, the production
+    * estimator runs it from a small deterministic seed sample, and the
+    * seed-set size is the declared accuracy/cost knob (the PPR seed-set
+    * precedent).
+    *
+    * Determinism: with maxDepth ≤ 4 every reciprocal is summed as the
+    * INTEGER `12/d` (12 = lcm(1..4)), divided once at the end — the sum is
+    * order-independent under any partitioning, where a naive double
+    * `sum(1/d)` would drift in the last ulp per shuffle layout. The BFS
+    * state is (seed, node) keyed — |seeds|×reach rows, bounded by the
+    * depth cap; each round is one join + anti-join on short keys, lineage
+    * truncated like every iterative op here. */
+  def harmonicFromSeeds(edges: DataFrame, seeds: DataFrame,
+                        maxDepth: Int = 4): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 4,
+      s"maxDepth=$maxDepth out of [1,4] — the lcm-12 integer trick needs d <= 4")
+    val e = pin(edges.select(col("src"), col("dst")))
+    var dist = pin(seeds.select(col("node").as("seed")).distinct()
+      .withColumn("node", col("seed")).withColumn("dist", lit(0)))
+    var frontier = dist
+    val trunc = truncator()
+    for (d <- 1 to maxDepth) {
+      frontier = trunc(
+        frontier.join(e, frontier("node") === e("src"))
+          .select(col("seed"), col("dst").as("node")).distinct()
+          .join(dist, Seq("seed", "node"), "left_anti")
+          .withColumn("dist", lit(d)),
+        d)
+      dist = dist.unionByName(frontier)
+    }
+    dist.filter(col("dist") > 0)
+      .groupBy(col("node").as("page"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum((lit(12) / col("dist")).cast("long")).as("h12"))
+      .select(col("page"), col("n_reached"),
+        round(col("h12") / lit(12.0), 6).as("harmonic"))
+  }
+
   /** k-core decomposition (the densest-subgraph family's workhorse): the
     * maximal subgraph where every node keeps degree ≥ k, found by iterated
     * peeling — drop all nodes below k, recompute degrees, repeat to

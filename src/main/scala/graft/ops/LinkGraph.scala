@@ -166,6 +166,25 @@ object LinkGraph {
       .groupBy("src_host", "dst_host")
       .agg(count(lit(1)).as("n_links"))
 
+  /** Log2-bucketed in/out degree histogram of the host graph — the
+    * power-law sanity check every web-graph release gets (a crawl whose
+    * out-degree histogram loses its tail got truncated by the fetcher; an
+    * in-degree spike at one bucket is a link farm). bucket = floor(log2
+    * (degree)) computed EXACTLY as `length(bin(degree)) - 1` — bit-length
+    * arithmetic, no float log at bucket boundaries — identical in DuckDB.
+    * Two short-key aggs over the already-aggregated host edges, then a
+    * histogram agg over host-table-sized input. */
+  def degreeDist(hostEdges: DataFrame): DataFrame = {
+    val outd = hostEdges.groupBy(col("src_host").as("host"))
+      .agg(count(lit(1)).as("deg")).withColumn("direction", lit("out"))
+    val ind = hostEdges.groupBy(col("dst_host").as("host"))
+      .agg(count(lit(1)).as("deg")).withColumn("direction", lit("in"))
+    outd.unionByName(ind)
+      .select(col("direction"), (length(bin(col("deg"))) - 1).as("bucket"))
+      .groupBy("direction", "bucket")
+      .agg(count(lit(1)).as("n_hosts"))
+  }
+
   /** Host graph rolled up to pay-level domains (eTLD+1): the registrable-
     * domain edge list crawl policy ranks and quotas against — subdomain
     * shards (news./shop./blog.) collapse into one node, intra-PLD edges

@@ -171,6 +171,49 @@ object TextOps {
     * TWO hash aggregations (bigram, unigram) and two hash joins on short
     * string keys; the totals row is a broadcast. The minCount filter runs
     * BEFORE the unigram joins, shrinking the join input by the long tail. */
+  /** Deterministic acronym synthesis for the [[acronyms]] tests/oracle
+    * (the Dedup.withQuotes precedent): every 11th doc gains an appended
+    * "long form (LF)" clause built from its own first two tokens, so the
+    * miner has ground truth the synthetic corpus otherwise lacks. */
+  def withAcronyms(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val t1 = element_at(toks, 1)
+    val t2 = element_at(toks, 2)
+    val ab = concat(upper(substring(t1, 1, 1)), upper(substring(t2, 1, 1)))
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 11 === 0 && size(toks) >= 2,
+        concat(col("text"), lit(" "), t1, lit(" "), t2,
+          lit(" ("), ab, lit(")")))
+        .otherwise(col("text")).as("text"))
+  }
+
+  /** Schwartz–Hearst-style acronym mining (the initial-letter core of the
+    * 2003 algorithm): find "(ABBR)" parentheticals (2–5 uppercase letters),
+    * take the |ABBR| immediately-preceding tokens as the long-form
+    * candidate, accept iff their initials spell the abbreviation. The
+    * dictionary-construction feeder the NCBO world calls synonym discovery
+    * — mined (abbr, long form) pairs become label rows for the next dict
+    * release. Entirely MAP-ONLY until the final (abbr, long_form) count
+    * agg: regex scan, token slice, and the initials fold are per-row
+    * column expressions in the Java∩RE2-identical regex subset. */
+  def acronyms(docs: DataFrame): DataFrame = {
+    val ms = regexp_extract_all(col("text"),
+      lit("(?:[A-Za-z0-9]+ ){1,5}\\([A-Z]{2,5}\\)"), lit(0))
+    val pre = split(regexp_replace(col("m"), " \\([A-Z]{2,5}\\)$", ""), " ")
+    docs.select(col("doc_id"), explode(ms).as("m"))
+      .select(col("doc_id"),
+        regexp_extract(col("m"), "\\(([A-Z]{2,5})\\)", 1).as("abbr"),
+        pre.as("pre"))
+      .filter(size(col("pre")) >= length(col("abbr")))
+      .withColumn("lf", slice(col("pre"),
+        size(col("pre")) - length(col("abbr")) + 1, length(col("abbr"))))
+      .withColumn("initials", aggregate(col("lf"), lit(""),
+        (acc, t) => concat(acc, upper(substring(t, 1, 1)))))
+      .filter(col("initials") === col("abbr"))
+      .groupBy(col("abbr"), array_join(col("lf"), " ").as("long_form"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+  }
+
   def collocations(docs: DataFrame, minCount: Int = 5): DataFrame = {
     val toks = tokens(col("text"))
     val bigrams = docs

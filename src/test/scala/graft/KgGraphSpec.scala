@@ -544,6 +544,23 @@ class KgGraphSpec extends AnyFunSuite {
     assert(gotSplit === Map("p" -> ((1L, 9L, qs)), "q" -> ((1L, 9L, qs))))
   }
 
+  test("harmonicFromSeeds: exact lcm-12 reciprocal sums; seeds excluded at dist 0") {
+    import spark.implicits._
+    // s→a→b, s2→a: h(a) = 1/1 + 1/1 = 2, h(b) = 1/2 + 1/2 = 1
+    val edges = Seq(("s", "a"), ("a", "b"), ("s2", "a")).toDF("src", "dst")
+    val seeds = Seq("s", "s2").toDF("node")
+    val got = KgGraph.harmonicFromSeeds(edges, seeds, maxDepth = 4).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === Map("a" -> ((2L, 2.0)), "b" -> ((2L, 1.0))))
+    // dist-3 path: 1/1 + 1/2 + 1/3 = 11/6 — exact through the integer sum
+    val path = Seq(("s", "a"), ("a", "b"), ("b", "c")).toDF("src", "dst")
+    val one = Seq("s").toDF("node")
+    val h = KgGraph.harmonicFromSeeds(path, one, maxDepth = 4).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(h("c") === BigDecimal(1.0 / 3).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("componentSizes: histogram + node fractions over a 3/3/1 labeling") {
     import spark.implicits._
     val labels = Seq(("a", "a"), ("b", "a"), ("c", "a"),

@@ -879,4 +879,19 @@ class OpsSpec extends AnyFunSuite {
     val perPos = got.groupBy(t => (t._1, t._3)).view.mapValues(_.length)
     assert(perPos.values.forall(_ <= 2) && got.nonEmpty)
   }
+
+  test("acronyms: initials must spell the abbreviation; counts are per-doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "we ran merge sort (MS) twice"),
+      (2L, "a merge sort (MS) baseline"),
+      (3L, "alpha beta (XY) mismatch"),          // initials AB != XY
+      (4L, "hash join (HJ) and merge sort (MS)") // two pairs, one doc
+    ).toDF("doc_id", "text")
+    val got = TextOps.acronyms(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got === Map(
+      ("MS", "merge sort") -> 3L,
+      ("HJ", "hash join") -> 1L))
+  }
 }
