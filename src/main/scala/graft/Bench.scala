@@ -215,7 +215,10 @@ object Bench {
     "text_bpe", "web_trustrank", "web_walks", "kg_fact_diff",
     // round-4 fourth-pass representatives: the delta-maintenance pair
     // (closure graft, component contraction) and the asymmetric dedup leg
-    "kg_closure_delta", "kg_components_delta", "dedup_containment")
+    "kg_closure_delta", "kg_components_delta", "dedup_containment",
+    // round-4 late-pass representatives: content-defined chunk dedup
+    // (map-only chunking + one hashed exchange) and per-seed BFS harmonic
+    "dedup_cdc", "web_harmonic")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -507,6 +507,25 @@ object SparkEntry {
         .unionByName(upd.added.withColumn("delta", lit("added")))
     }),
 
+    // the release-notes rollup a dict publisher ships: per (ontology,
+    // change class) term + distinct-concept counts over the same diff
+    "dict_release_notes" -> ((s, dir) => {
+      val upd = fixtureDictUpdate(s)
+      upd.removed.withColumn("delta", lit("removed"))
+        .unionByName(upd.added.withColumn("delta", lit("added")))
+        .groupBy("ont", "delta")
+        .agg(count(lit(1)).as("n_terms"),
+          countDistinct(col("class_iri")).as("n_classes"))
+    }),
+
+    // related documents via shared ontology ancestry — the annotator's
+    // "similar resources" surface: profiles = direct concepts + ancestors,
+    // capped-posting pair generation (the dedup_jaccard discipline)
+    "kg_related_docs" -> ((s, dir) =>
+      graft.graph.KgGraph.relatedDocs(
+        matches(s, dir).select("url", "class_iri"),
+        graph.Closure.transitiveClosure(OntologyFixture.edgesDf(s), maxLevel = 5))),
+
     // TPC-H-ish operator coverage: pushed-down filter + hash aggregate
     "q_pushdown_agg" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -3267,6 +3286,47 @@ object SparkEntry {
           SELECT *, 'removed' AS delta FROM (SELECT * FROM d1 EXCEPT SELECT * FROM d2)
           UNION ALL
           SELECT *, 'added' AS delta FROM (SELECT * FROM d2 EXCEPT SELECT * FROM d1)""",
+
+    // the same diff rolled up per (ontology, change class)
+    "dict_release_notes" ->
+      s"""WITH d1(term, class_iri, ont, pref) AS (SELECT * FROM (VALUES ${OntologyFixture.dictValues}) v(a,b,c,d)),
+            d2(term, class_iri, ont, pref) AS (SELECT * FROM (VALUES ${OntologyFixture.dictValuesV2}) v(a,b,c,d)),
+          diff AS (
+            SELECT *, 'removed' AS delta FROM (SELECT * FROM d1 EXCEPT SELECT * FROM d2)
+            UNION ALL
+            SELECT *, 'added' AS delta FROM (SELECT * FROM d2 EXCEPT SELECT * FROM d1))
+          SELECT ont, delta, CAST(COUNT(*) AS BIGINT) AS n_terms,
+                 CAST(COUNT(DISTINCT class_iri) AS BIGINT) AS n_classes
+          FROM diff GROUP BY 1, 2""",
+
+    // semantic-profile pairs: direct ∪ ancestor concepts per doc, capped
+    // posting self-join (the jaccard oracle shape on the semantic space)
+    "kg_related_docs" ->
+      s"""WITH RECURSIVE $dictCte, $directCte, $edgesCte, $closureCte,
+          d AS (SELECT DISTINCT url, class_iri FROM direct),
+          prof AS (SELECT DISTINCT url, sem FROM (
+              SELECT url, class_iri AS sem FROM d
+              UNION ALL
+              SELECT d.url, c.ancestor_iri AS sem
+              FROM d JOIN closure c ON d.class_iri = c.child_iri)),
+          sizes AS (SELECT url, CAST(COUNT(*) AS BIGINT) AS n_sem
+                    FROM prof GROUP BY 1),
+          keep AS (SELECT sem FROM prof GROUP BY sem
+                   HAVING COUNT(DISTINCT url) BETWEEN 2 AND 100),
+          rare AS (SELECT prof.url, prof.sem FROM prof JOIN keep USING (sem)),
+          inter AS (SELECT a.url AS doc_a, b.url AS doc_b,
+                      CAST(COUNT(*) AS BIGINT) AS n_shared
+                    FROM rare a JOIN rare b
+                      ON a.sem = b.sem AND a.url < b.url
+                    GROUP BY 1, 2)
+          SELECT doc_a, doc_b, n_shared, sa.n_sem AS size_a,
+                 sb.n_sem AS size_b,
+                 ROUND(n_shared / (sa.n_sem + sb.n_sem - n_shared), 4)
+                   AS sem_jaccard
+          FROM inter
+          JOIN sizes sa ON sa.url = doc_a
+          JOIN sizes sb ON sb.url = doc_b
+          WHERE n_shared >= 3""",
 
     // first-mention offsets recovered from regexp-split segment lengths
     // (the ann_context machinery); counts == the ann_counts contract

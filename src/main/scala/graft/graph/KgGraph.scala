@@ -830,6 +830,51 @@ object KgGraph {
     dist.select(col("node").as("page"), col("dist"))
   }
 
+  /** Related documents via shared ontology ancestry — the annotator-side
+    * "similar resources" surface (NCBO's hierarchy-aware relatedness):
+    * each doc's semantic profile = its direct concepts plus ALL their is-a
+    * ancestors from the bounded closure, and docs pair up when their
+    * profiles share ≥ `minShared` concepts, scored by the shared count and
+    * the Jaccard over profile sizes.
+    *
+    * Scale shape: the dedup_jaccard posting discipline verbatim — capped
+    * posting lists (`maxDocFreq`), map-side pair explosion from sorted
+    * arrays, ONE posting exchange. The cap is also semantically right
+    * here: a near-root ancestor shared by half the corpus carries no
+    * relatedness signal, and it is exactly what the cap excludes. The
+    * closure is ontology-scale → broadcast. */
+  def relatedDocs(annotations: DataFrame, closure: DataFrame,
+                  maxDocFreq: Int = 100, minShared: Int = 3): DataFrame = {
+    val direct = annotations.select(col("url"), col("class_iri")).distinct()
+    val anc = direct.join(
+        broadcast(closure.select(col("child").as("class_iri"), col("ancestor"))),
+        Seq("class_iri"))
+      .select(col("url"), col("ancestor").as("sem"))
+    val profile = pin(direct.select(col("url"), col("class_iri").as("sem"))
+      .unionAll(anc).distinct())
+    val sizes = profile.groupBy("url").agg(count(lit(1)).as("n_sem"))
+    val postings = profile.groupBy("sem")
+      .agg(sort_array(collect_set(col("url"))).as("docs"))
+      .filter(size(col("docs")).between(2, maxDocFreq))
+    val pairs = postings.select(explode(flatten(transform(col("docs"),
+        (x, i) => transform(
+          slice(col("docs"), i + lit(2),
+            greatest(size(col("docs")) - i - lit(1), lit(0))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+    pairs.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.select(col("url").as("doc_a"), col("n_sem").as("size_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("url").as("doc_b"), col("n_sem").as("size_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("size_a"), col("size_b"),
+        round(col("n_shared")
+          / (col("size_a") + col("size_b") - col("n_shared")), 4)
+          .as("sem_jaccard"))
+  }
+
   /** Seed-sampled harmonic centrality (the Eppstein–Wang estimation shape):
     * `h(v) = Σ_{s ∈ seeds} 1/d(s, v)` over a bounded-depth per-seed BFS —
     * full harmonic centrality is an all-pairs problem, the production

@@ -544,6 +544,29 @@ class KgGraphSpec extends AnyFunSuite {
     assert(gotSplit === Map("p" -> ((1L, 9L, qs)), "q" -> ((1L, 9L, qs))))
   }
 
+  test("relatedDocs: shared direct+ancestor profiles; the doc-freq cap drops hot ancestors") {
+    import spark.implicits._
+    val ann = Seq(("u1", "c1"), ("u1", "c2"), ("u2", "c1"), ("u2", "c3"),
+      ("u3", "c4")).toDF("url", "class_iri")
+    // c1→p1; c2,c3→p2; c4→p3: profiles u1={c1,c2,p1,p2}, u2={c1,c3,p1,p2}
+    val cl = Seq(("c1", "p1", 1), ("c2", "p2", 1), ("c3", "p2", 1),
+      ("c4", "p3", 1)).toDF("child", "ancestor", "distance")
+    val got = KgGraph.relatedDocs(ann, cl).collect()
+    assert(got.length === 1)
+    val r = got.head
+    // shared = {c1, p1, p2} → 3; jaccard = 3 / (4 + 4 − 3)
+    assert((r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getDouble(5)) ===
+      (("u1", "u2", 3L, 4L, 4L, 0.6)))
+    // a hot shared ancestor above the cap stops carrying signal: p2 joins
+    // all three docs when u3 also reaches it, and maxDocFreq = 2 drops it
+    val cl2 = cl.unionByName(Seq(("c4", "p2", 1)).toDF("child", "ancestor", "distance"))
+    val capped = KgGraph.relatedDocs(ann, cl2, maxDocFreq = 2, minShared = 1)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // u1–u2 still share {c1, p1} (freq-2 postings); nothing pairs via p2
+    assert(capped === Map(("u1", "u2") -> 2L))
+  }
+
   test("harmonicFromSeeds: exact lcm-12 reciprocal sums; seeds excluded at dist 0") {
     import spark.implicits._
     // s→a→b, s2→a: h(a) = 1/1 + 1/1 = 2, h(b) = 1/2 + 1/2 = 1
