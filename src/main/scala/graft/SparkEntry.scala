@@ -507,6 +507,38 @@ object SparkEntry {
         .unionByName(upd.added.withColumn("delta", lit("added")))
     }),
 
+    // cross-ontology overlap matrix (the BioPortal ontology-similarity
+    // artifact): per unordered ontology pair, mapped class-pair counts +
+    // per-side coverage of the dict universe — the release dashboard for
+    // "how aligned are these two ontologies". Everything is
+    // ontology-scale: two broadcast joins onto the mapping table, one agg.
+    "kg_ontology_overlap" -> ((s, dir) => {
+      val cls = DictBuild.flatDict(DictBuild.build(DictBuild.labelRows(
+          OntologyFixture.conceptsDf(s))))
+        .select(col("class_iri"), col("ont")).distinct()
+      val sizes = cls.groupBy("ont").agg(countDistinct(col("class_iri")).as("n"))
+      val pairs = OntologyFixture.mappingsDf(s)
+        .join(broadcast(cls.select(col("class_iri"), col("ont").as("ont_a"))),
+          Seq("class_iri"))
+        .join(broadcast(cls.select(col("class_iri").as("mapped_iri"),
+          col("ont").as("ont_b"))), Seq("mapped_iri"))
+        .filter(col("ont_a") < col("ont_b"))
+        .select(col("ont_a"), col("ont_b"), col("class_iri"), col("mapped_iri"))
+        .distinct()
+      pairs.groupBy("ont_a", "ont_b")
+        .agg(count(lit(1)).as("n_mapped_pairs"),
+          countDistinct(col("class_iri")).as("n_classes_a"),
+          countDistinct(col("mapped_iri")).as("n_classes_b"))
+        .join(broadcast(sizes.select(col("ont").as("ont_a"), col("n").as("size_a"))),
+          Seq("ont_a"))
+        .join(broadcast(sizes.select(col("ont").as("ont_b"), col("n").as("size_b"))),
+          Seq("ont_b"))
+        .select(col("ont_a"), col("ont_b"), col("n_mapped_pairs"),
+          col("n_classes_a"), col("n_classes_b"),
+          round(col("n_classes_a") / col("size_a"), 6).as("coverage_a"),
+          round(col("n_classes_b") / col("size_b"), 6).as("coverage_b"))
+    }),
+
     // the release-notes rollup a dict publisher ships: per (ontology,
     // change class) term + distinct-concept counts over the same diff
     "dict_release_notes" -> ((s, dir) => {
@@ -2210,6 +2242,30 @@ object SparkEntry {
       LinkGraph.frontier(pages, LinkGraph.links(pages))
     }),
 
+    // PRIORITIZED frontier (the OPIC idea): each uncrawled target scored by
+    // the summed PageRank of its distinct linking pages — the fetch-order
+    // artifact a crawler scheduler consumes. Rank mass rides as EXACT
+    // micro-PR integers (round(pr·10⁶) per source, summed as longs), so the
+    // score is partitioning-independent; the PR table is node-keyed and the
+    // contrib join is the link table's own key — no new shuffle shapes.
+    "web_frontier_scored" -> ((s, dir) => {
+      val pages = LinkGraph.pages(docsTable(s, dir))
+      val links = LinkGraph.links(pages)
+      val fr = LinkGraph.frontier(pages, links)
+      val pr = graft.graph.KgGraph.pageRankDirected(
+        LinkGraph.pageEdges(links), iters = 5)
+      val contrib = links
+        .select(WebOps.canonicalUrl(col("src_url")).as("src"),
+          col("dst_url").as("page")).distinct()
+        .join(pr.select(col("page").as("src"), col("pagerank")), Seq("src"))
+        .groupBy("page")
+        .agg(countDistinct(col("src")).as("n_inlinks"),
+          sum(round(col("pagerank") * lit(1000000.0), 0).cast("long"))
+            .as("priority_micro"))
+      fr.join(contrib, Seq("page"))
+        .select(col("page"), col("n_inlinks"), col("priority_micro"))
+    }),
+
     // HITS hubs/authorities over the same directed page graph (L1-normalized
     // per half-round; the oracle unrolls both halves of all 5 rounds)
     "web_hits" -> ((s, dir) =>
@@ -3286,6 +3342,32 @@ object SparkEntry {
           SELECT *, 'removed' AS delta FROM (SELECT * FROM d1 EXCEPT SELECT * FROM d2)
           UNION ALL
           SELECT *, 'added' AS delta FROM (SELECT * FROM d2 EXCEPT SELECT * FROM d1)""",
+
+    // mapping table joined twice against the dict class universe; coverage
+    // division order mirrored, 6dp
+    "kg_ontology_overlap" ->
+      s"""WITH $dictCte, $mappingsCte,
+          cls AS (SELECT DISTINCT class_iri, ont FROM dict),
+          sizes AS (SELECT ont, CAST(COUNT(DISTINCT class_iri) AS BIGINT) AS n
+                    FROM cls GROUP BY 1),
+          mp AS (SELECT DISTINCT ca.ont AS ont_a, cb.ont AS ont_b,
+                   m.class_iri, m.mapped_iri
+                 FROM maps m
+                 JOIN cls ca ON m.class_iri = ca.class_iri
+                 JOIN cls cb ON m.mapped_iri = cb.class_iri
+                 WHERE ca.ont < cb.ont),
+          agg AS (SELECT ont_a, ont_b,
+                    CAST(COUNT(*) AS BIGINT) AS n_mapped_pairs,
+                    CAST(COUNT(DISTINCT class_iri) AS BIGINT) AS n_classes_a,
+                    CAST(COUNT(DISTINCT mapped_iri) AS BIGINT) AS n_classes_b
+                  FROM mp GROUP BY 1, 2)
+          SELECT agg.ont_a, agg.ont_b, n_mapped_pairs, n_classes_a,
+                 n_classes_b,
+                 ROUND(n_classes_a / sa.n, 6) AS coverage_a,
+                 ROUND(n_classes_b / sb.n, 6) AS coverage_b
+          FROM agg
+          JOIN sizes sa ON sa.ont = agg.ont_a
+          JOIN sizes sb ON sb.ont = agg.ont_b""",
 
     // the same diff rolled up per (ontology, change class)
     "dict_release_notes" ->
@@ -5232,6 +5314,32 @@ object SparkEntry {
           EXCEPT
           SELECT DISTINCT ${graft.ops.WebOps.canonUrlSqlOf("url")} AS page
           FROM pages""",
+
+    // the PR chain (exact web_pagerank scaffold) + the frontier EXCEPT +
+    // per-target micro-PR integer sums over distinct linking sources
+    "web_frontier_scored" ->
+      s"""WITH $pageEdgesPrScaffoldSql,
+          nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+          unodes AS MATERIALIZED (SELECT node,
+              CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS t FROM nodes),
+          pr0 AS (SELECT node, t AS pr FROM unodes),
+          ${prRoundsCtesSql(5, "pr", "unodes")},
+          prt AS (SELECT node, ROUND(pr, 6) AS pagerank FROM pr5),
+          crawled AS (SELECT DISTINCT ${graft.ops.WebOps.canonUrlSqlOf("url")}
+                        AS page FROM pages),
+          fr AS (SELECT DISTINCT dst_url AS page FROM lnk
+                 WHERE dst_url NOT IN (SELECT page FROM crawled)),
+          contrib AS (SELECT DISTINCT
+                        ${graft.ops.WebOps.canonUrlSqlOf("src_url")} AS src,
+                        dst_url AS page
+                      FROM lnk),
+          sc AS (SELECT c.page,
+                   CAST(COUNT(DISTINCT c.src) AS BIGINT) AS n_inlinks,
+                   CAST(SUM(CAST(ROUND(p.pagerank * 1000000, 0) AS BIGINT))
+                     AS BIGINT) AS priority_micro
+                 FROM contrib c JOIN prt p ON p.node = c.src GROUP BY 1)
+          SELECT f.page, sc.n_inlinks, sc.priority_micro
+          FROM fr f JOIN sc ON sc.page = f.page""",
 
     "web_crawl_merge" ->
       s"""WITH s1 AS (SELECT doc_id, ${graft.ops.WebOps.urlSqlExpr} AS url,
