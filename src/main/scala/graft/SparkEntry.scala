@@ -1585,8 +1585,12 @@ object SparkEntry {
     // partition-quality QA: weighted modularity of the label-propagation
     // communities — per-community e_c/m − (S_c/2m)² (Newman 2004)
     "kg_modularity" -> ((s, dir) => {
+      // pin the shared edge list: labelPropagation and modularity both
+      // consume it, and an unpinned plan re-runs the corpus-side
+      // co-occurrence agg once per consumer (the kg_components_delta
+      // precedent)
       val cooc = graft.graph.KgGraph.cooccurrence(
-        matches(s, dir).select("url", "class_iri"))
+        matches(s, dir).select("url", "class_iri")).localCheckpoint()
       graft.graph.KgGraph.modularity(cooc,
         graft.graph.KgGraph.labelPropagation(cooc))
     }),
@@ -2254,9 +2258,14 @@ object SparkEntry {
       val fr = LinkGraph.frontier(pages, links)
       val pr = graft.graph.KgGraph.pageRankDirected(
         LinkGraph.pageEdges(links), iters = 5)
+      // semi-join the contribution stream down to frontier targets BEFORE
+      // the per-target aggregation: crawled pages are most link targets on
+      // a real graph, and their distinct+sum work would be discarded by
+      // the final inner join anyway (result-identical)
       val contrib = links
         .select(WebOps.canonicalUrl(col("src_url")).as("src"),
           col("dst_url").as("page")).distinct()
+        .join(fr, Seq("page"), "left_semi")
         .join(pr.select(col("page").as("src"), col("pagerank")), Seq("src"))
         .groupBy("page")
         .agg(countDistinct(col("src")).as("n_inlinks"),
@@ -2999,12 +3008,6 @@ object SparkEntry {
     raw"""cnts AS (SELECT 'doc://' || doc_id AS url, d.class_iri, d.pref,
           len(regexp_extract_all(upper(text), '\b' || d.term || '\b')) AS cnt
           FROM documents, dict d)"""
-  /** DuckDB twin of the engine's 64-bit rolling fingerprint
-    * ([[graft.ops.TextOps.fingerprint64]] / the codegen'd Fingerprint64
-    * expression): h = h*131 + char over HUGEINT with an explicit mod-2^64
-    * wrap per step (Java long overflow semantics), then two's-complement to
-    * signed BIGINT. Valid for ASCII input (Java chars == code points there;
-    * the driver corpus is ASCII, asserted by the all-ascii check in specs). */
   /** The lemma-annotator match chain (SQL lemmatizer, lemma-space scan,
     * offset back-mapping) ending at `mapped(doc_id, class_iri, ont, pref,
     * f, t)` — shared by the ann_lemma and ann_agreement oracles. Requires
@@ -3055,6 +3058,12 @@ object SparkEntry {
             JOIN cums ce ON ce.doc_id = h.doc_id
               AND ce.lemma_start + length(ce.lem) = h.f0 + h.tl)"""
 
+  /** DuckDB twin of the engine's 64-bit rolling fingerprint
+    * ([[graft.ops.TextOps.fingerprint64]] / the codegen'd Fingerprint64
+    * expression): h = h*131 + char over HUGEINT with an explicit mod-2^64
+    * wrap per step (Java long overflow semantics), then two's-complement to
+    * signed BIGINT. Valid for ASCII input (Java chars == code points there;
+    * the driver corpus is ASCII, asserted by the all-ascii check in specs). */
   private def fpSql(colExpr: String): String =
     s"""list_reduce([1125899906842597::HUGEINT] ||
         list_transform(string_split($colExpr, ''), c -> unicode(c)::HUGEINT),

@@ -856,12 +856,8 @@ object KgGraph {
     val postings = profile.groupBy("sem")
       .agg(sort_array(collect_set(col("url"))).as("docs"))
       .filter(size(col("docs")).between(2, maxDocFreq))
-    val pairs = postings.select(explode(flatten(transform(col("docs"),
-        (x, i) => transform(
-          slice(col("docs"), i + lit(2),
-            greatest(size(col("docs")) - i - lit(1), lit(0))),
-          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+    val pairs = postings.select(orderedPairs(col("docs")).as("p"))
+      .select(col("p.src").as("doc_a"), col("p.dst").as("doc_b"))
     pairs.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .join(sizes.select(col("url").as("doc_a"), col("n_sem").as("size_a")),
