@@ -1327,6 +1327,48 @@ object SparkEntry {
           round(avg(col("quality")), 4).as("mean_quality"))
     }),
 
+    // annotation coverage per language — the multilingual release-QA gate
+    // (an English-only dictionary shows up here before anywhere else):
+    // per lang, docs with >= 1 direct annotation vs total, 6dp. One
+    // distinct-url agg over the match stream LEFT-joined onto per-lang
+    // doc totals — corpus-scale work is the flagship scan only.
+    "ann_coverage_by_lang" -> ((s, dir) => {
+      val docs = docsTable(s, dir)
+        .select((concat(lit("doc://"), col("doc_id"))).as("url"), col("lang"))
+      val annotated = matches(s, dir).select("url").distinct()
+        .withColumn("hit", lit(1L))
+      docs.join(annotated, Seq("url"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_annotated"))
+        .select(col("lang"), col("n_docs"), col("n_annotated"),
+          round(col("n_annotated") / col("n_docs"), 6).as("coverage"))
+    }),
+
+    // token-budget mixture planning (the DoReMi-adjacent artifact): given
+    // target per-language shares and a total token budget, the per-lang
+    // sampling rate that hits the mixture — rate = min(1, budget·share /
+    // available). Shares are declared literals (the policy input); the
+    // per-lang token totals are one agg; everything downstream is 1-row
+    // arithmetic in the oracle's division order. The planner a curation
+    // run executes BEFORE touching the corpus.
+    "curate_token_budget" -> ((s, dir) => {
+      val budget = 20000.0
+      val shares = Map("en" -> 0.30, "fr" -> 0.20, "es" -> 0.20,
+        "de" -> 0.15, "zh" -> 0.15)
+      val shareCol = shares.foldLeft(lit(0.0)) { case (acc, (l, p)) =>
+        when(col("lang") === l, lit(p)).otherwise(acc)
+      }
+      docsTable(s, dir)
+        .select(col("lang"), size(split(col("text"), " ")).cast("long").as("nt"))
+        .groupBy("lang").agg(sum(col("nt")).as("n_tokens"))
+        .select(col("lang"), col("n_tokens"), shareCol.as("target_share"),
+          round(least(lit(1.0),
+            lit(budget) * shareCol / col("n_tokens")), 6).as("sample_rate"),
+          round(least(lit(budget) * shareCol, col("n_tokens").cast("double")), 1)
+            .as("planned_tokens"))
+    }),
+
     // capstone composition: the training-data curation ops FEED the
     // annotator — exact-dedup survivors + quality gate select the pages, the
     // native annotate builds the KG only over curated pages (the realistic
@@ -3377,6 +3419,40 @@ object SparkEntry {
           FROM agg
           JOIN sizes sa ON sa.ont = agg.ont_a
           JOIN sizes sb ON sb.ont = agg.ont_b""",
+
+    // per-lang doc totals LEFT-joined with the distinct annotated-url set
+    "ann_coverage_by_lang" ->
+      s"""WITH $dictCte, $directCte,
+          d AS (SELECT 'doc://' || doc_id AS url, lang FROM documents),
+          ann AS (SELECT DISTINCT url FROM direct)
+          SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(CASE WHEN a.url IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_annotated,
+            ROUND(SUM(CASE WHEN a.url IS NOT NULL THEN 1 ELSE 0 END)
+              / COUNT(*), 6) AS coverage
+          FROM d LEFT JOIN ann a ON d.url = a.url GROUP BY 1""",
+
+    // per-lang token totals + declared target shares; rate/planned in the
+    // engine's division order (doubles forced — DuckDB decimals would
+    // otherwise change the arithmetic)
+    "curate_token_budget" ->
+      """WITH tt AS (SELECT lang,
+              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY 1),
+          w AS (SELECT lang, n_tokens,
+              CASE lang WHEN 'en' THEN CAST(0.30 AS DOUBLE)
+                        WHEN 'fr' THEN CAST(0.20 AS DOUBLE)
+                        WHEN 'es' THEN CAST(0.20 AS DOUBLE)
+                        WHEN 'de' THEN CAST(0.15 AS DOUBLE)
+                        WHEN 'zh' THEN CAST(0.15 AS DOUBLE)
+                        ELSE CAST(0.0 AS DOUBLE) END AS target_share
+            FROM tt)
+          SELECT lang, n_tokens, target_share,
+            ROUND(LEAST(1.0, 20000.0 * target_share / n_tokens), 6)
+              AS sample_rate,
+            ROUND(LEAST(20000.0 * target_share, CAST(n_tokens AS DOUBLE)), 1)
+              AS planned_tokens
+          FROM w""",
 
     // the same diff rolled up per (ontology, change class)
     "dict_release_notes" ->
