@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan contracts for the late-round-4 operators — the shapes
+  * PLANS.md claims, pinned so a regression (a lost broadcast, a surprise
+  * cartesian, a second corpus pass) fails the suite instead of surfacing
+  * as a 100×-scale incident. String asserts over executedPlan, the
+  * BucketedJoinSpec idiom. */
+class PlanContractSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("kg_assortativity: degree table broadcasts onto both edge legs, no cartesian") {
+    val p = plan("kg_assortativity")
+    assert(p.split("\n").count(_.contains("BroadcastHashJoin")) >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("kg_modularity: community map broadcasts; the only cartesian is the 1-row total attach") {
+    val p = plan("kg_modularity")
+    assert(p.split("\n").count(_.contains("BroadcastHashJoin")) >= 3, p)
+    // the dangling-mass pattern: a 1-row scalar crossJoin plans as a
+    // broadcast nested loop over ONE row — anything else is a regression
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("web_pld_graph: the PLD rollup is join-free (suffix logic compiled into the projection)") {
+    val p = plan("web_pld_graph")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("dedup_cdc: chunking is map-only — exactly one exchange (the chunk-hash agg)") {
+    val p = plan("dedup_cdc")
+    val exchanges = p.split("\n").count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange")
+        && !l.contains("ReusedExchange"))
+    assert(exchanges === 1, s"expected exactly 1 shuffle exchange:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("kg_related_docs: no self-join of the profile stream, no cartesian") {
+    // note: the closure's broadcast attach sits UPSTREAM of the profile
+    // pin (localCheckpoint truncates lineage to Scan ExistingRDD), so it
+    // is not visible in this plan — the visible contract is the pair path
+    val p = plan("kg_related_docs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // pair generation is the map-side array explosion — the plan must
+    // never join posting rows against themselves on the sem key (the two
+    // doc-keyed size joins are expected and AQE-broadcastable)
+    assert(!p.contains("SortMergeJoin [sem"), p)
+    assert(!p.contains("ShuffledHashJoin [sem"), p)
+  }
+}
