@@ -539,6 +539,20 @@ object SparkEntry {
           round(col("n_classes_b") / col("size_b"), 6).as("coverage_b"))
     }),
 
+    // dictionary-shape QA: per (ontology, PREF/SYN, word count) term
+    // counts + mean char length — a release whose label-length profile
+    // shifts changes matcher behavior (longest_only pressure, automaton
+    // depth) before any accuracy metric moves. Ontology-scale only.
+    "dict_term_stats" -> ((s, dir) =>
+      DictBuild.flatDict(DictBuild.build(DictBuild.labelRows(
+          OntologyFixture.conceptsDf(s))))
+        .select(col("ont"), col("pref"),
+          size(split(col("term"), " ")).as("n_words"),
+          length(col("term")).as("n_chars"))
+        .groupBy("ont", "pref", "n_words")
+        .agg(count(lit(1)).as("n_terms"),
+          round(avg(col("n_chars")), 4).as("mean_chars"))),
+
     // the release-notes rollup a dict publisher ships: per (ontology,
     // change class) term + distinct-concept counts over the same diff
     "dict_release_notes" -> ((s, dir) => {
@@ -1754,6 +1768,18 @@ object SparkEntry {
     "web_degree_dist" -> ((s, dir) =>
       LinkGraph.degreeDist(
         LinkGraph.hostGraph(LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))))),
+
+    // per-TLD crawl-mix stats (page + distinct-host counts) — the coarsest
+    // crawl-composition dashboard row; one short-key agg over canonical
+    // hosts, map-only before it
+    "web_tld_stats" -> ((s, dir) =>
+      LinkGraph.pages(docsTable(s, dir))
+        .select(WebOps.canonicalHost(col("url")).as("host"))
+        .select(col("host"),
+          element_at(split(col("host"), "\\."), -1).as("tld"))
+        .groupBy("tld")
+        .agg(count(lit(1)).as("n_pages"),
+          countDistinct(col("host")).as("n_hosts"))),
 
     // per-target anchor-text table: top-3 anchors per canonical URL
     "web_anchor_text" -> ((s, dir) =>
@@ -3393,6 +3419,26 @@ object SparkEntry {
           SELECT *, 'removed' AS delta FROM (SELECT * FROM d1 EXCEPT SELECT * FROM d2)
           UNION ALL
           SELECT *, 'added' AS delta FROM (SELECT * FROM d2 EXCEPT SELECT * FROM d1)""",
+
+    // per-(ont, pref, word-count) over the dict VALUES; AVG from exact
+    // integer sums on both sides
+    "dict_term_stats" ->
+      s"""WITH $dictCte
+          SELECT ont, pref,
+                 CAST(len(string_split(term, ' ')) AS INT) AS n_words,
+                 CAST(COUNT(*) AS BIGINT) AS n_terms,
+                 ROUND(AVG(length(term)), 4) AS mean_chars
+          FROM dict GROUP BY 1, 2, 3""",
+
+    // canonical-host TLD rollup over the synthesized page urls
+    "web_tld_stats" ->
+      s"""WITH ${graft.ops.LinkGraph.pagesCteSql},
+          hosts AS (SELECT ${graft.ops.WebOps.canonHostSqlOf("url")} AS host
+                    FROM pages)
+          SELECT string_split(host, '.')[-1] AS tld,
+                 CAST(COUNT(*) AS BIGINT) AS n_pages,
+                 CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+          FROM hosts GROUP BY 1""",
 
     // mapping table joined twice against the dict class universe; coverage
     // division order mirrored, 6dp
