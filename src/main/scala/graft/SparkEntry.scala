@@ -293,6 +293,18 @@ object SparkEntry {
         .annotateTriples(corpus(s, dir), model(s), fusedMaps(s), "v1")
         .toDF().select("subj", "pred", "obj")),
 
+    // triple-store predicate distribution — the first dashboard row any KG
+    // release gets (per pred: triple count + distinct subjects/objects);
+    // one short-key agg over the fused zero-shuffle triple stream
+    "kg_pred_stats" -> ((s, dir) =>
+      graft.annotate.FusedAnnotate
+        .annotateTriples(corpus(s, dir), model(s), fusedMaps(s), "v1")
+        .toDF().select("subj", "pred", "obj")
+        .groupBy("pred")
+        .agg(count(lit(1)).as("n_triples"),
+          countDistinct(col("subj")).as("n_subjects"),
+          countDistinct(col("obj")).as("n_objects"))),
+
     // A12 on the NATIVE plan (custom Catalyst Generator over in-place
     // UTF8String bytes — graft.annotate.NativeAnnotate): same oracle as
     // ann_triples, so DuckDB independently checks the native formulation too
@@ -6268,6 +6280,15 @@ object SparkEntry {
 
     // star join: direct leg restricted to the bgpRoot descendant set
     // (closure CTE), mapped leg joined back on the shared subject
+    // the triple CTE rolled up per predicate
+    "kg_pred_stats" ->
+      s"""WITH RECURSIVE $dictCte, $edgesCte, $mappingsCte, $directCte, $closureCte,
+          $kgTriplesCte
+          SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_triples,
+                 CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_subjects,
+                 CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_objects
+          FROM triples GROUP BY 1""",
+
     "kg_bgp_star" ->
       s"""WITH RECURSIVE $dictCte, $edgesCte, $mappingsCte, $directCte, $closureCte,
           $kgTriplesCte,
