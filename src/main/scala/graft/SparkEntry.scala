@@ -305,6 +305,20 @@ object SparkEntry {
           countDistinct(col("subj")).as("n_subjects"),
           countDistinct(col("obj")).as("n_objects"))),
 
+    // object in-degree histogram over the triple store (hub-concept watch:
+    // which objects accumulate the KG's mass) — per (pred, log2 bucket of
+    // the object's subject count), the web_degree_dist bit-length
+    // bucketing on the KG side
+    "kg_obj_degree_dist" -> ((s, dir) =>
+      graft.annotate.FusedAnnotate
+        .annotateTriples(corpus(s, dir), model(s), fusedMaps(s), "v1")
+        .toDF().select("subj", "pred", "obj")
+        .groupBy("pred", "obj")
+        .agg(countDistinct(col("subj")).as("deg"))
+        .select(col("pred"), (length(bin(col("deg"))) - 1).as("bucket"))
+        .groupBy("pred", "bucket")
+        .agg(count(lit(1)).as("n_objects"))),
+
     // A12 on the NATIVE plan (custom Catalyst Generator over in-place
     // UTF8String bytes — graft.annotate.NativeAnnotate): same oracle as
     // ann_triples, so DuckDB independently checks the native formulation too
@@ -6280,6 +6294,17 @@ object SparkEntry {
 
     // star join: direct leg restricted to the bgpRoot descendant set
     // (closure CTE), mapped leg joined back on the shared subject
+    // per-(pred, obj) subject counts → bit-length buckets → histogram
+    "kg_obj_degree_dist" ->
+      s"""WITH RECURSIVE $dictCte, $edgesCte, $mappingsCte, $directCte, $closureCte,
+          $kgTriplesCte,
+          od AS (SELECT pred, obj,
+                   CAST(COUNT(DISTINCT subj) AS BIGINT) AS deg
+                 FROM triples GROUP BY 1, 2)
+          SELECT pred, CAST(length(bin(deg)) - 1 AS INT) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_objects
+          FROM od GROUP BY 1, 2""",
+
     // the triple CTE rolled up per predicate
     "kg_pred_stats" ->
       s"""WITH RECURSIVE $dictCte, $edgesCte, $mappingsCte, $directCte, $closureCte,
