@@ -1385,6 +1385,20 @@ object SparkEntry {
           round(col("n_annotated") / col("n_docs"), 6).as("coverage"))
     }),
 
+    // per-language quality-bucket histogram — the stratification view a
+    // curation threshold decision reads (where does each language's mass
+    // sit before we pick the cut?): bucket = floor(quality·10) over the
+    // 4dp-rounded score, so the boundary floor is identical cross-engine
+    "curate_quality_buckets" -> ((s, dir) => {
+      val docs = docsTable(s, dir)
+      docs.select(col("doc_id"), col("lang"))
+        .join(TextOps.qualityScore(docs), "doc_id")
+        .select(col("lang"),
+          floor(col("quality") * lit(10)).cast("int").as("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // token-budget mixture planning (the DoReMi-adjacent artifact): given
     // target per-language shares and a total token budget, the per-lang
     // sampling rate that hits the mixture — rate = min(1, budget·share /
@@ -3503,6 +3517,20 @@ object SparkEntry {
             ROUND(SUM(CASE WHEN a.url IS NOT NULL THEN 1 ELSE 0 END)
               / COUNT(*), 6) AS coverage
           FROM d LEFT JOIN ann a ON d.url = a.url GROUP BY 1""",
+
+    // the text_quality formula + lang, floored into 0.1 buckets
+    "curate_quality_buckets" ->
+      """WITH q AS (SELECT doc_id, lang, ROUND(
+             LEAST(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4
+             + (len(list_distinct(string_split(text, ' ')))
+                / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
+             + (1.0 - len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+                / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3, 4)
+             AS quality
+           FROM documents)
+          SELECT lang, CAST(FLOOR(quality * 10) AS INT) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM q GROUP BY 1, 2""",
 
     // per-lang token totals + declared target shares; rate/planned in the
     // engine's division order (doubles forced — DuckDB decimals would
