@@ -1090,6 +1090,12 @@ object SparkEntry {
     "sim_quantized" -> ((s, dir) =>
       Similarity.quantizedTopK(s.read.parquet(s"$dir/embeddings.parquet"), nQueries = 10, k = 3)),
 
+    // product quantization + ADC (FAISS PQ): 4 subspace codebooks trained by
+    // seeded Lloyd, vectors stored as 4 code bytes, queries scored exact-vs-
+    // codeword — the 10^12-vector memory shape; encode is pure map-side
+    "sim_pq" -> ((s, dir) =>
+      Similarity.pqTopK(s.read.parquet(s"$dir/embeddings.parquet"), nQueries = 10, k = 3)),
+
     // IVF index-balance report: per inverted list, size + mean member-to-
     // centroid cosine — the ANN index health surface (skew predicts recall
     // and latency degradation before queries show it)
@@ -3112,6 +3118,67 @@ object SparkEntry {
         FROM r WHERE rank <= 3"""
   }
 
+  /** Unrolled product-quantization oracle ([[graft.ops.Similarity.pqTopK]]
+    * twin): per subspace s — seed codebook = first-16 subvectors, one Lloyd
+    * round (squared-L2 argmin ROUND 6dp with code tie-break; per-(code, dim)
+    * means ROUND 6dp; empty codes keep their seed via LEFT JOIN + COALESCE),
+    * then every vector encodes against the trained codebook. ADC score =
+    * left-associated Σ_s list_dot_product(q_s, codeword_s) over the fixed
+    * subspace order (matches the Column `reduce(_ + _)` fold), approximate
+    * norm = √(left-associated Σ_s ‖codeword_s‖²). */
+  private def pqOracleSql(subspaces: Int = 4, w: Int = 16, nCodes: Int = 16,
+                          trainSample: Int = 2048, nQueries: Int = 10,
+                          k: Int = 3): String = {
+    def d2(sv: String, c: String) =
+      s"ROUND(list_dot_product($sv, $sv) - 2 * list_dot_product($sv, $c)" +
+        s" + list_dot_product($c, $c), 6)"
+    val perSub = (0 until subspaces).map { s =>
+      val (lo, hi) = (s * w + 1, s * w + w)
+      s"""sub$s AS (SELECT vec_id, emb[$lo:$hi] AS sv FROM e),
+          cb${s}_0 AS (SELECT vec_id AS code, sv AS c FROM sub$s
+                       WHERE vec_id < $nCodes),
+          asg$s AS (SELECT vec_id, sv, code FROM (
+            SELECT t.vec_id, t.sv, c.code,
+              row_number() OVER (PARTITION BY t.vec_id
+                ORDER BY ${d2("t.sv", "c.c")}, c.code) AS rn
+            FROM (SELECT * FROM sub$s WHERE vec_id < $trainSample) t, cb${s}_0 c)
+            WHERE rn = 1),
+          cb$s AS (SELECT p.code, COALESCE(n.c, p.c) AS c
+            FROM cb${s}_0 p LEFT JOIN (
+              SELECT code, array_agg(m ORDER BY d) AS c FROM (
+                SELECT code, d, ROUND(AVG(sv[d]), 6) AS m
+                FROM asg$s, (SELECT unnest(generate_series(1, $w)) AS d)
+                GROUP BY code, d) GROUP BY code) n ON n.code = p.code),
+          enc$s AS (SELECT vec_id, code FROM (
+            SELECT v.vec_id, c.code,
+              row_number() OVER (PARTITION BY v.vec_id
+                ORDER BY ${d2("v.sv", "c.c")}, c.code) AS rn
+            FROM sub$s v, cb$s c) WHERE rn = 1)"""
+    }.mkString(",\n")
+    val encJoins = (0 until subspaces).map { s =>
+      s"JOIN enc$s ON enc$s.vec_id = v.vec_id JOIN cb$s c$s ON c$s.code = enc$s.code"
+    }.mkString("\n               ")
+    val adot = (0 until subspaces).map { s =>
+      val (lo, hi) = (s * w + 1, s * w + w)
+      s"list_dot_product(q.q_emb[$lo:$hi], c$s.c)"
+    }.mkString(" + ")
+    val anorm2 = (0 until subspaces)
+      .map(s => s"list_dot_product(c$s.c, c$s.c)").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        $perSub,
+        q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < $nQueries),
+        sc AS (SELECT q.query_id, v.vec_id AS neighbor_id,
+                 ROUND(($adot) / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                   * sqrt($anorm2)), 4) AS cos
+               FROM q, e v
+               $encJoins
+               WHERE v.vec_id <> q.query_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
+        FROM r WHERE rank <= $k"""
+  }
+
   private val cntsCte =
     raw"""cnts AS (SELECT 'doc://' || doc_id AS url, d.class_iri, d.pref,
           len(regexp_extract_all(upper(text), '\b' || d.term || '\b')) AS cnt
@@ -4544,6 +4611,7 @@ object SparkEntry {
     // cross-engine float-sum contract), final assignment of ALL vectors on
     // the UNROUNDED cosine, probe own list, exact rerank
     "sim_ivf" -> ivfOracleSql(iters = 2),
+    "sim_pq" -> pqOracleSql(),
 
     // same trained-quantizer chain; per-member 4dp cosine, then 4dp mean
     "sim_ivf_stats" ->

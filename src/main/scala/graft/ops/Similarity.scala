@@ -254,6 +254,109 @@ object Similarity {
         round(avg(col("ccos")), 4).as("mean_cos"))
   }
 
+  /** Squared L2 distance via three dots — reuses [[dot]]'s sequential-fold
+    * summation order so both engines produce identical distances. */
+  def l2sq(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** Nearest-code id for a subvector against a LITERAL codebook: squared-L2
+    * rounded to 6dp (rounding deliberately CREATES ties where distances agree
+    * to 1e-6, resolved by the code-id tie-break — the cross-engine contract),
+    * argmin via `array_min` over 2-element `[d2, code]` arrays (array
+    * ordering is lexicographic, so min d2 wins, then min code; a struct
+    * would read better but field names do not survive inside higher-order-
+    * function lambdas). Pure map-side expression: no join, no window, no
+    * shuffle — the reason the PQ encode of a 10^12-row embedding table is
+    * as wide as its scan. */
+  private def argminCode(sv: Column, cb: Seq[Seq[Double]]): Column =
+    element_at(array_min(transform(typedlit(cb), (c, j) =>
+      array(round(l2sq(sv, c), 6), j.cast("double")))), 2).cast("long")
+
+  /** One per-subspace PQ codebook: seed = subvectors of the first `nCodes`
+    * vec_ids (the deterministic seed, IVF precedent), then `iters` Lloyd
+    * rounds over the bounded training sample — assignment by [[argminCode]]
+    * (map-side, no window), update = per-(code, dim) mean rounded to 6dp
+    * (the cross-engine float-sum contract). A code that captures no members
+    * keeps its previous centroid (the standard empty-cluster rule; the
+    * oracle mirrors it as a LEFT JOIN + COALESCE). The codebook is
+    * `nCodes` rows BY CONSTRUCTION — collected into literals per round, so
+    * plan depth is constant in `iters` and the corpus never reaches the
+    * driver. */
+  private def trainPqCodebook(sub: DataFrame, nCodes: Int, iters: Int,
+                              trainSample: Int): Seq[Seq[Double]] = {
+    val seedRows = sub.filter(col("vec_id") < nCodes)
+      .orderBy("vec_id").select(col("sv")).collect()
+    require(seedRows.length == nCodes,
+      s"PQ seed needs vec_ids 0..${nCodes - 1} present, got ${seedRows.length}")
+    var cb: Seq[Seq[Double]] = seedRows.map(_.getSeq[Double](0)).toSeq
+    val train = sub.filter(col("vec_id") < trainSample)
+    for (_ <- 1 to iters) {
+      val updated = train
+        .select(argminCode(col("sv"), cb).as("code"),
+          posexplode(col("sv")).as(Seq("d", "x")))
+        .groupBy("code", "d").agg(avg(col("x")).as("m"))
+        .groupBy("code")
+        .agg(transform(sort_array(collect_list(struct(col("d"), col("m")))),
+          s => round(s.getField("m"), 6)).as("c"))
+        .collect()
+      val upd = updated.map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toSeq).toMap
+      cb = (0 until nCodes).map(j => upd.getOrElse(j, cb(j)))
+    }
+    cb
+  }
+
+  /** PRODUCT-QUANTIZATION ANN (the FAISS PQ + ADC shape, Jégou et al. 2011):
+    * the embedding is split into `subspaces` contiguous subvectors, each
+    * quantized against its own `nCodes`-entry codebook, so a vector is
+    * stored as `subspaces` small code ids (64 dims × 8 bytes → 4 bytes at
+    * the defaults: the memory ratio that makes 10^12-vector indexes fit).
+    * Queries stay EXACT (asymmetric distance computation): the approximate
+    * dot is Σ_s dot(q_s, codeword_s), the approximate vector norm is
+    * √Σ_s ‖codeword_s‖², both computed in fixed subspace order so the
+    * oracle's left-associated `+` chain reproduces them bit-for-bit.
+    *
+    * Scale shape: codebooks are trained on a bounded sample and collected
+    * into LITERALS (quantizer-sized, the IVF-centroid precedent), so the
+    * encode of the full table is a pure map-side projection ([[argminCode]])
+    * and the scored candidate stream is encode → broadcast-join the query
+    * rows → per-query top-k window: exactly ONE exchange end-to-end
+    * (plan-asserted in OpsSpec). Recall vs [[bruteForceTopK]] is measured in
+    * tests, not asserted as equality (ANN). */
+  def pqTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3,
+             subspaces: Int = 4, nCodes: Int = 16, pqIters: Int = 1,
+             trainSample: Int = 2048): DataFrame = {
+    val all = asDouble(embeddings)
+    val dim = all.select(size(col("emb"))).head().getInt(0)
+    require(dim % subspaces == 0, s"dim $dim not divisible by $subspaces subspaces")
+    val w = dim / subspaces
+    def sv(s: Int): Column = slice(col("emb"), s * w + 1, w)
+    val cbs: IndexedSeq[Seq[Seq[Double]]] = (0 until subspaces).map { s =>
+      trainPqCodebook(all.select(col("vec_id"), sv(s).as("sv")),
+        nCodes, pqIters, trainSample)
+    }
+    val enc = all.select(col("vec_id") +:
+      (0 until subspaces).map(s => argminCode(sv(s), cbs(s)).as(s"code$s")): _*)
+    val queries = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    def codeword(s: Int): Column =
+      element_at(typedlit(cbs(s)), col(s"code$s").cast("int") + 1)
+    val adot = (0 until subspaces)
+      .map(s => dot(slice(col("q_emb"), s * w + 1, w), codeword(s)))
+      .reduce(_ + _)
+    val anorm2 = (0 until subspaces)
+      .map { s => val c = codeword(s); dot(c, c) }
+      .reduce(_ + _)
+    val scored = enc.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(adot / (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(anorm2)), 4)
+          .as("cos"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** Embedding-cosine near-dup pairs (cos ≥ threshold, a < b): LSH candidate
     * generation + exact rerank — the embedding leg of the dedup suite.
     * TRUE self-join of one plan (identical subtrees), so Catalyst's

@@ -54,6 +54,37 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pqTopK: single-shuffle ADC scan, scores in [-1,1], measured recall vs brute force") {
+    val out = Similarity.pqTopK(embeddings, nQueries = 10, k = 3)
+    val rows = out.collect()
+    assert(rows.length === 30)
+    // ADC approximates cosine — every score must still be a cosine
+    rows.foreach { r =>
+      val c = r.getDouble(3)
+      assert(c >= -1.0001 && c <= 1.0001, s"ADC score $c outside cosine range")
+    }
+    // PLAN CONTRACT: codebooks are literals, encode is map-side, queries are
+    // a broadcast — the only shuffle end-to-end is the per-query top-k
+    // window. At 10^12 vectors everything before that window is as wide as
+    // the scan (the FAISS ADC-scan shape).
+    // AdaptiveSparkPlan.toString appends an "== Initial Plan ==" copy — count
+    // shuffles in the FINAL plan section only
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles === 1, s"pqTopK must shuffle exactly once (the window); got $shuffles:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+    // recall floor vs exact: synthetic near-uniform vectors are PQ's worst
+    // case (no cluster structure for the codebooks to exploit) — measured
+    // 0.23 at sf0.001 with 4x16 codes; assert a floor well under that but
+    // far above the 3/499 ~ 0.006 random-guess rate
+    val exact = Similarity.bruteForceTopK(embeddings, nQueries = 10, k = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.1, s"PQ recall@3 $recall below floor")
+  }
+
   test("minhash-LSH pairs ⊆ exact-jaccard pairs at same threshold, recall ≥ 0.9") {
     val exact = Dedup.jaccardPairs(docs, n = 3, threshold = 0.8, maxDocFreq = 10000)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
