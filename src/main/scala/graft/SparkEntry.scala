@@ -141,6 +141,37 @@ object SparkEntry {
   private def matches(s: SparkSession, dir: String): DataFrame =
     graft.annotate.NativeAnnotate.annotateMatches(corpus(s, dir), model(s))
 
+  /** Shared 3-extractor evidence stream `(subj, obj, extractor)` — direct
+    * dictionary annotation, lemma annotation, and incoming anchor-text
+    * entity linking, all keyed to the page's canonical URL. Feeds
+    * `kg_triple_confidence` (noisy-OR per fact) and `kg_fact_fusion`
+    * (functional-property winner per page). */
+  private def extractionEvidence(s: SparkSession, dir: String): DataFrame = {
+    val umap = WebOps.withUrls(docsTable(s, dir)).select(
+      concat(lit("doc://"), col("doc_id")).as("doc_url"),
+      WebOps.canonicalUrl(col("url")).as("subj"))
+    val dEv = matches(s, dir)
+      .select(col("url").as("doc_url"), col("class_iri")).distinct()
+      .join(umap, "doc_url")
+      .select(col("subj"), col("class_iri").as("obj"),
+        lit("direct").as("extractor"))
+    val lEv = graft.annotate.LemmaScan
+      .annotateDirectLemma(corpus(s, dir), lemmaModel(s)).toDF()
+      .select(col("url").as("doc_url"),
+        col("classIri").as("class_iri")).distinct()
+      .join(umap, "doc_url")
+      .select(col("subj"), col("class_iri").as("obj"),
+        lit("lemma").as("extractor"))
+    val aEv = {
+      val anchors = LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))
+        .select(col("dst_url").as("url"), col("anchor").as("text")).distinct()
+      graft.annotate.NativeAnnotate.annotateMatches(anchors, model(s))
+        .select(col("url").as("subj"), col("class_iri").as("obj")).distinct()
+        .select(col("subj"), col("obj"), lit("anchor").as("extractor"))
+    }
+    dEv.unionByName(lEv).unionByName(aEv)
+  }
+
   /** Flagship: full annotate pipeline (direct + expansions → triples) on the
     * smoke slice, on the scale path (per-doc aggregation folded into the
     * scan — [[graft.annotate.ScanAgg]]); driver checks rows > 0. */
@@ -2217,32 +2248,14 @@ object SparkEntry {
     // annotation, incoming anchor-text linking — noisy-OR'd over the
     // per-extractor precision priors (Relations.ExtractorPriors is the
     // single source shared with the oracle literals)
-    "kg_triple_confidence" -> ((s, dir) => {
-      val umap = WebOps.withUrls(docsTable(s, dir)).select(
-        concat(lit("doc://"), col("doc_id")).as("doc_url"),
-        WebOps.canonicalUrl(col("url")).as("subj"))
-      val dEv = matches(s, dir)
-        .select(col("url").as("doc_url"), col("class_iri")).distinct()
-        .join(umap, "doc_url")
-        .select(col("subj"), col("class_iri").as("obj"),
-          lit("direct").as("extractor"))
-      val lEv = graft.annotate.LemmaScan
-        .annotateDirectLemma(corpus(s, dir), lemmaModel(s)).toDF()
-        .select(col("url").as("doc_url"),
-          col("classIri").as("class_iri")).distinct()
-        .join(umap, "doc_url")
-        .select(col("subj"), col("class_iri").as("obj"),
-          lit("lemma").as("extractor"))
-      val aEv = {
-        val anchors = LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))
-          .select(col("dst_url").as("url"), col("anchor").as("text")).distinct()
-        graft.annotate.NativeAnnotate.annotateMatches(anchors, model(s))
-          .select(col("url").as("subj"), col("class_iri").as("obj")).distinct()
-          .select(col("subj"), col("obj"), lit("anchor").as("extractor"))
-      }
-      graft.ops.Relations.tripleConfidence(
-        dEv.unionByName(lEv).unionByName(aEv))
-    }),
+    "kg_triple_confidence" -> ((s, dir) =>
+      graft.ops.Relations.tripleConfidence(extractionEvidence(s, dir))),
+
+    // functional-property truth discovery over the same 3-extractor evidence:
+    // one winning concept per page + the winner-vs-runner-up margin — the
+    // "send contested pages to review" curation signal (Knowledge Vault shape)
+    "kg_fact_fusion" -> ((s, dir) =>
+      graft.ops.Relations.factFusion(extractionEvidence(s, dir))),
 
     // Lee et al. ExactSubstr at token granularity: duplicated k-token
     // windows (non-first occurrence corpus-wide) mark positions for
@@ -3370,7 +3383,10 @@ object SparkEntry {
     * noisy-OR with flag columns and literal priors generated from
     * [[graft.ops.Relations.ExtractorPriors]] in the SAME order (left-assoc
     * multiplication ⇒ IEEE-identical to the Column expression). */
-  private def tripleConfidenceOracleSql: String = {
+  /** The [[graft.ops.Relations.tripleConfidence]] ground-truth chain as CTEs
+    * ending at `conf(subj, obj, n_extractors, confidence)` — shared by the
+    * kg_triple_confidence and kg_fact_fusion oracles. */
+  private def tripleConfidenceCtes: String = {
     val priors = graft.ops.Relations.ExtractorPriors
     val flagCols = priors.map { case (e, _) =>
       s"MAX(CASE WHEN extractor = '$e' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS f_$e"
@@ -3379,7 +3395,7 @@ object SparkEntry {
       s"(CAST(1 AS DOUBLE) - CAST($p AS DOUBLE) * f_$e)"
     }.mkString("\n            * ")
     val nSum = priors.map(e => s"f_${e._1}").mkString(" + ")
-    s"""WITH $dictCte, ${graft.ops.LinkGraph.linksCteSql},
+    s"""$dictCte, ${graft.ops.LinkGraph.linksCteSql},
         umap AS (SELECT doc_id, ${graft.ops.WebOps.canonUrlSqlOf("url")} AS subj
                  FROM urls),
         ev_d AS (SELECT DISTINCT u.subj, d.class_iri AS obj,
@@ -3412,13 +3428,34 @@ object SparkEntry {
                UNION ALL SELECT * FROM ev_a),
         fl AS (SELECT subj, obj,
                $flagCols
-               FROM ev GROUP BY 1, 2)
-        SELECT subj, obj,
+               FROM ev GROUP BY 1, 2),
+        conf AS (SELECT subj, obj,
           CAST($nSum AS INT) AS n_extractors,
           ROUND(CAST(1 AS DOUBLE) -
             $missProduct, 6) AS confidence
-        FROM fl"""
+        FROM fl)"""
   }
+
+  private def tripleConfidenceOracleSql: String =
+    s"""WITH $tripleConfidenceCtes
+        SELECT subj, obj, n_extractors, confidence FROM conf"""
+
+  /** kg_fact_fusion oracle: per-subject top-2 by (confidence DESC, obj),
+    * winner row + margin vs the runner-up — the same pivot the Column code
+    * does after its WindowGroupLimit top-2. */
+  private def factFusionOracleSql: String =
+    s"""WITH $tripleConfidenceCtes,
+        r AS (SELECT subj, obj, n_extractors, confidence,
+                row_number() OVER (PARTITION BY subj
+                  ORDER BY confidence DESC, obj) AS rn FROM conf)
+        SELECT subj,
+          MAX(CASE WHEN rn = 1 THEN obj END) AS obj,
+          MAX(CASE WHEN rn = 1 THEN confidence END) AS confidence,
+          MAX(CASE WHEN rn = 1 THEN n_extractors END) AS n_extractors,
+          ROUND(MAX(CASE WHEN rn = 1 THEN confidence END)
+            - COALESCE(MAX(CASE WHEN rn = 2 THEN confidence END),
+                       CAST(0 AS DOUBLE)), 6) AS margin
+        FROM r WHERE rn <= 2 GROUP BY subj"""
 
   /** One UNION ALL leg per [[graft.ops.Relations.HearstRules]] entry, over
     * the `hpage` CTE — the SAME regex strings, group orientation, and
@@ -5704,6 +5741,7 @@ object SparkEntry {
           WHERE s.shared >= 2""",
 
     "kg_triple_confidence" -> tripleConfidenceOracleSql,
+    "kg_fact_fusion" -> factFusionOracleSql,
 
     "web_link_farms" ->
       s"""WITH ${graft.ops.LinkGraph.linksCteSql},

@@ -272,6 +272,38 @@ object Relations {
         round(lit(1.0) - miss, 6).as("confidence"))
   }
 
+  /** FUNCTIONAL-PROPERTY fact fusion (the Knowledge Vault / truth-discovery
+    * step after [[tripleConfidence]]): when extractors claim CONFLICTING
+    * objects for a subject whose predicate admits only one value (here: a
+    * page's primary concept), pick the highest-confidence candidate and
+    * report how contested the choice was. Output per subject: the winning
+    * object, its noisy-OR confidence, its extractor count, and `margin` =
+    * winner confidence − runner-up confidence (0-coalesced for uncontested
+    * subjects) — the downstream curation signal for "send to human review".
+    * Ties break on object IRI ascending (deterministic cross-engine).
+    *
+    * Scale shape: [[tripleConfidence]]'s one fact-key aggregation, then a
+    * per-subject top-2 window — `rn <= 2` plans as a map-side
+    * WindowGroupLimit (each task forwards at most 2 rows per subject before
+    * the exchange, the domain-quota precedent), then one subject-keyed
+    * pivot aggregation. No self-join of the evidence stream. */
+  def factFusion(events: DataFrame,
+                 priors: Seq[(String, Double)] = ExtractorPriors): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val conf = tripleConfidence(events, priors)
+    val w = Window.partitionBy(col("subj"))
+      .orderBy(col("confidence").desc, col("obj"))
+    conf.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .groupBy("subj")
+      .agg(
+        max(when(col("rn") === 1, col("obj"))).as("obj"),
+        max(when(col("rn") === 1, col("confidence"))).as("confidence"),
+        max(when(col("rn") === 1, col("n_extractors"))).as("n_extractors"),
+        round(max(when(col("rn") === 1, col("confidence")))
+          - coalesce(max(when(col("rn") === 2, col("confidence"))), lit(0.0)),
+          6).as("margin"))
+  }
+
   /** FILTERED negative sampling for KG-embedding training (Bordes et al.
     * 2013, TransE; the "filtered" protocol of the standard benchmarks):
     * each positive `(subj, pred, obj)` yields up to `k` corrupted triples
