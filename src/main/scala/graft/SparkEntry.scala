@@ -2228,6 +2228,15 @@ object SparkEntry {
           lit("hasAnnotation").as("pred"), col("class_iri").as("obj"))
           .distinct())),
 
+    // one full-batch TransE gradient step over the hasAnnotation fact set:
+    // hash-init embeddings, margin loss vs the filtered negatives, gradient
+    // as keyed aggs, SGD update, re-eval — loss_after < loss_before is the
+    // "it learns" gate (asserted in KgGraphSpec)
+    "kg_transe_step" -> ((s, dir) =>
+      graft.ops.KgEmbed.transeStep(
+        matches(s, dir).select(col("url").as("subj"),
+          lit("hasAnnotation").as("pred"), col("class_iri").as("obj")))),
+
     // dict-release fact churn: the (subj, pred, obj) diff between ontology
     // versions v1 → v2 — the per-release maintenance view of the KG. v2
     // comes via the shared incrementalV1V2 path (proven == full recompute
@@ -3436,6 +3445,94 @@ object SparkEntry {
         FROM fl)"""
   }
 
+  /** [[graft.ops.Relations.negatives]] ground-truth chain (requires
+    * dictCte + directCte upstream) ending at
+    * `neg(subj, pred, obj, slot, neg_obj)` — shared by the kg_negatives
+    * and kg_transe_step oracles. */
+  private def negativesChainCtes: String =
+    s"""pos AS (SELECT DISTINCT url AS subj, 'hasAnnotation' AS pred,
+                       class_iri AS obj FROM direct),
+        ents AS (SELECT obj AS neg_obj,
+            ROW_NUMBER() OVER (ORDER BY obj) - 1 AS eid
+          FROM (SELECT DISTINCT obj FROM pos)),
+        nn AS (SELECT COUNT(*) AS n FROM ents),
+        cand AS (SELECT p.subj, p.pred, p.obj, CAST(s.slot AS INT) AS slot,
+            ('0x' || substr(md5(p.subj || '|' || p.pred || '|' || p.obj
+              || '|' || CAST(s.slot AS VARCHAR)), 1, 15))::BIGINT
+              % (SELECT n FROM nn) AS eid
+          FROM pos p, (SELECT unnest(generate_series(0, 1)) AS slot) s),
+        withent AS (SELECT c.subj, c.pred, c.obj, c.slot, e.neg_obj
+          FROM cand c JOIN ents e USING (eid)
+          WHERE e.neg_obj <> c.obj),
+        neg AS (SELECT w.subj, w.pred, w.obj, w.slot, w.neg_obj
+          FROM withent w LEFT JOIN pos p2
+            ON p2.subj = w.subj AND p2.pred = w.pred AND p2.obj = w.neg_obj
+          WHERE p2.subj IS NULL)"""
+
+  /** kg_transe_step oracle: the full one-step TransE chain in long format —
+    * bit-identical md5-derived init, ROUND(6) pair scores, gradient sums,
+    * and mean losses (the only float-sum points); gradient legs, update
+    * arithmetic, and the margin literal mirror
+    * [[graft.ops.KgEmbed.transeStep]] term for term. */
+  private def transeStepOracleSql: String = {
+    val dim = graft.ops.KgEmbed.Dim
+    val margin = graft.ops.KgEmbed.Margin
+    val lr = graft.ops.KgEmbed.Lr
+    val two60 = "1152921504606846976.0"
+    def init(prefix: String, idExpr: String) =
+      s"('0x' || substr(md5('$prefix' || $idExpr || ':' ||" +
+        s" CAST(dd.d AS VARCHAR)), 1, 15))::BIGINT / $two60 * 2 - 1"
+    def pd(name: String, emb: String, rel: String) =
+      s"""$name AS (SELECT n.subj, n.pred, n.obj, n.slot, n.neg_obj, dd.d,
+            h.v + r.v - t.v AS dp, h.v + r.v - x.v AS dn
+          FROM neg n
+          CROSS JOIN dims dd
+          JOIN $emb h ON h.ent = n.subj AND h.d = dd.d
+          JOIN $rel r ON r.pred = n.pred AND r.d = dd.d
+          JOIN $emb t ON t.ent = n.obj AND t.d = dd.d
+          JOIN $emb x ON x.ent = n.neg_obj AND x.d = dd.d)"""
+    def ps(name: String, from: String) =
+      s"""$name AS (SELECT subj, pred, obj, slot, neg_obj,
+            ROUND(SUM(dp * dp), 6) AS spos, ROUND(SUM(dn * dn), 6) AS sneg
+          FROM $from GROUP BY 1, 2, 3, 4, 5)"""
+    s"""WITH $dictCte, $directCte, $negativesChainCtes,
+        dims AS (SELECT unnest(generate_series(1, $dim)) AS d),
+        kent AS (SELECT subj AS ent FROM pos UNION SELECT obj FROM pos),
+        emb0 AS (SELECT ent, dd.d, ${init("e:", "ent")} AS v
+                 FROM kent, dims dd),
+        rel0 AS (SELECT pred, dd.d, ${init("r:", "pred")} AS v
+                 FROM (SELECT DISTINCT pred FROM pos), dims dd),
+        ${pd("pd0", "emb0", "rel0")},
+        ${ps("ps0", "pd0")},
+        act AS (SELECT pd0.* FROM pd0
+                JOIN ps0 USING (subj, pred, obj, slot, neg_obj)
+                WHERE $margin + spos - sneg > 0),
+        egrad AS (SELECT ent, d, ROUND(AVG(g), 6) AS g FROM (
+              SELECT subj AS ent, d, 2.0 * (dp - dn) AS g FROM act
+              UNION ALL SELECT obj AS ent, d, -2.0 * dp AS g FROM act
+              UNION ALL SELECT neg_obj AS ent, d, 2.0 * dn AS g FROM act)
+            GROUP BY ent, d),
+        rgrad AS (SELECT pred, d, ROUND(AVG(2.0 * (dp - dn)), 6) AS g
+                  FROM act GROUP BY pred, d),
+        emb1 AS (SELECT e.ent, e.d, e.v - $lr * COALESCE(g.g, 0.0) AS v
+                 FROM emb0 e LEFT JOIN egrad g
+                   ON g.ent = e.ent AND g.d = e.d),
+        rel1 AS (SELECT r.pred, r.d, r.v - $lr * COALESCE(g.g, 0.0) AS v
+                 FROM rel0 r LEFT JOIN rgrad g
+                   ON g.pred = r.pred AND g.d = r.d),
+        ${pd("pd1", "emb1", "rel1")},
+        ${ps("ps1", "pd1")},
+        pl AS (SELECT p0.pred,
+                 GREATEST(0.0, $margin + p0.spos - p0.sneg) AS lb,
+                 GREATEST(0.0, $margin + p1.spos - p1.sneg) AS la
+               FROM ps0 p0 JOIN ps1 p1
+                 USING (subj, pred, obj, slot, neg_obj))
+        SELECT pred, COUNT(*) AS n_pairs,
+          CAST(SUM(CASE WHEN lb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+          ROUND(AVG(lb), 6) AS loss_before, ROUND(AVG(la), 6) AS loss_after
+        FROM pl GROUP BY pred"""
+  }
+
   private def tripleConfidenceOracleSql: String =
     s"""WITH $tripleConfidenceCtes
         SELECT subj, obj, n_extractors, confidence FROM conf"""
@@ -3731,25 +3828,10 @@ object SparkEntry {
     // 'subj|pred|obj|slot' mod |entity pool|, dense entity ids by ORDER BY
     // (ASCII IRIs: binary collation agrees across engines)
     "kg_negatives" ->
-      s"""WITH $dictCte, $directCte,
-          pos AS (SELECT DISTINCT url AS subj, 'hasAnnotation' AS pred,
-                         class_iri AS obj FROM direct),
-          ents AS (SELECT obj AS neg_obj,
-              ROW_NUMBER() OVER (ORDER BY obj) - 1 AS eid
-            FROM (SELECT DISTINCT obj FROM pos)),
-          nn AS (SELECT COUNT(*) AS n FROM ents),
-          cand AS (SELECT p.subj, p.pred, p.obj, CAST(s.slot AS INT) AS slot,
-              ('0x' || substr(md5(p.subj || '|' || p.pred || '|' || p.obj
-                || '|' || CAST(s.slot AS VARCHAR)), 1, 15))::BIGINT
-                % (SELECT n FROM nn) AS eid
-            FROM pos p, (SELECT unnest(generate_series(0, 1)) AS slot) s),
-          withent AS (SELECT c.subj, c.pred, c.obj, c.slot, e.neg_obj
-            FROM cand c JOIN ents e USING (eid)
-            WHERE e.neg_obj <> c.obj)
-          SELECT w.subj, w.pred, w.obj, w.slot, w.neg_obj
-          FROM withent w LEFT JOIN pos p2
-            ON p2.subj = w.subj AND p2.pred = w.pred AND p2.obj = w.neg_obj
-          WHERE p2.subj IS NULL""",
+      s"""WITH $dictCte, $directCte, $negativesChainCtes
+          SELECT subj, pred, obj, slot, neg_obj FROM neg""",
+
+    "kg_transe_step" -> transeStepOracleSql,
 
     // BOTH dictionary versions ride one version-tagged dict CTE (the two
     // fixed-name dict/direct CTEs cannot coexist), then the same three

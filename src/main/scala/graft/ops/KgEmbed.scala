@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed KG-embedding training: ONE full-batch TransE gradient step
+  * (Bordes et al. 2013) expressed entirely as joins + keyed aggregations —
+  * the shape a PyTorch-BigGraph-style trainer takes when the entity table
+  * no longer fits one machine. Embeddings live in LONG format
+  * `(ent | pred, d, v)`; the epoch is: hash-derived deterministic init →
+  * margin-ranking loss over [[Relations.negatives]]' filtered corruptions →
+  * per-entity/relation gradient as ONE aggregation each (the MEAN of that
+  * parameter's pair contributions, not the sum — degree-normalized, so a
+  * power-law-hot entity touched by a million pairs takes the same bounded
+  * step as a cold one; the summed form diverges at lr=0.1) → SGD update →
+  * re-evaluate. Output per predicate: pair count, active (loss > 0) pair
+  * count before the step, and mean loss before/after — the spec asserts the
+  * step actually learns (loss_after < loss_before).
+  *
+  * Determinism contract (the cross-engine float rules used everywhere):
+  * init components are BIT-identical (one md5-derived 60-bit integer divided
+  * by fixed constants); per-pair squared distances, per-parameter gradient
+  * means, and final mean losses are ROUND(6) — the only places a float
+  * sum's order varies between engines.
+  *
+  * Scale shape: positives + negatives stream once into a per-(pair, dim)
+  * long table (4 equi-joins against the entity-keyed embedding table — the
+  * join IS the "gather" of a parameter-server step); pair scores attach via
+  * one window over the pair key (no self-join); gradients are hash
+  * aggregations on (entity, dim) with map-side partials — a hot entity
+  * (every page links wikipedia.org) combines before the shuffle. The
+  * multi-consumer per-dim frame is pinned once (`localCheckpoint`, the
+  * shared-edge-list precedent) instead of recomputed by its five readers.
+  */
+object KgEmbed {
+  val Dim = 8
+  val Margin = 1.0
+  val Lr = 0.1
+  val NegK = 2
+  private val Two60: Double = math.pow(2, 60)
+
+  /** Hash-derived init component in [-1, 1): `hash60(prefix‖id‖':'‖d)` over
+    * 2^60, scaled — portable ([[Sketch.hash60]]'s md5 form), so the oracle's
+    * identical expression is IEEE-bit-equal. */
+  private def initV(prefix: String, id: Column, d: Column): Column =
+    Sketch.hash60(concat(lit(prefix), id, lit(":"), d.cast("string"))) /
+      lit(Two60) * lit(2.0) - lit(1.0)
+
+  /** `(id, d, v)` init rows for every id × dimension 1..[[Dim]]. */
+  private def embInit(ids: DataFrame, idCol: String, prefix: String): DataFrame =
+    ids.select(col(idCol), explode(sequence(lit(1), lit(Dim))).as("d"))
+      .withColumn("v", initV(prefix, col(idCol), col("d")))
+
+  /** Per-(pair, dim) difference vectors `dp = h+r−t`, `dn = h+r−t′` — the
+    * gather step: 4 equi-joins on (id, d) against the long embedding
+    * tables (relations broadcast: the predicate vocabulary is tiny). */
+  private def pairDiffs(pairs: DataFrame, emb: DataFrame, rel: DataFrame): DataFrame =
+    pairs.select(col("subj"), col("pred"), col("obj"), col("slot"), col("neg_obj"),
+        explode(sequence(lit(1), lit(Dim))).as("d"))
+      .join(emb.select(col("ent").as("subj"), col("d"), col("v").as("hv")),
+        Seq("subj", "d"))
+      .join(broadcast(rel.select(col("pred"), col("d"), col("v").as("rv"))),
+        Seq("pred", "d"))
+      .join(emb.select(col("ent").as("obj"), col("d"), col("v").as("tv")),
+        Seq("obj", "d"))
+      .join(emb.select(col("ent").as("neg_obj"), col("d"), col("v").as("nv")),
+        Seq("neg_obj", "d"))
+      .withColumn("dp", col("hv") + col("rv") - col("tv"))
+      .withColumn("dn", col("hv") + col("rv") - col("nv"))
+
+  private val PairKey = Seq("subj", "pred", "obj", "slot", "neg_obj")
+
+  /** Per-pair squared-L2 scores, rounded 6dp (the float-sum contract). */
+  private def pairScores(pd: DataFrame): DataFrame =
+    pd.groupBy(PairKey.map(col): _*)
+      .agg(round(sum(col("dp") * col("dp")), 6).as("spos"),
+        round(sum(col("dn") * col("dn")), 6).as("sneg"))
+
+  /** One full-batch TransE step over `triples(subj, pred, obj)`; returns one
+    * row per predicate: `(pred, n_pairs, n_active, loss_before, loss_after)`. */
+  def transeStep(triples: DataFrame): DataFrame = {
+    val pos = triples.select(col("subj"), col("pred"), col("obj"))
+      .distinct().localCheckpoint() // feeds negatives + entity pool + rel pool
+    val pairs = Relations.negatives(pos, NegK)
+      .localCheckpoint() // scored twice (before / after the update)
+    val ents = pos.select(col("subj").as("ent"))
+      .union(pos.select(col("obj").as("ent"))).distinct()
+    val emb0 = embInit(ents, "ent", "e:")
+    val rel0 = embInit(pos.select(col("pred")).distinct(), "pred", "r:")
+    // pair scores attach to the per-dim rows via ONE window (no self-join);
+    // 5 consumers downstream (before-loss + 3 gradient legs + rel gradient)
+    val wp = Window.partitionBy(PairKey.map(col): _*)
+    val withS = pairDiffs(pairs, emb0, rel0)
+      .withColumn("spos", round(sum(col("dp") * col("dp")).over(wp), 6))
+      .withColumn("sneg", round(sum(col("dn") * col("dn")).over(wp), 6))
+      .localCheckpoint()
+    // margin-ranking activity: only pairs with positive loss carry gradient
+    val act = withS.filter(lit(Margin) + col("spos") - col("sneg") > 0)
+    val entGrad = act.select(col("subj").as("ent"), col("d"),
+        (lit(2.0) * (col("dp") - col("dn"))).as("g"))
+      .unionAll(act.select(col("obj").as("ent"), col("d"),
+        (lit(-2.0) * col("dp")).as("g")))
+      .unionAll(act.select(col("neg_obj").as("ent"), col("d"),
+        (lit(2.0) * col("dn")).as("g")))
+      .groupBy("ent", "d").agg(round(avg(col("g")), 6).as("g"))
+    val relGrad = act.groupBy("pred", "d")
+      .agg(round(avg(lit(2.0) * (col("dp") - col("dn"))), 6).as("g"))
+    val emb1 = emb0.join(entGrad, Seq("ent", "d"), "left")
+      .select(col("ent"), col("d"),
+        (col("v") - lit(Lr) * coalesce(col("g"), lit(0.0))).as("v"))
+    val rel1 = rel0.join(relGrad, Seq("pred", "d"), "left")
+      .select(col("pred"), col("d"),
+        (col("v") - lit(Lr) * coalesce(col("g"), lit(0.0))).as("v"))
+    // the d=1 slice of the window-scored frame IS the per-pair before-score
+    val before = withS.filter(col("d") === 1)
+      .select((PairKey.map(col) :+ col("spos") :+ col("sneg")): _*)
+    val after = pairScores(pairDiffs(pairs, emb1, rel1))
+      .withColumnRenamed("spos", "spos1").withColumnRenamed("sneg", "sneg1")
+    before.join(after, PairKey)
+      .select(col("pred"),
+        greatest(lit(0.0), lit(Margin) + col("spos") - col("sneg")).as("lb"),
+        greatest(lit(0.0), lit(Margin) + col("spos1") - col("sneg1")).as("la"))
+      .groupBy("pred")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("lb") > 0, lit(1L)).otherwise(lit(0L))).as("n_active"),
+        round(avg(col("lb")), 6).as("loss_before"),
+        round(avg(col("la")), 6).as("loss_after"))
+  }
+}

@@ -767,6 +767,30 @@ class KgGraphSpec extends AnyFunSuite {
     assert(!got.exists(w => w._1 == "c" && w._2 == 2), got)
   }
 
+  test("transeStep: one degree-normalized full-batch step reduces mean margin loss") {
+    import spark.implicits._
+    // a small but non-trivial fact set: 12 subjects × 2-3 objects from a
+    // 6-entity object pool — enough corruption diversity for the filtered
+    // negatives to land, deterministic via the hash-indexed protocol
+    val facts = (for {
+      s <- 0 until 12
+      o <- Seq(s % 6, (s + 1) % 6) ++ (if (s % 3 == 0) Seq((s + 2) % 6) else Nil)
+    } yield (s"page$s", "hasAnnotation", s"C$o")).toDF("subj", "pred", "obj")
+    val out = graft.ops.KgEmbed.transeStep(facts).collect()
+    assert(out.length === 1)
+    val r = out.head
+    val (nPairs, nActive) = (r.getLong(1), r.getLong(2))
+    val (lb, la) = (r.getDouble(3), r.getDouble(4))
+    assert(nPairs > 0 && nActive > 0, s"degenerate pair set: $nPairs/$nActive")
+    // the learning gate: the step must strictly reduce the mean loss (the
+    // divergence regression guard — the unnormalized summed gradient blew
+    // 2.2 → 88k on real data at the same lr)
+    assert(la < lb, s"step did not learn: $lb -> $la")
+    // determinism: same input, same result
+    val again = graft.ops.KgEmbed.transeStep(facts).collect().head
+    assert(again.getDouble(3) === lb && again.getDouble(4) === la)
+  }
+
   test("milneWitten: distance formula, omnipresent-concept pairs dropped") {
     import spark.implicits._
     // 4 docs; A in {1,2,3}, B in {2,3}; C and D in EVERY doc
