@@ -218,7 +218,11 @@ object Bench {
     "kg_closure_delta", "kg_components_delta", "dedup_containment",
     // round-4 late-pass representatives: content-defined chunk dedup
     // (map-only chunking + one hashed exchange) and per-seed BFS harmonic
-    "dedup_cdc", "web_harmonic")
+    "dedup_cdc", "web_harmonic",
+    // round-4 final-pass representatives: PQ/ADC ANN (single-shuffle
+    // literal-codebook scan) and the one-step TransE trainer (gather joins
+    // + gradient aggs — the heaviest keyed-agg plan in the registry)
+    "sim_pq", "kg_transe_step")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2228,6 +2228,54 @@ object SparkEntry {
           lit("hasAnnotation").as("pred"), col("class_iri").as("obj"))
           .distinct())),
 
+    // THE NORTH-RULE GATE AS DATA: per-predicate precision/recall of the
+    // engine's triples (automaton scan + distributed expansions) against an
+    // INDEPENDENT in-Spark reference-semantics derivation (naive per-term
+    // \b-regex scan over a broadcast dictionary + closure/mapping joins —
+    // the mgrep word-boundary contract, no shared matcher code). Expected
+    // 1.0/1.0 everywhere; a boundary/normalization/longest-match divergence
+    // surfaces here as a sub-1 row in the driver's own correctness file.
+    // The regex side is deliberately the naive quadratic scan: it is the
+    // verification surface, not the production path.
+    "ann_pr_gate" -> ((s, dir) => {
+      val engine = graft.annotate.NativeAnnotate
+        .annotateTriples(corpus(s, dir), model(s), fusedMaps(s), "v1")
+        .select("subj", "pred", "obj").distinct()
+      val dictDf = {
+        import s.implicits._
+        OntologyFixture.dictRows().map(t => (t.term, t.classIri))
+          .distinct.toDF("term", "class_iri")
+      }
+      val refD = docsTable(s, dir)
+        .select(concat(lit("doc://"), col("doc_id")).as("subj"), col("text"))
+        .join(broadcast(dictDf),
+          expr("upper(text) RLIKE concat('\\\\b', term, '\\\\b')"))
+        .select(col("subj"), col("class_iri")).distinct()
+      val refTrip = refD
+        .select(col("subj"), lit(graft.Pred.Direct).as("pred"),
+          col("class_iri").as("obj"))
+        .unionByName(refD.join(broadcast(closure(s)),
+            refD("class_iri") === col("child"))
+          .select(col("subj"), lit(graft.Pred.Expanded).as("pred"),
+            col("ancestor").as("obj")))
+        .unionByName(refD.join(broadcast(OntologyFixture.mappingsDf(s)),
+            Seq("class_iri"))
+          .select(col("subj"), lit(graft.Pred.Mapped).as("pred"),
+            col("mapped_iri").as("obj")))
+        .distinct()
+      engine.withColumn("e", lit(1))
+        .join(refTrip.withColumn("r", lit(1)),
+          Seq("subj", "pred", "obj"), "full_outer")
+        .groupBy("pred")
+        .agg(sum(coalesce(col("e"), lit(0))).cast("long").as("n_engine"),
+          sum(coalesce(col("r"), lit(0))).cast("long").as("n_ref"),
+          sum(when(col("e").isNotNull && col("r").isNotNull, lit(1))
+            .otherwise(lit(0))).cast("long").as("tp"))
+        .select(col("pred"), col("n_engine"), col("n_ref"), col("tp"),
+          round(col("tp").cast("double") / col("n_engine"), 6).as("precision"),
+          round(col("tp").cast("double") / col("n_ref"), 6).as("recall"))
+    }),
+
     // one full-batch TransE gradient step over the hasAnnotation fact set:
     // hash-init embeddings, margin loss vs the filtered negatives, gradient
     // as keyed aggs, SGD update, re-eval — loss_after < loss_before is the
@@ -3832,6 +3880,29 @@ object SparkEntry {
           SELECT subj, pred, obj, slot, neg_obj FROM neg""",
 
     "kg_transe_step" -> transeStepOracleSql,
+
+    // the oracle's engine and reference sides coincide BY CONSTRUCTION (both
+    // are the regex-semantics triple chain), so it pins n_engine == n_ref ==
+    // tp and P/R == 1.0 — which the Spark side only reproduces if the
+    // automaton scan really equals the independent regex derivation
+    "ann_pr_gate" ->
+      s"""WITH RECURSIVE $dictCte, $edgesCte, $mappingsCte, $directCte, $closureCte,
+          trip AS (
+            SELECT DISTINCT url AS subj, 'hasAnnotation' AS pred, class_iri AS obj FROM direct
+            UNION
+            SELECT DISTINCT dr.url AS subj, 'hasExpandedAnnotation' AS pred, cl.ancestor_iri AS obj
+            FROM (SELECT DISTINCT url, class_iri FROM direct) dr
+            JOIN closure cl ON dr.class_iri = cl.child_iri
+            UNION
+            SELECT DISTINCT dr.url AS subj, 'hasMappedAnnotation' AS pred, m.mapped_iri AS obj
+            FROM (SELECT DISTINCT url, class_iri FROM direct) dr
+            JOIN maps m ON dr.class_iri = m.class_iri)
+          SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_engine,
+            CAST(COUNT(*) AS BIGINT) AS n_ref,
+            CAST(COUNT(*) AS BIGINT) AS tp,
+            CAST(1.0 AS DOUBLE) AS "precision",
+            CAST(1.0 AS DOUBLE) AS "recall"
+          FROM trip GROUP BY pred""",
 
     // BOTH dictionary versions ride one version-tagged dict CTE (the two
     // fixed-name dict/direct CTEs cannot coexist), then the same three
