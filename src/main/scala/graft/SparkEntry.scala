@@ -2285,6 +2285,14 @@ object SparkEntry {
         matches(s, dir).select(col("url").as("subj"),
           lit("hasAnnotation").as("pred"), col("class_iri").as("obj")))),
 
+    // link-prediction ranking eval at the deterministic init (filtered
+    // local-candidate protocol): per-pred MRR + hits@1 — the KG-embedding
+    // QA gate next to the training step
+    "kg_transe_rank" -> ((s, dir) =>
+      graft.ops.KgEmbed.transeRank(
+        matches(s, dir).select(col("url").as("subj"),
+          lit("hasAnnotation").as("pred"), col("class_iri").as("obj")))),
+
     // dict-release fact churn: the (subj, pred, obj) diff between ontology
     // versions v1 → v2 — the per-release maintenance view of the KG. v2
     // comes via the shared incrementalV1V2 path (proven == full recompute
@@ -2580,6 +2588,24 @@ object SparkEntry {
       val desc = closure(s).filter(col("ancestor") === graft.ops.KgQuality.bgpRoot)
         .select(col("child").as("c"))
       directLeg.join(broadcast(desc), "c").join(mappedLeg, "d")
+        .select("d", "c", "m").distinct()
+    }),
+
+    // SPARQL OPTIONAL over the same star pattern: the mapped-annotation leg
+    // becomes a LEFT join (SPARQL's defining left-join semantics — rows
+    // survive with m = NULL when the optional pattern has no solution),
+    // same broadcast descendant-set pushdown as kg_bgp_star
+    "kg_bgp_optional" -> ((s, dir) => {
+      val t = graft.annotate.NativeAnnotate
+        .annotateTriples(corpus(s, dir), model(s), fusedMaps(s), "v1")
+        .select("subj", "pred", "obj")
+      val directLeg = t.filter(col("pred") === graft.Pred.Direct)
+        .select(col("subj").as("d"), col("obj").as("c"))
+      val mappedLeg = t.filter(col("pred") === graft.Pred.Mapped)
+        .select(col("subj").as("d"), col("obj").as("m"))
+      val desc = closure(s).filter(col("ancestor") === graft.ops.KgQuality.bgpRoot)
+        .select(col("child").as("c"))
+      directLeg.join(broadcast(desc), "c").join(mappedLeg, Seq("d"), "left")
         .select("d", "c", "m").distinct()
     }),
 
@@ -3517,41 +3543,52 @@ object SparkEntry {
             ON p2.subj = w.subj AND p2.pred = w.pred AND p2.obj = w.neg_obj
           WHERE p2.subj IS NULL)"""
 
-  /** kg_transe_step oracle: the full one-step TransE chain in long format —
-    * bit-identical md5-derived init, ROUND(6) pair scores, gradient sums,
-    * and mean losses (the only float-sum points); gradient legs, update
-    * arithmetic, and the margin literal mirror
-    * [[graft.ops.KgEmbed.transeStep]] term for term. */
-  private def transeStepOracleSql: String = {
+  /** SQL-string helpers of the TransE oracle chain (shared by the step and
+    * rank oracles): `pd` = per-(pair, dim) difference rows against a given
+    * embedding/relation pair of tables, `ps` = per-pair ROUND(6) scores. */
+  private def transePdSql(name: String, emb: String, rel: String) =
+    s"""$name AS (SELECT n.subj, n.pred, n.obj, n.slot, n.neg_obj, dd.d,
+          h.v + r.v - t.v AS dp, h.v + r.v - x.v AS dn
+        FROM neg n
+        CROSS JOIN dims dd
+        JOIN $emb h ON h.ent = n.subj AND h.d = dd.d
+        JOIN $rel r ON r.pred = n.pred AND r.d = dd.d
+        JOIN $emb t ON t.ent = n.obj AND t.d = dd.d
+        JOIN $emb x ON x.ent = n.neg_obj AND x.d = dd.d)"""
+
+  private def transePsSql(name: String, from: String) =
+    s"""$name AS (SELECT subj, pred, obj, slot, neg_obj,
+          ROUND(SUM(dp * dp), 6) AS spos, ROUND(SUM(dn * dn), 6) AS sneg
+        FROM $from GROUP BY 1, 2, 3, 4, 5)"""
+
+  /** The shared TransE ground-truth prefix (requires dictCte + directCte
+    * upstream): negatives chain → dims → bit-identical md5-derived init
+    * embeddings → per-(pair, dim) diffs `pd0` → per-pair scores `ps0`. */
+  private def transeChainCtes: String = {
     val dim = graft.ops.KgEmbed.Dim
-    val margin = graft.ops.KgEmbed.Margin
-    val lr = graft.ops.KgEmbed.Lr
     val two60 = "1152921504606846976.0"
     def init(prefix: String, idExpr: String) =
       s"('0x' || substr(md5('$prefix' || $idExpr || ':' ||" +
         s" CAST(dd.d AS VARCHAR)), 1, 15))::BIGINT / $two60 * 2 - 1"
-    def pd(name: String, emb: String, rel: String) =
-      s"""$name AS (SELECT n.subj, n.pred, n.obj, n.slot, n.neg_obj, dd.d,
-            h.v + r.v - t.v AS dp, h.v + r.v - x.v AS dn
-          FROM neg n
-          CROSS JOIN dims dd
-          JOIN $emb h ON h.ent = n.subj AND h.d = dd.d
-          JOIN $rel r ON r.pred = n.pred AND r.d = dd.d
-          JOIN $emb t ON t.ent = n.obj AND t.d = dd.d
-          JOIN $emb x ON x.ent = n.neg_obj AND x.d = dd.d)"""
-    def ps(name: String, from: String) =
-      s"""$name AS (SELECT subj, pred, obj, slot, neg_obj,
-            ROUND(SUM(dp * dp), 6) AS spos, ROUND(SUM(dn * dn), 6) AS sneg
-          FROM $from GROUP BY 1, 2, 3, 4, 5)"""
-    s"""WITH $dictCte, $directCte, $negativesChainCtes,
+    s"""$negativesChainCtes,
         dims AS (SELECT unnest(generate_series(1, $dim)) AS d),
         kent AS (SELECT subj AS ent FROM pos UNION SELECT obj FROM pos),
         emb0 AS (SELECT ent, dd.d, ${init("e:", "ent")} AS v
                  FROM kent, dims dd),
         rel0 AS (SELECT pred, dd.d, ${init("r:", "pred")} AS v
                  FROM (SELECT DISTINCT pred FROM pos), dims dd),
-        ${pd("pd0", "emb0", "rel0")},
-        ${ps("ps0", "pd0")},
+        ${transePdSql("pd0", "emb0", "rel0")},
+        ${transePsSql("ps0", "pd0")}"""
+  }
+
+  /** kg_transe_step oracle: the full one-step TransE chain in long format —
+    * ROUND(6) pair scores, gradient means, and mean losses (the only
+    * float-sum points); gradient legs, update arithmetic, and the margin
+    * literal mirror [[graft.ops.KgEmbed.transeStep]] term for term. */
+  private def transeStepOracleSql: String = {
+    val margin = graft.ops.KgEmbed.Margin
+    val lr = graft.ops.KgEmbed.Lr
+    s"""WITH $dictCte, $directCte, $transeChainCtes,
         act AS (SELECT pd0.* FROM pd0
                 JOIN ps0 USING (subj, pred, obj, slot, neg_obj)
                 WHERE $margin + spos - sneg > 0),
@@ -3568,8 +3605,8 @@ object SparkEntry {
         rel1 AS (SELECT r.pred, r.d, r.v - $lr * COALESCE(g.g, 0.0) AS v
                  FROM rel0 r LEFT JOIN rgrad g
                    ON g.pred = r.pred AND g.d = r.d),
-        ${pd("pd1", "emb1", "rel1")},
-        ${ps("ps1", "pd1")},
+        ${transePdSql("pd1", "emb1", "rel1")},
+        ${transePsSql("ps1", "pd1")},
         pl AS (SELECT p0.pred,
                  GREATEST(0.0, $margin + p0.spos - p0.sneg) AS lb,
                  GREATEST(0.0, $margin + p1.spos - p1.sneg) AS la
@@ -3580,6 +3617,21 @@ object SparkEntry {
           ROUND(AVG(lb), 6) AS loss_before, ROUND(AVG(la), 6) AS loss_after
         FROM pl GROUP BY pred"""
   }
+
+  /** kg_transe_rank oracle: filtered local-candidate ranking at the init —
+    * rank = 1 + |corruptions scoring ≤ the positive| (ties count against,
+    * [[graft.ops.KgEmbed.transeRank]]'s contract), then the per-predicate
+    * MRR / hits@1 rollup. */
+  private def transeRankOracleSql: String =
+    s"""WITH $dictCte, $directCte, $transeChainCtes,
+        rk AS (SELECT subj, pred, obj,
+                 1 + SUM(CASE WHEN sneg <= spos THEN 1 ELSE 0 END) AS rank
+               FROM ps0 GROUP BY 1, 2, 3)
+        SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_pos,
+          ROUND(AVG(CAST(1.0 AS DOUBLE) / rank), 6) AS mrr,
+          ROUND(AVG(CASE WHEN rank = 1 THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST(0.0 AS DOUBLE) END), 6) AS hits1
+        FROM rk GROUP BY pred"""
 
   private def tripleConfidenceOracleSql: String =
     s"""WITH $tripleConfidenceCtes
@@ -3880,6 +3932,7 @@ object SparkEntry {
           SELECT subj, pred, obj, slot, neg_obj FROM neg""",
 
     "kg_transe_step" -> transeStepOracleSql,
+    "kg_transe_rank" -> transeRankOracleSql,
 
     // the oracle's engine and reference sides coincide BY CONSTRUCTION (both
     // are the regex-semantics triple chain), so it pins n_engine == n_ref ==
@@ -6610,6 +6663,18 @@ object SparkEntry {
           FROM triples dl
           JOIN desc_set ds ON dl.obj = ds.c
           JOIN triples ml ON ml.subj = dl.subj AND ml.pred = 'hasMappedAnnotation'
+          WHERE dl.pred = 'hasAnnotation'""",
+
+    "kg_bgp_optional" ->
+      s"""WITH RECURSIVE $dictCte, $edgesCte, $mappingsCte, $directCte, $closureCte,
+          $kgTriplesCte,
+          desc_set AS (SELECT DISTINCT child_iri AS c FROM closure
+                       WHERE ancestor_iri = '${graft.ops.KgQuality.bgpRoot}')
+          SELECT DISTINCT dl.subj AS d, dl.obj AS c, ml.obj AS m
+          FROM triples dl
+          JOIN desc_set ds ON dl.obj = ds.c
+          LEFT JOIN triples ml
+            ON ml.subj = dl.subj AND ml.pred = 'hasMappedAnnotation'
           WHERE dl.pred = 'hasAnnotation'""",
 
     // the expected quads computed directly (the Spark side proves the

@@ -77,9 +77,9 @@ object KgEmbed {
       .agg(round(sum(col("dp") * col("dp")), 6).as("spos"),
         round(sum(col("dn") * col("dn")), 6).as("sneg"))
 
-  /** One full-batch TransE step over `triples(subj, pred, obj)`; returns one
-    * row per predicate: `(pred, n_pairs, n_active, loss_before, loss_after)`. */
-  def transeStep(triples: DataFrame): DataFrame = {
+  /** Shared eval/training inputs: distinct positives → filtered negative
+    * pairs + hash-initialized entity/relation embedding tables. */
+  private def setup(triples: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val pos = triples.select(col("subj"), col("pred"), col("obj"))
       .distinct().localCheckpoint() // feeds negatives + entity pool + rel pool
     val pairs = Relations.negatives(pos, NegK)
@@ -88,6 +88,13 @@ object KgEmbed {
       .union(pos.select(col("obj").as("ent"))).distinct()
     val emb0 = embInit(ents, "ent", "e:")
     val rel0 = embInit(pos.select(col("pred")).distinct(), "pred", "r:")
+    (pairs, emb0, rel0)
+  }
+
+  /** One full-batch TransE step over `triples(subj, pred, obj)`; returns one
+    * row per predicate: `(pred, n_pairs, n_active, loss_before, loss_after)`. */
+  def transeStep(triples: DataFrame): DataFrame = {
+    val (pairs, emb0, rel0) = setup(triples)
     // pair scores attach to the per-dim rows via ONE window (no self-join);
     // 5 consumers downstream (before-loss + 3 gradient legs + rel gradient)
     val wp = Window.partitionBy(PairKey.map(col): _*)
@@ -126,5 +133,33 @@ object KgEmbed {
         sum(when(col("lb") > 0, lit(1L)).otherwise(lit(0L))).as("n_active"),
         round(avg(col("lb")), 6).as("loss_before"),
         round(avg(col("la")), 6).as("loss_after"))
+  }
+
+  /** Link-prediction ranking eval at the deterministic init (the FILTERED
+    * protocol over [[Relations.negatives]]' corruptions): each positive is
+    * ranked among {itself} ∪ {its surviving negatives} by squared-L2 score
+    * (lower is better; a corruption scoring ≤ the positive — ties count
+    * against, deterministically — beats it). Per predicate: positive count,
+    * mean reciprocal rank, hits@1. Local-candidate ranking is the standard
+    * cheap proxy when scoring every positive against the FULL entity table
+    * (|positives| × |entities| rows) is not warranted for a QA gate; the
+    * candidate count per positive varies where corruptions were filtered
+    * out, which is the documented filtered-protocol behavior.
+    *
+    * Scale shape: [[pairScores]]' one pair-key aggregation, one positive-key
+    * aggregation (dp does not involve the corruption, so the positive's own
+    * score rides each slot row — no second join to fetch it), one
+    * predicate rollup. */
+  def transeRank(triples: DataFrame): DataFrame = {
+    val (pairs, emb0, rel0) = setup(triples)
+    val ranks = pairScores(pairDiffs(pairs, emb0, rel0))
+      .groupBy("subj", "pred", "obj")
+      .agg((lit(1L) + sum(when(col("sneg") <= col("spos"), lit(1L))
+        .otherwise(lit(0L)))).as("rank"))
+    ranks.groupBy("pred")
+      .agg(count(lit(1)).as("n_pos"),
+        round(avg(lit(1.0) / col("rank")), 6).as("mrr"),
+        round(avg(when(col("rank") === 1, lit(1.0)).otherwise(lit(0.0))), 6)
+          .as("hits1"))
   }
 }
