@@ -261,16 +261,18 @@ object Similarity {
 
   /** Nearest-code id for a subvector against a LITERAL codebook: squared-L2
     * rounded to 6dp (rounding deliberately CREATES ties where distances agree
-    * to 1e-6, resolved by the code-id tie-break — the cross-engine contract),
-    * argmin via `array_min` over 2-element `[d2, code]` arrays (array
-    * ordering is lexicographic, so min d2 wins, then min code; a struct
-    * would read better but field names do not survive inside higher-order-
-    * function lambdas). Pure map-side expression: no join, no window, no
-    * shuffle — the reason the PQ encode of a 10^12-row embedding table is
-    * as wide as its scan. */
+    * to 1e-6, resolved by the code-id tie-break — the cross-engine contract).
+    * Computed by the codegen'd [[graft.functions.PqCodes]] expression (the
+    * earlier `transform`/`aggregate` higher-order-function form was
+    * interpreted per row and benched the PQ scan at ~16 s vs ~1 s for brute
+    * force; same float semantics, asserted by the unchanged oracle). Pure
+    * map-side: no join, no window, no shuffle — the reason the PQ encode of
+    * a 10^12-row embedding table is as wide as its scan. */
   private def argminCode(sv: Column, cb: Seq[Seq[Double]]): Column =
-    element_at(array_min(transform(typedlit(cb), (c, j) =>
-      array(round(l2sq(sv, c), 6), j.cast("double")))), 2).cast("long")
+    element_at(org.apache.spark.sql.GraftShim.column(
+      graft.functions.PqCodes(
+        org.apache.spark.sql.GraftShim.expression(sv),
+        Array(cb.map(_.toArray).toArray))), 1)
 
   /** One per-subspace PQ codebook: seed = subvectors of the first `nCodes`
     * vec_ids (the deterministic seed, IVF precedent), then `iters` Lloyd
@@ -334,22 +336,19 @@ object Similarity {
       trainPqCodebook(all.select(col("vec_id"), sv(s).as("sv")),
         nCodes, pqIters, trainSample)
     }
-    val enc = all.select(col("vec_id") +:
-      (0 until subspaces).map(s => argminCode(sv(s), cbs(s)).as(s"code$s")): _*)
+    val cbArr: Array[Array[Array[Double]]] =
+      cbs.map(_.map(_.toArray).toArray).toArray
+    import org.apache.spark.sql.GraftShim
+    val enc = all.select(col("vec_id"),
+      GraftShim.column(graft.functions.PqCodes(
+        GraftShim.expression(col("emb")), cbArr)).as("codes"))
     val queries = all.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
-    def codeword(s: Int): Column =
-      element_at(typedlit(cbs(s)), col(s"code$s").cast("int") + 1)
-    val adot = (0 until subspaces)
-      .map(s => dot(slice(col("q_emb"), s * w + 1, w), codeword(s)))
-      .reduce(_ + _)
-    val anorm2 = (0 until subspaces)
-      .map { s => val c = codeword(s); dot(c, c) }
-      .reduce(_ + _)
     val scored = enc.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(adot / (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(anorm2)), 4)
-          .as("cos"))
+        round(GraftShim.column(graft.functions.PqAdcScore(
+          GraftShim.expression(col("q_emb")),
+          GraftShim.expression(col("codes")), cbArr)), 4).as("cos"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(wq))
