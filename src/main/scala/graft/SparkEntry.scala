@@ -1827,6 +1827,14 @@ object SparkEntry {
     "web_host_graph" -> ((s, dir) =>
       LinkGraph.hostGraph(LinkGraph.links(LinkGraph.pages(docsTable(s, dir))))),
 
+    // ANF distance distribution of the host graph: FM-sketch neighborhood
+    // function per radius (bit_or union — order-free, exactly deterministic);
+    // the effective-diameter release-QA curve
+    "web_anf" -> ((s, dir) =>
+      graft.graph.KgGraph.anf(
+        LinkGraph.hostGraph(LinkGraph.links(LinkGraph.pages(docsTable(s, dir))))
+          .select(col("src_host").as("src"), col("dst_host").as("dst")))),
+
     // one-row edge reciprocity of the host graph (link-farm rings → 1,
     // pure spam-target shapes → 0; organic webs sit in between)
     "web_reciprocity" -> ((s, dir) =>
@@ -3684,6 +3692,45 @@ object SparkEntry {
       regexPairLegSql("rpage", re,
         s"lower(a[i]) AS subj_surface, '$name' AS rel, lower(b[i]) AS obj_surface")
     }.mkString("\n           UNION ALL\n           ")
+
+  /** web_anf oracle ([[graft.graph.KgGraph.anf]] twin): unrolled FM-sketch
+    * rounds — init = lowest set bit of the 30-bit-masked md5 hash, each
+    * round a bit_or re-aggregation over own + out-neighbor sketches
+    * (bitwise OR is order-free: the one iterative op needing NO float
+    * contract until the final 2^(mean-b) estimate, where est rounds 6dp
+    * and the sum 2dp like every other float rollup). */
+  private def anfOracleSql(rounds: Int, trials: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""s$r AS (SELECT node, t, bit_or(s) AS s FROM (
+            SELECT node, t, s FROM s${r - 1}
+            UNION ALL
+            SELECT e.src AS node, s.t, s.s FROM hg e
+            JOIN s${r - 1} s ON s.node = e.dst)
+          GROUP BY node, t)"""
+    }.mkString(",\n")
+    val nfSelects = (0 to rounds).map { r =>
+      s"""SELECT $r AS r, ROUND(SUM(est), 2) AS nf FROM (
+            SELECT node,
+              ROUND(POW(CAST(2.0 AS DOUBLE),
+                  SUM(CAST(bit_count(xor(s, s + 1)) AS BIGINT) - 1) / $trials)
+                / CAST(0.77351 AS DOUBLE), 6) AS est
+            FROM s$r GROUP BY node)"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${graft.ops.LinkGraph.linksCteSql},
+        hosts AS (SELECT ${graft.ops.WebOps.canonHostSqlOf("src_url")} AS src,
+                         ${graft.ops.WebOps.canonHostSqlOf("dst_url")} AS dst
+                  FROM lnk),
+        hg AS (SELECT DISTINCT src, dst FROM hosts WHERE src <> dst),
+        nd AS (SELECT src AS node FROM hg UNION SELECT dst FROM hg),
+        tr AS (SELECT unnest(generate_series(0, ${trials - 1})) AS t),
+        h0 AS (SELECT node, t,
+                 ('0x' || substr(md5(node || ':' || CAST(t AS VARCHAR)), 1, 15))::BIGINT
+                   & ${(1L << 30) - 1} AS hh
+               FROM nd, tr),
+        s0 AS (SELECT node, t, hh & (-hh) AS s FROM h0),
+        $roundCtes
+        $nfSelects"""
+  }
 
   private def domainQuotaOracleSql: String =
     s"""WITH ${graft.ops.WebOps.canonCteSql},
@@ -5663,6 +5710,8 @@ object SparkEntry {
                     FROM lnk)
           SELECT src_host, dst_host, COUNT(*) AS n_links
           FROM hosts WHERE src_host <> dst_host GROUP BY 1, 2""",
+
+    "web_anf" -> anfOracleSql(rounds = 4, trials = 8),
 
     // host-graph chain → reversed-key self left-join (post-agg keys are
     // unique, no fan-out) → 1-row moments; division order mirrored, 6dp

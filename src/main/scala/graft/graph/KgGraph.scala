@@ -477,6 +477,68 @@ object KgGraph {
     if (df.sparkSession.sparkContext.getCheckpointDir.isEmpty) df.localCheckpoint()
     else df.persist()
 
+  /** ANF — approximate neighborhood function N(r) = |{(u,v): dist(u→v) ≤ r}|
+    * (Palmer, Gibbons & Faloutsos, KDD 2002; the HyperBall/HyperANF lineage
+    * that measured Facebook's four degrees of separation). Per node and
+    * trial, a Flajolet–Martin bit sketch of the reachable set: init = the
+    * lowest set bit of a 30-bit node hash (P(bit b) = 2^-(b+1)); each round
+    * ORs in the out-neighbors' sketches — set union WITHOUT materializing
+    * sets, and bitwise OR is commutative/associative/idempotent, so the
+    * aggregation is order-free and exactly deterministic at any parallelism
+    * (stronger than the round-6 float contracts: no rounding needed until
+    * the final estimate). N(r) per node = 2^(mean lowest-zero-bit over
+    * trials) / 0.77351 (the FM bias constant), summed.
+    *
+    * Output: one row per radius `(r, nf)` for r = 0..rounds — the distance
+    * distribution whose saturation radius is the graph's effective
+    * diameter, the release-QA number a crawl's host graph gets checked
+    * against (a bowtie web saturates in ~6-8 rounds; a crawler-trap chain
+    * keeps climbing).
+    *
+    * Scale shape: state is (node, trial) → ONE long — `trials` longs per
+    * node total, vs the exact answer's O(n²) pairs; each round is one
+    * equi-join (edges × sketches) + one bit_or hash aggregation with
+    * map-side partial OR (a hot page's million in-edges collapse per task
+    * before the shuffle). Rounds pin + truncate like every iterative op.
+    * The per-round estimate is a 1-row aggregate collected eagerly (it IS
+    * the output; waiting would read sketches the truncator already
+    * released). */
+  def anf(edges: DataFrame, rounds: Int = 4, trials: Int = 8): DataFrame = {
+    require(rounds >= 1, s"anf needs rounds >= 1, got $rounds")
+    require(trials >= 1, s"anf needs trials >= 1, got $trials")
+    val spark = edges.sparkSession
+    val e = pin(edges.select(col("src"), col("dst")).distinct())
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+    var sk = pin(nodes
+      .select(col("node"), explode(sequence(lit(0), lit(trials - 1))).as("t"))
+      .withColumn("hh", graft.ops.Sketch.hash60(
+        concat(col("node"), lit(":"), col("t").cast("string")))
+        .bitwiseAND(lit((1L << 30) - 1)))
+      .select(col("node"), col("t"),
+        col("hh").bitwiseAND(-col("hh")).as("s")))
+    def nfOf(s: DataFrame, r: Int): (Int, Double) = {
+      val nf = s
+        .select(col("node"),
+          (expr("bit_count(s ^ (s + 1))").cast("long") - 1L).as("b"))
+        .groupBy("node").agg((sum(col("b")) / lit(trials)).as("mb"))
+        .select(round(pow(lit(2.0), col("mb")) / lit(0.77351), 6).as("est"))
+        .agg(round(sum(col("est")), 2)).head().getDouble(0)
+      (r, nf)
+    }
+    val out = scala.collection.mutable.ListBuffer(nfOf(sk, 0))
+    val trunc = truncator()
+    for (r <- 1 to rounds) {
+      val contrib = e.join(sk.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), col("t"), col("s"))
+      sk = trunc(sk.unionAll(contrib)
+        .groupBy("node", "t").agg(expr("bit_or(s)").as("s")), r)
+      out += nfOf(sk, r)
+    }
+    import spark.implicits._
+    out.toSeq.toDF("r", "nf")
+  }
+
   /** Weighted PageRank over the undirected co-occurrence graph: a neighbor's
     * share of a node's rank mass is proportional to the EDGE WEIGHT
     * (`n_docs`) — concepts connected by many shared documents pull more mass

@@ -791,6 +791,27 @@ class KgGraphSpec extends AnyFunSuite {
     assert(again.getDouble(3) === lb && again.getDouble(4) === la)
   }
 
+  test("anf: neighborhood function nondecreasing in radius, exactly deterministic") {
+    import spark.implicits._
+    // 64-node directed chain: node i reaches nodes i+1..i+r within radius r,
+    // so the true neighborhood function grows every round for r <= rounds
+    val edges = (0 until 63).map(i => (f"n$i%02d", f"n${i + 1}%02d"))
+      .toDF("src", "dst")
+    val got = KgGraph.anf(edges, rounds = 4, trials = 8).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq(0, 1, 2, 3, 4))
+    val nf = got.map(_._2)
+    // FM sketches of MONOTONE sets: per-node estimates never decrease, and
+    // on a chain the union genuinely grows — the curve must climb
+    for (i <- 1 until nf.length)
+      assert(nf(i) >= nf(i - 1), s"nf decreased at r=$i: ${nf.toSeq}")
+    assert(nf.last > nf.head, s"chain curve failed to grow: ${nf.toSeq}")
+    // bitwise-OR aggregation is order-free: a second run is EXACTLY equal
+    val again = KgGraph.anf(edges, rounds = 4, trials = 8).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
+    assert(again.toSeq === nf.toSeq)
+  }
+
   test("milneWitten: distance formula, omnipresent-concept pairs dropped") {
     import spark.implicits._
     // 4 docs; A in {1,2,3}, B in {2,3}; C and D in EVERY doc
