@@ -2301,6 +2301,15 @@ object SparkEntry {
         matches(s, dir).select(col("url").as("subj"),
           lit("hasAnnotation").as("pred"), col("class_iri").as("obj")))),
 
+    // the TRAINING LOOP: 2 degree-normalized full-batch epochs, per-epoch
+    // mean-loss trajectory (epoch 0 = hash init) — each epoch's embedding
+    // table pinned so plan depth is constant in epochs
+    "kg_transe_epochs" -> ((s, dir) =>
+      graft.ops.KgEmbed.transeEpochs(
+        matches(s, dir).select(col("url").as("subj"),
+          lit("hasAnnotation").as("pred"), col("class_iri").as("obj")),
+        epochs = 2)),
+
     // dict-release fact churn: the (subj, pred, obj) diff between ontology
     // versions v1 → v2 — the per-release maintenance view of the KG. v2
     // comes via the shared incrementalV1V2 path (proven == full recompute
@@ -3589,32 +3598,48 @@ object SparkEntry {
         ${transePsSql("ps0", "pd0")}"""
   }
 
-  /** kg_transe_step oracle: the full one-step TransE chain in long format —
-    * ROUND(6) pair scores, gradient means, and mean losses (the only
-    * float-sum points); gradient legs, update arithmetic, and the margin
-    * literal mirror [[graft.ops.KgEmbed.transeStep]] term for term. */
-  private def transeStepOracleSql: String = {
+  /** One oracle training epoch `e`: active pairs from `ps{e}`, gradient
+    * means, updated `emb{e+1}`/`rel{e+1}`, re-scored `pd{e+1}`/`ps{e+1}` —
+    * the repeatable block behind the step and epochs oracles (gradient
+    * legs, update arithmetic, and the margin literal mirror
+    * [[graft.ops.KgEmbed]] term for term). */
+  private def transeEpochBlockSql(e: Int): String = {
     val margin = graft.ops.KgEmbed.Margin
     val lr = graft.ops.KgEmbed.Lr
-    s"""WITH $dictCte, $directCte, $transeChainCtes,
-        act AS (SELECT pd0.* FROM pd0
-                JOIN ps0 USING (subj, pred, obj, slot, neg_obj)
+    s"""act$e AS (SELECT pd$e.* FROM pd$e
+                JOIN ps$e USING (subj, pred, obj, slot, neg_obj)
                 WHERE $margin + spos - sneg > 0),
-        egrad AS (SELECT ent, d, ROUND(AVG(g), 6) AS g FROM (
-              SELECT subj AS ent, d, 2.0 * (dp - dn) AS g FROM act
-              UNION ALL SELECT obj AS ent, d, -2.0 * dp AS g FROM act
-              UNION ALL SELECT neg_obj AS ent, d, 2.0 * dn AS g FROM act)
+        egrad$e AS (SELECT ent, d, ROUND(AVG(g), 6) AS g FROM (
+              SELECT subj AS ent, d, 2.0 * (dp - dn) AS g FROM act$e
+              UNION ALL SELECT obj AS ent, d, -2.0 * dp AS g FROM act$e
+              UNION ALL SELECT neg_obj AS ent, d, 2.0 * dn AS g FROM act$e)
             GROUP BY ent, d),
-        rgrad AS (SELECT pred, d, ROUND(AVG(2.0 * (dp - dn)), 6) AS g
-                  FROM act GROUP BY pred, d),
-        emb1 AS (SELECT e.ent, e.d, e.v - $lr * COALESCE(g.g, 0.0) AS v
-                 FROM emb0 e LEFT JOIN egrad g
-                   ON g.ent = e.ent AND g.d = e.d),
-        rel1 AS (SELECT r.pred, r.d, r.v - $lr * COALESCE(g.g, 0.0) AS v
-                 FROM rel0 r LEFT JOIN rgrad g
-                   ON g.pred = r.pred AND g.d = r.d),
-        ${transePdSql("pd1", "emb1", "rel1")},
-        ${transePsSql("ps1", "pd1")},
+        rgrad$e AS (SELECT pred, d, ROUND(AVG(2.0 * (dp - dn)), 6) AS g
+                  FROM act$e GROUP BY pred, d),
+        emb${e + 1} AS (SELECT x.ent, x.d, x.v - $lr * COALESCE(g.g, 0.0) AS v
+                 FROM emb$e x LEFT JOIN egrad$e g
+                   ON g.ent = x.ent AND g.d = x.d),
+        rel${e + 1} AS (SELECT x.pred, x.d, x.v - $lr * COALESCE(g.g, 0.0) AS v
+                 FROM rel$e x LEFT JOIN rgrad$e g
+                   ON g.pred = x.pred AND g.d = x.d),
+        ${transePdSql(s"pd${e + 1}", s"emb${e + 1}", s"rel${e + 1}")},
+        ${transePsSql(s"ps${e + 1}", s"pd${e + 1}")}"""
+  }
+
+  /** kg_transe_step oracle: one [[transeEpochBlockSql]] epoch, then the
+    * before/after pair-loss rollup. */
+  /** DuckDB re-inlines CTEs referenced multiple times; the chained epoch
+    * blocks re-reference pd/ps/emb CTEs combinatorially and a plain WITH
+    * took minutes where `AS MATERIALIZED` runs in under a second — so the
+    * transe oracles pin every CTE (DuckDB-only syntax; Spark never parses
+    * these strings). */
+  private def materializeCtes(sql: String): String =
+    sql.replaceAll("""(\w+) AS \(""", "$1 AS MATERIALIZED (")
+
+  private def transeStepOracleSql: String = materializeCtes {
+    val margin = graft.ops.KgEmbed.Margin
+    s"""WITH $dictCte, $directCte, $transeChainCtes,
+        ${transeEpochBlockSql(0)},
         pl AS (SELECT p0.pred,
                  GREATEST(0.0, $margin + p0.spos - p0.sneg) AS lb,
                  GREATEST(0.0, $margin + p1.spos - p1.sneg) AS la
@@ -3626,11 +3651,27 @@ object SparkEntry {
         FROM pl GROUP BY pred"""
   }
 
+  /** kg_transe_epochs oracle: the unrolled training loop — `epochs` chained
+    * [[transeEpochBlockSql]] blocks, one loss row per (epoch, pred) from
+    * each epoch's pair scores (epoch 0 = the hash init). */
+  private def transeEpochsOracleSql(epochs: Int): String = materializeCtes {
+    val margin = graft.ops.KgEmbed.Margin
+    val blocks = (0 until epochs).map(transeEpochBlockSql).mkString(",\n")
+    val losses = (0 to epochs).map { e =>
+      s"""SELECT $e AS epoch, pred,
+            ROUND(AVG(GREATEST(0.0, $margin + spos - sneg)), 6) AS loss
+          FROM ps$e GROUP BY pred"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $dictCte, $directCte, $transeChainCtes,
+        $blocks
+        $losses"""
+  }
+
   /** kg_transe_rank oracle: filtered local-candidate ranking at the init —
     * rank = 1 + |corruptions scoring ≤ the positive| (ties count against,
     * [[graft.ops.KgEmbed.transeRank]]'s contract), then the per-predicate
     * MRR / hits@1 rollup. */
-  private def transeRankOracleSql: String =
+  private def transeRankOracleSql: String = materializeCtes(
     s"""WITH $dictCte, $directCte, $transeChainCtes,
         rk AS (SELECT subj, pred, obj,
                  1 + SUM(CASE WHEN sneg <= spos THEN 1 ELSE 0 END) AS rank
@@ -3639,7 +3680,7 @@ object SparkEntry {
           ROUND(AVG(CAST(1.0 AS DOUBLE) / rank), 6) AS mrr,
           ROUND(AVG(CASE WHEN rank = 1 THEN CAST(1.0 AS DOUBLE)
             ELSE CAST(0.0 AS DOUBLE) END), 6) AS hits1
-        FROM rk GROUP BY pred"""
+        FROM rk GROUP BY pred""")
 
   private def tripleConfidenceOracleSql: String =
     s"""WITH $tripleConfidenceCtes
@@ -3980,6 +4021,7 @@ object SparkEntry {
 
     "kg_transe_step" -> transeStepOracleSql,
     "kg_transe_rank" -> transeRankOracleSql,
+    "kg_transe_epochs" -> transeEpochsOracleSql(epochs = 2),
 
     // the oracle's engine and reference sides coincide BY CONSTRUCTION (both
     // are the regex-semantics triple chain), so it pins n_engine == n_ref ==

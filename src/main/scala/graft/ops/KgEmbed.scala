@@ -135,6 +135,71 @@ object KgEmbed {
         round(avg(col("la")), 6).as("loss_after"))
   }
 
+  /** One gradient epoch: window-score the pairs against (emb, rel), apply
+    * the degree-normalized update — returns the updated (emb, rel) plus the
+    * per-pred mean loss rows OF THE INPUT embeddings (epoch-entry loss). */
+  private def epochUpdate(pairs: DataFrame, emb: DataFrame, rel: DataFrame)
+    : (DataFrame, DataFrame, Array[(String, Double)]) = {
+    val wp = Window.partitionBy(PairKey.map(col): _*)
+    val withS = pairDiffs(pairs, emb, rel)
+      .withColumn("spos", round(sum(col("dp") * col("dp")).over(wp), 6))
+      .withColumn("sneg", round(sum(col("dn") * col("dn")).over(wp), 6))
+      .localCheckpoint()
+    val loss = withS.filter(col("d") === 1)
+      .select(col("pred"),
+        greatest(lit(0.0), lit(Margin) + col("spos") - col("sneg")).as("l"))
+      .groupBy("pred").agg(round(avg(col("l")), 6).as("loss"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val act = withS.filter(lit(Margin) + col("spos") - col("sneg") > 0)
+    val entGrad = act.select(col("subj").as("ent"), col("d"),
+        (lit(2.0) * (col("dp") - col("dn"))).as("g"))
+      .unionAll(act.select(col("obj").as("ent"), col("d"),
+        (lit(-2.0) * col("dp")).as("g")))
+      .unionAll(act.select(col("neg_obj").as("ent"), col("d"),
+        (lit(2.0) * col("dn")).as("g")))
+      .groupBy("ent", "d").agg(round(avg(col("g")), 6).as("g"))
+    val relGrad = act.groupBy("pred", "d")
+      .agg(round(avg(lit(2.0) * (col("dp") - col("dn"))), 6).as("g"))
+    val emb1 = emb.join(entGrad, Seq("ent", "d"), "left")
+      .select(col("ent"), col("d"),
+        (col("v") - lit(Lr) * coalesce(col("g"), lit(0.0))).as("v"))
+    val rel1 = rel.join(relGrad, Seq("pred", "d"), "left")
+      .select(col("pred"), col("d"),
+        (col("v") - lit(Lr) * coalesce(col("g"), lit(0.0))).as("v"))
+    (emb1, rel1, loss)
+  }
+
+  /** The TRAINING LOOP: `epochs` full-batch degree-normalized steps, loss
+    * trajectory out — `(epoch, pred, loss)` for epoch 0..epochs, where
+    * epoch e's row is the mean margin loss of the embeddings AFTER e
+    * updates (epoch 0 = the hash init). Each epoch's embedding table is
+    * pinned (`localCheckpoint` — entity-scale × Dim rows) so plan depth
+    * stays constant in `epochs` instead of nesting every earlier epoch's
+    * gather joins (the Lloyd-loop lineage rule); the per-epoch loss is a
+    * pred-count-sized aggregate collected eagerly (it IS the output). */
+  def transeEpochs(triples: DataFrame, epochs: Int = 2): DataFrame = {
+    require(epochs >= 1, s"transeEpochs needs epochs >= 1, got $epochs")
+    val spark = triples.sparkSession
+    val (pairs, emb0, rel0) = setup(triples)
+    var emb = emb0.localCheckpoint()
+    var rel = rel0.localCheckpoint()
+    val out = scala.collection.mutable.ListBuffer.empty[(Int, String, Double)]
+    for (e <- 0 until epochs) {
+      val (emb1, rel1, loss) = epochUpdate(pairs, emb, rel)
+      loss.foreach { case (p, l) => out += ((e, p, l)) }
+      emb = emb1.localCheckpoint()
+      rel = rel1.localCheckpoint()
+    }
+    // final-epoch loss: score once more without updating
+    pairScores(pairDiffs(pairs, emb, rel))
+      .select(col("pred"),
+        greatest(lit(0.0), lit(Margin) + col("spos") - col("sneg")).as("l"))
+      .groupBy("pred").agg(round(avg(col("l")), 6).as("loss"))
+      .collect().foreach(r => out += ((epochs, r.getString(0), r.getDouble(1))))
+    import spark.implicits._
+    out.toSeq.toDF("epoch", "pred", "loss")
+  }
+
   /** Link-prediction ranking eval at the deterministic init (the FILTERED
     * protocol over [[Relations.negatives]]' corruptions): each positive is
     * ranked among {itself} ∪ {its surviving negatives} by squared-L2 score

@@ -812,6 +812,23 @@ class KgGraphSpec extends AnyFunSuite {
     assert(again.toSeq === nf.toSeq)
   }
 
+  test("transeEpochs: loss trajectory strictly decreasing over 2 epochs") {
+    import spark.implicits._
+    val facts = (for {
+      s <- 0 until 12
+      o <- Seq(s % 6, (s + 1) % 6) ++ (if (s % 3 == 0) Seq((s + 2) % 6) else Nil)
+    } yield (s"page$s", "hasAnnotation", s"C$o")).toDF("subj", "pred", "obj")
+    val got = graft.ops.KgEmbed.transeEpochs(facts, epochs = 2).collect()
+      .map(r => (r.getInt(0), r.getDouble(2))).sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq(0, 1, 2))
+    val loss = got.map(_._2)
+    assert(loss(1) < loss(0) && loss(2) < loss(1),
+      s"loop failed to keep learning: ${loss.toSeq}")
+    // epoch 0/1 must equal transeStep's before/after (same chain, two views)
+    val step = graft.ops.KgEmbed.transeStep(facts).collect().head
+    assert(step.getDouble(3) === loss(0) && step.getDouble(4) === loss(1))
+  }
+
   test("milneWitten: distance formula, omnipresent-concept pairs dropped") {
     import spark.implicits._
     // 4 docs; A in {1,2,3}, B in {2,3}; C and D in EVERY doc
