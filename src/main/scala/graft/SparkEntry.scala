@@ -2301,6 +2301,14 @@ object SparkEntry {
         matches(s, dir).select(col("url").as("subj"),
           lit("hasAnnotation").as("pred"), col("class_iri").as("obj")))),
 
+    // the same ranking eval AFTER 2 training epochs: mrr/hits@1 must beat
+    // the init reading — the train→eval loop closed as driver-visible data
+    "kg_transe_rank_trained" -> ((s, dir) =>
+      graft.ops.KgEmbed.transeRank(
+        matches(s, dir).select(col("url").as("subj"),
+          lit("hasAnnotation").as("pred"), col("class_iri").as("obj")),
+        epochs = 2)),
+
     // the TRAINING LOOP: 2 degree-normalized full-batch epochs, per-epoch
     // mean-loss trajectory (epoch 0 = hash init) — each epoch's embedding
     // table pinned so plan depth is constant in epochs
@@ -3671,16 +3679,21 @@ object SparkEntry {
     * rank = 1 + |corruptions scoring ≤ the positive| (ties count against,
     * [[graft.ops.KgEmbed.transeRank]]'s contract), then the per-predicate
     * MRR / hits@1 rollup. */
-  private def transeRankOracleSql: String = materializeCtes(
+  private def transeRankOracleSql(epochs: Int = 0): String = materializeCtes {
+    val blocks =
+      if (epochs == 0) ""
+      else (0 until epochs).map(transeEpochBlockSql).mkString(",\n") + ","
     s"""WITH $dictCte, $directCte, $transeChainCtes,
+        $blocks
         rk AS (SELECT subj, pred, obj,
                  1 + SUM(CASE WHEN sneg <= spos THEN 1 ELSE 0 END) AS rank
-               FROM ps0 GROUP BY 1, 2, 3)
+               FROM ps$epochs GROUP BY 1, 2, 3)
         SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_pos,
           ROUND(AVG(CAST(1.0 AS DOUBLE) / rank), 6) AS mrr,
           ROUND(AVG(CASE WHEN rank = 1 THEN CAST(1.0 AS DOUBLE)
             ELSE CAST(0.0 AS DOUBLE) END), 6) AS hits1
-        FROM rk GROUP BY pred""")
+        FROM rk GROUP BY pred"""
+  }
 
   private def tripleConfidenceOracleSql: String =
     s"""WITH $tripleConfidenceCtes
@@ -4020,7 +4033,8 @@ object SparkEntry {
           SELECT subj, pred, obj, slot, neg_obj FROM neg""",
 
     "kg_transe_step" -> transeStepOracleSql,
-    "kg_transe_rank" -> transeRankOracleSql,
+    "kg_transe_rank" -> transeRankOracleSql(),
+    "kg_transe_rank_trained" -> transeRankOracleSql(epochs = 2),
     "kg_transe_epochs" -> transeEpochsOracleSql(epochs = 2),
 
     // the oracle's engine and reference sides coincide BY CONSTRUCTION (both

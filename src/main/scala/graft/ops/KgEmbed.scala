@@ -200,8 +200,10 @@ object KgEmbed {
     out.toSeq.toDF("epoch", "pred", "loss")
   }
 
-  /** Link-prediction ranking eval at the deterministic init (the FILTERED
-    * protocol over [[Relations.negatives]]' corruptions): each positive is
+  /** Link-prediction ranking eval at the deterministic init — or, with
+    * `epochs` > 0, after that many [[epochUpdate]] training steps — (the
+    * FILTERED protocol over [[Relations.negatives]]' corruptions): each
+    * positive is
     * ranked among {itself} ∪ {its surviving negatives} by squared-L2 score
     * (lower is better; a corruption scoring ≤ the positive — ties count
     * against, deterministically — beats it). Per predicate: positive count,
@@ -215,9 +217,18 @@ object KgEmbed {
     * aggregation (dp does not involve the corruption, so the positive's own
     * score rides each slot row — no second join to fetch it), one
     * predicate rollup. */
-  def transeRank(triples: DataFrame): DataFrame = {
+  def transeRank(triples: DataFrame, epochs: Int = 0): DataFrame = {
     val (pairs, emb0, rel0) = setup(triples)
-    val ranks = pairScores(pairDiffs(pairs, emb0, rel0))
+    var emb = emb0
+    var rel = rel0
+    if (epochs > 0) {
+      emb = emb.localCheckpoint(); rel = rel.localCheckpoint()
+      for (_ <- 0 until epochs) {
+        val (e1, r1, _) = epochUpdate(pairs, emb, rel)
+        emb = e1.localCheckpoint(); rel = r1.localCheckpoint()
+      }
+    }
+    val ranks = pairScores(pairDiffs(pairs, emb, rel))
       .groupBy("subj", "pred", "obj")
       .agg((lit(1L) + sum(when(col("sneg") <= col("spos"), lit(1L))
         .otherwise(lit(0L)))).as("rank"))
