@@ -43,6 +43,32 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("kg_fact_fusion: top-2 plans as WindowGroupLimit, no evidence self-join") {
+    val p = plan("kg_fact_fusion")
+    // rn <= 2 must push into a map-side partial group-limit before the
+    // subject exchange (the domain-quota shape) — a full per-subject sort
+    // of the fact stream is the regression this pins against
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("kg_transe_step: gather joins + gradient aggs only — no cartesian anywhere") {
+    val p = plan("kg_transe_step")
+    assert(!p.contains("CartesianProduct"), p)
+    // the per-dim explode rides the pair scan; embeddings attach by
+    // equi-join (hash or sort-merge — both keyed), never nested-loop
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ann_pr_gate: engine leg native Generate; the only NLJ is the reference regex scan") {
+    val p = plan("ann_pr_gate")
+    // the verification query is ALLOWED its naive broadcast regex scan
+    // (that IS the reference side); the engine side must still be the
+    // Generator scan, and nothing may plan as an unbounded cartesian
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("kg_related_docs: no self-join of the profile stream, no cartesian") {
     // note: the closure's broadcast attach sits UPSTREAM of the profile
     // pin (localCheckpoint truncates lineage to Scan ExistingRDD), so it
