@@ -2634,6 +2634,22 @@ object SparkEntry {
         .select("d", "c", "m").distinct()
     }),
 
+    // restricted-Turtle round trip: prefix-compressed, predicate/object
+    // lists, one subject group per line (line-splittable by construction) —
+    // the ontology-tooling serialization next to NT/NQ; STRICT prefix audit
+    "io_ttl_roundtrip" -> ((s, dir) => {
+      val trip = graft.annotate.NativeAnnotate
+        .annotateTriples(corpus(s, dir), model(s), fusedMaps(s), "v1")
+        .select(col("subj"),
+          concat(lit("http://graft.kg/p#"), col("pred")).as("pred"),
+          col("obj"))
+      val out = s"/tmp/graft-ttl-${s.sparkContext.applicationId}/" +
+        new java.io.File(dir).getName
+      graft.io.Turtle.write(trip, out)
+      graft.io.Turtle.statements(s.read.textFile(out))
+        .select("subj", "pred", "obj")
+    }),
+
     // N-Quads named-graph round trip: triples + a crawl-batch provenance
     // graph IRI (doc_id % 4 — the batch a subject arrived in), serialized
     // as N-Quads lines, written as splittable text, read back and
@@ -6781,6 +6797,14 @@ object SparkEntry {
           LEFT JOIN triples ml
             ON ml.subj = dl.subj AND ml.pred = 'hasMappedAnnotation'
           WHERE dl.pred = 'hasAnnotation'""",
+
+    // the expected triples computed directly (the Spark side proves the
+    // Turtle serialize→write→read→parse loop returns exactly this set)
+    "io_ttl_roundtrip" ->
+      s"""WITH RECURSIVE $dictCte, $edgesCte, $mappingsCte, $directCte, $closureCte,
+          $kgTriplesCte
+          SELECT subj, 'http://graft.kg/p#' || pred AS pred, obj
+          FROM triples""",
 
     // the expected quads computed directly (the Spark side proves the
     // serialize→write→read→parse loop returns exactly this set)

@@ -10,6 +10,37 @@ import org.scalatest.funsuite.AnyFunSuite
 class IoSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
+  test("Turtle: out-of-table IRIs round-trip as <...>, foreign @prefix fails loudly") {
+    import spark.implicits._
+    // one subject with two predicates / object lists, plus an IRI outside
+    // the fixed prefix table (must serialize as <...> and expand back)
+    val trip = Seq(
+      ("doc://7", "http://graft.kg/p#hasAnnotation", "http://fix.onto/ONT1#C001"),
+      ("doc://7", "http://graft.kg/p#hasAnnotation", "http://other.example/Z"),
+      ("doc://7", "http://graft.kg/p#hasMappedAnnotation", "http://fix.onto/ONT2#D003"),
+      ("http://other.example/S", "http://graft.kg/p#hasAnnotation", "doc://9")
+    ).toDF("subj", "pred", "obj")
+    val dir = s"/tmp/graft-ttl-spec-${spark.sparkContext.applicationId}"
+    graft.io.Turtle.write(trip, dir)
+    val back = graft.io.Turtle.statements(spark.read.textFile(dir))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(back === trip.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2))).toSet)
+    // object lists really collapsed: doc://7's hasAnnotation group is ONE
+    // line fragment with a comma
+    val raw = spark.read.textFile(dir).collect().filter(_.startsWith("d:7"))
+    assert(raw.length === 1 && raw.head.contains(", "), raw.mkString("\n"))
+    // STRICT prefix audit: a dump declaring a prefix outside the table fails
+    val evil = dir + "-evil"
+    spark.sparkContext.parallelize(Seq(
+      "@prefix x: <http://evil.example/> .", "x:a p:hasAnnotation x:b ."), 1)
+      .toDF("value").write.mode("overwrite").text(evil)
+    val err = intercept[IllegalArgumentException] {
+      graft.io.Turtle.statements(spark.read.textFile(evil)).collect()
+    }
+    assert(err.getMessage.contains("outside the fixed table"))
+  }
+
   test("CSV round trip survives embedded commas, quotes, and newlines") {
     import spark.implicits._
     val hostile = Seq(
