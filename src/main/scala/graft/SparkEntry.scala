@@ -2236,6 +2236,12 @@ object SparkEntry {
           lit("hasAnnotation").as("pred"), col("class_iri").as("obj"))
           .distinct())),
 
+    // quality-classifier distillation: full-batch logistic regression
+    // trained to mimic the gopher rule gate — per-step logloss/accuracy
+    // trajectory; one corpus aggregation per step, weights ride as literals
+    "curate_lr_distill" -> ((s, dir) =>
+      graft.ops.Classifier.lrDistill(docsTable(s, dir))),
+
     // THE NORTH-RULE GATE AS DATA: per-predicate precision/recall of the
     // engine's triples (automaton scan + distributed expansions) against an
     // INDEPENDENT in-Spark reference-semantics derivation (naive per-term
@@ -3711,6 +3717,56 @@ object SparkEntry {
         FROM rk GROUP BY pred"""
   }
 
+  /** curate_lr_distill oracle ([[graft.ops.Classifier.lrDistill]] twin):
+    * the gopher feature chain, then `steps` unrolled full-batch logistic
+    * steps — weights carried through CTEs as exact arithmetic on ROUND(6)
+    * mean gradients, metrics ROUND(6) per step. */
+  private def lrDistillOracleSql(lr: Double, steps: Int): String = materializeCtes {
+    val nf = graft.ops.Classifier.NFeatures
+    val stepCtes = (0 to steps).map { k =>
+      val pcte =
+        s"""p$k AS (SELECT f.*, ${(0 until nf).map(j => s"w.w$j").mkString(", ")},
+              1.0 / (1.0 + exp(-(${(0 until nf).map(j => s"w.w$j * f.x$j").mkString(" + ")}))) AS p
+            FROM f, w$k w)"""
+      val mcte =
+        s"""m$k AS (SELECT $k AS step,
+              ROUND(AVG(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))), 6) AS logloss,
+              ROUND(AVG(CASE WHEN (p >= 0.5) = (y = 1.0)
+                THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 6) AS accuracy
+            FROM p$k)"""
+      val wcte =
+        if (k < steps) Some(s"""w${k + 1} AS (SELECT
+              ${(0 until nf).map(j =>
+                s"MAX(w$j) - $lr * ROUND(AVG((p - y) * x$j), 6) AS w$j").mkString(",\n              ")}
+            FROM p$k)""")
+        else None
+      (Seq(pcte, mcte) ++ wcte).mkString(",\n")
+    }.mkString(",\n")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        v AS (SELECT doc_id,
+                len(tk) AS n_words,
+                list_sum(list_transform(tk, x -> length(x)))
+                  / CAST(len(tk) AS DOUBLE) AS mean_len,
+                len(list_filter(tk, x -> NOT regexp_matches(x, '[A-Za-z0-9]')))
+                  / CAST(len(tk) AS DOUBLE) AS sym_ratio,
+                len(list_filter(tk, x -> x IN ('the', 'a'))) AS stop_hits
+              FROM t),
+        f AS (SELECT CAST(1.0 AS DOUBLE) AS x0,
+                n_words / 100.0 AS x1,
+                ROUND(mean_len, 4) AS x2,
+                ROUND(sym_ratio, 4) * 10.0 AS x3,
+                stop_hits / 10.0 AS x4,
+                CASE WHEN (n_words BETWEEN 50 AND 100000
+                  AND mean_len BETWEEN CAST(3.0 AS DOUBLE) AND CAST(10.0 AS DOUBLE)
+                  AND sym_ratio <= CAST(0.1 AS DOUBLE)
+                  AND stop_hits >= 2)
+                THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y
+              FROM v),
+        w0 AS (SELECT ${(0 until nf).map(j => s"CAST(0.0 AS DOUBLE) AS w$j").mkString(", ")}),
+        $stepCtes
+        ${(0 to steps).map(k => s"SELECT step, logloss, accuracy FROM m$k").mkString("\nUNION ALL\n")}"""
+  }
+
   private def tripleConfidenceOracleSql: String =
     s"""WITH $tripleConfidenceCtes
         SELECT subj, obj, n_extractors, confidence FROM conf"""
@@ -4049,6 +4105,9 @@ object SparkEntry {
           SELECT subj, pred, obj, slot, neg_obj FROM neg""",
 
     "kg_transe_step" -> transeStepOracleSql,
+    "curate_lr_distill" ->
+      lrDistillOracleSql(graft.ops.Classifier.Lr, graft.ops.Classifier.Steps),
+
     "kg_transe_rank" -> transeRankOracleSql(),
     "kg_transe_rank_trained" -> transeRankOracleSql(epochs = 2),
     "kg_transe_epochs" -> transeEpochsOracleSql(epochs = 2),

@@ -85,6 +85,17 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.1, s"PQ recall@3 $recall below floor")
   }
 
+  test("lrDistill: logloss strictly decreases every full-batch step; step 0 is ln 2") {
+    val got = graft.ops.Classifier.lrDistill(docs.sparkSession.read
+        .parquet(s"$sfDir/documents.parquet"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    assert(got.head._1 === 0 && math.abs(got.head._2 - math.log(2.0)) < 1e-5,
+      s"zero-weight baseline must be ln 2: ${got.head}")
+    for (i <- 1 until got.length)
+      assert(got(i)._2 < got(i - 1)._2,
+        s"logloss failed to descend at step $i: ${got.map(_._2).toSeq}")
+  }
+
   test("minhash-LSH pairs ⊆ exact-jaccard pairs at same threshold, recall ≥ 0.9") {
     val exact = Dedup.jaccardPairs(docs, n = 3, threshold = 0.8, maxDocFreq = 10000)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
