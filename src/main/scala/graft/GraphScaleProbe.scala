@@ -135,6 +135,23 @@ object GraphScaleProbe {
     val (_, starSecPath) = timed(KgGraph.connectedComponents(path, maxIter = 60).count())
     val (mlRoundsPath, mlConvPath, mlSecPath) = minLabelCC(path, maxIter = 40)
 
+    // TransE trainer at scale (round-4 continuation): 2 hash-assigned
+    // concepts per amplified page → ~4M facts over 2M+500 entities, ~8M
+    // corruption pairs × 8 dims ≈ 64M long-format gather rows. Concepts
+    // come from the url hash, NOT the real annotate scan — the probe times
+    // the TRAINER (gather joins + window scores + gradient aggs + update +
+    // re-eval), not dictionary matching, which the flagship bench already
+    // owns.
+    val facts = docs.select(col("url").as("subj"),
+        lit("hasAnnotation").as("pred"),
+        concat(lit("C"), pmod(xxhash64(col("url"), lit(1)), lit(500L))).as("obj"))
+      .unionAll(docs.select(col("url").as("subj"),
+        lit("hasAnnotation").as("pred"),
+        concat(lit("C"), pmod(xxhash64(col("url"), lit(2)), lit(500L))).as("obj")))
+      .localCheckpoint()
+    val nFacts = facts.count() // materialize before the clock starts
+    val (_, transeSec2m) = timed(graft.ops.KgEmbed.transeStep(facts).count())
+
     println(
       s"""{"corpus":"$corpusPath","n_nodes":$nNodes,"n_edges":$nEdges,""" +
       s""""cc_star_2m_sec":${f"$starSec2m%.2f"},""" +
@@ -144,7 +161,8 @@ object GraphScaleProbe {
       s""""cc_delta_2m_sec":${f"$deltaSec2m%.2f"},""" +
       s""""cc_star_path_sec":${f"$starSecPath%.2f"},""" +
       s""""cc_minlabel_path_sec":${f"$mlSecPath%.2f"},"cc_minlabel_path_rounds":$mlRoundsPath,""" +
-      s""""cc_minlabel_path_converged":$mlConvPath}""")
+      s""""cc_minlabel_path_converged":$mlConvPath,""" +
+      s""""transe_n_facts":$nFacts,"transe_step_2m_sec":${f"$transeSec2m%.2f"}}""")
     spark.stop()
   }
 }

@@ -629,6 +629,26 @@ object SparkEntry {
         matches(s, dir).select("url", "class_iri"),
         graph.Closure.transitiveClosure(OntologyFixture.edgesDf(s), maxLevel = 5))),
 
+    // ANALYZE-style per-column table statistics (the CBO input surface):
+    // ONE pass over the table computes every column's row/non-null/exact-NDV
+    // counts + min/max (stringified to unify the long-format schema), then a
+    // driver-free unpivot into (column_name, ...) rows
+    "q_table_stats" -> ((s, dir) => {
+      val statCols = Seq("lang", "source", "n_chars")
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val agg = d.agg(count(lit(1)).as("n_rows"),
+        statCols.flatMap(c => Seq(
+          count(col(c)).as(s"nn_$c"),
+          count_distinct(col(c)).as(s"ndv_$c"),
+          min(col(c)).cast("string").as(s"min_$c"),
+          max(col(c)).cast("string").as(s"max_$c"))): _*)
+      statCols.map(c => agg.select(lit(c).as("column_name"),
+          col("n_rows"), col(s"nn_$c").as("n_nonnull"),
+          col(s"ndv_$c").as("ndv"), col(s"min_$c").as("min_value"),
+          col(s"max_$c").as("max_value")))
+        .reduce(_ unionByName _)
+    }),
+
     // TPC-H-ish operator coverage: pushed-down filter + hash aggregate
     "q_pushdown_agg" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -4384,6 +4404,15 @@ object SparkEntry {
                  - CAST(shared AS DOUBLE)), 6) AS jaccard
             FROM pr) q
           WHERE jaccard >= 0.5""",
+
+    "q_table_stats" ->
+      Seq("lang", "source", "n_chars").map { c =>
+        s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+              COUNT($c) AS n_nonnull, COUNT(DISTINCT $c) AS ndv,
+              CAST(MIN($c) AS VARCHAR) AS min_value,
+              CAST(MAX($c) AS VARCHAR) AS max_value
+            FROM documents"""
+      }.mkString("\nUNION ALL\n"),
 
     "q_pushdown_agg" ->
       """SELECT l_returnflag, l_linestatus,
