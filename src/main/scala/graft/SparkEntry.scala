@@ -2702,7 +2702,29 @@ object SparkEntry {
     // map-only, the cluster key needs exactly one per-page window
     "web_hreflang_clusters" -> ((s, dir) =>
       LinkGraph.hreflangClusters(
-        LinkGraph.withHreflangLinks(LinkGraph.pages(docsTable(s, dir)))))
+        LinkGraph.withHreflangLinks(LinkGraph.pages(docsTable(s, dir))))),
+
+    // AMIE-style chain-rule mining over the KB (triples ∪ subClassOf ∪
+    // mappedTo): support / head coverage / std + PCA confidence per
+    // (p1, p2 ⇒ head) — the pipeline's own expansion semantics must
+    // re-emerge as confidence-1.0 rules (asserted in KgQualitySpec)
+    "kg_rule_mine" -> ((s, dir) =>
+      graft.ops.RuleMine.mineRules(
+        graft.annotate.NativeAnnotate
+          .annotateTriples(corpus(s, dir), model(s), fusedMaps(s), "v1")
+          .select("subj", "pred", "obj"),
+        OntologyFixture.edgesDf(s), OntologyFixture.mappingsDf(s))),
+
+    // KB completion from the mined rules: instantiate every rule with
+    // pca_conf ≥ the floor over the same body pairs, anti-join out facts
+    // already in the KB — the expansions the pipeline does NOT perform
+    // (ancestors of mapped concepts) surface here as ranked candidates
+    "kg_rule_infer" -> ((s, dir) =>
+      graft.ops.RuleMine.inferTriples(
+        graft.annotate.NativeAnnotate
+          .annotateTriples(corpus(s, dir), model(s), fusedMaps(s), "v1")
+          .select("subj", "pred", "obj"),
+        OntologyFixture.edgesDf(s), OntologyFixture.mappingsDf(s)))
   )
 
   // ---- oracle SQL -------------------------------------------------------
@@ -6927,6 +6949,79 @@ object SparkEntry {
                 WHERE i <= len(ls))
           SELECT page_url, hreflang, target_url,
                  LEAST(page_url, MIN(target_url) OVER (PARTITION BY doc_id)) AS cluster_key
-          FROM e"""
+          FROM e""",
+
+    // AMIE chain-rule mining: kb = triples ∪ T-Box edges ∪ mappings; body
+    // = the fan-capped chain join; the four metric legs mirror RuleMine
+    // exactly (constants interpolated from the object — single source of
+    // truth); ratios ROUND(6) per the float contract
+    "kg_rule_mine" ->
+      s"""WITH RECURSIVE $dictCte, $edgesCte, $mappingsCte, $directCte, $closureCte,
+          $kgTriplesCte,
+          ${ruleKbCtes}
+          SELECT s.p1, s.p2, s.head_pred,
+                 CAST(s.support AS BIGINT) AS support,
+                 CAST(b.body_size AS BIGINT) AS body_size,
+                 ROUND(s.support * 1.0 / h.head_size, 6) AS head_coverage,
+                 ROUND(s.support * 1.0 / b.body_size, 6) AS std_conf,
+                 ROUND(s.support * 1.0 / p.pca_body, 6) AS pca_conf
+          FROM support s
+          JOIN bodysize b USING (p1, p2)
+          JOIN pca p USING (p1, p2, head_pred)
+          JOIN headsize h USING (head_pred)
+          WHERE s.support >= ${graft.ops.RuleMine.MinSupport}""",
+
+    // rule application: instantiations of the PCA-confident rules minus
+    // facts already in the kb; best confidence + deriving-rule count per
+    // inferred triple
+    "kg_rule_infer" ->
+      s"""WITH RECURSIVE $dictCte, $edgesCte, $mappingsCte, $directCte, $closureCte,
+          $kgTriplesCte,
+          ${ruleKbCtes},
+          rules AS (
+            SELECT s.p1, s.p2, s.head_pred,
+                   ROUND(s.support * 1.0 / p.pca_body, 6) AS pca_conf
+            FROM support s
+            JOIN pca p USING (p1, p2, head_pred)
+            WHERE s.support >= ${graft.ops.RuleMine.MinSupport}
+              AND ROUND(s.support * 1.0 / p.pca_body, 6) >=
+                  ${graft.ops.RuleMine.InferMinPca}),
+          inst AS (
+            SELECT body.x AS subj, r.head_pred AS pred, body.z AS obj,
+                   r.pca_conf
+            FROM body JOIN rules r USING (p1, p2)
+            WHERE NOT EXISTS (SELECT 1 FROM kb
+                              WHERE kb.subj = body.x AND kb.pred = r.head_pred
+                                AND kb.obj = body.z))
+          SELECT subj, pred, obj, MAX(pca_conf) AS conf,
+                 CAST(COUNT(*) AS BIGINT) AS n_rules
+          FROM inst GROUP BY 1, 2, 3"""
   )
+
+  /** Shared CTE chain for the two rule-mining oracles: the extended kb,
+    * the fan-capped chain body, and the three metric aggregations —
+    * mirrors [[graft.ops.RuleMine]] leg for leg with the SAME constants. */
+  private def ruleKbCtes: String =
+    s"""kb AS (SELECT subj, pred, obj FROM triples
+              UNION
+              SELECT child_iri, '${graft.ops.RuleMine.SubClassOf}', parent_iri FROM edges
+              UNION
+              SELECT class_iri, '${graft.ops.RuleMine.MappedTo}', mapped_iri FROM maps),
+        okfan AS (SELECT subj, pred FROM kb GROUP BY 1, 2
+                  HAVING COUNT(*) <= ${graft.ops.RuleMine.FanCap}),
+        body AS MATERIALIZED (
+          SELECT DISTINCT a.pred AS p1, b.pred AS p2, a.subj AS x, b.obj AS z
+          FROM kb a
+          JOIN kb b ON a.obj = b.subj
+          JOIN okfan f ON b.subj = f.subj AND b.pred = f.pred),
+        bodysize AS (SELECT p1, p2, COUNT(*) AS body_size FROM body GROUP BY 1, 2),
+        support AS (SELECT p1, p2, h.pred AS head_pred, COUNT(*) AS support
+                    FROM body JOIN kb h ON h.subj = body.x AND h.obj = body.z
+                    GROUP BY 1, 2, 3),
+        pca AS (SELECT p1, p2, hp.pred AS head_pred, COUNT(*) AS pca_body
+                FROM body
+                JOIN (SELECT DISTINCT subj, pred FROM kb) hp ON hp.subj = body.x
+                GROUP BY 1, 2, 3),
+        headsize AS (SELECT pred AS head_pred, COUNT(*) AS head_size
+                     FROM kb GROUP BY 1)"""
 }
