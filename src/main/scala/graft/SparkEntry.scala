@@ -2344,6 +2344,16 @@ object SparkEntry {
           lit("hasAnnotation").as("pred"), col("class_iri").as("obj")),
         epochs = 2)),
 
+    // the trained artifact USED: each concept's 3 nearest neighbors in the
+    // 2-epoch embedding space (exact retrieval — the ontology-scale concept
+    // table broadcasts against itself; beyond ~10^6 vocab the bucketed ANN
+    // tier takes over)
+    "kg_embed_neighbors" -> ((s, dir) =>
+      graft.ops.KgEmbed.conceptNeighbors(
+        matches(s, dir).select(col("url").as("subj"),
+          lit("hasAnnotation").as("pred"), col("class_iri").as("obj")),
+        epochs = 2, k = 3)),
+
     // dict-release fact churn: the (subj, pred, obj) diff between ontology
     // versions v1 → v2 — the per-release maintenance view of the KG. v2
     // comes via the shared incrementalV1V2 path (proven == full recompute
@@ -2372,6 +2382,24 @@ object SparkEntry {
     // "send contested pages to review" curation signal (Knowledge Vault shape)
     "kg_fact_fusion" -> ((s, dir) =>
       graft.ops.Relations.factFusion(extractionEvidence(s, dir))),
+
+    // fusion-vs-published audit: fused candidate facts bucketed by decile
+    // confidence vs membership in the published KG (the direct extractor's
+    // canonical set) — the triage view for promoting high-confidence
+    // UNPUBLISHED facts; explicitly not a calibration curve (no external
+    // truth exists in-sandbox; the in-KG rate is partly tautological)
+    "kg_fusion_audit" -> ((s, dir) => {
+      val ev = extractionEvidence(s, dir)
+      graft.ops.Relations.fusionAudit(ev,
+        ev.filter(col("extractor") === "direct"))
+    }),
+
+    // hash-layout edge-cut pre-flight over the page link graph: per
+    // partition, how much out-edge mass stays local under hash(node) % P —
+    // the co-partitioning decision input for the iterative graph tier
+    "web_edge_cut" -> ((s, dir) =>
+      LinkGraph.edgeCutStats(
+        LinkGraph.pageEdges(LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))))),
 
     // Lee et al. ExactSubstr at token granularity: duplicated k-token
     // windows (non-first occurrence corpus-wide) mark positions for
@@ -3759,6 +3787,31 @@ object SparkEntry {
         FROM rk GROUP BY pred"""
   }
 
+  /** kg_embed_neighbors oracle ([[graft.ops.KgEmbed.conceptNeighbors]]
+    * twin): the trained `emb{epochs}` chain restricted to concept entities
+    * (the positives' objects), pairwise squared-L2 per (a, b) as a
+    * dim-keyed join + ROUND(6) sum (the engine's ascending fixed-order sum
+    * agrees inside the contract), then the per-concept top-k with the
+    * (dist, neighbor) tiebreak. */
+  private def embedNeighborsOracleSql(epochs: Int, k: Int): String =
+    materializeCtes {
+      val blocks = (0 until epochs).map(transeEpochBlockSql).mkString(",\n")
+      s"""WITH $dictCte, $directCte, $transeChainCtes,
+          $blocks,
+          cemb AS (SELECT e.ent, e.d, e.v FROM emb$epochs e
+                   JOIN (SELECT DISTINCT obj FROM pos) c ON e.ent = c.obj),
+          pw AS (SELECT a.ent AS concept, b.ent AS neighbor,
+                   ROUND(SUM((a.v - b.v) * (a.v - b.v)), 6) AS dist
+                 FROM cemb a JOIN cemb b ON a.d = b.d AND a.ent <> b.ent
+                 GROUP BY 1, 2),
+          rk AS (SELECT concept, neighbor, dist,
+                   ROW_NUMBER() OVER (PARTITION BY concept
+                     ORDER BY dist, neighbor) AS rank
+                 FROM pw)
+          SELECT concept, neighbor, dist, CAST(rank AS BIGINT) AS rank
+          FROM rk WHERE rank <= $k"""
+    }
+
   /** curate_lr_distill oracle ([[graft.ops.Classifier.lrDistill]] twin):
     * the gopher feature chain, then `steps` unrolled full-batch logistic
     * steps — weights carried through CTEs as exact arithmetic on ROUND(6)
@@ -3812,6 +3865,44 @@ object SparkEntry {
   private def tripleConfidenceOracleSql: String =
     s"""WITH $tripleConfidenceCtes
         SELECT subj, obj, n_extractors, confidence FROM conf"""
+
+  /** kg_fusion_audit oracle ([[graft.ops.Relations.fusionAudit]] twin):
+    * the conf chain LEFT joined against the direct-extractor published set
+    * on the fact key, decile bucketed by the exact floor (confidences are
+    * ROUND(6) combinations of the literal priors — the same doubles in
+    * both engines). */
+  private def fusionAuditOracleSql: String =
+    s"""WITH $tripleConfidenceCtes,
+        cal AS (SELECT c.confidence,
+                  CASE WHEN g.subj IS NOT NULL THEN 1 ELSE 0 END AS g
+                FROM conf c
+                LEFT JOIN (SELECT DISTINCT subj, obj FROM ev_d) g
+                  ON g.subj = c.subj AND g.obj = c.obj)
+        SELECT CAST(FLOOR(confidence * 10) AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_facts,
+               CAST(SUM(g) AS BIGINT) AS n_in_kg,
+               ROUND(AVG(confidence), 6) AS mean_conf,
+               ROUND(SUM(g) * 1.0 / COUNT(*), 6) AS in_kg_rate
+        FROM cal GROUP BY 1"""
+
+  /** web_edge_cut oracle ([[graft.ops.LinkGraph.edgeCutStats]] twin): the
+    * pageEdges set, each endpoint placed by the portable md5-60 hash mod
+    * the layout width, per-partition local-edge rollup. */
+  private def edgeCutOracleSql: String = {
+    val p = graft.ops.LinkGraph.EdgeCutPartitions
+    def h(c: String) = s"(('0x' || substr(md5($c), 1, 15))::BIGINT % $p)"
+    s"""WITH ${graft.ops.LinkGraph.linksCteSql},
+        edges AS (SELECT ${graft.ops.WebOps.canonUrlSqlOf("src_url")} AS src,
+                    dst_url AS dst
+                  FROM lnk GROUP BY 1, 2)
+        SELECT ${h("src")} AS part,
+               CAST(COUNT(*) AS BIGINT) AS n_edges,
+               CAST(SUM(CASE WHEN ${h("src")} = ${h("dst")} THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_local,
+               ROUND(SUM(CASE WHEN ${h("src")} = ${h("dst")} THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS pct_local
+        FROM edges GROUP BY 1"""
+  }
 
   /** kg_fact_fusion oracle: per-subject top-2 by (confidence DESC, obj),
     * winner row + margin vs the runner-up — the same pivot the Column code
@@ -4153,6 +4244,7 @@ object SparkEntry {
     "kg_transe_rank" -> transeRankOracleSql(),
     "kg_transe_rank_trained" -> transeRankOracleSql(epochs = 2),
     "kg_transe_epochs" -> transeEpochsOracleSql(epochs = 2),
+    "kg_embed_neighbors" -> embedNeighborsOracleSql(epochs = 2, k = 3),
 
     // the oracle's engine and reference sides coincide BY CONSTRUCTION (both
     // are the regex-semantics triple chain), so it pins n_engine == n_ref ==
@@ -6178,6 +6270,8 @@ object SparkEntry {
           WHERE s.shared >= 2""",
 
     "kg_triple_confidence" -> tripleConfidenceOracleSql,
+    "kg_fusion_audit" -> fusionAuditOracleSql,
+    "web_edge_cut" -> edgeCutOracleSql,
     "kg_fact_fusion" -> factFusionOracleSql,
 
     "web_link_farms" ->

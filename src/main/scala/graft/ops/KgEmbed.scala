@@ -76,14 +76,15 @@ object KgEmbed {
 
   /** Shared eval/training inputs: distinct positives → filtered negative
     * pairs + hash-initialized entity/relation embedding tables. */
-  private def setup(triples: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+  private def setup(triples: DataFrame)
+    : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val pos = triples.select(col("subj"), col("pred"), col("obj"))
       .distinct().localCheckpoint() // feeds negatives + entity pool + rel pool
     val pairs = Relations.negatives(pos, NegK)
       .localCheckpoint() // scored once per epoch + once per eval
     val ents = pos.select(col("subj").as("ent"))
       .union(pos.select(col("obj").as("ent"))).distinct()
-    (pairs, embInit(ents, "ent", "e:"),
+    (pos, pairs, embInit(ents, "ent", "e:"),
       embInit(pos.select(col("pred")).distinct(), "pred", "r:"))
   }
 
@@ -144,7 +145,7 @@ object KgEmbed {
     * row per predicate: `(pred, n_pairs, n_active, loss_before, loss_after)`. */
   def transeStep(triples: DataFrame): DataFrame = {
     val spark = triples.sparkSession
-    val (pairs, emb0, rel0) = setup(triples)
+    val (_, pairs, emb0, rel0) = setup(triples)
     val (emb1, rel1, before) = epochUpdate(pairs, emb0, rel0)
     val after = pairScores(pairs, emb1, rel1)
       .select(col("pred"), marginLoss.as("l"))
@@ -166,7 +167,7 @@ object KgEmbed {
   def transeEpochs(triples: DataFrame, epochs: Int = 2): DataFrame = {
     require(epochs >= 1, s"transeEpochs needs epochs >= 1, got $epochs")
     val spark = triples.sparkSession
-    val (pairs, emb0, rel0) = setup(triples)
+    val (_, pairs, emb0, rel0) = setup(triples)
     var emb = emb0.localCheckpoint()
     var rel = rel0.localCheckpoint()
     val out = scala.collection.mutable.ListBuffer.empty[(Int, String, Double)]
@@ -197,8 +198,48 @@ object KgEmbed {
     * QA gate; the candidate count per positive varies where corruptions
     * were filtered out, which is the documented filtered-protocol
     * behavior. */
+  /** Related-concept retrieval from the TRAINED embeddings — the artifact
+    * being USED: after `epochs` [[epochUpdate]] steps, restrict the entity
+    * table to CONCEPT entities (the positives' objects — the ontology-scale
+    * side; page subjects stay out), compute pairwise squared-L2 distances,
+    * and keep each concept's `k` nearest (ties broken by neighbor id).
+    *
+    * Scale shape: the concept embedding table is ontology-scale (the same
+    * bound that lets the dictionary automaton broadcast), so the pair
+    * generation is a BROADCAST join of concepts against themselves —
+    * vocab²-bounded map-side work, never a corpus shuffle — and the top-k
+    * window partitions by concept (vocab-scale groups). Beyond a ~10^6
+    * vocabulary the bucketed ANN path ([[Similarity]] LSH/IVF/PQ) takes
+    * over; this operator is the exact-retrieval form. The distance is the
+    * ascending-dimension `element_at` sum (codegen'd, fixed Dim order),
+    * ROUND(6) per the float contract. */
+  def conceptNeighbors(triples: DataFrame, epochs: Int = 2,
+                       k: Int = 3): DataFrame = {
+    require(epochs >= 1, s"conceptNeighbors needs epochs >= 1, got $epochs")
+    val (pos, pairs, emb0, rel0) = setup(triples)
+    var emb = emb0.localCheckpoint()
+    var rel = rel0.localCheckpoint()
+    for (_ <- 0 until epochs) {
+      val (e1, r1, _) = epochUpdate(pairs, emb, rel)
+      emb = e1.localCheckpoint(); rel = r1.localCheckpoint()
+    }
+    val cemb = emb.join(pos.select(col("obj").as("ent")).distinct(), "ent")
+    val dist = round((1 to Dim).map { j =>
+      val d = element_at(col("ea"), j) - element_at(col("eb"), j)
+      d * d
+    }.reduce(_ + _), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("concept").orderBy(col("dist"), col("neighbor"))
+    cemb.select(col("ent").as("concept"), col("emb").as("ea"))
+      .join(broadcast(cemb.select(col("ent").as("neighbor"),
+        col("emb").as("eb"))), col("concept") =!= col("neighbor"))
+      .select(col("concept"), col("neighbor"), dist.as("dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   def transeRank(triples: DataFrame, epochs: Int = 0): DataFrame = {
-    val (pairs, emb0, rel0) = setup(triples)
+    val (_, pairs, emb0, rel0) = setup(triples)
     var emb = emb0
     var rel = rel0
     if (epochs > 0) {

@@ -230,6 +230,32 @@ object LinkGraph {
       .groupBy("src", "dst")
       .agg(count(lit(1)).as("n_links"))
 
+  /** Partition count the edge-cut pre-flight models — the triple/graph
+    * sink's layout width (32 here to match the session's shuffle width; a
+    * production run passes its real partition count). */
+  val EdgeCutPartitions = 32
+
+  /** Hash-layout edge-cut pre-flight: under a `hash(node) % P` placement
+    * (the sink's subject layout), how much of each partition's out-edge
+    * mass stays LOCAL? Per partition: edge count, locally-closed edge
+    * count, local fraction — the number that decides whether an iterative
+    * graph op (PageRank, components) can skip its per-round exchange by
+    * co-partitioning, and whether the layout is balanced enough to try.
+    * Map-only projection + ONE hash aggregation on the partition id (P
+    * groups); the hash is the portable md5-60 form so the oracle's
+    * arithmetic is identical. */
+  def edgeCutStats(edges: DataFrame,
+                   partitions: Int = EdgeCutPartitions): DataFrame = {
+    val p = lit(partitions.toLong)
+    val local = (pmod(Sketch.hash60(col("src")), p) ===
+      pmod(Sketch.hash60(col("dst")), p)).cast("long")
+    edges
+      .select(pmod(Sketch.hash60(col("src")), p).as("part"), local.as("l"))
+      .groupBy("part")
+      .agg(count(lit(1)).as("n_edges"), sum(col("l")).as("n_local"),
+        round(sum(col("l")) / count(lit(1)), 6).as("pct_local"))
+  }
+
   /** Per-target anchor-text table: the `topK` most frequent anchor strings
     * pointing at each canonical URL (count desc, anchor asc — fully
     * deterministic). The window partitions by dst_url (millions of keys at

@@ -304,6 +304,38 @@ object Relations {
           6).as("margin"))
   }
 
+  /** Fusion-vs-published-KG AUDIT: bucket the fused noisy-OR confidences
+    * into `buckets` equal bins and measure, per bin, how many candidate
+    * facts are already in the published KG (`published`) — the triage view
+    * a release pass reads to promote high-confidence UNPUBLISHED facts
+    * (the KB-completion intake) and to flag confidence bands that
+    * contribute nothing. NOT a calibration curve: with no external truth
+    * the in-KG rate against any internally-derived set is partly
+    * tautological (a direct-extractor vote implies membership); the honest
+    * claim is the candidate/published set difference by band.
+    *
+    * Scale shape: [[tripleConfidence]]'s one fact-key aggregation, one
+    * LEFT join against the published set on the same short fact key, ONE
+    * hash aggregation on the bin id (`buckets` groups, map-side partials).
+    * The bin id is exact: confidences are ROUND(6) combinations of the
+    * fixed priors, so `floor(conf × buckets)` is the same integer in both
+    * engines. */
+  def fusionAudit(events: DataFrame, published: DataFrame,
+                  priors: Seq[(String, Double)] = ExtractorPriors,
+                  buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"fusionAudit needs >= 2 buckets, got $buckets")
+    val conf = tripleConfidence(events, priors)
+    conf
+      .join(published.select(col("subj"), col("obj")).distinct()
+        .withColumn("g", lit(1L)), Seq("subj", "obj"), "left")
+      .withColumn("g", coalesce(col("g"), lit(0L)))
+      .withColumn("bucket", floor(col("confidence") * buckets).cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_facts"), sum(col("g")).as("n_in_kg"),
+        round(avg(col("confidence")), 6).as("mean_conf"),
+        round(sum(col("g")) / count(lit(1)), 6).as("in_kg_rate"))
+  }
+
   /** FILTERED negative sampling for KG-embedding training (Bordes et al.
     * 2013, TransE; the "filtered" protocol of the standard benchmarks):
     * each positive `(subj, pred, obj)` yields up to `k` corrupted triples

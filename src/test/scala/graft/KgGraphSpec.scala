@@ -829,6 +829,35 @@ class KgGraphSpec extends AnyFunSuite {
     assert(step.getDouble(3) === loss(0) && step.getDouble(4) === loss(1))
   }
 
+  test("conceptNeighbors: k per concept, ranked by distance, deterministic") {
+    import spark.implicits._
+    val facts = (for {
+      s <- 0 until 12
+      o <- Seq(s % 6, (s + 1) % 6)
+    } yield (s"page$s", "hasAnnotation", s"C$o")).toDF("subj", "pred", "obj")
+    val got = graft.ops.KgEmbed.conceptNeighbors(facts, epochs = 2, k = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    // 6 concepts × 3 neighbors, none its own neighbor
+    assert(got.length === 18)
+    assert(got.forall { case (c, n, _, _) => c != n })
+    // within each concept: ranks 1..3 with non-decreasing distance
+    got.groupBy(_._1).values.foreach { rows =>
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq === Seq(1L, 2L, 3L))
+      assert(byRank.sliding(2).forall(p => p.head._3 <= p.last._3))
+    }
+    // squared-L2 is symmetric: any mutual top-k pair agrees on the distance
+    val d = got.map { case (c, n, dist, _) => (c, n) -> dist }.toMap
+    for (((c, n), dist) <- d; back <- d.get((n, c))) assert(back === dist)
+    // hash init + fixed-order arithmetic: a second run is EXACTLY equal
+    val again = graft.ops.KgEmbed.conceptNeighbors(facts, epochs = 2, k = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(again.sortBy(r => (r._1, r._4)).toSeq ===
+      got.sortBy(r => (r._1, r._4)).toSeq)
+  }
+
   test("milneWitten: distance formula, omnipresent-concept pairs dropped") {
     import spark.implicits._
     // 4 docs; A in {1,2,3}, B in {2,3}; C and D in EVERY doc

@@ -356,6 +356,34 @@ class OpsSpec extends AnyFunSuite {
     assert(!got.contains(("u4", "c3")))
   }
 
+  test("fusionAudit: bucket math exact; unpublished high-confidence facts visible") {
+    import spark.implicits._
+    val ev = Seq(
+      ("u1", "c1", "direct"), ("u1", "c1", "lemma"),   // conf 0.9925 → bucket 9
+      ("u2", "c2", "lemma"), ("u2", "c2", "anchor"),   // conf 0.925  → bucket 9
+      ("u3", "c3", "anchor"))                          // conf 0.5    → bucket 5
+      .toDF("subj", "obj", "extractor")
+    val published = Seq(("u1", "c1")).toDF("subj", "obj")
+    val got = Relations.fusionAudit(ev, published).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(4)))
+      .toMap
+    // bucket 9: two facts, only u1/c1 published → in_kg_rate 0.5;
+    // u2/c2 is the triage row the audit exists for (confident, unpublished)
+    assert(got === Map(9 -> ((2L, 1L, 0.5)), 5 -> ((1L, 0L, 0.0))))
+  }
+
+  test("edgeCutStats: self-loops are always local; totals conserve edges") {
+    import spark.implicits._
+    val loops = (1 to 40).map(i => (s"n$i", s"n$i", 1L))
+      .toDF("src", "dst", "n_links")
+    val out = graft.ops.LinkGraph.edgeCutStats(loops).collect()
+    assert(out.forall(r => r.getLong(1) === r.getLong(2))) // all local
+    assert(out.forall(r => r.getDouble(3) === 1.0))
+    assert(out.map(_.getLong(1)).sum === 40L)
+    assert(out.forall { r =>
+      val p = r.getLong(0); p >= 0 && p < graft.ops.LinkGraph.EdgeCutPartitions })
+  }
+
   test("ngramLmScore: hand-computed add-k NLL on a 3-doc corpus; short docs NULL") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
