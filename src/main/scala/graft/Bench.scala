@@ -222,7 +222,10 @@ object Bench {
     // round-4 final-pass representatives: PQ/ADC ANN (single-shuffle
     // literal-codebook scan) and the one-step TransE trainer (gather joins
     // + gradient aggs — the heaviest keyed-agg plan in the registry)
-    "sim_pq", "kg_transe_step")
+    "sim_pq", "kg_transe_step",
+    // round-4 eighth-pass representative: AMIE chain-rule mining (the
+    // fan-capped KB self-join + 4 metric aggregations)
+    "kg_rule_mine")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

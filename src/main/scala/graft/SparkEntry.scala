@@ -2401,6 +2401,14 @@ object SparkEntry {
       LinkGraph.edgeCutStats(
         LinkGraph.pageEdges(LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))))),
 
+    // Spinner-style label-propagation partitioning: 3 deterministic
+    // balance-penalized LP rounds from the hash placement, rolled up as
+    // the same per-partition locality stats as web_edge_cut — the layout
+    // IMPROVER next to the pre-flight that prices it
+    "web_partition_lp" -> ((s, dir) =>
+      LinkGraph.partitionLp(
+        LinkGraph.pageEdges(LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))))),
+
     // Lee et al. ExactSubstr at token granularity: duplicated k-token
     // windows (non-first occurrence corpus-wide) mark positions for
     // removal; overlapping spans merge; hashed window keys, text-free
@@ -3884,6 +3892,63 @@ object SparkEntry {
                ROUND(AVG(confidence), 6) AS mean_conf,
                ROUND(SUM(g) * 1.0 / COUNT(*), 6) AS in_kg_rate
         FROM cal GROUP BY 1"""
+
+  /** web_partition_lp oracle ([[graft.ops.LinkGraph.partitionLp]] twin):
+    * the hash init, then each LP round unrolled — neighbor-label counts,
+    * P-row loads, the same ROUND(6) score + stickiness, argmax via
+    * ROW_NUMBER (score DESC, part ASC — the max(struct) tiebreak), label
+    * carry-forward for isolated nodes — then the edge-cut rollup. */
+  private def partitionLpOracleSql: String = {
+    val p = graft.ops.LinkGraph.LpParts
+    val (alpha, sticky) =
+      (graft.ops.LinkGraph.LpAlpha, graft.ops.LinkGraph.LpSticky)
+    val rounds = (1 to graft.ops.LinkGraph.LpRounds).map { r =>
+      s"""cnt$r AS MATERIALIZED (SELECT u.a AS node, l.part, COUNT(*) AS cnt
+            FROM und u JOIN lab${r - 1} l ON l.node = u.b GROUP BY 1, 2),
+          load$r AS (SELECT part, COUNT(*) AS load FROM lab${r - 1} GROUP BY 1),
+          sc$r AS (SELECT c.node, c.part,
+              ROUND(c.cnt - $alpha * ld.load / (SELECT n FROM nn), 6) +
+                CASE WHEN c.part = cur.part THEN $sticky ELSE 0.0 END AS s
+            FROM cnt$r c JOIN load$r ld USING (part)
+            JOIN lab${r - 1} cur ON cur.node = c.node),
+          best$r AS (SELECT node, part FROM (
+              SELECT node, part, ROW_NUMBER() OVER (PARTITION BY node
+                ORDER BY s DESC, part) AS rn FROM sc$r) WHERE rn = 1),
+          lab$r AS MATERIALIZED (SELECT l.node, COALESCE(b.part, l.part) AS part
+            FROM lab${r - 1} l LEFT JOIN best$r b USING (node))"""
+    }.mkString(",\n")
+    val last = s"lab${graft.ops.LinkGraph.LpRounds}"
+    s"""WITH ${graft.ops.LinkGraph.linksCteSql},
+        edges AS MATERIALIZED (SELECT
+            ${graft.ops.WebOps.canonUrlSqlOf("src_url")} AS src, dst_url AS dst
+          FROM lnk GROUP BY 1, 2),
+        nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        und AS MATERIALIZED (SELECT DISTINCT a, b FROM
+            (SELECT src AS a, dst AS b FROM edges
+             UNION ALL SELECT dst, src FROM edges)
+          WHERE a <> b),
+        lab0 AS (SELECT node,
+            ('0x' || substr(md5(node), 1, 15))::BIGINT % $p AS part
+          FROM nodes),
+        $rounds,
+        ep AS (SELECT l1.part AS ps, l2.part AS pd
+               FROM edges e
+               JOIN $last l1 ON l1.node = e.src
+               JOIN $last l2 ON l2.node = e.dst),
+        es AS (SELECT ps AS part, CAST(COUNT(*) AS BIGINT) AS n_edges,
+                 CAST(SUM(CASE WHEN ps = pd THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_local
+               FROM ep GROUP BY 1)
+        SELECT l.part, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               ANY_VALUE(es.n_edges) AS n_edges,
+               ANY_VALUE(es.n_local) AS n_local,
+               ROUND(ANY_VALUE(es.n_local) * 1.0 / ANY_VALUE(es.n_edges), 6)
+                 AS pct_local
+        FROM $last l LEFT JOIN es ON es.part = l.part
+        GROUP BY l.part"""
+  }
 
   /** web_edge_cut oracle ([[graft.ops.LinkGraph.edgeCutStats]] twin): the
     * pageEdges set, each endpoint placed by the portable md5-60 hash mod
@@ -6272,6 +6337,7 @@ object SparkEntry {
     "kg_triple_confidence" -> tripleConfidenceOracleSql,
     "kg_fusion_audit" -> fusionAuditOracleSql,
     "web_edge_cut" -> edgeCutOracleSql,
+    "web_partition_lp" -> partitionLpOracleSql,
     "kg_fact_fusion" -> factFusionOracleSql,
 
     "web_link_farms" ->

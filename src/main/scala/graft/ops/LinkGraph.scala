@@ -256,6 +256,81 @@ object LinkGraph {
         round(sum(col("l")) / count(lit(1)), 6).as("pct_local"))
   }
 
+  /** [[partitionLp]] knobs — SINGLE SOURCE shared with the oracle SQL.
+    * 8 parts (not the sink's 32) so partitions hold real neighborhoods at
+    * test SFs; 3 synchronous rounds (Spinner converges in a handful);
+    * alpha weights the balance penalty (a full partition repels by alpha ×
+    * its load fraction); the stickiness bonus keeps a node home on ties
+    * (and beats a 1-neighbor pull against the penalty gradient). */
+  val LpParts = 8
+  val LpRounds = 3
+  val LpAlpha = 8.0
+  val LpSticky = 0.25
+
+  /** Spinner-style label-propagation partitioning (Martella et al. 2017 —
+    * LP with a balance penalty, the practical near-METIS layout for graphs
+    * too big to partition exactly): labels start at the hash placement
+    * [[edgeCutStats]] prices, then each synchronous round every node
+    * adopts the partition with score `round(nbrCount − alpha·loadFrac, 6)
+    * (+ sticky if it is the current label)`, ties to the smallest label —
+    * fully deterministic, no probabilistic moves, so the oracle unrolls
+    * the same rounds. Output: the [[edgeCutStats]] rollup per partition
+    * (node count, out-edge count, locally-closed count, local fraction) —
+    * directly comparable with the hash baseline.
+    *
+    * Scale shape per round: ONE adjacency join against the label table +
+    * one (node, part) count agg, a P-row load table broadcast back, one
+    * argmax agg per node (`max(struct)` — map-side partials), labels
+    * pinned + truncated per round (the iterative-op lineage rule). Edge
+    * direction is ignored for propagation (union both ways once, pinned);
+    * isolated and self-loop-only nodes keep their hash label. */
+  def partitionLp(edges: DataFrame, partitions: Int = LpParts,
+                  rounds: Int = LpRounds): DataFrame = {
+    require(partitions >= 2 && rounds >= 1,
+      s"partitionLp needs >= 2 parts and >= 1 round, got $partitions/$rounds")
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint() // read every round
+    val nodes = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node"))).distinct()
+    var labels = nodes
+      .withColumn("part", pmod(Sketch.hash60(col("node")), lit(partitions.toLong)))
+      .localCheckpoint()
+    val n = labels.count().toDouble // scalar once; the penalty denominator
+    for (_ <- 1 to rounds) {
+      val nbrCnt = und
+        .join(labels.select(col("node").as("b"), col("part")), "b")
+        .groupBy(col("a").as("node"), col("part"))
+        .agg(count(lit(1)).as("cnt"))
+      val loads = labels.groupBy("part").agg(count(lit(1)).as("load"))
+      val cur = labels.select(col("node"), col("part").as("cur"))
+      val scored = nbrCnt
+        .join(broadcast(loads), "part")
+        .join(cur, "node")
+        .withColumn("s",
+          round(col("cnt") - lit(LpAlpha) * col("load") / lit(n), 6) +
+            when(col("part") === col("cur"), lit(LpSticky)).otherwise(lit(0.0)))
+      val best = scored.groupBy("node")
+        .agg(max(struct(col("s"), (-col("part")).as("np"))).as("k"))
+        .select(col("node"), (-col("k.np")).as("best_part"))
+      labels = cur.join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("best_part"), col("cur")).as("part"))
+        .localCheckpoint()
+    }
+    val withParts = edges
+      .join(labels.select(col("node").as("src"), col("part").as("ps")), "src")
+      .join(labels.select(col("node").as("dst"), col("part").as("pd")), "dst")
+    val edgeStats = withParts.groupBy(col("ps").as("part"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("ps") === col("pd"), lit(1L)).otherwise(lit(0L)))
+          .as("n_local"))
+    labels.groupBy("part").agg(count(lit(1)).as("n_nodes"))
+      .join(edgeStats, Seq("part"), "left")
+      .select(col("part"), col("n_nodes"), col("n_edges"), col("n_local"),
+        round(col("n_local") / col("n_edges"), 6).as("pct_local"))
+  }
+
   /** Per-target anchor-text table: the `topK` most frequent anchor strings
     * pointing at each canonical URL (count desc, anchor asc — fully
     * deterministic). The window partitions by dst_url (millions of keys at

@@ -237,4 +237,33 @@ class LinkGraphSpec extends AnyFunSuite {
     }
     assert(math.abs(sums._1 - 1.0) < 1e-4 && math.abs(sums._2 - 1.0) < 1e-4)
   }
+
+  test("partitionLp: cliques coalesce to one partition each; locality beats hash") {
+    import spark.implicits._
+    // two 16-node cliques joined by one bridge — the clustered shape a hash
+    // layout scatters (expected local fraction ~1/P) and LP must recover
+    val clique = (base: String) => for {
+      i <- 0 until 16; j <- 0 until 16 if i < j
+    } yield (s"$base$i", s"$base$j", 1L)
+    val edges = (clique("a") ++ clique("b") ++ Seq(("a0", "b0", 1L)))
+      .toDF("src", "dst", "n_links")
+    val out = LinkGraph.partitionLp(edges, partitions = 4, rounds = 3)
+      .collect()
+    // every edge except possibly the bridge is local: >= 240/241 of mass
+    val (e, l) = out.foldLeft((0L, 0L)) { (acc, r) =>
+      (acc._1 + (if (r.isNullAt(2)) 0L else r.getLong(2)),
+       acc._2 + (if (r.isNullAt(3)) 0L else r.getLong(3)))
+    }
+    assert(e === 241L)
+    assert(l >= 240L, s"cliques failed to coalesce: $l/$e local")
+    // vs the hash baseline on the same edges (P=4): LP must strictly win
+    val hash = LinkGraph.edgeCutStats(edges, partitions = 4).collect()
+    val hl = hash.map(_.getLong(2)).sum
+    assert(l > hl, s"LP ($l local) did not beat hash ($hl local)")
+    // deterministic: a second run is EXACTLY equal
+    val again = LinkGraph.partitionLp(edges, partitions = 4, rounds = 3)
+      .collect()
+    assert(again.map(_.toString).sorted.toSeq ===
+      out.map(_.toString).sorted.toSeq)
+  }
 }
