@@ -67,6 +67,9 @@ object GraphScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val corpusPath = args.headOption.getOrElse("/tmp/graft-bench-corpus")
+    // optional 2nd arg: run only one section ("lp" today) — re-probing a
+    // new operator must not pay for re-measuring the settled ones
+    val section = args.drop(1).headOption.getOrElse("all")
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-graph-scale-probe")
@@ -104,6 +107,29 @@ object GraphScaleProbe {
     val nEdges = edges.count()
     val nNodes = edges.select(col("src").as("n"))
       .unionAll(edges.select(col("dst").as("n"))).distinct().count()
+
+    if (section == "lp") {
+      // layout section only: hash edge-cut baseline vs 3 LP rounds at the
+      // graph-tier partition width (32 — the co-location question is asked
+      // at the sink layout, not the toy-test width)
+      val (hashRows, hashSec) = timed(
+        LinkGraph.edgeCutStats(edges, partitions = 32).collect())
+      val (lpRows, lpSec) = timed(
+        LinkGraph.partitionLp(edges, partitions = 32, rounds = 3).collect())
+      def pct(rows: Array[org.apache.spark.sql.Row], eIdx: Int, lIdx: Int) = {
+        val e = rows.map(r => if (r.isNullAt(eIdx)) 0L else r.getLong(eIdx)).sum
+        val l = rows.map(r => if (r.isNullAt(lIdx)) 0L else r.getLong(lIdx)).sum
+        l.toDouble / e
+      }
+      println(
+        s"""{"corpus":"$corpusPath","n_nodes":$nNodes,"n_edges":$nEdges,""" +
+        s""""edge_cut_hash_sec":${f"$hashSec%.2f"},""" +
+        s""""edge_cut_hash_pct_local":${f"${pct(hashRows, 1, 2)}%.4f"},""" +
+        s""""partition_lp_sec":${f"$lpSec%.2f"},""" +
+        s""""partition_lp_pct_local":${f"${pct(lpRows, 2, 3)}%.4f"}}""")
+      spark.stop()
+      return
+    }
 
     val (_, starSec2m) = timed(KgGraph.connectedComponents(edges).count())
     val (mlRounds2m, mlConv2m, mlSec2m) = minLabelCC(edges, maxIter = 50)
