@@ -2394,6 +2394,22 @@ object SparkEntry {
         ev.filter(col("extractor") === "direct"))
     }),
 
+    // TruthFinder-style iterative source reliability (Yin, Han & Yu 2008):
+    // per-extractor trust LEARNED from claim overlap via the trust <->
+    // confidence mutual recursion (2 rounds, exact micro-unit arithmetic)
+    // instead of the hand-set ExtractorPriors — the prior-free complement
+    // of kg_triple_confidence. Corpus-scale work is ONE fact-flag agg;
+    // rounds iterate on the <= 7-row source-set signature table, so
+    // per-round cost is independent of corpus size
+    "kg_truthfinder" -> ((s, dir) =>
+      graft.ops.Relations.truthFinder(extractionEvidence(s, dir))),
+
+    // the learned per-extractor trust table + claim counts — the release
+    // sanity check against the hand-set priors (does the iteration rank
+    // direct > lemma > anchor the way the priors assumed?)
+    "kg_source_trust" -> ((s, dir) =>
+      graft.ops.Relations.truthFinderTrust(extractionEvidence(s, dir))),
+
     // hash-layout edge-cut pre-flight over the page link graph: per
     // partition, how much out-edge mass stays local under hash(node) % P —
     // the co-partitioning decision input for the iterative graph tier
@@ -3892,6 +3908,72 @@ object SparkEntry {
                ROUND(AVG(confidence), 6) AS mean_conf,
                ROUND(SUM(g) * 1.0 / COUNT(*), 6) AS in_kg_rate
         FROM cal GROUP BY 1"""
+
+  /** kg_truthfinder / kg_source_trust shared chain
+    * ([[graft.ops.Relations.truthFinder]] twins): the `fl` flag columns
+    * from [[tripleConfidenceCtes]] cast to exact ints, the signature-count
+    * rollup, then [[graft.ops.Relations.TfRounds]] unrolled rounds of the
+    * trust↔confidence recursion — the noisy-OR with PINNED multiplication
+    * order over the current trust row, confidences carried as micro-unit
+    * BIGINTs so the claims-weighted trust mean is integer arithmetic until
+    * one final pinned division (IEEE-identical to the Column code). Ends at
+    * `tf_sig`, `tf_conf<R>`, `tf_trust<R>`. */
+  private def truthFinderCtes: String = {
+    val srcs = graft.ops.Relations.ExtractorPriors.map(_._1)
+    val prior = graft.ops.Relations.TfPrior
+    val nR = graft.ops.Relations.TfRounds
+    val fs = srcs.map(e => s"f_$e").mkString(", ")
+    val rounds = (1 to nR).map { r =>
+      val miss = srcs
+        .map(e => s"(CAST(1 AS DOUBLE) - t.t_$e * c.f_$e)")
+        .mkString(" * ")
+      val trustCols = srcs.map { e =>
+        s"""CASE WHEN SUM(CASE WHEN f_$e = 1 THEN n ELSE 0 END) > 0
+             THEN ROUND(SUM(CASE WHEN f_$e = 1 THEN n * conf6 ELSE 0 END)
+               / (SUM(CASE WHEN f_$e = 1 THEN n ELSE 0 END) * 1000000.0), 6)
+             ELSE CAST($prior AS DOUBLE) END AS t_$e"""
+      }.mkString(",\n             ")
+      s"""tf_conf$r AS (SELECT ${srcs.map(e => s"c.f_$e").mkString(", ")}, c.n,
+            CAST(ROUND((CAST(1 AS DOUBLE) - $miss) * 1000000.0, 0) AS BIGINT)
+              AS conf6
+          FROM tf_cnt c, tf_trust${r - 1} t),
+          tf_trust$r AS (SELECT $trustCols FROM tf_conf$r)"""
+    }.mkString(",\n        ")
+    s"""$tripleConfidenceCtes,
+        tf_sig AS (SELECT subj, obj,
+            ${srcs.map(e => s"CAST(f_$e AS BIGINT) AS f_$e").mkString(", ")}
+          FROM fl),
+        tf_cnt AS (SELECT $fs, COUNT(*) AS n FROM tf_sig
+                   GROUP BY ${srcs.indices.map(_ + 1).mkString(", ")}),
+        tf_trust0 AS (SELECT
+          ${srcs.map(e => s"CAST($prior AS DOUBLE) AS t_$e").mkString(", ")}),
+        $rounds"""
+  }
+
+  private def truthFinderOracleSql: String = {
+    val srcs = graft.ops.Relations.ExtractorPriors.map(_._1)
+    val nR = graft.ops.Relations.TfRounds
+    s"""WITH $truthFinderCtes
+        SELECT s.subj, s.obj,
+               CAST(${srcs.map(e => s"s.f_$e").mkString(" + ")} AS INT)
+                 AS n_extractors,
+               c.conf6 / 1000000.0 AS confidence
+        FROM tf_sig s JOIN tf_conf$nR c
+          USING (${srcs.map(e => s"f_$e").mkString(", ")})"""
+  }
+
+  private def sourceTrustOracleSql: String = {
+    val srcs = graft.ops.Relations.ExtractorPriors.map(_._1)
+    val nR = graft.ops.Relations.TfRounds
+    val legs = srcs.map { e =>
+      s"""SELECT '$e' AS extractor, t_$e AS trust,
+            (SELECT CAST(SUM(CASE WHEN f_$e = 1 THEN n ELSE 0 END) AS BIGINT)
+             FROM tf_conf$nR) AS n_facts
+          FROM tf_trust$nR"""
+    }.mkString("\n        UNION ALL ")
+    s"""WITH $truthFinderCtes
+        $legs"""
+  }
 
   /** web_partition_lp oracle ([[graft.ops.LinkGraph.partitionLp]] twin):
     * the hash init, then each LP round unrolled — neighbor-label counts,
@@ -6336,6 +6418,8 @@ object SparkEntry {
 
     "kg_triple_confidence" -> tripleConfidenceOracleSql,
     "kg_fusion_audit" -> fusionAuditOracleSql,
+    "kg_truthfinder" -> truthFinderOracleSql,
+    "kg_source_trust" -> sourceTrustOracleSql,
     "web_edge_cut" -> edgeCutOracleSql,
     "web_partition_lp" -> partitionLpOracleSql,
     "kg_fact_fusion" -> factFusionOracleSql,

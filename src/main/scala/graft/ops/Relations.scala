@@ -336,6 +336,118 @@ object Relations {
         round(sum(col("g")) / count(lit(1)), 6).as("in_kg_rate"))
   }
 
+  /** [[truthFinder]] knobs — SINGLE SOURCE shared with the oracle SQL.
+    * 2 synchronous rounds (the trust/confidence mutual recursion converges
+    * geometrically; the oracle unrolls the same rounds) from a flat 0.8
+    * trust prior (every extractor starts equally credible — the iteration,
+    * not a hand-set prior, is what separates them). */
+  val TfRounds = 2
+  val TfPrior = 0.8
+
+  /** TruthFinder-style iterative source-reliability fusion (Yin, Han & Yu,
+    * TKDE 2008 — the mutual recursion: a source is trustworthy if its
+    * claims are confident, a claim is confident if trustworthy sources
+    * make it). The PRIOR-FREE complement of [[tripleConfidence]]: there the
+    * per-extractor precisions are hand-set constants; here they are
+    * LEARNED from claim overlap alone. Simplified as named decisions: no
+    * implication function between claims and no ln(1−t) dampening (the
+    * paper's refinements for near-1 trust), and the data item is the fact
+    * itself — mutual exclusion between conflicting objects is
+    * [[factFusion]]'s job downstream.
+    *
+    * Per round: claim confidence = noisy-OR of the claiming sources'
+    * CURRENT trust (multiplication order pinned by `sources`); source
+    * trust = claims-weighted mean confidence of its claims, with
+    * confidences carried as exact MICRO-UNIT longs (`round(conf·10⁶)`) so
+    * the weighted mean is INTEGER arithmetic — order-free, engine-exact —
+    * until one final pinned division.
+    *
+    * Scale shape — the reason this iterates for free: a claim's confidence
+    * depends only on WHICH sources assert it, so the corpus-scale work is
+    * ONE hash aggregation of the evidence stream into per-fact source-set
+    * flags (short fact keys, map-side partials, runs once — pinned), and
+    * every round operates on the ≤ 2^k−1-row signature-count table with
+    * 1-row pivots broadcast back: per-round cost is INDEPENDENT of corpus
+    * size (the partitionLp loads-table discipline taken to its limit).
+    * Final confidences re-attach by broadcast join on the k-bit signature. */
+  private def truthFinderCore(events: DataFrame, sources: Seq[String],
+                              rounds: Int, prior: Double)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(rounds >= 1, s"truthFinder needs rounds >= 1, got $rounds")
+    require(sources.nonEmpty && sources.distinct.size == sources.size,
+      "source names must be non-empty and unique")
+    val flags = sources.map(e =>
+      max(when(col("extractor") === e, lit(1L)).otherwise(lit(0L)))
+        .as(s"f_$e"))
+    val sig = events.filter(col("extractor").isin(sources: _*))
+      .groupBy(col("subj"), col("obj"))
+      .agg(flags.head, flags.tail: _*)
+      .localCheckpoint() // the one corpus-scale agg: feeds sigCnt + attach
+    val fcols = sources.map(e => col(s"f_$e"))
+    val sigCnt = sig.groupBy(fcols: _*).agg(count(lit(1)).as("n"))
+      .localCheckpoint() // ≤ 2^k−1 rows; read every round
+    var trust = sig.sparkSession.range(1)
+      .select(sources.map(e => lit(prior).as(s"t_$e")): _*)
+    var confSig: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val miss = sources
+        .map(e => lit(1.0) - col(s"t_$e") * col(s"f_$e"))
+        .reduce(_ * _)
+      confSig = sigCnt.crossJoin(broadcast(trust))
+        .withColumn("conf6",
+          round((lit(1.0) - miss) * lit(1000000.0), 0).cast("long"))
+      val parts = sources.flatMap { e =>
+        Seq(
+          sum(when(col(s"f_$e") === 1L, col("n") * col("conf6"))
+            .otherwise(lit(0L))).as(s"num_$e"),
+          sum(when(col(s"f_$e") === 1L, col("n")).otherwise(lit(0L)))
+            .as(s"den_$e"))
+      }
+      trust = confSig.agg(parts.head, parts.tail: _*)
+        .select(sources.map(e =>
+          when(col(s"den_$e") > 0,
+            round(col(s"num_$e") / (col(s"den_$e") * lit(1000000.0)), 6))
+            .otherwise(lit(prior)).as(s"t_$e")): _*)
+    }
+    (sig, confSig, trust)
+  }
+
+  /** [[truthFinderCore]] fact view: `(subj, obj, n_extractors, confidence)`
+    * with the learned-trust noisy-OR confidence after [[TfRounds]] rounds —
+    * directly comparable with [[tripleConfidence]]'s prior-based column. */
+  def truthFinder(events: DataFrame,
+                  sources: Seq[String] = ExtractorPriors.map(_._1),
+                  rounds: Int = TfRounds, prior: Double = TfPrior): DataFrame = {
+    val (sig, confSig, _) = truthFinderCore(events, sources, rounds, prior)
+    val keys = sources.map(e => s"f_$e")
+    sig.join(broadcast(confSig), keys)
+      .select(col("subj"), col("obj"),
+        sources.map(e => col(s"f_$e")).reduce(_ + _).cast("int")
+          .as("n_extractors"),
+        (col("conf6") / lit(1000000.0)).as("confidence"))
+  }
+
+  /** [[truthFinderCore]] source view: `(extractor, trust, n_facts)` — the
+    * LEARNED per-extractor reliability after [[TfRounds]] rounds plus each
+    * extractor's claim count; the release-time sanity check against the
+    * hand-set [[ExtractorPriors]]. */
+  def truthFinderTrust(events: DataFrame,
+                       sources: Seq[String] = ExtractorPriors.map(_._1),
+                       rounds: Int = TfRounds, prior: Double = TfPrior): DataFrame = {
+    val (_, confSig, trust) = truthFinderCore(events, sources, rounds, prior)
+    val dens = confSig.agg(
+      sum(when(col(s"f_${sources.head}") === 1L, col("n")).otherwise(lit(0L)))
+        .as(s"den_${sources.head}"),
+      sources.tail.map(e =>
+        sum(when(col(s"f_$e") === 1L, col("n")).otherwise(lit(0L)))
+          .as(s"den_$e")): _*)
+    val one = trust.crossJoin(dens)
+    sources.map(e =>
+        one.select(lit(e).as("extractor"), col(s"t_$e").as("trust"),
+          col(s"den_$e").as("n_facts")))
+      .reduce(_ unionAll _)
+  }
+
   /** FILTERED negative sampling for KG-embedding training (Bordes et al.
     * 2013, TransE; the "filtered" protocol of the standard benchmarks):
     * each positive `(subj, pred, obj)` yields up to `k` corrupted triples

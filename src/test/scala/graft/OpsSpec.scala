@@ -372,6 +372,38 @@ class OpsSpec extends AnyFunSuite {
     assert(got === Map(9 -> ((2L, 1L, 0.5)), 5 -> ((1L, 0L, 0.0))))
   }
 
+  test("truthFinder: 2-round trust/confidence recursion, hand-computed") {
+    import spark.implicits._
+    val ev = Seq(
+      ("u1", "c1", "direct"), ("u1", "c1", "lemma"), ("u1", "c1", "anchor"),
+      ("u2", "c1", "direct"), ("u2", "c1", "direct"), // dup: presence only
+      ("u3", "c2", "anchor"),
+      ("u4", "c2", "direct"), ("u4", "c2", "lemma"),
+      ("u5", "c9", "rumor")) // no trust slot → dropped entirely
+      .toDF("subj", "obj", "extractor")
+    // round 1 from flat 0.8: conf6(dla)=992000 conf6(d)=800000
+    // conf6(a)=800000 conf6(dl)=960000 → t_d=2752000/3e6→0.917333,
+    // t_l=1952000/2e6=0.976, t_a=1792000/2e6=0.896
+    // round 2: conf6(dla)=999794 conf6(d)=917333 conf6(a)=896000
+    // conf6(dl)=998016
+    val facts = Relations.truthFinder(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getInt(2), r.getDouble(3))).toMap
+    assert(facts === Map(
+      ("u1", "c1") -> ((3, 0.999794)),
+      ("u2", "c1") -> ((1, 0.917333)),
+      ("u3", "c2") -> ((1, 0.896)),
+      ("u4", "c2") -> ((2, 0.998016))))
+    val trust = Relations.truthFinderTrust(ev).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // lemma ends most trusted: BOTH its claims are corroborated; anchor's
+    // solo claim drags it down — learned ordering, not the hand-set priors
+    assert(trust === Map(
+      "direct" -> ((0.971714, 3L)),
+      "lemma" -> ((0.998905, 2L)),
+      "anchor" -> ((0.947897, 2L))))
+  }
+
   test("edgeCutStats: self-loops are always local; totals conserve edges") {
     import spark.implicits._
     val loops = (1 to 40).map(i => (s"n$i", s"n$i", 1L))
