@@ -2335,6 +2335,15 @@ object SparkEntry {
           lit("hasAnnotation").as("pred"), col("class_iri").as("obj")),
         epochs = 2)),
 
+    // DistMult ranking eval at the same init/negatives/protocol: the
+    // diagonal-bilinear scorer (higher = better, ties against) swapped in
+    // behind the shared eval machinery — the scorer-seam demonstration
+    // next to the additive TransE reading
+    "kg_distmult_rank" -> ((s, dir) =>
+      graft.ops.KgEmbed.distmultRank(
+        matches(s, dir).select(col("url").as("subj"),
+          lit("hasAnnotation").as("pred"), col("class_iri").as("obj")))),
+
     // the TRAINING LOOP: 2 degree-normalized full-batch epochs, per-epoch
     // mean-loss trajectory (epoch 0 = hash init) — each epoch's embedding
     // table pinned so plan depth is constant in epochs
@@ -3811,6 +3820,34 @@ object SparkEntry {
         FROM rk GROUP BY pred"""
   }
 
+  /** kg_distmult_rank oracle ([[graft.ops.KgEmbed.distmultRank]] twin):
+    * the shared negatives/init chain, per-(pair, dim) PRODUCTS instead of
+    * the TransE diffs, ROUND(6) per-pair dots, then the higher-is-better
+    * filtered ranking (`sneg >= spos` beats) and the same per-predicate
+    * rollup. */
+  private def distmultRankOracleSql: String = materializeCtes {
+    s"""WITH $dictCte, $directCte, $transeChainCtes,
+        dmd AS (SELECT n.subj, n.pred, n.obj, n.slot, n.neg_obj, dd.d,
+            h.v * r.v * t.v AS pp, h.v * r.v * x.v AS pn
+          FROM neg n
+          CROSS JOIN dims dd
+          JOIN emb0 h ON h.ent = n.subj AND h.d = dd.d
+          JOIN rel0 r ON r.pred = n.pred AND r.d = dd.d
+          JOIN emb0 t ON t.ent = n.obj AND t.d = dd.d
+          JOIN emb0 x ON x.ent = n.neg_obj AND x.d = dd.d),
+        dms AS (SELECT subj, pred, obj, slot, neg_obj,
+            ROUND(SUM(pp), 6) AS spos, ROUND(SUM(pn), 6) AS sneg
+          FROM dmd GROUP BY 1, 2, 3, 4, 5),
+        drk AS (SELECT subj, pred, obj,
+                 1 + SUM(CASE WHEN sneg >= spos THEN 1 ELSE 0 END) AS rank
+               FROM dms GROUP BY 1, 2, 3)
+        SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_pos,
+          ROUND(AVG(CAST(1.0 AS DOUBLE) / rank), 6) AS mrr,
+          ROUND(AVG(CASE WHEN rank = 1 THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST(0.0 AS DOUBLE) END), 6) AS hits1
+        FROM drk GROUP BY pred"""
+  }
+
   /** kg_embed_neighbors oracle ([[graft.ops.KgEmbed.conceptNeighbors]]
     * twin): the trained `emb{epochs}` chain restricted to concept entities
     * (the positives' objects), pairwise squared-L2 per (a, b) as a
@@ -4390,6 +4427,7 @@ object SparkEntry {
 
     "kg_transe_rank" -> transeRankOracleSql(),
     "kg_transe_rank_trained" -> transeRankOracleSql(epochs = 2),
+    "kg_distmult_rank" -> distmultRankOracleSql,
     "kg_transe_epochs" -> transeEpochsOracleSql(epochs = 2),
     "kg_embed_neighbors" -> embedNeighborsOracleSql(epochs = 2, k = 3),
 

@@ -238,6 +238,47 @@ object KgEmbed {
       .filter(col("rank") <= k)
   }
 
+  /** DistMult ranking eval at the deterministic init (Yang et al., ICLR
+    * 2015 — the diagonal-bilinear scorer: `score = Σ_d h_d·r_d·t_d`,
+    * HIGHER is better): the multiplicative complement of the additive
+    * TransE scorer behind the SAME [[Relations.negatives]] corruptions,
+    * hash init, and filtered local-candidate ranking protocol — the scorer
+    * is a seam, everything around it is shared shape. A corruption scoring
+    * ≥ the positive beats it (ties count against, as in [[transeRank]]).
+    * Known model property, documented not hidden: the diagonal form is
+    * symmetric in (h, t), so inverse relations are indistinguishable —
+    * the reason ComplEx exists; at init this only affects which
+    * corruptions tie.
+    *
+    * Scale shape: identical to the TransE eval — 3 entity equi-joins + a
+    * broadcast relation join over the pair stream, both dots computed
+    * map-side as fixed-`Dim` ascending `element_at` folds (codegen'd, no
+    * higher-order functions), ROUND(6) per the float contract; then the
+    * per-positive rank agg and the per-predicate rollup. */
+  def distmultRank(triples: DataFrame): DataFrame = {
+    val (_, pairs, emb0, rel0) = setup(triples)
+    def dot3(a: Column, b: Column, c: Column): Column =
+      round((1 to Dim).map(j =>
+        element_at(a, j) * element_at(b, j) * element_at(c, j))
+        .reduce(_ + _), 6)
+    val scored = pairs
+      .join(emb0.select(col("ent").as("subj"), col("emb").as("h")), Seq("subj"))
+      .join(broadcast(rel0.select(col("pred"), col("emb").as("r"))), Seq("pred"))
+      .join(emb0.select(col("ent").as("obj"), col("emb").as("t")), Seq("obj"))
+      .join(emb0.select(col("ent").as("neg_obj"), col("emb").as("x")),
+        Seq("neg_obj"))
+      .withColumn("spos", dot3(col("h"), col("r"), col("t")))
+      .withColumn("sneg", dot3(col("h"), col("r"), col("x")))
+    scored.groupBy("subj", "pred", "obj")
+      .agg((lit(1L) + sum(when(col("sneg") >= col("spos"), lit(1L))
+        .otherwise(lit(0L)))).as("rank"))
+      .groupBy("pred")
+      .agg(count(lit(1)).as("n_pos"),
+        round(avg(lit(1.0) / col("rank")), 6).as("mrr"),
+        round(avg(when(col("rank") === 1, lit(1.0)).otherwise(lit(0.0))), 6)
+          .as("hits1"))
+  }
+
   def transeRank(triples: DataFrame, epochs: Int = 0): DataFrame = {
     val (_, pairs, emb0, rel0) = setup(triples)
     var emb = emb0
