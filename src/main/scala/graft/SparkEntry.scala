@@ -1167,6 +1167,21 @@ object SparkEntry {
           / lit(3.0), 6).as("recall"))
     }),
 
+    // measured recall@3 of 4×16-code PQ/ADC vs exact brute force —
+    // completes the ANN recall-audit set (LSH, IVF, PQ): the compression-
+    // loss surface a release pass reads before swapping the index format
+    "sim_pq_recall" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val exact = Similarity.bruteForceTopK(emb, nQueries = 10, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.pqTopK(emb, nQueries = 10, k = 3)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(round(sum(coalesce(col("hit"), lit(0L))).cast("double")
+          / lit(3.0), 6).as("recall"))
+    }),
+
     "sim_lsh" -> ((s, dir) =>
       Similarity.lshTopK(s.read.parquet(s"$dir/embeddings.parquet"), nQueries = 10, k = 3)),
 
@@ -5361,6 +5376,17 @@ object SparkEntry {
     // the UNROUNDED cosine, probe own list, exact rerank
     "sim_ivf" -> ivfOracleSql(iters = 2),
     "sim_pq" -> pqOracleSql(),
+
+    // the sim_ivf_recall shape over the PQ oracle: exact top-3 LEFT JOIN
+    // PQ top-3 on (query, neighbor), hit-count / 3 per query
+    "sim_pq_recall" ->
+      s"""SELECT e.query_id,
+            ROUND(CAST(COUNT(p.neighbor_id) AS DOUBLE)
+              / CAST(3.0 AS DOUBLE), 6) AS recall
+          FROM ($bruteTopKOracleSql) e
+          LEFT JOIN (${pqOracleSql()}) p
+            ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+          GROUP BY 1""",
 
     // same trained-quantizer chain; per-member 4dp cosine, then 4dp mean
     "sim_ivf_stats" ->

@@ -403,11 +403,13 @@ object Relations {
           sum(when(col(s"f_$e") === 1L, col("n")).otherwise(lit(0L)))
             .as(s"den_$e"))
       }
+      confSig = confSig.localCheckpoint() // ≤ 2^k−1 rows; trust legs + attach
       trust = confSig.agg(parts.head, parts.tail: _*)
         .select(sources.map(e =>
           when(col(s"den_$e") > 0,
             round(col(s"num_$e") / (col(s"den_$e") * lit(1000000.0)), 6))
             .otherwise(lit(prior)).as(s"t_$e")): _*)
+        .localCheckpoint() // 1 row: plan depth constant in rounds (Lloyd rule)
     }
     (sig, confSig, trust)
   }

@@ -402,6 +402,11 @@ class OpsSpec extends AnyFunSuite {
       "direct" -> ((0.971714, 3L)),
       "lemma" -> ((0.998905, 2L)),
       "anchor" -> ((0.947897, 2L))))
+    // deep iteration stays bounded (per-round frames pinned — the Lloyd
+    // lineage rule) and trust stays a probability
+    val deep = Relations.truthFinderTrust(ev, rounds = 8).collect()
+    assert(deep.length === 3)
+    assert(deep.forall(r => r.getDouble(1) > 0.0 && r.getDouble(1) <= 1.0))
   }
 
   test("edgeCutStats: self-loops are always local; totals conserve edges") {
