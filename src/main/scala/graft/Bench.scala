@@ -225,7 +225,11 @@ object Bench {
     "sim_pq", "kg_transe_step",
     // round-4 eighth-pass representative: AMIE chain-rule mining (the
     // fan-capped KB self-join + 4 metric aggregations)
-    "kg_rule_mine")
+    "kg_rule_mine",
+    // round-4 ninth-pass representative: TruthFinder iterative fusion —
+    // the 3-extractor evidence scan + one fact-flag agg, with the rounds
+    // collapsed onto the tiny signature table (per-round cost ~0)
+    "kg_truthfinder")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

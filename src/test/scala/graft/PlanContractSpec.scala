@@ -82,4 +82,28 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin [sem"), p)
     assert(!p.contains("ShuffledHashJoin [sem"), p)
   }
+
+  test("truthFinder: final attach broadcast + shuffle-free; plan depth constant in rounds") {
+    import spark.implicits._
+    val ev = (0 until 200).flatMap { i =>
+      val e = Seq("direct", "lemma", "anchor")(i % 3)
+      Seq((s"u$i", s"c${i % 7}", e), (s"u$i", s"c${(i + 1) % 7}", "direct"))
+    }.toDF("subj", "obj", "extractor")
+    def planOf(rounds: Int): String =
+      graft.ops.Relations.truthFinder(ev, rounds = rounds)
+        .queryExecution.executedPlan.toString
+    val p2 = planOf(2)
+    // the fact table (pinned) picks up its signature's confidence by
+    // BROADCAST join — the corpus-scale side never re-exchanges
+    assert(p2.contains("BroadcastHashJoin"), p2)
+    val shuffles = p2.split("\n").count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange")
+        && !l.contains("ReusedExchange"))
+    assert(shuffles === 0, s"final attach must be shuffle-free:\n$p2")
+    // every round's frames are pinned, so deeper iteration must not nest
+    // plans (the Lloyd lineage rule) — same tree, different checkpoint data
+    val p6 = planOf(6)
+    assert(p2.split("\n").length === p6.split("\n").length,
+      s"plan grew with rounds:\n$p2\nvs\n$p6")
+  }
 }
