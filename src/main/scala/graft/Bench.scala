@@ -267,17 +267,32 @@ object Bench {
       // FIXED round count, decided before any measurement: an earlier
       // adaptive design (extend while the ratio looked low) had an
       // optional-stopping bias — conditioning the sample size on the
-      // statistic inflates the expected reported median. Four pre-committed
-      // rounds, always (median of 4 = mean of middle two) — the bench must
-      // stay well inside the driver's per-round budget.
-      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "4").toInt
+      // statistic inflates the expected reported median. Five pre-committed
+      // rounds, always (odd → the median is a true middle element, so it
+      // rejects the two worst windows per side); raised from four after a
+      // window where the 4N level swung 24% between rounds minutes apart
+      // while N held a 4% band (BASELINE.md 2026-08-19 row) — the estimator
+      // itself is unchanged. Still well inside the driver's per-round budget
+      // (~55 s per round of two pinned child JVMs).
+      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "5").toInt
       val pairs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
-      def round(): Unit = {
-        val dN = nScaleDocs / pinnedScalingSec(nCores, corpusPath, 4 * nCores)
-        val d4N = nScaleDocs / pinnedScalingSec(4 * nCores, corpusPath, 4 * nCores)
-        pairs += ((dN, d4N))
+      // ABBA level order: odd rounds measure N then 4N, even rounds 4N then
+      // N — a monotone drift WITHIN a round then biases alternate rounds in
+      // opposite directions and cancels in the median, instead of always
+      // charging the level that runs second
+      def round(i: Int): Unit = {
+        val dN2 = if (i % 2 == 1) {
+          val dN = nScaleDocs / pinnedScalingSec(nCores, corpusPath, 4 * nCores)
+          val d4N = nScaleDocs / pinnedScalingSec(4 * nCores, corpusPath, 4 * nCores)
+          (dN, d4N)
+        } else {
+          val d4N = nScaleDocs / pinnedScalingSec(4 * nCores, corpusPath, 4 * nCores)
+          val dN = nScaleDocs / pinnedScalingSec(nCores, corpusPath, 4 * nCores)
+          (dN, d4N)
+        }
+        pairs += dN2
       }
-      (1 to rounds).foreach(_ => round())
+      (1 to rounds).foreach(round)
       // headline estimator: MEDIAN of per-round PAIRED ratios. Each round
       // measures both levels adjacent in time at an equally-loaded host, so
       // the ratio cancels common-mode drift (absolute speed changing under

@@ -2434,6 +2434,72 @@ object SparkEntry {
     "kg_source_trust" -> ((s, dir) =>
       graft.ops.Relations.truthFinderTrust(extractionEvidence(s, dir))),
 
+    // ---- KG publication tier (round-4 fourth continuation) -------------
+
+    // SPARQL CONSTRUCT over the star BGP: solutions of the kg_bgp_star
+    // pattern projected through the template { ?c coMentionedWith ?m } —
+    // the graph-to-graph step that MINTS new triples from matched patterns;
+    // CONSTRUCT's set semantics make the final DISTINCT part of the spec
+    "kg_construct_rule" -> ((s, dir) =>
+      graft.ops.KgPublish.construct(
+        graft.annotate.NativeAnnotate
+          .annotateTriples(corpus(s, dir), model(s), fusedMaps(s), "v1")
+          .select("subj", "pred", "obj"),
+        closure(s).filter(col("ancestor") === graft.ops.KgQuality.bgpRoot)
+          .select(col("child").as("c")))),
+
+    // SPARQL property path (hasAnnotation|hasMappedAnnotation)/subClassOf*
+    // to the bgpRoot: alternation = one IN-filtered scan, subClassOf* =
+    // broadcast {root} ∪ descendants semi-join — path evaluation folded
+    // into one pruned scan, never an iterative corpus expansion
+    "kg_path_query" -> ((s, dir) =>
+      graft.ops.KgPublish.pathQuery(
+        graft.annotate.NativeAnnotate
+          .annotateTriples(corpus(s, dir), model(s), fusedMaps(s), "v1")
+          .select("subj", "pred", "obj"),
+        closure(s), graft.ops.KgQuality.bgpRoot)),
+
+    // HDT-style dictionary-encoded store: shared term dictionary (dense
+    // deterministic ids, the D6 two-pass form), triples as three ints +
+    // the decoded terms in the same frame — the publication layout whose
+    // downstream shuffles move 8-byte ints, not 20–80-byte IRIs
+    "kg_encoded_store" -> ((s, dir) =>
+      graft.ops.KgPublish.encodeTriples(
+        graft.annotate.NativeAnnotate
+          .annotateTriples(corpus(s, dir), model(s), fusedMaps(s), "v1")
+          .select("subj", "pred", "obj"))),
+
+    // W3C VoID dataset descriptor: dataset-level + per-predicate partition
+    // counts emitted AS RDF rows — the standard dataset card published
+    // next to the dump
+    "kg_void_stats" -> ((s, dir) =>
+      graft.ops.KgPublish.voidStats(
+        graft.annotate.NativeAnnotate
+          .annotateTriples(corpus(s, dir), model(s), fusedMaps(s), "v1")
+          .select("subj", "pred", "obj"),
+        "http://graft.kg/dataset#v1")),
+
+    // PROV-O provenance bundle: crawl-batch named graphs as prov:Entity
+    // with wasGeneratedBy/used/tripleCount — the deterministic twin of the
+    // pipeline's per-partition lineage rows, recomputable by the oracle
+    "kg_prov_bundle" -> ((s, dir) =>
+      graft.ops.KgPublish.provBundle(
+        graft.annotate.NativeAnnotate
+          .annotateTriples(corpus(s, dir), model(s), fusedMaps(s), "v1")
+          .select("subj", "pred", "obj"),
+        "v1")),
+
+    // OWL-Horst (pD*) entailment subset: rdfp8 inverseOf over the direct
+    // leg (map-only on the corpus slice), rdfp3 symmetric mappings and
+    // rdfp4 transitive subClassOf from the ontology-scale sides, each row
+    // tagged with its rule
+    "kg_owl_horst" -> ((s, dir) =>
+      graft.ops.KgPublish.owlHorst(
+        graft.annotate.NativeAnnotate
+          .annotateTriples(corpus(s, dir), model(s), fusedMaps(s), "v1")
+          .select("subj", "pred", "obj"),
+        OntologyFixture.mappingsDf(s), closure(s))),
+
     // hash-layout edge-cut pre-flight over the page link graph: per
     // partition, how much out-edge mass stays local under hash(node) % P —
     // the co-partitioning decision input for the iterative graph tier
@@ -6484,6 +6550,120 @@ object SparkEntry {
     "kg_fusion_audit" -> fusionAuditOracleSql,
     "kg_truthfinder" -> truthFinderOracleSql,
     "kg_source_trust" -> sourceTrustOracleSql,
+
+    // SPARQL CONSTRUCT: the kg_bgp_star solution set projected through the
+    // template { ?c coMentionedWith ?m }, deduplicated (CONSTRUCT emits a
+    // SET); predicate IRI interpolated from the object constant
+    "kg_construct_rule" ->
+      s"""WITH RECURSIVE $dictCte, $edgesCte, $mappingsCte, $directCte, $closureCte,
+          $kgTriplesCte,
+          desc_set AS (SELECT DISTINCT child_iri AS c FROM closure
+                       WHERE ancestor_iri = '${graft.ops.KgQuality.bgpRoot}')
+          SELECT DISTINCT dl.obj AS subj,
+                 '${graft.ops.KgPublish.CoMentionPred}' AS pred,
+                 ml.obj AS obj
+          FROM triples dl
+          JOIN desc_set ds ON dl.obj = ds.c
+          JOIN triples ml ON ml.subj = dl.subj AND ml.pred = 'hasMappedAnnotation'
+          WHERE dl.pred = 'hasAnnotation'""",
+
+    // property path (p1|p2)/subClassOf*: reach = {root} ∪ descendants
+    // (zero-length star leg = the root itself), alternation = IN filter
+    "kg_path_query" ->
+      s"""WITH RECURSIVE $dictCte, $edgesCte, $mappingsCte, $directCte, $closureCte,
+          $kgTriplesCte,
+          reach AS (SELECT DISTINCT o FROM (
+                    SELECT child_iri AS o FROM closure
+                    WHERE ancestor_iri = '${graft.ops.KgQuality.bgpRoot}'
+                    UNION ALL SELECT '${graft.ops.KgQuality.bgpRoot}'))
+          SELECT DISTINCT t.subj AS d, t.pred AS via
+          FROM triples t JOIN reach r ON t.obj = r.o
+          WHERE t.pred IN ('hasAnnotation', 'hasMappedAnnotation')""",
+
+    // HDT dictionary encode: id = global rank in term order (binary string
+    // collation both engines), decode joins prove the round trip
+    "kg_encoded_store" ->
+      s"""WITH RECURSIVE $dictCte, $edgesCte, $mappingsCte, $directCte, $closureCte,
+          $kgTriplesCte,
+          tmat AS MATERIALIZED (SELECT * FROM triples),
+          -- DISTINCT is explicit (not a bare UNION): inside WITH RECURSIVE
+          -- DuckDB treats a CTE-body UNION as the recursive-form operator
+          -- and does NOT set-deduplicate a non-self-referencing chain
+          terms AS (SELECT DISTINCT term FROM (
+                    SELECT subj AS term FROM tmat
+                    UNION ALL SELECT pred FROM tmat
+                    UNION ALL SELECT obj FROM tmat)),
+          dictx AS MATERIALIZED (SELECT term,
+                      CAST(ROW_NUMBER() OVER (ORDER BY term) AS BIGINT) AS id
+                    FROM terms)
+          SELECT ds.id AS s_id, dp.id AS p_id, dobj.id AS o_id,
+                 t.subj, t.pred, t.obj
+          FROM tmat t
+          JOIN dictx ds ON t.subj = ds.term
+          JOIN dictx dp ON t.pred = dp.term
+          JOIN dictx dobj ON t.obj = dobj.term""",
+
+    // VoID descriptor: 4 dataset-level rows + 5 rows per predicate
+    // partition, counts as string literals (RDF terms)
+    "kg_void_stats" ->
+      s"""WITH RECURSIVE $dictCte, $edgesCte, $mappingsCte, $directCte, $closureCte,
+          $kgTriplesCte,
+          g AS (SELECT CAST(COUNT(*) AS VARCHAR) AS nt,
+                  CAST(COUNT(DISTINCT subj) AS VARCHAR) AS ns,
+                  CAST(COUNT(DISTINCT obj) AS VARCHAR) AS nob,
+                  CAST(COUNT(DISTINCT pred) AS VARCHAR) AS np FROM triples),
+          pp AS (SELECT pred, CAST(COUNT(*) AS VARCHAR) AS nt,
+                   CAST(COUNT(DISTINCT subj) AS VARCHAR) AS ns,
+                   CAST(COUNT(DISTINCT obj) AS VARCHAR) AS nob
+                 FROM triples GROUP BY 1)
+          SELECT 'http://graft.kg/dataset#v1' AS subj, 'void:triples' AS pred, nt AS obj FROM g
+          UNION ALL SELECT 'http://graft.kg/dataset#v1', 'void:distinctSubjects', ns FROM g
+          UNION ALL SELECT 'http://graft.kg/dataset#v1', 'void:distinctObjects', nob FROM g
+          UNION ALL SELECT 'http://graft.kg/dataset#v1', 'void:properties', np FROM g
+          UNION ALL SELECT 'http://graft.kg/dataset#v1', 'void:propertyPartition',
+                 'http://graft.kg/dataset#v1/prop/' || pred FROM pp
+          UNION ALL SELECT 'http://graft.kg/dataset#v1/prop/' || pred, 'void:property', pred FROM pp
+          UNION ALL SELECT 'http://graft.kg/dataset#v1/prop/' || pred, 'void:triples', nt FROM pp
+          UNION ALL SELECT 'http://graft.kg/dataset#v1/prop/' || pred, 'void:distinctSubjects', ns FROM pp
+          UNION ALL SELECT 'http://graft.kg/dataset#v1/prop/' || pred, 'void:distinctObjects', nob FROM pp""",
+
+    // PROV-O bundle: per-batch entity rows (same doc_id%4 batch key as the
+    // N-Quads graph IRI) + the 4 fixed activity/dictionary rows
+    "kg_prov_bundle" ->
+      s"""WITH RECURSIVE $dictCte, $edgesCte, $mappingsCte, $directCte, $closureCte,
+          $kgTriplesCte,
+          pb AS (SELECT 'http://graft.kg/g#batch' ||
+                   CAST(CAST(regexp_extract(subj, '[0-9]+$$', 0) AS BIGINT) % 4 AS VARCHAR) AS g,
+                   CAST(COUNT(*) AS VARCHAR) AS n
+                 FROM triples GROUP BY 1)
+          SELECT g AS subj, 'rdf:type' AS pred, 'prov:Entity' AS obj FROM pb
+          UNION ALL SELECT g, 'prov:wasGeneratedBy', 'http://graft.kg/a#annotate_v1' FROM pb
+          UNION ALL SELECT g, 'graft:tripleCount', n FROM pb
+          UNION ALL SELECT * FROM (VALUES
+            ('http://graft.kg/a#annotate_v1', 'rdf:type', 'prov:Activity'),
+            ('http://graft.kg/a#annotate_v1', 'prov:used', 'http://graft.kg/dict#v1'),
+            ('http://graft.kg/dict#v1', 'rdf:type', 'prov:Entity'),
+            ('http://graft.kg/dict#v1', 'prov:wasAttributedTo', 'http://graft.kg/agent#graft')) v(a, b, c)""",
+
+    // OWL-Horst subset: rdfp8 inverse of the direct leg, rdfp3 symmetric
+    // mapping completion, rdfp4 transitive subClassOf = the closure pairs
+    "kg_owl_horst" ->
+      s"""WITH RECURSIVE $dictCte, $edgesCte, $mappingsCte, $directCte, $closureCte,
+          $kgTriplesCte
+          SELECT DISTINCT t.obj AS subj,
+                 '${graft.ops.KgPublish.InverseOfDirect}' AS pred,
+                 t.subj AS obj, 'rdfp8' AS rule
+          FROM triples t WHERE t.pred = 'hasAnnotation'
+          UNION ALL
+          SELECT DISTINCT s AS subj, p AS pred, o AS obj, 'rdfp3' AS rule FROM (
+            SELECT class_iri AS s, 'mappedTo' AS p, mapped_iri AS o FROM maps
+            UNION ALL
+            SELECT mapped_iri, 'mappedTo', class_iri FROM maps)
+          UNION ALL
+          SELECT DISTINCT child_iri AS subj, 'subClassOf' AS pred,
+                 ancestor_iri AS obj, 'rdfp4' AS rule
+          FROM closure""",
+
     "web_edge_cut" -> edgeCutOracleSql,
     "web_partition_lp" -> partitionLpOracleSql,
     "kg_fact_fusion" -> factFusionOracleSql,

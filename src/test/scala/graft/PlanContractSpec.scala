@@ -106,4 +106,30 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p2.split("\n").length === p6.split("\n").length,
       s"plan grew with rounds:\n$p2\nvs\n$p6")
   }
+
+  test("kg_construct_rule: descendant set broadcasts, no cartesian") {
+    val p = plan("kg_construct_rule")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("kg_path_query: reach set broadcasts onto ONE pruned scan, no cartesian") {
+    val p = plan("kg_path_query")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // alternation compiles to an IN filter, not a union of two triple scans
+    assert(p.split("\n").count(_.contains("Generate ")) <= 1, p)
+  }
+
+  test("kg_void_stats + kg_prov_bundle: pure aggregation — join-free") {
+    assert(!plan("kg_void_stats").contains("Join"), plan("kg_void_stats"))
+    assert(!plan("kg_prov_bundle").contains("Join"), plan("kg_prov_bundle"))
+  }
+
+  test("kg_encoded_store + kg_owl_horst: no cartesian anywhere") {
+    assert(!plan("kg_encoded_store").contains("CartesianProduct"))
+    assert(!plan("kg_owl_horst").contains("CartesianProduct"))
+  }
 }
