@@ -132,6 +132,12 @@ object SparkEntry {
       java.sql.Timestamp.from(java.time.Instant.parse(s"${d}T00:00:00Z")) -> v
     }
 
+  /** `kg_asof_snapshot`'s point-in-time instant: base epoch + one week +
+    * 250 doc-minutes — docs with id ≤ 250 (and a snapshot-2 capture) read
+    * from the re-crawl at T, the rest from snapshot 1, so the as-of
+    * frontier mixes both captures at every SF. Shared with the oracle. */
+  private[graft] val AsOfEpoch = 1700000000L + 604800L + 15000L
+
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Corpus.extract(Corpus.fromDriverTable(docsTable(s, dir)))
 
@@ -1594,6 +1600,55 @@ object SparkEntry {
           (col("last_epoch") === col("last_cap")).as("current"))
     }),
 
+    // POINT-IN-TIME KG snapshot: the graph "as of" AsOfEpoch — for each
+    // doc, its latest capture at or before T (one max(struct) argmax per
+    // doc, the CDX crawl-merge shape), then ONLY that capture annotated.
+    // At 10^12 docs the as-of selection is one doc-keyed agg over capture
+    // metadata (tiny rows); the corpus-scale annotate runs on exactly one
+    // version per doc — never on the full capture history
+    "kg_asof_snapshot" -> ((s, dir) => {
+      val docs = docsTable(s, dir)
+      val s1 = docs.select(col("doc_id"), col("text"), lit(1).as("snapshot"),
+        (lit(1700000000L) + col("doc_id") * 60).as("fetch_epoch"))
+      val s2 = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          expr("array_join(slice(split(text, ' '), 1, " +
+            "(size(split(text, ' ')) + 1) div 2), ' ')").as("text"),
+          lit(2).as("snapshot"),
+          (lit(1700000000L) + col("doc_id") * 60 + 604800L).as("fetch_epoch"))
+      val snaps = s1.unionByName(s2)
+      val chosen = snaps.filter(col("fetch_epoch") <= AsOfEpoch)
+        .groupBy("doc_id")
+        .agg(max(struct(col("fetch_epoch"), col("snapshot"))).as("k"))
+        .select(col("doc_id"), col("k.snapshot").as("snapshot"),
+          col("k.fetch_epoch").as("fetch_epoch"))
+      val m = graft.annotate.NativeAnnotate.annotateMatches(
+        chosen.join(snaps, Seq("doc_id", "snapshot", "fetch_epoch"))
+          .select(concat(lit("doc://"), col("doc_id")).as("url"),
+            col("text")), model(s))
+      m.select(col("url").as("subj"), col("class_iri").as("obj")).distinct()
+        .join(chosen.select(
+          concat(lit("doc://"), col("doc_id")).as("subj"),
+          col("snapshot"), col("fetch_epoch")), "subj")
+    }),
+
+    // join-key SKEW REPORT over the fact stream keyed by concept — the
+    // hot-key diagnostic that DECIDES the salting factor (SURVEY §3 S1)
+    // instead of guessing it: per-key counts (one map-side-combinable
+    // agg), totals attached as a broadcast 1-row scalar, salt_factor =
+    // ceil(32·n/total) = the buckets needed to level this key to the
+    // average partition load at P=32 — exact integer arithmetic end to end
+    "q_skew_report" -> ((s, dir) => {
+      val pairs = matches(s, dir).select("url", "class_iri").distinct()
+      val counts = pairs.groupBy("class_iri").agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("total"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("class_iri"), col("n"),
+          expr("(n * 1000000) div total").as("share_ppm"),
+          expr("(n * 32 + total - 1) div total").as("salt_factor"))
+        .orderBy(col("n").desc, col("class_iri")).limit(10)
+    }),
+
     // incremental components: a deterministic 1/5 hash-slice of the cooc
     // edges plays the "new crawl batch" delta — v1 labels from the
     // remaining 4/5, delta merged by contraction. The result must be
@@ -2356,6 +2411,15 @@ object SparkEntry {
     // next to the additive TransE reading
     "kg_distmult_rank" -> ((s, dir) =>
       graft.ops.KgEmbed.distmultRank(
+        matches(s, dir).select(col("url").as("subj"),
+          lit("hasAnnotation").as("pred"), col("class_iri").as("obj")))),
+
+    // ComplEx ranking eval — the complex-bilinear scorer (Trouillon 2016)
+    // that fixes DistMult's (h,t) symmetry, completing the standard scorer
+    // trio behind the one shared negatives/init/ranking seam; the Dim-wide
+    // embedding packs Dim/2 complex dims (first half re, second half im)
+    "kg_complex_rank" -> ((s, dir) =>
+      graft.ops.KgEmbed.complexRank(
         matches(s, dir).select(col("url").as("subj"),
           lit("hasAnnotation").as("pred"), col("class_iri").as("obj")))),
 
@@ -3929,6 +3993,42 @@ object SparkEntry {
         FROM drk GROUP BY pred"""
   }
 
+  /** kg_complex_rank oracle ([[graft.ops.KgEmbed.complexRank]] twin): the
+    * shared negatives/init chain; per complex dim j (re at d = j, im at
+    * d = j + Dim/2) the four-term Re(⟨h, r, conj(t)⟩) product, ROUND(6)
+    * per-pair sums, the higher-is-better filtered ranking, the same
+    * per-predicate rollup. */
+  private def complexRankOracleSql: String = materializeCtes {
+    val half = graft.ops.KgEmbed.Dim / 2
+    s"""WITH $dictCte, $directCte, $transeChainCtes,
+        cxd AS (SELECT n.subj, n.pred, n.obj, n.slot, n.neg_obj, dd.d,
+            hre.v * rre.v * tre.v + him.v * rre.v * tim.v
+              + hre.v * rim.v * tim.v - him.v * rim.v * tre.v AS pp,
+            hre.v * rre.v * xre.v + him.v * rre.v * xim.v
+              + hre.v * rim.v * xim.v - him.v * rim.v * xre.v AS pn
+          FROM neg n
+          CROSS JOIN (SELECT d FROM dims WHERE d <= $half) dd
+          JOIN emb0 hre ON hre.ent = n.subj AND hre.d = dd.d
+          JOIN emb0 him ON him.ent = n.subj AND him.d = dd.d + $half
+          JOIN rel0 rre ON rre.pred = n.pred AND rre.d = dd.d
+          JOIN rel0 rim ON rim.pred = n.pred AND rim.d = dd.d + $half
+          JOIN emb0 tre ON tre.ent = n.obj AND tre.d = dd.d
+          JOIN emb0 tim ON tim.ent = n.obj AND tim.d = dd.d + $half
+          JOIN emb0 xre ON xre.ent = n.neg_obj AND xre.d = dd.d
+          JOIN emb0 xim ON xim.ent = n.neg_obj AND xim.d = dd.d + $half),
+        cxs AS (SELECT subj, pred, obj, slot, neg_obj,
+            ROUND(SUM(pp), 6) AS spos, ROUND(SUM(pn), 6) AS sneg
+          FROM cxd GROUP BY 1, 2, 3, 4, 5),
+        crk AS (SELECT subj, pred, obj,
+                 1 + SUM(CASE WHEN sneg >= spos THEN 1 ELSE 0 END) AS rank
+               FROM cxs GROUP BY 1, 2, 3)
+        SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_pos,
+          ROUND(AVG(CAST(1.0 AS DOUBLE) / rank), 6) AS mrr,
+          ROUND(AVG(CASE WHEN rank = 1 THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST(0.0 AS DOUBLE) END), 6) AS hits1
+        FROM crk GROUP BY pred"""
+  }
+
   /** kg_embed_neighbors oracle ([[graft.ops.KgEmbed.conceptNeighbors]]
     * twin): the trained `emb{epochs}` chain restricted to concept entities
     * (the positives' objects), pairwise squared-L2 per (a, b) as a
@@ -4509,6 +4609,7 @@ object SparkEntry {
     "kg_transe_rank" -> transeRankOracleSql(),
     "kg_transe_rank_trained" -> transeRankOracleSql(epochs = 2),
     "kg_distmult_rank" -> distmultRankOracleSql,
+    "kg_complex_rank" -> complexRankOracleSql,
     "kg_transe_epochs" -> transeEpochsOracleSql(epochs = 2),
     "kg_embed_neighbors" -> embedNeighborsOracleSql(epochs = 2, k = 3),
 
@@ -5924,6 +6025,45 @@ object SparkEntry {
             (MAX(f.fetch_epoch) = MAX(c.last_cap)) AS current
           FROM facts f JOIN cap c USING (doc_id)
           GROUP BY 1, 2""",
+
+    // per doc: latest capture at or before AsOfEpoch (epochs are distinct
+    // within a doc, so the MAX join is the argmax), annotated
+    "kg_asof_snapshot" ->
+      s"""WITH $dictCte,
+          s1 AS (SELECT doc_id, text, 1 AS snapshot,
+              1700000000 + doc_id * 60 AS fetch_epoch FROM documents),
+          s2 AS (SELECT doc_id,
+              array_to_string(l[1:(len(l) + 1) // 2], ' ') AS text,
+              2 AS snapshot, 1700000000 + doc_id * 60 + 604800 AS fetch_epoch
+            FROM (SELECT doc_id, text, string_split(text, ' ') AS l
+                  FROM documents) z
+            WHERE doc_id % 3 = 0),
+          snaps AS (SELECT doc_id, text, snapshot, fetch_epoch FROM s1
+                    UNION ALL SELECT doc_id, text, snapshot, fetch_epoch FROM s2),
+          live AS (SELECT * FROM snaps WHERE fetch_epoch <= ${AsOfEpoch}),
+          chosen AS (SELECT doc_id, MAX(fetch_epoch) AS fetch_epoch
+                     FROM live GROUP BY 1),
+          cs AS (SELECT l.doc_id, l.snapshot, l.fetch_epoch, l.text
+                 FROM live l JOIN chosen c
+                   ON l.doc_id = c.doc_id AND l.fetch_epoch = c.fetch_epoch)
+          SELECT DISTINCT 'doc://' || cs.doc_id AS subj, d.class_iri AS obj,
+            cs.snapshot, cs.fetch_epoch
+          FROM cs, dict d
+          WHERE regexp_matches(upper(cs.text), '\\b' || d.term || '\\b')""",
+
+    // per-concept fact counts, totals as a scalar, exact integer
+    // share/salt math mirroring the engine's div arithmetic
+    "q_skew_report" ->
+      s"""WITH RECURSIVE $dictCte, $directCte,
+          pairs AS (SELECT DISTINCT url, class_iri FROM direct),
+          counts AS (SELECT class_iri, CAST(COUNT(*) AS BIGINT) AS n
+                     FROM pairs GROUP BY 1),
+          tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+          SELECT class_iri, n,
+            CAST((n * 1000000) // total AS BIGINT) AS share_ppm,
+            CAST((n * 32 + total - 1) // total AS BIGINT) AS salt_factor
+          FROM counts, tot
+          ORDER BY n DESC, class_iri LIMIT 10""",
 
     // incremental merge must be invisible in the result — same oracle as
     // the cold run

@@ -279,6 +279,52 @@ object KgEmbed {
           .as("hits1"))
   }
 
+  /** ComplEx ranking eval at the deterministic init (Trouillon et al.,
+    * ICML 2016 — `score = Re(⟨h, r, conj(t)⟩)`, HIGHER is better): the
+    * scorer that fixes DistMult's (h, t) symmetry — the imaginary parts
+    * make inverse relations distinguishable — completing the standard
+    * additive/symmetric-bilinear/complex-bilinear trio behind ONE shared
+    * negatives/init/ranking seam. The `Dim`-wide real embedding splits
+    * into `Dim/2` complex dimensions (first half = real components,
+    * second half = imaginary — the standard packing); per complex dim j:
+    *
+    * `re(h)·re(r)·re(t) + im(h)·re(r)·im(t) + re(h)·im(r)·im(t)
+    *  − im(h)·im(r)·re(t)`
+    *
+    * Scale shape: byte-identical to the DistMult eval — 3 entity
+    * equi-joins + a broadcast relation join over the pair stream, the
+    * score a fixed-order codegen'd `element_at` fold, ROUND(6) per the
+    * float contract, then the per-positive rank agg and per-predicate
+    * rollup. Zero new exchange classes: the seam is the scalar expression
+    * only. */
+  def complexRank(triples: DataFrame): DataFrame = {
+    val (_, pairs, emb0, rel0) = setup(triples)
+    val half = Dim / 2
+    def cscore(h: Column, r: Column, t: Column): Column =
+      round((1 to half).map { j =>
+        val (hre, him) = (element_at(h, j), element_at(h, j + half))
+        val (rre, rim) = (element_at(r, j), element_at(r, j + half))
+        val (tre, tim) = (element_at(t, j), element_at(t, j + half))
+        hre * rre * tre + him * rre * tim + hre * rim * tim - him * rim * tre
+      }.reduce(_ + _), 6)
+    val scored = pairs
+      .join(emb0.select(col("ent").as("subj"), col("emb").as("h")), Seq("subj"))
+      .join(broadcast(rel0.select(col("pred"), col("emb").as("r"))), Seq("pred"))
+      .join(emb0.select(col("ent").as("obj"), col("emb").as("t")), Seq("obj"))
+      .join(emb0.select(col("ent").as("neg_obj"), col("emb").as("x")),
+        Seq("neg_obj"))
+      .withColumn("spos", cscore(col("h"), col("r"), col("t")))
+      .withColumn("sneg", cscore(col("h"), col("r"), col("x")))
+    scored.groupBy("subj", "pred", "obj")
+      .agg((lit(1L) + sum(when(col("sneg") >= col("spos"), lit(1L))
+        .otherwise(lit(0L)))).as("rank"))
+      .groupBy("pred")
+      .agg(count(lit(1)).as("n_pos"),
+        round(avg(lit(1.0) / col("rank")), 6).as("mrr"),
+        round(avg(when(col("rank") === 1, lit(1.0)).otherwise(lit(0.0))), 6)
+          .as("hits1"))
+  }
+
   def transeRank(triples: DataFrame, epochs: Int = 0): DataFrame = {
     val (_, pairs, emb0, rel0) = setup(triples)
     var emb = emb0
