@@ -2073,6 +2073,22 @@ object SparkEntry {
       graft.ops.Relations.microdataTriples(
         graft.ops.Relations.withMicrodata(docsTable(s, dir)))),
 
+    // JSON-LD script blocks → triples: regex cut + native from_json +
+    // nested-author fragment-node minting, map-only until the distinct
+    "kg_jsonld" -> ((s, dir) =>
+      graft.ops.Relations.jsonLdTriples(
+        graft.ops.Relations.withJsonLd(docsTable(s, dir)))),
+
+    // sitemap.xml vs crawl: per-host declared-URL gap (n_listed /
+    // n_crawled / n_new) — the discovery complement of the link frontier
+    "web_sitemap_gap" -> ((s, dir) =>
+      graft.ops.WebOps.sitemapGap(docsTable(s, dir))),
+
+    // per-doc encoding-damage report: double-encoded UTF-8 + replacement
+    // chars, map-only regexp counting over the damaged synthesis
+    "q_mojibake" -> ((s, dir) =>
+      TextOps.mojibakeReport(TextOps.withMojibake(docsTable(s, dir)))),
+
     // Hearst-pattern mining: all four pattern shapes extracted map-only,
     // support = distinct docs + total mentions per surface pair
     "kg_hearst_pairs" -> ((s, dir) =>
@@ -7031,6 +7047,50 @@ object SparkEntry {
                              FROM mdpg)))
           SELECT DISTINCT subj, pred, obj FROM
             (SELECT * FROM ty UNION ALL SELECT * FROM pr)""",
+
+    // regex-cut script body, json_extract_string flattening, fragment-node
+    // minting for the nested author — same regex + synthesis constants
+    "kg_jsonld" ->
+      s"""WITH ${graft.ops.Relations.jsonLdPagesCteSql},
+          js AS (SELECT url, regexp_extract(html,
+                   '${graft.ops.Relations.JsonLdScriptRe}', 1) AS j
+                 FROM jlpg),
+          f AS (SELECT url, json_extract_string(j, '$$."@type"') AS ty,
+                  json_extract_string(j, '$$.name') AS nm,
+                  json_extract_string(j, '$$.author."@type"') AS aty,
+                  json_extract_string(j, '$$.author.name') AS anm
+                FROM js),
+          tr AS (
+            SELECT url AS subj, 'rdf:type' AS pred, 'schema:' || ty AS obj
+            FROM f WHERE ty IS NOT NULL
+            UNION ALL
+            SELECT url, 'schema:name', nm FROM f WHERE nm IS NOT NULL
+            UNION ALL
+            SELECT url, 'schema:author', url || '#author'
+            FROM f WHERE anm IS NOT NULL
+            UNION ALL
+            SELECT url || '#author', 'rdf:type', 'schema:' || aty
+            FROM f WHERE anm IS NOT NULL AND aty IS NOT NULL
+            UNION ALL
+            SELECT url || '#author', 'schema:name', anm
+            FROM f WHERE anm IS NOT NULL)
+          SELECT DISTINCT subj, pred, obj FROM tr""",
+
+    "web_sitemap_gap" -> graft.ops.WebOps.sitemapGapSql,
+
+    // same regexes over the same damaged synthesis (DuckDB plain string
+    // literals pass backslash escapes to RE2 untouched); counts as BIGINTs
+    "q_mojibake" ->
+      s"""WITH ${TextOps.mojibakePagesCteSql}
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '${TextOps.DoubleUtf8Re}'))
+              AS BIGINT) AS n_double,
+            CAST(len(regexp_extract_all(text, '${TextOps.ReplCharRe}'))
+              AS BIGINT) AS n_repl,
+            len(regexp_extract_all(text, '${TextOps.DoubleUtf8Re}'))
+              + len(regexp_extract_all(text, '${TextOps.ReplCharRe}')) > 0
+              AS damaged
+          FROM mjpg""",
 
     "kg_hearst_pairs" ->
       s"""WITH ${graft.ops.Relations.hearstPagesCteSql},

@@ -239,6 +239,104 @@ object Relations {
     types.unionByName(props).distinct()
   }
 
+  /** JSON-LD script-block regex (the OTHER schema.org carrier next to
+    * microdata — in real crawls `<script type="application/ld+json">` is
+    * the dominant structured-data format, cf. Web Data Commons format
+    * splits). Non-greedy body capture; Java∩RE2-identical subset. */
+  val JsonLdScriptRe: String =
+    "<script type=\"application/ld\\+json\">(.*?)</script>"
+
+  /** JSON-LD page synthesis for [[jsonLdTriples]]: each doc carries ONE
+    * head-embedded JSON-LD object — `@type` cycling [[MicroTypes]] on
+    * `doc_id % 3`, a `name` from the doc's own tokens, and on even docs a
+    * NESTED `author` Person object (so the extractor must flatten a nested
+    * entity, which microdata's flat spans never exercise). Mirrored in
+    * [[jsonLdPagesCteSql]]. */
+  def withJsonLd(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val ty = element_at(array(MicroTypes.map(lit): _*),
+      (col("doc_id") % 3).cast("int") + 1)
+    val v1 = element_at(t, ((col("doc_id") * 13) % size(t)).cast("int") + 1)
+    val v2 = element_at(t, ((col("doc_id") * 17) % size(t)).cast("int") + 1)
+    val json = concat(
+      lit("{\"@context\":\"https://schema.org\",\"@type\":\""), ty,
+      lit("\",\"name\":\""), v1, lit("\""),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(",\"author\":{\"@type\":\"Person\",\"name\":\""), v2,
+          lit("\"}"))).otherwise(lit("")),
+      lit("}"))
+    val html = concat(
+      lit("<html><head><script type=\"application/ld+json\">"), json,
+      lit("</script></head><body><p>"), col("text"),
+      lit("</p></body></html>"))
+    docs.select(col("doc_id"), WebOps.syntheticUrl(col("doc_id")).as("url"),
+      html.as("html"))
+  }
+
+  /** DuckDB CTE twin of [[withJsonLd]] — `jlpg(doc_id, url, html)`. */
+  def jsonLdPagesCteSql: String = {
+    val tyList = MicroTypes.map(t => s"'$t'").mkString(", ")
+    s"""jlpg AS (SELECT doc_id, ${WebOps.urlSqlExpr} AS url,
+          '<html><head><script type="application/ld+json">'
+          || '{"@context":"https://schema.org","@type":"'
+          || ([$tyList])[CAST(doc_id % 3 AS INT) + 1]
+          || '","name":"' || ${tokAtSql(13)} || '"'
+          || CASE WHEN doc_id % 2 = 0
+                  THEN ',"author":{"@type":"Person","name":"'
+                    || ${tokAtSql(17)} || '"}'
+                  ELSE '' END
+          || '}</script></head><body><p>' || text
+          || '</p></body></html>' AS html
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS t
+              FROM documents))"""
+  }
+
+  /** JSON-LD → triples (the script-block structured-data leg of web KG
+    * construction, completing the carrier pair with [[microdataTriples]]):
+    * the script body is cut by ONE regex, parsed by Spark's native
+    * `from_json` (codegen'd Jackson — never a UDF), and flattened:
+    * top-level `@type`/`name` attach to the page URL; a nested `author`
+    * object is MINTED as a fragment node `url#author` with its own
+    * `rdf:type` + `schema:name` triples plus the `(url, schema:author,
+    * url#author)` spine — the standard JSON-LD-to-RDF node-minting shape
+    * (deterministic fragment ids in place of blank nodes, like the
+    * NT writer's blank-node policy).
+    *
+    * Scale shape: map-only — regex cut + JSON parse + struct field access
+    * are all per-row expressions; the only exchange is the final
+    * set-semantics distinct on short triple rows. */
+  def jsonLdTriples(pages: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val person = StructType(Seq(
+      StructField("@type", StringType), StructField("name", StringType)))
+    val sch = StructType(Seq(
+      StructField("@type", StringType), StructField("name", StringType),
+      StructField("author", person)))
+    val j = from_json(
+      regexp_extract(col("html"), JsonLdScriptRe, 1), sch)
+    val base = pages.select(col("url"), j.as("j"))
+      .select(col("url"), col("j.`@type`").as("ty"),
+        col("j.name").as("nm"), col("j.author.`@type`").as("aty"),
+        col("j.author.name").as("anm"))
+    val pageTy = base.filter(col("ty").isNotNull)
+      .select(col("url").as("subj"), lit("rdf:type").as("pred"),
+        concat(lit("schema:"), col("ty")).as("obj"))
+    val pageNm = base.filter(col("nm").isNotNull)
+      .select(col("url").as("subj"), lit("schema:name").as("pred"),
+        col("nm").as("obj"))
+    val authorNode = concat(col("url"), lit("#author"))
+    val spine = base.filter(col("anm").isNotNull)
+      .select(col("url").as("subj"), lit("schema:author").as("pred"),
+        authorNode.as("obj"))
+    val aTy = base.filter(col("anm").isNotNull && col("aty").isNotNull)
+      .select(authorNode.as("subj"), lit("rdf:type").as("pred"),
+        concat(lit("schema:"), col("aty")).as("obj"))
+    val aNm = base.filter(col("anm").isNotNull)
+      .select(authorNode.as("subj"), lit("schema:name").as("pred"),
+        col("anm").as("obj"))
+    Seq(pageTy, pageNm, spine, aTy, aNm).reduce(_ unionByName _).distinct()
+  }
+
   /** Fuse extraction events `(subj, obj, extractor)` into per-fact rows
     * `(subj, obj, n_extractors, confidence)` with the noisy-OR above.
     *

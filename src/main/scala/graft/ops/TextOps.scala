@@ -592,4 +592,64 @@ object TextOps {
       .agg(round(avg(col("nll")), 6).as("lm_nll"))
     docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
   }
+
+  /** Mojibake injection codepoints, ONE source for the Scala literal and
+    * the DuckDB `chr()` chain: `" caf" + U+00C3 U+00A9` is "café"'s UTF-8
+    * (0xC3 0xA9) mis-decoded as Latin-1 — the classic double-encoding
+    * artifact a real crawl is full of. */
+  val MojibakeCafe: Seq[Int] = Seq(' ', 'c', 'a', 'f', 0xC3, 0xA9)
+
+  /** Replacement-character injection (a decoder already gave up). */
+  val MojibakeRepl: Seq[Int] = Seq(' ', 'x', 0xFFFD, 'y')
+
+  private def cps(s: Seq[Int]): String = s.map(_.toChar).mkString
+
+  private def chrChainSql(s: Seq[Int]): String =
+    s.map(c => s"chr($c)").mkString(" || ")
+
+  /** Double-encoded UTF-8 signature: a Latin-1-visible `Ã` (U+00C3, the
+    * mis-decoded first byte of every 2-byte U+0080–U+07FF sequence)
+    * followed by a continuation-byte codepoint U+0080–U+00BF. Shared
+    * Java∩RE2 dialect — both engines take `\\x{..}` escapes. */
+  val DoubleUtf8Re: String = "\\x{00C3}[\\x{0080}-\\x{00BF}]"
+
+  /** Decode-failure signature: U+FFFD replacement characters. */
+  val ReplCharRe: String = "\\x{FFFD}"
+
+  /** Corpus with deterministic encoding damage for [[mojibakeReport]]:
+    * docs with `doc_id % 7 == 3` get a double-encoded "café" suffix, docs
+    * with `doc_id % 11 == 5` a replacement-char suffix (the classes
+    * overlap at `doc_id % 77 == 38`, so the detector must count both
+    * signatures on one doc). Mirrored in [[mojibakePagesCteSql]]. */
+  def withMojibake(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 3, lit(cps(MojibakeCafe)))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 5, lit(cps(MojibakeRepl)))
+          .otherwise(lit(""))).as("text"))
+
+  /** DuckDB CTE twin of [[withMojibake]] — `mjpg(doc_id, text)`. */
+  def mojibakePagesCteSql: String =
+    s"""mjpg AS (SELECT doc_id, text
+          || CASE WHEN doc_id % 7 = 3 THEN ${chrChainSql(MojibakeCafe)}
+                  ELSE '' END
+          || CASE WHEN doc_id % 11 = 5 THEN ${chrChainSql(MojibakeRepl)}
+                  ELSE '' END AS text
+        FROM documents)"""
+
+  /** Per-doc encoding-damage report (the charset-QA gate of web-corpus
+    * curation — cf. the UTF-8 repair passes in CCNet/C4-style pipelines):
+    * counts of double-encoded UTF-8 signatures and replacement chars plus
+    * a boolean `damaged` verdict. Pure map-side regexp counting — zero
+    * shuffles, as wide as the corpus scan at 10^12 pages; the damaged
+    * FRACTION (not the per-doc rows) is what a release dashboard
+    * aggregates downstream. */
+  def mojibakeReport(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(DoubleUtf8Re), lit(0)))
+        .cast("long").as("n_double"),
+      size(regexp_extract_all(col("text"), lit(ReplCharRe), lit(0)))
+        .cast("long").as("n_repl"))
+      .withColumn("damaged", col("n_double") + col("n_repl") > 0)
 }

@@ -706,4 +706,56 @@ object WebOps {
           filter(tagged, s => array_contains(col("keep"), s.getField("pos"))),
           s => s.getField("chunk")), " ").as("text_dedup"))
   }
+
+  /** Sitemap-vs-crawl gap report (the sitemaps.org discovery loop: each
+    * host publishes a sitemap.xml; the crawler diffs it against what it
+    * already fetched to find NEW work — the declared-URL complement of the
+    * link-graph [[graft.ops.LinkGraph]] frontier). Synthesis: every host's
+    * sitemap lists the urls of ids `0..2N-1` (each doc contributes its own
+    * id and `id + N`), so exactly the `id + N` tail that does NOT collide
+    * back onto a crawled canonical URL (hosts cycle mod 7, paths mod 40 —
+    * collisions are the point) is undiscovered. Output per canonical host:
+    * `n_listed` distinct canonical locs, `n_crawled` of them already
+    * fetched, `n_new` to enqueue.
+    *
+    * Scale shape: the corpus-size scalar N rides a broadcast 1-row
+    * crossJoin (never a driver action); listing + crawl are short
+    * canonical-URL keys; ONE distinct + ONE left-semi-style flag join +
+    * ONE host agg — at 10^12 pages the sitemap table is per-host metadata,
+    * orders of magnitude smaller than the corpus. */
+  def sitemapGap(docs: DataFrame): DataFrame = {
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val ids = docs.select(col("doc_id")).crossJoin(broadcast(n))
+      .select(explode(array(col("doc_id"), col("doc_id") + col("n_docs")))
+        .as("id"))
+    val listed = ids.select(canonicalUrl(syntheticUrl(col("id"))).as("loc"))
+      .distinct()
+    val crawled = docs
+      .select(canonicalUrl(syntheticUrl(col("doc_id"))).as("loc"))
+      .distinct()
+      .withColumn("crawled", lit(1L))
+    listed.join(crawled, Seq("loc"), "left")
+      .groupBy(canonicalHost(col("loc")).as("host"))
+      .agg(count(lit(1)).as("n_listed"),
+        sum(coalesce(col("crawled"), lit(0L))).as("n_crawled"),
+        sum(when(col("crawled").isNull, lit(1L)).otherwise(lit(0L)))
+          .as("n_new"))
+  }
+
+  /** DuckDB twin of [[sitemapGap]] — full query SQL. */
+  def sitemapGapSql: String =
+    s"""WITH nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        ids AS (SELECT doc_id AS id FROM documents
+                UNION ALL SELECT doc_id + nd.n_docs FROM documents, nd),
+        listed AS (SELECT DISTINCT ${canonUrlSqlOf("u")} AS loc
+                   FROM (SELECT ${urlSqlExprOf("id")} AS u FROM ids)),
+        crawled AS (SELECT DISTINCT ${canonUrlSqlOf("u")} AS loc, 1 AS crawled
+                    FROM (SELECT $urlSqlExpr AS u FROM documents))
+        SELECT ${canonHostSqlOf("l.loc")} AS host,
+          CAST(COUNT(*) AS BIGINT) AS n_listed,
+          CAST(SUM(COALESCE(c.crawled, 0)) AS BIGINT) AS n_crawled,
+          CAST(SUM(CASE WHEN c.crawled IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_new
+        FROM listed l LEFT JOIN crawled c ON l.loc = c.loc
+        GROUP BY 1"""
 }

@@ -334,6 +334,50 @@ class OpsSpec extends AnyFunSuite {
       ("https://a.org/2", "schema:name", "Post")))
   }
 
+  test("jsonLdTriples: flat fields, nested-author minting, absent author, no block") {
+    import spark.implicits._
+    val pages = Seq(
+      ("https://a.org/1",
+        """<head><script type="application/ld+json">{"@context":"https://schema.org",""" +
+          """"@type":"Article","name":"Post","author":{"@type":"Person","name":"Ann"}}""" +
+          """</script></head>"""),
+      ("https://a.org/2",
+        """<script type="application/ld+json">{"@type":"Product","name":"Widget"}</script>"""),
+      ("https://a.org/3", "<p>no structured data</p>"))
+      .toDF("url", "html")
+    val got = Relations.jsonLdTriples(pages).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set(
+      ("https://a.org/1", "rdf:type", "schema:Article"),
+      ("https://a.org/1", "schema:name", "Post"),
+      ("https://a.org/1", "schema:author", "https://a.org/1#author"),
+      ("https://a.org/1#author", "rdf:type", "schema:Person"),
+      ("https://a.org/1#author", "schema:name", "Ann"),
+      ("https://a.org/2", "rdf:type", "schema:Product"),
+      ("https://a.org/2", "schema:name", "Widget")))
+  }
+
+  test("mojibakeReport: double-encoding and replacement chars counted, clean docs pass") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "clean ascii text"),
+      (1L, "caf\u00C3\u00A9 and stra\u00C3\u009Fe"), // two double-encoded seqs
+      (2L, "lost \uFFFD char \uFFFD\uFFFD"), // three replacement chars
+      (3L, "ok caf\u00E9")) // real single-encoded e-acute must NOT flag
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextOps.mojibakeReport(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got(0L) === ((0L, 0L, false)))
+    assert(got(1L) === ((2L, 0L, true)))
+    assert(got(2L) === ((0L, 3L, true)))
+    assert(got(3L) === ((0L, 0L, false)))
+    // the report is map-only: no Exchange anywhere in the plan
+    val plan = graft.ops.TextOps.mojibakeReport(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("tripleConfidence: noisy-OR over extractor priors; unknown extractors dropped") {
     import spark.implicits._
     val ev = Seq(

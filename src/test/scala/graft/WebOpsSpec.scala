@@ -309,4 +309,35 @@ class WebOpsSpec extends AnyFunSuite {
     assert(got === Array("example.co.uk", "example.co.uk", "co.uk",
       "example.com", "example.org", "localhost", "b.ac.uk"))
   }
+
+  test("sitemapGap: listed = crawled ∪ ghost tail, accounting exact per host") {
+    val docs = syntheticDocs(21) // ids 0..20; ghost tail 21..41
+    val got = WebOps.sitemapGap(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // invariants: per host n_listed = n_crawled + n_new; the ghost tail
+    // must surface uncrawled urls somewhere
+    assert(got.nonEmpty)
+    got.foreach { case (h, (listed, crawled, nw)) =>
+      assert(listed === crawled + nw, s"$h accounting")
+    }
+    assert(got.values.map(_._3).sum > 0, "ghost tail produced no new urls")
+    // cross-check exactly: canonical urls of ids 0..41 vs crawled 0..20
+    def canon(ids: Seq[Int]) = {
+      val sess = docs.sparkSession
+      import sess.implicits._
+      ids.toDF("id")
+        .select(WebOps.canonicalUrl(WebOps.syntheticUrl(col("id"))).as("u"),
+          WebOps.canonicalHost(WebOps.syntheticUrl(col("id"))).as("h"))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+    }
+    val all = canon(0 to 41)
+    val crawledSet = canon(0 to 20).map(_._1).toSet
+    val byHost = all.groupBy(_._2).map { case (h, us) =>
+      val locs = us.map(_._1).distinct
+      h -> ((locs.size.toLong, locs.count(crawledSet).toLong,
+        locs.count(u => !crawledSet(u)).toLong))
+    }
+    assert(got === byHost)
+  }
 }
