@@ -2079,6 +2079,26 @@ object SparkEntry {
       graft.ops.Relations.jsonLdTriples(
         graft.ops.Relations.withJsonLd(docsTable(s, dir)))),
 
+    // SPARQL DESCRIBE (CBD): Article pages + their minted author
+    // sub-nodes — all joins subj-keyed, one frontier round (the JSON-LD
+    // nesting's fixed point)
+    "kg_describe" -> ((s, dir) => {
+      val t = graft.ops.Relations.jsonLdTriples(
+        graft.ops.Relations.withJsonLd(docsTable(s, dir)))
+      graft.ops.KgPublish.describe(t,
+        t.filter(col("pred") === "rdf:type" && col("obj") === "schema:Article")
+          .select("subj"))
+    }),
+
+    // SPARQL ASK: satisfiable path pattern + unsatisfiable phantom
+    // predicate, each under LIMIT 1 before the boolean agg (early exit)
+    "kg_ask" -> ((s, dir) =>
+      graft.ops.KgPublish.ask(
+        graft.annotate.NativeAnnotate
+          .annotateTriples(corpus(s, dir), model(s), fusedMaps(s), "v1")
+          .select("subj", "pred", "obj"),
+        closure(s), graft.ops.KgQuality.bgpRoot)),
+
     // sitemap.xml vs crawl: per-host declared-URL gap (n_listed /
     // n_crawled / n_new) — the discovery complement of the link frontier
     "web_sitemap_gap" -> ((s, dir) =>
@@ -4008,6 +4028,35 @@ object SparkEntry {
             ELSE CAST(0.0 AS DOUBLE) END), 6) AS hits1
         FROM drk GROUP BY pred"""
   }
+
+  /** Shared CTE chain for the JSON-LD oracles — `jlpg` (synthesized pages)
+    * → `js` (regex-cut script body) → `f` (json_extract_string fields) →
+    * `jtr` (the deduplicated triple set, [[graft.ops.Relations
+    * .jsonLdTriples]]'s twin). */
+  private def jsonLdTriplesCtes: String =
+    s"""${graft.ops.Relations.jsonLdPagesCteSql},
+        js AS (SELECT url, regexp_extract(html,
+                 '${graft.ops.Relations.JsonLdScriptRe}', 1) AS j
+               FROM jlpg),
+        f AS (SELECT url, json_extract_string(j, '$$."@type"') AS ty,
+                json_extract_string(j, '$$.name') AS nm,
+                json_extract_string(j, '$$.author."@type"') AS aty,
+                json_extract_string(j, '$$.author.name') AS anm
+              FROM js),
+        jtr AS (SELECT DISTINCT subj, pred, obj FROM (
+          SELECT url AS subj, 'rdf:type' AS pred, 'schema:' || ty AS obj
+          FROM f WHERE ty IS NOT NULL
+          UNION ALL
+          SELECT url, 'schema:name', nm FROM f WHERE nm IS NOT NULL
+          UNION ALL
+          SELECT url, 'schema:author', url || '#author'
+          FROM f WHERE anm IS NOT NULL
+          UNION ALL
+          SELECT url || '#author', 'rdf:type', 'schema:' || aty
+          FROM f WHERE anm IS NOT NULL AND aty IS NOT NULL
+          UNION ALL
+          SELECT url || '#author', 'schema:name', anm
+          FROM f WHERE anm IS NOT NULL))"""
 
   /** kg_complex_rank oracle ([[graft.ops.KgEmbed.complexRank]] twin): the
     * shared negatives/init chain; per complex dim j (re at d = j, im at
@@ -6723,6 +6772,24 @@ object SparkEntry {
           JOIN triples ml ON ml.subj = dl.subj AND ml.pred = 'hasMappedAnnotation'
           WHERE dl.pred = 'hasAnnotation'""",
 
+    // ASK: EXISTS over the path pattern (true) + the phantom predicate
+    // (false) — both branches checked
+    "kg_ask" ->
+      s"""WITH RECURSIVE $dictCte, $edgesCte, $mappingsCte, $directCte, $closureCte,
+          $kgTriplesCte,
+          reach AS (SELECT DISTINCT o FROM (
+                    SELECT child_iri AS o FROM closure
+                    WHERE ancestor_iri = '${graft.ops.KgQuality.bgpRoot}'
+                    UNION ALL SELECT '${graft.ops.KgQuality.bgpRoot}'))
+          SELECT 'path_to_root' AS pattern,
+            EXISTS(SELECT 1 FROM triples t JOIN reach r ON t.obj = r.o
+                   WHERE t.pred IN ('hasAnnotation', 'hasMappedAnnotation'))
+              AS answer
+          UNION ALL
+          SELECT 'phantom_pred',
+            EXISTS(SELECT 1 FROM triples
+                   WHERE pred = '${graft.ops.KgPublish.PhantomPred}')""",
+
     // property path (p1|p2)/subClassOf*: reach = {root} ∪ descendants
     // (zero-length star leg = the root itself), alternation = IN filter
     "kg_path_query" ->
@@ -7051,30 +7118,22 @@ object SparkEntry {
     // regex-cut script body, json_extract_string flattening, fragment-node
     // minting for the nested author — same regex + synthesis constants
     "kg_jsonld" ->
-      s"""WITH ${graft.ops.Relations.jsonLdPagesCteSql},
-          js AS (SELECT url, regexp_extract(html,
-                   '${graft.ops.Relations.JsonLdScriptRe}', 1) AS j
-                 FROM jlpg),
-          f AS (SELECT url, json_extract_string(j, '$$."@type"') AS ty,
-                  json_extract_string(j, '$$.name') AS nm,
-                  json_extract_string(j, '$$.author."@type"') AS aty,
-                  json_extract_string(j, '$$.author.name') AS anm
-                FROM js),
-          tr AS (
-            SELECT url AS subj, 'rdf:type' AS pred, 'schema:' || ty AS obj
-            FROM f WHERE ty IS NOT NULL
-            UNION ALL
-            SELECT url, 'schema:name', nm FROM f WHERE nm IS NOT NULL
-            UNION ALL
-            SELECT url, 'schema:author', url || '#author'
-            FROM f WHERE anm IS NOT NULL
-            UNION ALL
-            SELECT url || '#author', 'rdf:type', 'schema:' || aty
-            FROM f WHERE anm IS NOT NULL AND aty IS NOT NULL
-            UNION ALL
-            SELECT url || '#author', 'schema:name', anm
-            FROM f WHERE anm IS NOT NULL)
-          SELECT DISTINCT subj, pred, obj FROM tr""",
+      s"""WITH $jsonLdTriplesCtes
+          SELECT subj, pred, obj FROM jtr""",
+
+    // CBD: seed-subject triples + full description of fragment sub-nodes
+    // reached in object position; one frontier round is the fixed point
+    // for the one-level JSON-LD nesting
+    "kg_describe" ->
+      s"""WITH $jsonLdTriplesCtes,
+          seeds AS (SELECT DISTINCT subj FROM jtr
+                    WHERE pred = 'rdf:type' AND obj = 'schema:Article'),
+          st AS (SELECT t.* FROM jtr t JOIN seeds s ON t.subj = s.subj),
+          fr AS (SELECT DISTINCT t.obj AS subj FROM st t
+                 WHERE starts_with(t.obj, t.subj || '#')),
+          nt AS (SELECT t.* FROM jtr t JOIN fr ON t.subj = fr.subj)
+          SELECT DISTINCT subj, pred, obj
+          FROM (SELECT * FROM st UNION ALL SELECT * FROM nt)""",
 
     "web_sitemap_gap" -> graft.ops.WebOps.sitemapGapSql,
 

@@ -262,4 +262,51 @@ object KgPublish {
       .withColumn("rule", lit("rdfp4"))
     inv.union(sym).union(trans)
   }
+
+  /** SPARQL DESCRIBE under the Concise Bounded Description contract (the
+    * W3C CBD note — the de-facto DESCRIBE semantics in Virtuoso etc.):
+    * for each seed resource, every triple whose subject is the seed, plus
+    * the full description of any MINTED sub-node reached in object
+    * position (here: fragment nodes `seed#...`, the deterministic stand-in
+    * for blank nodes — [[Relations.jsonLdTriples]]'s author nodes). The
+    * pipeline's structured-data extraction nests exactly one level, so one
+    * frontier round is the fixed point; deeper nesting would iterate this
+    * block, bounded by nesting depth, never by corpus size.
+    *
+    * Scale shape: seeds are corpus-scale (page URLs), so both expansion
+    * rounds are subj-keyed equi-joins — the triple sink's own partition
+    * key, no broadcast of corpus data anywhere; the final DISTINCT is the
+    * CBD set semantics on short triple rows. */
+  def describe(triples: DataFrame, seeds: DataFrame): DataFrame = {
+    val seedTriples = triples.join(seeds.distinct(), "subj")
+    val frontier = seedTriples
+      .filter(col("obj").startsWith(concat(col("subj"), lit("#"))))
+      .select(col("obj").as("subj")).distinct()
+    val nested = triples.join(frontier, "subj")
+    seedTriples.select("subj", "pred", "obj")
+      .unionByName(nested.select("subj", "pred", "obj"))
+      .distinct()
+  }
+
+  /** Predicate used by [[ask]]'s deliberately-unsatisfiable pattern — a
+    * constant shared with the oracle SQL. */
+  val PhantomPred = "http://graft.kg/p#phantom"
+
+  /** SPARQL ASK — boolean pattern satisfiability, one row per pattern so
+    * BOTH branches are driver-visible: `path_to_root` (the [[pathQuery]]
+    * pattern — satisfiable on any annotated corpus) and `phantom_pred`
+    * (an unsatisfiable pattern proving ASK can say no).
+    *
+    * Scale shape: each pattern runs under a `LIMIT 1` BEFORE the boolean
+    * agg — LocalLimit short-circuits every scan partition at its first
+    * solution, so ASK costs one early-exiting pass, never a full count.
+    * The final union is 2 rows. */
+  def ask(triples: DataFrame, closure: DataFrame, root: String): DataFrame = {
+    def exists(df: DataFrame, name: String): DataFrame =
+      df.limit(1).agg((count(lit(1)) > 0).as("answer"))
+        .select(lit(name).as("pattern"), col("answer"))
+    exists(pathQuery(triples, closure, root), "path_to_root")
+      .unionByName(
+        exists(triples.filter(col("pred") === PhantomPred), "phantom_pred"))
+  }
 }

@@ -135,4 +135,42 @@ class KgPublishSpec extends AnyFunSuite {
       ("m1", "mappedTo", "c1", "rdfp3"),
       ("c1", "subClassOf", "root", "rdfp4")))
   }
+
+  test("describe: CBD pulls seed triples + fragment sub-node descriptions only") {
+    import spark.implicits._
+    val t = triplesDf(Seq(
+      ("u1", "rdf:type", "schema:Article"),
+      ("u1", "schema:author", "u1#author"),
+      ("u1#author", "schema:name", "Ann"),
+      ("u1#author", "rdf:type", "schema:Person"),
+      ("u1", "schema:about", "u2"), // plain IRI object — must NOT expand
+      ("u2", "rdf:type", "schema:Article"), // a second seed
+      ("u3", "rdf:type", "schema:Product"), // not a seed
+      ("u3", "schema:name", "W")))
+    val seeds = Seq("u1", "u2").toDF("subj")
+    val got = KgPublish.describe(t, seeds)
+      .as[(String, String, String)].collect().toSet
+    assert(got === Set(
+      ("u1", "rdf:type", "schema:Article"),
+      ("u1", "schema:author", "u1#author"),
+      ("u1", "schema:about", "u2"),
+      ("u1#author", "schema:name", "Ann"),
+      ("u1#author", "rdf:type", "schema:Person"),
+      ("u2", "rdf:type", "schema:Article")))
+  }
+
+  test("ask: true on satisfiable path, false on the phantom predicate") {
+    import spark.implicits._
+    val t = triplesDf(Seq(
+      ("doc://1", "hasAnnotation", "c1"),
+      ("doc://2", "hasMappedAnnotation", "root")))
+    val closure = Seq(("c1", "root", 1)).toDF("child", "ancestor", "distance")
+    val got = KgPublish.ask(t, closure, "root")
+      .as[(String, Boolean)].collect().toMap
+    assert(got === Map("path_to_root" -> true, "phantom_pred" -> false))
+    // an empty triple table answers false on both
+    val none = KgPublish.ask(t.limit(0), closure, "root")
+      .as[(String, Boolean)].collect().toMap
+    assert(none === Map("path_to_root" -> false, "phantom_pred" -> false))
+  }
 }
