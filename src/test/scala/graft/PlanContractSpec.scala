@@ -132,4 +132,34 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!plan("kg_encoded_store").contains("CartesianProduct"))
     assert(!plan("kg_owl_horst").contains("CartesianProduct"))
   }
+
+  test("kg_jsonld: map-only extraction — exactly one exchange (the distinct)") {
+    val p = plan("kg_jsonld")
+    val exchanges = p.split("\n").count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange")
+        && !l.contains("ReusedExchange"))
+    assert(exchanges === 1, s"expected exactly 1 shuffle exchange:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("web_sitemap_gap: the only nested-loop is the 1-row scalar attach; no cartesian") {
+    val p = plan("web_sitemap_gap")
+    assert(!p.contains("CartesianProduct"), p)
+    // the corpus-size scalar N attaches as a broadcast 1-row nest; the
+    // listed-vs-crawled flag join must be a keyed equi-join
+    assert(p.contains("BroadcastNestedLoopJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("kg_describe: subj-keyed equi-joins only — no broadcast of corpus-scale seeds") {
+    val p = plan("kg_describe")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("kg_ask: each pattern short-circuits under a limit before its boolean agg") {
+    val p = plan("kg_ask")
+    assert(p.contains("CollectLimit") || p.contains("GlobalLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
