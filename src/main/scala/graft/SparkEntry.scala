@@ -2104,6 +2104,11 @@ object SparkEntry {
     "web_sitemap_gap" -> ((s, dir) =>
       graft.ops.WebOps.sitemapGap(docsTable(s, dir))),
 
+    // rel=next pagination-chain reassembly: pointer doubling with position
+    // accumulation (list ranking), one root-keyed merge agg
+    "web_page_chains" -> ((s, dir) =>
+      graft.ops.WebOps.pageChains(docsTable(s, dir))),
+
     // per-doc encoding-damage report: double-encoded UTF-8 + replacement
     // chars, map-only regexp counting over the damaged synthesis
     "q_mojibake" -> ((s, dir) =>
@@ -7136,6 +7141,8 @@ object SparkEntry {
           FROM (SELECT * FROM st UNION ALL SELECT * FROM nt)""",
 
     "web_sitemap_gap" -> graft.ops.WebOps.sitemapGapSql,
+
+    "web_page_chains" -> graft.ops.WebOps.pageChainsSql,
 
     // same regexes over the same damaged synthesis (DuckDB plain string
     // literals pass backslash escapes to RE2 untouched); counts as BIGINTs

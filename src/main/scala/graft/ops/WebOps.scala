@@ -742,6 +742,81 @@ object WebOps {
           .as("n_new"))
   }
 
+  /** Max pagination-chain length [[pageChains]] resolves — covered in
+    * ⌈log₂⌉ doubling rounds. Real paginated articles run to dozens of
+    * pages; the constant is the hop BUDGET, not a data assumption (longer
+    * chains would surface as split chains, the same failure mode as
+    * [[resolveRedirects]]' `looped` flag). */
+  val MaxChainLen = 8
+
+  /** Pagination-chain reassembly (the crawl post-processing step real
+    * pipelines run before dedup: a multi-page article split across
+    * `rel="next"` pages must merge back into ONE document, else every
+    * page of it looks like a near-dup head/tail fragment). Synthesis:
+    * docs with `doc_id % 10 ∈ {1,2,3}` chain as `10k+1 → 10k+2 → 10k+3`
+    * via rel-next edges (guarded by the max id so truncated tails still
+    * resolve); everything else is a singleton.
+    *
+    * POINTER DOUBLING with position accumulation (the list-ranking form
+    * of [[resolveRedirects]]): state `(page, ptr, d)` means `ptr` is the
+    * node `d` prev-hops up; each round composes the map with itself —
+    * `(ptr, d) ∘ (ptr', d') = (ptr', d + d')` — so roots (ptr = self,
+    * d = 0) absorb and ⌈log₂ [[MaxChainLen]]⌉ keyed self-joins resolve
+    * every page to `(root, position)`. Per-round localCheckpoint keeps
+    * plan depth constant (the Lloyd rule). The final per-chain merge is
+    * ONE root-keyed agg whose groups are chain-length-bounded (never
+    * corpus-bounded), text ordered by the computed position. */
+  def pageChains(docs: DataFrame): DataFrame = {
+    def pg(id: Column) = concat(lit("doc://"), id.cast("string"))
+    val maxId = docs.agg(max(col("doc_id")).as("max_id"))
+    val edges = docs.crossJoin(broadcast(maxId))
+      .filter(col("doc_id") % 10 === 1 || col("doc_id") % 10 === 2)
+      .filter(col("doc_id") < col("max_id"))
+      .select(pg(col("doc_id")).as("src"), pg(col("doc_id") + 1).as("dst"))
+    val prev = edges.select(col("dst").as("page"), col("src").as("prev"))
+    val pages = docs.select(pg(col("doc_id")).as("page"), col("text"))
+    var f = pages.select(col("page")).join(prev, Seq("page"), "left")
+      .select(col("page"), coalesce(col("prev"), col("page")).as("ptr"),
+        when(col("prev").isNull, lit(0L)).otherwise(lit(1L)).as("d"))
+      .localCheckpoint()
+    var hops = 1
+    while (hops < MaxChainLen) {
+      val g = f.select(col("page").as("g_page"), col("ptr").as("g_ptr"),
+        col("d").as("g_d"))
+      f = f.join(g, f("ptr") === col("g_page"))
+        .select(f("page"), col("g_ptr").as("ptr"),
+          (f("d") + col("g_d")).as("d"))
+        .localCheckpoint()
+      hops *= 2
+    }
+    f.join(pages, "page")
+      .groupBy(col("ptr").as("root"))
+      .agg(count(lit(1)).as("n_pages"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("d"), col("text")))),
+            s => s.getField("text")), " ").as("merged_text"))
+  }
+
+  /** DuckDB twin of [[pageChains]] — the synthesized chains are ≤ 3 pages,
+    * so ONE composition of the prev-map with itself (depth ≤ 2) reaches
+    * every root; merge order recomputed from the same positions. */
+  def pageChainsSql: String =
+    s"""WITH nn AS (SELECT MAX(doc_id) AS max_id FROM documents),
+        edges AS (SELECT doc_id AS s, doc_id + 1 AS t
+                  FROM documents, nn
+                  WHERE doc_id % 10 IN (1, 2) AND doc_id < max_id),
+        prv AS (SELECT t AS page, s AS prev FROM edges),
+        p1 AS (SELECT d.doc_id AS page, COALESCE(p.prev, d.doc_id) AS r1,
+                 CASE WHEN p.prev IS NULL THEN 0 ELSE 1 END AS d1
+               FROM documents d LEFT JOIN prv p ON d.doc_id = p.page),
+        p2 AS (SELECT a.page, b.r1 AS root, a.d1 + b.d1 AS pos
+               FROM p1 a JOIN p1 b ON a.r1 = b.page)
+        SELECT 'doc://' || p2.root AS root,
+          CAST(COUNT(*) AS BIGINT) AS n_pages,
+          string_agg(d.text, ' ' ORDER BY p2.pos) AS merged_text
+        FROM p2 JOIN documents d ON p2.page = d.doc_id
+        GROUP BY 1"""
+
   /** DuckDB twin of [[sitemapGap]] — full query SQL. */
   def sitemapGapSql: String =
     s"""WITH nd AS (SELECT COUNT(*) AS n_docs FROM documents),

@@ -310,6 +310,22 @@ class WebOpsSpec extends AnyFunSuite {
       "example.com", "example.org", "localhost", "b.ac.uk"))
   }
 
+  test("pageChains: 3-page chains merge in order, singletons stay, tails truncate clean") {
+    import spark.implicits._
+    // ids 0..12: chains {1,2,3} and {11,12} (12 -> 13 suppressed by the
+    // max-id guard; 12 still chains to 11), singletons elsewhere
+    val docs = (0L to 12L).map(i => (i, s"t$i", 1L))
+      .toDF("doc_id", "text", "n_chars")
+    val got = WebOps.pageChains(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val singles = Set(0L, 4L, 5L, 6L, 7L, 8L, 9L, 10L)
+      .map(i => (s"doc://$i", 1L, s"t$i"))
+    assert(got === singles +
+      (("doc://1", 3L, "t1 t2 t3")) + (("doc://11", 2L, "t11 t12")))
+    // totals conserved: every page lands in exactly one chain
+    assert(got.toSeq.map(_._2).sum === 13L)
+  }
+
   test("sitemapGap: listed = crawled ∪ ghost tail, accounting exact per host") {
     val docs = syntheticDocs(21) // ids 0..20; ghost tail 21..41
     val got = WebOps.sitemapGap(docs).collect()
