@@ -2099,6 +2099,16 @@ object SparkEntry {
           .select("subj", "pred", "obj"),
         closure(s), graft.ops.KgQuality.bgpRoot)),
 
+    // SPARQL UNION + FILTER regex + MINUS: one pred-IN-filtered scan
+    // (alternation idiom), map-side FILTER, MINUS = broadcast left-anti
+    // on the shared-variable domain {?c} (the minus side is ontology)
+    "kg_bgp_union_minus" -> ((s, dir) =>
+      graft.ops.KgPublish.unionMinus(
+        graft.annotate.NativeAnnotate
+          .annotateTriples(corpus(s, dir), model(s), fusedMaps(s), "v1")
+          .select("subj", "pred", "obj"),
+        closure(s), graft.ops.KgQuality.bgpRoot)),
+
     // sitemap.xml vs crawl: per-host declared-URL gap (n_listed /
     // n_crawled / n_new) — the discovery complement of the link frontier
     "web_sitemap_gap" -> ((s, dir) =>
@@ -6794,6 +6804,21 @@ object SparkEntry {
           SELECT 'phantom_pred',
             EXISTS(SELECT 1 FROM triples
                    WHERE pred = '${graft.ops.KgPublish.PhantomPred}')""",
+
+    // UNION = pred IN-filter with via bound to the matched predicate;
+    // FILTER = the shared even-trailing-digit regex; MINUS = NOT EXISTS
+    // on the shared variable c vs the descendant set (the anti-join twin)
+    "kg_bgp_union_minus" ->
+      s"""WITH RECURSIVE $dictCte, $edgesCte, $mappingsCte, $directCte, $closureCte,
+          $kgTriplesCte,
+          sols AS (SELECT subj AS d, obj AS c, pred AS via FROM triples
+                   WHERE pred IN ('hasAnnotation', 'hasExpandedAnnotation')
+                     AND regexp_matches(subj, '${graft.ops.KgPublish.EvenDocRe}'))
+          SELECT DISTINCT d, c, via FROM sols
+          WHERE NOT EXISTS (SELECT 1 FROM closure x
+                            WHERE x.child_iri = sols.c
+                              AND x.ancestor_iri =
+                                '${graft.ops.KgQuality.bgpRoot}')""",
 
     // property path (p1|p2)/subClassOf*: reach = {root} ∪ descendants
     // (zero-length star leg = the root itself), alternation = IN filter

@@ -309,4 +309,50 @@ object KgPublish {
       .unionByName(
         exists(triples.filter(col("pred") === PhantomPred), "phantom_pred"))
   }
+
+  /** Regex [[unionMinus]]'s FILTER tests doc URIs against — even trailing
+    * digit. Partial-match (find) semantics in BOTH engines (Spark RLIKE,
+    * DuckDB regexp_matches); a constant shared with the oracle SQL. */
+  val EvenDocRe = "[02468]$"
+
+  /** SPARQL solution-set algebra — UNION + FILTER + MINUS, the operators
+    * left after the verb set (star BGP / OPTIONAL / CONSTRUCT / DESCRIBE /
+    * ASK are `kg_bgp_star` … `kg_ask`):
+    *
+    * {{{
+    * SELECT DISTINCT ?d ?c ?via WHERE {
+    *   { ?d :hasAnnotation ?c }            # ?via bound to the predicate
+    *   UNION
+    *   { ?d :hasExpandedAnnotation ?c }
+    *   FILTER regex(str(?d), "[02468]$")
+    *   MINUS { ?c rdfs:subClassOf+ <root> }
+    * }
+    * }}}
+    *
+    * — "even-numbered docs and their annotations, except those whose
+    * concept sits under <root>": the solution-set complement of
+    * `kg_bgp_star`'s descendant restriction.
+    *
+    * UNION over branches that differ only in predicate compiles to ONE
+    * pruned scan with a predicate IN-filter (`?via` = the matched
+    * predicate — [[pathQuery]]'s alternation idiom, never a union of two
+    * scans); FILTER is a map-side regexp BEFORE any exchange (Catalyst
+    * pushes it into the scan); MINUS drops solutions compatible with any
+    * minus-pattern solution on the shared variable domain — here {?c},
+    * so it is exactly a LEFT ANTI join on `c`, and because the minus
+    * pattern is pure ontology (closure descendants of `root`) the anti
+    * side BROADCASTS: the corpus-sized solution stream is filtered
+    * map-side, no exchange. The only shuffle is the final solution-set
+    * DISTINCT on (d, c, via). */
+  def unionMinus(triples: DataFrame, closure: DataFrame,
+                 root: String): DataFrame = {
+    val solutions = triples
+      .filter(col("pred").isin(Pred.Direct, Pred.Expanded))
+      .filter(col("subj").rlike(EvenDocRe))
+      .select(col("subj").as("d"), col("obj").as("c"), col("pred").as("via"))
+    val minusLeg = closure.filter(col("ancestor") === root)
+      .select(col("child").as("c"))
+    solutions.join(broadcast(minusLeg), Seq("c"), "left_anti")
+      .select("d", "c", "via").distinct()
+  }
 }

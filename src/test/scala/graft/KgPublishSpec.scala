@@ -173,4 +173,25 @@ class KgPublishSpec extends AnyFunSuite {
       .as[(String, Boolean)].collect().toMap
     assert(none === Map("path_to_root" -> false, "phantom_pred" -> false))
   }
+
+  test("unionMinus: UNION binds via, FILTER drops odd docs, MINUS drops root descendants") {
+    import spark.implicits._
+    val t = triplesDf(Seq(
+      ("doc://2", Pred.Direct, "cA"), // kept (even, cA outside the subtree)
+      ("doc://2", Pred.Expanded, "cB"), // kept via the UNION branch
+      ("doc://3", Pred.Direct, "cA"), // FILTER: odd trailing digit
+      ("doc://4", Pred.Direct, "cUnder"), // MINUS: cUnder ⊑ root
+      ("doc://8", Pred.Expanded, "cA"), // duplicate solution (two rows,
+      ("doc://8", Pred.Expanded, "cA"), //  one SET entry)
+      ("doc://6", Pred.Mapped, "cA"))) // mapped pred: not in the UNION
+    val closure = Seq(("cUnder", "root", 1), ("cA", "elsewhere", 1))
+      .toDF("child", "ancestor", "distance")
+    val got = KgPublish.unionMinus(t, closure, "root")
+      .as[(String, String, String)].collect().toList
+    assert(got.toSet === Set(
+      ("doc://2", "cA", Pred.Direct),
+      ("doc://2", "cB", Pred.Expanded),
+      ("doc://8", "cA", Pred.Expanded)))
+    assert(got.size === 3) // DISTINCT: the doc://8 dup collapsed
+  }
 }

@@ -162,4 +162,13 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.contains("CollectLimit") || p.contains("GlobalLimit"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("kg_bgp_union_minus: MINUS is a broadcast anti-join — the ontology side never shuffles the solution stream") {
+    val p = plan("kg_bgp_union_minus")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    // a sort-merge anti (corpus-sized exchange on c) is the regression
+    assert(!p.split("\n").exists(l =>
+      l.contains("SortMergeJoin") && l.contains("LeftAnti")), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
