@@ -1435,6 +1435,12 @@ object SparkEntry {
     // per-language corpus datasheet: docs, token mass, mean quality — the
     // "datasheets for datasets" stratification report (lang-keyed hash agg
     // over per-doc map-side stats)
+    // declared-vs-detected language confusion matrix: map-only detection
+    // riding the corpus scan, one (declared, detected) hash agg, share
+    // window over the langs²-row matrix
+    "web_lang_consistency" -> ((s, dir) =>
+      TextOps.langConsistency(docsTable(s, dir))),
+
     "text_lang_report" -> ((s, dir) => {
       val docs = docsTable(s, dir)
       docs.select(col("doc_id"), col("lang"),
@@ -7529,6 +7535,22 @@ object SparkEntry {
 
     // per-language corpus datasheet: docs, token mass, mean quality — the
     // "datasheets for datasets" stratification report
+    // the same stopword-density CASE as text_langid (single source:
+    // TextOps.langPred), confusion counts + per-declared share window
+    "web_lang_consistency" ->
+      """WITH p AS (SELECT lang AS lang_declared,
+             CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.03
+                  THEN 'en' ELSE 'und' END AS lang_pred
+           FROM documents),
+         conf AS (SELECT lang_declared, lang_pred, COUNT(*) AS n_docs
+                  FROM p GROUP BY 1, 2)
+         SELECT lang_declared, lang_pred, n_docs,
+           ROUND(n_docs / CAST(SUM(n_docs) OVER (PARTITION BY lang_declared)
+                               AS DOUBLE), 6) AS share,
+           lang_declared <> lang_pred AS mismatch
+         FROM conf""",
+
     "text_lang_report" ->
       """WITH q AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS nt,
              ROUND(

@@ -54,10 +54,37 @@ object TextOps {
     * char-trigram profiles; the deterministic contract here is
     * stopword-density based and mirrored in the oracle SQL): docs whose
     * English-stopword density ≥ 3% → 'en', else 'und'. */
-  def langId(docs: DataFrame): DataFrame = {
-    val ratio = stopwordCount(col("text")) / size(tokens(col("text"))).cast("double")
-    docs.select(col("doc_id"),
-      when(ratio >= 0.03, lit("en")).otherwise(lit("und")).as("lang_pred"))
+  def langId(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), langPred(col("text")).as("lang_pred"))
+
+  /** The [[langId]] detector as a Column — ONE source for [[langId]] and
+    * [[langConsistency]] (and their oracle SQL twins). */
+  def langPred(text: Column): Column = {
+    val ratio = stopwordCount(text) / size(tokens(text)).cast("double")
+    when(ratio >= 0.03, lit("en")).otherwise(lit("und"))
+  }
+
+  /** Declared-vs-detected language audit (the release-QA gate crawl
+    * pipelines run before trusting page-DECLARED `lang` attributes —
+    * cf. the lang-tag noise findings behind CLD-based re-detection in
+    * C4/CCNet-style curation): the (declared, detected) confusion matrix
+    * with per-declared-language shares and a literal-disagreement flag.
+    *
+    * Scale shape: detection is a pure column expression riding the corpus
+    * scan (map-only, whole-stage codegen); ONE hash aggregation on the
+    * (declared, detected) pair — map-side partials collapse it to
+    * |langs|·|preds| rows per task; the share window runs over the
+    * already-aggregated confusion matrix (langs² rows, never the corpus). */
+  def langConsistency(docs: DataFrame): DataFrame = {
+    val conf = docs
+      .select(col("lang").as("lang_declared"),
+        langPred(col("text")).as("lang_pred"))
+      .groupBy("lang_declared", "lang_pred")
+      .agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang_declared")
+    conf.select(col("lang_declared"), col("lang_pred"), col("n_docs"),
+      round(col("n_docs") / sum(col("n_docs")).over(w), 6).as("share"),
+      (col("lang_declared") =!= col("lang_pred")).as("mismatch"))
   }
 
   /** Gopher-style quality rule filter (Rae et al. 2021, public rule set):

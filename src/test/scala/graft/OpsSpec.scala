@@ -378,6 +378,32 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("langConsistency: confusion counts, per-declared shares, literal mismatch flag") {
+    import spark.implicits._
+    // detector: en iff ('the','a')-density >= 3%
+    val d = Seq(
+      (0L, "en", "the cat sat"), // declared en, detected en
+      (1L, "en", "xx yy zz"), // declared en, detected und -> mismatch
+      (2L, "fr", "le chat dort"), // declared fr, detected und -> mismatch
+      (3L, "fr", "the a the")) // declared fr, detected en -> mismatch
+      .toDF("doc_id", "lang", "text")
+    val got = TextOps.langConsistency(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got === Map(
+      ("en", "en") -> ((1L, 0.5, false)),
+      ("en", "und") -> ((1L, 0.5, true)),
+      ("fr", "und") -> ((1L, 0.5, true)),
+      ("fr", "en") -> ((1L, 0.5, true))))
+    // share window runs over the aggregated matrix: the plan has exactly
+    // one corpus-side shuffle (the confusion agg) before the window's
+    val plan = TextOps.langConsistency(d).queryExecution.executedPlan.toString
+    val shuffles = plan.split("\n").count(l =>
+      l.contains("Exchange") && !l.contains("Broadcast")
+        && !l.contains("Reused"))
+    assert(shuffles === 2, plan) // conf agg + langs²-row window repartition
+  }
+
   test("tripleConfidence: noisy-OR over extractor priors; unknown extractors dropped") {
     import spark.implicits._
     val ev = Seq(
