@@ -2125,6 +2125,13 @@ object SparkEntry {
     "web_page_chains" -> ((s, dir) =>
       graft.ops.WebOps.pageChains(docsTable(s, dir))),
 
+    // soft-404 / parked-template detection: identical text at >= 2 distinct
+    // canonical URLs on one host — one (host, text) agg over the injected
+    // error-template synthesis
+    "web_soft404" -> ((s, dir) =>
+      graft.ops.WebOps.soft404(
+        graft.ops.WebOps.withSoft404(docsTable(s, dir)))),
+
     // per-doc encoding-damage report: double-encoded UTF-8 + replacement
     // chars, map-only regexp counting over the damaged synthesis
     "q_mojibake" -> ((s, dir) =>
@@ -7174,6 +7181,8 @@ object SparkEntry {
     "web_sitemap_gap" -> graft.ops.WebOps.sitemapGapSql,
 
     "web_page_chains" -> graft.ops.WebOps.pageChainsSql,
+
+    "web_soft404" -> graft.ops.WebOps.soft404Sql,
 
     // same regexes over the same damaged synthesis (DuckDB plain string
     // literals pass backslash escapes to RE2 untouched); counts as BIGINTs

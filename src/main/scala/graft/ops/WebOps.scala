@@ -582,6 +582,64 @@ object WebOps {
           least(col("n_a"), col("n_b")).cast("double"), 6).as("containment"))
   }
 
+  /** Error-template text [[withSoft404]] injects — a constant shared with
+    * the oracle SQL (single-source-of-truth contract). */
+  val Soft404Text = "404 page not found on "
+
+  /** Deterministic soft-404 synthesis (the [[TextOps.withMojibake]]
+    * pattern): docs with `doc_id % 9 == 4` have their text REPLACED by the
+    * host's error template — a server that answers HTTP 200 with the same
+    * "not found" page at every dead URL, the classic crawl pathology.
+    * Templates embed the host so they collide only WITHIN a host, and the
+    * damaged ids hit every host (9 and 7 are coprime). Mirrored in the
+    * oracle SQL. */
+  def withSoft404(docs: DataFrame): DataFrame =
+    withUrls(docs).select(col("doc_id"), col("url"),
+      when(col("doc_id") % 9 === 4,
+        concat(lit(Soft404Text), canonicalHost(col("url"))))
+        .otherwise(col("text")).as("text"))
+
+  /** Soft-404 / parked-template detection (cf. Bar-Yossef et al., "Sic
+    * Transit Gloria Telae", WWW 2004 — soft-404s are pages that answer 200
+    * with error content; an OFFLINE crawl detects them structurally as one
+    * host serving IDENTICAL text at many distinct URLs): per (host,
+    * template) groups with `n_urls ≥ minUrls` distinct canonical URLs.
+    * Catches error templates, parked domains, and within-host mirror
+    * paths — the pages a curation pipeline drops before dedup (they would
+    * otherwise dominate a host's quota).
+    *
+    * Scale shape: map-only canonicalization riding the corpus scan; ONE
+    * aggregation keyed on (host, text) — `countDistinct` plans the
+    * standard two-phase expand (partials map-side). At 100 TB the exchange
+    * key is the (host, 128-bit text hash) pair ([[Dedup.exact]]'s collision
+    * math; verbatim text kept here because the oracle recomputes on raw
+    * strings — the same documented trade as [[chunkDedup]]). Group count is
+    * bounded by distinct templates per host, never corpus-quadratic. */
+  def soft404(pages: DataFrame, minUrls: Long = 2): DataFrame =
+    pages.select(canonicalHost(col("url")).as("host"),
+        canonicalUrl(col("url")).as("canon_url"), col("text"))
+      .groupBy("host", "text")
+      .agg(countDistinct(col("canon_url")).as("n_urls"),
+        count(lit(1)).as("n_docs"))
+      .filter(col("n_urls") >= minUrls)
+      .select(col("host"), col("text").as("template_text"),
+        col("n_urls"), col("n_docs"))
+
+  /** DuckDB twin of [[withSoft404]] + [[soft404]] — full query SQL. */
+  def soft404Sql: String =
+    s"""WITH pg AS (SELECT doc_id, $urlSqlExpr AS url, text FROM documents),
+        dm AS (SELECT doc_id, url,
+                 CASE WHEN doc_id % 9 = 4
+                      THEN '$Soft404Text' || ${canonHostSqlOf("url")}
+                      ELSE text END AS text
+               FROM pg)
+        SELECT ${canonHostSqlOf("url")} AS host, text AS template_text,
+          COUNT(DISTINCT ${canonUrlSqlOf("url")}) AS n_urls,
+          COUNT(*) AS n_docs
+        FROM dm
+        GROUP BY 1, 2
+        HAVING COUNT(DISTINCT ${canonUrlSqlOf("url")}) >= 2"""
+
   /** Per-domain page quota (the training-data domain-mix cap: no host may
     * contribute more than `quota` pages — C4/Gopher-style source balancing
     * so boilerplate farms don't dominate the corpus). Selection within a

@@ -326,6 +326,27 @@ class WebOpsSpec extends AnyFunSuite {
     assert(got.toSeq.map(_._2).sum === 13L)
   }
 
+  test("soft404: shared template across URLs flags, same-URL recrawl and singletons don't") {
+    import spark.implicits._
+    val pages = Seq(
+      // host a: error template at 3 distinct URLs -> flagged
+      (0L, "https://a.com/x", "404 oops"),
+      (1L, "https://a.com/y", "404 oops"),
+      (2L, "https://a.com/z", "404 oops"),
+      // host a: same text at ONE canonical URL twice (recrawl) -> not flagged
+      (3L, "https://a.com/p?utm_source=f", "real article"),
+      (4L, "https://a.com/p", "real article"),
+      // host b: the same template text but only one URL -> not flagged
+      (5L, "https://b.com/x", "404 oops"))
+      .toDF("doc_id", "url", "text")
+    val got = WebOps.soft404(pages).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(("a.com", "404 oops", 3L, 3L)))
+    // structural contract: one aggregation, no join, no window
+    val plan = WebOps.soft404(pages).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+  }
+
   test("sitemapGap: listed = crawled ∪ ghost tail, accounting exact per host") {
     val docs = syntheticDocs(21) // ids 0..20; ghost tail 21..41
     val got = WebOps.sitemapGap(docs).collect()
