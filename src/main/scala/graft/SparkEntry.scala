@@ -1923,6 +1923,14 @@ object SparkEntry {
     "web_host_graph" -> ((s, dir) =>
       LinkGraph.hostGraph(LinkGraph.links(LinkGraph.pages(docsTable(s, dir))))),
 
+    // Broder bow-tie decomposition of the page graph: CORE/IN/OUT/TENDRIL/
+    // DISCONNECTED via three BFS fixpoints from a deterministic max-degree
+    // probe (convergence require licenses the recursive-CTE oracle)
+    "web_bowtie" -> ((s, dir) =>
+      graft.graph.KgGraph.bowtie(
+        LinkGraph.pageEdges(
+          LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))))),
+
     // ANF distance distribution of the host graph: FM-sketch neighborhood
     // function per radius (bit_or union — order-free, exactly deterministic);
     // the effective-diameter release-QA curve
@@ -6496,6 +6504,40 @@ object SparkEntry {
           FROM hosts WHERE src_host <> dst_host GROUP BY 1, 2""",
 
     "web_anf" -> anfOracleSql(rounds = 4, trials = 8),
+
+    // same probe rule (max degree, node tie-break); reaches as TRUE
+    // recursive CTEs — the Spark side's empty-frontier fixpoint must land
+    // on exactly this transitive closure
+    "web_bowtie" ->
+      s"""WITH RECURSIVE ${graft.ops.LinkGraph.linksCteSql},
+          e0 AS (SELECT ${graft.ops.WebOps.canonUrlSqlOf("src_url")} AS src,
+                        dst_url AS dst FROM lnk),
+          e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+          nodes AS (SELECT DISTINCT node FROM
+            (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+          deg AS (SELECT node, COUNT(*) AS d FROM
+            (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+            GROUP BY 1),
+          seed AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT 1),
+          fwd AS (SELECT node FROM seed
+                  UNION SELECT e.dst FROM fwd JOIN e ON e.src = fwd.node),
+          bwd AS (SELECT node FROM seed
+                  UNION SELECT e.src FROM bwd JOIN e ON e.dst = bwd.node),
+          ue AS (SELECT src, dst FROM e
+                 UNION SELECT dst AS src, src AS dst FROM e),
+          fb AS (SELECT node FROM fwd UNION SELECT node FROM bwd),
+          wk AS (SELECT node FROM fb
+                 UNION SELECT ue.dst FROM wk JOIN ue ON ue.src = wk.node)
+          SELECT n.node,
+            CASE WHEN f.node IS NOT NULL AND b.node IS NOT NULL THEN 'CORE'
+                 WHEN b.node IS NOT NULL THEN 'IN'
+                 WHEN f.node IS NOT NULL THEN 'OUT'
+                 WHEN t.node IS NOT NULL THEN 'TENDRIL'
+                 ELSE 'DISCONNECTED' END AS cls
+          FROM nodes n
+          LEFT JOIN fwd f ON n.node = f.node
+          LEFT JOIN bwd b ON n.node = b.node
+          LEFT JOIN wk t ON n.node = t.node""",
 
     // host-graph chain → reversed-key self left-join (post-agg keys are
     // unique, no fan-out) → 1-row moments; division order mirrored, 6dp

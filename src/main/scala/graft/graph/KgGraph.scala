@@ -892,6 +892,78 @@ object KgGraph {
     dist.select(col("node").as("page"), col("dist"))
   }
 
+  /** Bow-tie decomposition of a directed graph (Broder et al., "Graph
+    * structure in the Web", Computer Networks 33, 2000 — THE web-graph
+    * macro-structure study): every node classified relative to the giant
+    * strongly-connected core as CORE (forward ∩ backward reach), IN
+    * (reaches the core), OUT (reached from it), TENDRIL (attached only
+    * undirectedly — Broder's tendrils + tubes, the standard collapsed
+    * form), or DISCONNECTED.
+    *
+    * The core is located from a deterministic probe node — max total
+    * degree, node-id tie-break. (Broder's own measurement BFS'd from
+    * random probes; a max-degree probe sits inside the giant SCC on any
+    * web-shaped graph, and determinism is what the oracle contract
+    * needs.) CORE = forward-reach(probe) ∩ backward-reach(probe).
+    *
+    * Scale shape: three BFS fixpoints over the graph (for the web tier
+    * this is the HOST/page graph — orders of magnitude below raw corpus
+    * size); each round is one frontier⋈edges equi-join + an anti-join
+    * against the visited set, with [[Truncator]] lineage control on both
+    * the frontier and the visited accumulator. Rounds stop at the
+    * empty-frontier FIXPOINT (require-capped at `maxRounds` — the
+    * convergence assertion is what licenses the oracle's recursive-CTE
+    * twin). The per-round `isEmpty` is a driver action on a
+    * frontier-sized frame: the price of a true fixpoint, paid per round
+    * on graph-scale data, never corpus-scale. */
+  def bowtie(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val e = pin(edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
+    val rev = pin(e.select(col("dst").as("src"), col("src").as("dst")))
+    val nodes = pin(e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct())
+    val seed = pin(e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("node")).limit(1).select("node"))
+
+    def reach(seeds: DataFrame, es: DataFrame): DataFrame = {
+      var visited = pin(seeds.select("node").distinct())
+      var frontier = visited
+      val truncF = truncator()
+      val truncV = truncator()
+      var round = 0
+      var done = false
+      while (!done) {
+        round += 1
+        require(round <= maxRounds,
+          s"bowtie reach did not converge within $maxRounds rounds")
+        frontier = truncF(
+          frontier.join(es, frontier("node") === es("src"))
+            .select(col("dst").as("node")).distinct()
+            .join(visited, Seq("node"), "left_anti"), round)
+        if (frontier.isEmpty) done = true
+        else visited = truncV(visited.unionByName(frontier), round)
+      }
+      visited
+    }
+
+    val fwd = pin(reach(seed, e))
+    val bwd = pin(reach(seed, rev))
+    val undir = pin(e.unionByName(rev).distinct())
+    val weak = reach(fwd.unionByName(bwd).distinct(), undir)
+    nodes
+      .join(fwd.withColumn("f", lit(1)), Seq("node"), "left")
+      .join(bwd.withColumn("b", lit(1)), Seq("node"), "left")
+      .join(weak.withColumn("t", lit(1)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("f").isNotNull && col("b").isNotNull, lit("CORE"))
+          .when(col("b").isNotNull, lit("IN"))
+          .when(col("f").isNotNull, lit("OUT"))
+          .when(col("t").isNotNull, lit("TENDRIL"))
+          .otherwise(lit("DISCONNECTED")).as("cls"))
+  }
+
   /** Related documents via shared ontology ancestry — the annotator-side
     * "similar resources" surface (NCBO's hierarchy-aware relatedness):
     * each doc's semantic profile = its direct concepts plus ALL their is-a

@@ -688,6 +688,26 @@ class KgGraphSpec extends AnyFunSuite {
     assert(gotR === bfs(rEdges, rSeeds))
   }
 
+  test("bowtie: all five classes on a crafted graph; probe rule deterministic") {
+    import spark.implicits._
+    // core cycle c1<->c2; i1 feeds the core; o1 hangs off it; t1 dangles
+    // off the IN side (reachable only undirectedly); d1->d2 disconnected.
+    // degrees: c1 = 3, c2 = 3 -> probe tie-break picks min node id "c1"
+    val edges = Seq(
+      ("i1", "c1"), ("c1", "c2"), ("c2", "c1"), ("c2", "o1"),
+      ("i1", "t1"), ("d1", "d2")).toDF("src", "dst")
+    val got = KgGraph.bowtie(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      "c1" -> "CORE", "c2" -> "CORE", "i1" -> "IN", "o1" -> "OUT",
+      "t1" -> "TENDRIL", "d1" -> "DISCONNECTED", "d2" -> "DISCONNECTED"))
+    // self-loops are dropped before classification (never make a node CORE)
+    val loop = Seq(("x", "x"), ("x", "y")).toDF("src", "dst")
+    val gl = KgGraph.bowtie(loop).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(gl === Map("x" -> "CORE", "y" -> "OUT"))
+  }
+
   test("empty edge lists: PageRank variants return empty, never Infinity") {
     import spark.implicits._
     val e = Seq.empty[(String, String, Long)].toDF("src", "dst", "n_links")
