@@ -2140,6 +2140,13 @@ object SparkEntry {
       graft.ops.WebOps.soft404(
         graft.ops.WebOps.withSoft404(docsTable(s, dir)))),
 
+    // Cho–Garcia-Molina change-rate estimation over an 8-visit capture
+    // history: per-URL lag window + one agg; λ̂ via the +0.5 continuity
+    // correction
+    "web_change_rate" -> ((s, dir) =>
+      graft.ops.WebOps.changeRate(
+        graft.ops.WebOps.crawlHistory(docsTable(s, dir)))),
+
     // per-doc encoding-damage report: double-encoded UTF-8 + replacement
     // chars, map-only regexp counting over the damaged synthesis
     "q_mojibake" -> ((s, dir) =>
@@ -7225,6 +7232,8 @@ object SparkEntry {
     "web_page_chains" -> graft.ops.WebOps.pageChainsSql,
 
     "web_soft404" -> graft.ops.WebOps.soft404Sql,
+
+    "web_change_rate" -> graft.ops.WebOps.changeRateSql,
 
     // same regexes over the same damaged synthesis (DuckDB plain string
     // literals pass backslash escapes to RE2 untouched); counts as BIGINTs

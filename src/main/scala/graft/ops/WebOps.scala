@@ -357,6 +357,94 @@ object WebOps {
     s1.unionByName(recrawl).unionByName(added)
   }
 
+  /** Visit count for [[crawlHistory]] — 8 weekly captures per URL, enough
+    * intervals for the change-rate estimator to separate never/sometimes/
+    * often-changing pages. Shared with the oracle SQL. */
+  val ChangeVisits = 8
+
+  /** K-visit crawl history synthesis for [[changeRate]]: every doc captured
+    * at `visit ∈ [0, visits)`, one week apart; the content VERSION after
+    * visit j is the count of change events at visits 1..j, where a change
+    * fires iff `(doc_id·31 + k·17) % 10 < doc_id % 4` — so a doc's change
+    * propensity is its `doc_id % 4` (0 → frozen page, 3 → news-like churn),
+    * deterministic and mirrored literally in the oracle SQL. The visit-0
+    * guard returns an EMPTY change list (Spark's `sequence(1, 0)` would
+    * descend — the [[Dedup.shingles]] pitfall). */
+  def crawlHistory(docs: DataFrame, visits: Int = ChangeVisits): DataFrame =
+    withUrls(docs)
+      .select(col("doc_id"), col("url"), col("text"),
+        explode(sequence(lit(0), lit(visits - 1))).as("visit"))
+      .withColumn("version",
+        when(col("visit") === 0, lit(0)).otherwise(
+          size(filter(sequence(lit(1), col("visit")),
+            k => (col("doc_id") * 31 + k * 17) % 10 < col("doc_id") % 4))))
+      .select(col("doc_id"), col("url"), col("visit"),
+        (lit(1700000000L) + col("visit") * 604800L).as("fetch_epoch"),
+        md5(concat(col("text"), lit(" v"), col("version").cast("string"))
+          .cast("binary")).as("content_hash"))
+
+  /** Per-URL change-rate estimation over a capture history (Cho &
+    * Garcia-Molina, "Estimating Frequency of Change", ACM TOIT 2003 — the
+    * statistic a crawler's re-fetch scheduler runs on): per canonical URL,
+    * the observed change fraction over consecutive same-URL captures
+    * (`naive_rate = X/n`) and the bias-corrected Poisson rate
+    * `λ̂ = −ln((n − X + 0.5) / (n + 0.5)) / I` changes/day (their
+    * estimator handles X = n without blowing up via the +0.5 continuity
+    * correction). Feeds [[fetchSchedule]]-style revisit budgeting.
+    *
+    * Scale shape: change detection is a `lag` window PER canonICAL URL
+    * (billions of partitions, each `visits` rows — parallel, never
+    * global), ordered by (epoch, doc_id) so capture ties are
+    * deterministic; then ONE per-URL aggregation (map-side partials).
+    * Content comparison is hash-vs-hash — no page bytes move. */
+  def changeRate(history: DataFrame, intervalDays: Double = 7.0): DataFrame = {
+    val w = Window.partitionBy("canon_url")
+      .orderBy(col("fetch_epoch"), col("doc_id"))
+    val n = col("n_intervals").cast("double")
+    val x = col("n_changes").cast("double")
+    history
+      .select(canonicalUrl(col("url")).as("canon_url"), col("doc_id"),
+        col("fetch_epoch"), col("content_hash"))
+      .withColumn("prev_h", lag(col("content_hash"), 1).over(w))
+      .filter(col("prev_h").isNotNull)
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum((col("content_hash") =!= col("prev_h")).cast("long"))
+          .as("n_changes"))
+      .select(col("canon_url"), col("n_intervals"), col("n_changes"),
+        round(x / n, 6).as("naive_rate"),
+        round(-log((n - x + lit(0.5)) / (n + lit(0.5))) / lit(intervalDays), 6)
+          .as("lambda_per_day"))
+  }
+
+  /** DuckDB twin of [[crawlHistory]] + [[changeRate]] — full query SQL. */
+  def changeRateSql: String =
+    s"""WITH hist AS (
+          SELECT d.doc_id, $urlSqlExpr AS url, v.visit,
+            1700000000 + v.visit * 604800 AS fetch_epoch,
+            md5(d.text || ' v' || CAST(len(list_filter(
+                  generate_series(1, v.visit),
+                  k -> (d.doc_id * 31 + k * 17) % 10 < d.doc_id % 4))
+                AS VARCHAR)) AS content_hash
+          FROM documents d,
+            (SELECT unnest(generate_series(0, ${ChangeVisits - 1})) AS visit) v),
+        lagd AS (
+          SELECT ${canonUrlSqlOf("url")} AS canon_url, content_hash,
+            lag(content_hash) OVER (PARTITION BY ${canonUrlSqlOf("url")}
+              ORDER BY fetch_epoch, doc_id) AS prev_h
+          FROM hist)
+        SELECT canon_url,
+          COUNT(*) AS n_intervals,
+          CAST(SUM(CASE WHEN content_hash <> prev_h THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_changes,
+          ROUND(SUM(CASE WHEN content_hash <> prev_h THEN 1 ELSE 0 END)
+                / CAST(COUNT(*) AS DOUBLE), 6) AS naive_rate,
+          ROUND(-ln((COUNT(*) - SUM(CASE WHEN content_hash <> prev_h
+                                         THEN 1 ELSE 0 END) + 0.5)
+                    / (COUNT(*) + 0.5)) / 7.0, 6) AS lambda_per_day
+        FROM lagd WHERE prev_h IS NOT NULL
+        GROUP BY 1"""
+
   /** Crawl-snapshot DIFF (what changed between two crawls — the freshness /
     * re-fetch-scheduling signal): per canonical URL, compare the LATEST
     * capture of snapshot `a` against snapshot `b` →

@@ -347,6 +347,34 @@ class WebOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Join") && !plan.contains("Window"), plan)
   }
 
+  test("changeRate: naive fraction + Cho-GM lambda, frozen page at 0, all-change capped") {
+    import spark.implicits._
+    // one URL, 4 captures, hashes h0 h0 h1 h1 -> n=3, X=1
+    val hist = Seq(
+      (0L, "https://a.com/x", 0, 100L, "h0"),
+      (0L, "https://a.com/x", 1, 200L, "h0"),
+      (0L, "https://a.com/x", 2, 300L, "h1"),
+      (0L, "https://a.com/x", 3, 400L, "h1"),
+      // frozen page: n=2, X=0 -> both rates 0
+      (1L, "https://a.com/y", 0, 100L, "g0"),
+      (1L, "https://a.com/y", 1, 200L, "g0"),
+      (1L, "https://a.com/y", 2, 300L, "g0"),
+      // churner: every capture differs, n=2, X=2 -> lambda finite via +0.5
+      (2L, "https://a.com/z", 0, 100L, "k0"),
+      (2L, "https://a.com/z", 1, 200L, "k1"),
+      (2L, "https://a.com/z", 2, 300L, "k2"))
+      .toDF("doc_id", "url", "visit", "fetch_epoch", "content_hash")
+    val got = WebOps.changeRate(hist, intervalDays = 7.0).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    def lam(n: Int, x: Int) =
+      BigDecimal(-math.log((n - x + 0.5) / (n + 0.5)) / 7.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("https://a.com/x") === ((3L, 1L, 0.333333, lam(3, 1))))
+    assert(got("https://a.com/y") === ((2L, 0L, 0.0, 0.0)))
+    assert(got("https://a.com/z") === ((2L, 2L, 1.0, lam(2, 2))))
+  }
+
   test("sitemapGap: listed = crawled ∪ ghost tail, accounting exact per host") {
     val docs = syntheticDocs(21) // ids 0..20; ghost tail 21..41
     val got = WebOps.sitemapGap(docs).collect()
