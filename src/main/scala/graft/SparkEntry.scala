@@ -2016,6 +2016,11 @@ object SparkEntry {
     "text_bm25" -> ((s, dir) =>
       TextOps.bm25(docsTable(s, dir), Seq("spark", "join", "data"))),
 
+    // inverted-index publication: per-term d-gap-encoded posting lists
+    // within a df band (the band bounds window partitions + arrays)
+    "text_postings" -> ((s, dir) =>
+      TextOps.postings(docsTable(s, dir))),
+
     // crawl-snapshot merge: latest capture per canonical URL across two
     // deterministic snapshots — one argmax hash aggregation (max(struct)),
     // never a window
@@ -6662,6 +6667,8 @@ object SparkEntry {
           SELECT p.tok, p.exact_n, MIN(s.n) AS cm_estimate
           FROM probes p JOIN sk s ON s.j = p.j AND s.bucket = p.bucket
           GROUP BY 1, 2""",
+
+    "text_postings" -> graft.ops.TextOps.postingsSql(),
 
     // BM25 recomputed with the identical arithmetic order (Lucene-form
     // idf with +1); ties at the rounded score break by doc_id both sides

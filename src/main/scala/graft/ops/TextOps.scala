@@ -535,6 +535,65 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Inverted-index publication artifact (the at-rest retrieval structure
+    * next to [[bm25]]'s online form — cf. the postings layout every
+    * Lucene-lineage engine serializes): per term, document frequency,
+    * collection frequency, and the posting list as `gap:tf` entries with
+    * DELTA-encoded doc ids (gap₀ = doc_id₀; the standard d-gap form that
+    * makes postings compress — published here as the readable string so
+    * the oracle can recompute it byte-for-byte).
+    *
+    * Terms outside the `[minDf, maxDf]` band are excluded: df < minDf is
+    * hapax noise; df > maxDf bounds BOTH the per-term window partition and
+    * the collected posting array (a stopword's posting list is
+    * corpus-sized — a production index splits hot terms into posting
+    * BLOCKS; the cap is this pipeline's declared stand-in, the
+    * [[graft.graph.KgGraph.relatedDocs]] maxDocFreq discipline).
+    *
+    * Scale shape: one (term, doc) count agg off the token explode; the df
+    * band filter joins on term BEFORE the lag window, so every window
+    * partition is ≤ maxDf rows (never a hot-term skew bomb); one final
+    * per-term agg whose arrays are ≤ maxDf entries. */
+  def postings(docs: DataFrame, minDf: Long = 2,
+               maxDf: Long = 1000): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val kept = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(minDf, maxDf))
+      .select("term")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy("doc_id")
+    tf.join(kept, "term")
+      .withColumn("gap",
+        col("doc_id") - coalesce(lag(col("doc_id"), 1).over(w), lit(0L)))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("gap"),
+              col("tf")))),
+            s => concat(s.getField("gap").cast("string"), lit(":"),
+              s.getField("tf").cast("string"))), ",").as("postings"))
+  }
+
+  /** DuckDB twin of [[postings]] — full query SQL (same df band). */
+  def postingsSql(minDf: Long = 2, maxDf: Long = 1000): String =
+    s"""WITH tf AS (SELECT term, doc_id, COUNT(*) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents)
+          GROUP BY 1, 2),
+        kept AS (SELECT term FROM tf GROUP BY term
+                 HAVING COUNT(*) BETWEEN $minDf AND $maxDf),
+        g AS (SELECT t.term, t.doc_id, t.tf,
+                t.doc_id - COALESCE(lag(t.doc_id) OVER (
+                  PARTITION BY t.term ORDER BY t.doc_id), 0) AS gap
+              FROM tf t JOIN kept USING (term))
+        SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+          string_agg(CAST(gap AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+                     ',' ORDER BY doc_id) AS postings
+        FROM g GROUP BY 1"""
+
   /** Corpus-trained bigram language-model fluency score — the KenLM-style
     * quality signal LLM-data pipelines gate on (CCNet/Gopher use an external
     * LM; here the LM IS the corpus's own bigram model, so everything stays

@@ -378,6 +378,26 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("postings: d-gap encoding, df band excludes hapax and hot terms") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "alpha beta beta"),
+      (3L, "alpha gamma"),
+      (7L, "alpha beta"),
+      (9L, "rare")) // df=1 -> excluded by minDf
+      .toDF("doc_id", "text")
+    val got = TextOps.postings(d, minDf = 2, maxDf = 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // alpha df=3 > maxDf=2 -> excluded (the hot-term block stand-in)
+    // beta: docs 0 (tf 2) and 7 (tf 1) -> gaps 0, 7
+    assert(got === Map("beta" -> ((2L, 3L, "0:2,7:1"))))
+    // wider band re-admits alpha with gaps 0,3,4
+    val wide = TextOps.postings(d, minDf = 2, maxDf = 10).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(wide === Map("alpha" -> "0:1,3:1,4:1", "beta" -> "0:2,7:1"))
+  }
+
   test("langConsistency: confusion counts, per-declared shares, literal mismatch flag") {
     import spark.implicits._
     // detector: en iff ('the','a')-density >= 3%
