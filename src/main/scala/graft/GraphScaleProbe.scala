@@ -131,6 +131,25 @@ object GraphScaleProbe {
       return
     }
 
+    if (section == "bowtie") {
+      // bow-tie at the 2M-page graph: three BFS fixpoints; reports class
+      // counts (the macro-structure card) + wall seconds
+      val ((classes, rows), sec) = timed {
+        val bt = KgGraph.bowtie(edges, maxRounds = 60)
+        val counts = bt.groupBy("cls").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        (counts, counts.values.sum)
+      }
+      val cls = Seq("CORE", "IN", "OUT", "TENDRIL", "DISCONNECTED")
+        .map(c => s""""${c.toLowerCase}":${classes.getOrElse(c, 0L)}""")
+        .mkString(",")
+      println(
+        s"""{"corpus":"$corpusPath","n_nodes":$nNodes,"n_edges":$nEdges,""" +
+        s""""bowtie_sec":${f"$sec%.2f"},"bowtie_nodes":$rows,$cls}""")
+      spark.stop()
+      return
+    }
+
     val (_, starSec2m) = timed(KgGraph.connectedComponents(edges).count())
     val (mlRounds2m, mlConv2m, mlSec2m) = minLabelCC(edges, maxIter = 50)
     val (_, prSec2m) = timed(KgGraph.pageRankDirected(edges).count())

@@ -2507,6 +2507,14 @@ object SparkEntry {
         matches(s, dir).select(col("url").as("subj"),
           lit("hasAnnotation").as("pred"), col("class_iri").as("obj")))),
 
+    // RotatE ranking eval — relations as unit-modulus complex ROTATIONS
+    // (Sun 2019), via the rational Weierstrass form (transcendental-free:
+    // bit-exact cross-engine); completes the scorer quartet on the seam
+    "kg_rotate_rank" -> ((s, dir) =>
+      graft.ops.KgEmbed.rotateRank(
+        matches(s, dir).select(col("url").as("subj"),
+          lit("hasAnnotation").as("pred"), col("class_iri").as("obj")))),
+
     // the TRAINING LOOP: 2 degree-normalized full-batch epochs, per-epoch
     // mean-loss trajectory (epoch 0 = hash init) — each epoch's embedding
     // table pinned so plan depth is constant in epochs
@@ -4142,6 +4150,50 @@ object SparkEntry {
         FROM crk GROUP BY pred"""
   }
 
+  /** kg_rotate_rank oracle ([[graft.ops.KgEmbed.rotateRank]] twin): the
+    * same negatives/init CTE chain; per complex dim the rotation's
+    * cos/sin come from the SAME rational Weierstrass expressions with a
+    * MIRRORED operation tree (pure IEEE ±/×/÷ — bit-exact cross-engine,
+    * no library cos/sin), squared-distance terms summed + ROUND(6), then
+    * the lower-is-better filtered ranking (sneg ≤ spos beats) and the
+    * per-predicate rollup. */
+  private def rotateRankOracleSql: String = materializeCtes {
+    val half = graft.ops.KgEmbed.Dim / 2
+    def dist(hre: String, him: String, tre: String, tim: String) =
+      s"""(($hre.v * ((1.0 - rre.v * rre.v) / (1.0 + rre.v * rre.v))
+             - $him.v * ((2.0 * rre.v) / (1.0 + rre.v * rre.v))) - $tre.v)
+           * (($hre.v * ((1.0 - rre.v * rre.v) / (1.0 + rre.v * rre.v))
+             - $him.v * ((2.0 * rre.v) / (1.0 + rre.v * rre.v))) - $tre.v)
+         + (($hre.v * ((2.0 * rre.v) / (1.0 + rre.v * rre.v))
+             + $him.v * ((1.0 - rre.v * rre.v) / (1.0 + rre.v * rre.v))) - $tim.v)
+           * (($hre.v * ((2.0 * rre.v) / (1.0 + rre.v * rre.v))
+             + $him.v * ((1.0 - rre.v * rre.v) / (1.0 + rre.v * rre.v))) - $tim.v)"""
+    s"""WITH $dictCte, $directCte, $transeChainCtes,
+        rtd AS (SELECT n.subj, n.pred, n.obj, n.slot, n.neg_obj, dd.d,
+            ${dist("hre", "him", "tre", "tim")} AS pp,
+            ${dist("hre", "him", "xre", "xim")} AS pn
+          FROM neg n
+          CROSS JOIN (SELECT d FROM dims WHERE d <= $half) dd
+          JOIN emb0 hre ON hre.ent = n.subj AND hre.d = dd.d
+          JOIN emb0 him ON him.ent = n.subj AND him.d = dd.d + $half
+          JOIN rel0 rre ON rre.pred = n.pred AND rre.d = dd.d
+          JOIN emb0 tre ON tre.ent = n.obj AND tre.d = dd.d
+          JOIN emb0 tim ON tim.ent = n.obj AND tim.d = dd.d + $half
+          JOIN emb0 xre ON xre.ent = n.neg_obj AND xre.d = dd.d
+          JOIN emb0 xim ON xim.ent = n.neg_obj AND xim.d = dd.d + $half),
+        rts AS (SELECT subj, pred, obj, slot, neg_obj,
+            ROUND(SUM(pp), 6) AS spos, ROUND(SUM(pn), 6) AS sneg
+          FROM rtd GROUP BY 1, 2, 3, 4, 5),
+        rrk AS (SELECT subj, pred, obj,
+                 1 + SUM(CASE WHEN sneg <= spos THEN 1 ELSE 0 END) AS rank
+               FROM rts GROUP BY 1, 2, 3)
+        SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_pos,
+          ROUND(AVG(CAST(1.0 AS DOUBLE) / rank), 6) AS mrr,
+          ROUND(AVG(CASE WHEN rank = 1 THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST(0.0 AS DOUBLE) END), 6) AS hits1
+        FROM rrk GROUP BY pred"""
+  }
+
   /** kg_embed_neighbors oracle ([[graft.ops.KgEmbed.conceptNeighbors]]
     * twin): the trained `emb{epochs}` chain restricted to concept entities
     * (the positives' objects), pairwise squared-L2 per (a, b) as a
@@ -4723,6 +4775,8 @@ object SparkEntry {
     "kg_transe_rank_trained" -> transeRankOracleSql(epochs = 2),
     "kg_distmult_rank" -> distmultRankOracleSql,
     "kg_complex_rank" -> complexRankOracleSql,
+
+    "kg_rotate_rank" -> rotateRankOracleSql,
     "kg_transe_epochs" -> transeEpochsOracleSql(epochs = 2),
     "kg_embed_neighbors" -> embedNeighborsOracleSql(epochs = 2, k = 3),
 

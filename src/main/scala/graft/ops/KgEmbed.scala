@@ -325,6 +325,60 @@ object KgEmbed {
           .as("hits1"))
   }
 
+  /** RotatE ranking eval at the deterministic init (Sun et al., ICLR 2019
+    * — relations as ROTATIONS in the complex plane: `score =
+    * ‖h ∘ r − t‖²` with |r_j| = 1, LOWER is better): the rotational
+    * scorer that models composition/inversion patterns DistMult and
+    * ComplEx cannot, completing the additive / symmetric-bilinear /
+    * complex-bilinear / rotational quartet behind ONE shared
+    * negatives/init/ranking seam.
+    *
+    * The unit-modulus rotation derives from the j-th relation component
+    * u via the RATIONAL Weierstrass (tan-half-angle) parametrization —
+    * `cos θ = (1 − u²)/(1 + u²)`, `sin θ = 2u/(1 + u²)` — unit modulus
+    * by construction and TRANSCENDENTAL-FREE: pure IEEE ±/×/÷ with a
+    * mirrored expression tree, so Spark and DuckDB agree bit-for-bit
+    * where cos/sin library calls would only agree to ~1 ulp.
+    *
+    * Scale shape: byte-identical to the DistMult/ComplEx evals — 3
+    * entity equi-joins + a broadcast relation join over the pair stream,
+    * a fixed-order codegen'd `element_at` fold, ROUND(6), then the
+    * per-positive rank agg (distance form: a corruption at `sneg ≤ spos`
+    * beats the positive, as in [[transeRank]]) and per-predicate
+    * rollup. */
+  def rotateRank(triples: DataFrame): DataFrame = {
+    val (_, pairs, emb0, rel0) = setup(triples)
+    val half = Dim / 2
+    def rscore(h: Column, r: Column, t: Column): Column =
+      round((1 to half).map { j =>
+        val (hre, him) = (element_at(h, j), element_at(h, j + half))
+        val (tre, tim) = (element_at(t, j), element_at(t, j + half))
+        val u = element_at(r, j)
+        val den = lit(1.0) + u * u
+        val c = (lit(1.0) - u * u) / den
+        val s = (lit(2.0) * u) / den
+        val dre = hre * c - him * s - tre
+        val dim = hre * s + him * c - tim
+        dre * dre + dim * dim
+      }.reduce(_ + _), 6)
+    val scored = pairs
+      .join(emb0.select(col("ent").as("subj"), col("emb").as("h")), Seq("subj"))
+      .join(broadcast(rel0.select(col("pred"), col("emb").as("r"))), Seq("pred"))
+      .join(emb0.select(col("ent").as("obj"), col("emb").as("t")), Seq("obj"))
+      .join(emb0.select(col("ent").as("neg_obj"), col("emb").as("x")),
+        Seq("neg_obj"))
+      .withColumn("spos", rscore(col("h"), col("r"), col("t")))
+      .withColumn("sneg", rscore(col("h"), col("r"), col("x")))
+    scored.groupBy("subj", "pred", "obj")
+      .agg((lit(1L) + sum(when(col("sneg") <= col("spos"), lit(1L))
+        .otherwise(lit(0L)))).as("rank"))
+      .groupBy("pred")
+      .agg(count(lit(1)).as("n_pos"),
+        round(avg(lit(1.0) / col("rank")), 6).as("mrr"),
+        round(avg(when(col("rank") === 1, lit(1.0)).otherwise(lit(0.0))), 6)
+          .as("hits1"))
+  }
+
   def transeRank(triples: DataFrame, epochs: Int = 0): DataFrame = {
     val (_, pairs, emb0, rel0) = setup(triples)
     var emb = emb0

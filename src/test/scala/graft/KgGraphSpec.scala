@@ -853,6 +853,29 @@ class KgGraphSpec extends AnyFunSuite {
     assert(te.getDouble(2) !== mrr)
   }
 
+  test("rotateRank: sane bounds, deterministic, distinct from every sibling scorer") {
+    import spark.implicits._
+    val facts = (for {
+      s <- 0 until 12
+      o <- Seq(s % 6, (s + 1) % 6) ++ (if (s % 3 == 0) Seq((s + 2) % 6) else Nil)
+    } yield (s"page$s", "hasAnnotation", s"C$o")).toDF("subj", "pred", "obj")
+    val out = graft.ops.KgEmbed.rotateRank(facts).collect()
+    assert(out.length === 1)
+    val r = out.head
+    val (n, mrr, h1) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+    assert(n > 0)
+    assert(mrr > 0.0 && mrr <= 1.0 && h1 >= 0.0 && mrr >= h1, s"$mrr/$h1")
+    val again = graft.ops.KgEmbed.rotateRank(facts).collect().head
+    assert(again.getDouble(2) === mrr && again.getDouble(3) === h1)
+    // the rotation must make the reading its own at the shared init
+    val cx = graft.ops.KgEmbed.complexRank(facts).collect().head
+    val dm = graft.ops.KgEmbed.distmultRank(facts).collect().head
+    val te = graft.ops.KgEmbed.transeRank(facts).collect().head
+    assert(cx.getDouble(2) !== mrr)
+    assert(dm.getDouble(2) !== mrr)
+    assert(te.getDouble(2) !== mrr)
+  }
+
   test("anf: neighborhood function nondecreasing in radius, exactly deterministic") {
     import spark.implicits._
     // 64-node directed chain: node i reaches nodes i+1..i+r within radius r,
