@@ -1735,6 +1735,13 @@ object SparkEntry {
       graft.graph.KgGraph.pageRank(graft.graph.KgGraph.cooccurrence(
         matches(s, dir).select("url", "class_iri")))),
 
+    // bounded-horizon Katz centrality: attenuated walk counts with NO
+    // degree normalization (a hub's endorsement counts fully — the
+    // citation-prestige index next to PageRank's random surfer)
+    "kg_katz" -> ((s, dir) =>
+      graft.graph.KgGraph.katz(graft.graph.KgGraph.cooccurrence(
+        matches(s, dir).select("url", "class_iri")))),
+
     // weighted PageRank: rank mass flows in proportion to edge weight
     // (n_docs) — same unrolled-CTE oracle shape with weighted contributions
     "kg_pagerank_weighted" -> ((s, dir) =>
@@ -2079,6 +2086,11 @@ object SparkEntry {
     // out-degree cap before the self-join
     "web_cocitation" -> ((s, dir) =>
       LinkGraph.coCitation(LinkGraph.links(LinkGraph.pages(docsTable(s, dir))))),
+
+    // bibliographic coupling (Kessler 1963): the dual — source pairs
+    // sharing ≥2 link targets, in-degree cap before the self-join
+    "web_bibcoupling" -> ((s, dir) =>
+      LinkGraph.bibCoupling(LinkGraph.links(LinkGraph.pages(docsTable(s, dir))))),
 
     // DSIR importance weights toward the English slice of the corpus:
     // hashed-unigram target/raw distributions, add-α smoothing, per-doc
@@ -2822,6 +2834,15 @@ object SparkEntry {
       graft.graph.KgGraph.hits(
         LinkGraph.pageEdges(LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))))),
 
+    // SALSA in Najork's closed form over the HOST graph: authority =
+    // component-share-weighted in-degree within each bipartite support
+    // component — one component labeling + two degree aggs, no
+    // mutual-reinforcement rounds (and no TKC drift on link farms)
+    "web_salsa" -> ((s, dir) =>
+      graft.graph.KgGraph.salsa(
+        LinkGraph.hostGraph(LinkGraph.links(LinkGraph.pages(docsTable(s, dir))))
+          .select(col("src_host").as("src"), col("dst_host").as("dst")))),
+
     // multi-source BFS crawl-depth: min hops from the seed set (canonical
     // /p/0 pages) over the directed page-link graph, bounded depth 4
     "web_shortest_paths" -> ((s, dir) => {
@@ -3430,6 +3451,35 @@ object SparkEntry {
                 FROM nodes),
         $iterCtes
         SELECT node AS class_iri, ROUND(pr, 6) AS pagerank FROM pr$iters"""
+  }
+
+  /** Unrolled bounded-horizon Katz oracle ([[graft.graph.KgGraph.katz]]
+    * twin): x_i = 1 + α·Σ_neighbors x_{i-1} as plain CTEs over the
+    * symmetrized distinct co-occurrence edges; α is the one shared
+    * [[graft.graph.KgGraph.KatzAlpha]] constant, all arithmetic DOUBLE,
+    * node-complete via LEFT join, 6dp absorbs float-sum ordering. */
+  private def katzOracleSql(iters: Int): String = {
+    val alpha = graft.graph.KgGraph.KatzAlpha
+    val iterCtes = (1 to iters).map { i =>
+      s"""kx$i AS MATERIALIZED (SELECT n.node,
+            CAST(1.0 AS DOUBLE) + CAST($alpha AS DOUBLE) *
+              COALESCE(s.v, CAST(0 AS DOUBLE)) AS x
+          FROM nodes n LEFT JOIN
+            (SELECT u.a AS node, SUM(p.x) AS v
+             FROM und u JOIN kx${i - 1} p ON p.node = u.b
+             GROUP BY 1) s ON s.node = n.node)"""
+    }.mkString(",\n")
+    s"""WITH $dictCte, $directCte,
+        pairs AS (SELECT DISTINCT url, class_iri FROM direct),
+        cooc AS (SELECT DISTINCT a.class_iri AS src, b.class_iri AS dst
+                 FROM pairs a JOIN pairs b
+                   ON a.url = b.url AND a.class_iri < b.class_iri),
+        und AS (SELECT src AS a, dst AS b FROM cooc
+                UNION SELECT dst, src FROM cooc),
+        nodes AS (SELECT DISTINCT a AS node FROM und),
+        kx0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS x FROM nodes),
+        $iterCtes
+        SELECT node AS class_iri, ROUND(x, 6) AS katz FROM kx$iters"""
   }
 
   /** Unrolled k-core peeling oracle ([[graft.graph.KgGraph.kcore]] twin):
@@ -6250,6 +6300,8 @@ object SparkEntry {
 
     "kg_pagerank" -> pageRankOracleSql(iters = 10, weighted = false),
 
+    "kg_katz" -> katzOracleSql(iters = 5),
+
     "kg_kcore" -> kcoreOracleSql(k = 3, iters = 8),
 
     "kg_pagerank_weighted" -> pageRankOracleSql(iters = 10, weighted = true),
@@ -6661,6 +6713,46 @@ object SparkEntry {
           WHERE regexp_matches(upper(a.anchor), '\\b' || d.term || '\\b')""",
 
     "web_hits" -> hitsOracleSql(iters = 5),
+
+    // closed-form SALSA twin: bipartite support components via a TRUE
+    // recursive reach CTE (host graph — tiny), then the Najork
+    // component-share-weighted degree formula with the SAME left-assoc
+    // double arithmetic ((n_c/t)*deg)/s_c, 6dp
+    "web_salsa" ->
+      s"""WITH RECURSIVE ${graft.ops.LinkGraph.linksCteSql},
+          he AS (SELECT DISTINCT
+              ${graft.ops.WebOps.canonHostSqlOf("src_url")} AS src,
+              ${graft.ops.WebOps.canonHostSqlOf("dst_url")} AS dst
+            FROM lnk
+            WHERE ${graft.ops.WebOps.canonHostSqlOf("src_url")}
+               <> ${graft.ops.WebOps.canonHostSqlOf("dst_url")}),
+          und AS (SELECT 'h:' || src AS a, 'a:' || dst AS b FROM he
+                  UNION SELECT 'a:' || dst, 'h:' || src FROM he),
+          reach(a, b) AS (SELECT a, b FROM und
+                          UNION
+                          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+          comp AS (SELECT a AS node, LEAST(a, MIN(b)) AS component
+                   FROM reach GROUP BY a),
+          adeg AS (SELECT dst AS node, COUNT(*) AS deg FROM he GROUP BY 1),
+          hdeg AS (SELECT src AS node, COUNT(*) AS deg FROM he GROUP BY 1),
+          aj AS (SELECT d.node, d.deg, c.component
+                 FROM adeg d JOIN comp c ON c.node = 'a:' || d.node),
+          hj AS (SELECT d.node, d.deg, c.component
+                 FROM hdeg d JOIN comp c ON c.node = 'h:' || d.node),
+          atot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM aj),
+          htot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM hj),
+          aper AS (SELECT component, CAST(COUNT(*) AS DOUBLE) AS n_c,
+                     CAST(SUM(deg) AS DOUBLE) AS s_c FROM aj GROUP BY 1),
+          hper AS (SELECT component, CAST(COUNT(*) AS DOUBLE) AS n_c,
+                     CAST(SUM(deg) AS DOUBLE) AS s_c FROM hj GROUP BY 1),
+          ascore AS (SELECT aj.node, aper.n_c / atot.t * aj.deg / aper.s_c AS a
+                     FROM aj JOIN aper USING (component), atot),
+          hscore AS (SELECT hj.node, hper.n_c / htot.t * hj.deg / hper.s_c AS h
+                     FROM hj JOIN hper USING (component), htot)
+          SELECT COALESCE(h.node, a.node) AS page,
+                 ROUND(COALESCE(h.h, CAST(0 AS DOUBLE)), 6) AS salsa_hub,
+                 ROUND(COALESCE(a.a, CAST(0 AS DOUBLE)), 6) AS salsa_authority
+          FROM hscore h FULL OUTER JOIN ascore a ON a.node = h.node""",
 
     "web_ppr" -> pprOracleSql(iters = 5, nSeeds = 5),
 
@@ -7226,6 +7318,20 @@ object SparkEntry {
                      WHERE d <= 100)
           SELECT l.dst AS page_a, r.dst AS page_b, COUNT(*) AS n_cociting
           FROM capped l JOIN capped r ON l.src = r.src AND l.dst < r.dst
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2""",
+
+    // the role-swapped twin of the web_cocitation oracle: cap on the
+    // TARGET's in-degree, pair the SOURCES
+    "web_bibcoupling" ->
+      s"""WITH ${graft.ops.LinkGraph.linksCteSql},
+          pe AS (SELECT DISTINCT ${graft.ops.WebOps.canonUrlSqlOf("src_url")} AS src,
+                   dst_url AS dst FROM lnk),
+          capped AS (SELECT src, dst FROM
+                      (SELECT src, dst, COUNT(*) OVER (PARTITION BY dst) AS d
+                       FROM pe)
+                     WHERE d <= 100)
+          SELECT l.src AS page_a, r.src AS page_b, COUNT(*) AS n_shared_refs
+          FROM capped l JOIN capped r ON l.dst = r.dst AND l.src < r.src
           GROUP BY 1, 2 HAVING COUNT(*) >= 2""",
 
     // the same hashed-bucket distributions, smoothing arithmetic order,

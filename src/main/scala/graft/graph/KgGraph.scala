@@ -579,6 +579,46 @@ object KgGraph {
     pr.select(col("node").as("class_iri"), round(col("pr"), 6).as("pagerank"))
   }
 
+  /** Bounded-horizon Katz centrality (Katz 1953) over the undirected
+    * concept graph: `x_k = 1 + α · A·x_{k-1}` with x_0 = 1, i.e. after k
+    * rounds each node holds `Σ_{j≤k} α^j · (walks of length j ending
+    * here)` — the attenuated-walk-count prestige index that, unlike
+    * [[pageRankWeighted]], does NOT normalize by the sender's degree: a
+    * hub's endorsement counts fully, which is the behavior citation
+    * analysis wants. Fixed α = [[KatzAlpha]], shared verbatim with the
+    * oracle; the infinite series needs α < 1/λ_max to converge, and a
+    * production deploy estimates λ_max by power iteration first — at a
+    * FIXED horizon the truncated sum is finite for any α, so the bounded
+    * form is exact as specified, not an approximation contract.
+    *
+    * Scale shape: identical to one PageRank round — join + short-key agg
+    * per iteration over the pinned symmetrized edge list, node-complete
+    * via LEFT join, [[Truncator]] lineage policy, 6dp contract. */
+  def katz(edges: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"katz needs iters >= 1, got $iters")
+    val und = pin(edges.select(col("src").as("a"), col("dst").as("b"))
+      .filter(col("a") =!= col("b"))
+      .unionAll(edges.filter(col("src") =!= col("dst"))
+        .select(col("dst").as("a"), col("src").as("b")))
+      .distinct())
+    val nodes = pin(und.select(col("a").as("node")).distinct())
+    var x = nodes.withColumn("x", lit(1.0))
+    val trunc = truncator()
+    for (i <- 1 to iters) {
+      x = trunc(nodes.join(
+        und.join(x, und("b") === x("node"))
+          .groupBy(und("a").as("n")).agg(sum(col("x")).as("s")),
+        nodes("node") === col("n"), "left")
+        .select(col("node"),
+          (lit(1.0) + lit(KatzAlpha) * coalesce(col("s"), lit(0.0))).as("x")),
+        i)
+    }
+    x.select(col("node").as("class_iri"), round(col("x"), 6).as("katz"))
+  }
+
+  /** Attenuation for [[katz]] — one constant, shared with the SQL oracle. */
+  val KatzAlpha: Double = 0.05
+
   /** DIRECTED weighted PageRank — the web-link-graph form (Page/Brin 1998):
     * rank flows along edge direction, a node's outgoing mass splits in
     * proportion to `n_links` edge weight, and DANGLING nodes (no outgoing
@@ -745,6 +785,58 @@ object KgGraph {
     hub.join(auth, "node")
       .select(col("node").as("page"), round(col("hub"), 6).as("hub"),
         round(col("auth"), 6).as("authority"))
+  }
+
+  /** SALSA (Lempel & Moran 2001) hubs & authorities in the CLOSED FORM
+    * (Najork 2007, "Comparing the effectiveness of HITS and SALSA"): the
+    * stationary distribution of SALSA's authority chain is proportional to
+    * in-degree WITHIN each connected component of the bipartite support
+    * graph, weighted by the component's share of authority nodes —
+    * `authority(a) = (|C_a| / |A|) · indeg(a) / Σ_{a'∈C_a} indeg(a')` (hub
+    * side symmetric on out-degree). Computing the closed form IS the
+    * scalable implementation: where [[hits]] needs k iteration rounds,
+    * SALSA needs one component labeling + two degree aggregations — no
+    * mutual-reinforcement loop, and (per the paper) the TKC drift HITS
+    * exhibits on tightly-knit link farms never arises.
+    *
+    * Input: directed (src, dst) edge list; multiplicities and self-loops
+    * are dropped (the random surfer walks the distinct support graph).
+    * Scale shape: components ride [[connectedComponents]]' star contraction
+    * over the NAMESPACED bipartite node set (`h:` hub copies, `a:`
+    * authority copies — a URL acting as both lives on both sides, exactly
+    * the chain's state space), degrees are two short-key aggregations, the
+    * side totals are 1-row broadcasts (the dangling-mass pattern), and the
+    * final assembly is a full outer join of two node-sized frames. */
+  def salsa(edges: DataFrame): DataFrame = {
+    val e = pin(edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
+    val bip = e.select(concat(lit("h:"), col("src")).as("src"),
+      concat(lit("a:"), col("dst")).as("dst"))
+    val comp = pin(connectedComponents(bip))
+    def side(prefix: String, deg: DataFrame): DataFrame = {
+      val joined = pin(deg.join(
+        comp.filter(col("class_iri").startsWith(prefix))
+          .select(expr("substring(class_iri, 3)").as("node"),
+            col("component")),
+        Seq("node")))
+      val tot = joined.agg(count(lit(1)).cast("double").as("t"))
+      val per = joined.groupBy("component")
+        .agg(count(lit(1)).cast("double").as("n_c"),
+          sum(col("deg")).cast("double").as("s_c"))
+      joined.join(per, Seq("component"))
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          (col("n_c") / col("t") * col("deg") / col("s_c")).as("score"))
+    }
+    val auth = side("a:", e.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("deg")))
+    val hub = side("h:", e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")))
+    hub.select(col("node"), col("score").as("h"))
+      .join(auth.select(col("node"), col("score").as("a")), Seq("node"), "full")
+      .select(col("node").as("page"),
+        round(coalesce(col("h"), lit(0.0)), 6).as("salsa_hub"),
+        round(coalesce(col("a"), lit(0.0)), 6).as("salsa_authority"))
   }
 
   /** Connected components by the ALTERNATING LARGE-STAR / SMALL-STAR

@@ -372,6 +372,33 @@ object LinkGraph {
       .filter(col("n_cociting") >= minCo)
   }
 
+  /** Bibliographic coupling (Kessler 1963) — the dual of [[coCitation]]:
+    * page pairs LINKING TO the same target, counted over distinct
+    * (src, dst) edges. Where co-citation needs an audience to accumulate
+    * (old pages win), coupling is available the moment a page is crawled —
+    * the freshness-robust relatedness signal, which is why retrieval
+    * systems pair the two.
+    *
+    * Scale shape: the mirror of [[coCitation]]'s guard — targets with
+    * in-degree > `maxIn` are dropped BEFORE the self-join (a universally
+    * linked home page would contribute O(indegree²) source pairs); the
+    * self-join is one plan on both sides (ReuseExchange), and the pair
+    * aggregation shuffles short URL-pair keys only. */
+  def bibCoupling(links: DataFrame, maxIn: Int = 100,
+                  minShared: Long = 2): DataFrame = {
+    val pe = links.select(WebOps.canonicalUrl(col("src_url")).as("src"),
+      col("dst_url").as("dst")).distinct()
+    val capped = pe
+      .withColumn("d", count(lit(1)).over(Window.partitionBy("dst")))
+      .filter(col("d") <= maxIn).drop("d")
+    capped.alias("l")
+      .join(capped.alias("r"),
+        col("l.dst") === col("r.dst") && col("l.src") < col("r.src"))
+      .groupBy(col("l.src").as("page_a"), col("r.src").as("page_b"))
+      .agg(count(lit(1)).as("n_shared_refs"))
+      .filter(col("n_shared_refs") >= minShared)
+  }
+
   /** Reciprocal-link (link-farm) detection — the classic link-spam signal
     * (TrustRank-era web hygiene): host pairs linking each other in BOTH
     * directions, with `reciprocity = min(a→b, b→a) / max(a→b, b→a)` (1.0 =

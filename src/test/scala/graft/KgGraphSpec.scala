@@ -876,6 +876,51 @@ class KgGraphSpec extends AnyFunSuite {
     assert(te.getDouble(2) !== mrr)
   }
 
+  test("salsa: closed-form scores match hand computation; each side sums to 1") {
+    import spark.implicits._
+    // two bipartite support components: {h1,h2}×{a1,a2} and {h3}×{a3}
+    val edges = Seq(
+      ("h1", "a1"), ("h1", "a2"), ("h2", "a1"), // component 1
+      ("h3", "a3")) // component 2
+      .toDF("src", "dst")
+    val out = graft.graph.KgGraph.salsa(edges).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // authorities: comp1 holds 2 of 3 auth nodes, indegs a1=2 a2=1 (s=3);
+    // comp2 holds 1 of 3, indeg a3=1 → (2/3)·(2/3), (2/3)·(1/3), (1/3)·1
+    assert(out("a1") === (0.0, 0.444444))
+    assert(out("a2") === (0.0, 0.222222))
+    assert(out("a3") === (0.0, 0.333333))
+    // hubs symmetric on out-degree: h1=2 h2=1 (comp1), h3=1 (comp2)
+    assert(out("h1") === (0.444444, 0.0))
+    assert(out("h2") === (0.222222, 0.0))
+    assert(out("h3") === (0.333333, 0.0))
+    assert(math.abs(out.values.map(_._1).sum - 1.0) < 1e-4)
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-4)
+  }
+
+  test("salsa: a node acting as both hub and authority scores on both sides") {
+    import spark.implicits._
+    val edges = Seq(("x", "y"), ("y", "z")).toDF("src", "dst")
+    // bipartite support: {h:x}–{a:y} and {h:y}–{a:z} are SEPARATE components
+    // (y's hub copy and authority copy are distinct chain states)
+    val out = graft.graph.KgGraph.salsa(edges).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out("x") === (0.5, 0.0))
+    assert(out("y") === (0.5, 0.5))
+    assert(out("z") === (0.0, 0.5))
+  }
+
+  test("katz: attenuated walk counts on a path graph, hand-checked") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val out = graft.graph.KgGraph.katz(edges, iters = 2).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // x1 = 1 + α·deg; x2(a) = 1 + α·x1(b) = 1 + .05·1.10 = 1.055
+    assert(out === Map("a" -> 1.055, "b" -> 1.105, "c" -> 1.055))
+    // no degree normalization: the middle node strictly dominates
+    assert(out("b") > out("a"))
+  }
+
   test("anf: neighborhood function nondecreasing in radius, exactly deterministic") {
     import spark.implicits._
     // 64-node directed chain: node i reaches nodes i+1..i+r within radius r,

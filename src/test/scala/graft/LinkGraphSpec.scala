@@ -174,6 +174,34 @@ class LinkGraphSpec extends AnyFunSuite {
       ("https://x.org/a", "https://x.org/b") -> 2L))
   }
 
+  test("bibCoupling: shared-target pairs, minShared floor, in-degree cap") {
+    import spark.implicits._
+    val links = (Seq(
+      // s1 and s2 both cite {a, b} → coupled with 2 shared refs
+      ("https://s1.org/p", "https://x.org/a"),
+      ("https://s1.org/p", "https://x.org/b"),
+      ("https://s2.org/p", "https://x.org/a"),
+      ("https://s2.org/p", "https://x.org/b"),
+      // s3 shares only {a} with s1/s2 → below minShared=2
+      ("https://s3.org/p", "https://x.org/a"),
+      ("https://s3.org/p", "https://x.org/c")) ++
+      // a universally-linked home page (in-degree 5 > maxIn=4) must not
+      // lift (s1, s2) to 3 shared refs
+      Seq("s1", "s2", "s3", "s4", "s5")
+        .map(s => (s"https://$s.org/p", "https://x.org/home")))
+      .toDF("src_url", "dst_url")
+    val got = LinkGraph.bibCoupling(links, maxIn = 4, minShared = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("https://s1.org/p", "https://s2.org/p") -> 2L))
+    // duality: coupling on the transposed edge list == co-citation
+    val transposed = links.select(col("dst_url").as("src_url"),
+      col("src_url").as("dst_url"))
+    val dual = LinkGraph.coCitation(transposed, maxOut = 4, minCo = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(dual === got)
+  }
+
   test("linkFarms: reciprocal pairs only, ordered once, min/max ratio") {
     import spark.implicits._
     val hostEdges = Seq(
