@@ -138,6 +138,11 @@ object SparkEntry {
     * frontier mixes both captures at every SF. Shared with the oracle. */
   private[graft] val AsOfEpoch = 1700000000L + 604800L + 15000L
 
+  /** Visits in the `kg_fact_intervals` capture history — odd visits keep
+    * only the first half of the tokens, so second-half facts flicker into
+    * multiple validity intervals (shared with the oracle SQL). */
+  private[graft] val FactVisits = 6
+
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Corpus.extract(Corpus.fromDriverTable(docsTable(s, dir)))
 
@@ -1606,6 +1611,43 @@ object SparkEntry {
           (col("last_epoch") === col("last_cap")).as("current"))
     }),
 
+    // fact VALIDITY INTERVALS over a 6-visit capture history (temporal KG
+    // construction): odd visits capture only the first half of each doc's
+    // tokens, so second-half facts flicker — gaps-and-islands over the
+    // per-visit presence stream turns each consecutive-presence run into
+    // one (valid_from, valid_to) interval row, the representation
+    // kg_fact_history's first/last summary cannot express (facts that die
+    // and RETURN). Annotation is the flagship zero-shuffle scan ×6;
+    // islands cost one per-fact window (≤6 rows per key) + one agg
+    "kg_fact_intervals" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = docsTable(s, dir)
+      val visits = docs.select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), lit(FactVisits - 1))).as("visit"))
+        .select(col("doc_id"), col("visit"),
+          when(col("visit") % 2 === 0, col("text"))
+            .otherwise(expr("array_join(slice(split(text, ' '), 1, " +
+              "(size(split(text, ' ')) + 1) div 2), ' ')")).as("text"))
+      val m = graft.annotate.NativeAnnotate.annotateMatches(
+        visits.select(concat(lit("doc://"), col("doc_id"), lit("@"),
+          col("visit")).as("url"), col("text")), model(s))
+      val urlRe = "^doc://(\\d+)@(\\d+)$"
+      val facts = m.select(
+          regexp_extract(col("url"), urlRe, 1).cast("long").as("doc_id"),
+          regexp_extract(col("url"), urlRe, 2).cast("int").as("visit"),
+          col("class_iri")).distinct()
+      val w = Window.partitionBy("doc_id", "class_iri").orderBy("visit")
+      facts.withColumn("island", col("visit") - row_number().over(w))
+        .groupBy("doc_id", "class_iri", "island")
+        .agg(min("visit").as("from_visit"), max("visit").as("to_visit"),
+          count(lit(1)).as("n_visits"))
+        .select(concat(lit("doc://"), col("doc_id")).as("subj"),
+          col("class_iri").as("obj"),
+          (lit(1700000000L) + col("from_visit") * 604800L).as("valid_from"),
+          (lit(1700000000L) + col("to_visit") * 604800L).as("valid_to"),
+          col("n_visits"))
+    }),
+
     // POINT-IN-TIME KG snapshot: the graph "as of" AsOfEpoch — for each
     // doc, its latest capture at or before T (one max(struct) argmax per
     // doc, the CDX crawl-merge shape), then ONLY that capture annotated.
@@ -1676,6 +1718,17 @@ object SparkEntry {
     // the corpus is scanned once; nothing wider than the match stream
     // shuffles), window cut by pure substring arithmetic, clipped at doc
     // edges identically in both engines.
+    // rule-based pronominal coreference: injected pronouns resolve to the
+    // NEAREST PRECEDING mention span (from the real annotator's offsets),
+    // each resolved pronoun emitting an extra corefMention fact; an
+    // ambiguous nearest mention (one term, two classes) links to all of
+    // them, exactly like the direct annotation it extends
+    "kg_coref" -> ((s, dir) => {
+      val pages = graft.ops.Relations.withPronouns(docsTable(s, dir))
+      graft.ops.Relations.corefMentions(pages,
+        graft.annotate.NativeAnnotate.annotateMatches(pages, model(s)))
+    }),
+
     "kg_mention_contexts" -> ((s, dir) => {
       val c = corpus(s, dir).select(col("url"), col("text"))
       matches(s, dir)
@@ -2652,6 +2705,17 @@ object SparkEntry {
     // pipeline's per-partition lineage rows, recomputable by the oracle
     "kg_prov_bundle" -> ((s, dir) =>
       graft.ops.KgPublish.provBundle(
+        graft.annotate.NativeAnnotate
+          .annotateTriples(corpus(s, dir), model(s), fusedMaps(s), "v1")
+          .select("subj", "pred", "obj"),
+        "v1")),
+
+    // RDF statement reification: each fact becomes a content-addressed
+    // statement node carrying rdf:subject/predicate/object + a dictionary-
+    // snapshot derivation qualifier — the per-STATEMENT qualifier carrier
+    // next to kg_prov_bundle's batch-level lineage; map-only 5-way explode
+    "kg_reify" -> ((s, dir) =>
+      graft.ops.KgPublish.reify(
         graft.annotate.NativeAnnotate
           .annotateTriples(corpus(s, dir), model(s), fusedMaps(s), "v1")
           .select("subj", "pred", "obj"),
@@ -5977,6 +6041,23 @@ object SparkEntry {
     // every occurrence offset recovered from regexp-split segment lengths
     // (the kg_salience machinery, with the term length carried so the
     // window end is exact); same clipping arithmetic
+    // coref twin: token-space mention spans (n-gram equality against the
+    // dict — boundary-equivalent to the engine on this single-space
+    // corpus), antecedent = MAX mention end before each pronoun, ambiguous
+    // nearest mentions fan out through the second cments join
+    "kg_coref" ->
+      s"""WITH $dictCte,
+          ${graft.ops.Relations.corefCtesSql},
+          maxe AS (SELECT pr.url, pr.p, MAX(m.endp) AS endp
+                   FROM cprons pr JOIN cments m
+                     ON m.url = pr.url AND m.endp < pr.p
+                   GROUP BY 1, 2)
+          SELECT x.url AS subj, '${graft.ops.Relations.CorefPred}' AS pred,
+            m.class_iri AS obj,
+            CAST(COUNT(DISTINCT x.p) AS BIGINT) AS n_pronouns
+          FROM maxe x JOIN cments m ON m.url = x.url AND m.endp = x.endp
+          GROUP BY 1, 2, 3""",
+
     "kg_mention_contexts" ->
       s"""WITH $dictCte,
           segs AS (SELECT doc_id, text, d.class_iri, length(d.term) AS tl,
@@ -6219,6 +6300,29 @@ object SparkEntry {
 
     // same snapshot synthesis + the regex twin of the direct scan, per
     // snapshot; survival = last fact epoch equals the doc's last capture
+    // gaps-and-islands twin: island key = visit − row_number per fact;
+    // half-split and epoch arithmetic shared with the kg_fact_history pair
+    "kg_fact_intervals" ->
+      s"""WITH $dictCte,
+          hist AS (SELECT doc_id, v.visit,
+              CASE WHEN v.visit % 2 = 0 THEN text
+                   ELSE array_to_string(l[1:(len(l) + 1) // 2], ' ') END AS text
+            FROM (SELECT doc_id, text, string_split(text, ' ') AS l
+                  FROM documents) z,
+              (SELECT unnest(generate_series(0, ${FactVisits - 1})) AS visit) v),
+          f AS (SELECT DISTINCT h.doc_id, h.visit, d.class_iri
+                FROM hist h, dict d
+                WHERE regexp_matches(upper(h.text), '\\b' || d.term || '\\b')),
+          isl AS (SELECT doc_id, class_iri, visit,
+              visit - ROW_NUMBER() OVER (PARTITION BY doc_id, class_iri
+                                         ORDER BY visit) AS island
+            FROM f)
+          SELECT 'doc://' || doc_id AS subj, class_iri AS obj,
+            1700000000 + MIN(visit) * 604800 AS valid_from,
+            1700000000 + MAX(visit) * 604800 AS valid_to,
+            CAST(COUNT(*) AS BIGINT) AS n_visits
+          FROM isl GROUP BY doc_id, class_iri, island""",
+
     "kg_fact_history" ->
       s"""WITH $dictCte,
           s1 AS (SELECT doc_id, text, 1 AS snapshot,
@@ -7112,6 +7216,23 @@ object SparkEntry {
             ('http://graft.kg/a#annotate_v1', 'prov:used', 'http://graft.kg/dict#v1'),
             ('http://graft.kg/dict#v1', 'rdf:type', 'prov:Entity'),
             ('http://graft.kg/dict#v1', 'prov:wasAttributedTo', 'http://graft.kg/agent#graft')) v(a, b, c)""",
+
+    // reification twin: the same content-addressed statement id (md5 over
+    // the chr(1)-separated triple — Spark's md5-over-UTF8 byte-identical)
+    // fanned out to the five reification rows
+    "kg_reify" ->
+      s"""WITH RECURSIVE $dictCte, $edgesCte, $mappingsCte, $directCte, $closureCte,
+          $kgTriplesCte,
+          st AS (SELECT '${graft.ops.KgPublish.StmtPrefix}' ||
+                   md5(subj || chr(1) || pred || chr(1) || obj) AS stmt,
+                   subj, pred, obj
+                 FROM triples)
+          SELECT stmt AS subj, 'rdf:type' AS pred, 'rdf:Statement' AS obj FROM st
+          UNION ALL SELECT stmt, 'rdf:subject', subj FROM st
+          UNION ALL SELECT stmt, 'rdf:predicate', pred FROM st
+          UNION ALL SELECT stmt, 'rdf:object', obj FROM st
+          UNION ALL SELECT stmt, 'prov:wasDerivedFrom',
+            'http://graft.kg/dict#v1' FROM st""",
 
     // OWL-Horst subset: rdfp8 inverse of the direct leg, rdfp3 symmetric
     // mapping completion, rdfp4 transitive subClassOf = the closure pairs

@@ -592,4 +592,109 @@ object Relations {
       .select(col("subj"), col("pred"), col("obj"), col("slot"),
         col("neg_obj")) // the USING join fronts its keys; re-pin the order
   }
+
+  /** Every Nth token is followed by an injected pronoun in the coref
+    * synthesis — SINGLE SOURCE for [[withPronouns]] and its CTE twin. */
+  val PronounEvery = 6
+
+  /** Predicate minted by [[corefMentions]] (shared with the oracle SQL). */
+  val CorefPred = "corefMention"
+
+  /** Pronoun-injection synthesis for [[corefMentions]] (the [[withHearst]]
+    * discipline): the corpus texts carry no anaphora, so every
+    * [[PronounEvery]]-th token is followed by an injected `it`. Mirrored
+    * in the `kg_coref` oracle's token-rebuild CTE (DuckDB's lambda index
+    * is 1-based where Spark's is 0-based — hence `(i+1) % N` here vs
+    * `i % N` there). */
+  def withPronouns(docs: DataFrame): DataFrame =
+    docs.select(concat(lit("doc://"), col("doc_id")).as("url"),
+      array_join(flatten(transform(split(col("text"), " "),
+        (x, i) => when((i + lit(1)) % PronounEvery === 0,
+          array(x, lit("it"))).otherwise(array(x)))), " ").as("text"))
+
+  /** Rule-based pronominal coreference resolution (the Hobbs-naive
+    * "nearest preceding mention" baseline — the classic recall-first
+    * anaphora rule): each pronoun resolves to the dictionary mention whose
+    * span ends NEAREST BEFORE it in the same document, and the resolved
+    * pronoun emits an extra `(url, corefMention, class_iri)` fact — the
+    * KG-construction stage that recovers the mentions entity annotation
+    * alone cannot see. A pronoun whose nearest mention is ambiguous (one
+    * surface term, several concepts) links to ALL of them, exactly like
+    * the direct annotation it extends.
+    *
+    * Takes the REAL annotator's match stream (`annotateMatches` — char
+    * offsets on the injected text), so coref sits downstream of the
+    * flagship scan rather than re-implementing matching. Char offsets
+    * convert to token positions with one per-doc running-length window
+    * (exact on the single-space token stream), and pronoun→antecedent
+    * linking is a second per-doc window over the merged
+    * mention-end/pronoun event stream — NEVER a per-doc theta join.
+    *
+    * Scale shape: every window and join is keyed on `url` (one exchange,
+    * reused across all four steps by Catalyst since the partitioning
+    * matches); window frames are bounded by document length (the S2
+    * length-bucketed repartition holds the skew bound). The final fact agg
+    * is short-key (url, class_iri) with map-side partials. */
+  def corefMentions(pages: DataFrame, matches: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = pages
+      .select(col("url"), posexplode(split(col("text"), " ")).as(Seq("i", "tok")))
+    val offW = Window.partitionBy("url").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // 1-based char start of each token on the single-space-joined stream
+    val withOff = toks
+      .withColumn("p", col("i") + 1)
+      .withColumn("start",
+        coalesce(sum(length(col("tok")) + 1).over(offW), lit(0L)) + 1)
+    val tokEnds = withOff.select(col("url"),
+      (col("start") + length(col("tok")) - 1).as("endc"), col("p").as("endp"))
+    // mention spans -> token-end positions (matches end on token
+    // boundaries by construction: the corpus is single-space tokens)
+    val ments = matches
+      .select(col("url"), col("to").as("endc"), col("class_iri")).distinct()
+      .join(tokEnds, Seq("url", "endc"))
+      .select(col("url"), col("endp"), col("class_iri"))
+    val prons = withOff.filter(col("tok") === "it")
+      .select(col("url"), col("p"))
+    // merged event stream: mention ends (kind 0) and pronouns (kind 1);
+    // positions never tie across kinds ('it' is no term's last token)
+    val events = ments.select(col("url"), col("endp").as("pos"),
+        lit(0).as("kind")).distinct()
+      .unionByName(prons.select(col("url"), col("p").as("pos"),
+        lit(1).as("kind")))
+    val evW = Window.partitionBy("url").orderBy("pos", "kind")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val linked = events
+      .withColumn("last_end", max(when(col("kind") === 0, col("pos"))).over(evW))
+      .filter(col("kind") === 1 && col("last_end").isNotNull)
+      .select(col("url"), col("pos").as("pron_p"), col("last_end").as("endp"))
+    linked.join(ments, Seq("url", "endp"))
+      .groupBy(col("url"), col("class_iri"))
+      .agg(count_distinct(col("pron_p")).as("n_pronouns"))
+      .select(col("url").as("subj"), lit(CorefPred).as("pred"),
+        col("class_iri").as("obj"), col("n_pronouns"))
+  }
+
+  /** DuckDB CTE twin of [[withPronouns]] + the token/mention/pronoun
+    * scaffolding of [[corefMentions]] — `ctoks` (rebuilt token arrays),
+    * `cpos` (1-based positions), `cments` (token n-gram dictionary
+    * mentions with END positions; token-space matching coincides with the
+    * engine's boundary semantics on this single-space corpus, the same
+    * argument the `direct` CTE rests on), `cprons` (pronoun positions).
+    * Composes with the standard `dict` CTE. */
+  def corefCtesSql: String =
+    s"""ctoks AS (SELECT 'doc://' || doc_id AS url,
+            flatten(list_transform(string_split(text, ' '),
+              (x, i) -> CASE WHEN i % $PronounEvery = 0
+                             THEN [x, 'it'] ELSE [x] END)) AS t
+          FROM documents),
+        cpos AS (SELECT url, t, unnest(generate_series(1, len(t))) AS p
+                 FROM ctoks),
+        cments AS (SELECT DISTINCT c.url,
+            c.p + len(string_split(d.term, ' ')) - 1 AS endp, d.class_iri
+          FROM cpos c, dict d
+          WHERE upper(array_to_string(
+              c.t[c.p : c.p + len(string_split(d.term, ' ')) - 1], ' '))
+            = d.term),
+        cprons AS (SELECT url, p FROM cpos WHERE t[p] = 'it')"""
 }

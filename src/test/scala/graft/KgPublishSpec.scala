@@ -194,4 +194,36 @@ class KgPublishSpec extends AnyFunSuite {
       ("doc://8", "cA", Pred.Expanded)))
     assert(got.size === 3) // DISTINCT: the doc://8 dup collapsed
   }
+
+  test("reify: 5 rows per distinct fact, content-addressed + idempotent") {
+    import spark.implicits._
+    val t = triplesDf(Seq(
+      ("doc://1", Pred.Direct, "cA"),
+      ("doc://1", Pred.Direct, "cA"), // duplicate fact: ONE statement node
+      ("doc://2", Pred.Mapped, "cB")))
+    val got = KgPublish.reify(t, "v1")
+      .as[(String, String, String)].collect().toList
+    assert(got.size === 10) // 2 distinct facts × 5 rows
+    val stmts = got.map(_._1).distinct
+    assert(stmts.size === 2)
+    assert(stmts.forall(_.startsWith(KgPublish.StmtPrefix)))
+    // every statement node carries the full reification quad + qualifier
+    for (s <- stmts) {
+      val preds = got.filter(_._1 == s).map(_._2).toSet
+      assert(preds === Set("rdf:type", "rdf:subject", "rdf:predicate",
+        "rdf:object", "prov:wasDerivedFrom"))
+    }
+    // content-addressing: the same fact reifies to the same node across
+    // independent runs (what makes cross-release qualifier joins work)
+    val again = KgPublish.reify(triplesDf(Seq(("doc://1", Pred.Direct, "cA"))),
+      "v1").as[(String, String, String)].collect().toList
+    assert(again.map(_._1).distinct === got
+      .filter(r => r._2 == "rdf:subject" && r._3 == "doc://1")
+      .map(_._1).distinct)
+    // the separator prevents boundary collisions: ("a","bc") != ("ab","c")
+    val x = KgPublish.reify(triplesDf(Seq(("a", "bc", "d"))), "v1")
+    val y = KgPublish.reify(triplesDf(Seq(("ab", "c", "d"))), "v1")
+    assert(x.select("subj").distinct().collect().head.getString(0) !==
+      y.select("subj").distinct().collect().head.getString(0))
+  }
 }

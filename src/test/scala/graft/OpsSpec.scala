@@ -1091,4 +1091,35 @@ class OpsSpec extends AnyFunSuite {
       ("MS", "merge sort") -> 3L,
       ("HJ", "hash join") -> 1L))
   }
+
+  test("withPronouns: every Nth token followed by 'it', offsets intact") {
+    import spark.implicits._
+    val d = Seq((7L, "a b c d e f g h i j k l m")).toDF("doc_id", "text")
+    val got = Relations.withPronouns(d).collect().head
+    assert(got.getString(0) === "doc://7")
+    assert(got.getString(1) === "a b c d e f it g h i j k l it m")
+  }
+
+  test("corefMentions: nearest antecedent, ambiguity fanout, orphan pronouns drop") {
+    import spark.implicits._
+    // hand-laid char offsets on the single-space stream:
+    //   table(1-5) scan(7-10) x(12) it(14-15) big(17-19) data(21-24)
+    //   it(26-27) it(29-30)
+    val pages = Seq(
+      ("u1", "table scan x it big data it it"),
+      ("u2", "it table scan")) // pronoun BEFORE any mention: dropped
+    .toDF("url", "text")
+    val matches = Seq(
+      ("u1", 10L, "A"), ("u1", 10L, "B"), // ambiguous span: both link
+      ("u1", 24L, "C"),
+      ("u2", 13L, "D")) // ends after u2's pronoun
+      .toDF("url", "to", "class_iri")
+    val got = Relations.corefMentions(pages, matches).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(got === Set(
+      ("u1", Relations.CorefPred, "A", 1L), // pronoun at token 4
+      ("u1", Relations.CorefPred, "B", 1L), // same span, second class
+      ("u1", Relations.CorefPred, "C", 2L))) // tokens 7 and 8, both -> C
+  }
 }
