@@ -611,6 +611,15 @@ object SparkEntry {
     // counts + mean char length — a release whose label-length profile
     // shifts changes matcher behavior (longest_only pressure, automaton
     // depth) before any accuracy metric moves. Ontology-scale only.
+    // emerging-term discovery (dictionary MAINTENANCE): recurring corpus
+    // bigrams not yet in the dictionary, ranked by doc support — what a
+    // curator reviews before the next blue/green swap; one short-key agg
+    // + a broadcast anti-join against the term list
+    "dict_candidates" -> ((s, dir) =>
+      DictBuild.termCandidates(docsTable(s, dir),
+        DictBuild.flatDict(DictBuild.build(DictBuild.labelRows(
+          OntologyFixture.conceptsDf(s)))))),
+
     "dict_term_stats" -> ((s, dir) =>
       DictBuild.flatDict(DictBuild.build(DictBuild.labelRows(
           OntologyFixture.conceptsDf(s))))
@@ -2080,6 +2089,11 @@ object SparkEntry {
     // within a df band (the band bounds window partitions + arrays)
     "text_postings" -> ((s, dir) =>
       TextOps.postings(docsTable(s, dir))),
+
+    // RAKE keyphrases: phrase islands between stopwords, deg/freq word
+    // scores, top-3 phrases per doc on the 6dp-rounded score — every
+    // window and agg rides ONE doc_id exchange
+    "text_rake" -> ((s, dir) => TextOps.rake(docsTable(s, dir))),
 
     // crawl-snapshot merge: latest capture per canonical URL across two
     // deterministic snapshots — one argmax hash aggregation (max(struct)),
@@ -4711,6 +4725,33 @@ object SparkEntry {
           UNION ALL
           SELECT *, 'added' AS delta FROM (SELECT * FROM d2 EXCEPT SELECT * FROM d1)""",
 
+    // emerging-bigram twin: support agg + stopword/min-support filters +
+    // NOT IN the dict terms; the normalize expression is the dict_terms
+    // oracle's (bigrams are single-space, so it reduces to upper())
+    "dict_candidates" ->
+      s"""WITH $dictCte,
+          ctoks AS (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents
+                    WHERE len(string_split(text, ' ')) >= 2),
+          bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+                 FROM (SELECT doc_id, t,
+                         unnest(generate_series(1, len(t) - 1)) AS i
+                       FROM ctoks)),
+          sup AS (SELECT b, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                    CAST(COUNT(*) AS BIGINT) AS n_mentions
+                  FROM bg GROUP BY 1)
+          SELECT upper(trim(regexp_replace(b, '\\s+', ' ', 'g')))
+                   AS term_candidate,
+                 n_docs, n_mentions
+          FROM sup
+          WHERE n_docs >= 5
+            AND string_split(b, ' ')[1] NOT IN (${graft.dict.DictBuild
+              .CandidateStopwords.map(w => s"'$w'").mkString(", ")})
+            AND string_split(b, ' ')[2] NOT IN (${graft.dict.DictBuild
+              .CandidateStopwords.map(w => s"'$w'").mkString(", ")})
+            AND upper(trim(regexp_replace(b, '\\s+', ' ', 'g')))
+              NOT IN (SELECT term FROM dict)""",
+
     // per-(ont, pref, word-count) over the dict VALUES; AVG from exact
     // integer sums on both sides
     "dict_term_stats" ->
@@ -6919,6 +6960,43 @@ object SparkEntry {
           GROUP BY 1, 2""",
 
     "text_postings" -> graft.ops.TextOps.postingsSql(),
+
+    // RAKE twin: island key = p − row_number per doc, plen window, deg/freq
+    // word scores, phrase scores ROUNDED to 6dp BEFORE the rank (absorbs
+    // float-sum ordering; phrase string is the tie-break in both engines)
+    "text_rake" ->
+      s"""WITH rtoks AS (SELECT doc_id, string_split(text, ' ') AS t
+                         FROM documents),
+          rpos AS (SELECT doc_id, t,
+                     unnest(generate_series(1, len(t))) AS p
+                   FROM rtoks),
+          nt AS (SELECT doc_id, p, t[p] AS tok FROM rpos
+                 WHERE t[p] NOT IN (${graft.dict.DictBuild
+                   .CandidateStopwords.map(w => s"'$w'").mkString(", ")})),
+          isl AS (SELECT doc_id, p, tok,
+                    p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p)
+                      AS island
+                  FROM nt),
+          occ AS (SELECT doc_id, p, tok, island,
+                    COUNT(*) OVER (PARTITION BY doc_id, island) AS plen
+                  FROM isl),
+          ws AS (SELECT doc_id, tok,
+                   CAST(SUM(plen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                     AS wscore
+                 FROM occ GROUP BY 1, 2),
+          ph AS (SELECT o.doc_id, o.island,
+                   string_agg(o.tok, ' ' ORDER BY o.p) AS phrase,
+                   ROUND(SUM(w.wscore), 6) AS score
+                 FROM occ o JOIN ws w
+                   ON w.doc_id = o.doc_id AND w.tok = o.tok
+                 GROUP BY 1, 2),
+          up AS (SELECT doc_id, phrase, MIN(score) AS score
+                 FROM ph GROUP BY 1, 2)
+          SELECT doc_id, CAST(rank AS INT) AS rank, phrase, score FROM (
+            SELECT doc_id, phrase, score,
+              ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, phrase) AS rank
+            FROM up) WHERE rank <= 3""",
 
     // BM25 recomputed with the identical arithmetic order (Lucene-form
     // idf with +1); ties at the rounded score break by doc_id both sides

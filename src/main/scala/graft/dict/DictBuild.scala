@@ -105,6 +105,45 @@ object DictBuild {
     dict.select(col("term"), col("term_id"), explode(col("entries")).as("e"))
       .select(col("term"), col("term_id"),
         col("e.class_iri"), col("e.ont"), col("e.pref"))
+
+  /** Function words excluded from emerging-term candidates — SINGLE SOURCE
+    * for [[termCandidates]] and its oracle SQL (the corpus vocabulary's
+    * only two function words; a real deployment plugs a full stop list). */
+  val CandidateStopwords: Seq[String] = Seq("the", "a")
+
+  /** Emerging-term discovery — the dictionary-MAINTENANCE half of the
+    * lifecycle the reference runs by hand (curators adding terms between
+    * releases): recurring corpus bigrams that are NOT yet dictionary terms,
+    * ranked by document support. What a curator reviews before the next
+    * blue/green dictionary swap ([[DictVersioning]]), and what
+    * [[graft.annotate.Incremental]] then re-annotates with.
+    *
+    * Candidate = a bigram with ≥ `minDocs` distinct supporting documents,
+    * neither word a function word, whose normalized form is absent from
+    * the dictionary. Surfaces normalize through the SAME [[normalizeTerm]]
+    * as the dictionary build, so the anti-join is exact.
+    *
+    * Scale shape: ONE hash aggregation on short bigram keys (map-side
+    * partials; two-level countDistinct on doc support), then a BROADCAST
+    * anti-join against the ontology-scale term list — never a corpus-side
+    * shuffle beyond the support agg. At 10^12 docs the support floor
+    * prunes the long tail inside the aggregation, not after it. */
+  def termCandidates(docs: DataFrame, dict: DataFrame,
+                     minDocs: Int = 5): DataFrame = {
+    val bg = docs.select(col("doc_id"),
+      explode(graft.ops.Dedup.shingles(col("text"), 2)).as("bg"))
+    val words = split(col("bg"), " ")
+    bg.groupBy("bg")
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_mentions"))
+      .filter(col("n_docs") >= minDocs)
+      .filter(!element_at(words, 1).isin(CandidateStopwords: _*) &&
+        !element_at(words, 2).isin(CandidateStopwords: _*))
+      .select(normalizeTerm(col("bg")).as("term_candidate"),
+        col("n_docs"), col("n_mentions"))
+      .join(broadcast(dict.select(col("term").as("term_candidate")).distinct()),
+        Seq("term_candidate"), "left_anti")
+  }
 }
 
 /** The broadcastable annotator model: automaton + per-term payload + version

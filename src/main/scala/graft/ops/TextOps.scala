@@ -738,4 +738,53 @@ object TextOps {
       size(regexp_extract_all(col("text"), lit(ReplCharRe), lit(0)))
         .cast("long").as("n_repl"))
       .withColumn("damaged", col("n_double") + col("n_repl") > 0)
+
+  /** RAKE keyphrase extraction (Rose, Engel, Cramer & Cowley 2010 — the
+    * standard unsupervised per-document keyword extractor): candidate
+    * phrases are maximal runs of non-stopword tokens; each word scores
+    * `deg/freq` over the document's candidates (deg = Σ phrase length per
+    * occurrence — favors words that travel in long phrases); a phrase
+    * scores the sum of its member-occurrence word scores; top-k phrases
+    * per document win. Stopword list shared with the oracle via
+    * [[graft.dict.DictBuild.CandidateStopwords]].
+    *
+    * Determinism: ranking uses the 6dp-ROUNDED score (absorbs float-sum
+    * ordering across engines) with the phrase string as tie-break.
+    *
+    * Scale shape: everything is doc_id-keyed — the phrase-island
+    * row_number window, the per-(doc, word) stats agg, the score join and
+    * the final top-k window all reuse ONE exchange on doc_id (Catalyst
+    * collapses the matching partitionings); frames are bounded by document
+    * length (the S2 length-bucket bound). No corpus-global state at all —
+    * RAKE is per-document by definition, so the operator is as wide as the
+    * corpus scan. */
+  def rake(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stop = graft.dict.DictBuild.CandidateStopwords
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "tok")))
+      .select(col("doc_id"), (col("i") + 1).as("p"), col("tok"))
+      .filter(!col("tok").isin(stop: _*))
+    val islW = Window.partitionBy("doc_id").orderBy("p")
+    val occ = toks.withColumn("island", col("p") - row_number().over(islW))
+      .withColumn("plen",
+        count(lit(1)).over(Window.partitionBy("doc_id", "island")))
+    val wordScore = occ.groupBy("doc_id", "tok")
+      .agg((sum(col("plen")).cast("double") /
+        count(lit(1)).cast("double")).as("wscore"))
+    val phrases = occ.join(wordScore, Seq("doc_id", "tok"))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x("tok")), " ").as("phrase"),
+        round(sum(col("wscore")), 6).as("score"))
+      // the same phrase can recur in one doc: identical stats, ONE row
+      .groupBy("doc_id", "phrase").agg(first(col("score")).as("score"))
+    val rankW = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("phrase"))
+    phrases.withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("phrase"), col("score"))
+  }
 }

@@ -1092,6 +1092,33 @@ class OpsSpec extends AnyFunSuite {
       ("HJ", "hash join") -> 1L))
   }
 
+  test("rake: islands, deg/freq scores, phrase sums, rank tie-breaks") {
+    import spark.implicits._
+    // hand-computed: deep{plens 2,3,1}->2.0, learning{2,3}->2.5, fast{3}->3
+    val d = Seq((1L, "deep learning the fast deep learning a deep"))
+      .toDF("doc_id", "text")
+    val got = TextOps.rake(d).collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getDouble(3))).toList.sorted
+    assert(got === List(
+      (1, "fast deep learning", 7.5),
+      (2, "deep learning", 4.5),
+      (3, "deep", 2.0)))
+  }
+
+  test("termCandidates: support floor, stopword filter, dict anti-join") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "big data fast sort"),
+      (2L, "big data fast sort"),
+      (3L, "the data big data")).toDF("doc_id", "text")
+    val dict = Seq("BIG DATA").toDF("term") // already a dictionary term
+    val got = graft.dict.DictBuild.termCandidates(d, dict, minDocs = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // "the data" dies on the stopword, "data big" on support, "big data"
+    // on the anti-join
+    assert(got === Set(("DATA FAST", 2L, 2L), ("FAST SORT", 2L, 2L)))
+  }
+
   test("withPronouns: every Nth token followed by 'it', offsets intact") {
     import spark.implicits._
     val d = Seq((7L, "a b c d e f g h i j k l m")).toDF("doc_id", "text")
