@@ -143,6 +143,11 @@ object SparkEntry {
     * multiple validity intervals (shared with the oracle SQL). */
   private[graft] val FactVisits = 6
 
+  /** Document-frequency floor for `dict_stop_candidates` (shared with the
+    * oracle SQL): a term matching in ≥ this fraction of the corpus is a
+    * stop-list candidate. */
+  private[graft] val StopDfFloor = 0.5
+
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Corpus.extract(Corpus.fromDriverTable(docsTable(s, dir)))
 
@@ -619,6 +624,24 @@ object SparkEntry {
       DictBuild.termCandidates(docsTable(s, dir),
         DictBuild.flatDict(DictBuild.build(DictBuild.labelRows(
           OntologyFixture.conceptsDf(s)))))),
+
+    // stop-word induction — the data-driven candidates for the reference's
+    // hand-curated stop list (dict_candidates' dual): dictionary terms
+    // whose document frequency crosses StopDfFloor match like function
+    // words and tax every scan; term df from the REAL match stream, the
+    // corpus total attached as a broadcast 1-row scalar
+    "dict_stop_candidates" -> ((s, dir) => {
+      val termDocs = matches(s, dir)
+        .select(col("url"), upper(col("text")).as("term")).distinct()
+      val total = docsTable(s, dir).agg(count(lit(1)).as("n_total"))
+      termDocs.groupBy("term").agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(total))
+        .filter(col("n_docs").cast("double") / col("n_total").cast("double")
+          >= StopDfFloor)
+        .select(col("term"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("n_total").cast("double"),
+            6).as("df_ratio"))
+    }),
 
     "dict_term_stats" -> ((s, dir) =>
       DictBuild.flatDict(DictBuild.build(DictBuild.labelRows(
@@ -4724,6 +4747,21 @@ object SparkEntry {
           SELECT *, 'removed' AS delta FROM (SELECT * FROM d1 EXCEPT SELECT * FROM d2)
           UNION ALL
           SELECT *, 'added' AS delta FROM (SELECT * FROM d2 EXCEPT SELECT * FROM d1)""",
+
+    // stop-induction twin: per-TERM distinct-doc frequency from the same
+    // regexp match the direct CTE uses, corpus total as a scalar CTE, the
+    // UNROUNDED ratio compared against the shared floor in both engines
+    // (identical int division → identical double)
+    "dict_stop_candidates" ->
+      s"""WITH $dictCte,
+          dterm AS (SELECT DISTINCT 'doc://' || doc_id AS url, d.term
+                    FROM documents, dict d
+                    WHERE regexp_matches(upper(text), '\\b' || d.term || '\\b')),
+          tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            ROUND(COUNT(*) / CAST(tot.n AS DOUBLE), 6) AS df_ratio
+          FROM dterm, tot GROUP BY term, tot.n
+          HAVING COUNT(*) / CAST(tot.n AS DOUBLE) >= $StopDfFloor""",
 
     // emerging-bigram twin: support agg + stopword/min-support filters +
     // NOT IN the dict terms; the normalize expression is the dict_terms

@@ -171,4 +171,40 @@ class PlanContractSpec extends AnyFunSuite {
       l.contains("SortMergeJoin") && l.contains("LeftAnti")), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("kg_coref: url-keyed windows and equi-joins only — never a per-doc theta join") {
+    val p = plan("kg_coref")
+    assert(!p.contains("CartesianProduct"), p)
+    // a pronoun×mention range join would plan as a nested loop — the
+    // merged event-stream window is the contract
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("kg_reify: one distinct exchange, then a map-only 5-way explode — join-free") {
+    val p = plan("kg_reify")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Generate"), p) // the explode rides the projection
+  }
+
+  test("dict_candidates: support agg + BROADCAST anti-join against the term list") {
+    val p = plan("dict_candidates")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.split("\n").exists(l =>
+      l.contains("SortMergeJoin") && l.contains("LeftAnti")), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dict_stop_candidates: the corpus total attaches as a 1-row broadcast, never a shuffle") {
+    val p = plan("dict_stop_candidates")
+    // the scalar crossJoin plans as a broadcast nested loop over ONE row;
+    // a CartesianProduct (both sides partitioned) is the regression
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("text_rake: windows + aggs all ride doc_id — no cartesian, no nested loop") {
+    val p = plan("text_rake")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
