@@ -2166,6 +2166,22 @@ object SparkEntry {
       LinkGraph.trustRank(hosts, seedNames.toDF("node"))
     }),
 
+    // bounded-horizon Brandes betweenness from the 3 pinned sources (the
+    // trustrank seed contract), over the PAGE graph — the host graph is
+    // diameter-1 on this synthesis (betweenness degenerates to 0); pages
+    // have real 4-hop structure (web_shortest_paths' levels). The seed
+    // collect reads the pinned edge list, not the extraction lineage
+    "web_betweenness" -> ((s, dir) => {
+      import s.implicits._
+      val edges = LinkGraph.pageEdges(
+        LinkGraph.links(LinkGraph.pages(docsTable(s, dir))))
+        .select(col("src"), col("dst")).localCheckpoint()
+      val seedNames = edges.select(col("src").as("node"))
+        .unionAll(edges.select(col("dst"))).distinct()
+        .orderBy("node").limit(3).collect().map(_.getString(0)).toSeq
+      graft.graph.KgGraph.betweenness(edges, seedNames.toDF("node"))
+    }),
+
     // URL path templates over the extracted link targets (the crawler-trap
     // detector feeding per-host fetch budgets)
     "web_url_templates" -> ((s, dir) =>
@@ -3325,6 +3341,67 @@ object SparkEntry {
     * node CTEs, each round mirroring [[graft.graph.KgGraph]]'s
     * `directedPrCore` including the per-round dangling scalar; the mass
     * ratio is computed on the 6dp-ROUNDED ranks exactly as the engine. */
+  /** Unrolled bounded-horizon Brandes oracle ([[graft.graph.KgGraph
+    * .betweenness]] twin): forward levels with exact BIGINT σ sums and
+    * NOT-EXISTS visited accumulators, the shortest-path DAG as a
+    * level-(+1) three-way join, then the backward dependency sweep one
+    * CTE per level deepest-first — the SAME left-assoc double arithmetic
+    * σ_u/σ_w·(1+δ_w), 6dp. */
+  private def betweennessOracleSql(maxDepth: Int, nSeeds: Int): String = {
+    val fwd = (1 to maxDepth).map { d =>
+      s"""bf$d AS MATERIALIZED (SELECT v.source, e.d AS node, $d AS dist,
+            CAST(SUM(v.sigma) AS BIGINT) AS sigma
+          FROM bv${d - 1} v JOIN bhe e ON e.s = v.node
+          GROUP BY 1, 2),
+          bv$d AS MATERIALIZED (SELECT f.source, f.node, f.dist, f.sigma
+                   FROM bf$d f
+                   WHERE NOT EXISTS (SELECT 1 FROM ba${d - 1} p
+                     WHERE p.source = f.source AND p.node = f.node)),
+          ba$d AS MATERIALIZED (SELECT * FROM ba${d - 1}
+                   UNION ALL SELECT * FROM bv$d)"""
+    }.mkString(",\n")
+    val bwd = ((maxDepth - 1) to 1 by -1).map { d =>
+      s"""bd$d AS MATERIALIZED (SELECT x.source, x.node,
+            COALESCE(s.v, CAST(0 AS DOUBLE)) AS delta
+          FROM (SELECT source, node FROM ba$maxDepth WHERE dist = $d) x
+          LEFT JOIN (SELECT g.source, g.u AS node,
+              SUM(CAST(g.sigma_u AS DOUBLE) / CAST(g.sigma_w AS DOUBLE)
+                  * (CAST(1 AS DOUBLE) + dn.delta)) AS v
+            FROM bdag g JOIN bd${d + 1} dn
+              ON dn.source = g.source AND dn.node = g.w
+            WHERE g.du = $d GROUP BY 1, 2) s
+            ON s.source = x.source AND s.node = x.node)"""
+    }.mkString(",\n")
+    val unions = (1 to maxDepth)
+      .map(d => s"SELECT source, node, delta FROM bd$d")
+      .mkString("\n           UNION ALL ")
+    s"""WITH ${graft.ops.LinkGraph.linksCteSql},
+        bhe AS MATERIALIZED (SELECT DISTINCT
+            ${graft.ops.WebOps.canonUrlSqlOf("src_url")} AS s,
+            dst_url AS d
+          FROM lnk
+          WHERE ${graft.ops.WebOps.canonUrlSqlOf("src_url")} <> dst_url),
+        bnodes AS (SELECT DISTINCT n FROM
+          (SELECT s AS n FROM bhe UNION ALL SELECT d FROM bhe)),
+        bseeds AS (SELECT n AS node FROM bnodes ORDER BY n LIMIT $nSeeds),
+        bv0 AS MATERIALIZED (SELECT node AS source, node, 0 AS dist,
+                  CAST(1 AS BIGINT) AS sigma FROM bseeds),
+        ba0 AS MATERIALIZED (SELECT * FROM bv0),
+        $fwd,
+        bdag AS MATERIALIZED (SELECT u.source, u.node AS u, u.dist AS du,
+                   u.sigma AS sigma_u, w.node AS w, w.sigma AS sigma_w
+                 FROM ba$maxDepth u JOIN bhe e ON e.s = u.node
+                 JOIN ba$maxDepth w ON w.source = u.source AND w.node = e.d
+                   AND w.dist = u.dist + 1),
+        bd$maxDepth AS MATERIALIZED (SELECT source, node,
+                          CAST(0 AS DOUBLE) AS delta
+                        FROM ba$maxDepth WHERE dist = $maxDepth),
+        $bwd
+        SELECT node AS page, ROUND(SUM(delta), 6) AS betweenness
+        FROM ($unions)
+        GROUP BY 1"""
+  }
+
   private def trustRankOracleSql(iters: Int, nSeeds: Int): String = {
     s"""WITH ${graft.ops.LinkGraph.linksCteSql},
         edges AS MATERIALIZED (SELECT sh AS a, dh AS b,
@@ -7396,6 +7473,8 @@ object SparkEntry {
          FROM events GROUP BY 1""",
 
     "web_trustrank" -> trustRankOracleSql(iters = 5, nSeeds = 3),
+
+    "web_betweenness" -> betweennessOracleSql(maxDepth = 4, nSeeds = 3),
 
     // the PLAIN join — salting must be invisible in the result
     "q_salted_join" ->

@@ -984,6 +984,85 @@ object KgGraph {
     dist.select(col("node").as("page"), col("dist"))
   }
 
+  /** Bounded-horizon Brandes betweenness centrality (Brandes, "A faster
+    * algorithm for betweenness centrality", J. Math. Sociology 2001) from
+    * a pinned source sample — the classic "broker" index completing the
+    * centrality family (degree / PageRank / Katz / HITS / SALSA /
+    * harmonic): how much of the source set's shortest-path traffic flows
+    * THROUGH each node. Sources are QUERY INPUT (the standard k-source
+    * approximation — exact all-pairs Brandes is O(nm) and no one runs it
+    * on a web graph); paths are truncated at `maxDepth` hops, the SAME
+    * bounded-horizon contract as [[shortestPaths]], shared with the
+    * oracle.
+    *
+    * Forward phase: level-synchronous multi-source BFS keyed by
+    * `(source, node)` WITH path counting — σ(v) at level d is ONE hash
+    * aggregation over the level-(d−1) frontier's out-edges (partial sums
+    * map-side), anti-joined against the visited accumulator. Backward
+    * phase (the Brandes dependency sweep): δ(u) = Σ_succ σ_u/σ_w·(1+δ_w)
+    * evaluated one LEVEL per round over the shortest-path DAG (built once
+    * as a three-way equi-join on the level condition), deepest level
+    * first — every join keyed on (source, node)/(source, w), never a
+    * theta join. [[Truncator]] lineage control on both loops.
+    *
+    * Determinism: σ is exact integer path counting; δ divides identical
+    * longs in both engines and sums ≤ out-degree terms per node — the 6dp
+    * output round absorbs float-sum ordering (the PageRank contract). */
+  def betweenness(edges: DataFrame, seeds: DataFrame,
+                  maxDepth: Int = 4): DataFrame = {
+    require(maxDepth >= 1, s"betweenness needs maxDepth >= 1, got $maxDepth")
+    val e = pin(edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
+    var vis = pin(seeds.select(col("node")).distinct()
+      .select(col("node").as("source"), col("node"),
+        lit(0).as("dist"), lit(1L).as("sigma")))
+    var frontier = vis
+    val fwd = truncator()
+    for (d <- 1 to maxDepth) {
+      frontier = fwd(
+        frontier.join(e, frontier("node") === e("src"))
+          .groupBy(frontier("source").as("source"), e("dst").as("node"))
+          .agg(sum(frontier("sigma")).as("sigma"))
+          .join(vis.select(col("source"), col("node")),
+            Seq("source", "node"), "left_anti")
+          .withColumn("dist", lit(d))
+          .select("source", "node", "dist", "sigma"),
+        d)
+      vis = vis.unionByName(frontier)
+    }
+    vis = pin(vis)
+    // shortest-path DAG: u→w edges where dist(w) = dist(u) + 1 per source
+    val vu = vis.select(col("source"), col("node").as("u"),
+      col("dist").as("du"), col("sigma").as("sigma_u"))
+    val vw = vis.select(col("source").as("wsource"), col("node").as("w"),
+      col("dist").as("dw"), col("sigma").as("sigma_w"))
+    val dag = pin(vu.join(e, vu("u") === e("src"))
+      .join(vw, vu("source") === vw("wsource") && e("dst") === vw("w")
+        && vw("dw") === vu("du") + 1)
+      .select(col("source"), col("u"), col("du"), col("sigma_u"),
+        col("w"), col("sigma_w")))
+    var delta = vis.select(col("source"), col("node"), col("dist"))
+      .withColumn("delta", lit(0.0))
+    val bwd = truncator()
+    for (d <- (maxDepth - 1) to 1 by -1) {
+      val dw = delta.filter(col("dist") === d + 1)
+        .select(col("source"), col("node").as("w"), col("delta").as("delta_w"))
+      val upd = dag.filter(col("du") === d)
+        .join(dw, Seq("source", "w"))
+        .groupBy(col("source"), col("u").as("node"))
+        .agg(sum(col("sigma_u").cast("double") / col("sigma_w").cast("double")
+          * (lit(1.0) + col("delta_w"))).as("nd"))
+      delta = bwd(delta.join(upd, Seq("source", "node"), "left")
+        .select(col("source"), col("node"), col("dist"),
+          when(col("dist") === d, coalesce(col("nd"), lit(0.0)))
+            .otherwise(col("delta")).as("delta")),
+        maxDepth - d)
+    }
+    delta.filter(col("dist") > 0) // a node's own source row never counts
+      .groupBy(col("node").as("page"))
+      .agg(round(sum(col("delta")), 6).as("betweenness"))
+  }
+
   /** Bow-tie decomposition of a directed graph (Broder et al., "Graph
     * structure in the Web", Computer Networks 33, 2000 — THE web-graph
     * macro-structure study): every node classified relative to the giant

@@ -23,6 +23,28 @@ class KgGraphSpec extends AnyFunSuite {
     assert(got === Set(("A", "B", 3L), ("A", "C", 1L), ("B", "C", 1L)))
   }
 
+  test("betweenness: path-graph dependencies, hand-computed") {
+    import spark.implicits._
+    // a -> b -> c -> d; sources {a, b, c} (alphabetical-3 contract):
+    //   from a: δ(b)=2 (b brokers c and d), δ(c)=1, δ(d)=0
+    //   from b: δ(c)=1, δ(d)=0;  from c: δ(d)=0
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val got = KgGraph.betweenness(e, Seq("a", "b", "c").toDF("node"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(got === Map("b" -> 2.0, "c" -> 2.0, "d" -> 0.0))
+  }
+
+  test("betweenness: diamond splits dependency across equal-count paths") {
+    import spark.implicits._
+    // a -> {b, c} -> d: two shortest a→d paths, σ(d)=2, so b and c each
+    // carry 1/2; as sources themselves, b and c broker nothing
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"))
+      .toDF("src", "dst")
+    val got = KgGraph.betweenness(e, Seq("a", "b", "c").toDF("node"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(got === Map("b" -> 0.5, "c" -> 0.5, "d" -> 0.0))
+  }
+
   test("maxPerDoc cap drops pathological docs (documented recall trade)") {
     import spark.implicits._
     val ann = Seq(
