@@ -2182,6 +2182,14 @@ object SparkEntry {
       graft.graph.KgGraph.betweenness(edges, seedNames.toDF("node"))
     }),
 
+    // 3-truss of the page graph (every surviving edge closes ≥1 triangle
+    // after the cascading peel) — the EDGE-level community core next to
+    // kg_kcore's node peeling; convergence-asserted fixpoint
+    "web_ktruss" -> ((s, dir) =>
+      graft.graph.KgGraph.ktruss(
+        LinkGraph.pageEdges(LinkGraph.links(LinkGraph.pages(
+          docsTable(s, dir)))).select(col("src"), col("dst")), k = 3)),
+
     // URL path templates over the extracted link targets (the crawler-trap
     // detector feeding per-host fetch budgets)
     "web_url_templates" -> ((s, dir) =>
@@ -3400,6 +3408,37 @@ object SparkEntry {
         SELECT node AS page, ROUND(SUM(delta), 6) AS betweenness
         FROM ($unions)
         GROUP BY 1"""
+  }
+
+  /** Unrolled k-truss oracle ([[graft.graph.KgGraph.ktruss]] twin, the
+    * kcoreOracleSql discipline): exactly `iters` peel rounds — peeling is
+    * idempotent after convergence, so the fixed unroll equals the
+    * engine's converged fixpoint (asserted engine-side). Every te CTE is
+    * MATERIALIZED: each is referenced three times by the next round and
+    * DuckDB inlines plain CTEs. */
+  private def ktrussOracleSql(k: Int, iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""tu$i AS MATERIALIZED (SELECT a, b FROM te${i - 1}
+            UNION ALL SELECT b, a FROM te${i - 1}),
+          te$i AS MATERIALIZED (SELECT e.a, e.b FROM te${i - 1} e
+            JOIN tu$i x ON x.a = e.a
+            JOIN tu$i y ON y.a = e.b AND y.b = x.b
+            GROUP BY e.a, e.b HAVING COUNT(*) >= ${k - 2})"""
+    }.mkString(",\n")
+    s"""WITH ${graft.ops.LinkGraph.linksCteSql},
+        tpe AS MATERIALIZED (SELECT DISTINCT
+            ${graft.ops.WebOps.canonUrlSqlOf("src_url")} AS pa,
+            dst_url AS pb
+          FROM lnk),
+        te0 AS MATERIALIZED (SELECT LEAST(pa, pb) AS a,
+            GREATEST(pa, pb) AS b
+          FROM tpe WHERE pa <> pb GROUP BY 1, 2),
+        $rounds,
+        fu AS (SELECT a, b FROM te$iters UNION ALL SELECT b, a FROM te$iters)
+        SELECT e.a AS src, e.b AS dst, CAST(COUNT(*) AS BIGINT) AS support
+        FROM te$iters e JOIN fu x ON x.a = e.a
+        JOIN fu y ON y.a = e.b AND y.b = x.b
+        GROUP BY 1, 2"""
   }
 
   private def trustRankOracleSql(iters: Int, nSeeds: Int): String = {
@@ -7475,6 +7514,8 @@ object SparkEntry {
     "web_trustrank" -> trustRankOracleSql(iters = 5, nSeeds = 3),
 
     "web_betweenness" -> betweennessOracleSql(maxDepth = 4, nSeeds = 3),
+
+    "web_ktruss" -> ktrussOracleSql(k = 3, iters = 6),
 
     // the PLAIN join — salting must be invisible in the result
     "q_salted_join" ->

@@ -1233,6 +1233,61 @@ object KgGraph {
     * graph at k=2 peels only its endpoints each round, so rounds can be
     * O(n) on adversarial shapes, and aborting a legitimate long peel is
     * worse than a few extra cheap converged rounds. */
+  /** k-truss decomposition (Cohen 2008, "Trusses: cohesive subgraphs for
+    * social network analysis" — the NSA technical report every distributed
+    * truss paper cites): the maximal subgraph where EVERY edge closes at
+    * least k−2 triangles. The edge-level sibling of [[kcore]]'s node
+    * peeling — trusses are the tighter community core (a k-truss is
+    * always inside the (k−1)-core, never vice versa).
+    *
+    * Same fixpoint discipline as kcore: per round, per-edge support =
+    * common-neighbor count (canonical a<b edge joined twice against the
+    * symmetrized adjacency — the wedge equi-join, never enumerated node
+    * pairs), edges below k−2 peeled, stop when an iteration removes
+    * nothing; convergence REQUIRED within maxIter, which is what licenses
+    * the oracle's fixed unroll (peeling is idempotent after convergence).
+    * Returns the surviving truss edges with their final support.
+    *
+    * Scale shape: each round is one wedge join + one hash agg on edge
+    * keys, all equi-joins; [[Truncator]] lineage control; hot-node wedge
+    * skew is the documented trade the co-occurrence caps guard elsewhere
+    * (this runs on the SPARSE page graph). The per-round `count()` is a
+    * driver action on graph-scale data — the fixpoint price, as kcore. */
+  def ktruss(edges: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
+    require(k >= 3, s"k=$k must be >= 3 (a 2-truss is just the edge set)")
+    def support(e: DataFrame): DataFrame = {
+      // fresh column names per wedge leg — self-join lineage would
+      // otherwise make the a/b attributes ambiguous
+      val undX = e.select(col("a").as("xa"), col("b").as("xb"))
+        .unionAll(e.select(col("b").as("xa"), col("a").as("xb")))
+      val undY = e.select(col("a").as("ya"), col("b").as("yb"))
+        .unionAll(e.select(col("b").as("ya"), col("a").as("yb")))
+      e.join(undX, col("xa") === col("a"))
+        .join(undY, col("ya") === col("b") && col("yb") === col("xb"))
+        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+    }
+    var e = pin(edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    var eCnt = e.count()
+    var converged = eCnt == 0
+    var i = 0
+    val trunc = truncator()
+    while (!converged && i < maxIter) {
+      val next = trunc(support(e).filter(col("support") >= k - 2)
+        .select(col("a"), col("b")), i + 1)
+      val nextCnt = next.count()
+      converged = nextCnt == eCnt
+      e = next
+      eCnt = nextCnt
+      i += 1
+    }
+    require(converged,
+      s"$k-truss peeling did not converge in $maxIter rounds — raise " +
+        "maxIter (each round removes at least one edge)")
+    support(e).select(col("a").as("src"), col("b").as("dst"), col("support"))
+  }
+
   def kcore(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
     var e = pin(edges.select(col("src").as("a"), col("dst").as("b"))

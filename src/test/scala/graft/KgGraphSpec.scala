@@ -23,6 +23,26 @@ class KgGraphSpec extends AnyFunSuite {
     assert(got === Set(("A", "B", 3L), ("A", "C", 1L), ("B", "C", 1L)))
   }
 
+  test("ktruss: cascading peel — pendant triangle dies only via the cascade") {
+    import spark.implicits._
+    // K4 on {a,b,c,d}: every edge closes 2 triangles — a 4-truss.
+    // Pendant triangle pair {d,e,f} + {e,f,g} sharing edge ef: ef closes
+    // 2 triangles so it SURVIVES round 1 of a 4-truss peel, and dies only
+    // in round 2 after its supporting edges go — the true cascade.
+    val k4 = Seq(("a","b"),("a","c"),("a","d"),("b","c"),("b","d"),("c","d"))
+    val pendant = Seq(("d","e"),("d","f"),("e","f"),("e","g"),("f","g"))
+    val e = (k4 ++ pendant).toDF("src", "dst")
+    val got4 = KgGraph.ktruss(e, k = 4).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got4 === k4.map { case (x, y) => (x, y, 2L) }.toSet)
+    // the 3-truss keeps everything (every edge closes >= 1 triangle)
+    val got3 = KgGraph.ktruss(e, k = 3).collect().length
+    assert(got3 === 11)
+    // pure path graph: no triangles at all -> empty truss, still converges
+    val path = Seq(("a","b"),("b","c"),("c","d")).toDF("src", "dst")
+    assert(KgGraph.ktruss(path, k = 3).collect().isEmpty)
+  }
+
   test("betweenness: path-graph dependencies, hand-computed") {
     import spark.implicits._
     // a -> b -> c -> d; sources {a, b, c} (alphabetical-3 contract):
