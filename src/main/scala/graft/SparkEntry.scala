@@ -148,6 +148,18 @@ object SparkEntry {
     * stop-list candidate. */
   private[graft] val StopDfFloor = 0.5
 
+  /** Candidate functional dependencies for `q_fd_discovery` —
+    * `(table, lhs columns, rhs column)`, a deterministic mix of holding
+    * (key-implied) and failing candidates; SINGLE SOURCE for the Column
+    * code and the oracle SQL. */
+  private val FdCandidates: Seq[(String, Seq[String], String)] = Seq(
+    ("orders", Seq("o_orderkey"), "o_custkey"), // key → holds
+    ("orders", Seq("o_custkey"), "o_orderstatus"), // repeat customers
+    ("orders", Seq("o_orderstatus"), "o_orderpriority"),
+    ("lineitem", Seq("l_orderkey", "l_linenumber"), "l_partkey"), // composite key
+    ("lineitem", Seq("l_partkey"), "l_suppkey"),
+    ("lineitem", Seq("l_suppkey"), "l_returnflag"))
+
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Corpus.extract(Corpus.fromDriverTable(docsTable(s, dir)))
 
@@ -676,6 +688,29 @@ object SparkEntry {
     // ONE pass over the table computes every column's row/non-null/exact-NDV
     // counts + min/max (stringified to unify the long-format schema), then a
     // driver-free unpivot into (column_name, ...) rows
+    // functional-dependency discovery (the profiling pass next to
+    // q_table_stats' ANALYZE): FD lhs→rhs holds iff ndv(lhs) ==
+    // ndv(lhs ∪ rhs) — ALL candidates on one table cost ONE aggregation
+    // pass (multi-distinct plans as Expand: ×2·candidates row multiplier
+    // map-side, the documented profiling trade — never one scan per FD)
+    "q_fd_discovery" -> ((s, dir) =>
+      FdCandidates.groupBy(_._1).toSeq.sortBy(_._1).map { case (tbl, cands) =>
+        val df = s.read.parquet(s"$dir/$tbl.parquet")
+        val aggs = cands.zipWithIndex.flatMap { case ((_, lhs, rhs), i) =>
+          Seq(count_distinct(struct(lhs.map(col): _*)).as(s"l$i"),
+            count_distinct(struct((lhs :+ rhs).map(col): _*)).as(s"p$i"))
+        }
+        df.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(cands.zipWithIndex.map {
+            case ((t, lhs, rhs), i) =>
+              struct(lit(t).as("tbl"), lit(lhs.mkString("+")).as("lhs"),
+                lit(rhs).as("rhs"), col(s"l$i").as("n_lhs"),
+                col(s"p$i").as("n_pairs"),
+                (col(s"l$i") === col(s"p$i")).as("holds"))
+          }: _*)).as("r"))
+          .select("r.*")
+      }.reduce(_ unionByName _)),
+
     "q_table_stats" -> ((s, dir) => {
       val statCols = Seq("lang", "source", "n_chars")
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -2180,6 +2215,21 @@ object SparkEntry {
         .unionAll(edges.select(col("dst"))).distinct()
         .orderBy("node").limit(3).collect().map(_.getString(0)).toSeq
       graft.graph.KgGraph.betweenness(edges, seedNames.toDF("node"))
+    }),
+
+    // discrete power-law exponent MLE over page in-degree (Clauset,
+    // Shalizi & Newman 2009, eq. 3.7 with xmin = 1): α̂ = 1 + n/Σ ln(2d) —
+    // the scale-free-ness scalar every web-graph release card reports;
+    // one degree agg + one 1-row fold
+    "web_powerlaw" -> ((s, dir) => {
+      val deg = LinkGraph.pageEdges(LinkGraph.links(LinkGraph.pages(
+          docsTable(s, dir))))
+        .groupBy("dst").agg(count(lit(1)).as("d"))
+      deg.agg(count(lit(1)).as("n_tail"),
+          sum(log(col("d").cast("double") / lit(0.5))).as("s"))
+        .select(col("n_tail"), lit(1).as("xmin"),
+          round(lit(1.0) + col("n_tail").cast("double") / col("s"), 6)
+            .as("alpha"))
     }),
 
     // 3-truss of the page graph (every surviving edge closes ≥1 triangle
@@ -7516,6 +7566,31 @@ object SparkEntry {
     "web_betweenness" -> betweennessOracleSql(maxDepth = 4, nSeeds = 3),
 
     "web_ktruss" -> ktrussOracleSql(k = 3, iters = 6),
+
+    // CSN eq. 3.7 twin: same in-degree agg, ln(d/0.5) sums, 6dp on α only
+    "web_powerlaw" ->
+      s"""WITH ${graft.ops.LinkGraph.linksCteSql},
+          pe AS (SELECT DISTINCT
+              ${graft.ops.WebOps.canonUrlSqlOf("src_url")} AS a, dst_url AS b
+            FROM lnk),
+          deg AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS d FROM pe GROUP BY 1)
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_tail, 1 AS xmin,
+            ROUND(CAST(1 AS DOUBLE)
+              + COUNT(*) / SUM(ln(CAST(d AS DOUBLE) / 0.5)), 6) AS alpha
+          FROM deg""",
+
+    // FD twin: the same (table, lhs, rhs) candidate list rendered as one
+    // UNION ALL of per-table scalar selects; DISTINCT over a row
+    // constructor mirrors the struct count_distinct
+    "q_fd_discovery" -> FdCandidates.map { case (tbl, lhs, rhs) =>
+      val l = if (lhs.size == 1) lhs.head else s"(${lhs.mkString(", ")})"
+      val p = s"(${(lhs :+ rhs).mkString(", ")})"
+      s"""SELECT '$tbl' AS tbl, '${lhs.mkString("+")}' AS lhs, '$rhs' AS rhs,
+            CAST(COUNT(DISTINCT $l) AS BIGINT) AS n_lhs,
+            CAST(COUNT(DISTINCT $p) AS BIGINT) AS n_pairs,
+            COUNT(DISTINCT $l) = COUNT(DISTINCT $p) AS holds
+          FROM $tbl"""
+    }.mkString("\nUNION ALL\n"),
 
     // the PLAIN join — salting must be invisible in the result
     "q_salted_join" ->
