@@ -229,7 +229,11 @@ object Bench {
     // round-4 ninth-pass representative: TruthFinder iterative fusion —
     // the 3-extractor evidence scan + one fact-flag agg, with the rounds
     // collapsed onto the tiny signature table (per-round cost ~0)
-    "kg_truthfinder")
+    "kg_truthfinder",
+    // round-4 pass-8/9 representatives: coref (annotator offsets → two
+    // url-keyed windows) and k-source Brandes (σ BFS + level-backward
+    // dependency sweep — the deepest keyed-join chain in the registry)
+    "kg_coref", "web_betweenness")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
