@@ -251,6 +251,20 @@ object SparkEntry {
           col("classIri").as("class_iri"), col("ont"),
           col("matchType").as("match_type"))),
 
+    // accent-folded matching (A1 normalization extension): fold-then-
+    // annotate with a 1:1 translate map — same-length fold, so offsets
+    // stay valid against the ORIGINAL accented text; every third doc is
+    // accent-damaged by the synthesis (unfolded, those docs lose all
+    // matches — the spec's negative control)
+    "ann_folded" -> ((s, dir) => {
+      val acc = TextOps.withAccents(docsTable(s, dir))
+      graft.annotate.NativeAnnotate.annotateMatches(
+        acc.select(col("url"),
+          TextOps.foldAccents(col("text")).as("text")), model(s))
+        .select(col("url").as("subj"), col("class_iri").as("obj"))
+        .distinct()
+    }),
+
     // Annotator+ lemmatize=true: both sides lemmatized, ORIGINAL offsets —
     // DuckDB-checked end-to-end (SQL lemmatizer + lemma-space offset
     // back-mapping); plus offset/identity-parity specs (LemmaAndContextSpec)
@@ -5742,6 +5756,24 @@ object SparkEntry {
     // AND document tokens are lemmatized with the SAME rule chain
     // (lemmaCaseSql == Lemma.lemmaToken), the lemma-space text is rebuilt
     // with separators verbatim (ASCII corpus: normChar on separators is
+    // fold twin: the same 1:1 translate pair (inject on doc_id%3==0, fold
+    // on the match path) — DuckDB translate is codepoint-wise like Spark's
+    "ann_folded" ->
+      s"""WITH $dictCte,
+          acc AS (SELECT 'doc://' || doc_id AS url,
+              CASE WHEN doc_id % 3 = 0
+                   THEN translate(text, '${graft.ops.TextOps.AccentTo}',
+                                  '${graft.ops.TextOps.AccentFrom}')
+                   ELSE text END AS text
+            FROM documents),
+          fold AS (SELECT url,
+              translate(text, '${graft.ops.TextOps.AccentFrom}',
+                        '${graft.ops.TextOps.AccentTo}') AS text
+            FROM acc)
+          SELECT DISTINCT url AS subj, d.class_iri AS obj
+          FROM fold, dict d
+          WHERE regexp_matches(upper(text), '\\b' || d.term || '\\b')""",
+
     // identity), hits are located by the regexp-split machinery, and
     // lemma-space offsets map back to ORIGINAL offsets through the per-token
     // cumulative maps (hits start at token starts / end at token ends by the

@@ -739,6 +739,31 @@ object TextOps {
         .cast("long").as("n_repl"))
       .withColumn("damaged", col("n_double") + col("n_repl") > 0)
 
+  /** Accent-fold map — SINGLE SOURCE for [[foldAccents]], [[withAccents]]
+    * and the `ann_folded` oracle SQL. 1:1 codepoint map ON PURPOSE: a
+    * same-length fold preserves every char offset, so fold-then-annotate
+    * reports spans valid against the ORIGINAL text (the reason production
+    * annotators fold with translate tables, not Unicode NFD+strip, on the
+    * matching path). Kept to the chars the synthesis injects; a real
+    * deployment ships the full Latin-1/Latin-2 table. */
+  val AccentFrom = "\u00e9\u00e0" // e-acute, a-grave
+  val AccentTo = "ea"
+
+  /** Accent-injection synthesis for `ann_folded` (the damage-synthesis
+    * discipline of [[withMojibake]]): every third doc has its e/a vowels
+    * replaced by accented forms — without folding, those docs lose ALL
+    * dictionary matches (the spec's negative control). */
+  def withAccents(docs: DataFrame): DataFrame =
+    docs.select(concat(lit("doc://"), col("doc_id")).as("url"),
+      when(col("doc_id") % 3 === 0,
+        translate(col("text"), AccentTo, AccentFrom))
+        .otherwise(col("text")).as("text"))
+
+  /** The matching-path accent fold (A1's normalization contract: original
+    * offsets survive because the map is 1:1). Codegen'd `translate`. */
+  def foldAccents(text: Column): Column =
+    translate(text, AccentFrom, AccentTo)
+
   /** RAKE keyphrase extraction (Rose, Engel, Cramer & Cowley 2010 — the
     * standard unsupervised per-document keyword extractor): candidate
     * phrases are maximal runs of non-stopword tokens; each word scores

@@ -367,4 +367,27 @@ class NativeAnnotateSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("accent fold: 1:1 translate preserves offsets; unfolded damage loses matches") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val clean = docs.select(concat(lit("doc://"), col("doc_id")).as("url"),
+      col("text"))
+    val damaged = graft.ops.TextOps.withAccents(docs)
+    def rows(df: DataFrame) = NativeAnnotate.annotateMatches(df, model)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getString(4))).toSet
+    val base = rows(clean)
+    // negative control: unfolded damage strictly SHRINKS the match set —
+    // terms containing e/a vowels stop matching on damaged docs (terms
+    // without them, e.g. SORT/JOIN, rightly survive), and no new match
+    // can appear (no dictionary term contains an accented char)
+    val unfolded = rows(damaged)
+    assert(unfolded.subsetOf(base) && unfolded != base)
+    // the fold restores EXACTLY the clean match set, offsets included —
+    // the 1:1 map's same-length guarantee
+    val folded = rows(damaged.select(col("url"),
+      graft.ops.TextOps.foldAccents(col("text")).as("text")))
+    assert(folded === base)
+  }
 }
