@@ -2592,6 +2592,34 @@ object SparkEntry {
         .agg(count_distinct(col("doc_id")).as("n_docs"))
     }),
 
+    // relation schema induction: per extracted relation, the modal
+    // subject/object semantic type (domain/range) with its observation
+    // share — the KG-curation relation-typing pass over the openre facts
+    "kg_schema_induction" -> ((s, dir) => {
+      val rels = graft.ops.Relations.openRelations(
+        graft.ops.Relations.withRelSentences(docsTable(s, dir)))
+      val dict = DictBuild.flatDict(DictBuild.build(
+          DictBuild.labelRows(OntologyFixture.conceptsDf(s))))
+        .select(col("term"), col("class_iri")).distinct()
+      val facts = rels
+        .join(broadcast(dict.select(col("term").as("s_t"),
+          col("class_iri").as("subj_iri"))),
+          upper(col("subj_surface")) === col("s_t"))
+        .join(broadcast(dict.select(col("term").as("o_t"),
+          col("class_iri").as("obj_iri"))),
+          upper(col("obj_surface")) === col("o_t"))
+        .filter(col("subj_iri") =!= col("obj_iri"))
+        .select("subj_iri", "rel", "obj_iri")
+      val tuis = OntologyFixture.conceptsDf(s)
+        .select(col("class_iri"), explode(col("tuis")).as("tui"))
+      graft.ops.Relations.schemaInduction(facts, tuis)
+    }),
+
+    // unigram-distribution drift between two crawl snapshots: top-drifted
+    // tokens by L1 + the corpus JSD (the training-data shift monitor)
+    "text_token_drift" -> ((s, dir) =>
+      graft.ops.TextOps.tokenDrift(docsTable(s, dir))),
+
     // filtered negative sampling over the hasAnnotation fact set — the
     // KG-embedding training-data op (deterministic hash-indexed corruption)
     "kg_negatives" -> ((s, dir) =>
@@ -6903,6 +6931,42 @@ object SparkEntry {
                 FROM c GROUP BY 1)
           SELECT doc_id, ROUND(ln(n) - s / n, 4) AS token_entropy FROM s""",
 
+    // drift recomputed declaratively: the same half-token + marker
+    // snapshot-2 synthesis, one conditional-sum vocab agg, exact-rational
+    // L1 ordering (pre-round doubles — IEEE-identical cross-engine), JSD
+    // under text_entropy's 4dp ln contract
+    "text_token_drift" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                        FROM documents),
+          t2 AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+                   THEN list_concat(list_slice(t, 1, (len(t) + 1) // 2),
+                     ['${graft.ops.TextOps.DriftMarker}'])
+                   ELSE t END AS t FROM toks),
+          u AS (SELECT unnest(t) AS token, 1 AS v FROM toks
+                UNION ALL
+                SELECT unnest(t) AS token, 2 AS v FROM t2),
+          c AS (SELECT token,
+                  SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS c1,
+                  SUM(CASE WHEN v = 2 THEN 1 ELSE 0 END) AS c2
+                FROM u GROUP BY 1),
+          n AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM c),
+          p AS (SELECT token, c1, c2,
+                  CAST(c1 AS DOUBLE) / n1 AS p1,
+                  CAST(c2 AS DOUBLE) / n2 AS p2
+                FROM c, n),
+          j AS (SELECT token, c1, c2, p1, p2,
+                  (CASE WHEN p1 > 0
+                     THEN p1 / 2 * ln(p1 / ((p1 + p2) / 2)) ELSE 0 END)
+                  + (CASE WHEN p2 > 0
+                     THEN p2 / 2 * ln(p2 / ((p1 + p2) / 2)) ELSE 0 END)
+                    AS jsd_term
+                FROM p),
+          tot AS (SELECT ROUND(SUM(jsd_term), 4) AS jsd FROM j)
+          SELECT token, c1, c2, ROUND(p1, 6) AS p1, ROUND(p2, 6) AS p2,
+            ROUND(ABS(p1 - p2), 6) AS drift, tot.jsd
+          FROM j, tot
+          ORDER BY ABS(p1 - p2) DESC, token LIMIT 50""",
+
     "web_canonical" ->
       s"""WITH ${WebOps.canonCteSql}
           SELECT doc_id, url, canon_url FROM canon""",
@@ -7897,6 +7961,42 @@ object SparkEntry {
                   WHERE cs.class_iri <> co.class_iri)
           SELECT subj_iri, rel, obj_iri, COUNT(DISTINCT doc_id) AS n_docs
           FROM res GROUP BY 1, 2, 3""",
+
+    // relation typing recomputed declaratively: distinct openre facts ×
+    // exploded TUI dimension, modal type per side via ROW_NUMBER ordered
+    // (cnt DESC, tui) — the engine's min(struct(-cnt, tui)) order
+    "kg_schema_induction" ->
+      s"""WITH $dictCte, ${graft.ops.Relations.relPagesCteSql},
+          prs AS ($openreLegsSql),
+          facts AS (SELECT DISTINCT cs.class_iri AS subj_iri, prs.rel,
+                      co.class_iri AS obj_iri
+                    FROM prs JOIN dict cs ON upper(prs.subj_surface) = cs.term
+                             JOIN dict co ON upper(prs.obj_surface) = co.term
+                    WHERE cs.class_iri <> co.class_iri),
+          nf AS (SELECT rel, COUNT(*) AS n_facts FROM facts GROUP BY 1),
+          tt(class_iri, tui) AS (
+            SELECT * FROM (VALUES ${OntologyFixture.tuisValues}) v(a, b)),
+          dc AS (SELECT f.rel, t.tui, COUNT(*) AS cnt
+                 FROM facts f JOIN tt t ON f.subj_iri = t.class_iri
+                 GROUP BY 1, 2),
+          dm AS (SELECT rel, tui, cnt,
+                   SUM(cnt) OVER (PARTITION BY rel) AS tot,
+                   ROW_NUMBER() OVER (PARTITION BY rel
+                     ORDER BY cnt DESC, tui) AS rn FROM dc),
+          rc AS (SELECT f.rel, t.tui, COUNT(*) AS cnt
+                 FROM facts f JOIN tt t ON f.obj_iri = t.class_iri
+                 GROUP BY 1, 2),
+          rm AS (SELECT rel, tui, cnt,
+                   SUM(cnt) OVER (PARTITION BY rel) AS tot,
+                   ROW_NUMBER() OVER (PARTITION BY rel
+                     ORDER BY cnt DESC, tui) AS rn FROM rc)
+          SELECT nf.rel, nf.n_facts,
+            dm.tui AS domain_tui,
+            ROUND(CAST(dm.cnt AS DOUBLE) / dm.tot, 6) AS domain_share,
+            rm.tui AS range_tui,
+            ROUND(CAST(rm.cnt AS DOUBLE) / rm.tot, 6) AS range_share
+          FROM nf JOIN dm ON nf.rel = dm.rel AND dm.rn = 1
+                  JOIN rm ON nf.rel = rm.rel AND rm.rn = 1""",
 
     "kg_hearst_isa" ->
       s"""WITH $dictCte, $edgesCte, ${graft.ops.Relations.hearstPagesCteSql},

@@ -682,6 +682,55 @@ object Relations {
     * engine's boundary semantics on this single-space corpus, the same
     * argument the `direct` CTE rests on), `cprons` (pronoun positions).
     * Composes with the standard `dict` CTE. */
+  /** Relation schema induction over the open-extracted concept facts —
+    * the SchemEX/Knowledge-Vault "relation typing" step: for each
+    * extracted relation, induce its DOMAIN and RANGE as the modal UMLS
+    * semantic type (TUI) of its subject/object concepts, with the share
+    * of (fact, tui) observations the modal type explains. A relation
+    * whose domain share is low is polysemous or noisy — the signal a KG
+    * curator uses to split or drop predicates before publication.
+    *
+    * Inputs: `facts` = DISTINCT `(subj_iri, rel, obj_iri)` concept
+    * triples (the `kg_openre` pre-aggregation set); `tuis` =
+    * `(class_iri, tui)` exploded semantic types (a concept may carry
+    * several — shares are over the EXPLODED observation count, mirrored
+    * by the oracle).
+    *
+    * Determinism: the modal type is `min(struct(-cnt, tui))` — max count,
+    * then lexicographically-first TUI on ties — the exact order the
+    * oracle's `ROW_NUMBER() OVER (ORDER BY cnt DESC, tui)` walks. Shares
+    * are exact long-ratio doubles, rounded 6dp.
+    *
+    * Scale shape: the facts table can be web-scale, but every agg here
+    * keys on (rel, tui) — cardinality ≤ |relations| × |TUIs|, tiny — so
+    * partial aggregation collapses map-side; the TUI table is a broadcast
+    * dimension on both legs; the final assembly joins three
+    * relation-keyed frames of ≤ |relations| rows. No corpus-sized
+    * shuffle anywhere. */
+  def schemaInduction(facts: DataFrame, tuis: DataFrame): DataFrame = {
+    val f = facts.select("subj_iri", "rel", "obj_iri").distinct()
+    val nFacts = f.groupBy("rel").agg(count(lit(1)).as("n_facts"))
+    def modal(side: String, outTui: String, outShare: String): DataFrame = {
+      val cnt = f
+        .join(broadcast(tuis.select(col("class_iri").as(side), col("tui"))),
+          side)
+        .groupBy(col("rel"), col("tui")).agg(count(lit(1)).as("cnt"))
+      val tot = cnt.groupBy("rel").agg(sum("cnt").as("tot"))
+      cnt
+        .groupBy("rel")
+        .agg(min(struct((-col("cnt")).as("neg"), col("tui"))).as("m"))
+        .select(col("rel"), col("m.tui").as(outTui), (-col("m.neg")).as("mc"))
+        .join(tot, "rel")
+        .select(col("rel"), col(outTui),
+          round(col("mc").cast("double") / col("tot"), 6).as(outShare))
+    }
+    nFacts
+      .join(modal("subj_iri", "domain_tui", "domain_share"), "rel")
+      .join(modal("obj_iri", "range_tui", "range_share"), "rel")
+      .select(col("rel"), col("n_facts"), col("domain_tui"),
+        col("domain_share"), col("range_tui"), col("range_share"))
+  }
+
   def corefCtesSql: String =
     s"""ctoks AS (SELECT 'doc://' || doc_id AS url,
             flatten(list_transform(string_split(text, ' '),

@@ -812,4 +812,67 @@ object TextOps {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("phrase"), col("score"))
   }
+
+  /** Drift-synthesis marker token appended to every re-crawled (truncated)
+    * document in [[tokenDrift]]'s snapshot-2 synthesis — shared with the
+    * oracle SQL literal. */
+  val DriftMarker = "driftmarker2"
+
+  /** Token-distribution drift between two crawl snapshots — the
+    * training-data pipeline's distribution-shift monitor (Rae et al. 2021
+    * track corpus composition over time; a silent upstream crawl change
+    * shifts the unigram distribution long before any quality rule fires).
+    * Snapshot 1 = each document's full token stream; snapshot 2 re-crawls
+    * `doc_id % 3 == 0` documents TRUNCATED to their first half (the
+    * [[graft.SparkEntry]] `kg_fact_history` half-token idiom) plus one
+    * injected [[DriftMarker]] token (new-vocabulary drift), everything
+    * else unchanged — deterministic, mirrored literally in the oracle.
+    *
+    * Output: the `topK` most-drifted tokens by L1 distance
+    * `|p1 − p2|` between the two unigram relative-frequency
+    * distributions (exact-rational doubles — division and subtraction are
+    * IEEE-identical cross-engine, so the pre-round ORDER is deterministic
+    * with the token string as tie-break), each row also carrying the
+    * corpus-level Jensen–Shannon divergence (nats). JSD is the one `ln`
+    * consumer, so it inherits `text_entropy`'s 4dp cross-engine contract;
+    * per-token probabilities/drift round 6dp.
+    *
+    * Scale shape: token explode → ONE (token)-keyed hash aggregation with
+    * conditional partial sums (map-side combine; both snapshots counted in
+    * the same pass — no per-snapshot shuffle, no full-outer join of two
+    * vocab tables); totals and the JSD sum are 1-row in-plan scalars
+    * attached by broadcast crossJoin (the house dangling-mass pattern);
+    * the global top-k is `orderBy.limit` → TakeOrderedAndProject, never a
+    * vocab-wide window sort. At 100 TB the only wide state is the
+    * vocab-keyed agg — exactly as wide as `text_vocab`. */
+  def tokenDrift(docs: DataFrame, topK: Int = 50): DataFrame = {
+    val toks = split(col("text"), " ")
+    val half = expr(
+      "slice(split(text, ' '), 1, (size(split(text, ' ')) + 1) div 2)")
+    val toks2 = when(col("doc_id") % 3 === 0,
+      concat(half, array(lit(DriftMarker)))).otherwise(toks)
+    val cnt = docs.select(explode(toks).as("token"), lit(1L).as("v"))
+      .unionByName(docs.select(explode(toks2).as("token"), lit(2L).as("v")))
+      .groupBy("token")
+      .agg(sum(when(col("v") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("v") === 2, 1L).otherwise(0L)).as("c2"))
+    val tot = cnt.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val probs = cnt.crossJoin(broadcast(tot))
+      .withColumn("p1", col("c1").cast("double") / col("n1"))
+      .withColumn("p2", col("c2").cast("double") / col("n2"))
+      .withColumn("mid", (col("p1") + col("p2")) / 2)
+      .withColumn("jsd_term",
+        when(col("p1") > 0, col("p1") / 2 * log(col("p1") / col("mid")))
+          .otherwise(lit(0.0)) +
+        when(col("p2") > 0, col("p2") / 2 * log(col("p2") / col("mid")))
+          .otherwise(lit(0.0)))
+    val jsd = probs.agg(round(sum("jsd_term"), 4).as("jsd"))
+    probs
+      .orderBy(abs(col("p1") - col("p2")).desc, col("token"))
+      .limit(topK)
+      .crossJoin(broadcast(jsd))
+      .select(col("token"), col("c1"), col("c2"),
+        round(col("p1"), 6).as("p1"), round(col("p2"), 6).as("p2"),
+        round(abs(col("p1") - col("p2")), 6).as("drift"), col("jsd"))
+  }
 }

@@ -1127,6 +1127,42 @@ class OpsSpec extends AnyFunSuite {
     assert(got.getString(1) === "a b c d e f it g h i j k l it m")
   }
 
+  test("tokenDrift: half-token+marker synthesis, L1 ordering, JSD bounds") {
+    import spark.implicits._
+    // doc 0 re-crawls truncated to [a, b] + the marker; doc 1 unchanged.
+    // v1: a:2 b:2 c:1 d:1 (n=6); v2: a:2 b:2 marker:1 (n=5)
+    val d = Seq((0L, "a b c d"), (1L, "a b")).toDF("doc_id", "text")
+    val got = TextOps.tokenDrift(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(5), r.getDouble(6)))
+    // drift: marker 0.2 > c = d = 1/6 (token tie-break) > a = b = 1/15
+    assert(got.map(_._1).toList ===
+      List(TextOps.DriftMarker, "c", "d", "a", "b"))
+    assert(got.head._2 === 0L && got.head._3 === 1L) // marker: v2-only
+    assert(got(1)._4 === 0.166667 && got(3)._4 === 0.066667)
+    // one corpus-level JSD on every row, inside (0, ln 2)
+    val jsds = got.map(_._5).distinct
+    assert(jsds.length === 1 && jsds.head > 0 && jsds.head < 0.6932)
+  }
+
+  test("schemaInduction: modal domain/range, tie-breaks, multi-TUI shares") {
+    import spark.implicits._
+    val facts = Seq(
+      ("s1", "causes", "o1"), ("s2", "causes", "o2"),
+      ("s1", "causes", "o1"), // duplicate fact: distinct drops it
+      ("s1", "treats", "o2")).toDF("subj_iri", "rel", "obj_iri")
+    val tuis = Seq(("s1", "T1"), ("s2", "T2"),
+      ("o1", "T9"), ("o2", "T9"), ("o2", "T5")).toDF("class_iri", "tui")
+    val got = Relations.schemaInduction(facts, tuis).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getString(4), r.getDouble(5))).toSet
+    assert(got === Set(
+      // causes: domain T1/T2 tie at 1 -> T1; range T9:2 of 3 observations
+      ("causes", 2L, "T1", 0.5, "T9", 0.666667),
+      // treats: range T9/T5 tie at 1 -> T5 (lexicographic)
+      ("treats", 1L, "T1", 1.0, "T5", 0.5)))
+  }
+
   test("corefMentions: nearest antecedent, ambiguity fanout, orphan pronouns drop") {
     import spark.implicits._
     // hand-laid char offsets on the single-space stream:
