@@ -131,6 +131,29 @@ object GraphScaleProbe {
       return
     }
 
+    if (section == "pass9") {
+      // pass-8/9 graph ops at the 2M-page graph: k-source Brandes
+      // betweenness (3 pinned seeds, 4-hop horizon — ~8 keyed-join rounds)
+      // and the 3-truss peel (wedge join per round). Wall seconds + result
+      // sizes; numbers land in BASELINE.md next to the star/min-label rows.
+      // seeds = the 3 highest-out-degree sources (deterministic tie-break)
+      // — alphabetically-first NODES can be sink-only pages whose BFS tree
+      // is empty, which times nothing
+      val seeds = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .orderBy(col("d").desc, col("src")).limit(3)
+        .collect().map(_.getString(0)).toSeq
+      val (btwRows, btwSec) = timed(
+        KgGraph.betweenness(edges, seeds.toDF("node")).count())
+      val (trussRows, trussSec) = timed(
+        KgGraph.ktruss(edges, k = 3).count())
+      println(
+        s"""{"corpus":"$corpusPath","n_nodes":$nNodes,"n_edges":$nEdges,""" +
+        s""""betweenness_sec":${f"$btwSec%.2f"},"betweenness_rows":$btwRows,""" +
+        s""""ktruss_sec":${f"$trussSec%.2f"},"ktruss_rows":$trussRows}""")
+      spark.stop()
+      return
+    }
+
     if (section == "bowtie") {
       // bow-tie at the 2M-page graph: three BFS fixpoints; reports class
       // counts (the macro-structure card) + wall seconds

@@ -1241,30 +1241,56 @@ object KgGraph {
     * always inside the (k−1)-core, never vice versa).
     *
     * Same fixpoint discipline as kcore: per round, per-edge support =
-    * common-neighbor count (canonical a<b edge joined twice against the
-    * symmetrized adjacency — the wedge equi-join, never enumerated node
-    * pairs), edges below k−2 peeled, stop when an iteration removes
-    * nothing; convergence REQUIRED within maxIter, which is what licenses
-    * the oracle's fixed unroll (peeling is idempotent after convergence).
-    * Returns the surviving truss edges with their final support.
+    * triangle count, edges below k−2 peeled, stop when an iteration
+    * removes nothing; convergence REQUIRED within maxIter, which is what
+    * licenses the oracle's fixed unroll (peeling is idempotent after
+    * convergence). Returns the surviving truss edges with their final
+    * support.
     *
-    * Scale shape: each round is one wedge join + one hash agg on edge
-    * keys, all equi-joins; [[Truncator]] lineage control; hot-node wedge
-    * skew is the documented trade the co-occurrence caps guard elsewhere
-    * (this runs on the SPARSE page graph). The per-round `count()` is a
-    * driver action on graph-scale data — the fixpoint price, as kcore. */
+    * Support is computed by DEGREE ORIENTATION (the Chiba–Nishizeki /
+    * cover-edge discipline every distributed triangle system uses):
+    * orient each edge from its (degree, node)-smaller endpoint — a total
+    * order, so the oriented graph is a DAG and every triangle has exactly
+    * one apex with two out-edges. Wedges are enumerated at apexes only,
+    * so the intermediate is Σ_v d_out(v)² = O(m^1.5) REGARDLESS of hubs —
+    * a web-scale star of in-degree 10⁶ orients leaf→hub and contributes
+    * ZERO wedges, where the naive symmetric wedge join (Σ_v deg(v)²)
+    * spills 10¹² rows. Each apex wedge probes the canonical edge set once
+    * (equi-join); the closing triangle fans back to its 3 edges through a
+    * 3-element explode, and per-edge support is one hash agg with
+    * map-side partials.
+    *
+    * Scale shape: per round one degree agg, one wedge equi-join bounded
+    * by the orientation, one edge-keyed agg; [[Truncator]] lineage
+    * control. The per-round `count()` is a driver action on graph-scale
+    * data — the fixpoint price, as kcore. */
   def ktruss(edges: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
     require(k >= 3, s"k=$k must be >= 3 (a 2-truss is just the edge set)")
     def support(e: DataFrame): DataFrame = {
-      // fresh column names per wedge leg — self-join lineage would
-      // otherwise make the a/b attributes ambiguous
-      val undX = e.select(col("a").as("xa"), col("b").as("xb"))
-        .unionAll(e.select(col("b").as("xa"), col("a").as("xb")))
-      val undY = e.select(col("a").as("ya"), col("b").as("yb"))
-        .unionAll(e.select(col("b").as("ya"), col("a").as("yb")))
-      e.join(undX, col("xa") === col("a"))
-        .join(undY, col("ya") === col("b") && col("yb") === col("xb"))
-        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+      val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val oriented = e
+        .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+        .select(when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("o"))
+        .select(col("o.u").as("u"), col("o.v").as("v"))
+      val wedges = oriented.select(col("u"), col("v").as("v1"))
+        .join(oriented.select(col("u"), col("v").as("v2")), Seq("u"))
+        .filter(col("v1") < col("v2"))
+      val tri = wedges.join(e,
+        least(col("v1"), col("v2")) === col("a") &&
+          greatest(col("v1"), col("v2")) === col("b"))
+      tri.select(explode(array(
+          struct(least(col("u"), col("v1")).as("ea"),
+            greatest(col("u"), col("v1")).as("eb")),
+          struct(least(col("u"), col("v2")).as("ea"),
+            greatest(col("u"), col("v2")).as("eb")),
+          struct(col("v1").as("ea"), col("v2").as("eb")))).as("t"))
+        .groupBy(col("t.ea").as("a"), col("t.eb").as("b"))
+        .agg(count(lit(1)).as("support"))
     }
     var e = pin(edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))

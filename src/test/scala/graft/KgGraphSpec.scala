@@ -43,6 +43,19 @@ class KgGraphSpec extends AnyFunSuite {
     assert(KgGraph.ktruss(path, k = 3).collect().isEmpty)
   }
 
+  test("ktruss: degree orientation counts hub triangles once, spokes peel") {
+    import spark.implicits._
+    // hub h with 5 spokes + one closed triangle (h, l1, l2): the hub is
+    // the DEGREE-max endpoint of every edge, so wedges are enumerated at
+    // the low-degree apexes only (the web-star shape the orientation
+    // rewrite exists for) — the triangle must still be found exactly once
+    val e = Seq(("h","l1"),("h","l2"),("h","l3"),("h","l4"),("h","l5"),
+      ("l1","l2")).toDF("src", "dst")
+    val got = KgGraph.ktruss(e, k = 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("h","l1",1L), ("h","l2",1L), ("l1","l2",1L)))
+  }
+
   test("betweenness: path-graph dependencies, hand-computed") {
     import spark.implicits._
     // a -> b -> c -> d; sources {a, b, c} (alphabetical-3 contract):
