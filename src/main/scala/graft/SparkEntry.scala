@@ -1518,6 +1518,24 @@ object SparkEntry {
         .withColumn("kept_frac", round(
           col("n_kept").cast("double") / col("n_docs").cast("double"), 6))),
 
+    // the ledger stratified by SOURCE — the domain-level filtering view
+    // (RefinedWeb/CCNet-style: decide per-domain keep policy from its
+    // rejection mix, not per-doc). One doc_id-keyed broadcast-shaped join
+    // of the ≤1-row/doc ledger onto (doc_id, source), one source-keyed agg
+    "curate_domain_report" -> ((s, dir) =>
+      queries("curate_ledger")(s, dir)
+        .join(docsTable(s, dir).select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("is_dup").cast("long")).as("n_dup"),
+          sum(col("is_contaminated").cast("long")).as("n_contaminated"),
+          sum(col("fails_gopher").cast("long")).as("n_fails_gopher"),
+          sum(col("high_repetition").cast("long")).as("n_high_repetition"),
+          sum(col("kept").cast("long")).as("n_kept"))
+        .withColumn("kept_frac", round(
+          col("n_kept").cast("double") / col("n_docs").cast("double"), 6))),
+
     // per-language corpus datasheet: docs, token mass, mean quality — the
     // "datasheets for datasets" stratification report (lang-keyed hash agg
     // over per-doc map-side stats)
@@ -2156,6 +2174,12 @@ object SparkEntry {
     // BM25 retrieval over the corpus for a literal query term set
     "text_bm25" -> ((s, dir) =>
       TextOps.bm25(docsTable(s, dir), Seq("spark", "join", "data"))),
+
+    // Dirichlet query-likelihood retrieval over the same query set — the
+    // LM-retrieval counterpart: absent terms still score via the
+    // collection prior (docs × |Q| map-side expansion, LEFT tf join)
+    "text_qlm" -> ((s, dir) =>
+      TextOps.qlm(docsTable(s, dir), Seq("spark", "join", "data"))),
 
     // inverted-index publication: per-term d-gap-encoded posting lists
     // within a df band (the band bounds window partitions + arrays)
@@ -7321,6 +7345,32 @@ object SparkEntry {
           SELECT doc_id, ROUND(score, 6) AS score FROM agg
           ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 20""",
 
+    // Dirichlet QL recomputed with the identical multiply/divide order;
+    // the CROSS JOIN onto the query literal + LEFT tf/cf joins reproduce
+    // the smoothing-mass-for-absent-terms semantics exactly
+    "text_qlm" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          lens AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS len FROM toks),
+          u AS (SELECT doc_id, unnest(t) AS term FROM toks),
+          tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_toks FROM u),
+          tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM u
+                 WHERE term IN ('spark', 'join', 'data') GROUP BY 1, 2),
+          cfx AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS cf FROM u
+                  WHERE term IN ('spark', 'join', 'data') GROUP BY 1),
+          q AS (SELECT unnest(['spark', 'join', 'data']) AS term),
+          sc AS (SELECT l.doc_id,
+                   ln((COALESCE(t.tf, CAST(0.0 AS DOUBLE))
+                        + CAST(300.0 AS DOUBLE)
+                          * COALESCE(c.cf, CAST(0.0 AS DOUBLE)) / tt.n_toks)
+                      / (l.len + CAST(300.0 AS DOUBLE))) AS sco
+                 FROM lens l CROSS JOIN q
+                 LEFT JOIN tf t ON t.doc_id = l.doc_id AND t.term = q.term
+                 LEFT JOIN cfx c ON c.term = q.term
+                 CROSS JOIN tot tt),
+          agg AS (SELECT doc_id, SUM(sco) AS score FROM sc GROUP BY 1)
+          SELECT doc_id, ROUND(score, 6) AS score FROM agg
+          ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 20""",
+
     "web_frontier" ->
       s"""WITH ${graft.ops.LinkGraph.linksCteSql}
           SELECT DISTINCT dst_url AS page FROM lnk
@@ -8323,6 +8373,33 @@ object SparkEntry {
             ROUND(CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)
               / CAST(COUNT(*) AS DOUBLE), 6) AS kept_frac
           FROM led""",
+
+    // the ledger stratified by source — curate_summary's SELECT list
+    // grouped by the documents.source join key
+    "curate_domain_report" ->
+      s"""WITH $curateLegsSql,
+          led AS (SELECT c.doc_id,
+              (k.doc_id IS NULL) AS is_dup,
+              (ct.doc_id IS NOT NULL) AS is_contaminated,
+              (g.doc_id IS NULL) AS fails_gopher,
+              (lr.doc_id IS NULL) AS high_repetition,
+              (k.doc_id IS NOT NULL AND ct.doc_id IS NULL
+                AND g.doc_id IS NOT NULL AND lr.doc_id IS NOT NULL) AS kept
+            FROM corpus c
+            LEFT JOIN keep k ON c.doc_id = k.doc_id
+            LEFT JOIN contaminated ct ON c.doc_id = ct.doc_id
+            LEFT JOIN gopher g ON c.doc_id = g.doc_id
+            LEFT JOIN lowrep lr ON c.doc_id = lr.doc_id)
+          SELECT d.source, COUNT(*) AS n_docs,
+            CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+            CAST(SUM(CASE WHEN is_contaminated THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+            CAST(SUM(CASE WHEN fails_gopher THEN 1 ELSE 0 END) AS BIGINT) AS n_fails_gopher,
+            CAST(SUM(CASE WHEN high_repetition THEN 1 ELSE 0 END) AS BIGINT) AS n_high_repetition,
+            CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+            ROUND(CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE), 6) AS kept_frac
+          FROM led JOIN documents d ON led.doc_id = d.doc_id
+          GROUP BY d.source""",
 
     // per-language corpus datasheet: docs, token mass, mean quality — the
     // "datasheets for datasets" stratification report

@@ -535,6 +535,56 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty 2001 —
+    * the language-modeling counterpart to [[bm25]]'s probabilistic form):
+    * score(d) = Σ_q ln((tf_{q,d} + μ·cf_q/|C|) / (len_d + μ)). Unlike BM25,
+    * EVERY query term scores every document — a missing term contributes
+    * through the collection prior, so the doc side is docs × |Q| rows from
+    * a broadcast |Q|-row literal with LEFT joins for tf/cf (an inner
+    * tf-join would silently drop the smoothing mass that defines QL).
+    *
+    * Float contract: per-(doc, term) ln arguments are reproduced
+    * bit-for-bit by the oracle (fixed multiply/divide order), the per-doc
+    * sum is ≤|Q| terms, and the score is ROUND(6) before the ordering —
+    * the [[bm25]] discipline.
+    *
+    * Scale shape: one token explode feeding an IN-pruned (doc, term) tf
+    * agg; cf and the corpus token total are |Q|-row / 1-row broadcasts;
+    * the docs × |Q| expansion is map-side (|Q| is driver input, single
+    * digits); one per-doc agg; top-k runs as TakeOrderedAndProject. */
+  def qlm(docs: DataFrame, queryTerms: Seq[String], topK: Int = 20,
+          mu: Double = 300.0): DataFrame = {
+    require(queryTerms.nonEmpty, "qlm needs at least one query term")
+    val lens = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("double").as("len"))
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val totals = toks.agg(count(lit(1)).cast("double").as("n_toks"))
+    val tf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val cf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("cf"))
+    val q = docs.sparkSession.range(1)
+      .select(explode(array(queryTerms.map(lit): _*)).as("term"))
+    val scored = lens
+      .crossJoin(broadcast(q))
+      .join(tf, Seq("doc_id", "term"), "left")
+      .join(broadcast(cf), Seq("term"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        log((coalesce(col("tf"), lit(0.0))
+          + lit(mu) * coalesce(col("cf"), lit(0.0)) / col("n_toks"))
+          / (col("len") + lit(mu))).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("s")).as("score"))
+    scored
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Inverted-index publication artifact (the at-rest retrieval structure
     * next to [[bm25]]'s online form — cf. the postings layout every
     * Lucene-lineage engine serializes): per term, document frequency,

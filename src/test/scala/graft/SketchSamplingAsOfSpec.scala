@@ -108,6 +108,33 @@ class SketchSamplingAsOfSpec extends AnyFunSuite {
     assert(math.abs(got(2L) - exp2) < 1e-6, s"${got(2L)} vs $exp2")
   }
 
+  test("qlm == scalar reference; docs WITHOUT query terms still score via the prior") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark join spark"),     // tf(spark)=2, tf(join)=1, len 3
+      (2L, "data data data data"),  // tf(data)=4, len 4
+      (3L, "other words only here") // no query term → prior-only row
+    ).toDF("doc_id", "text")
+    val got = TextOps.qlm(docs, Seq("spark", "join", "data"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the defining QL property bm25 lacks: every doc scores
+    assert(got.keySet === Set(1L, 2L, 3L))
+    val mu = 300.0; val nToks = 11.0
+    val cf = Map("spark" -> 2.0, "join" -> 1.0, "data" -> 4.0)
+    def score(tfs: Map[String, Double], len: Double) =
+      cf.keys.map { t =>
+        math.log((tfs.getOrElse(t, 0.0) + mu * cf(t) / nToks) / (len + mu))
+      }.sum
+    val exp = Map(
+      1L -> score(Map("spark" -> 2.0, "join" -> 1.0), 3.0),
+      2L -> score(Map("data" -> 4.0), 4.0),
+      3L -> score(Map.empty, 4.0))
+    exp.foreach { case (id, e) =>
+      assert(math.abs(got(id) - e) < 1e-5, s"doc $id: ${got(id)} vs $e") }
+    // prior-only doc ranks strictly below any doc holding a query term
+    assert(got(3L) < got(1L) && got(3L) < got(2L))
+  }
+
   test("approx_percentile stays within its accuracy bound of exact percentile") {
     // the 100-TB ungrouped-quantile path: approx_percentile with the
     // default accuracy; bound its rank error vs the exact sort on a
