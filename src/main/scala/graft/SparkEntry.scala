@@ -2962,6 +2962,13 @@ object SparkEntry {
         .groupBy("center", "context").agg(count(lit(1)).as("n_pairs"))
     }),
 
+    // one full-batch SGNS step over the walk-pair corpus — the word2vec
+    // trainer the DeepWalk prep exists FOR (walks → pairs → embedding
+    // update, end-to-end), per-center softplus loss before/after; the
+    // "it learns" direction is gated in KgGraphSpec
+    "web_sgns_step" -> ((s, dir) =>
+      graft.ops.KgEmbed.sgnsStep(queries("web_walk_pairs")(s, dir))),
+
     // crawl politeness scheduling: per-host fetch slots at a fixed delay —
     // slot rank is a PER-HOST window (deterministic by canonical URL), so
     // the frontier turns into a time-stamped fetch plan with no global sort
@@ -3414,6 +3421,98 @@ object SparkEntry {
         w0 AS (SELECT src AS start, 0 AS step, src AS node FROM adj),
         $steps
         $union"""
+  }
+
+  /** web_sgns_step oracle ([[graft.ops.KgEmbed.sgnsStep]] twin): the walk
+    * pairs rebuilt, the context-side corruption chain (hash-index pick,
+    * self/true-pair drop), bit-identical `w:`/`c:` md5 inits in long
+    * format, ROUND(6) dots, σ terms as the same single divisions, mean
+    * gradients, SGD update, rescore — then the per-center softplus loss
+    * rollup before/after. */
+  private def sgnsStepOracleSql: String = materializeCtes {
+    val dim = graft.ops.KgEmbed.Dim
+    val negK = graft.ops.KgEmbed.NegK
+    val lr = graft.ops.KgEmbed.Lr
+    val two60 = "1152921504606846976.0"
+    def init(prefix: String, idExpr: String) =
+      s"('0x' || substr(md5('$prefix' || $idExpr || ':' ||" +
+        s" CAST(dd.d AS VARCHAR)), 1, 15))::BIGINT / $two60 * 2 - 1"
+    def pdSql(name: String, we: String, ce: String) =
+      s"""$name AS (SELECT n.center, n.context, n.slot, n.neg_ctx, dd.d,
+            w.v * cp.v AS vp, w.v * cn.v AS vn
+          FROM negf n
+          CROSS JOIN dims dd
+          JOIN $we w ON w.ent = n.center AND w.d = dd.d
+          JOIN $ce cp ON cp.ent = n.context AND cp.d = dd.d
+          JOIN $ce cn ON cn.ent = n.neg_ctx AND cn.d = dd.d)"""
+    def psSql(name: String, from: String) =
+      s"""$name AS (SELECT center, context, slot, neg_ctx,
+            ROUND(SUM(vp), 6) AS sp, ROUND(SUM(vn), 6) AS sn
+          FROM $from GROUP BY 1, 2, 3, 4)"""
+    val lossExpr = "ln(1.0 + exp(-sp)) + ln(1.0 + exp(sn))"
+    s"""WITH walks AS MATERIALIZED (
+          SELECT * FROM (${walksOracleSql(length = 4)}) w),
+        wpairs AS (SELECT DISTINCT a.node AS center, b.node AS context
+          FROM walks a JOIN walks b
+            ON b.start = a.start AND b.step <> a.step
+            AND ABS(a.step - b.step) <= 2),
+        ents AS (SELECT ctx, ROW_NUMBER() OVER (ORDER BY ctx) - 1 AS eid
+          FROM (SELECT DISTINCT context AS ctx FROM wpairs)),
+        nn AS (SELECT COUNT(*) AS n FROM ents),
+        cand AS (SELECT p.center, p.context, CAST(s.slot AS INT) AS slot,
+            ('0x' || substr(md5(p.center || '|' || p.context || '|'
+              || CAST(s.slot AS VARCHAR)), 1, 15))::BIGINT
+              % (SELECT n FROM nn) AS eid
+          FROM wpairs p,
+            (SELECT unnest(generate_series(0, ${negK - 1})) AS slot) s),
+        negs AS (SELECT c.center, c.context, c.slot, e.ctx AS neg_ctx
+          FROM cand c JOIN ents e USING (eid)
+          WHERE e.ctx <> c.context),
+        negf AS (SELECT n.center, n.context, n.slot, n.neg_ctx
+          FROM negs n LEFT JOIN wpairs p
+            ON p.center = n.center AND p.context = n.neg_ctx
+          WHERE p.center IS NULL),
+        dims AS (SELECT unnest(generate_series(1, $dim)) AS d),
+        we0 AS (SELECT center AS ent, dd.d, ${init("w:", "center")} AS v
+          FROM (SELECT DISTINCT center FROM wpairs), dims dd),
+        ce0 AS (SELECT ctx AS ent, dd.d, ${init("c:", "ctx")} AS v
+          FROM ents, dims dd),
+        ${pdSql("pd0", "we0", "ce0")},
+        ${psSql("ps0", "pd0")},
+        gg AS (SELECT center, context, slot, neg_ctx,
+            -1.0 / (1.0 + exp(sp)) AS gp, 1.0 / (1.0 + exp(-sn)) AS gn
+          FROM ps0),
+        wcon AS (
+          SELECT g.center AS ent, dd.d, g.gp * cp.v AS gc
+          FROM gg g CROSS JOIN dims dd
+          JOIN ce0 cp ON cp.ent = g.context AND cp.d = dd.d
+          UNION ALL
+          SELECT g.center AS ent, dd.d, g.gn * cn.v AS gc
+          FROM gg g CROSS JOIN dims dd
+          JOIN ce0 cn ON cn.ent = g.neg_ctx AND cn.d = dd.d),
+        ccon AS (
+          SELECT g.context AS ent, dd.d, g.gp * w.v AS gc
+          FROM gg g CROSS JOIN dims dd
+          JOIN we0 w ON w.ent = g.center AND w.d = dd.d
+          UNION ALL
+          SELECT g.neg_ctx AS ent, dd.d, g.gn * w.v AS gc
+          FROM gg g CROSS JOIN dims dd
+          JOIN we0 w ON w.ent = g.center AND w.d = dd.d),
+        wg AS (SELECT ent, d, ROUND(AVG(gc), 6) AS g FROM wcon GROUP BY 1, 2),
+        cg AS (SELECT ent, d, ROUND(AVG(gc), 6) AS g FROM ccon GROUP BY 1, 2),
+        we1 AS (SELECT x.ent, x.d, x.v - $lr * COALESCE(g.g, 0.0) AS v
+          FROM we0 x LEFT JOIN wg g ON g.ent = x.ent AND g.d = x.d),
+        ce1 AS (SELECT x.ent, x.d, x.v - $lr * COALESCE(g.g, 0.0) AS v
+          FROM ce0 x LEFT JOIN cg g ON g.ent = x.ent AND g.d = x.d),
+        ${pdSql("pd1", "we1", "ce1")},
+        ${psSql("ps1", "pd1")},
+        lb AS (SELECT center, COUNT(*) AS n_pairs,
+            ROUND(AVG($lossExpr), 6) AS loss_before
+          FROM ps0 GROUP BY 1),
+        la AS (SELECT center, ROUND(AVG($lossExpr), 6) AS loss_after
+          FROM ps1 GROUP BY 1)
+        SELECT center, n_pairs, loss_before, loss_after
+        FROM lb JOIN la USING (center)"""
   }
 
   /** Unrolled WARM-START oracle ([[graft.graph.KgGraph.pageRankWarmStart]]
@@ -7249,6 +7348,8 @@ object SparkEntry {
             ON b.start = a.start AND b.step <> a.step
             AND ABS(a.step - b.step) <= 2
           GROUP BY 1, 2""",
+
+    "web_sgns_step" -> sgnsStepOracleSql,
 
     "web_fetch_schedule" ->
       s"""WITH ${graft.ops.WebOps.canonCteSql},

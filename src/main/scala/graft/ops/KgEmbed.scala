@@ -400,4 +400,122 @@ object KgEmbed {
         round(avg(when(col("rank") === 1, lit(1.0)).otherwise(lit(0.0))), 6)
           .as("hits1"))
   }
+
+  /** Ascending-dimension dot product of two Dim-wide embedding arrays —
+    * codegen'd `element_at` expansion (fixed small Dim), the additive twin
+    * of [[graft.functions.TranseScores]]' fused form. */
+  private def dotDim(a: Column, b: Column): Column =
+    (1 to Dim).map(j => element_at(a, j) * element_at(b, j))
+      .reduce(_ + _)
+
+  /** One full-batch skip-gram negative-sampling step (word2vec SGNS —
+    * Mikolov et al. 2013) over a `(center, context)` pair corpus: the
+    * trainer DeepWalk/node2vec bolt onto
+    * [[graft.graph.KgGraph.randomWalks]]' walk pairs, completing the
+    * embedding-family set next to the translational/bilinear KG scorers
+    * (TransE/DistMult/ComplEx/RotatE share one triple seam; SGNS is the
+    * two-table input/output-matrix form over undirected co-occurrence).
+    *
+    * Protocol (the [[Relations.negatives]] discipline, context-side
+    * corruption): per distinct pair and slot, the corruption index is the
+    * portable 60-bit hash of `center|context|slot` into the context
+    * vocabulary; self-corruptions and corruptions that are TRUE pairs are
+    * dropped, not resampled. Full-batch over the DISTINCT pair set — the
+    * deterministic twin of frequency-weighted minibatch sampling (walk
+    * multiplicity is already the sampler at real scale; replaying it here
+    * would square-count). Input (`w:`-init) and output (`c:`-init)
+    * matrices are separate, the word2vec two-matrix form. Loss per
+    * (pair, corruption) row is the softplus pair
+    * `ln(1+e^{-s_pos}) + ln(1+e^{s_neg})`; gradients are per-parameter
+    * MEANS (degree-normalized — the [[epochUpdate]] rule: a power-law-hot
+    * page takes the same bounded step as a cold one).
+    *
+    * Float contract: dots are ROUND(6) before the sigmoid terms (the only
+    * cross-engine float-sum exposure), gradient means and per-center
+    * losses ROUND(6) — so the oracle's long-format recomputation lands on
+    * identical quantities.
+    *
+    * Scale shape: embedding tables are entity-keyed rows (the
+    * PyTorch-BigGraph layout); the gather is three entity-keyed equi-joins;
+    * gradient legs are a UNION ALL of keyed contributions into ONE hash
+    * agg per table; the update is an entity-keyed left join. Nothing
+    * shuffles more than (pairs × NegK × Dim) short rows. The context-vocab
+    * dense ids ride [[Relations.negatives]]' window form here (matching
+    * the oracle's ROW_NUMBER bit-for-bit); at web scale the id pass swaps
+    * to the D6 two-pass range-repartition + zipWithIndex form — the same
+    * documented flip as the dictionary build.
+    *
+    * Returns one row per center that kept ≥1 corruption (the filtered-
+    * protocol behavior): `(center, n_pairs, loss_before, loss_after)`. */
+  def sgnsStep(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = pairs.select(col("center"), col("context")).distinct()
+      .localCheckpoint() // vocab + candidates + anti-join + both inits
+    val ents = pos.select(col("context").as("ctx")).distinct()
+      .withColumn("eid",
+        row_number().over(Window.orderBy("ctx")).cast("long") - 1)
+      .localCheckpoint() // counted + joined
+    val n = ents.count()
+    val neg = pos
+      .select(col("center"), col("context"),
+        explode(array((0 until NegK).map(lit): _*)).as("slot"))
+      .withColumn("eid", pmod(Sketch.hash60(
+        concat_ws("|", col("center"), col("context"), col("slot"))), lit(n)))
+      .join(broadcast(ents), "eid")
+      .withColumnRenamed("ctx", "neg_ctx")
+      .filter(col("neg_ctx") =!= col("context"))
+      .join(pos.select(col("center"), col("context").as("neg_ctx")),
+        Seq("center", "neg_ctx"), "left_anti")
+      .select(col("center"), col("context"), col("slot"), col("neg_ctx"))
+      .localCheckpoint() // scored before AND after the update
+    val w0 = embInit(pos.select(col("center")).distinct(), "center", "w:")
+    val c0 = embInit(ents.select(col("ctx")), "ctx", "c:")
+    def gather(w: DataFrame, c: DataFrame): DataFrame = neg
+      .join(w.select(col("center"), col("emb").as("wv")), Seq("center"))
+      .join(c.select(col("ctx").as("context"), col("emb").as("cp")),
+        Seq("context"))
+      .join(c.select(col("ctx").as("neg_ctx"), col("emb").as("cn")),
+        Seq("neg_ctx"))
+      .withColumn("sp", round(dotDim(col("wv"), col("cp")), 6))
+      .withColumn("sn", round(dotDim(col("wv"), col("cn")), 6))
+    def pairLoss: Column =
+      log(lit(1.0) + exp(-col("sp"))) + log(lit(1.0) + exp(col("sn")))
+    val scored = gather(w0, c0).localCheckpoint() // loss + 4 gradient legs
+    val lossB = scored.groupBy("center")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(pairLoss), 6).as("loss_before"))
+    // σ terms from the ROUND(6) dots: gp = σ(sp)−1, gn = σ(sn) — written
+    // as single divisions so the oracle's expressions are term-identical
+    val g = scored
+      .withColumn("gp", lit(-1.0) / (lit(1.0) + exp(col("sp"))))
+      .withColumn("gn", lit(1.0) / (lit(1.0) + exp(-col("sn"))))
+      .select(col("center"), col("context"), col("neg_ctx"),
+        explode(sequence(lit(1), lit(Dim))).as("d"),
+        col("wv"), col("cp"), col("cn"), col("gp"), col("gn"))
+    val wContrib = g.select(col("center").as("id"), col("d"),
+        (col("gp") * element_at(col("cp"), col("d"))).as("gc"))
+      .unionAll(g.select(col("center").as("id"), col("d"),
+        (col("gn") * element_at(col("cn"), col("d"))).as("gc")))
+    val cContrib = g.select(col("context").as("id"), col("d"),
+        (col("gp") * element_at(col("wv"), col("d"))).as("gc"))
+      .unionAll(g.select(col("neg_ctx").as("id"), col("d"),
+        (col("gn") * element_at(col("wv"), col("d"))).as("gc")))
+    // per-parameter mean gradient pivoted to one row per entity in the
+    // same aggregation (avg(when(d = j)) ignores the other dims' NULLs)
+    def gradPivot(contrib: DataFrame): DataFrame = {
+      val aggs = (1 to Dim).map(j =>
+        round(avg(when(col("d") === j, col("gc"))), 6).as(s"g$j"))
+      contrib.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    }
+    def updated(base: DataFrame, idCol: String, grads: DataFrame): DataFrame =
+      base.join(grads, base(idCol) === grads("id"), "left")
+        .select(base(idCol), array((1 to Dim).map(j =>
+          element_at(col("emb"), j)
+            - lit(Lr) * coalesce(col(s"g$j"), lit(0.0))): _*).as("emb"))
+    val w1 = updated(w0, "center", gradPivot(wContrib))
+    val c1 = updated(c0, "ctx", gradPivot(cContrib))
+    val lossA = gather(w1, c1).groupBy("center")
+      .agg(round(avg(pairLoss), 6).as("loss_after"))
+    lossB.join(lossA, Seq("center"))
+  }
 }

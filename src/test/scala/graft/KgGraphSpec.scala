@@ -866,6 +866,29 @@ class KgGraphSpec extends AnyFunSuite {
     assert(again.getDouble(3) === lb && again.getDouble(4) === la)
   }
 
+  test("sgnsStep: one full-batch SGNS step reduces mean softplus loss per center on average") {
+    import spark.implicits._
+    // a co-occurrence pair corpus with real structure: 12 centers over a
+    // 6-node context pool, 2-3 contexts each — corruption diversity for
+    // the context-side hash protocol
+    val pairs = (for {
+      s <- 0 until 12
+      o <- Seq(s % 6, (s + 1) % 6) ++ (if (s % 3 == 0) Seq((s + 2) % 6) else Nil)
+    } yield (s"page$s", s"ctx$o", 1L)).toDF("center", "context", "n_pairs")
+    val out = graft.ops.KgEmbed.sgnsStep(pairs).collect()
+    assert(out.nonEmpty)
+    val lb = out.map(_.getDouble(2)).sum / out.length
+    val la = out.map(_.getDouble(3)).sum / out.length
+    // full-batch logistic objective: the mean loss across centers must
+    // strictly drop after one mean-gradient SGD step
+    assert(la < lb, s"step did not learn: $lb -> $la")
+    out.foreach(r => assert(r.getLong(1) > 0, s"degenerate center ${r.getString(0)}"))
+    // determinism: hash-indexed corruptions + hash init, no rng state
+    val again = graft.ops.KgEmbed.sgnsStep(pairs).collect()
+    assert(again.map(r => (r.getString(0), r.getDouble(2), r.getDouble(3))).toSet
+      === out.map(r => (r.getString(0), r.getDouble(2), r.getDouble(3))).toSet)
+  }
+
   test("distmultRank: sane bounds, deterministic, and distinct from the TransE reading") {
     import spark.implicits._
     val facts = (for {
