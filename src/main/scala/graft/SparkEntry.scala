@@ -2658,6 +2658,12 @@ object SparkEntry {
     "curate_lr_distill" -> ((s, dir) =>
       graft.ops.Classifier.lrDistill(docsTable(s, dir))),
 
+    // distillation discrimination audit: ROC-AUC of the trained scorer vs
+    // the gopher label (binned Mann–Whitney — rank pass over score BINS,
+    // never a corpus-wide window; all-BIGINT until one final division)
+    "curate_auc" -> ((s, dir) =>
+      graft.ops.Classifier.aucReport(docsTable(s, dir))),
+
     // THE NORTH-RULE GATE AS DATA: per-predicate precision/recall of the
     // engine's triples (automaton scan + distributed expansions) against an
     // INDEPENDENT in-Spark reference-semantics derivation (naive per-term
@@ -4706,6 +4712,41 @@ object SparkEntry {
     * steps — weights carried through CTEs as exact arithmetic on ROUND(6)
     * mean gradients, metrics ROUND(6) per step. */
   private def lrDistillOracleSql(lr: Double, steps: Int): String = materializeCtes {
+    s"""WITH ${lrDistillChainCtes(lr, steps)}
+        ${(0 to steps).map(k => s"SELECT step, logloss, accuracy FROM m$k")
+          .mkString("\nUNION ALL\n")}"""
+  }
+
+  /** curate_auc oracle ([[graft.ops.Classifier.aucReport]] twin): the
+    * trained-weight chain's final `w{steps}` scores every doc (the same
+    * left-associated dot-product order, binned ROUND(4)), then the binned
+    * Mann–Whitney fold — all-BIGINT rank arithmetic, one pinned final
+    * division ROUND(6). */
+  private def lrAucOracleSql(lr: Double, steps: Int): String = materializeCtes {
+    val nf = graft.ops.Classifier.NFeatures
+    val dp = graft.ops.Classifier.AucBinDp
+    val dot = (0 until nf).map(j => s"w.w$j * f.x$j").mkString(" + ")
+    s"""WITH ${lrDistillChainCtes(lr, steps)},
+        zt AS (SELECT ROUND($dot, $dp) AS z, CAST(f.y AS BIGINT) AS y
+               FROM f, w$steps w),
+        gz AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS cnt,
+                 CAST(SUM(y) AS BIGINT) AS pos
+               FROM zt GROUP BY z),
+        cz AS (SELECT pos, cnt,
+                 COALESCE(SUM(cnt) OVER (ORDER BY z
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+               FROM gz)
+        SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS n_neg,
+               ROUND((SUM(pos * (2 * cum + cnt + 1)) - SUM(pos) * (SUM(pos) + 1))
+                 / (2.0 * SUM(pos) * (SUM(cnt) - SUM(pos))), 6) AS auc
+        FROM cz"""
+  }
+
+  /** The shared distillation CTE chain (gopher features + `steps` unrolled
+    * GD steps), reused by the curate_lr_distill and curate_auc oracles —
+    * ends with per-step metrics `m0..m{steps}` and weights `w0..w{steps}`. */
+  private def lrDistillChainCtes(lr: Double, steps: Int): String = {
     val nf = graft.ops.Classifier.NFeatures
     val stepCtes = (0 to steps).map { k =>
       val pcte =
@@ -4726,7 +4767,7 @@ object SparkEntry {
         else None
       (Seq(pcte, mcte) ++ wcte).mkString(",\n")
     }.mkString(",\n")
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         v AS (SELECT doc_id,
                 len(tk) AS n_words,
                 list_sum(list_transform(tk, x -> length(x)))
@@ -4747,8 +4788,7 @@ object SparkEntry {
                 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y
               FROM v),
         w0 AS (SELECT ${(0 until nf).map(j => s"CAST(0.0 AS DOUBLE) AS w$j").mkString(", ")}),
-        $stepCtes
-        ${(0 to steps).map(k => s"SELECT step, logloss, accuracy FROM m$k").mkString("\nUNION ALL\n")}"""
+        $stepCtes"""
   }
 
   private def tripleConfidenceOracleSql: String =
@@ -5294,6 +5334,8 @@ object SparkEntry {
     "kg_transe_step" -> transeStepOracleSql,
     "curate_lr_distill" ->
       lrDistillOracleSql(graft.ops.Classifier.Lr, graft.ops.Classifier.Steps),
+    "curate_auc" ->
+      lrAucOracleSql(graft.ops.Classifier.Lr, graft.ops.Classifier.Steps),
 
     "kg_transe_rank" -> transeRankOracleSql(),
     "kg_transe_rank_trained" -> transeRankOracleSql(epochs = 2),

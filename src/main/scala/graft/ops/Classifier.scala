@@ -36,17 +36,24 @@ object Classifier {
     * n_stop_hits/10]. */
   val NFeatures = 5
 
-  def lrDistill(docs: DataFrame, lr: Double = Lr, steps: Int = Steps): DataFrame = {
-    require(steps >= 1, s"lrDistill needs steps >= 1, got $steps")
-    val spark = docs.sparkSession
-    val f = TextOps.gopherRules(docs).select(
+  /** Gopher-feature design matrix `(x0..x4, y)` — ONE pass, pinned: every
+    * training step (and the AUC scorer) re-reads it. */
+  private def features(docs: DataFrame): DataFrame =
+    TextOps.gopherRules(docs).select(
       lit(1.0).as("x0"),
       (col("n_words") / lit(100.0)).as("x1"),
       col("mean_word_len").as("x2"),
       (col("symbol_ratio") * lit(10.0)).as("x3"),
       (col("n_stop_hits") / lit(10.0)).as("x4"),
       when(col("keep"), lit(1.0)).otherwise(lit(0.0)).as("y"))
-      .localCheckpoint() // one feature pass; every step re-reads it
+      .localCheckpoint()
+
+  /** The full-batch GD loop over a pinned feature frame: per-step
+    * `(step, logloss, accuracy)` rows plus the FINAL weight vector (exact
+    * arithmetic on ROUND(6) mean gradients — bit-identical to the oracle's
+    * CTE-carried weights). */
+  private def trainCore(f: DataFrame, lr: Double, steps: Int)
+      : (Seq[(Int, Double, Double)], Array[Double]) = {
     val w = Array.fill(NFeatures)(0.0)
     val out = scala.collection.mutable.ListBuffer.empty[(Int, Double, Double)]
     for (step <- 0 to steps) {
@@ -64,7 +71,67 @@ object Classifier {
       if (step < steps)
         for (j <- 0 until NFeatures) w(j) -= lr * row.getDouble(2 + j)
     }
+    (out.toSeq, w)
+  }
+
+  def lrDistill(docs: DataFrame, lr: Double = Lr, steps: Int = Steps): DataFrame = {
+    require(steps >= 1, s"lrDistill needs steps >= 1, got $steps")
+    val spark = docs.sparkSession
     import spark.implicits._
-    out.toSeq.toDF("step", "logloss", "accuracy")
+    trainCore(features(docs), lr, steps)._1.toDF("step", "logloss", "accuracy")
+  }
+
+  /** Score-bin resolution for [[aucReport]] — 4dp, the binned-AUC estimator
+    * contract (single source with the oracle). */
+  val AucBinDp = 4
+
+  /** Per-doc `(binned score z, label y)` pairs under the trained weights —
+    * [[aucReport]]'s input surface, public for the spec's independent
+    * driver-side rank recompute. */
+  def scoredBins(docs: DataFrame, lr: Double = Lr, steps: Int = Steps): DataFrame = {
+    require(steps >= 1, s"scoredBins needs steps >= 1, got $steps")
+    val f = features(docs)
+    val w = trainCore(f, lr, steps)._2
+    val z = (0 until NFeatures).map(j => lit(w(j)) * col(s"x$j")).reduce(_ + _)
+    f.select(round(z, AucBinDp).as("z"), col("y").cast("long").as("y"))
+  }
+
+  /** Discrimination audit of the distilled classifier: ROC-AUC of the
+    * trained scorer against the Gopher label it mimics, via the
+    * Mann–Whitney rank statistic with average-rank tie handling —
+    * `AUC = (Σ_pos r̄_i − P(P+1)/2) / (P·N)`. The companion to
+    * [[lrDistill]]'s loss curve: loss says the probabilities fit, AUC says
+    * the ORDERING separates keep from drop (what a threshold sweep on the
+    * gate actually uses).
+    *
+    * Scale shape (the Spark-mllib BinaryClassificationMetrics design):
+    * scores are binned to [[AucBinDp]] before ranking, so the rank pass
+    * runs over SCORE BINS, not documents — one (bin → count, positives)
+    * hash aggregation over the corpus (map-side combinable), then the
+    * cumulative rank window + the final fold over the bin table only. The
+    * unbinned form would put a global window over 10^12 rows; the binned
+    * form's window sees ≤ a few thousand rows at any corpus size.
+    *
+    * Determinism contract: z = Σ w_j·x_j is a fixed-order left-associated
+    * double chain over bit-identical weights (the lrDistill contract) and
+    * exact/pre-rounded features, so both engines bin every doc identically;
+    * everything after binning is BIGINT arithmetic until ONE final pinned
+    * division, ROUND(6). Ranks use ascending z with average ranks on ties:
+    * r̄ = (2·cum_below + cnt + 1)/2, folded as integer `numer2 = Σ
+    * pos·(2·cum + cnt + 1)` so no fractional rank ever materializes.
+    * Output: one row `(n_pos, n_neg, auc)`. */
+  def aucReport(docs: DataFrame, lr: Double = Lr, steps: Int = Steps): DataFrame = {
+    val bins = scoredBins(docs, lr, steps)
+      .groupBy("z")
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy("z").rowsBetween(Long.MinValue, -1)
+    bins
+      .withColumn("cum", coalesce(sum(col("cnt")).over(win), lit(0L)))
+      .agg(sum(col("pos")).as("np"), (sum(col("cnt")) - sum(col("pos"))).as("nn"),
+        sum(col("pos") * (lit(2L) * col("cum") + col("cnt") + lit(1L))).as("numer2"))
+      .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+        round((col("numer2") - col("np") * (col("np") + lit(1L))) /
+          (lit(2.0) * col("np") * col("nn")), 6).as("auc"))
   }
 }

@@ -96,6 +96,30 @@ class OpsSpec extends AnyFunSuite {
         s"logloss failed to descend at step $i: ${got.map(_._2).toSeq}")
   }
 
+  test("aucReport: one row, AUC in (0.5, 1], classes both present, and equals " +
+       "a driver-side unbinned Mann-Whitney on the binned scores") {
+    val d = docs
+    val got = graft.ops.Classifier.aucReport(d).collect()
+    assert(got.length === 1)
+    val (np, nn, auc) = (got(0).getLong(0), got(0).getLong(1), got(0).getDouble(2))
+    assert(np > 0 && nn > 0, s"degenerate label split: $np/$nn")
+    assert(auc > 0.5 && auc <= 1.0, s"trained scorer should beat chance: $auc")
+    // driver-side recompute from raw (z-bin, y) pairs — independent of the
+    // window/fold formulation
+    val zy = graft.ops.Classifier.scoredBins(d).collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    val sorted = zy.sortBy(_._1)
+    var rank = 0L; var sumPosRank = 0.0
+    for (g <- sorted.groupBy(_._1).toSeq.sortBy(_._1)) {
+      val cnt = g._2.length; val pos = g._2.map(_._2).sum
+      sumPosRank += pos * (rank + (cnt + 1) / 2.0); rank += cnt
+    }
+    val p = zy.map(_._2).sum.toDouble; val n = zy.length - p
+    val want = (sumPosRank - p * (p + 1) / 2.0) / (p * n)
+    assert(math.abs(auc - math.rint(want * 1e6) / 1e6) < 2e-6,
+      s"AUC mismatch: engine $auc vs driver $want")
+  }
+
   test("minhash-LSH pairs ⊆ exact-jaccard pairs at same threshold, recall ≥ 0.9") {
     val exact = Dedup.jaccardPairs(docs, n = 3, threshold = 0.8, maxDocFreq = 10000)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
