@@ -1160,6 +1160,14 @@ object SparkEntry {
       Sketch.kmvDistinct(s.read.parquet(s"$dir/events.parquet"),
         groupCol = "event_type", valueCol = "user_id", k = 64)),
 
+    // HyperLogLog register sketch over the SAME (event_type, user_id)
+    // stream as sketch_distinct — KMV vs HLL estimates directly comparable
+    // on one release card; 64 one-byte registers per group, two codegen'd
+    // hash aggs, exact-BIGINT harmonic sum until one pinned division
+    "sketch_hll" -> ((s, dir) =>
+      Sketch.hllDistinct(s.read.parquet(s"$dir/events.parquet"),
+        groupCol = "event_type", valueCol = "user_id")),
+
     // ---- training-data ops ------------------------------------------
 
     "dedup_exact" -> ((s, dir) => Dedup.exact(docsTable(s, dir))),
@@ -5828,6 +5836,38 @@ object SparkEntry {
                       / CAST(kk.kth AS DOUBLE) END, 4) AS est_distinct,
            CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
          FROM kk JOIN ex USING (event_type)""",
+
+    // HLL: per-(group, bucket) max rank via the shared exact-integer
+    // threshold chain, BIGINT harmonic fold, raw α·m²/S vs linear-counting
+    // switch — all constants single-sourced from Sketch
+    "sketch_hll" -> {
+      import graft.ops.Sketch.{HllM, HllRawNum, HllRemBits, HllScale}
+      s"""WITH dv AS (SELECT DISTINCT event_type,
+                        CAST(user_id AS VARCHAR) AS v FROM events
+                      WHERE user_id IS NOT NULL),
+           h AS (SELECT event_type,
+                   CAST(concat('0x', substring(md5(v), 1, 15)) AS BIGINT) AS h
+                 FROM dv),
+           rg AS (SELECT event_type, h % $HllM AS bucket,
+                    MAX(${graft.ops.Sketch.hllRankSql(s"(h // $HllM)")}) AS r
+                  FROM h GROUP BY 1, 2),
+           fd AS (SELECT event_type, COUNT(*) AS n_present,
+                    SUM(CAST(1 AS BIGINT) << (${HllRemBits + 1} - r)) AS s_present
+                  FROM rg GROUP BY 1),
+           est AS (SELECT event_type, n_present,
+                     $HllRawNum / CAST(s_present
+                       + ($HllM - n_present) * $HllScale AS DOUBLE) AS raw
+                   FROM fd),
+           ex AS (SELECT event_type, COUNT(*) AS exact_distinct
+                  FROM dv GROUP BY event_type)
+         SELECT e.event_type,
+           ROUND(CASE WHEN e.raw <= ${2.5 * HllM} AND e.n_present < $HllM
+                 THEN ${HllM.toDouble} * ln(${HllM.toDouble}
+                   / CAST($HllM - e.n_present AS DOUBLE))
+                 ELSE e.raw END, 4) AS est_distinct,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+         FROM est e JOIN ex USING (event_type)"""
+    },
 
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -106,6 +106,80 @@ object Sketch {
         countDistinct(col("v")).as("exact_distinct"))
   }
 
+  // ---- HyperLogLog (register sketching) -----------------------------------
+
+  /** 2^6 = 64 registers — the BigQuery/Presto APPROX_COUNT_DISTINCT family's
+    * sketch, here at the small width the oracle can recompute cheaply. */
+  val HllM = 64
+  /** Remainder bits: the 60-bit hash minus the 6 bucket bits. */
+  val HllRemBits = 54
+  /** Flajolet et al. 2007's bias constant α_64. */
+  val HllAlpha = 0.709
+  /** 2^[[HllRemBits]]+1-free scale: every register contribution 2^{−M_j} is
+    * carried as the exact BIGINT 2^{55−M_j} (absent register: 2^55), so the
+    * harmonic-mean denominator is INTEGER until one final pinned division. */
+  val HllScale: Long = 1L << (HllRemBits + 1)
+  /** α_m · m² · 2^55 — the raw-estimate numerator, ONE double constant
+    * whose shortest-repr string round-trips bit-exactly into the oracle. */
+  val HllRawNum: Double = HllAlpha * (HllM.toDouble * HllM) * HllScale.toDouble
+
+  /** Register rank ρ = leading-zero count of the 54-bit remainder + 1, as a
+    * descending exact-integer threshold chain — never a float log2, whose
+    * boundary ulps could disagree across engines. Codegen'd comparisons;
+    * rem = 0 (all zeros) ranks [[HllRemBits]] + 1, per the HLL spec. */
+  def hllRank(rem: Column): Column =
+    (2 to HllRemBits).foldLeft(
+      when(rem >= lit(1L << (HllRemBits - 1)), lit(1)))((acc, i) =>
+      acc.when(rem >= lit(1L << (HllRemBits - i)), lit(i)))
+      .otherwise(lit(HllRemBits + 1))
+
+  /** DuckDB twin of [[hllRank]] — the same threshold constants, one source. */
+  def hllRankSql(rem: String): String =
+    "CASE " + (1 to HllRemBits).map(i =>
+      s"WHEN $rem >= ${1L << (HllRemBits - i)} THEN $i").mkString(" ") +
+      s" ELSE ${HllRemBits + 1} END"
+
+  /** Per-group HyperLogLog distinct estimate (Flajolet, Fusy, Gandouet &
+    * Meunier 2007) with the exact distinct count alongside — [[kmvDistinct]]'s
+    * register-based sibling, and the shape production engines broadcast:
+    * per-group state is 64 one-byte registers (vs KMV's k longs), merge is
+    * elementwise MAX, so partials combine map-side and the shuffle carries
+    * ≤ 64 rows per (group, partition).
+    *
+    * Plan shape: TWO hash aggregations — (group, bucket) → max rank, then
+    * group → register fold — both fully codegen'd column arithmetic (the
+    * rank is a comparison chain, no UDAF, unlike KMV's ObjectHashAggregate
+    * path). Estimator: raw = α·m²/Σ2^{−M_j} with the harmonic sum carried
+    * as exact BIGINTs ([[HllScale]]); small-range correction switches to
+    * linear counting m·ln(m/V) when raw ≤ 2.5m and V (empty registers) > 0.
+    * The 60-bit hash space makes the large-range correction unreachable.
+    * Determinism: everything before the final division is exact integer
+    * arithmetic; the division and the ln ride the ROUND(4) contract. */
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val vals = df.select(col(groupCol), col(valueCol).cast("string").as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("h", hash60(col("v")))
+    val regs = vals
+      .select(col(groupCol), (col("h") % HllM).as("bucket"),
+        expr(s"h div $HllM").as("rem"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(hllRank(col("rem"))).as("r"))
+    val folded = regs.groupBy(groupCol).agg(
+      count(lit(1)).as("n_present"),
+      sum(expr(s"shiftleft(cast(1 as bigint), ${HllRemBits + 1} - r)"))
+        .as("s_present"))
+    val sInt = col("s_present") + (lit(HllM) - col("n_present")) * lit(HllScale)
+    val raw = lit(HllRawNum) / sInt.cast("double")
+    val est = when(raw <= lit(2.5 * HllM) && col("n_present") < HllM,
+      lit(HllM.toDouble) * log(lit(HllM.toDouble) /
+        (lit(HllM) - col("n_present")).cast("double"))).otherwise(raw)
+    val exact = vals.groupBy(groupCol)
+      .agg(countDistinct(col("v")).as("exact_distinct"))
+    folded.join(exact, groupCol)
+      .select(col(groupCol), round(est, 4).as("est_distinct"),
+        col("exact_distinct"))
+  }
+
   // ---- count-min (frequency sketching) -----------------------------------
 
   /** Count-min row hash: row `j`'s bucket for a value — the same portable

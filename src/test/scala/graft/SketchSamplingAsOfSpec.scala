@@ -48,6 +48,42 @@ class SketchSamplingAsOfSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL: register recompute via scalar ranks, estimate near truth, " +
+       "partitioning-invariant, linear-counting branch on tiny groups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 5000).map(_ => (s"g${rnd.nextInt(3)}", s"u${rnd.nextInt(900)}")) ++
+      (0 until 40).map(i => ("tiny", s"t${i % 7}")) // 7 distinct → linear counting
+    val df = rows.toDF("grp", "v")
+    val got = Sketch.hllDistinct(df, "grp", "v").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // scalar twin: registers from hash60Scalar on the driver
+    val regs = scala.collection.mutable.Map.empty[(String, Long), Int]
+    for ((g, v) <- rows.distinct) {
+      val h = Sketch.hash60Scalar(v)
+      val (b, rem) = (h % 64, h / 64)
+      val rank = if (rem == 0) 55 else 54 - (63 - java.lang.Long.numberOfLeadingZeros(rem))
+      regs((g, b)) = math.max(regs.getOrElse((g, b), 0), rank)
+    }
+    for ((g, (est, ex)) <- got) {
+      val present = regs.keys.filter(_._1 == g).toSeq
+      val sInt = present.map(k => 1L << (55 - regs(k))).sum +
+        (64L - present.size) * (1L << 55)
+      val raw = Sketch.HllRawNum / sInt.toDouble
+      val v0 = 64 - present.size
+      val want = if (raw <= 160.0 && v0 > 0) 64.0 * math.log(64.0 / v0) else raw
+      assert(math.abs(est - math.rint(want * 1e4) / 1e4) < 1e-9, s"$g: $est vs $want")
+      // the whole point: close to truth (1.04/sqrt(64) ≈ 13% std error)
+      assert(math.abs(est - ex) / ex <= 0.5, s"$g: est=$est exact=$ex")
+    }
+    // tiny group exercised the linear-counting branch
+    assert(got("tiny")._2 === 7L)
+    // merge = elementwise max ⇒ partitioning-invariant
+    val one = Sketch.hllDistinct(df.repartition(1), "grp", "v").collect()
+    val many = Sketch.hllDistinct(df.repartition(13), "grp", "v").collect()
+    assert(one.map(_.toSeq).toSet === many.map(_.toSeq).toSet)
+  }
+
   test("KMV is partitioning-invariant (merge = set union)") {
     import spark.implicits._
     val df = (0 until 2000).map(i => ("g", s"v${i % 333}")).toDF("grp", "v")
