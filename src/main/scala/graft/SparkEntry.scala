@@ -1991,6 +1991,17 @@ object SparkEntry {
         graft.graph.KgGraph.labelPropagation(cooc))
     }),
 
+    // one synchronous Louvain local-move sweep from the singleton
+    // partition (= phase-1 round 1) — exact-BIGINT modularity-gain argmax
+    // per node, ties prefer staying then smallest label; dq is the true
+    // ΔQ of each move (one pinned division)
+    "kg_louvain_move" -> ((s, dir) => {
+      val cooc = graft.graph.KgGraph.cooccurrence(
+        matches(s, dir).select("url", "class_iri")).localCheckpoint()
+      graft.graph.KgGraph.louvainMove(cooc,
+        graft.graph.KgGraph.singletonPartition(cooc))
+    }),
+
     // PMI-scored adjacent-bigram collocations (phrase mining)
     "text_collocations" -> ((s, dir) =>
       TextOps.collocations(docsTable(s, dir))),
@@ -4014,6 +4025,51 @@ object SparkEntry {
                ROUND(COALESCE(i.internal_w, 0) / m
                  - POW(cd.degree_w / (2.0 * m), 2.0), 6) AS q_contrib
         FROM cd LEFT JOIN intra i USING (community), tot"""
+
+  /** kg_louvain_move oracle ([[graft.graph.KgGraph.louvainMove]] twin from
+    * the singleton partition): weighted degrees, community Σtot, per-
+    * (node, candidate community) k_in with the guaranteed own-community
+    * zero row, then the exact-BIGINT gain2 argmax via ROW_NUMBER with the
+    * same (gain2 DESC, own-first, community ASC) order; dq = one pinned
+    * division, ROUND(6). Reuses the LPA chain's cooc/und CTEs (the unused
+    * round CTEs are plain — DuckDB never executes unreferenced ones). */
+  private def louvainMoveOracleSql(iters: Int): String =
+    s"""WITH $dictCte, $directCte, ${labelPropChainCtes(iters)},
+        comm AS (SELECT node, node AS community FROM
+                   (SELECT src AS node FROM cooc UNION SELECT dst FROM cooc)),
+        undw AS MATERIALIZED (SELECT src AS node, dst AS nbr, w FROM cooc
+                UNION ALL SELECT dst AS node, src AS nbr, w FROM cooc),
+        deg AS (SELECT node, CAST(SUM(w) AS BIGINT) AS k
+                FROM undw GROUP BY 1),
+        sigma AS (SELECT community, CAST(SUM(k) AS BIGINT) AS sigma
+                  FROM deg JOIN comm USING (node) GROUP BY 1),
+        m2 AS (SELECT CAST(SUM(w) AS BIGINT) AS m2 FROM undw),
+        kin AS (SELECT u.node, c.community, CAST(SUM(u.w) AS BIGINT) AS kin
+                FROM undw u JOIN comm c ON c.node = u.nbr GROUP BY 1, 2),
+        cand AS (SELECT node, community, MAX(kin) AS kin FROM (
+                   SELECT node, community, kin FROM kin
+                   UNION ALL SELECT node, community, CAST(0 AS BIGINT) FROM comm)
+                 GROUP BY 1, 2),
+        sc AS (SELECT cand.node, cand.community, o.community AS own, m2.m2,
+                 m2.m2 * cand.kin
+                   - (s.sigma - CASE WHEN cand.community = o.community
+                       THEN d.k ELSE 0 END) * d.k AS gain2
+               FROM cand
+               JOIN comm o ON o.node = cand.node
+               JOIN deg d ON d.node = cand.node
+               JOIN sigma s ON s.community = cand.community, m2),
+        rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY node
+                 ORDER BY gain2 DESC,
+                   CASE WHEN community = own THEN 0 ELSE 1 END,
+                   community) AS rn
+               FROM sc),
+        og AS (SELECT node, gain2 AS own_gain2 FROM sc WHERE community = own)
+        SELECT r.node AS class_iri, r.community,
+          r.community <> r.own AS moved,
+          CAST(r.gain2 - og.own_gain2 AS BIGINT) AS gain2,
+          ROUND(2.0 * (r.gain2 - og.own_gain2)
+            / (CAST(r.m2 AS DOUBLE) * CAST(r.m2 AS DOUBLE)), 6) AS dq
+        FROM rk r JOIN og ON og.node = r.node WHERE r.rn = 1"""
 
   /** Full dedup_jaccard oracle — a val so `dedup_lsh_recall` can nest the
     * ground-truth chain as a derived table (the ivfOracleSql precedent). */
@@ -8446,6 +8502,7 @@ object SparkEntry {
     "kg_labelprop" -> labelPropOracleSql(iters = 4),
 
     "kg_modularity" -> modularityOracleSql(iters = 4),
+    "kg_louvain_move" -> louvainMoveOracleSql(iters = 4),
 
     // acronym synthesis mirrored, then the miner chain: regex scan, slice
     // the |abbr| preceding tokens, initials fold, accept on exact spell

@@ -287,6 +287,84 @@ object KgGraph {
           .as("q_contrib"))
   }
 
+  /** One synchronous Louvain local-move sweep (Blondel et al. 2008, phase
+    * 1) refining an input partition: every node simultaneously evaluates
+    * moving into each NEIGHBOR community (plus staying), choosing the one
+    * maximizing the modularity gain after removal from its own community —
+    * `ΔQ(C) ∝ gain2(C) = 2m·k_{i,in}(C) − Σtot′(C)·k_i`, with Σtot′
+    * excluding i's own degree when C is its current community. The standard
+    * refinement pass on top of [[labelPropagation]]'s partition (LPA
+    * optimizes nothing; this sweep moves every node that IMPROVES Newman
+    * modularity, and [[modularity]] measures the result).
+    *
+    * Determinism/exactness: gain2 is pure BIGINT arithmetic on edge-weight
+    * sums (weights are doc counts), so the argmax is exact — no float
+    * modularity deltas; ties prefer staying, then the smallest community
+    * label, via one `min(struct(-gain2, own_pref, community))` hash
+    * aggregation (never a window). The reported `dq` (true ΔQ of the move,
+    * `2·(gain2_new − gain2_own)/(2m)²`) is the only float: ONE pinned
+    * division, ROUND(6). At weighted-degree sums beyond ~3·10^9 the BIGINT
+    * products would need DECIMAL(38,0) — same plan shape, documented trade.
+    *
+    * Scale shape: every join/agg is keyed on node or community ids over
+    * the ontology²-bounded co-occurrence edge list — candidate generation
+    * is ONE edge-list join to the (node-table-sized) community map + one
+    * (node, community) aggregation; 2m attaches as a broadcast 1-row
+    * scalar (the dangling-mass pattern). No per-node collect, no window,
+    * no iteration — a full Louvain run is this sweep iterated with
+    * [[Truncator]] lineage control, each round the same shape. */
+  /** The singleton partition (every node its own community) — Louvain's
+    * canonical starting point; [[louvainMove]] from here IS phase-1 round
+    * 1, guaranteed to surface positive-gain merges on any graph with
+    * community structure (where a converged-partition refinement sweep may
+    * legitimately move nothing). */
+  def singletonPartition(cooccur: DataFrame): DataFrame =
+    cooccur.select(col("src").as("class_iri"))
+      .unionAll(cooccur.select(col("dst").as("class_iri")))
+      .distinct().withColumn("community", col("class_iri"))
+
+  def louvainMove(cooccur: DataFrame, communities: DataFrame): DataFrame = {
+    val edges = pin(cooccur.select(col("src"), col("dst"),
+      col("n_docs").cast("long").as("w")))
+    val und = edges.select(col("src").as("node"), col("dst").as("nbr"), col("w"))
+      .unionAll(edges.select(col("dst").as("node"), col("src").as("nbr"), col("w")))
+    val deg = und.groupBy("node").agg(sum(col("w")).as("k"))
+    val comm = communities.select(col("class_iri").as("node"), col("community"))
+    val sigma = deg.join(comm, "node").groupBy("community")
+      .agg(sum(col("k")).as("sigma"))
+    val m2 = und.agg(sum(col("w")).as("m2")) // = 2m (both edge directions)
+    val kin = und.join(comm.withColumnRenamed("node", "nbr"), "nbr")
+      .groupBy(col("node"), col("community")).agg(sum(col("w")).as("kin"))
+    // the own-community candidate must exist even when i has no neighbor
+    // in it (kin = 0) — union a zero row, max() keeps the real kin if any
+    val cand = kin
+      .unionByName(comm.select(col("node"), col("community"), lit(0L).as("kin")))
+      .groupBy("node", "community").agg(max(col("kin")).as("kin"))
+    val scored = cand
+      .join(comm.withColumnRenamed("community", "own"), "node")
+      .join(deg, "node")
+      .join(sigma, "community")
+      .crossJoin(m2)
+      .select(col("node"), col("community"), col("own"), col("m2"),
+        (col("m2") * col("kin") -
+          (col("sigma") - when(col("community") === col("own"), col("k"))
+            .otherwise(lit(0L))) * col("k")).as("gain2"))
+    scored.groupBy("node").agg(
+        min(struct((-col("gain2")).as("ng"),
+          when(col("community") === col("own"), lit(0)).otherwise(lit(1))
+            .as("pref"),
+          col("community").as("c"))).as("b"),
+        max(when(col("community") === col("own"), col("gain2")))
+          .as("own_gain2"),
+        max(col("own")).as("own"),
+        max(col("m2")).as("m2"))
+      .select(col("node").as("class_iri"), col("b.c").as("community"),
+        (col("b.c") =!= col("own")).as("moved"),
+        (-col("b.ng") - col("own_gain2")).as("gain2"),
+        round(lit(2.0) * (-col("b.ng") - col("own_gain2")) /
+          (col("m2").cast("double") * col("m2").cast("double")), 6).as("dq"))
+  }
+
   /** Per-concept degree + weighted degree over the co-occurrence graph. */
   def degrees(cooccur: DataFrame): DataFrame =
     cooccur.select(col("src").as("class_iri"), col("n_docs"))

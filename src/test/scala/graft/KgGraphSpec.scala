@@ -23,6 +23,32 @@ class KgGraphSpec extends AnyFunSuite {
     assert(got === Set(("A", "B", 3L), ("A", "C", 1L), ("B", "C", 1L)))
   }
 
+  test("louvainMove: pendant joins the triangle community, members stay — " +
+       "hand-checked exact gains") {
+    import spark.implicits._
+    // triangle {a,b,c} weight 3 each + pendant d—c weight 1:
+    // m = 10, 2m = 20; k(a)=k(b)=6, k(c)=7, k(d)=1
+    val cooc = Seq(("a", "b", 3L), ("a", "c", 3L), ("b", "c", 3L),
+      ("c", "d", 1L)).toDF("src", "dst", "n_docs")
+    // partition: {a,b,c} = X, {d} = D
+    val comm = Seq(("a", "X"), ("b", "X"), ("c", "X"), ("d", "D"))
+      .toDF("class_iri", "community")
+    val got = KgGraph.louvainMove(cooc, comm).collect()
+      .map(r => r.getString(0) ->
+        (r.getString(1), r.getBoolean(2), r.getLong(3), r.getDouble(4))).toMap
+    // d: stay gain2 = 0; join X: 20·1 − 19·1 = 1 > 0 → moves, ΔQ = 2/400
+    assert(got("d") === (("X", true, 1L, 0.005)))
+    // a: stay gain2 = 20·6 − (19−6)·6 = 42; D offers 20·0 − 1·6 = −6 → stays
+    assert(got("a") === (("X", false, 0L, 0.0)))
+    assert(got("b") === (("X", false, 0L, 0.0)))
+    // c: stay 20·6 − (19−7)·7 = 36; D offers 20·1 − 1·7 = 13 → stays
+    assert(got("c") === (("X", false, 0L, 0.0)))
+    // singleton start on the same graph: everyone merges somewhere
+    val s1 = KgGraph.louvainMove(cooc, KgGraph.singletonPartition(cooc))
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(s1.values.forall(identity), s"singleton sweep should move all: $s1")
+  }
+
   test("ktruss: cascading peel — pendant triangle dies only via the cascade") {
     import spark.implicits._
     // K4 on {a,b,c,d}: every edge closes 2 triangles — a 4-truss.
