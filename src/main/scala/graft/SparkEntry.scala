@@ -2970,6 +2970,14 @@ object SparkEntry {
         LinkGraph.pageEdges(LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))),
         length = 4)),
 
+    // node2vec second-order biased walks (p=4, q=1/4 as exact ×4 integer
+    // weights) — step 1 uniform, then cumulative-weight-interval picks
+    // under the portable hash draw; DeepWalk's sibling walk corpus
+    "web_node2vec" -> ((s, dir) =>
+      graft.graph.KgGraph.node2vecWalks(
+        LinkGraph.pageEdges(LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))),
+        length = 4)),
+
     // skip-gram (center, context) pairs from the walk corpus, window 2 —
     // what actually feeds word2vec-style embedding training. Walks pinned
     // once; ONE self-join per walk id with the step-distance band in the
@@ -3444,6 +3452,53 @@ object SparkEntry {
         adj AS MATERIALIZED (SELECT src, list(dst ORDER BY dst) AS nbrs
           FROM pedges GROUP BY src HAVING COUNT(*) <= 10000),
         w0 AS (SELECT src AS start, 0 AS step, src AS node FROM adj),
+        $steps
+        $union"""
+  }
+
+  /** web_node2vec oracle ([[graft.graph.KgGraph.node2vecWalks]] twin):
+    * step 1 is the DeepWalk hash-mod pick; each later step unnests the
+    * current node's neighbor list WITH ORDINALITY, weighs candidates by
+    * the shared CASE (prev / in-N(prev) / out), and keeps the single row
+    * whose cumulative-weight interval contains the hash draw — exact
+    * BIGINT cumsums over ≤ maxDegree rows per walk. */
+  private def node2vecOracleSql(length: Int): String = {
+    import graft.graph.KgGraph.{N2vWBase, N2vWOut, N2vWReturn}
+    val steps = (2 to length).map { t =>
+      s"""c$t AS (SELECT w.start, w.node, w.prev, a.nbrs, pa.nbrs AS pnbrs,
+              ('0x' || substr(md5(w.start || '|' || $t || '|' || w.prev
+                || '|' || w.node), 1, 15))::BIGINT AS h
+            FROM n$t w JOIN adj a ON a.src = w.node
+            JOIN adj pa ON pa.src = w.prev),
+          e$t AS (SELECT start, node, prev, h, nbrs, pnbrs,
+              unnest(generate_series(1, len(nbrs))) AS i FROM c$t),
+          x$t AS (SELECT start, node, prev, h, i, nbrs[i] AS x,
+              CASE WHEN nbrs[i] = prev THEN $N2vWReturn
+                   WHEN list_contains(pnbrs, nbrs[i]) THEN $N2vWBase
+                   ELSE $N2vWOut END AS wt
+            FROM e$t),
+          k$t AS (SELECT *,
+              SUM(wt) OVER (PARTITION BY start ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+              SUM(wt) OVER (PARTITION BY start) AS tot
+            FROM x$t),
+          n${t + 1} AS MATERIALIZED (SELECT start, node AS prev, x AS node
+            FROM k$t WHERE cum - wt <= h % tot AND h % tot < cum)"""
+    }.mkString(",\n")
+    val union = (0 to length).map(t =>
+      s"SELECT start, $t AS step, node FROM n${t + 1}").mkString(" UNION ALL ")
+    s"""WITH ${graft.ops.LinkGraph.linksCteSql},
+        pedges AS (SELECT DISTINCT
+            ${graft.ops.WebOps.canonUrlSqlOf("src_url")} AS src,
+            dst_url AS dst FROM lnk),
+        adj AS MATERIALIZED (SELECT src, list(dst ORDER BY dst) AS nbrs
+          FROM pedges GROUP BY src HAVING COUNT(*) <= 10000),
+        n1 AS (SELECT src AS start, CAST(NULL AS VARCHAR) AS prev,
+               src AS node FROM adj),
+        n2 AS MATERIALIZED (SELECT w.start, w.node AS prev,
+            a.nbrs[CAST(('0x' || substr(md5(w.start || '|' || 1 || '|'
+                || w.node), 1, 15))::BIGINT % len(a.nbrs) + 1 AS INT)] AS node
+          FROM n1 w JOIN adj a ON a.src = w.node),
         $steps
         $union"""
   }
@@ -7465,6 +7520,7 @@ object SparkEntry {
     "web_pagerank_warm" -> warmPrOracleSql(itersCold = 5, itersWarm = 2),
 
     "web_walks" -> walksOracleSql(length = 4),
+    "web_node2vec" -> node2vecOracleSql(length = 4),
 
     "web_neighborhood" ->
       s"""WITH ${graft.ops.LinkGraph.linksCteSql},

@@ -151,6 +151,81 @@ object KgGraph {
     out
   }
 
+  /** node2vec scaled edge weights for (p = 4, q = 1/4) — the outward/DFS
+    * setting, as exact integers (×4): returning to the previous node costs
+    * 1, staying in its neighborhood 4, leaving it 16. Single source with
+    * the oracle SQL's CASE. */
+  val N2vWReturn = 1L
+  val N2vWBase = 4L
+  val N2vWOut = 16L
+
+  /** DETERMINISTIC node2vec walk corpus (Grover & Leskovec 2016) — the
+    * second-order biased sibling of [[randomWalks]]: step 1 is uniform
+    * (identical rule to DeepWalk — there is no previous node yet); from
+    * step 2 each candidate x ∈ N(v) at node v with previous node u weighs
+    * [[N2vWReturn]] if x = u, [[N2vWBase]] if x ∈ N(u), [[N2vWOut]]
+    * otherwise, and the walk takes the candidate whose cumulative-weight
+    * interval contains `hash60(start|t|u|v) mod Σw` — true
+    * weight-proportional sampling under a uniform draw, but a pure
+    * function of the graph (re-runnable anywhere, no rng state). All
+    * weight arithmetic is exact BIGINT; the draw is the same portable md5
+    * hash every sampler uses.
+    *
+    * Scale shape: [[randomWalks]]' shape plus ONE extra adjacency join per
+    * step (the previous node's neighbor list, for the distance test) — L
+    * steps = 2L node-keyed equi-joins, frontier ≤ |nodes| rows throughout,
+    * per-round lineage truncated. The weight/pick pass is per-row array
+    * arithmetic over ≤ maxDegree candidates (higher-order fold — bounded,
+    * off the bench path; a row never exceeds the capped hub size). Output
+    * long-form `(start, step, node)`, step 0 = the start itself. */
+  def node2vecWalks(edges: DataFrame, length: Int = 4,
+                    maxDegree: Int = 10000): DataFrame = {
+    require(length >= 1, s"walk length must be >= 1, got $length")
+    val adj = pin(edges.select(col("src"), col("dst"))
+      .groupBy("src").agg(sort_array(collect_set(col("dst"))).as("nbrs"))
+      .filter(size(col("nbrs")) <= maxDegree))
+    val w0 = adj.select(col("src").as("start"), col("src").as("node"))
+    var out = w0.select(col("start"), lit(0).as("step"), col("node"))
+    var frontier = w0.join(adj, w0("node") === adj("src"))
+      .select(col("start"), col("node").as("prev"),
+        element_at(col("nbrs"),
+          (pmod(graft.ops.Sketch.hash60(concat_ws("|",
+            col("start"), lit(1), col("node"))), size(col("nbrs")))
+            + 1).cast("int")).as("node"))
+    out = out.unionAll(frontier.select(col("start"), lit(1).as("step"),
+      col("node")))
+    val trunc = truncator()
+    val padj = adj.select(col("src").as("psrc"), col("nbrs").as("pnbrs"))
+    for (t <- 2 to length) {
+      frontier = trunc(frontier
+        .join(adj, frontier("node") === adj("src"))
+        .join(padj, frontier("prev") === col("psrc"))
+        .withColumn("wts", expr(
+          s"""transform(nbrs, x -> CAST(
+                CASE WHEN x = prev THEN $N2vWReturn
+                     WHEN array_contains(pnbrs, x) THEN $N2vWBase
+                     ELSE $N2vWOut END AS BIGINT))"""))
+        .withColumn("draw", pmod(
+          graft.ops.Sketch.hash60(concat_ws("|",
+            col("start"), lit(t), col("prev"), col("node"))),
+          expr("aggregate(wts, CAST(0 AS BIGINT), (a, w) -> a + w)")))
+        .select(col("start"), col("node").as("prev"),
+          element_at(col("nbrs"), expr(
+            """aggregate(wts,
+                 named_struct('cum', CAST(0 AS BIGINT), 'pick', -1, 'i', 0),
+                 (acc, w) -> named_struct(
+                   'cum', acc.cum + w,
+                   'pick', IF(acc.pick = -1 AND acc.cum + w > draw,
+                              acc.i, acc.pick),
+                   'i', acc.i + 1),
+                 acc -> acc.pick) + 1""")).as("node")),
+        t)
+      out = out.unionAll(frontier.select(col("start"), lit(t).as("step"),
+        col("node")))
+    }
+    out
+  }
+
   /** Milne–Witten semantic relatedness (Milne & Witten 2008, "An effective,
     * low-cost measure of semantic relatedness") over the annotation doc
     * space — the standard wikification / entity-linking relatedness, the

@@ -49,6 +49,49 @@ class KgGraphSpec extends AnyFunSuite {
     assert(s1.values.forall(identity), s"singleton sweep should move all: $s1")
   }
 
+  test("node2vecWalks == driver-side second-order simulation (seeded graph)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val edges0 = (for (_ <- 0 until 300)
+      yield (s"n${rnd.nextInt(30)}", s"n${rnd.nextInt(30)}"))
+      .filter(e => e._1 != e._2).distinct
+    val got = KgGraph.node2vecWalks(edges0.toDF("src", "dst"), length = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val adj: Map[String, Vector[String]] =
+      edges0.groupBy(_._1).map { case (s, es) =>
+        s -> es.map(_._2).distinct.sorted.toVector }
+    var want = Set.empty[(String, Int, String)]
+    for (start <- adj.keys) {
+      var node = start; var prev: String = null
+      want += ((start, 0, node))
+      var t = 1; var alive = true
+      while (t <= 4 && alive) {
+        adj.get(node) match {
+          case None => alive = false
+          case Some(nbrs) =>
+            val next = if (t == 1) {
+              val h = graft.ops.Sketch.hash60Scalar(s"$start|$t|$node")
+              nbrs((h % nbrs.size).toInt)
+            } else {
+              val pn = adj.getOrElse(prev, Vector.empty)
+              val wts = nbrs.map(x =>
+                if (x == prev) KgGraph.N2vWReturn
+                else if (pn.contains(x)) KgGraph.N2vWBase
+                else KgGraph.N2vWOut)
+              val draw = graft.ops.Sketch.hash60Scalar(s"$start|$t|$prev|$node") % wts.sum
+              var cum = 0L; var pick = -1; var i = 0
+              for (w <- wts) { cum += w; if (pick == -1 && cum > draw) pick = i; i += 1 }
+              nbrs(pick)
+            }
+            prev = node; node = next
+            want += ((start, t, node))
+            t += 1
+        }
+      }
+    }
+    assert(got === want)
+  }
+
   test("ktruss: cascading peel — pendant triangle dies only via the cascade") {
     import spark.implicits._
     // K4 on {a,b,c,d}: every edge closes 2 triangles — a 4-truss.
