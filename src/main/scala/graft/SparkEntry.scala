@@ -3324,7 +3324,27 @@ object SparkEntry {
         graft.annotate.NativeAnnotate
           .annotateTriples(corpus(s, dir), model(s), fusedMaps(s), "v1")
           .select("subj", "pred", "obj"),
-        OntologyFixture.edgesDf(s), OntologyFixture.mappingsDf(s)))
+        OntologyFixture.edgesDf(s), OntologyFixture.mappingsDf(s))),
+
+    // Flesch reading-ease + FK grade (vowel-group syllable heuristic,
+    // synthetic sentence length 5 + doc_id % 5) — map-only, zero shuffles
+    "text_readability" -> ((s, dir) => TextOps.readability(docsTable(s, dir))),
+
+    // domain-mixture α=0.5 sampling weights + effective epochs at the
+    // shared token budget — one tiny agg + broadcast scalar total
+    "curate_mix_weights" -> ((s, dir) => TextOps.mixWeights(docsTable(s, dir))),
+
+    // typed-literal facts: ISO dates + unit quantities → xsd-typed triple
+    // rows (injected-literal synthesis, 3/4 of docs negative controls)
+    "kg_literals" -> ((s, dir) =>
+      graft.ops.Relations.literalFacts(
+        graft.ops.Relations.withLiterals(docsTable(s, dir)))),
+
+    // Schwartz–Hearst abbreviation definitions: first-letter-rule
+    // validation, false-positive spans kept with valid = false
+    "ann_abbrev" -> ((s, dir) =>
+      graft.ops.Relations.abbrevDefs(
+        graft.ops.Relations.withAbbrevs(docsTable(s, dir))))
   )
 
   // ---- oracle SQL -------------------------------------------------------
@@ -8960,7 +8980,105 @@ object SparkEntry {
                                 AND kb.obj = body.z))
           SELECT subj, pred, obj, MAX(pca_conf) AS conf,
                  CAST(COUNT(*) AS BIGINT) AS n_rules
-          FROM inst GROUP BY 1, 2, 3"""
+          FROM inst GROUP BY 1, 2, 3""",
+
+    // readability recomputed declaratively: whole-text vowel-group count
+    // (separator is never a vowel, so = per-word sum), same synthetic
+    // sentence length, published constants verbatim, 4dp on scores only
+    "text_readability" ->
+      """WITH b AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS w,
+             CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS DOUBLE) AS s,
+             CAST(5 + (doc_id % 5) AS DOUBLE) AS k
+           FROM documents),
+          c AS (SELECT doc_id, w, s, CEIL(w / k) AS sent FROM b)
+          SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+            CAST(s AS BIGINT) AS n_syllables,
+            CAST(sent AS BIGINT) AS n_sentences,
+            ROUND(206.835 - 1.015 * (w / sent) - 84.6 * (s / w), 4) AS flesch,
+            ROUND(0.39 * (w / sent) + 11.8 * (s / w) - 15.59, 4) AS fk_grade
+          FROM c""",
+
+    // mixture weights: same per-source token agg, sqrt (IEEE-exact), 6dp
+    // on the derived ratios; budget constant shared with the Column code
+    "curate_mix_weights" ->
+      s"""WITH per AS (SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+          w AS (SELECT *, sqrt(CAST(n_tokens AS DOUBLE)) AS w_raw FROM per),
+          t AS (SELECT SUM(w_raw) AS w_sum FROM w)
+          SELECT source, n_docs, n_tokens,
+            ROUND(w_raw / w_sum, 6) AS weight,
+            ROUND(w_raw / w_sum * ${graft.ops.TextOps.MixTokenBudget}.0
+              / CAST(n_tokens AS DOUBLE), 6) AS epochs
+          FROM w, t""",
+
+    // typed literals: same injection synthesis, same shared regexes, set
+    // semantics via the final DISTINCT
+    "kg_literals" ->
+      s"""WITH lit0 AS (SELECT 'doc://' || doc_id AS url,
+             CASE WHEN doc_id % 4 = 0 THEN text || ' measured '
+                 || CAST((doc_id * 7) % 1000 AS VARCHAR)
+                 || ' units on 2024-'
+                 || lpad(CAST((doc_id % 12) + 1 AS VARCHAR), 2, '0')
+                 || '-' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+               ELSE text END AS text
+           FROM documents),
+          legs AS (
+            SELECT url, 'hasDate' AS pred,
+              unnest(regexp_extract_all(text, '${graft.ops.Relations.DateRe}'))
+                AS obj,
+              'xsd:date' AS obj_type
+            FROM lit0
+            UNION ALL
+            SELECT url, 'hasQuantity' AS pred,
+              unnest(regexp_extract_all(text,
+                '${graft.ops.Relations.QtyRe}', 1)) AS obj,
+              'xsd:integer' AS obj_type
+            FROM lit0)
+          SELECT DISTINCT url, pred, obj, obj_type FROM legs""",
+
+    // abbreviations: same synthesis (positive span from the doc's first
+    // three tokens, negative ' bad wrong phrase (XYZ)'), same shared
+    // pattern, first-letter-rule validity as boolean conjunction
+    "ann_abbrev" ->
+      s"""WITH t0 AS (SELECT doc_id, text, string_split(text, ' ') AS t
+           FROM documents),
+          t1 AS (SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' ' || t[1] || ' ' || t[2]
+                 || ' ' || t[3] || ' (' || upper(substr(t[1], 1, 1)
+                 || substr(t[2], 1, 1) || substr(t[3], 1, 1)) || ')'
+               ELSE text END AS text
+           FROM t0),
+          ab AS (SELECT 'doc://' || doc_id AS url,
+             CASE WHEN doc_id % 10 = 0 THEN text || ' bad wrong phrase (XYZ)'
+               ELSE text END AS text
+           FROM t1),
+          spans AS (SELECT url,
+             unnest(regexp_extract_all(text,
+               '${graft.ops.Relations.AbbrevRe}')) AS span
+           FROM ab)
+          SELECT DISTINCT url,
+            regexp_extract(span, '${graft.ops.Relations.AbbrevRe}', 1) || ' '
+              || regexp_extract(span, '${graft.ops.Relations.AbbrevRe}', 2)
+              || ' '
+              || regexp_extract(span, '${graft.ops.Relations.AbbrevRe}', 3)
+              AS long_form,
+            regexp_extract(span, '${graft.ops.Relations.AbbrevRe}', 4)
+              AS short_form,
+            upper(substr(regexp_extract(span,
+                '${graft.ops.Relations.AbbrevRe}', 1), 1, 1))
+              = substr(regexp_extract(span,
+                '${graft.ops.Relations.AbbrevRe}', 4), 1, 1)
+            AND upper(substr(regexp_extract(span,
+                '${graft.ops.Relations.AbbrevRe}', 2), 1, 1))
+              = substr(regexp_extract(span,
+                '${graft.ops.Relations.AbbrevRe}', 4), 2, 1)
+            AND upper(substr(regexp_extract(span,
+                '${graft.ops.Relations.AbbrevRe}', 3), 1, 1))
+              = substr(regexp_extract(span,
+                '${graft.ops.Relations.AbbrevRe}', 4), 3, 1) AS valid
+          FROM spans"""
   )
 
   /** Shared CTE chain for the two rule-mining oracles: the extended kb,

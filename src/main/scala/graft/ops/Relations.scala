@@ -746,4 +746,104 @@ object Relations {
               c.t[c.p : c.p + len(string_split(d.term, ' ')) - 1], ' '))
             = d.term),
         cprons AS (SELECT url, p FROM cpos WHERE t[p] = 'it')"""
+
+  // ---- typed-literal facts ------------------------------------------------
+
+  /** Literal-injection synthesis for `kg_literals` (the damage-synthesis
+    * discipline of TextOps.withMojibake): every 4th doc gains a reading
+    * like ` measured 371 units on 2024-05-08` with doc_id-derived digits —
+    * deterministic positives, and the other 3/4 of the corpus are negative
+    * controls (the raw synthesis text carries no digits). */
+  def withLiterals(docs: DataFrame): DataFrame = {
+    val qty = ((col("doc_id") * 7) % 1000).cast("string")
+    val mm = lpad(((col("doc_id") % 12) + 1).cast("string"), 2, "0")
+    val dd = lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0")
+    docs.select(concat(lit("doc://"), col("doc_id")).as("url"),
+      when(col("doc_id") % 4 === 0,
+        concat(col("text"), lit(" measured "), qty, lit(" units on 2024-"),
+          mm, lit("-"), dd))
+        .otherwise(col("text")).as("text"))
+  }
+
+  /** ISO-date / unit-quantity patterns — Java∩RE2-identical subset, SINGLE
+    * SOURCE with the `kg_literals` oracle SQL. */
+  val DateRe = "\\d{4}-\\d{2}-\\d{2}"
+  val QtyRe = "(\\d+) units"
+
+  /** Typed-literal fact extraction: ISO dates and unit-bearing quantities
+    * in page text become (url, pred, obj, obj_type) rows — the xsd-typed
+    * complement of the concept annotations (real KGs carry literal-valued
+    * attribute slots next to IRIs; cf. Dong et al., KDD 2014 §2). Each leg
+    * is regexp_extract_all + explode riding the corpus scan map-only; the
+    * final distinct is the A12 set-semantics contract (ONE exchange on
+    * short literal keys — at 10^12 docs this is as wide as the scan until
+    * that single dedup exchange). */
+  def literalFacts(pages: DataFrame): DataFrame = {
+    val dates = pages.select(col("url"),
+        explode(regexp_extract_all(col("text"), lit(DateRe), lit(0)))
+          .as("obj"))
+      .select(col("url"), lit("hasDate").as("pred"), col("obj"),
+        lit("xsd:date").as("obj_type"))
+    val qtys = pages.select(col("url"),
+        explode(regexp_extract_all(col("text"), lit(QtyRe), lit(1)))
+          .as("obj"))
+      .select(col("url"), lit("hasQuantity").as("pred"), col("obj"),
+        lit("xsd:integer").as("obj_type"))
+    dates.unionByName(qtys).distinct()
+  }
+
+  // ---- abbreviation definitions -------------------------------------------
+
+  /** Abbreviation-definition synthesis for `ann_abbrev`: every 5th doc
+    * appends a definition span built from its own first three tokens —
+    * tokens (fast, column, table) → ` fast column table (FCT)` — and every
+    * 10th doc ALSO appends a non-matching span ` bad wrong phrase (XYZ)`
+    * (the false-positive control: parenthesized caps whose letters do not
+    * head the preceding tokens). */
+  def withAbbrevs(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val w1 = element_at(t, 1)
+    val w2 = element_at(t, 2)
+    val w3 = element_at(t, 3)
+    val sf = upper(concat(
+      substring(w1, 1, 1), substring(w2, 1, 1), substring(w3, 1, 1)))
+    val withDef = when(col("doc_id") % 5 === 0,
+      concat(col("text"), lit(" "), w1, lit(" "), w2, lit(" "), w3,
+        lit(" ("), sf, lit(")"))).otherwise(col("text"))
+    val withNeg = when(col("doc_id") % 10 === 0,
+      concat(withDef, lit(" bad wrong phrase (XYZ)"))).otherwise(withDef)
+    docs.select(concat(lit("doc://"), col("doc_id")).as("url"),
+      withNeg.as("text"))
+  }
+
+  /** Definition-span pattern: three lowercase tokens followed by a
+    * parenthesized 3-letter uppercase short form. Java∩RE2-identical,
+    * SINGLE SOURCE with the oracle SQL. */
+  val AbbrevRe = "([a-z]+) ([a-z]+) ([a-z]+) \\(([A-Z]{3})\\)"
+
+  /** Schwartz–Hearst-style abbreviation-definition detection (Schwartz &
+    * Hearst, PSB 2003 — the standard biomedical abbreviation extractor,
+    * exactly the reference annotator's corpus domain): a parenthesized
+    * short form pairs with the |SF| tokens preceding the '(' and is
+    * validated by the FIRST-LETTER rule — each short-form character must
+    * head the corresponding long-form token (S&H's published baseline;
+    * their backward-scan refinement relaxes this to in-order containment
+    * and is the documented flip point). Invalid spans are KEPT with
+    * valid = false — the review queue, not silent drops. Map-only: one
+    * regexp_extract_all + explode, per-span group re-extraction, letter
+    * checks as column conjunctions; the distinct is one short-key
+    * exchange. */
+  def abbrevDefs(pages: DataFrame): DataFrame = {
+    val spans = pages.select(col("url"),
+      explode(regexp_extract_all(col("text"), lit(AbbrevRe), lit(0)))
+        .as("span"))
+    def g(i: Int) = regexp_extract(col("span"), AbbrevRe, i)
+    spans.select(col("url"),
+        concat_ws(" ", g(1), g(2), g(3)).as("long_form"),
+        g(4).as("short_form"),
+        (upper(substring(g(1), 1, 1)) === substring(g(4), 1, 1) &&
+         upper(substring(g(2), 1, 1)) === substring(g(4), 2, 1) &&
+         upper(substring(g(3), 1, 1)) === substring(g(4), 3, 1)).as("valid"))
+      .distinct()
+  }
 }

@@ -925,4 +925,64 @@ object TextOps {
         round(col("p1"), 6).as("p1"), round(col("p2"), 6).as("p2"),
         round(abs(col("p1") - col("p2")), 6).as("drift"), col("jsd"))
   }
+
+  // ---- readability -------------------------------------------------------
+
+  /** Flesch reading-ease + Flesch–Kincaid grade level (Kincaid et al. 1975
+    * — the standard readability pair on corpus release cards; a curation
+    * signal next to the Gopher rules). Syllables ≈ vowel-group runs
+    * `[aeiouy]+` (the classic heuristic); counting over the WHOLE text
+    * equals the per-word sum because the space separator is never a vowel,
+    * so one regexp_extract_all replaces an explode+agg. The synthesis
+    * corpus carries no sentence punctuation, so sentence length is the
+    * documented stand-in: `5 + doc_id % 5` tokens per sentence (varies the
+    * words/sentence term across docs; a real deployment splits on the
+    * extractor's sentence boundaries — the flip point is this one column).
+    * Pure map-side column arithmetic, zero shuffles at any corpus size;
+    * published constants (206.835/1.015/84.6 and 0.39/11.8/15.59) mirrored
+    * literally in the oracle SQL; 4dp cross-engine rounding on the two
+    * scores only (counts are exact integers). */
+  def readability(docs: DataFrame): DataFrame = {
+    val w = size(tokens(col("text"))).cast("double")
+    val syl = size(regexp_extract_all(col("text"), lit("[aeiouy]+"), lit(0)))
+      .cast("double")
+    val k = (lit(5) + col("doc_id") % 5).cast("double")
+    val sent = ceil(w / k).cast("double") // ≥ 1: split() is never empty
+    docs.select(col("doc_id"),
+      w.cast("long").as("n_words"),
+      syl.cast("long").as("n_syllables"),
+      sent.cast("long").as("n_sentences"),
+      round(lit(206.835) - lit(1.015) * (w / sent) - lit(84.6) * (syl / w), 4)
+        .as("flesch"),
+      round(lit(0.39) * (w / sent) + lit(11.8) * (syl / w) - lit(15.59), 4)
+        .as("fk_grade"))
+  }
+
+  // ---- domain-mixture weighting ------------------------------------------
+
+  /** Token budget the mixture is sampled into for `curate_mix_weights` —
+    * SINGLE SOURCE with the oracle SQL. */
+  val MixTokenBudget = 100000L
+
+  /** Domain-mixture weighting for training-data assembly: per-source token
+    * counts → sampling weight ∝ tokens^0.5 (the multilingual
+    * sampling-temperature convention, Lample & Conneau 2019 / mT5's α) →
+    * effective epochs each source repeats at a fixed token budget
+    * (weight·budget / tokens; > 1 flags the small-domain upsampling risk
+    * the release card reports). One map-side-combinable agg over
+    * ≤ |sources| rows + a broadcast 1-row total; sqrt is IEEE-exact
+    * cross-engine, 6dp contract on the two derived ratios (the w_raw sum
+    * order differs between engines by ≤ 1 ulp over tens of sources). */
+  def mixWeights(docs: DataFrame): DataFrame = {
+    val per = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+      .withColumn("w_raw", sqrt(col("n_tokens").cast("double")))
+    val tot = per.agg(sum("w_raw").as("w_sum"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("w_raw") / col("w_sum"), 6).as("weight"),
+        round(col("w_raw") / col("w_sum") * lit(MixTokenBudget.toDouble)
+          / col("n_tokens").cast("double"), 6).as("epochs"))
+  }
 }
