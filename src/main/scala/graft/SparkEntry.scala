@@ -1991,6 +1991,20 @@ object SparkEntry {
         graft.graph.KgGraph.labelPropagation(cooc))
     }),
 
+    // per-community conductance of the post-Louvain-move partition —
+    // cut / min(vol, 2m − vol) (Kannan–Vempala–Vetta 2004), the
+    // cut-quality complement to kg_modularity's density view (label
+    // propagation collapses to one community on this corpus — that's the
+    // NULL trivial-cut case, not a partition worth cutting)
+    "kg_conductance" -> ((s, dir) => {
+      val cooc = graft.graph.KgGraph.cooccurrence(
+        matches(s, dir).select("url", "class_iri")).localCheckpoint()
+      graft.graph.KgGraph.conductance(cooc,
+        graft.graph.KgGraph.louvainMove(cooc,
+          graft.graph.KgGraph.singletonPartition(cooc))
+          .select(col("class_iri"), col("community")))
+    }),
+
     // one synchronous Louvain local-move sweep from the singleton
     // partition (= phase-1 round 1) — exact-BIGINT modularity-gain argmax
     // per node, ties prefer staying then smallest label; dq is the true
@@ -2256,6 +2270,18 @@ object SparkEntry {
         .unionAll(hosts.select(col("dst_host").as("node"))).distinct()
         .orderBy("node").limit(3).collect().map(_.getString(0)).toSeq
       LinkGraph.trustRank(hosts, seedNames.toDF("node"))
+    }),
+
+    // threshold-sieved SimRank over the host graph (Jeh & Widom 2002:
+    // "similar hosts are pointed at by similar hosts") — 3 synchronous
+    // rounds from the identity, hub cap 64, sieve 0.001, diagonal pinned;
+    // canonical host_a < host_b off-diagonal pairs
+    "web_simrank" -> ((s, dir) => {
+      val hosts = LinkGraph.hostGraph(
+        LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))).localCheckpoint()
+      graft.graph.KgGraph.simRank(hosts.select(col("src_host").as("src"),
+          col("dst_host").as("dst")))
+        .select(col("a").as("host_a"), col("b").as("host_b"), col("simrank"))
     }),
 
     // bounded-horizon Brandes betweenness from the 3 pinned sources (the
@@ -3790,6 +3816,49 @@ object SparkEntry {
         FROM upr$iters u JOIN tpr$iters t ON t.node = u.node"""
   }
 
+  /** Unrolled threshold-sieved SimRank oracle ([[graft.graph.KgGraph
+    * .simRank]] twin over the host graph): per round, expand the canonical
+    * half-matrix to both orientations, propagate pair → successor-pair
+    * through two edge joins, one (a, b) aggregation, the SAME
+    * `c·t/(ia·ib)` scale + sieve, diagonal re-union. Scores unrounded
+    * across rounds (the PageRank contract), ONE ROUND(6) at the end. */
+  private def simRankOracleSql(iters: Int, c: Double, degCap: Int,
+                               minScore: Double): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""f$r AS (SELECT a, b, s FROM s${r - 1} UNION ALL
+            SELECT b AS a, a AS b, s FROM s${r - 1} WHERE a <> b),
+          p$r AS (SELECT e1.dst AS a, e2.dst AS b, e1.ind AS ia,
+                    e2.ind AS ib, SUM(f.s) AS t
+                  FROM f$r f
+                  JOIN e e1 ON e1.src = f.a
+                  JOIN e e2 ON e2.src = f.b
+                  WHERE e1.dst < e2.dst GROUP BY 1, 2, 3, 4),
+          s$r AS MATERIALIZED (
+            SELECT a, b, CAST($c AS DOUBLE) * t / (ia * ib) AS s FROM p$r
+            WHERE CAST($c AS DOUBLE) * t / (ia * ib)
+                  >= CAST($minScore AS DOUBLE)
+            UNION ALL SELECT a, b, s FROM diag)"""
+    }.mkString(",\n")
+    s"""WITH ${graft.ops.LinkGraph.linksCteSql},
+        he AS MATERIALIZED (SELECT DISTINCT sh AS src, dh AS dst
+          FROM (SELECT ${graft.ops.WebOps.canonHostSqlOf("src_url")} AS sh,
+                       ${graft.ops.WebOps.canonHostSqlOf("dst_url")} AS dh
+                FROM lnk)
+          WHERE sh <> dh),
+        ind AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS ind
+                FROM he GROUP BY 1),
+        e AS MATERIALIZED (SELECT h.src, h.dst, i.ind
+          FROM he h JOIN ind i USING (dst) WHERE i.ind <= $degCap),
+        nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM he UNION ALL SELECT dst FROM he)),
+        diag AS MATERIALIZED (SELECT node AS a, node AS b,
+          CAST(1.0 AS DOUBLE) AS s FROM nodes),
+        s0 AS (SELECT a, b, s FROM diag),
+        $rounds
+        SELECT a AS host_a, b AS host_b, ROUND(s, 6) AS simrank
+        FROM s$iters WHERE a <> b"""
+  }
+
   /** Shared curation-leg CTE chain (exact-dedup keep set, benchmark
     * contamination, Gopher gate, repetition gate over the doc_id >= 10
     * corpus split) — ONE definition feeding both the `curate_corpus_full`
@@ -4101,6 +4170,37 @@ object SparkEntry {
                  - POW(cd.degree_w / (2.0 * m), 2.0), 6) AS q_contrib
         FROM cd LEFT JOIN intra i USING (community), tot"""
 
+  /** [[graft.graph.KgGraph.conductance]] twin over the post-Louvain-move
+    * partition (the label-propagation partition collapses to ONE community
+    * on this corpus — conductance of the trivial cut is the NULL case, not
+    * a test): the same per-endpoint union (each edge contributes w to both
+    * endpoints' communities, crossing iff they differ), exact-BIGINT
+    * cut/vol/2m sums, one pinned division, ROUND(6) — with the identical
+    * whole-graph-community NULL CASE. */
+  private def conductanceOracleSql(iters: Int): String =
+    s"""WITH $dictCte, $directCte, ${louvainMoveChainCtes(iters)},
+        mv AS (SELECT node AS class_iri, community FROM rk WHERE rn = 1),
+        tagged AS (SELECT ca.community AS ca, cb.community AS cb, e.w
+                   FROM cooc e
+                   JOIN mv ca ON e.src = ca.class_iri
+                   JOIN mv cb ON e.dst = cb.class_iri),
+        perend AS (SELECT ca AS community, w, ca <> cb AS crossing FROM tagged
+                   UNION ALL
+                   SELECT cb AS community, w, ca <> cb AS crossing FROM tagged),
+        members AS (SELECT community, COUNT(*) AS n_nodes FROM mv GROUP BY 1),
+        tot AS (SELECT CAST(2 * SUM(w) AS BIGINT) AS vol2m FROM cooc),
+        agg AS (SELECT community,
+                  CAST(SUM(CASE WHEN crossing THEN w ELSE 0 END) AS BIGINT)
+                    AS cut_w,
+                  CAST(SUM(w) AS BIGINT) AS vol_w
+                FROM perend GROUP BY 1)
+        SELECT a.community, m.n_nodes, a.cut_w, a.vol_w,
+          CASE WHEN LEAST(a.vol_w, vol2m - a.vol_w) = 0 THEN NULL
+               ELSE ROUND(CAST(a.cut_w AS DOUBLE)
+                          / LEAST(a.vol_w, vol2m - a.vol_w), 6)
+          END AS phi
+        FROM agg a JOIN members m USING (community), tot"""
+
   /** kg_louvain_move oracle ([[graft.graph.KgGraph.louvainMove]] twin from
     * the singleton partition): weighted degrees, community Σtot, per-
     * (node, candidate community) k_in with the guaranteed own-community
@@ -4109,7 +4209,20 @@ object SparkEntry {
     * division, ROUND(6). Reuses the LPA chain's cooc/und CTEs (the unused
     * round CTEs are plain — DuckDB never executes unreferenced ones). */
   private def louvainMoveOracleSql(iters: Int): String =
-    s"""WITH $dictCte, $directCte, ${labelPropChainCtes(iters)},
+    s"""WITH $dictCte, $directCte, ${louvainMoveChainCtes(iters)}
+        SELECT r.node AS class_iri, r.community,
+          r.community <> r.own AS moved,
+          CAST(r.gain2 - og.own_gain2 AS BIGINT) AS gain2,
+          ROUND(2.0 * (r.gain2 - og.own_gain2)
+            / (CAST(r.m2 AS DOUBLE) * CAST(r.m2 AS DOUBLE)), 6) AS dq
+        FROM rk r JOIN og ON og.node = r.node WHERE r.rn = 1"""
+
+  /** The shared Louvain-local-move CTE chain (singleton start → exact-
+    * BIGINT gain2 scoring → per-node argmax `rk` + own-gain `og`), reused
+    * by the kg_louvain_move oracle and — as the partition under test — the
+    * kg_conductance oracle. */
+  private def louvainMoveChainCtes(iters: Int): String =
+    s"""${labelPropChainCtes(iters)},
         comm AS (SELECT node, node AS community FROM
                    (SELECT src AS node FROM cooc UNION SELECT dst FROM cooc)),
         undw AS MATERIALIZED (SELECT src AS node, dst AS nbr, w FROM cooc
@@ -4138,13 +4251,7 @@ object SparkEntry {
                    CASE WHEN community = own THEN 0 ELSE 1 END,
                    community) AS rn
                FROM sc),
-        og AS (SELECT node, gain2 AS own_gain2 FROM sc WHERE community = own)
-        SELECT r.node AS class_iri, r.community,
-          r.community <> r.own AS moved,
-          CAST(r.gain2 - og.own_gain2 AS BIGINT) AS gain2,
-          ROUND(2.0 * (r.gain2 - og.own_gain2)
-            / (CAST(r.m2 AS DOUBLE) * CAST(r.m2 AS DOUBLE)), 6) AS dq
-        FROM rk r JOIN og ON og.node = r.node WHERE r.rn = 1"""
+        og AS (SELECT node, gain2 AS own_gain2 FROM sc WHERE community = own)"""
 
   /** Full dedup_jaccard oracle — a val so `dedup_lsh_recall` can nest the
     * ground-truth chain as a derived table (the ivfOracleSql precedent). */
@@ -8023,6 +8130,8 @@ object SparkEntry {
          FROM events GROUP BY 1""",
 
     "web_trustrank" -> trustRankOracleSql(iters = 5, nSeeds = 3),
+    "web_simrank" ->
+      simRankOracleSql(iters = 3, c = 0.8, degCap = 64, minScore = 0.001),
 
     "web_betweenness" -> betweennessOracleSql(maxDepth = 4, nSeeds = 3),
 
@@ -8578,6 +8687,7 @@ object SparkEntry {
     "kg_labelprop" -> labelPropOracleSql(iters = 4),
 
     "kg_modularity" -> modularityOracleSql(iters = 4),
+    "kg_conductance" -> conductanceOracleSql(iters = 4),
     "kg_louvain_move" -> louvainMoveOracleSql(iters = 4),
 
     // acronym synthesis mirrored, then the miner chain: regex scan, slice

@@ -362,6 +362,56 @@ object KgGraph {
           .as("q_contrib"))
   }
 
+  /** Per-community conductance φ(C) = cut(C) / min(vol(C), 2m − vol(C))
+    * (Kannan, Vempala & Vetta 2004) — the cut-quality complement to
+    * [[modularity]]'s density view: `cut_w` = summed weight of edges with
+    * exactly one endpoint in C, `vol_w` = summed weighted degree of C's
+    * members, 2m = total volume. Low φ = a well-separated community; a
+    * release whose communities' conductance drifts up is fragmenting. A
+    * community covering the WHOLE graph has min(vol, 2m − vol) = 0 → φ is
+    * NULL (conductance of the trivial cut is undefined), mirrored by the
+    * oracle's CASE.
+    *
+    * Determinism/exactness: cut/vol/2m are exact BIGINT edge-weight sums;
+    * φ is ONE pinned division over them, ROUND(6) — no float accumulation.
+    *
+    * Scale shape: identical to [[modularity]] — the node-table-sized
+    * community map BROADCASTs onto the edge list once (both endpoints in
+    * one pass), then one short-key per-community aggregation for cut+vol
+    * together and a 1-row total attached in-plan via crossJoin (the
+    * dangling-mass pattern — no driver action). Input: canonical
+    * (src < dst, n_docs) edges + (class_iri, community) labels. */
+  def conductance(cooccur: DataFrame, communities: DataFrame): DataFrame = {
+    val edges = pin(cooccur.select(col("src"), col("dst"),
+      col("n_docs").cast("long").as("w")))
+    val comm = communities.select(col("class_iri"), col("community"))
+    // each edge lands once per ENDPOINT: to src's community it contributes
+    // w to vol always and w to cut iff the communities differ — symmetric
+    // for dst — so one union + one agg yields cut and vol together
+    val tagged = edges
+      .join(broadcast(comm.select(col("class_iri").as("src"),
+        col("community").as("ca"))), "src")
+      .join(broadcast(comm.select(col("class_iri").as("dst"),
+        col("community").as("cb"))), "dst")
+    val perEnd = tagged.select(col("ca").as("community"), col("w"),
+        (col("ca") =!= col("cb")).as("crossing"))
+      .unionAll(tagged.select(col("cb").as("community"), col("w"),
+        (col("ca") =!= col("cb")).as("crossing")))
+    val members = comm.groupBy("community").agg(count(lit(1)).as("n_nodes"))
+    val total = edges.agg((sum(col("w")) * lit(2L)).as("vol2m"))
+    perEnd.groupBy("community")
+      .agg(sum(when(col("crossing"), col("w")).otherwise(lit(0L))).as("cut_w"),
+        sum(col("w")).as("vol_w"))
+      .join(broadcast(members), "community")
+      .crossJoin(total)
+      .select(col("community"), col("n_nodes"), col("cut_w"), col("vol_w"),
+        when(least(col("vol_w"), col("vol2m") - col("vol_w")) === 0L,
+          lit(null).cast("double"))
+          .otherwise(round(col("cut_w").cast("double") /
+            least(col("vol_w"), col("vol2m") - col("vol_w")), 6))
+          .as("phi"))
+  }
+
   /** One synchronous Louvain local-move sweep (Blondel et al. 2008, phase
     * 1) refining an input partition: every node simultaneously evaluates
     * moving into each NEIGHBOR community (plus staying), choosing the one
@@ -990,6 +1040,68 @@ object KgGraph {
       .select(col("node").as("page"),
         round(coalesce(col("h"), lit(0.0)), 6).as("salsa_hub"),
         round(coalesce(col("a"), lit(0.0)), 6).as("salsa_authority"))
+  }
+
+  /** Threshold-sieved SimRank (Jeh & Widom 2002; sieve per Lizorkin et al.
+    * VLDB 2008) over a directed edge list, in-neighbor semantics:
+    * `s(a,b) = C/(|I(a)||I(b)|) · Σ_{ia∈I(a), ib∈I(b)} s(ia,ib)`, diagonal
+    * pinned at 1 — "two pages are similar if similar pages point at them".
+    * Fixed synchronous rounds from the identity matrix; output is the
+    * off-diagonal pairs surviving the sieve, canonical `a < b` order
+    * (SimRank is symmetric).
+    *
+    * Scale guards (both are the published techniques, both mirrored by the
+    * oracle so they're SEMANTICS, not approximations bolted on):
+    *  - hub cap: edges INTO nodes with in-degree > `degCap` are dropped
+    *    before iteration — a hub's pair-fanout is indeg², and SimRank
+    *    scores under a huge denominator are noise anyway;
+    *  - sieve: pairs scoring < `minScore` are pruned each round, bounding
+    *    the nonzero pair set (the essential-node-pairs optimization).
+    *
+    * Per round: expand the canonical half-matrix to both orientations
+    * (diagonal once), join the pair set to the edge list TWICE (pair →
+    * successor-pair propagation — each join is keyed on a node id, never a
+    * cartesian), one (a,b) hash aggregation, scale by the broadcast
+    * in-degree product, sieve, re-union the diagonal. [[Truncator]]
+    * lineage policy like every iterative op. Floats: scores stay unrounded
+    * across rounds (the PageRank contract) with ONE ROUND(6) at the end;
+    * the sieve compares raw doubles identically in both engines. */
+  def simRank(edges: DataFrame, iters: Int = 3, c: Double = 0.8,
+              degCap: Int = 64, minScore: Double = 0.001): DataFrame = {
+    require(iters >= 1, s"simRank needs iters >= 1, got $iters")
+    val e0 = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val ind0 = e0.groupBy(col("dst")).agg(count(lit(1)).as("ind"))
+    // hub cap: keep only edges into retained targets; `ind` is then the
+    // retained target's true in-degree (cap filters whole nodes, not edges)
+    val e = pin(e0.join(ind0.filter(col("ind") <= degCap), "dst")
+      .select(col("src"), col("dst"), col("ind")))
+    val nodes = pin(e0.select(col("src").as("node"))
+      .unionAll(e0.select(col("dst").as("node"))).distinct())
+    val diag = nodes.select(col("node").as("a"), col("node").as("b"),
+      lit(1.0).as("s"))
+    // state: canonical a <= b (diagonal rows are a = b)
+    var pairs = diag
+    val trunc = truncator()
+    for (round <- 1 to iters) {
+      val full = pairs.unionAll(pairs.filter(col("a") =!= col("b"))
+        .select(col("b").as("a"), col("a").as("b"), col("s")))
+      val prop = full
+        .join(e.select(col("src").as("a"), col("dst").as("na"),
+          col("ind").as("ia")), "a")
+        .join(e.select(col("src").as("b"), col("dst").as("nb"),
+          col("ind").as("ib")), "b")
+        .filter(col("na") < col("nb")) // canonical half; (nb,na) is symmetric
+        .groupBy(col("na").as("a"), col("nb").as("b"),
+          col("ia"), col("ib"))
+        .agg(sum(col("s")).as("t"))
+        .select(col("a"), col("b"),
+          (lit(c) * col("t") / (col("ia") * col("ib"))).as("s"))
+        .filter(col("s") >= minScore)
+      pairs = trunc(prop.unionAll(diag), round)
+    }
+    pairs.filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"), round(col("s"), 6).as("simrank"))
   }
 
   /** Connected components by the ALTERNATING LARGE-STAR / SMALL-STAR

@@ -1156,4 +1156,43 @@ class KgGraphSpec extends AnyFunSuite {
       (math.log(4.0) - math.log(2.0))
     assert(mw === math.rint(expect * 1e6) / 1e6)
   }
+
+  test("conductance: hand-checked cut/vol/phi + trivial-cut NULL") {
+    import spark.implicits._
+    // A—B (3), C—D (2), bridge B—C (1): 2m = 12
+    val g = Seq(("A", "B", 3L), ("C", "D", 2L), ("B", "C", 1L))
+      .toDF("src", "dst", "n_docs")
+    val comm = Seq(("A", "P"), ("B", "P"), ("C", "Q"), ("D", "Q"))
+      .toDF("class_iri", "community")
+    val got = KgGraph.conductance(g, comm).collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // P = {A,B}: vol 3 + 4 = 7, cut 1, phi = 1/min(7, 5) = 0.2
+    // Q = {C,D}: vol 3 + 2 = 5, cut 1, phi = 1/min(5, 7) = 0.2
+    assert(got === Map("P" -> ((2L, 1L, 7L, 0.2)), "Q" -> ((2L, 1L, 5L, 0.2))))
+    // whole-graph community: cut 0, vol = 2m → min(vol, 2m − vol) = 0 →
+    // phi is NULL (the trivial cut has no conductance)
+    val one = comm.select(col("class_iri"), lit("all").as("community"))
+    val trivial = KgGraph.conductance(g, one).collect()
+    assert(trivial.length === 1 && trivial.head.getLong(2) === 0L &&
+      trivial.head.isNullAt(4))
+  }
+
+  test("simRank: hand-unrolled 3 rounds on a crafted digraph + hub cap") {
+    import spark.implicits._
+    // u→a u→b v→b v→c a→u b→v: I(a)={u} I(b)={u,v} I(c)={v} I(u)={a} I(v)={b}
+    // r1: s(a,b) = s(b,c) = 0.8/2 = 0.4, everything else 0
+    // r2: unchanged except s(u,v) = 0.8·s1(a,b) = 0.32
+    // r3: s(a,b) = 0.4·(1 + 0.32) = 0.528 = s(b,c);
+    //     s(a,c) = 0.8·s2(u,v) = 0.256; s(u,v) = 0.8·s2(a,b) = 0.32
+    val e = Seq(("u", "a"), ("u", "b"), ("v", "b"), ("v", "c"),
+      ("a", "u"), ("b", "v")).toDF("src", "dst")
+    val got = KgGraph.simRank(e, iters = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got === Map(("a", "b") -> 0.528, ("b", "c") -> 0.528,
+      ("a", "c") -> 0.256, ("u", "v") -> 0.32))
+    // hub cap: degCap = 1 drops b (in-degree 2) as a target; without
+    // s(a,b)-style evidence no off-diagonal pair ever exceeds 0
+    assert(KgGraph.simRank(e, iters = 3, degCap = 1).count() === 0L)
+  }
 }
