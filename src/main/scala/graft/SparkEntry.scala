@@ -651,6 +651,15 @@ object SparkEntry {
         DictBuild.flatDict(DictBuild.build(DictBuild.labelRows(
           OntologyFixture.conceptsDf(s)))))),
 
+    // spelling-variant discovery (dict_candidates' fuzzy sibling in the
+    // maintenance loop): corpus tokens within edit distance 1 of a
+    // dictionary term — FastSS deletion-neighborhood equi-join + codegen'd
+    // levenshtein verify over the typo-injected synthesis, ranked by df
+    "dict_spell_variants" -> ((s, dir) =>
+      DictBuild.spellVariants(TextOps.withTypos(docsTable(s, dir)),
+        DictBuild.flatDict(DictBuild.build(DictBuild.labelRows(
+          OntologyFixture.conceptsDf(s)))))),
+
     // stop-word induction — the data-driven candidates for the reference's
     // hand-curated stop list (dict_candidates' dual): dictionary terms
     // whose document frequency crosses StopDfFloor match like function
@@ -5406,6 +5415,49 @@ object SparkEntry {
               .CandidateStopwords.map(w => s"'$w'").mkString(", ")})
             AND upper(trim(regexp_replace(b, '\\s+', ' ', 'g')))
               NOT IN (SELECT term FROM dict)""",
+
+    // FastSS deletion-neighborhood candidates + levenshtein verify over
+    // the typo-injected synthesis ([[graft.dict.DictBuild.spellVariants]]
+    // twin — same minLen 4 / hotKeyCap 100 constants)
+    "dict_spell_variants" ->
+      s"""WITH $dictCte,
+          tx AS (SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0
+                         AND len(string_split(text, ' ')) >= 3
+                         AND length(string_split(text, ' ')[3]) >= 4
+                        THEN text || ' ' ||
+                          substr(string_split(text, ' ')[3], 1, 1) ||
+                          substr(string_split(text, ' ')[3], 3)
+                        ELSE text END AS text
+                 FROM documents),
+          tok AS (SELECT upper(t) AS token,
+                    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                        FROM tx) z
+                  WHERE length(t) >= 4 GROUP BY 1),
+          fterms AS (SELECT DISTINCT term FROM dict WHERE length(term) >= 4),
+          oov AS (SELECT t.token, t.df FROM tok t
+                  LEFT JOIN fterms d ON d.term = t.token
+                  WHERE d.term IS NULL),
+          tokk AS (SELECT token, df,
+                     unnest(list_distinct(list_prepend(token,
+                       list_transform(generate_series(1, length(token)),
+                         i -> substr(token, 1, i - 1) || substr(token, i + 1)
+                       )))) AS k
+                   FROM oov),
+          termk0 AS (SELECT term,
+                       unnest(list_distinct(list_prepend(term,
+                         list_transform(generate_series(1, length(term)),
+                           i -> substr(term, 1, i - 1) || substr(term, i + 1)
+                         )))) AS k
+                     FROM fterms),
+          termk AS (SELECT t.term, t.k FROM termk0 t JOIN
+                      (SELECT k FROM termk0 GROUP BY k
+                       HAVING COUNT(*) <= 100) c USING (k)),
+          cand AS (SELECT DISTINCT token, term, df
+                   FROM tokk JOIN termk USING (k))
+          SELECT token, term, df FROM cand
+          WHERE levenshtein(token, term) = 1""",
 
     // per-(ont, pref, word-count) over the dict VALUES; AVG from exact
     // integer sums on both sides

@@ -144,6 +144,59 @@ object DictBuild {
       .join(broadcast(dict.select(col("term").as("term_candidate")).distinct()),
         Seq("term_candidate"), "left_anti")
   }
+
+  /** The FastSS single-deletion neighborhood (Bocek et al. 2007): the
+    * string itself plus every single-character deletion. Two strings are
+    * within edit distance 1 iff their neighborhoods intersect — so an
+    * equi-join on these keys is an EXACT ED≤1 candidate generator (false
+    * positives at ED 2, e.g. transpositions, are removed by the
+    * `levenshtein` verify; false negatives impossible). */
+  private def deletionKeys(c: Column): Column =
+    array_distinct(concat(array(c),
+      transform(sequence(lit(1), length(c)), i =>
+        concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c))))))
+
+  /** Spelling-variant discovery — [[termCandidates]]' fuzzy sibling in the
+    * dictionary-maintenance loop: corpus tokens within edit distance 1 of
+    * an existing dictionary term (OCR/typo variants a curator reviews as
+    * synonym candidates), ranked by document frequency. Tokens normalize
+    * through the dictionary's case contract before comparison; exact
+    * dictionary members are anti-joined away first (they're matches, not
+    * variants).
+    *
+    * Scale shape: candidate generation is an equi-join on FastSS
+    * deletion-neighborhood keys — ≤ len+1 short keys per string, NEVER a
+    * vocab × dictionary cross product; `levenshtein` (codegen'd) verifies
+    * only the candidates. Dictionary-side keys shared by more than
+    * `hotKeyCap` terms are dropped before the join (the hub cap: a hot
+    * deletion key fans out |tokens with key| × |terms with key| — capping
+    * the bounded dictionary side bounds the product). The token side is a
+    * corpus-scale vocab agg (map-side partials on short word keys);
+    * everything after runs at vocabulary scale, not corpus scale. */
+  def spellVariants(docs: DataFrame, dict: DataFrame, minLen: Int = 4,
+                    hotKeyCap: Long = 100): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), upper(col("t")).as("token"))
+      .filter(length(col("token")) >= minLen)
+    val tokDf = toks.groupBy("token")
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val terms = dict.select(col("term")).distinct()
+      .filter(length(col("term")) >= minLen)
+    val oov = tokDf.join(
+      broadcast(terms.select(col("term").as("token"))), Seq("token"),
+      "left_anti")
+    val tokKeys = oov.select(col("token"), col("df"),
+      explode(deletionKeys(col("token"))).as("k"))
+    val termKeysAll = terms.select(col("term"),
+      explode(deletionKeys(col("term"))).as("k"))
+    val termKeys = termKeysAll.join(
+      termKeysAll.groupBy("k").agg(count(lit(1)).as("nk"))
+        .filter(col("nk") <= hotKeyCap).select("k"), Seq("k"))
+    tokKeys.join(termKeys, Seq("k"))
+      .select(col("token"), col("term"), col("df")).distinct()
+      .filter(levenshtein(col("token"), col("term")) === 1)
+  }
 }
 
 /** The broadcastable annotator model: automaton + per-term payload + version

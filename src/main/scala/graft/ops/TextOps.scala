@@ -814,6 +814,22 @@ object TextOps {
   def foldAccents(text: Column): Column =
     translate(text, AccentFrom, AccentTo)
 
+  /** Typo-injection synthesis for `dict_spell_variants` (the
+    * damage-synthesis discipline of [[withMojibake]]): every 5th doc
+    * APPENDS its 3rd token with the 2nd character deleted — a
+    * single-deletion OCR/keyboard error next to a healthy occurrence of
+    * the source word (append, not replace, so no other operator's
+    * contract moves). Mirrored in the oracle SQL. */
+  def withTypos(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val t3 = element_at(toks, 3)
+    val typo = concat(t3.substr(lit(1), lit(1)), t3.substr(lit(3), length(t3)))
+    docs.withColumn("text",
+      when(col("doc_id") % 5 === 0 && size(toks) >= 3 && length(t3) >= 4,
+        concat(col("text"), lit(" "), typo))
+        .otherwise(col("text")))
+  }
+
   /** RAKE keyphrase extraction (Rose, Engel, Cramer & Cowley 2010 — the
     * standard unsupervised per-document keyword extractor): candidate
     * phrases are maximal runs of non-stopword tokens; each word scores

@@ -185,4 +185,20 @@ class DictAndClosureSpec extends AnyFunSuite {
     assert(got === want)
     assert(got(("a", "a")) === 3)
   }
+
+  test("spellVariants: FastSS ED1 discovery, exact-member/ED2/minLen " +
+       "exclusions, df, hot-key cap") {
+    import spark.implicits._
+    val dict = Seq("QUERY", "JOIN", "SMALL").toDF("term")
+    val docs = Seq(
+      (1L, "qery join"),      // QERY: ED1 of QUERY (deletion)
+      (2L, "qery joni the"),  // JONI: shares keys JON/JOI with JOIN but
+      (3L, "join")            //       lev = 2 (transposition) → rejected;
+    ).toDF("doc_id", "text")  //       THE below minLen; JOIN exact member
+    val got = DictBuild.spellVariants(docs, dict).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("QERY", "QUERY", 2L)))
+    // hot-key cap 0 drops every dictionary key → no candidates survive
+    assert(DictBuild.spellVariants(docs, dict, hotKeyCap = 0).count() === 0L)
+  }
 }
