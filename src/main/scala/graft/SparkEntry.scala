@@ -2223,6 +2223,17 @@ object SparkEntry {
     "text_qlm" -> ((s, dir) =>
       TextOps.qlm(docsTable(s, dir), Seq("spark", "join", "data"))),
 
+    // RM3 pseudo-relevance feedback, expansion leg: rank-weighted (1/rank
+    // — the deterministic stand-in for exp(score), a named decision)
+    // relevance-model term weights from the top-5 first-pass docs
+    "text_rm3_terms" -> ((s, dir) =>
+      TextOps.rm3Weights(docsTable(s, dir), Seq("spark", "join", "data"))),
+
+    // RM3 reranking: second-pass QL with the expanded weighted query
+    // (original terms at 1.0, expansion terms at beta·w)
+    "text_rm3" -> ((s, dir) =>
+      TextOps.rm3(docsTable(s, dir), Seq("spark", "join", "data"))),
+
     // inverted-index publication: per-term d-gap-encoded posting lists
     // within a df band (the band bounds window partitions + arrays)
     "text_postings" -> ((s, dir) =>
@@ -3915,6 +3926,48 @@ object SparkEntry {
                 ORDER BY cos DESC, neighbor_id) AS rank FROM s)
           SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
           FROM r WHERE rank <= 3"""
+
+  /** Shared RM3 oracle chain ([[graft.ops.TextOps.rm3Weights]] twin): the
+    * text_qlm first pass (ROUND(6) per-doc scores), rank-weighted top-5
+    * feedback docs (1/rank — mirrors the engine's named exp(score)
+    * stand-in), relevance-model term weights ROUND(6), top-5
+    * (w desc, term) expansion terms with the original query excluded.
+    * `u`/`fb`/`expterms` MATERIALIZED (each feeds several consumers). */
+  private val rm3ChainCtes: String =
+    """toks0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       lens AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS len FROM toks0),
+       u AS MATERIALIZED (SELECT doc_id, unnest(t) AS term FROM toks0),
+       tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_toks FROM u),
+       q AS (SELECT unnest(['spark', 'join', 'data']) AS term),
+       tfq AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM u
+               WHERE term IN ('spark', 'join', 'data') GROUP BY 1, 2),
+       cfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS cf FROM u
+               WHERE term IN ('spark', 'join', 'data') GROUP BY 1),
+       sc1 AS (SELECT l.doc_id,
+                 ln((COALESCE(t.tf, CAST(0.0 AS DOUBLE))
+                      + CAST(300.0 AS DOUBLE)
+                        * COALESCE(c.cf, CAST(0.0 AS DOUBLE)) / tt.n_toks)
+                    / (l.len + CAST(300.0 AS DOUBLE))) AS sco
+               FROM lens l CROSS JOIN q
+               LEFT JOIN tfq t ON t.doc_id = l.doc_id AND t.term = q.term
+               LEFT JOIN cfq c ON c.term = q.term
+               CROSS JOIN tot tt),
+       agg1 AS (SELECT doc_id, ROUND(SUM(sco), 6) AS score
+                FROM sc1 GROUP BY 1),
+       fb AS MATERIALIZED (SELECT doc_id, CAST(1.0 AS DOUBLE) / rn AS wd
+             FROM (SELECT doc_id,
+                     ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+                   FROM agg1) z
+             WHERE rn <= 5),
+       ftf AS (SELECT u.doc_id, u.term, CAST(COUNT(*) AS DOUBLE) AS tf
+               FROM u JOIN fb ON fb.doc_id = u.doc_id GROUP BY 1, 2),
+       expterms AS MATERIALIZED (SELECT term,
+           ROUND(SUM(f.wd * t.tf / l.len), 6) AS w
+         FROM ftf t
+         JOIN fb f ON f.doc_id = t.doc_id
+         JOIN lens l ON l.doc_id = t.doc_id
+         WHERE term NOT IN ('spark', 'join', 'data')
+         GROUP BY 1 ORDER BY w DESC, term LIMIT 5)"""
 
   /** Unrolled BPE-training oracle ([[graft.ops.TextOps.bpeMerges]] twin):
     * per round an adjacency-pair count over the delimiter-framed word
@@ -7843,6 +7896,32 @@ object SparkEntry {
                  CROSS JOIN tot tt),
           agg AS (SELECT doc_id, SUM(sco) AS score FROM sc GROUP BY 1)
           SELECT doc_id, ROUND(score, 6) AS score FROM agg
+          ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 20""",
+
+    "text_rm3_terms" ->
+      s"""WITH $rm3ChainCtes
+          SELECT term, w FROM expterms""",
+
+    "text_rm3" ->
+      s"""WITH $rm3ChainCtes,
+          wts AS (SELECT term, CAST(1.0 AS DOUBLE) AS wt FROM q
+                  UNION ALL SELECT term, CAST(0.5 AS DOUBLE) * w FROM expterms),
+          tset AS (SELECT DISTINCT term FROM wts),
+          tfa AS (SELECT u.doc_id, u.term, CAST(COUNT(*) AS DOUBLE) AS tf
+                  FROM u JOIN tset w ON w.term = u.term GROUP BY 1, 2),
+          cfa AS (SELECT u.term, CAST(COUNT(*) AS DOUBLE) AS cf
+                  FROM u JOIN tset w ON w.term = u.term GROUP BY 1),
+          sc2 AS (SELECT l.doc_id,
+                    w.wt * ln((COALESCE(t.tf, CAST(0.0 AS DOUBLE))
+                         + CAST(300.0 AS DOUBLE)
+                           * COALESCE(c.cf, CAST(0.0 AS DOUBLE)) / tt.n_toks)
+                       / (l.len + CAST(300.0 AS DOUBLE))) AS sco
+                  FROM lens l CROSS JOIN wts w
+                  LEFT JOIN tfa t ON t.doc_id = l.doc_id AND t.term = w.term
+                  LEFT JOIN cfa c ON c.term = w.term
+                  CROSS JOIN tot tt),
+          agg2 AS (SELECT doc_id, SUM(sco) AS score FROM sc2 GROUP BY 1)
+          SELECT doc_id, ROUND(score, 6) AS score FROM agg2
           ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 20""",
 
     "web_frontier" ->

@@ -171,6 +171,32 @@ class SketchSamplingAsOfSpec extends AnyFunSuite {
     assert(got(3L) < got(1L) && got(3L) < got(2L))
   }
 
+  test("rm3Weights: hand-checked rank-weighted relevance model; " +
+       "rm3 with no expansion == qlm") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "q x x"),   // holds q; len 3
+      (2L, "q y"),     // holds q; len 2 → ranks FIRST (smaller prior denom)
+      (3L, "z z z")    // no q → prior-only, outside the top-2 feedback set
+    ).toDF("doc_id", "text")
+    val w = TextOps.rm3Weights(docs, Seq("q"), fbDocs = 2, fbTerms = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // fb = {d2 rank 1 (wd 1), d1 rank 2 (wd 0.5)}; q itself excluded:
+    // w(y) = 1·(1/2) = 0.5, w(x) = 0.5·(2/3) = 0.333333 (ROUND 6)
+    assert(w === Map("y" -> 0.5, "x" -> 0.333333))
+    // fbTerms = 0 → empty expansion → the reranker IS first-pass QL
+    val noExp = TextOps.rm3(docs, Seq("q"), fbTerms = 0).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ql = TextOps.qlm(docs, Seq("q")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(noExp === ql)
+    // with expansion, every feedback term pulls its holder up: d1 (two
+    // x's) must still rank among the top 2 and all 3 docs still score
+    val reranked = TextOps.rm3(docs, Seq("q"), fbDocs = 2, fbTerms = 2)
+      .collect().map(_.getLong(0))
+    assert(reranked.length === 3 && reranked.take(2).contains(1L))
+  }
+
   test("approx_percentile stays within its accuracy bound of exact percentile") {
     // the 100-TB ungrouped-quantile path: approx_percentile with the
     // default accuracy; bound its rank error vs the exact sort on a
