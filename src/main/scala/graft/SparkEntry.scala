@@ -2223,6 +2223,18 @@ object SparkEntry {
     "text_qlm" -> ((s, dir) =>
       TextOps.qlm(docsTable(s, dir), Seq("spark", "join", "data"))),
 
+    // Heaps-law vocabulary-growth curve + log–log OLS slope β (the
+    // release-card companion to web_powerlaw): cumulative tokens/vocab at
+    // 10 deterministic doc_id-range prefixes; K not emitted (needs exp)
+    "text_heaps" -> ((s, dir) => TextOps.heapsLaw(docsTable(s, dir))),
+
+    // FULL coreness decomposition of the page graph via h-index iteration
+    // (kg_kcore answers one k; this emits every node's core number) —
+    // exact-convergence loop licenses the oracle's fixed unroll
+    "web_coreness" -> ((s, dir) =>
+      graft.graph.KgGraph.coreness(LinkGraph.pageEdges(
+        LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))))),
+
     // RM3 pseudo-relevance feedback, expansion leg: rank-weighted (1/rank
     // — the deterministic stand-in for exp(score), a named decision)
     // relevance-model term weights from the top-5 first-pass docs
@@ -3485,6 +3497,36 @@ object SparkEntry {
           FROM edges e JOIN ow o USING (a)),
         nodes AS MATERIALIZED (SELECT DISTINCT node FROM
           (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges))"""
+
+  /** Unrolled h-index-coreness oracle ([[graft.graph.KgGraph.coreness]]
+    * twin over the page graph): canonical least/greatest undirected
+    * edges, c0 = degree, `iters` rounds of the `MAX(LEAST(rn, cv))`
+    * H-index identity — the engine's exact-convergence `require` licenses
+    * the fixed unroll (post-convergence rounds are no-ops). */
+  private def corenessOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""nb$r AS (SELECT u.node, c.c AS cv
+            FROM und u JOIN c${r - 1} c ON c.node = u.nbr),
+          c$r AS MATERIALIZED (SELECT node, MAX(LEAST(rn, cv)) AS c FROM
+            (SELECT node, cv,
+               CAST(ROW_NUMBER() OVER (PARTITION BY node ORDER BY cv DESC)
+                 AS BIGINT) AS rn
+             FROM nb$r) z
+            GROUP BY 1)"""
+    }.mkString(",\n")
+    s"""WITH ${graft.ops.LinkGraph.linksCteSql},
+        pe AS (SELECT DISTINCT
+                 ${graft.ops.WebOps.canonUrlSqlOf("src_url")} AS src,
+                 dst_url AS dst FROM lnk),
+        ce AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+                GREATEST(src, dst) AS b FROM pe WHERE src <> dst),
+        und AS MATERIALIZED (SELECT a AS node, b AS nbr FROM ce
+               UNION ALL SELECT b AS node, a AS nbr FROM ce),
+        c0 AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS c
+               FROM und GROUP BY 1),
+        $rounds
+        SELECT node AS page, c AS coreness FROM c$iters"""
+  }
 
   /** Unrolled DIRECTED-PageRank oracle ([[graft.graph.KgGraph
     * .pageRankDirected]] twin over [[graft.ops.LinkGraph]] page edges):
@@ -7619,6 +7661,8 @@ object SparkEntry {
     // same probe rule (max degree, node tie-break); reaches as TRUE
     // recursive CTEs — the Spark side's empty-frontier fixpoint must land
     // on exactly this transitive closure
+    "web_coreness" -> corenessOracleSql(iters = 30),
+
     "web_bowtie" ->
       s"""WITH RECURSIVE ${graft.ops.LinkGraph.linksCteSql},
           e0 AS (SELECT ${graft.ops.WebOps.canonUrlSqlOf("src_url")} AS src,
@@ -7901,6 +7945,46 @@ object SparkEntry {
     "text_rm3_terms" ->
       s"""WITH $rm3ChainCtes
           SELECT term, w FROM expterms""",
+
+    // Heaps curve: deterministic doc_id-range buckets (double division is
+    // identical IEEE in both engines), cumulative windows over the
+    // ≤10-row bucket frame, pinned OLS slope form, ROUND(6)
+    "text_heaps" ->
+      """WITH mm AS (SELECT CAST(MAX(doc_id) + 1 AS DOUBLE) AS m
+                     FROM documents),
+          htoks AS (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents),
+          bt AS (SELECT CAST(FLOOR(CAST(doc_id AS DOUBLE) * 10 / m)
+                     AS BIGINT) AS bucket,
+                   CAST(SUM(len(t)) AS BIGINT) AS toks
+                 FROM htoks, mm GROUP BY 1),
+          fo AS (SELECT term, MIN(doc_id) AS first_id
+                 FROM (SELECT doc_id, t[i] || ' ' || t[i + 1] AS term
+                       FROM (SELECT doc_id, t,
+                               unnest(generate_series(1, len(t) - 1)) AS i
+                             FROM htoks WHERE len(t) >= 2) y) z
+                 GROUP BY 1),
+          bv AS (SELECT CAST(FLOOR(CAST(first_id AS DOUBLE) * 10 / m)
+                     AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS vocab
+                 FROM fo, mm GROUP BY 1),
+          curve AS (SELECT COALESCE(bt.bucket, bv.bucket) AS bucket,
+                      COALESCE(toks, 0) AS toks, COALESCE(vocab, 0) AS vocab
+                    FROM bt FULL JOIN bv ON bv.bucket = bt.bucket),
+          cum AS (SELECT bucket,
+                    CAST(SUM(toks) OVER (ORDER BY bucket) AS BIGINT)
+                      AS n_tokens,
+                    CAST(SUM(vocab) OVER (ORDER BY bucket) AS BIGINT)
+                      AS n_vocab
+                  FROM curve),
+          pts AS (SELECT ln(CAST(n_tokens AS DOUBLE)) AS x,
+                    ln(CAST(n_vocab AS DOUBLE)) AS y FROM cum),
+          fit AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                    SUM(x) AS sx, SUM(y) AS sy,
+                    SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM pts)
+          SELECT bucket, n_tokens, n_vocab,
+            ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta
+          FROM cum, fit""",
 
     "text_rm3" ->
       s"""WITH $rm3ChainCtes,

@@ -675,6 +675,60 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Heaps-law vocabulary-growth curve (Heaps 1978; the release-card
+    * companion to `web_powerlaw`'s Zipf exponent): cumulative token count
+    * vs cumulative distinct BIGRAM vocabulary at `buckets` corpus prefixes
+    * (deterministic doc_id-range buckets — no data-dependent ntile) —
+    * bigrams because that's the vocabulary a tokenizer/merge planner
+    * actually sizes (and the synthetic corpus's unigram vocab is closed,
+    * so unigram Heaps is a constant) — plus
+    * the log–log OLS slope β of `V(n) ≈ K·n^β` attached to every row
+    * (0 < β < 1 on natural text; a corpus whose β jumps between releases
+    * changed composition — boilerplate collapse or language mix). K is
+    * NOT emitted: it needs exp(intercept), and library exp is only ~1-ulp
+    * reproducible cross-engine (the rm3Weights decision).
+    *
+    * Scale shape: one map-side length projection + one (term) min agg for
+    * first occurrences (map-side partials on short word keys); everything
+    * after runs on a ≤ buckets-row frame (its cumulative window and the
+    * 1-row OLS fold are bounded by `buckets`, never the corpus). The OLS
+    * slope is the pinned form (n·Σxy − Σx·Σy)/(n·Σx² − Σx·Σx), ROUND(6)
+    * — the only float output. */
+  def heapsLaw(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    val m = docs.agg((max(col("doc_id")) + lit(1L)).cast("double").as("m"))
+    def bucketOf(id: Column) =
+      floor(id.cast("double") * lit(buckets) / col("m"))
+    val bToks = docs
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("len"))
+      .crossJoin(broadcast(m))
+      .groupBy(bucketOf(col("doc_id")).as("bucket"))
+      .agg(sum(col("len")).as("toks"))
+    val bVocab = docs
+      .select(col("doc_id"),
+        explode(graft.ops.Dedup.shingles(col("text"), 2)).as("term"))
+      .groupBy("term").agg(min(col("doc_id")).as("first_id"))
+      .crossJoin(broadcast(m))
+      .groupBy(bucketOf(col("first_id")).as("bucket"))
+      .agg(count(lit(1)).as("vocab"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ≤ buckets rows from here on — the cumulative window and OLS fold
+    // are bounded frames, not corpus windows
+    val cum = bToks.join(bVocab, Seq("bucket"), "full")
+      .select(col("bucket"),
+        sum(coalesce(col("toks"), lit(0L))).over(w).as("n_tokens"),
+        sum(coalesce(col("vocab"), lit(0L))).over(w).as("n_vocab"))
+    val fit = cum.select(log(col("n_tokens").cast("double")).as("x"),
+        log(col("n_vocab").cast("double")).as("y"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("beta"))
+    cum.crossJoin(broadcast(fit))
+  }
+
   /** Inverted-index publication artifact (the at-rest retrieval structure
     * next to [[bm25]]'s online form — cf. the postings layout every
     * Lucene-lineage engine serializes): per term, document frequency,

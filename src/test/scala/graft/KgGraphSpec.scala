@@ -1178,6 +1178,28 @@ class KgGraphSpec extends AnyFunSuite {
       trivial.head.isNullAt(4))
   }
 
+  test("coreness: triangle+pendant and 4-clique hand values; consistent " +
+       "with kcore membership") {
+    import spark.implicits._
+    // triangle {a,b,c} + pendant c—d, plus a separate 4-clique {w,x,y,z}
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+      ("w", "x"), ("w", "y"), ("w", "z"), ("x", "y"), ("x", "z"),
+      ("y", "z")).toDF("src", "dst")
+    val got = KgGraph.coreness(e).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 2L, "b" -> 2L, "c" -> 2L, "d" -> 1L,
+      "w" -> 3L, "x" -> 3L, "y" -> 3L, "z" -> 3L))
+    // cross-op consistency: the k-core subgraph's nodes are exactly the
+    // nodes with coreness >= k
+    val in2core = KgGraph.kcore(e, 2).collect().map(_.getString(0)).toSet
+    assert(in2core === got.filter(_._2 >= 2L).keySet)
+    // both orientations of one edge must not double-count degrees
+    val dup = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    val got2 = KgGraph.coreness(dup).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2 === got)
+  }
+
   test("simRank: hand-unrolled 3 rounds on a crafted digraph + hub cap") {
     import spark.implicits._
     // u→a u→b v→b v→c a→u b→v: I(a)={u} I(b)={u,v} I(c)={v} I(u)={a} I(v)={b}

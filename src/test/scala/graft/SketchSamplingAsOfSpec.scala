@@ -197,6 +197,19 @@ class SketchSamplingAsOfSpec extends AnyFunSuite {
     assert(reranked.length === 3 && reranked.take(2).contains(1L))
   }
 
+  test("heapsLaw: two-bucket hand values; two-point OLS slope is the " +
+       "exact log-log secant") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b a"), (1L, "a c b c")).toDF("doc_id", "text")
+    val got = TextOps.heapsLaw(docs, buckets = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // bucket 0: 3 tokens, bigram vocab {a b, b a}; bucket 1: +4 tokens,
+    // +{a c, c b, b c} → cumulative (3, 2) then (7, 5)
+    val beta = math.rint(math.log(5.0 / 2) / math.log(7.0 / 3) * 1e6) / 1e6
+    assert(got === Map(0L -> ((3L, 2L, beta)), 1L -> ((7L, 5L, beta))))
+  }
+
   test("approx_percentile stays within its accuracy bound of exact percentile") {
     // the 100-TB ungrouped-quantile path: approx_percentile with the
     // default accuracy; bound its rank error vs the exact sort on a
