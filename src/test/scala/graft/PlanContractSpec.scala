@@ -207,4 +207,46 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("kg_conductance: community map broadcasts onto the edge list; the " +
+       "only nested loop is the 1-row 2m attach") {
+    val p = plan("kg_conductance")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.split("\n").count(_.contains("BroadcastHashJoin")) >= 2, p)
+  }
+
+  test("dict_spell_variants: FastSS candidates join on deletion keys — " +
+       "equi-joins only, dictionary anti-join broadcasts, levenshtein " +
+       "verifies AFTER candidate generation") {
+    val p = plan("dict_spell_variants")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("levenshtein"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("text_rm3: second-pass scoring ends in TakeOrderedAndProject; " +
+       "no cartesian (term/total attaches are bounded broadcasts)") {
+    val p = plan("text_rm3")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("text_heaps: no cartesian; the OLS fit and cumulative windows ride " +
+       "the bucket frame, never a corpus key") {
+    val p = plan("text_heaps")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only Window sort key is `bucket` (the ≤10-row frame)
+    assert(!p.contains("windowspecdefinition(doc_id"), p)
+  }
+
+  test("web_simrank + web_coreness: iterative rounds leave no cartesian " +
+       "or nested loop in the final plan") {
+    val ps = plan("web_simrank")
+    assert(!ps.contains("CartesianProduct"), ps)
+    assert(!ps.contains("BroadcastNestedLoopJoin"), ps)
+    val pc = plan("web_coreness")
+    assert(!pc.contains("CartesianProduct"), pc)
+    assert(!pc.contains("BroadcastNestedLoopJoin"), pc)
+  }
 }
