@@ -2193,6 +2193,35 @@ object SparkEntry {
       graft.graph.KgGraph.pageRankDirected(
         LinkGraph.pageEdges(LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))))),
 
+    // AMS/count-sketch F2 (self-join size) estimator over the annotation
+    // key stream — the one-pass optimizer statistic behind q_skew_report's
+    // salting decision, audited against the exact F2 (all-BIGINT; the only
+    // float is rel_err)
+    "sketch_ams" -> ((s, dir) =>
+      Sketch.amsF2(matches(s, dir).select("url", "class_iri").distinct(),
+        "class_iri")),
+
+    // PageRank iteration-count QA: L1 residual between the 5- and 6-round
+    // rankings in exact micro-units (ranks are 6dp-rounded, so ×1e6 is
+    // integer arithmetic) — the release gate that DECIDES iters instead of
+    // guessing it
+    "kg_pr_residual" -> ((s, dir) => {
+      val e = LinkGraph.pageEdges(
+        LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))).localCheckpoint()
+      val p5 = graft.graph.KgGraph.pageRankDirected(e, 5)
+        .select(col("page"),
+          round(col("pagerank") * lit(1e6)).cast("long").as("m5"))
+      val p6 = graft.graph.KgGraph.pageRankDirected(e, 6)
+        .select(col("page"),
+          round(col("pagerank") * lit(1e6)).cast("long").as("m6"))
+      p5.join(p6, "page")
+        .agg(sum(abs(col("m5") - col("m6"))).as("l1_micro"),
+          max(abs(col("m5") - col("m6"))).as("max_micro"))
+        .select(col("l1_micro"), col("max_micro"),
+          round(col("l1_micro").cast("double") / lit(1e6), 6)
+            .as("l1_residual"))
+    }),
+
     // count-min frequency sketch: d×w counter matrix (a few KB at ANY
     // corpus size), estimates vs exact for the 20 hottest tokens; the
     // min-over-rows estimate can only over-count
@@ -7662,6 +7691,50 @@ object SparkEntry {
     // recursive CTEs — the Spark side's empty-frontier fixpoint must land
     // on exactly this transitive closure
     "web_coreness" -> corenessOracleSql(iters = 30),
+
+    // AMS/count-sketch F2 twin: same md5-derived buckets/signs, all-BIGINT
+    // counters, median line via list_sort[3]; rel_err is the only float
+    "sketch_ams" ->
+      s"""WITH $dictCte, $directCte,
+          ks AS (SELECT class_iri AS key FROM
+                   (SELECT DISTINCT url, class_iri FROM direct) z),
+          tag AS (SELECT r,
+                    ('0x' || substr(md5('b' || CAST(r AS VARCHAR) || '|'
+                       || key), 1, 15))::BIGINT % 16 AS b,
+                    1 - 2 * (('0x' || substr(md5('s' || CAST(r AS VARCHAR)
+                       || '|' || key), 1, 15))::BIGINT % 2) AS sign
+                  FROM ks CROSS JOIN (SELECT unnest(range(5)) AS r) rr),
+          cnt AS (SELECT r, b, CAST(SUM(sign) AS BIGINT) AS c
+                  FROM tag GROUP BY 1, 2),
+          line AS (SELECT r, CAST(SUM(c * c) AS BIGINT) AS est
+                   FROM cnt GROUP BY 1),
+          med AS (SELECT CAST(list_sort(list(est))[3] AS BIGINT) AS f2_est
+                  FROM line),
+          ex AS (SELECT CAST(SUM(f * f) AS BIGINT) AS f2_exact FROM
+                   (SELECT CAST(COUNT(*) AS BIGINT) AS f
+                    FROM ks GROUP BY key) z)
+          SELECT f2_exact, f2_est,
+            ROUND(CAST(ABS(f2_est - f2_exact) AS DOUBLE) / f2_exact, 6)
+              AS rel_err
+          FROM ex, med""",
+
+    // one PR chain unrolled to 6 rounds; both pr5 and pr6 read from it,
+    // residual in exact micro-units (6dp ranks × 1e6 are integers)
+    "kg_pr_residual" ->
+      s"""WITH $pageEdgesPrScaffoldSql,
+          nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+          unodes AS MATERIALIZED (SELECT node,
+              CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS t FROM nodes),
+          pr0 AS (SELECT node, t AS pr FROM unodes),
+          ${prRoundsCtesSql(6, "pr", "unodes")},
+          a5 AS (SELECT node, CAST(ROUND(ROUND(pr, 6) * 1e6, 0) AS BIGINT)
+                   AS m5 FROM pr5),
+          a6 AS (SELECT node, CAST(ROUND(ROUND(pr, 6) * 1e6, 0) AS BIGINT)
+                   AS m6 FROM pr6)
+          SELECT CAST(SUM(ABS(m5 - m6)) AS BIGINT) AS l1_micro,
+            CAST(MAX(ABS(m5 - m6)) AS BIGINT) AS max_micro,
+            ROUND(CAST(SUM(ABS(m5 - m6)) AS DOUBLE) / 1e6, 6) AS l1_residual
+          FROM a5 JOIN a6 USING (node)""",
 
     "web_bowtie" ->
       s"""WITH RECURSIVE ${graft.ops.LinkGraph.linksCteSql},

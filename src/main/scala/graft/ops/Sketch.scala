@@ -211,6 +211,53 @@ object Sketch {
     * untouched (the left join below; an inner join would silently take the
     * min over only the collided rows). `d`/`w` must match the build's. One
     * broadcast join (the sketch is d·w rows) + one min-aggregation. */
+  /** AMS second-moment (F2) estimator in its count-sketch "fast AMS" form
+    * (Alon, Matias & Szegedy 1996; Charikar, Chen & Farach-Colton 2002):
+    * `rows` independent sketch lines, each `width` signed counters —
+    * counter(r, b) = Σ sign_r(key) over keys hashing to bucket b; the
+    * per-line estimate is Σ_b counter², the sketch estimate is the MEDIAN
+    * line. F2 = Σ_k f_k² is the SELF-JOIN SIZE of the key column — the
+    * optimizer statistic behind `q_skew_report`'s salting decision (a join
+    * whose F2 explodes needs salting before it runs, and the sketch reads
+    * it in one pass where the exact rollup pays a key-wide shuffle). The
+    * exact F2 rides alongside and `rel_err` is the measured error — the
+    * `q_distinct_approx` audit contract.
+    *
+    * Determinism/exactness: signs and buckets are [[hash60]]-derived
+    * (shared md5 idiom), every counter/estimate/median is BIGINT
+    * arithmetic — the ONLY float is the final rel_err division, ROUND(6).
+    * Median of `rows` values = element (rows+1)/2 of the sorted list
+    * (rows odd), a `rows`-element array on a 1-row frame.
+    *
+    * Scale shape: the sketch is ONE hash agg over (line, bucket) — at most
+    * rows × width counters total regardless of corpus size — fed by a
+    * map-side rows-way explode; partials combine map-side (signed sums are
+    * commutative). The exact side is the two-agg F2 rollup. Nothing else
+    * shuffles. */
+  def amsF2(keys: DataFrame, keyCol: String, rows: Int = 5,
+            width: Int = 16): DataFrame = {
+    require(rows % 2 == 1, s"rows=$rows must be odd (median line)")
+    val tagged = keys.select(col(keyCol).as("key"))
+      .select(col("key"), explode(sequence(lit(0), lit(rows - 1))).as("r"))
+      .select(col("r"),
+        pmod(hash60(concat(lit("b"), col("r").cast("string"), lit("|"),
+          col("key"))), lit(width.toLong)).as("b"),
+        (lit(1L) - lit(2L) * pmod(hash60(concat(lit("s"),
+          col("r").cast("string"), lit("|"), col("key"))), lit(2L)))
+          .as("sign"))
+    val perLine = tagged.groupBy("r", "b").agg(sum(col("sign")).as("c"))
+      .groupBy("r").agg(sum(col("c") * col("c")).as("est"))
+    val med = perLine.agg(element_at(sort_array(collect_list(col("est"))),
+      (rows + 1) / 2).as("f2_est"))
+    val exact = keys.select(col(keyCol).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("f"))
+      .agg(sum(col("f") * col("f")).as("f2_exact"))
+    exact.crossJoin(med)
+      .select(col("f2_exact"), col("f2_est"),
+        round(abs(col("f2_est") - col("f2_exact")).cast("double") /
+          col("f2_exact"), 6).as("rel_err"))
+  }
+
   def countMinEstimate(sketch: DataFrame, queries: DataFrame,
                        valueCol: String, d: Int = 4, w: Int = 256): DataFrame = {
     val probes = queries.select(col(valueCol).as("v")).distinct()

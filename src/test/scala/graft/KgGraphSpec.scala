@@ -1178,6 +1178,20 @@ class KgGraphSpec extends AnyFunSuite {
       trivial.head.isNullAt(4))
   }
 
+  test("pageRankDirected residual: a symmetric 2-cycle is at its fixpoint " +
+       "from round 1 — zero micro-residual between any two depths") {
+    import spark.implicits._
+    val e = Seq(("a", "b", 1L), ("b", "a", 1L))
+      .toDF("src", "dst", "n_links")
+    def micro(iters: Int) = KgGraph.pageRankDirected(e, iters)
+      .select(col("page"),
+        round(col("pagerank") * lit(1e6)).cast("long").as("m"))
+    val d = micro(5).withColumnRenamed("m", "m5")
+      .join(micro(6).withColumnRenamed("m", "m6"), "page")
+      .agg(sum(abs(col("m5") - col("m6"))).as("l1")).collect().head
+    assert(d.getLong(0) === 0L)
+  }
+
   test("coreness: triangle+pendant and 4-clique hand values; consistent " +
        "with kcore membership") {
     import spark.implicits._

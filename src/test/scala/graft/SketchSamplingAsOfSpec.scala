@@ -197,6 +197,30 @@ class SketchSamplingAsOfSpec extends AnyFunSuite {
     assert(reranked.length === 3 && reranked.take(2).contains(1L))
   }
 
+  test("amsF2: single-key stream is estimated EXACTLY; partitioning-" +
+       "invariant; even rows rejected") {
+    import spark.implicits._
+    // one key repeated n times: every line has a single ±n counter, so
+    // every line estimate is n² — the median equals the exact F2
+    val n = 37L
+    val one = Seq.fill(n.toInt)("k").toDF("key")
+    val r = graft.ops.Sketch.amsF2(one, "key").collect().head
+    assert(r.getLong(0) === n * n && r.getLong(1) === n * n &&
+      r.getDouble(2) === 0.0)
+    // signed counter sums are commutative — any partitioning gives the
+    // same sketch
+    val mixed = (Seq.fill(20)("a") ++ Seq.fill(5)("b") ++ Seq("c"))
+      .toDF("key")
+    val s1 = graft.ops.Sketch.amsF2(mixed, "key").collect().head
+    val s2 = graft.ops.Sketch.amsF2(mixed.repartition(7), "key")
+      .collect().head
+    assert(s1.getLong(0) === 426L) // 400 + 25 + 1
+    assert(s1.getLong(1) === s2.getLong(1) && s1.getDouble(2) === s2.getDouble(2))
+    intercept[IllegalArgumentException] {
+      graft.ops.Sketch.amsF2(mixed, "key", rows = 4)
+    }
+  }
+
   test("heapsLaw: two-bucket hand values; two-point OLS slope is the " +
        "exact log-log secant") {
     import spark.implicits._
