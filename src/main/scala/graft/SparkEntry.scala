@@ -3421,6 +3421,11 @@ object SparkEntry {
     // shared token budget — one tiny agg + broadcast scalar total
     "curate_mix_weights" -> ((s, dir) => TextOps.mixWeights(docsTable(s, dir))),
 
+    // materialize the mixture: 100-doc sample apportioned per source by
+    // largest remainder over the τ-weights (Σ quotas = 100 exactly),
+    // hash-rank selection within source (the domainQuota discipline)
+    "curate_mix_sample" -> ((s, dir) => TextOps.mixSample(docsTable(s, dir))),
+
     // typed-literal facts: ISO dates + unit quantities → xsd-typed triple
     // rows (injected-literal synthesis, 3/4 of docs negative controls)
     "kg_literals" -> ((s, dir) =>
@@ -9410,6 +9415,36 @@ object SparkEntry {
             ROUND(w_raw / w_sum * ${graft.ops.TextOps.MixTokenBudget}.0
               / CAST(n_tokens AS DOUBLE), 6) AS epochs
           FROM w, t""",
+
+    // the mixWeights chain + Hamilton apportionment + hash-rank selection
+    // ([[graft.ops.TextOps.mixSample]] twin, N = 100)
+    "curate_mix_sample" ->
+      s"""WITH per AS (SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+          w AS (SELECT *, sqrt(CAST(n_tokens AS DOUBLE)) AS w_raw FROM per),
+          t AS (SELECT SUM(w_raw) AS w_sum FROM w),
+          wt AS (SELECT source, ROUND(w_raw / w_sum, 6) AS weight FROM w, t),
+          base AS (SELECT source,
+                     CAST(FLOOR(100 * weight) AS BIGINT) AS n0,
+                     100 * weight - FLOOR(100 * weight) AS frac
+                   FROM wt),
+          rsum AS (SELECT CAST(100 - SUM(n0) AS BIGINT) AS r FROM base),
+          ranked AS (SELECT source, n0,
+                       CAST(ROW_NUMBER() OVER (ORDER BY frac DESC, source)
+                         AS BIGINT) AS rk
+                     FROM base),
+          quota AS (SELECT source,
+                      n0 + CASE WHEN rk <= (SELECT r FROM rsum)
+                                THEN 1 ELSE 0 END AS q
+                    FROM ranked),
+          sel AS (SELECT doc_id, source,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+                      ('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)),
+                        1, 15))::BIGINT, doc_id) AS BIGINT) AS rn
+                  FROM documents)
+          SELECT s.source, s.doc_id
+          FROM sel s JOIN quota q USING (source) WHERE s.rn <= q.q""",
 
     // typed literals: same injection synthesis, same shared regexes, set
     // semantics via the final DISTINCT

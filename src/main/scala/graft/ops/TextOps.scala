@@ -1145,4 +1145,46 @@ object TextOps {
         round(col("w_raw") / col("w_sum") * lit(MixTokenBudget.toDouble)
           / col("n_tokens").cast("double"), 6).as("epochs"))
   }
+
+  /** MATERIALIZE the mixture — the missing step between
+    * [[mixWeights]]' per-source weights and a training corpus: an
+    * `nDocs`-document sample whose per-source counts follow the weights
+    * by largest-remainder (Hamilton) apportionment — `floor(N·w)` seats
+    * plus one for the largest fractional remainders (remainder desc,
+    * source asc — fully deterministic, and Σ quotas = N exactly, which
+    * proportional rounding alone can't guarantee) — and whose WITHIN-
+    * source selection is the [[graft.ops.WebOps.domainQuota]] hash-rank
+    * discipline (md5-derived order, doc_id tie-break: unbiased,
+    * deterministic, re-runnable anywhere). A source whose quota exceeds
+    * its size contributes all its docs — without-replacement sampling
+    * caps at the source (the `epochs > 1` upsampling risk [[mixWeights]]
+    * already reports).
+    *
+    * Scale shape: quotas ride the ≤|sources|-row weight frame (its
+    * remainder window is bounded); selection is ONE window partitioned by
+    * source (map-side WindowGroupLimit under the rank filter — the
+    * domainQuota plan), quota attached by a broadcast join. */
+  def mixSample(docs: DataFrame, nDocs: Int = 100): DataFrame = {
+    val w = mixWeights(docs).select(col("source"), col("weight"))
+    val base = w.select(col("source"),
+      floor(lit(nDocs) * col("weight")).cast("long").as("n0"),
+      (lit(nDocs) * col("weight") - floor(lit(nDocs) * col("weight")))
+        .as("frac"))
+    val rsum = base.agg((lit(nDocs.toLong) - sum(col("n0"))).as("r"))
+    val quota = base
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("frac").desc, col("source"))).cast("long"))
+      .crossJoin(broadcast(rsum))
+      .select(col("source"),
+        (col("n0") + when(col("rk") <= col("r"), lit(1L)).otherwise(lit(0L)))
+          .as("q"))
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(
+          graft.ops.Sketch.hash60(concat(lit("mix|"),
+            col("doc_id").cast("string"))), col("doc_id"))).cast("long"))
+      .join(broadcast(quota), "source")
+      .filter(col("rn") <= col("q"))
+      .select(col("source"), col("doc_id"))
+  }
 }

@@ -197,6 +197,23 @@ class SketchSamplingAsOfSpec extends AnyFunSuite {
     assert(reranked.length === 3 && reranked.take(2).contains(1L))
   }
 
+  test("mixSample: Hamilton apportionment hand values, remainder " +
+       "tie-break, and the without-replacement source cap") {
+    import spark.implicits._
+    // token sums 16/4/4 → sqrt weights 4/2/2 → 0.5/0.25/0.25; N = 10 →
+    // floors 5/2/2, one leftover seat → remainder tie (0.5, 0.5) breaks
+    // to the smaller source name: quotas A=5, B=3, C=2. B only HAS 2 docs
+    // → capped; A and C fill their quotas exactly.
+    val docs =
+      (0 until 8).map(i => (i.toLong, "t t", "A")) ++
+        Seq((100L, "t t", "B"), (101L, "t t", "B")) ++
+        (200 until 204).map(i => (i.toLong, "t", "C"))
+    val got = TextOps.mixSample(docs.toDF("doc_id", "text", "source"),
+        nDocs = 10).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(got === Map("A" -> 5, "B" -> 2, "C" -> 2))
+  }
+
   test("amsF2: single-key stream is estimated EXACTLY; partitioning-" +
        "invariant; even rows rejected") {
     import spark.implicits._
