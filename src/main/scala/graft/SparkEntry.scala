@@ -2252,6 +2252,15 @@ object SparkEntry {
     "text_qlm" -> ((s, dir) =>
       TextOps.qlm(docsTable(s, dir), Seq("spark", "join", "data"))),
 
+    // reciprocal-rank fusion of the BM25 and Dirichlet-QL runs (their raw
+    // scores live on incomparable scales; RRF is the score-free standard,
+    // k = 60) — fusion rides the two ≤20-row run frames, never the corpus
+    "text_rrf" -> ((s, dir) => {
+      val d = docsTable(s, dir)
+      val q = Seq("spark", "join", "data")
+      TextOps.rrfFuse(Seq(TextOps.bm25(d, q), TextOps.qlm(d, q)))
+    }),
+
     // Heaps-law vocabulary-growth curve + log–log OLS slope β (the
     // release-card companion to web_powerlaw): cumulative tokens/vocab at
     // 10 deterministic doc_id-range prefixes; K not emitted (needs exp)
@@ -8023,6 +8032,66 @@ object SparkEntry {
     "text_rm3_terms" ->
       s"""WITH $rm3ChainCtes
           SELECT term, w FROM expterms""",
+
+    // RRF twin: both run chains (bm25 + qlm, each re-ranked over its own
+    // ROUND(6)-ordered top-20), then the union fusion 1/(60+rank), ROUND(6)
+    "text_rrf" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents),
+          lens AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS len FROM toks),
+          stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                           AVG(len) AS avglen FROM lens),
+          u AS (SELECT doc_id, unnest(t) AS term FROM toks),
+          tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_toks FROM u),
+          btf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM u
+                  WHERE term IN ('spark', 'join', 'data') GROUP BY 1, 2),
+          bdf AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+                  FROM btf GROUP BY 1),
+          bsc AS (SELECT t.doc_id,
+                    ln((st.n_docs - d.df + CAST(0.5 AS DOUBLE))
+                         / (d.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+                    * (t.tf * CAST(2.2 AS DOUBLE))
+                    / (t.tf + CAST(1.2 AS DOUBLE)
+                         * (CAST(0.25 AS DOUBLE)
+                            + CAST(0.75 AS DOUBLE) * l.len / st.avglen))
+                      AS sco
+                  FROM btf t JOIN bdf d USING (term) JOIN lens l USING (doc_id)
+                  CROSS JOIN stats st),
+          bagg AS (SELECT doc_id, ROUND(SUM(sco), 6) AS score
+                   FROM bsc GROUP BY 1),
+          brank AS (SELECT doc_id,
+                      CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                        AS BIGINT) AS rank
+                    FROM (SELECT doc_id, score FROM bagg
+                          ORDER BY score DESC, doc_id LIMIT 20) x),
+          qq AS (SELECT unnest(['spark', 'join', 'data']) AS term),
+          qtf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM u
+                  WHERE term IN ('spark', 'join', 'data') GROUP BY 1, 2),
+          qcf AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS cf FROM u
+                  WHERE term IN ('spark', 'join', 'data') GROUP BY 1),
+          qsc AS (SELECT l.doc_id,
+                    ln((COALESCE(t.tf, CAST(0.0 AS DOUBLE))
+                         + CAST(300.0 AS DOUBLE)
+                           * COALESCE(c.cf, CAST(0.0 AS DOUBLE)) / tt.n_toks)
+                       / (l.len + CAST(300.0 AS DOUBLE))) AS sco
+                  FROM lens l CROSS JOIN qq
+                  LEFT JOIN qtf t ON t.doc_id = l.doc_id AND t.term = qq.term
+                  LEFT JOIN qcf c ON c.term = qq.term
+                  CROSS JOIN tot tt),
+          qagg AS (SELECT doc_id, ROUND(SUM(sco), 6) AS score
+                   FROM qsc GROUP BY 1),
+          qrank AS (SELECT doc_id,
+                      CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                        AS BIGINT) AS rank
+                    FROM (SELECT doc_id, score FROM qagg
+                          ORDER BY score DESC, doc_id LIMIT 20) y),
+          fused AS (SELECT doc_id, COUNT(*) AS n_runs,
+                      ROUND(SUM(CAST(1.0 AS DOUBLE) / (60 + rank)), 6) AS rrf
+                    FROM (SELECT doc_id, rank FROM brank
+                          UNION ALL SELECT doc_id, rank FROM qrank) z
+                    GROUP BY 1)
+          SELECT doc_id, n_runs, rrf FROM fused
+          ORDER BY rrf DESC, doc_id LIMIT 20""",
 
     // Heaps curve: deterministic doc_id-range buckets (double division is
     // identical IEEE in both engines), cumulative windows over the

@@ -729,6 +729,34 @@ object TextOps {
     cum.crossJoin(broadcast(fit))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
+    * retrieval runs: `score(d) = Σ_r 1/(k + rank_r(d))` over the union of
+    * the runs' result lists — the standard score-free way to combine
+    * [[bm25]] and [[qlm]] (whose raw scores live on incomparable scales);
+    * k = 60 per the paper. A doc absent from a run simply contributes
+    * nothing (RRF over the union, the published form). Ranks are integers
+    * and each doc's sum spans ≤ |runs| exact rationals, ROUND(6) — no
+    * float-order exposure.
+    *
+    * Scale shape: each run is already a top-k frame (TakeOrderedAndProject
+    * output), so the rank windows, the union, the fusion agg and the final
+    * top-k all ride ≤ |runs|·topK rows — fusion never touches the
+    * corpus. */
+  def rrfFuse(runs: Seq[DataFrame], k: Int = 60, topK: Int = 20): DataFrame = {
+    require(runs.nonEmpty, "rrfFuse needs at least one run")
+    runs.map { r =>
+      r.select(col("doc_id"),
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long").as("rank"))
+    }.reduce(_ unionByName _)
+      .select(col("doc_id"),
+        (lit(1.0) / (lit(k.toLong) + col("rank"))).as("c"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_runs"), round(sum(col("c")), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Inverted-index publication artifact (the at-rest retrieval structure
     * next to [[bm25]]'s online form — cf. the postings layout every
     * Lucene-lineage engine serializes): per term, document frequency,

@@ -197,6 +197,21 @@ class SketchSamplingAsOfSpec extends AnyFunSuite {
     assert(reranked.length === 3 && reranked.take(2).contains(1L))
   }
 
+  test("rrfFuse: hand-checked union fusion — absent docs contribute " +
+       "nothing, ranks come from (score desc, doc_id)") {
+    import spark.implicits._
+    val run1 = Seq((1L, 3.0), (2L, 2.0), (3L, 1.0)).toDF("doc_id", "score")
+    val run2 = Seq((2L, 5.0)).toDF("doc_id", "score")
+    val got = TextOps.rrfFuse(Seq(run1, run2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // d2: rank 2 in run1 + rank 1 in run2; d1: rank 1 in run1; d3: rank 3
+    assert(got === Array(
+      (2L, 2L, r6(1.0 / 62 + 1.0 / 61)),
+      (1L, 1L, r6(1.0 / 61)),
+      (3L, 1L, r6(1.0 / 63))))
+  }
+
   test("mixSample: Hamilton apportionment hand values, remainder " +
        "tie-break, and the without-replacement source cap") {
     import spark.implicits._
