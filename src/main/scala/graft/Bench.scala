@@ -233,7 +233,11 @@ object Bench {
     // round-4 pass-8/9 representatives: coref (annotator offsets → two
     // url-keyed windows) and k-source Brandes (σ BFS + level-backward
     // dependency sweep — the deepest keyed-join chain in the registry)
-    "kg_coref", "web_betweenness")
+    "kg_coref", "web_betweenness",
+    // round-4 pass-11..18 representatives: RM3 (two-pass retrieval over
+    // the corpus scan), the AMS F2 sketch (scan-bound, 80-counter agg),
+    // and h-index coreness (the exact-convergence loop)
+    "text_rm3", "sketch_ams", "web_coreness")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
