@@ -2342,16 +2342,19 @@ object SparkEntry {
       LinkGraph.trustRank(hosts, seedNames.toDF("node"))
     }),
 
-    // threshold-sieved SimRank over the host graph (Jeh & Widom 2002:
-    // "similar hosts are pointed at by similar hosts") — 3 synchronous
+    // threshold-sieved SimRank over the PAGE graph (Jeh & Widom 2002:
+    // "similar pages are pointed at by similar pages") — 3 synchronous
     // rounds from the identity, hub cap 64, sieve 0.001, diagonal pinned;
-    // canonical host_a < host_b off-diagonal pairs
+    // canonical page_a < page_b off-diagonal pairs. The page graph, not
+    // the host graph: this synthesis' host graph is a complete K4, where
+    // SimRank degenerates to a uniform constant (the same reason
+    // web_betweenness runs on pages)
     "web_simrank" -> ((s, dir) => {
-      val hosts = LinkGraph.hostGraph(
-        LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))).localCheckpoint()
-      graft.graph.KgGraph.simRank(hosts.select(col("src_host").as("src"),
-          col("dst_host").as("dst")))
-        .select(col("a").as("host_a"), col("b").as("host_b"), col("simrank"))
+      val edges = LinkGraph.pageEdges(
+        LinkGraph.links(LinkGraph.pages(docsTable(s, dir))))
+        .select(col("src"), col("dst")).localCheckpoint()
+      graft.graph.KgGraph.simRank(edges)
+        .select(col("a").as("page_a"), col("b").as("page_b"), col("simrank"))
     }),
 
     // bounded-horizon Brandes betweenness from the 3 pinned sources (the
@@ -3922,7 +3925,7 @@ object SparkEntry {
   }
 
   /** Unrolled threshold-sieved SimRank oracle ([[graft.graph.KgGraph
-    * .simRank]] twin over the host graph): per round, expand the canonical
+    * .simRank]] twin over the PAGE graph): per round, expand the canonical
     * half-matrix to both orientations, propagate pair → successor-pair
     * through two edge joins, one (a, b) aggregation, the SAME
     * `c·t/(ia·ib)` scale + sieve, diagonal re-union. Scores unrounded
@@ -3946,8 +3949,8 @@ object SparkEntry {
     }.mkString(",\n")
     s"""WITH ${graft.ops.LinkGraph.linksCteSql},
         he AS MATERIALIZED (SELECT DISTINCT sh AS src, dh AS dst
-          FROM (SELECT ${graft.ops.WebOps.canonHostSqlOf("src_url")} AS sh,
-                       ${graft.ops.WebOps.canonHostSqlOf("dst_url")} AS dh
+          FROM (SELECT ${graft.ops.WebOps.canonUrlSqlOf("src_url")} AS sh,
+                       dst_url AS dh
                 FROM lnk)
           WHERE sh <> dh),
         ind AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS ind
@@ -3960,7 +3963,7 @@ object SparkEntry {
           CAST(1.0 AS DOUBLE) AS s FROM nodes),
         s0 AS (SELECT a, b, s FROM diag),
         $rounds
-        SELECT a AS host_a, b AS host_b, ROUND(s, 6) AS simrank
+        SELECT a AS page_a, b AS page_b, ROUND(s, 6) AS simrank
         FROM s$iters WHERE a <> b"""
   }
 
