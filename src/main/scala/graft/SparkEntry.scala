@@ -1177,6 +1177,19 @@ object SparkEntry {
       Sketch.hllDistinct(s.read.parquet(s"$dir/events.parquet"),
         groupCol = "event_type", valueCol = "user_id")),
 
+    // cross-SOURCE vocabulary overlap via HLL register MERGE + inclusion–
+    // exclusion — the union estimate needs only the register tables, no
+    // second data pass (HLL's defining mergeability, the cross-cluster
+    // audience-overlap shape); bigram vocabularies because they overlap
+    // PARTIALLY across sources (sizes 634–740, overlaps 449–603 at
+    // sf0.01 — the event-type user sets are all identical, a degenerate
+    // fixture for an overlap estimator); exact overlap rides alongside
+    "sketch_hll_overlap" -> ((s, dir) =>
+      Sketch.hllOverlap(
+        docsTable(s, dir).select(col("source"),
+          explode(graft.ops.Dedup.shingles(col("text"), 2)).as("bigram")),
+        groupCol = "source", valueCol = "bigram")),
+
     // ---- training-data ops ------------------------------------------
 
     "dedup_exact" -> ((s, dir) => Dedup.exact(docsTable(s, dir))),
@@ -3543,6 +3556,20 @@ object SparkEntry {
           FROM edges e JOIN ow o USING (a)),
         nodes AS MATERIALIZED (SELECT DISTINCT node FROM
           (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges))"""
+
+  /** The HLL estimator as SQL over folded-register columns `n`/`s` —
+    * raw harmonic form + the linear-counting branch, the
+    * [[graft.ops.Sketch.hllDistinct]] constants (shared by the sketch_hll
+    * and sketch_hll_overlap oracles). */
+  private def hllEstCaseSql(n: String, s: String): String = {
+    import graft.ops.Sketch.{HllM, HllRawNum, HllScale}
+    s"""CASE WHEN $HllRawNum / CAST($s + ($HllM - $n) * $HllScale AS DOUBLE)
+              <= ${2.5 * HllM} AND $n < $HllM
+         THEN ${HllM.toDouble} * ln(${HllM.toDouble}
+                / CAST($HllM - $n AS DOUBLE))
+         ELSE $HllRawNum / CAST($s + ($HllM - $n) * $HllScale AS DOUBLE)
+         END"""
+  }
 
   /** Unrolled h-index-coreness oracle ([[graft.graph.KgGraph.coreness]]
     * twin over the page graph): canonical least/greatest undirected
@@ -7708,6 +7735,60 @@ object SparkEntry {
     // recursive CTEs — the Spark side's empty-frontier fixpoint must land
     // on exactly this transitive closure
     "web_coreness" -> corenessOracleSql(iters = 30),
+
+    // HLL register merge twin: same register chain as sketch_hll grouped
+    // per event type, pair unions by (pair, bucket) MAX, the shared
+    // estimator CASE, inclusion–exclusion on the ROUNDED components
+    "sketch_hll_overlap" -> {
+      import graft.ops.Sketch.{HllM, HllRemBits}
+      s"""WITH ht AS (SELECT source, string_split(text, ' ') AS t
+                      FROM documents),
+           dv AS (SELECT DISTINCT source AS g, t[i] || ' ' || t[i + 1] AS v
+                  FROM (SELECT source, t,
+                          unnest(generate_series(1, len(t) - 1)) AS i
+                        FROM ht WHERE len(t) >= 2) z),
+           h AS (SELECT g,
+                   CAST(concat('0x', substring(md5(v), 1, 15)) AS BIGINT) AS h
+                 FROM dv),
+           rg AS (SELECT g, h % $HllM AS bucket,
+                    MAX(${graft.ops.Sketch.hllRankSql(s"(h // $HllM)")}) AS r
+                  FROM h GROUP BY 1, 2),
+           fd1 AS (SELECT g, COUNT(*) AS np,
+                     SUM(CAST(1 AS BIGINT) << (${HllRemBits + 1} - r)) AS sp
+                   FROM rg GROUP BY 1),
+           est1 AS (SELECT g, ROUND(${hllEstCaseSql("np", "sp")}, 4) AS e
+                    FROM fd1),
+           gs AS (SELECT DISTINCT g FROM rg),
+           pairs AS (SELECT a.g AS grp_a, b.g AS grp_b
+                     FROM gs a JOIN gs b ON a.g < b.g),
+           tag AS (SELECT p.grp_a, p.grp_b, rg.bucket, rg.r
+                   FROM rg JOIN pairs p ON rg.g = p.grp_a
+                   UNION ALL
+                   SELECT p.grp_a, p.grp_b, rg.bucket, rg.r
+                   FROM rg JOIN pairs p ON rg.g = p.grp_b),
+           urg AS (SELECT grp_a, grp_b, bucket, MAX(r) AS r
+                   FROM tag GROUP BY 1, 2, 3),
+           ufd AS (SELECT grp_a, grp_b, COUNT(*) AS np,
+                     SUM(CAST(1 AS BIGINT) << (${HllRemBits + 1} - r)) AS sp
+                   FROM urg GROUP BY 1, 2),
+           uest AS (SELECT grp_a, grp_b,
+                      ROUND(${hllEstCaseSql("np", "sp")}, 4) AS est_union
+                    FROM ufd),
+           ov AS (SELECT a.g AS grp_a, b.g AS grp_b,
+                    CAST(COUNT(*) AS BIGINT) AS exact_overlap
+                  FROM dv a JOIN dv b ON a.v = b.v AND a.g < b.g
+                  GROUP BY 1, 2)
+          SELECT p.grp_a, p.grp_b, ea.e AS est_a, eb.e AS est_b,
+            u.est_union,
+            ROUND(GREATEST(ea.e + eb.e - u.est_union,
+              CAST(0.0 AS DOUBLE)), 4) AS est_overlap,
+            COALESCE(ov.exact_overlap, 0) AS exact_overlap
+          FROM pairs p
+          JOIN est1 ea ON ea.g = p.grp_a
+          JOIN est1 eb ON eb.g = p.grp_b
+          JOIN uest u USING (grp_a, grp_b)
+          LEFT JOIN ov USING (grp_a, grp_b)"""
+    },
 
     // AMS/count-sketch F2 twin: same md5-derived buckets/signs, all-BIGINT
     // counters, median line via list_sort[3]; rel_err is the only float

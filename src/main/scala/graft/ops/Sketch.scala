@@ -155,29 +155,105 @@ object Sketch {
     * The 60-bit hash space makes the large-range correction unreachable.
     * Determinism: everything before the final division is exact integer
     * arithmetic; the division and the ln ride the ROUND(4) contract. */
-  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    val vals = df.select(col(groupCol), col(valueCol).cast("string").as("v"))
+  /** Per-group sparse HLL registers `(group, bucket, max rank)` — the
+    * mergeable state [[hllDistinct]] estimates from and [[hllOverlap]]
+    * element-wise-MAX-merges (HLL's defining property). */
+  private def hllRegs(df: DataFrame, groupCol: String,
+                      valueCol: String): DataFrame =
+    df.select(col(groupCol), col(valueCol).cast("string").as("v"))
       .filter(col("v").isNotNull)
       .withColumn("h", hash60(col("v")))
-    val regs = vals
       .select(col(groupCol), (col("h") % HllM).as("bucket"),
         expr(s"h div $HllM").as("rem"))
       .groupBy(col(groupCol), col("bucket"))
       .agg(max(hllRank(col("rem"))).as("r"))
-    val folded = regs.groupBy(groupCol).agg(
+
+  /** The HLL estimator over a folded register set (raw harmonic form +
+    * the small-range linear-counting branch) — one source for the
+    * single-group and merged-union paths. */
+  private def hllEstimate(nPresent: Column, sPresent: Column): Column = {
+    val sInt = sPresent + (lit(HllM) - nPresent) * lit(HllScale)
+    val raw = lit(HllRawNum) / sInt.cast("double")
+    when(raw <= lit(2.5 * HllM) && nPresent < HllM,
+      lit(HllM.toDouble) * log(lit(HllM.toDouble) /
+        (lit(HllM) - nPresent).cast("double"))).otherwise(raw)
+  }
+
+  private def hllFold(regs: DataFrame, keys: Seq[String]): DataFrame =
+    regs.groupBy(keys.map(col): _*).agg(
       count(lit(1)).as("n_present"),
       sum(expr(s"shiftleft(cast(1 as bigint), ${HllRemBits + 1} - r)"))
         .as("s_present"))
-    val sInt = col("s_present") + (lit(HllM) - col("n_present")) * lit(HllScale)
-    val raw = lit(HllRawNum) / sInt.cast("double")
-    val est = when(raw <= lit(2.5 * HllM) && col("n_present") < HllM,
-      lit(HllM.toDouble) * log(lit(HllM.toDouble) /
-        (lit(HllM) - col("n_present")).cast("double"))).otherwise(raw)
+
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val vals = df.select(col(groupCol), col(valueCol).cast("string").as("v"))
+      .filter(col("v").isNotNull)
+    val folded = hllFold(hllRegs(df, groupCol, valueCol), Seq(groupCol))
     val exact = vals.groupBy(groupCol)
       .agg(countDistinct(col("v")).as("exact_distinct"))
     folded.join(exact, groupCol)
-      .select(col(groupCol), round(est, 4).as("est_distinct"),
+      .select(col(groupCol),
+        round(hllEstimate(col("n_present"), col("s_present")), 4)
+          .as("est_distinct"),
         col("exact_distinct"))
+  }
+
+  /** Cross-group OVERLAP estimation by HLL register merge + inclusion–
+    * exclusion: `|A∩B| ≈ est(A) + est(B) − est(A∪B)`, where the union
+    * sketch is the element-wise MAX of the two register sets — HLL's
+    * defining mergeability, and the reason this works at 10^12 rows: the
+    * union estimate needs NO second data pass, only the ≤m-row register
+    * tables (what a warehouse ships between clusters). Estimates compose
+    * from the 4dp-ROUNDED components (pinned — no fresh float exposure),
+    * clamped at 0 (inclusion–exclusion on sketches can go negative for
+    * tiny overlaps); the exact overlap rides alongside, the
+    * q_distinct_approx audit contract.
+    *
+    * Scale shape: ONE register build (group-keyed hash agg, ≤m rows per
+    * group); the group-pair frame is groups²-bounded (groups are an
+    * enum here — the pair cartesian rides a broadcast over that tiny
+    * list, never data rows); pair unions are two register⋈pairs
+    * equi-joins + one (pair, bucket) MAX agg; the exact audit is one
+    * value-keyed equi-self-join of the distinct (group, value) set. */
+  def hllOverlap(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val regs = hllRegs(df, groupCol, valueCol).localCheckpoint()
+    val groups = regs.select(col(groupCol).as("g")).distinct()
+    val pairs = broadcast(groups.select(col("g").as("grp_a"))
+      .crossJoin(groups.select(col("g").as("grp_b")))
+      .filter(col("grp_a") < col("grp_b")).localCheckpoint())
+    val tagged = regs.join(pairs, col(groupCol) === col("grp_a"))
+      .select(col("grp_a"), col("grp_b"), col("bucket"), col("r"))
+      .unionByName(regs.join(pairs, col(groupCol) === col("grp_b"))
+        .select(col("grp_a"), col("grp_b"), col("bucket"), col("r")))
+    val estU = hllFold(
+      tagged.groupBy("grp_a", "grp_b", "bucket").agg(max(col("r")).as("r")),
+      Seq("grp_a", "grp_b"))
+      .select(col("grp_a"), col("grp_b"),
+        round(hllEstimate(col("n_present"), col("s_present")), 4)
+          .as("est_union"))
+    val single = hllFold(regs, Seq(groupCol))
+      .select(col(groupCol),
+        round(hllEstimate(col("n_present"), col("s_present")), 4).as("e"))
+    val dv = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("string").as("v"))
+      .filter(col("v").isNotNull).distinct()
+    val exactOv = dv.alias("a")
+      .join(dv.alias("b"),
+        col("a.v") === col("b.v") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("grp_a"), col("b.g").as("grp_b"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    pairs
+      .join(single.select(col(groupCol).as("grp_a"), col("e").as("est_a")),
+        "grp_a")
+      .join(single.select(col(groupCol).as("grp_b"), col("e").as("est_b")),
+        "grp_b")
+      .join(estU, Seq("grp_a", "grp_b"))
+      .join(exactOv, Seq("grp_a", "grp_b"), "left")
+      .select(col("grp_a"), col("grp_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        round(greatest(col("est_a") + col("est_b") - col("est_union"),
+          lit(0.0)), 4).as("est_overlap"),
+        coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"))
   }
 
   // ---- count-min (frequency sketching) -----------------------------------

@@ -197,6 +197,32 @@ class SketchSamplingAsOfSpec extends AnyFunSuite {
     assert(reranked.length === 3 && reranked.take(2).contains(1L))
   }
 
+  test("hllOverlap: identical groups read identical estimates, partial " +
+       "overlap tracks exact, disjoint pairs coalesce to 0") {
+    import spark.implicits._
+    val rows =
+      (1 to 100).map(i => ("A", i)) ++
+        (51 to 150).map(i => ("B", i)) ++   // |A∩B| = 50
+        (1 to 100).map(i => ("C", i)) ++    // C == A
+        (1000 to 1099).map(i => ("D", i))   // disjoint from everything
+    val got = graft.ops.Sketch
+      .hllOverlap(rows.toDF("g", "v"), "g", "v").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6))).toMap
+    // identical sets → identical registers: union == single estimates and
+    // the inclusion–exclusion overlap equals them exactly
+    val (ea, ec, eu, eo, exact) = got(("A", "C"))
+    assert(ea === ec && ea === eu && ea === eo && exact === 100L)
+    // partial overlap: exact 50; the m=64 sketch estimate lands in a wide
+    // but meaningful band (relative standard error ~1.04/√64 ≈ 13 %)
+    val ab = got(("A", "B"))
+    assert(ab._5 === 50L && ab._4 > 0.0 && ab._4 < 150.0)
+    // disjoint pair still emits a row, exact coalesces to 0
+    assert(got(("A", "D"))._5 === 0L)
+    assert(got.size === 6)
+  }
+
   test("rrfFuse: hand-checked union fusion — absent docs contribute " +
        "nothing, ranks come from (score desc, doc_id)") {
     import spark.implicits._
