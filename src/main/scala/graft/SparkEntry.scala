@@ -3247,6 +3247,20 @@ object SparkEntry {
       graft.graph.KgGraph.shortestPaths(edges, seeds, maxDepth = 4)
     }),
 
+    // landmark distance estimation audit (Potamias 2009 — the production
+    // pairwise-distance path at 10^12 nodes): per-(source, node) exact
+    // bounded-depth distance vs min_l d(s,l)+d(l,v) upper bound + stretch;
+    // sources = the /p/1 seed rule, landmarks = the /p/2 rule
+    "web_landmark_dist" -> ((s, dir) => {
+      val edges = LinkGraph.pageEdges(
+        LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))).localCheckpoint()
+      val nodes = edges.select(col("src").as("node"))
+        .unionAll(edges.select(col("dst").as("node"))).distinct()
+      graft.graph.KgGraph.landmarkDistances(edges,
+        nodes.filter(col("node").rlike("/p/1($|\\?)")),
+        nodes.filter(col("node").rlike("/p/2($|\\?)")))
+    }),
+
     // seed-sampled harmonic centrality estimate (Eppstein–Wang shape) over
     // the same seed rule — per-seed BFS, reciprocals summed as exact
     // integers (lcm-12 trick), one division at the end
@@ -4754,6 +4768,55 @@ object SparkEntry {
                ROUND(CAST(SUM(CAST(12 / dist AS BIGINT)) AS BIGINT) / 12.0, 6)
                  AS harmonic
         FROM reached GROUP BY 1"""
+  }
+
+  /** [[graft.graph.KgGraph.landmarkDistances]] twin: ONE per-seed BFS
+    * unroll over sources ∪ landmarks (the harmonic oracle's (seed, node)
+    * form, dist-0 rows kept — `d(l, l) = 0` carries the `v = l` estimate),
+    * then the d(s,l) leg, the min landmark assembly, and the stretch. */
+  private def landmarkOracleSql(depth: Int): String = {
+    val rounds = (1 to depth).map { d =>
+      s"""fr$d AS MATERIALIZED (SELECT DISTINCT f.seed, e.b AS node, $d AS dist
+            FROM edges e JOIN fr${d - 1} f ON f.node = e.a
+            WHERE NOT EXISTS (SELECT 1 FROM all${d - 1} a
+                              WHERE a.seed = f.seed AND a.node = e.b)),
+          all$d AS MATERIALIZED (SELECT seed, node FROM all${d - 1}
+            UNION ALL SELECT seed, node FROM fr$d)"""
+    }.mkString(",\n")
+    val unioned = (0 to depth).map(d => s"SELECT seed, node, dist FROM fr$d")
+      .mkString(" UNION ALL ")
+    s"""WITH ${graft.ops.LinkGraph.linksCteSql},
+        edges AS MATERIALIZED (SELECT DISTINCT
+            ${graft.ops.WebOps.canonUrlSqlOf("src_url")} AS a, dst_url AS b
+          FROM lnk),
+        nodes AS (SELECT DISTINCT node FROM
+          (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)),
+        srcs AS (SELECT node FROM nodes
+                 WHERE regexp_matches(node, '/p/1($$|\\?)')),
+        lms AS (SELECT node FROM nodes
+                WHERE regexp_matches(node, '/p/2($$|\\?)')),
+        fr0 AS MATERIALIZED (SELECT node AS seed, node, 0 AS dist FROM nodes
+          WHERE regexp_matches(node, '/p/1($$|\\?)')
+             OR regexp_matches(node, '/p/2($$|\\?)')),
+        all0 AS (SELECT seed, node FROM fr0),
+        $rounds,
+        reached AS MATERIALIZED (SELECT seed, node, dist FROM ($unioned) u),
+        sl AS (SELECT r.seed AS src, r.node AS l, r.dist AS d1
+               FROM reached r
+               JOIN srcs s ON s.node = r.seed
+               JOIN lms m ON m.node = r.node),
+        est AS (SELECT sl.src, r2.node, MIN(sl.d1 + r2.dist) AS landmark_d
+                FROM sl JOIN reached r2 ON r2.seed = sl.l
+                GROUP BY 1, 2),
+        base AS (SELECT r.seed AS src, r.node, r.dist AS exact_d
+                 FROM reached r JOIN srcs s ON s.node = r.seed
+                 WHERE r.seed <> r.node)
+        SELECT b.src, b.node AS page, b.exact_d, e.landmark_d,
+          CASE WHEN e.landmark_d IS NULL THEN NULL
+               ELSE ROUND(CAST(e.landmark_d AS DOUBLE) / b.exact_d, 4)
+          END AS stretch
+        FROM base b
+        LEFT JOIN est e ON e.src = b.src AND e.node = b.node"""
   }
 
   /** One oracle for BOTH domain-quota plans (single-window and two-phase). */
@@ -9056,6 +9119,7 @@ object SparkEntry {
           FROM r WHERE rn = 1""",
 
     "web_shortest_paths" -> shortestPathsOracleSql(depth = 4),
+    "web_landmark_dist" -> landmarkOracleSql(depth = 4),
 
     "web_harmonic" -> harmonicOracleSql(depth = 4),
 

@@ -1456,10 +1456,12 @@ object KgGraph {
     * state is (seed, node) keyed — |seeds|×reach rows, bounded by the
     * depth cap; each round is one join + anti-join on short keys, lineage
     * truncated like every iterative op here. */
-  def harmonicFromSeeds(edges: DataFrame, seeds: DataFrame,
-                        maxDepth: Int = 4): DataFrame = {
-    require(maxDepth >= 1 && maxDepth <= 4,
-      s"maxDepth=$maxDepth out of [1,4] — the lcm-12 integer trick needs d <= 4")
+  /** Bounded-depth PER-SEED BFS distances `(seed, node, dist)` — the
+    * shared core behind [[harmonicFromSeeds]] and [[landmarkDistances]].
+    * State is (seed, node) keyed — |seeds|×reach rows, one join +
+    * anti-join on short keys per round, lineage truncated. */
+  def seedDistances(edges: DataFrame, seeds: DataFrame,
+                    maxDepth: Int = 4): DataFrame = {
     val e = pin(edges.select(col("src"), col("dst")))
     var dist = pin(seeds.select(col("node").as("seed")).distinct()
       .withColumn("node", col("seed")).withColumn("dist", lit(0)))
@@ -1474,12 +1476,66 @@ object KgGraph {
         d)
       dist = dist.unionByName(frontier)
     }
-    dist.filter(col("dist") > 0)
+    dist
+  }
+
+  def harmonicFromSeeds(edges: DataFrame, seeds: DataFrame,
+                        maxDepth: Int = 4): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 4,
+      s"maxDepth=$maxDepth out of [1,4] — the lcm-12 integer trick needs d <= 4")
+    seedDistances(edges, seeds, maxDepth)
+      .filter(col("dist") > 0)
       .groupBy(col("node").as("page"))
       .agg(count(lit(1)).as("n_reached"),
         sum((lit(12) / col("dist")).cast("long")).as("h12"))
       .select(col("page"), col("n_reached"),
         round(col("h12") / lit(12.0), 6).as("harmonic"))
+  }
+
+  /** Landmark (a.k.a. sketch-based) distance estimation (Potamias,
+    * Bonchi, Castillo & Gionis, CIKM 2009): true pairwise distances at
+    * web scale are an all-pairs-BFS problem nobody runs; the production
+    * answer precomputes per-LANDMARK BFS distances and answers
+    * `d(s, v) ≤ d̂(s, v) = min_l d(s, l) + d(l, v)` — an upper bound by
+    * the triangle inequality, exact whenever some shortest path passes a
+    * landmark. This emits the AUDIT: for every (source, node) pair whose
+    * exact bounded-depth distance is known, the landmark estimate and the
+    * stretch d̂/d — the accuracy surface a deployment reads before
+    * choosing its landmark count (the recall-audit contract of
+    * sim_lsh/sim_pq, for distances).
+    *
+    * Both `sources` and `landmarks` are QUERY INPUT (the PPR seed
+    * contract). Scale shape: ONE [[seedDistances]] run over
+    * sources ∪ landmarks (per-seed keyed BFS — |seeds| is the declared
+    * cost knob); `d(s, l)` legs are a landmarks-sized broadcast; the
+    * estimate is one (source, node) MIN-agg over the landmark join; the
+    * self-pair rows (s, s) are excluded (stretch is 0/0 there). */
+  def landmarkDistances(edges: DataFrame, sources: DataFrame,
+                        landmarks: DataFrame, maxDepth: Int = 4): DataFrame = {
+    val all = sources.select(col("node"))
+      .unionByName(landmarks.select(col("node"))).distinct()
+    val dists = pin(seedDistances(edges, all, maxDepth))
+    val srcD = dists.join(sources.select(col("node").as("seed")).distinct(),
+      "seed")
+    val lmD = dists.join(landmarks.select(col("node").as("seed")).distinct(),
+      "seed")
+    // d(s, l): source-BFS rows landing ON a landmark (landmarks-sized)
+    val sToL = broadcast(srcD
+      .join(landmarks.select(col("node")).distinct(), "node")
+      .select(col("seed").as("src"), col("node").as("l"), col("dist").as("d1")))
+    val est = sToL
+      .join(lmD.select(col("seed").as("l"), col("node"), col("dist").as("d2")),
+        "l")
+      .groupBy(col("src"), col("node"))
+      .agg(min(col("d1") + col("d2")).as("landmark_d"))
+    srcD.select(col("seed").as("src"), col("node"), col("dist").as("exact_d"))
+      .filter(col("src") =!= col("node"))
+      .join(est, Seq("src", "node"), "left")
+      .select(col("src"), col("node").as("page"), col("exact_d"),
+        col("landmark_d"),
+        when(col("landmark_d").isNull, lit(null).cast("double"))
+          .otherwise(round(col("landmark_d").cast("double") /
+            col("exact_d"), 4)).as("stretch"))
   }
 
   /** k-core decomposition (the densest-subgraph family's workhorse): the

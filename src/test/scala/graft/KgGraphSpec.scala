@@ -1178,6 +1178,23 @@ class KgGraphSpec extends AnyFunSuite {
       trivial.head.isNullAt(4))
   }
 
+  test("landmarkDistances: hand-checked stretch, the d(l,l)=0 leg, and " +
+       "the no-landmark-path null") {
+    import spark.implicits._
+    // s→v direct; s→a→l→v the landmark detour
+    val e = Seq(("s", "v"), ("s", "a"), ("a", "l"), ("l", "v"))
+      .toDF("src", "dst")
+    val got = KgGraph.landmarkDistances(e, Seq("s").toDF("node"),
+        Seq("l").toDF("node")).collect()
+      .map(r => r.getString(1) ->
+        (r.getInt(2), if (r.isNullAt(3)) -1 else r.getInt(3),
+          if (r.isNullAt(4)) -1.0 else r.getDouble(4))).toMap
+    assert(got === Map(
+      "v" -> ((1, 3, 3.0)),  // exact 1, via-landmark 2+1 — stretch 3
+      "l" -> ((2, 2, 1.0)),  // the d(l,l)=0 leg makes the bound tight
+      "a" -> ((1, -1, -1.0)))) // l never reaches a → no estimate
+  }
+
   test("pageRankDirected residual: a symmetric 2-cycle is at its fixpoint " +
        "from round 1 — zero micro-residual between any two depths") {
     import spark.implicits._
