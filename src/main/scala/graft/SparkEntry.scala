@@ -2235,6 +2235,33 @@ object SparkEntry {
             .as("l1_residual"))
     }),
 
+    // Spearman rank correlation between the 5- and 6-round PageRank
+    // rankings — kg_pr_residual's rank-space sibling (a release whose
+    // VALUES drift but whose ORDER holds is safe to ship): ranks by
+    // row_number (score desc, node — the deterministic tie policy, ties
+    // on the 6dp grid broken identically in both engines), then
+    // ρ = 1 − 6Σd²/(n(n²−1)) in exact BIGINT until one ROUND(6) division
+    "kg_rank_corr" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // the ranking window is node-table-scale (pages), never the corpus;
+      // at 10^12 nodes the global sort flips to the D6 two-pass
+      // range-repartition + zipWithIndex form — same contract
+      val e = LinkGraph.pageEdges(
+        LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))).localCheckpoint()
+      def ranked(iters: Int, out: String) =
+        graft.graph.KgGraph.pageRankDirected(e, iters)
+          .select(col("page"), row_number().over(
+            Window.orderBy(col("pagerank").desc, col("page")))
+            .cast("long").as(out))
+      ranked(5, "r5").join(ranked(6, "r6"), "page")
+        .agg(count(lit(1)).as("n"),
+          sum((col("r5") - col("r6")) * (col("r5") - col("r6"))).as("sum_d2"))
+        .select(col("n"), col("sum_d2"),
+          round(lit(1.0) - lit(6.0) * col("sum_d2") /
+            (col("n") * (col("n") * col("n") - lit(1L))).cast("double"), 6)
+            .as("spearman_rho"))
+    }),
+
     // count-min frequency sketch: d×w counter matrix (a few KB at ANY
     // corpus size), estimates vs exact for the 20 hottest tokens; the
     // min-over-rows estimate can only over-count
@@ -7878,6 +7905,29 @@ object SparkEntry {
             ROUND(CAST(ABS(f2_est - f2_exact) AS DOUBLE) / f2_exact, 6)
               AS rel_err
           FROM ex, med""",
+
+    // one PR chain to 6 rounds; both depths ranked with the same
+    // (ROUND(pr,6) DESC, node) policy, exact-BIGINT Σd², one division
+    "kg_rank_corr" ->
+      s"""WITH $pageEdgesPrScaffoldSql,
+          nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+          unodes AS MATERIALIZED (SELECT node,
+              CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS t FROM nodes),
+          pr0 AS (SELECT node, t AS pr FROM unodes),
+          ${prRoundsCtesSql(6, "pr", "unodes")},
+          k5 AS (SELECT node, CAST(ROW_NUMBER() OVER
+                   (ORDER BY ROUND(pr, 6) DESC, node) AS BIGINT) AS r5
+                 FROM pr5),
+          k6 AS (SELECT node, CAST(ROW_NUMBER() OVER
+                   (ORDER BY ROUND(pr, 6) DESC, node) AS BIGINT) AS r6
+                 FROM pr6)
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM((r5 - r6) * (r5 - r6)) AS BIGINT) AS sum_d2,
+            ROUND(CAST(1.0 AS DOUBLE) - CAST(6.0 AS DOUBLE)
+              * SUM((r5 - r6) * (r5 - r6))
+              / CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1) AS DOUBLE), 6)
+              AS spearman_rho
+          FROM k5 JOIN k6 USING (node)""",
 
     // one PR chain unrolled to 6 rounds; both pr5 and pr6 read from it,
     // residual in exact micro-units (6dp ranks × 1e6 are integers)
