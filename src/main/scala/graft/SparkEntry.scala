@@ -2887,6 +2887,17 @@ object SparkEntry {
         matches(s, dir).select(col("url").as("subj"),
           lit("hasAnnotation").as("pred"), col("class_iri").as("obj")))),
 
+    // the init ranking eval over TYPE-CONSTRAINED corruptions (Krompaß
+    // ISWC'15 — same-semantic-type negatives are the HARD ones): read
+    // against kg_transe_rank to decompose how much of the score is mere
+    // type discrimination
+    "kg_transe_rank_typed" -> ((s, dir) =>
+      graft.ops.KgEmbed.transeRankTyped(
+        matches(s, dir).select(col("url").as("subj"),
+          lit("hasAnnotation").as("pred"), col("class_iri").as("obj")),
+        OntologyFixture.conceptsDf(s).select(col("class_iri").as("obj"),
+          explode(col("tuis")).as("tui")))),
+
     // the same ranking eval AFTER 2 training epochs: mrr/hits@1 must beat
     // the init reading — the train→eval loop closed as driver-visible data
     "kg_transe_rank_trained" -> ((s, dir) =>
@@ -4952,14 +4963,15 @@ object SparkEntry {
   /** The shared TransE ground-truth prefix (requires dictCte + directCte
     * upstream): negatives chain → dims → bit-identical md5-derived init
     * embeddings → per-(pair, dim) diffs `pd0` → per-pair scores `ps0`. */
-  private def transeChainCtes: String = {
+  /** The post-negatives TransE chain (init embeddings + pd0/ps0 scores) —
+    * shared between the untyped and type-constrained negatives chains. */
+  private def transeEmbScoreCtes: String = {
     val dim = graft.ops.KgEmbed.Dim
     val two60 = "1152921504606846976.0"
     def init(prefix: String, idExpr: String) =
       s"('0x' || substr(md5('$prefix' || $idExpr || ':' ||" +
         s" CAST(dd.d AS VARCHAR)), 1, 15))::BIGINT / $two60 * 2 - 1"
-    s"""$negativesChainCtes,
-        dims AS (SELECT unnest(generate_series(1, $dim)) AS d),
+    s"""dims AS (SELECT unnest(generate_series(1, $dim)) AS d),
         kent AS (SELECT subj AS ent FROM pos UNION SELECT obj FROM pos),
         emb0 AS (SELECT ent, dd.d, ${init("e:", "ent")} AS v
                  FROM kent, dims dd),
@@ -4967,6 +4979,60 @@ object SparkEntry {
                  FROM (SELECT DISTINCT pred FROM pos), dims dd),
         ${transePdSql("pd0", "emb0", "rel0")},
         ${transePsSql("ps0", "pd0")}"""
+  }
+
+  private def transeChainCtes: String =
+    s"""$negativesChainCtes,
+        $transeEmbScoreCtes"""
+
+  /** [[graft.ops.Relations.negativesTyped]] twin: the same corruption
+    * machinery with the pool partitioned by the object's MIN semantic
+    * type — per-type dense eids, per-type pool sizes, the same portable
+    * hash mod the TYPE pool. Emits the same `pos`/`neg` CTE names so
+    * [[transeEmbScoreCtes]] composes unchanged. */
+  private def negativesTypedChainCtes: String =
+    s"""pos AS (SELECT DISTINCT url AS subj, 'hasAnnotation' AS pred,
+                       class_iri AS obj FROM direct),
+        semtypes(class_iri, tui) AS (
+          SELECT * FROM (VALUES ${OntologyFixture.tuisValues}) v(a, b)),
+        ot AS (SELECT class_iri AS obj, MIN(tui) AS tui
+               FROM semtypes GROUP BY 1),
+        ents AS (SELECT neg_obj, tui,
+            ROW_NUMBER() OVER (PARTITION BY tui ORDER BY neg_obj) - 1 AS eid
+          FROM (SELECT DISTINCT o.obj AS neg_obj, t.tui
+                FROM (SELECT DISTINCT obj FROM pos) o
+                JOIN ot t ON t.obj = o.obj) z),
+        tsz AS (SELECT tui, COUNT(*) AS n_t FROM ents GROUP BY 1),
+        cand AS (SELECT p.subj, p.pred, p.obj, t.tui,
+            CAST(s.slot AS INT) AS slot,
+            ('0x' || substr(md5(p.subj || '|' || p.pred || '|' || p.obj
+              || '|' || CAST(s.slot AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM pos p JOIN ot t ON t.obj = p.obj,
+               (SELECT unnest(generate_series(0, 1)) AS slot) s),
+        withent AS (SELECT c.subj, c.pred, c.obj, c.slot, e.neg_obj
+          FROM cand c
+          JOIN tsz z ON z.tui = c.tui
+          JOIN ents e ON e.tui = c.tui AND e.eid = c.h % z.n_t
+          WHERE e.neg_obj <> c.obj),
+        neg AS (SELECT w.subj, w.pred, w.obj, w.slot, w.neg_obj
+          FROM withent w LEFT JOIN pos p2
+            ON p2.subj = w.subj AND p2.pred = w.pred AND p2.obj = w.neg_obj
+          WHERE p2.subj IS NULL)"""
+
+  /** kg_transe_rank_typed oracle: the typed negatives chain + the shared
+    * init/score chain + the identical rank rollup. */
+  private def transeRankTypedOracleSql: String = materializeCtes {
+    s"""WITH $dictCte, $directCte,
+        $negativesTypedChainCtes,
+        $transeEmbScoreCtes,
+        rk AS (SELECT subj, pred, obj,
+                 1 + SUM(CASE WHEN sneg <= spos THEN 1 ELSE 0 END) AS rank
+               FROM ps0 GROUP BY 1, 2, 3)
+        SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_pos,
+          ROUND(AVG(CAST(1.0 AS DOUBLE) / rank), 6) AS mrr,
+          ROUND(AVG(CASE WHEN rank = 1 THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST(0.0 AS DOUBLE) END), 6) AS hits1
+        FROM rk GROUP BY pred"""
   }
 
   /** One oracle training epoch `e`: active pairs from `ps{e}`, gradient
@@ -5894,6 +5960,7 @@ object SparkEntry {
       lrAucOracleSql(graft.ops.Classifier.Lr, graft.ops.Classifier.Steps),
 
     "kg_transe_rank" -> transeRankOracleSql(),
+    "kg_transe_rank_typed" -> transeRankTypedOracleSql,
     "kg_transe_rank_trained" -> transeRankOracleSql(epochs = 2),
     "kg_distmult_rank" -> distmultRankOracleSql,
     "kg_complex_rank" -> complexRankOracleSql,

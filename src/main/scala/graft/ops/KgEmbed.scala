@@ -379,6 +379,31 @@ object KgEmbed {
           .as("hits1"))
   }
 
+  /** [[transeRank]] at the init over TYPE-CONSTRAINED corruptions
+    * ([[Relations.negativesTyped]] — same scorer, same protocol, harder
+    * negatives): comparing its per-pred MRR against `kg_transe_rank`'s
+    * untyped reading is the standard "how much of the score is type
+    * discrimination" decomposition. */
+  def transeRankTyped(triples: DataFrame, objTypes: DataFrame): DataFrame = {
+    val pos = triples.select(col("subj"), col("pred"), col("obj"))
+      .distinct().localCheckpoint()
+    val pairs = Relations.negativesTyped(pos, objTypes, NegK)
+      .localCheckpoint()
+    val ents = pos.select(col("subj").as("ent"))
+      .union(pos.select(col("obj").as("ent"))).distinct()
+    val emb = embInit(ents, "ent", "e:")
+    val rel = embInit(pos.select(col("pred")).distinct(), "pred", "r:")
+    pairScores(pairs, emb, rel)
+      .groupBy("subj", "pred", "obj")
+      .agg((lit(1L) + sum(when(col("sneg") <= col("spos"), lit(1L))
+        .otherwise(lit(0L)))).as("rank"))
+      .groupBy("pred")
+      .agg(count(lit(1)).as("n_pos"),
+        round(avg(lit(1.0) / col("rank")), 6).as("mrr"),
+        round(avg(when(col("rank") === 1, lit(1.0)).otherwise(lit(0.0))), 6)
+          .as("hits1"))
+  }
+
   def transeRank(triples: DataFrame, epochs: Int = 0): DataFrame = {
     val (_, pairs, emb0, rel0) = setup(triples)
     var emb = emb0

@@ -593,6 +593,56 @@ object Relations {
         col("neg_obj")) // the USING join fronts its keys; re-pin the order
   }
 
+  /** TYPE-CONSTRAINED corruptions (Krompaß, Baier & Tresp, ISWC 2015) —
+    * [[negatives]] with the pool restricted to entities sharing the true
+    * object's semantic type: the published eval refinement that measures
+    * SEMANTICS rather than type discrimination (an untyped corruption of
+    * a disease object by a random URL is trivially scored away; the
+    * same-type corruption is the hard negative). Policies, all mirrored
+    * by the oracle: multi-typed objects take their MIN type (the
+    * deterministic primary-type rule); positives whose object has no type
+    * row drop (no pool to corrupt within); a single-object type yields no
+    * corruption (self-corruption filtered — there is nothing of that type
+    * to corrupt to).
+    *
+    * Scale shape: [[negatives]]' exactly, with the dense-id window
+    * PARTITIONED by type (ontology-scale frames — bounded windows, and
+    * the per-type pool sizes ride a broadcast); candidate eid = the same
+    * portable hash mod the TYPE pool size. */
+  def negativesTyped(triples: DataFrame, objTypes: DataFrame,
+                     k: Int = 2): DataFrame = {
+    require(k >= 1, s"negatives per positive must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val t = triples.select(col("subj"), col("pred"), col("obj"))
+      .localCheckpoint()
+    val ot = objTypes.select(col("obj"), col("tui"))
+      .groupBy("obj").agg(min(col("tui")).as("tui")).localCheckpoint()
+    val ents = t.select(col("obj").as("neg_obj")).distinct()
+      .join(broadcast(ot.select(col("obj").as("neg_obj"), col("tui"))),
+        "neg_obj")
+      .withColumn("eid", row_number().over(
+        Window.partitionBy("tui").orderBy("neg_obj")).cast("long") - 1)
+      .localCheckpoint()
+    val sizes = ents.groupBy("tui").agg(count(lit(1)).as("n_t"))
+    val cand = t
+      .join(broadcast(ot), "obj")
+      .select(col("subj"), col("pred"), col("obj"), col("tui"),
+        explode(array((0 until k).map(lit): _*)).as("slot"))
+      .join(broadcast(sizes), "tui")
+      .withColumn("eid", pmod(Sketch.hash60(
+        concat_ws("|", col("subj"), col("pred"), col("obj"), col("slot"))),
+        col("n_t")))
+      .join(broadcast(ents), Seq("tui", "eid"))
+      .filter(col("neg_obj") =!= col("obj"))
+      .select(col("subj"), col("pred"), col("obj"), col("slot"),
+        col("neg_obj"))
+    cand.join(
+      t.select(col("subj"), col("pred"), col("obj").as("neg_obj")),
+      Seq("subj", "pred", "neg_obj"), "left_anti")
+      .select(col("subj"), col("pred"), col("obj"), col("slot"),
+        col("neg_obj"))
+  }
+
   /** Every Nth token is followed by an injected pronoun in the coref
     * synthesis — SINGLE SOURCE for [[withPronouns]] and its CTE twin. */
   val PronounEvery = 6

@@ -1101,6 +1101,31 @@ class OpsSpec extends AnyFunSuite {
     assert(perPos.values.forall(_ <= 2) && got.nonEmpty)
   }
 
+  test("negativesTyped: every corruption shares the true object's type; " +
+       "single-object types yield none; min-type policy") {
+    import spark.implicits._
+    val pos = Seq(
+      ("d1", "p", "C1"), ("d1", "p", "C2"), ("d2", "p", "C2"),
+      ("d2", "p", "C3"), ("d3", "p", "C4"), ("d4", "p", "C5")
+    ).toDF("subj", "pred", "obj")
+    // C1–C3 share type TA (C2 also TB — min picks TA); C4 alone in TC;
+    // C5 alone in TD
+    val types = Seq(("C1", "TA"), ("C2", "TB"), ("C2", "TA"), ("C3", "TA"),
+      ("C4", "TC"), ("C5", "TD")).toDF("obj", "tui")
+    val typeOf = Map("C1" -> "TA", "C2" -> "TA", "C3" -> "TA",
+      "C4" -> "TC", "C5" -> "TD")
+    val got = Relations.negativesTyped(pos, types, k = 2).collect()
+      .map(r => (r.getString(0), r.getString(2), r.getString(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (s, o, neg) =>
+      assert(typeOf(neg) === typeOf(o),
+        s"cross-type corruption survived: $o → $neg")
+      assert(neg !== o)
+    }
+    // the singleton-type positives (C4, C5) can only self-corrupt → none
+    assert(!got.exists(t => t._2 == "C4" || t._2 == "C5"))
+  }
+
   test("acronyms: initials must spell the abbreviation; counts are per-doc") {
     import spark.implicits._
     val docs = Seq(
