@@ -3285,6 +3285,17 @@ object SparkEntry {
       graft.graph.KgGraph.shortestPaths(edges, seeds, maxDepth = 4)
     }),
 
+    // targeted-attack robustness curve (Albert, Jeong & Barabási, Nature
+    // 2000): remove the top-k in-degree hubs (k = 0/5/10), re-run
+    // connected components, report the giant-component fraction — the
+    // web-graph release stat that says how hub-dependent connectivity is.
+    // The hub list is QUERY INPUT (top-10 collect, the PPR seed
+    // contract); each k is one star-contraction run over the hub-filtered
+    // edge set; isolated survivors count as singletons
+    "web_robustness" -> ((s, dir) =>
+      graft.graph.KgGraph.attackRobustness(LinkGraph.pageEdges(
+        LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))))),
+
     // landmark distance estimation audit (Potamias 2009 — the production
     // pairwise-distance path at 10^12 nodes): per-(source, node) exact
     // bounded-depth distance vs min_l d(s,l)+d(l,v) upper bound + stretch;
@@ -9237,6 +9248,46 @@ object SparkEntry {
 
     "web_shortest_paths" -> shortestPathsOracleSql(depth = 4),
     "web_landmark_dist" -> landmarkOracleSql(depth = 4),
+
+    // per k: hub removal by the same (in-degree desc, node) rank, the
+    // recursive reach closure, min-label components, giant fraction
+    "web_robustness" -> {
+      val per = Seq(0, 5, 10).map { k =>
+        s"""rem$k AS (SELECT node FROM hubs WHERE rn <= $k),
+            undk$k AS (SELECT a, b FROM und
+               WHERE a NOT IN (SELECT node FROM rem$k)
+                 AND b NOT IN (SELECT node FROM rem$k)),
+            reach$k(a, b) AS (SELECT a, b FROM undk$k
+               UNION
+               SELECT r.a, u.b FROM reach$k r JOIN undk$k u ON r.b = u.a),
+            comp$k AS (SELECT a, LEAST(a, MIN(b)) AS component
+                       FROM reach$k GROUP BY a),
+            giant$k AS (SELECT COALESCE(MAX(c), 1) AS g FROM
+               (SELECT COUNT(*) AS c FROM comp$k GROUP BY component) z),
+            nleft$k AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
+               WHERE node NOT IN (SELECT node FROM rem$k))"""
+      }.mkString(",\n")
+      val rows = Seq(0, 5, 10).map { k =>
+        s"""SELECT $k AS k_removed, (SELECT n FROM nleft$k) AS n_nodes,
+              CAST((SELECT g FROM giant$k) AS BIGINT) AS giant_size,
+              ROUND(CAST((SELECT g FROM giant$k) AS DOUBLE)
+                / (SELECT n FROM nleft$k), 6) AS giant_frac"""
+      }.mkString(" UNION ALL ")
+      s"""WITH RECURSIVE ${graft.ops.LinkGraph.linksCteSql},
+          pe AS (SELECT DISTINCT
+                   ${graft.ops.WebOps.canonUrlSqlOf("src_url")} AS src,
+                   dst_url AS dst FROM lnk),
+          nodes AS (SELECT DISTINCT node FROM
+            (SELECT src AS node FROM pe UNION ALL SELECT dst FROM pe) u),
+          und AS (SELECT src AS a, dst AS b FROM pe
+                  UNION SELECT dst, src FROM pe),
+          ind AS (SELECT dst AS node, COUNT(*) AS deg FROM pe GROUP BY 1),
+          hubs AS (SELECT node,
+                     ROW_NUMBER() OVER (ORDER BY deg DESC, node) AS rn
+                   FROM ind),
+          $per
+          $rows"""
+    },
 
     "web_harmonic" -> harmonicOracleSql(depth = 4),
 

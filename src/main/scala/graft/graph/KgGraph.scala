@@ -1668,6 +1668,54 @@ object KgGraph {
       .select(col("a").as("class_iri"), col("core_degree"))
   }
 
+  /** Targeted-attack robustness curve (Albert, Jeong & Barabási, Nature
+    * 2000 "Error and attack tolerance of complex networks"): remove the
+    * top-k in-degree hubs for each k in `ks`, re-run
+    * [[connectedComponents]], report the giant-component fraction of the
+    * surviving nodes — the release stat that says how hub-dependent a
+    * crawl graph's connectivity is (a scale-free graph survives random
+    * failure but shatters under targeted attack; the curve's slope IS
+    * that signature).
+    *
+    * The hub list is driver-collected (top-`maxK`, the PPR-seed query-
+    * input contract — tiny by definition); each k is one star-contraction
+    * run over the hub-filtered edge set; isolated survivors count as
+    * singleton components (giant falls back to 1 if no edges remain).
+    * The per-k results are 1-row scalars assembled into a literal frame
+    * — three graph jobs, no corpus-side collect. */
+  def attackRobustness(edges: DataFrame, ks: Seq[Int] = Seq(0, 5, 10)):
+      DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val hubs = e.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("node")).limit(ks.max)
+      .collect().map(_.getString(0)).toSeq
+    val rows = ks.map { k =>
+      val removed = hubs.take(k)
+      val nLeft =
+        if (k == 0) nodes.count()
+        else nodes.filter(!col("node").isin(removed: _*)).count()
+      val keptEdges =
+        if (k == 0) e
+        else e.filter(!col("src").isin(removed: _*) &&
+          !col("dst").isin(removed: _*))
+      val giant =
+        if (keptEdges.isEmpty) 1L
+        else connectedComponents(keptEdges)
+          .groupBy("component").agg(count(lit(1)).as("sz"))
+          .agg(max(col("sz"))).first().getLong(0)
+      (k, nLeft, giant)
+    }
+    rows.toDF("k_removed", "n_nodes", "giant_size")
+      .select(col("k_removed"), col("n_nodes"), col("giant_size"),
+        round(col("giant_size").cast("double") / col("n_nodes"), 6)
+          .as("giant_frac"))
+  }
+
   /** FULL coreness decomposition (every node's core number in one job —
     * [[kcore]] answers one k) via h-index iteration: c₀ = degree,
     * c_{t+1}(v) = H-index of {c_t(u) : u ∈ N(v)}; the fixpoint is exactly

@@ -1178,6 +1178,20 @@ class KgGraphSpec extends AnyFunSuite {
       trivial.head.isNullAt(4))
   }
 
+  test("attackRobustness: hand-checked hub removal — the star shatters, " +
+       "the pair survives") {
+    import spark.implicits._
+    // star into h (in-degree 3) + a detached pair x→y
+    val e = Seq(("a", "h"), ("b", "h"), ("c", "h"), ("x", "y"))
+      .toDF("src", "dst")
+    val got = KgGraph.attackRobustness(e, ks = Seq(0, 1)).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // k=0: giant {a,b,c,h} of 6 nodes; k=1 removes h (top in-degree) →
+    // a/b/c isolate, the giant is {x,y} of the 5 left
+    assert(got === Map(0 -> ((6L, 4L, 0.666667)), 1 -> ((5L, 2L, 0.4))))
+  }
+
   test("landmarkDistances: hand-checked stretch, the d(l,l)=0 leg, and " +
        "the no-landmark-path null") {
     import spark.implicits._
