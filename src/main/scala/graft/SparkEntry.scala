@@ -3296,6 +3296,21 @@ object SparkEntry {
       graft.graph.KgGraph.attackRobustness(LinkGraph.pageEdges(
         LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))))),
 
+    // the AJB FAILURE curve: the same protocol with hash-ordered (i.e.
+    // deterministic-uniform) removal — the attack-vs-failure gap is the
+    // scale-free signature, read next to web_robustness
+    "web_robustness_random" -> ((s, dir) =>
+      graft.graph.KgGraph.attackRobustness(LinkGraph.pageEdges(
+        LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))),
+        random = true)),
+
+    // rich-club coefficient curve (Colizza 2006): edge density among
+    // nodes of degree > k for k = 1/2/4/8 — do hubs preferentially
+    // interlink; one degree agg + broadcast thresholds, exact counts
+    "web_rich_club" -> ((s, dir) =>
+      graft.graph.KgGraph.richClub(LinkGraph.pageEdges(
+        LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))))),
+
     // landmark distance estimation audit (Potamias 2009 — the production
     // pairwise-distance path at 10^12 nodes): per-(source, node) exact
     // bounded-depth distance vs min_l d(s,l)+d(l,v) upper bound + stretch;
@@ -4866,6 +4881,53 @@ object SparkEntry {
           END AS stretch
         FROM base b
         LEFT JOIN est e ON e.src = b.src AND e.node = b.node"""
+  }
+
+  /** [[graft.graph.KgGraph.attackRobustness]] twin, shared by the attack
+    * (in-degree rank) and failure (portable-hash rank) curves. */
+  private def robustnessOracleSql(random: Boolean): String = {
+    val hubsCte =
+      if (random)
+        s"""hubs AS (SELECT node, ROW_NUMBER() OVER (ORDER BY
+              ('0x' || substr(md5(node), 1, 15))::BIGINT, node) AS rn
+            FROM nodes)"""
+      else
+        """hubs AS (SELECT node,
+              ROW_NUMBER() OVER (ORDER BY deg DESC, node) AS rn
+            FROM ind)"""
+    val per = Seq(0, 5, 10).map { k =>
+      s"""rem$k AS (SELECT node FROM hubs WHERE rn <= $k),
+          undk$k AS (SELECT a, b FROM und
+             WHERE a NOT IN (SELECT node FROM rem$k)
+               AND b NOT IN (SELECT node FROM rem$k)),
+          reach$k(a, b) AS (SELECT a, b FROM undk$k
+             UNION
+             SELECT r.a, u.b FROM reach$k r JOIN undk$k u ON r.b = u.a),
+          comp$k AS (SELECT a, LEAST(a, MIN(b)) AS component
+                     FROM reach$k GROUP BY a),
+          giant$k AS (SELECT COALESCE(MAX(c), 1) AS g FROM
+             (SELECT COUNT(*) AS c FROM comp$k GROUP BY component) z),
+          nleft$k AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
+             WHERE node NOT IN (SELECT node FROM rem$k))"""
+    }.mkString(",\n")
+    val rows = Seq(0, 5, 10).map { k =>
+      s"""SELECT $k AS k_removed, (SELECT n FROM nleft$k) AS n_nodes,
+            CAST((SELECT g FROM giant$k) AS BIGINT) AS giant_size,
+            ROUND(CAST((SELECT g FROM giant$k) AS DOUBLE)
+              / (SELECT n FROM nleft$k), 6) AS giant_frac"""
+    }.mkString(" UNION ALL ")
+    s"""WITH RECURSIVE ${graft.ops.LinkGraph.linksCteSql},
+        pe AS (SELECT DISTINCT
+                 ${graft.ops.WebOps.canonUrlSqlOf("src_url")} AS src,
+                 dst_url AS dst FROM lnk),
+        nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM pe UNION ALL SELECT dst FROM pe) u),
+        und AS (SELECT src AS a, dst AS b FROM pe
+                UNION SELECT dst, src FROM pe),
+        ind AS (SELECT dst AS node, COUNT(*) AS deg FROM pe GROUP BY 1),
+        $hubsCte,
+        $per
+        $rows"""
   }
 
   /** One oracle for BOTH domain-quota plans (single-window and two-phase). */
@@ -9251,43 +9313,40 @@ object SparkEntry {
 
     // per k: hub removal by the same (in-degree desc, node) rank, the
     // recursive reach closure, min-label components, giant fraction
-    "web_robustness" -> {
-      val per = Seq(0, 5, 10).map { k =>
-        s"""rem$k AS (SELECT node FROM hubs WHERE rn <= $k),
-            undk$k AS (SELECT a, b FROM und
-               WHERE a NOT IN (SELECT node FROM rem$k)
-                 AND b NOT IN (SELECT node FROM rem$k)),
-            reach$k(a, b) AS (SELECT a, b FROM undk$k
-               UNION
-               SELECT r.a, u.b FROM reach$k r JOIN undk$k u ON r.b = u.a),
-            comp$k AS (SELECT a, LEAST(a, MIN(b)) AS component
-                       FROM reach$k GROUP BY a),
-            giant$k AS (SELECT COALESCE(MAX(c), 1) AS g FROM
-               (SELECT COUNT(*) AS c FROM comp$k GROUP BY component) z),
-            nleft$k AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
-               WHERE node NOT IN (SELECT node FROM rem$k))"""
-      }.mkString(",\n")
-      val rows = Seq(0, 5, 10).map { k =>
-        s"""SELECT $k AS k_removed, (SELECT n FROM nleft$k) AS n_nodes,
-              CAST((SELECT g FROM giant$k) AS BIGINT) AS giant_size,
-              ROUND(CAST((SELECT g FROM giant$k) AS DOUBLE)
-                / (SELECT n FROM nleft$k), 6) AS giant_frac"""
-      }.mkString(" UNION ALL ")
-      s"""WITH RECURSIVE ${graft.ops.LinkGraph.linksCteSql},
+    "web_robustness" -> robustnessOracleSql(random = false),
+    // the failure curve: same chain, removal by the portable hash order
+    "web_robustness_random" -> robustnessOracleSql(random = true),
+
+    // one degree agg over the canonical undirected set, thresholds as a
+    // literal CTE crossed in — per-k conditional counts in one pass
+    "web_rich_club" ->
+      s"""WITH ${graft.ops.LinkGraph.linksCteSql},
           pe AS (SELECT DISTINCT
                    ${graft.ops.WebOps.canonUrlSqlOf("src_url")} AS src,
                    dst_url AS dst FROM lnk),
-          nodes AS (SELECT DISTINCT node FROM
-            (SELECT src AS node FROM pe UNION ALL SELECT dst FROM pe) u),
-          und AS (SELECT src AS a, dst AS b FROM pe
-                  UNION SELECT dst, src FROM pe),
-          ind AS (SELECT dst AS node, COUNT(*) AS deg FROM pe GROUP BY 1),
-          hubs AS (SELECT node,
-                     ROW_NUMBER() OVER (ORDER BY deg DESC, node) AS rn
-                   FROM ind),
-          $per
-          $rows"""
-    },
+          ce AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                   GREATEST(src, dst) AS b FROM pe WHERE src <> dst),
+          deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+                    (SELECT a AS node FROM ce
+                     UNION ALL SELECT b FROM ce) u GROUP BY 1),
+          thr AS (SELECT unnest([1, 2, 4, 8]) AS k),
+          nk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_nodes
+                 FROM deg, thr WHERE deg > k GROUP BY 1),
+          ek AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_edges
+                 FROM ce
+                 JOIN deg da ON da.node = ce.a
+                 JOIN deg db ON db.node = ce.b
+                 CROSS JOIN thr
+                 WHERE LEAST(da.deg, db.deg) > k GROUP BY 1)
+          SELECT t.k, COALESCE(nk.n_nodes, 0) AS n_nodes,
+            COALESCE(ek.n_edges, 0) AS n_edges,
+            CASE WHEN COALESCE(nk.n_nodes, 0) < 2 THEN NULL
+                 ELSE ROUND(CAST(2.0 AS DOUBLE) * COALESCE(ek.n_edges, 0)
+                   / CAST(nk.n_nodes * (nk.n_nodes - 1) AS DOUBLE), 6)
+            END AS phi
+          FROM thr t
+          LEFT JOIN nk ON nk.k = t.k
+          LEFT JOIN ek ON ek.k = t.k""",
 
     "web_harmonic" -> harmonicOracleSql(depth = 4),
 

@@ -1683,16 +1683,23 @@ object KgGraph {
     * singleton components (giant falls back to 1 if no edges remain).
     * The per-k results are 1-row scalars assembled into a literal frame
     * — three graph jobs, no corpus-side collect. */
-  def attackRobustness(edges: DataFrame, ks: Seq[Int] = Seq(0, 5, 10)):
-      DataFrame = {
+  def attackRobustness(edges: DataFrame, ks: Seq[Int] = Seq(0, 5, 10),
+                       random: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct().localCheckpoint()
-    val hubs = e.groupBy(col("dst").as("node"))
-      .agg(count(lit(1)).as("deg"))
-      .orderBy(col("deg").desc, col("node")).limit(ks.max)
+    // random = the paper's FAILURE curve: removal order by the portable
+    // md5 hash (a deterministic uniform draw) instead of in-degree — the
+    // attack-vs-failure GAP is the scale-free signature
+    val hubs = (if (random)
+      nodes.orderBy(graft.ops.Sketch.hash60(col("node")), col("node"))
+    else
+      e.groupBy(col("dst").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .orderBy(col("deg").desc, col("node")))
+      .limit(ks.max)
       .collect().map(_.getString(0)).toSeq
     val rows = ks.map { k =>
       val removed = hubs.take(k)
@@ -1714,6 +1721,48 @@ object KgGraph {
       .select(col("k_removed"), col("n_nodes"), col("giant_size"),
         round(col("giant_size").cast("double") / col("n_nodes"), 6)
           .as("giant_frac"))
+  }
+
+  /** Rich-club coefficient curve (Colizza, Flammini, Serrano & Vespignani,
+    * Nature Physics 2006): for each degree threshold k, the edge density
+    * `φ(k) = 2·E_{>k} / (N_{>k}·(N_{>k}−1))` among nodes of degree > k —
+    * rising φ(k) means hubs preferentially interlink (the rich club), the
+    * mixing-structure card next to [[assortativity]]'s single scalar.
+    * φ is NULL below 2 members (density of a singleton is undefined).
+    *
+    * Exactness: node/edge counts are exact BIGINTs from one canonical
+    * undirected edge set; φ is ONE pinned division per threshold,
+    * ROUND(6). Scale shape: one degree agg, then the thresholds frame
+    * (a literal handful of rows) broadcasts onto the node and edge
+    * tables — each curve point is a conditional count inside ONE pass,
+    * never a per-k job. */
+  def richClub(edges: DataFrame, ks: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = pin(edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    val deg = pin(und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg")))
+    val thr = broadcast(ks.toDF("k"))
+    val nK = deg.crossJoin(thr).filter(col("deg") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+    val eK = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .crossJoin(thr)
+      .filter(least(col("da"), col("db")) > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_edges"))
+    thr.join(nK, Seq("k"), "left").join(eK, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        when(coalesce(col("n_nodes"), lit(0L)) < 2L,
+          lit(null).cast("double"))
+          .otherwise(round(lit(2.0) * coalesce(col("n_edges"), lit(0L)) /
+            (col("n_nodes") * (col("n_nodes") - lit(1L))).cast("double"), 6))
+          .as("phi"))
   }
 
   /** FULL coreness decomposition (every node's core number in one job —

@@ -1192,6 +1192,32 @@ class KgGraphSpec extends AnyFunSuite {
     assert(got === Map(0 -> ((6L, 4L, 0.666667)), 1 -> ((5L, 2L, 0.4))))
   }
 
+  test("attackRobustness random: hash-ordered removal, hand-derived " +
+       "expectation; richClub: triangle+pendant hand values") {
+    import spark.implicits._
+    val e = Seq(("a", "h"), ("b", "h"), ("c", "h"), ("x", "y"))
+      .toDF("src", "dst")
+    val nodes = Seq("a", "b", "c", "h", "x", "y")
+    val removed = nodes.minBy(n => (graft.ops.Sketch.hash60Scalar(n), n))
+    val expGiant = removed match {
+      case "h" => 2L                 // star shatters, pair survives
+      case "x" | "y" => 4L           // star survives whole
+      case _ => 3L                   // one leaf gone, star of 3 remains
+    }
+    val got = KgGraph.attackRobustness(e, ks = Seq(0, 1), random = true)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(0) === ((6L, 4L)))
+    assert(got(1) === ((5L, expGiant)), s"removed=$removed")
+    // rich club: triangle {a,b,c} + pendant c—d → degrees 2/2/3/1;
+    // k=1 club {a,b,c} is the complete triangle (phi 1.0); k=2 club {c}
+    // is a singleton → NULL
+    val rc = KgGraph.richClub(Seq(("a", "b"), ("a", "c"), ("b", "c"),
+        ("c", "d")).toDF("src", "dst"), ks = Seq(1, 2)).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toMap
+    assert(rc === Map(1 -> ((3L, 3L, 1.0)), 2 -> ((1L, 0L, -1.0))))
+  }
+
   test("landmarkDistances: hand-checked stretch, the d(l,l)=0 leg, and " +
        "the no-landmark-path null") {
     import spark.implicits._
