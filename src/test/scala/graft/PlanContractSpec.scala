@@ -249,4 +249,35 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!pc.contains("CartesianProduct"), pc)
     assert(!pc.contains("BroadcastNestedLoopJoin"), pc)
   }
+
+  test("sketch_ams: one corpus-side explode + bounded hash aggs — the " +
+       "only join is the 1-row exact/estimate assembly") {
+    val p = plan("sketch_ams")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("sketch_hll_overlap: register joins are equi; the only pair " +
+       "enumeration rides the tiny group list") {
+    val p = plan("sketch_hll_overlap")
+    // groups² pair frame may plan as one bounded cartesian of two
+    // ≤|groups|-row lists — anything on data-scale rows is the regression
+    assert(p.split("\n").count(_.contains("CartesianProduct")) <= 1, p)
+    assert(p.split("\n").count(_.contains("BroadcastHashJoin")) >= 2, p)
+  }
+
+  test("web_rich_club: thresholds attach as broadcast nested loops over " +
+       "a literal handful of rows — no cartesian, no per-k jobs") {
+    val p = plan("web_rich_club")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("kg_rank_corr + web_landmark_dist: keyed joins only — no " +
+       "cartesian anywhere") {
+    val pr = plan("kg_rank_corr")
+    assert(!pr.contains("CartesianProduct"), pr)
+    val pl = plan("web_landmark_dist")
+    assert(!pl.contains("CartesianProduct"), pl)
+    assert(!pl.contains("BroadcastNestedLoopJoin"), pl)
+  }
 }
