@@ -1047,7 +1047,7 @@ object SparkEntry {
         .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
         .select(col("event_type"),
           explode(sequence(col("h0"), col("h1"),
-            expr("INTERVAL 1 HOUR"))).as("hour"))
+            expr("INTERVAL 1 DAY"))).as("hour"))
       val hourly = grid.join(counts, Seq("event_type", "hour"), "left")
         .select(col("event_type"), col("hour"),
           coalesce(col("n"), lit(0L)).as("n"))
@@ -2260,6 +2260,52 @@ object SparkEntry {
           round(lit(1.0) - lit(6.0) * col("sum_d2") /
             (col("n") * (col("n") * col("n") - lit(1L))).cast("double"), 6)
             .as("spearman_rho"))
+    }),
+
+    // ordered conversion funnel view → click → purchase (the event-
+    // analytics staple): step k's cohort = users whose FIRST qualifying
+    // step-k event follows their step-(k−1) entry time WITHIN the 1-day
+    // conversion window (unwindowed, a 30-day dense event stream converts
+    // everyone — the window makes it a measurement) — three user-keyed
+    // min-aggs chained by joins (never a per-user event sort); the 3-row
+    // step frame carries the lag conversion ratio
+    "q_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 1 DAY"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("ts") > col("t2") &&
+          col("ts") <= col("t2") + expr("INTERVAL 1 DAY"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      def cnt(df: DataFrame, step: Int, name: String) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(step).as("step"), lit(name).as("event_type"),
+            col("n_users"))
+      cnt(s1, 1, "view").unionByName(cnt(s2, 2, "click"))
+        .unionByName(cnt(s3, 3, "purchase"))
+        .select(col("step"), col("event_type"), col("n_users"),
+          round(col("n_users").cast("double") /
+            lag(col("n_users"), 1).over(Window.orderBy("step")), 6)
+            .as("conv_from_prev"))
+    }),
+
+    // retention cohort matrix: cohort = the user's first active DATE,
+    // cells = distinct users active at each day offset — two aggs and a
+    // broadcast-joinable first-day table; the matrix is days²-bounded
+    "q_retention" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val first = ev.groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("cohort"))
+      ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .join(first, "user_id")
+        .groupBy(col("cohort"),
+          datediff(col("day"), col("cohort")).as("day_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
     }),
 
     // count-min frequency sketch: d×w counter matrix (a few KB at ANY
@@ -7965,6 +8011,42 @@ object SparkEntry {
     // recursive CTEs — the Spark side's empty-frontier fixpoint must land
     // on exactly this transitive closure
     "web_coreness" -> corenessOracleSql(iters = 30),
+
+    // the same chained min-agg funnel; conversion via LAG over the 3-row
+    // step frame
+    "q_funnel" ->
+      """WITH fs1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                      WHERE event_type = 'view' GROUP BY 1),
+          fs2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+                  JOIN fs1 ON fs1.user_id = e.user_id
+                  WHERE e.event_type = 'click' AND e.ts > fs1.t1
+                    AND e.ts <= fs1.t1 + INTERVAL 1 DAY GROUP BY 1),
+          fs3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+                  JOIN fs2 ON fs2.user_id = e.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts > fs2.t2
+                    AND e.ts <= fs2.t2 + INTERVAL 1 DAY
+                  GROUP BY 1),
+          steps AS (SELECT 1 AS step, 'view' AS event_type,
+                      CAST((SELECT COUNT(*) FROM fs1) AS BIGINT) AS n_users
+                    UNION ALL SELECT 2, 'click',
+                      CAST((SELECT COUNT(*) FROM fs2) AS BIGINT)
+                    UNION ALL SELECT 3, 'purchase',
+                      CAST((SELECT COUNT(*) FROM fs3) AS BIGINT))
+          SELECT step, event_type, n_users,
+            ROUND(CAST(n_users AS DOUBLE)
+              / LAG(n_users) OVER (ORDER BY step), 6) AS conv_from_prev
+          FROM steps""",
+
+    // first-active-date cohorts × day offsets, distinct-user cells
+    "q_retention" ->
+      """WITH fd AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+                     FROM events GROUP BY 1),
+          act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                  FROM events)
+          SELECT fd.cohort, CAST(act.day - fd.cohort AS INT) AS day_offset,
+            CAST(COUNT(DISTINCT act.user_id) AS BIGINT) AS n_users
+          FROM act JOIN fd ON fd.user_id = act.user_id
+          GROUP BY 1, 2""",
 
     // HLL register merge twin: same register chain as sketch_hll grouped
     // per event type, pair unions by (pair, bucket) MAX, the shared
