@@ -2262,6 +2262,47 @@ object SparkEntry {
             .as("spearman_rho"))
     }),
 
+    // shard-rebalance preview (the consistent-hashing pitch QUANTIFIED,
+    // Karger 1997): fraction of keys that MOVE when 32 shards become 33
+    // under (a) mod placement and (b) a 8-vnode hash ring — ~P/(P+1)
+    // vs ~1/(P+1); the layout decision read before resharding a 100 TB
+    // store. Ring assignment = argmin over the broadcast 264-row vnode
+    // table (successor-with-wrap as a (flag, hash, shard) struct-min —
+    // never a sort per key)
+    "q_shard_rebalance" -> ((s, dir) => {
+      import s.implicits._
+      val keys = docsTable(s, dir).select(col("doc_id"),
+        Sketch.hash60(concat(lit("k|"), col("doc_id").cast("string")))
+          .as("kh")).localCheckpoint()
+      def assign(p: Int, out: String) = {
+        val vn = broadcast(
+          (for { sh <- 0 until p; v <- 0 until 8 } yield (sh, v))
+            .toDF("shard", "v")
+            .select(col("shard"), Sketch.hash60(concat(lit("vn|"),
+              col("shard").cast("string"), lit("|"),
+              col("v").cast("string"))).as("h")))
+        keys.crossJoin(vn)
+          .select(col("doc_id"),
+            when(col("h") >= col("kh"), lit(0)).otherwise(lit(1)).as("flag"),
+            col("h"), col("shard"))
+          .groupBy("doc_id")
+          .agg(min(struct(col("flag"), col("h"), col("shard"))).as("m"))
+          .select(col("doc_id"), col("m.shard").as(out))
+      }
+      val ring = assign(32, "s32").join(assign(33, "s33"), "doc_id")
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("s32") =!= col("s33"), lit(1L)).otherwise(lit(0L)))
+            .as("n_moved"))
+      val mod = keys.agg(count(lit(1)).as("n_keys"),
+        sum(when(pmod(col("kh"), lit(32L)) =!= pmod(col("kh"), lit(33L)),
+          lit(1L)).otherwise(lit(0L))).as("n_moved"))
+      def shaped(df: DataFrame, scheme: String) = df.select(
+        lit(scheme).as("scheme"), col("n_keys"), col("n_moved"),
+        round(col("n_moved").cast("double") / col("n_keys"), 6)
+          .as("moved_frac"))
+      shaped(mod, "mod").unionByName(shaped(ring, "ring"))
+    }),
+
     // ordered conversion funnel view → click → purchase (the event-
     // analytics staple): step k's cohort = users whose FIRST qualifying
     // step-k event follows their step-(k−1) entry time WITHIN the 1-day
@@ -8011,6 +8052,47 @@ object SparkEntry {
     // recursive CTEs — the Spark side's empty-frontier fixpoint must land
     // on exactly this transitive closure
     "web_coreness" -> corenessOracleSql(iters = 30),
+
+    // successor-with-wrap ring assignment as the same (flag, h, shard)
+    // argmin; the 33-shard vnode pool filtered to < 32 IS the 32-shard
+    // pool (same hashes)
+    "q_shard_rebalance" ->
+      """WITH ks AS (SELECT doc_id,
+             ('0x' || substr(md5('k|' || CAST(doc_id AS VARCHAR)), 1, 15))
+               ::BIGINT AS kh
+           FROM documents),
+          vn AS (SELECT s.s AS shard,
+             ('0x' || substr(md5('vn|' || CAST(s.s AS VARCHAR) || '|'
+                || CAST(v.v AS VARCHAR)), 1, 15))::BIGINT AS h
+           FROM (SELECT unnest(generate_series(0, 32)) AS s) s,
+                (SELECT unnest(generate_series(0, 7)) AS v) v),
+          a32 AS (SELECT doc_id, shard FROM (
+             SELECT k.doc_id, vn.shard,
+               ROW_NUMBER() OVER (PARTITION BY k.doc_id ORDER BY
+                 CASE WHEN vn.h >= k.kh THEN 0 ELSE 1 END, vn.h, vn.shard)
+                 AS rn
+             FROM ks k CROSS JOIN vn WHERE vn.shard < 32) z WHERE rn = 1),
+          a33 AS (SELECT doc_id, shard FROM (
+             SELECT k.doc_id, vn.shard,
+               ROW_NUMBER() OVER (PARTITION BY k.doc_id ORDER BY
+                 CASE WHEN vn.h >= k.kh THEN 0 ELSE 1 END, vn.h, vn.shard)
+                 AS rn
+             FROM ks k CROSS JOIN vn) z WHERE rn = 1),
+          ring AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(CASE WHEN a32.shard <> a33.shard THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_moved
+           FROM a32 JOIN a33 USING (doc_id)),
+          md AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(CASE WHEN kh % 32 <> kh % 33 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_moved
+           FROM ks)
+          SELECT 'mod' AS scheme, n_keys, n_moved,
+            ROUND(CAST(n_moved AS DOUBLE) / n_keys, 6) AS moved_frac
+          FROM md
+          UNION ALL
+          SELECT 'ring' AS scheme, n_keys, n_moved,
+            ROUND(CAST(n_moved AS DOUBLE) / n_keys, 6) AS moved_frac
+          FROM ring""",
 
     // the same chained min-agg funnel; conversion via LAG over the 3-row
     // step frame
