@@ -2013,6 +2013,14 @@ object SparkEntry {
         graft.graph.KgGraph.labelPropagation(cooc))
     }),
 
+    // Apriori-pruned frequent concept 3-itemsets (support ≥ 20 % of the
+    // doc universe): candidates from frequent-pair joins (the downward-
+    // closure prune — ontology²-bounded, corpus-free), verified by three
+    // url-keyed joins against the broadcast candidate set
+    "kg_itemsets" -> ((s, dir) =>
+      graft.graph.KgGraph.frequentTriples(
+        matches(s, dir).select("url", "class_iri"))),
+
     // per-community conductance of the post-Louvain-move partition —
     // cut / min(vol, 2m − vol) (Kannan–Vempala–Vetta 2004), the
     // cut-quality complement to kg_modularity's density view (label
@@ -9589,6 +9597,32 @@ object SparkEntry {
 
     "kg_modularity" -> modularityOracleSql(iters = 4),
     "kg_conductance" -> conductanceOracleSql(iters = 4),
+
+    // L2 pairs above the fractional floor → closure-pruned candidate
+    // triples → three url-keyed verification joins; same ceil arithmetic
+    "kg_itemsets" ->
+      s"""WITH $dictCte, $directCte,
+          it AS (SELECT DISTINCT url, class_iri AS c FROM direct),
+          univ AS (SELECT CAST(COUNT(DISTINCT url) AS BIGINT) AS nd FROM it),
+          msup AS (SELECT CAST(CEIL(CAST(0.2 AS DOUBLE) * nd) AS BIGINT)
+                     AS s FROM univ),
+          fp AS (SELECT a.c AS src, b.c AS dst
+                 FROM it a JOIN it b ON a.url = b.url AND a.c < b.c
+                 GROUP BY 1, 2
+                 HAVING COUNT(*) >= (SELECT s FROM msup)),
+          cand AS (SELECT p.src AS a, p.dst AS b, q.dst AS c
+                   FROM fp p JOIN fp q ON q.src = p.dst
+                   WHERE EXISTS (SELECT 1 FROM fp r
+                                 WHERE r.src = p.src AND r.dst = q.dst)),
+          ver AS (SELECT cand.a, cand.b, cand.c,
+                    CAST(COUNT(*) AS BIGINT) AS n_docs
+                  FROM cand
+                  JOIN it ia ON ia.c = cand.a
+                  JOIN it ib ON ib.c = cand.b AND ib.url = ia.url
+                  JOIN it ic ON ic.c = cand.c AND ic.url = ia.url
+                  GROUP BY 1, 2, 3
+                  HAVING COUNT(*) >= (SELECT s FROM msup))
+          SELECT a, b, c, n_docs FROM ver""",
     "kg_louvain_move" -> louvainMoveOracleSql(iters = 4),
 
     // acronym synthesis mirrored, then the miner chain: regex scan, slice

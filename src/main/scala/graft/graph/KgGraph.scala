@@ -58,6 +58,41 @@ object KgGraph {
   def cooccurrence(annotations: DataFrame, maxPerDoc: Int = 1000): DataFrame =
     pairsFromSets(conceptSets(annotations, maxPerDoc))
 
+  /** Apriori-pruned frequent 3-itemsets (Agrawal & Srikant, VLDB 1994 —
+    * the market-basket staple) over per-document concept sets: concept
+    * triples co-annotated in ≥ `minSupFrac` of the (maxPerDoc-capped) doc
+    * universe. [[cooccurrence]] is L2; this is L3 with the Apriori prune
+    * as the SCALE argument: candidates come from joining frequent PAIRS
+    * ((a,b) ⋈ (b,c) with the (a,c) closure semi-join — every subset of a
+    * frequent set is frequent, so nothing outside this join can qualify),
+    * an ontology²-bounded join that never touches the corpus; only then
+    * does verification touch the item stream, via three url-keyed joins
+    * against the BROADCAST candidate set and one (a,b,c) count.
+    *
+    * Support is a FRACTION (the cross-SF-stable form); the integer floor
+    * `ceil(frac · |docs|)` comes from a 1-row driver count (the
+    * PPR-seed-scale action). Exact integer counts throughout. */
+  def frequentTriples(annotations: DataFrame, minSupFrac: Double = 0.2,
+                      maxPerDoc: Int = 1000): DataFrame = {
+    val sets = pin(conceptSets(annotations, maxPerDoc))
+    val minSup = math.ceil(minSupFrac * sets.count()).toLong
+    val items = pin(sets.select(col("url"), explode(col("cs")).as("c")))
+    val fp = pin(pairsFromSets(sets).filter(col("n_docs") >= minSup)
+      .select(col("src"), col("dst")))
+    val cand = fp.select(col("src").as("a"), col("dst").as("b"))
+      .join(fp.select(col("src").as("b"), col("dst").as("c")), "b")
+      .join(fp.select(col("src").as("a"), col("dst").as("c")),
+        Seq("a", "c"), "left_semi")
+      .select(col("a"), col("b"), col("c"))
+    items.select(col("url"), col("c").as("a"))
+      .join(broadcast(cand), "a")
+      .join(items.select(col("url"), col("c").as("b")), Seq("url", "b"))
+      .join(items.select(col("url"), col("c").as("c")), Seq("url", "c"))
+      .groupBy("a", "b", "c").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minSup)
+      .select(col("a"), col("b"), col("c"), col("n_docs"))
+  }
+
   /** Jaccard-normalized co-occurrence: edge weight = |docs(a) ∩ docs(b)| /
     * |docs(a) ∪ docs(b)| — strips raw-frequency bias from the edge weights
     * (two rare concepts always together outrank two frequent ones that

@@ -1192,6 +1192,23 @@ class KgGraphSpec extends AnyFunSuite {
     assert(got === Map(0 -> ((6L, 4L, 0.666667)), 1 -> ((5L, 2L, 0.4))))
   }
 
+  test("frequentTriples: hand-checked Apriori — closure-pruned candidates, " +
+       "fractional support floor") {
+    import spark.implicits._
+    val ann = Seq(
+      ("d1", "a"), ("d1", "b"), ("d1", "c"),
+      ("d2", "a"), ("d2", "b"), ("d2", "c"),
+      ("d3", "a"), ("d3", "b"), ("d3", "d"),
+      ("d4", "e")).toDF("url", "class_iri")
+    // universe 4 docs, minSup = ceil(0.5·4) = 2: pairs ab(3) ac(2) bc(2)
+    // qualify, ad/bd(1) don't → the only closure-complete candidate is
+    // (a,b,c), supported by d1/d2
+    val got = KgGraph.frequentTriples(ann, minSupFrac = 0.5).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(got.toSeq === Seq(("a", "b", "c", 2L)))
+  }
+
   test("attackRobustness random: hash-ordered removal, hand-derived " +
        "expectation; richClub: triangle+pendant hand values") {
     import spark.implicits._
