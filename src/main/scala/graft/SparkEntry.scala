@@ -1047,7 +1047,7 @@ object SparkEntry {
         .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
         .select(col("event_type"),
           explode(sequence(col("h0"), col("h1"),
-            expr("INTERVAL 1 DAY"))).as("hour"))
+            expr("INTERVAL 1 HOUR"))).as("hour"))
       val hourly = grid.join(counts, Seq("event_type", "hour"), "left")
         .select(col("event_type"), col("hour"),
           coalesce(col("n"), lit(0L)).as("n"))
@@ -2019,6 +2019,13 @@ object SparkEntry {
     // url-keyed joins against the broadcast candidate set
     "kg_itemsets" -> ((s, dir) =>
       graft.graph.KgGraph.frequentTriples(
+        matches(s, dir).select("url", "class_iri"))),
+
+    // association rules from the frequent triples: pair→item confidence
+    // and lift (two pinned divisions over exact supports), kept ≥ 0.8 —
+    // the kg_itemsets follow-on every market-basket deployment ships
+    "kg_assoc_rules" -> ((s, dir) =>
+      graft.graph.KgGraph.associationRules(
         matches(s, dir).select("url", "class_iri"))),
 
     // per-community conductance of the post-Louvain-move partition —
@@ -9623,6 +9630,55 @@ object SparkEntry {
                   GROUP BY 1, 2, 3
                   HAVING COUNT(*) >= (SELECT s FROM msup))
           SELECT a, b, c, n_docs FROM ver""",
+
+    // the itemsets chain + pair/item support joins; confidence and lift
+    // as the same two pinned divisions, raw-double minConf filter
+    "kg_assoc_rules" ->
+      s"""WITH $dictCte, $directCte,
+          it AS (SELECT DISTINCT url, class_iri AS c FROM direct),
+          univ AS (SELECT CAST(COUNT(DISTINCT url) AS BIGINT) AS nd FROM it),
+          msup AS (SELECT CAST(CEIL(CAST(0.2 AS DOUBLE) * nd) AS BIGINT)
+                     AS s FROM univ),
+          sup1 AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n1
+                   FROM it GROUP BY 1),
+          sup2 AS (SELECT a.c AS src, b.c AS dst,
+                     CAST(COUNT(*) AS BIGINT) AS n2
+                   FROM it a JOIN it b ON a.url = b.url AND a.c < b.c
+                   GROUP BY 1, 2),
+          fp AS (SELECT src, dst FROM sup2
+                 WHERE n2 >= (SELECT s FROM msup)),
+          cand AS (SELECT p.src AS a, p.dst AS b, q.dst AS c
+                   FROM fp p JOIN fp q ON q.src = p.dst
+                   WHERE EXISTS (SELECT 1 FROM fp r
+                                 WHERE r.src = p.src AND r.dst = q.dst)),
+          ver AS (SELECT cand.a, cand.b, cand.c,
+                    CAST(COUNT(*) AS BIGINT) AS n3
+                  FROM cand
+                  JOIN it ia ON ia.c = cand.a
+                  JOIN it ib ON ib.c = cand.b AND ib.url = ia.url
+                  JOIN it ic ON ic.c = cand.c AND ic.url = ia.url
+                  GROUP BY 1, 2, 3
+                  HAVING COUNT(*) >= (SELECT s FROM msup)),
+          rules AS (
+            SELECT v.a AS ante1, v.b AS ante2, v.c AS consequent, v.n3,
+              CAST(v.n3 AS DOUBLE) / p.n2 AS confr, s1.n1
+            FROM ver v JOIN sup2 p ON p.src = v.a AND p.dst = v.b
+            JOIN sup1 s1 ON s1.c = v.c
+            UNION ALL
+            SELECT v.a, v.c, v.b, v.n3,
+              CAST(v.n3 AS DOUBLE) / p.n2, s1.n1
+            FROM ver v JOIN sup2 p ON p.src = v.a AND p.dst = v.c
+            JOIN sup1 s1 ON s1.c = v.b
+            UNION ALL
+            SELECT v.b, v.c, v.a, v.n3,
+              CAST(v.n3 AS DOUBLE) / p.n2, s1.n1
+            FROM ver v JOIN sup2 p ON p.src = v.b AND p.dst = v.c
+            JOIN sup1 s1 ON s1.c = v.a)
+          SELECT ante1, ante2, consequent, n3 AS n_docs,
+            ROUND(confr, 6) AS confidence,
+            ROUND(confr * (SELECT CAST(nd AS DOUBLE) FROM univ) / n1, 6)
+              AS lift
+          FROM rules WHERE confr >= CAST(0.8 AS DOUBLE)""",
     "kg_louvain_move" -> louvainMoveOracleSql(iters = 4),
 
     // acronym synthesis mirrored, then the miner chain: regex scan, slice

@@ -93,6 +93,59 @@ object KgGraph {
       .select(col("a"), col("b"), col("c"), col("n_docs"))
   }
 
+  /** Association rules from the frequent 3-itemsets (the
+    * [[frequentTriples]] follow-on every market-basket deployment ships):
+    * for each frequent triple {a,b,c}, the three pair→item rules with
+    * `confidence = sup(abc)/sup(pair)` and
+    * `lift = confidence / (sup(item)/n)` — lift > 1 means the antecedent
+    * pair genuinely raises the consequent's odds (the co-occurrence
+    * signal [[pmi]] gives pairs, one level up). Kept above `minConf`.
+    *
+    * Float contract: confidence and lift are TWO pinned divisions over
+    * exact integer supports (`((n3/n2)·n)/n1` order mirrored by the
+    * oracle), ROUND(6); the minConf filter compares the raw double
+    * identically in both engines. Scale shape: [[frequentTriples]]' chain
+    * plus three joins of the triple table (itemsets-scale) against the
+    * pair/item support tables — nothing new touches the corpus. */
+  def associationRules(annotations: DataFrame, minSupFrac: Double = 0.2,
+                       minConf: Double = 0.8,
+                       maxPerDoc: Int = 1000): DataFrame = {
+    val sets = pin(conceptSets(annotations, maxPerDoc))
+    val n = sets.count()
+    val minSup = math.ceil(minSupFrac * n).toLong
+    val items = pin(sets.select(col("url"), explode(col("cs")).as("c")))
+    val sup1 = pin(items.groupBy("c").agg(count(lit(1)).as("n1")))
+    val sup2 = pin(pairsFromSets(sets)
+      .select(col("src"), col("dst"), col("n_docs").as("n2")))
+    val fp = sup2.filter(col("n2") >= minSup).select("src", "dst")
+    val cand = fp.select(col("src").as("a"), col("dst").as("b"))
+      .join(fp.select(col("src").as("b"), col("dst").as("c")), "b")
+      .join(fp.select(col("src").as("a"), col("dst").as("c")),
+        Seq("a", "c"), "left_semi")
+      .select(col("a"), col("b"), col("c"))
+    val t3 = items.select(col("url"), col("c").as("a"))
+      .join(broadcast(cand), "a")
+      .join(items.select(col("url"), col("c").as("b")), Seq("url", "b"))
+      .join(items.select(col("url"), col("c").as("c")), Seq("url", "c"))
+      .groupBy("a", "b", "c").agg(count(lit(1)).as("n3"))
+      .filter(col("n3") >= minSup)
+    def rule(p1: String, p2: String, cons: String) = t3
+      .join(sup2.select(col("src").as(p1), col("dst").as(p2), col("n2")),
+        Seq(p1, p2))
+      .join(sup1.select(col("c").as(cons), col("n1")), cons)
+      .select(col(p1).as("ante1"), col(p2).as("ante2"),
+        col(cons).as("consequent"), col("n3").as("n_docs"),
+        (col("n3").cast("double") / col("n2")).as("confr"),
+        col("n1"))
+    rule("a", "b", "c")
+      .unionByName(rule("a", "c", "b"))
+      .unionByName(rule("b", "c", "a"))
+      .filter(col("confr") >= minConf)
+      .select(col("ante1"), col("ante2"), col("consequent"), col("n_docs"),
+        round(col("confr"), 6).as("confidence"),
+        round(col("confr") * lit(n.toDouble) / col("n1"), 6).as("lift"))
+  }
+
   /** Jaccard-normalized co-occurrence: edge weight = |docs(a) ∩ docs(b)| /
     * |docs(a) ∪ docs(b)| — strips raw-frequency bias from the edge weights
     * (two rare concepts always together outrank two frequent ones that
