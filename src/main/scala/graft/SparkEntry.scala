@@ -2924,6 +2924,12 @@ object SparkEntry {
     "curate_auc" -> ((s, dir) =>
       graft.ops.Classifier.aucReport(docsTable(s, dir))),
 
+    // Brier score — the probability-quality leg of the classifier triad
+    // (loss: fit, AUC: ordering, Brier: the p a weighted sampler uses);
+    // folded over the AUC score bins, never per-doc
+    "curate_brier" -> ((s, dir) =>
+      graft.ops.Classifier.brierReport(docsTable(s, dir))),
+
     // THE NORTH-RULE GATE AS DATA: per-predicate precision/recall of the
     // engine's triples (automaton scan + distributed expansions) against an
     // INDEPENDENT in-Spark reference-semantics derivation (naive per-term
@@ -5518,6 +5524,27 @@ object SparkEntry {
         FROM cz"""
   }
 
+  /** curate_brier oracle ([[graft.ops.Classifier.brierReport]] twin): the
+    * same binned-z chain, per-bin `pos·(p−1)² + (cnt−pos)·p²` with
+    * p = σ(z) on the rounded z, one division, ROUND(6). */
+  private def lrBrierOracleSql(lr: Double, steps: Int): String =
+    materializeCtes {
+      val nf = graft.ops.Classifier.NFeatures
+      val dp = graft.ops.Classifier.AucBinDp
+      val dot = (0 until nf).map(j => s"w.w$j * f.x$j").mkString(" + ")
+      s"""WITH ${lrDistillChainCtes(lr, steps)},
+          zt AS (SELECT ROUND($dot, $dp) AS z, CAST(f.y AS BIGINT) AS y
+                 FROM f, w$steps w),
+          gz AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(y) AS BIGINT) AS pos
+                 FROM zt GROUP BY z),
+          pb AS (SELECT cnt, pos, 1.0 / (1.0 + exp(-z)) AS p FROM gz)
+          SELECT CAST(SUM(cnt) AS BIGINT) AS n_docs,
+            ROUND(SUM(pos * (p - 1.0) * (p - 1.0) + (cnt - pos) * p * p)
+              / SUM(cnt), 6) AS brier
+          FROM pb"""
+    }
+
   /** The shared distillation CTE chain (gopher features + `steps` unrolled
     * GD steps), reused by the curate_lr_distill and curate_auc oracles —
     * ends with per-step metrics `m0..m{steps}` and weights `w0..w{steps}`. */
@@ -6154,6 +6181,8 @@ object SparkEntry {
       lrDistillOracleSql(graft.ops.Classifier.Lr, graft.ops.Classifier.Steps),
     "curate_auc" ->
       lrAucOracleSql(graft.ops.Classifier.Lr, graft.ops.Classifier.Steps),
+    "curate_brier" ->
+      lrBrierOracleSql(graft.ops.Classifier.Lr, graft.ops.Classifier.Steps),
 
     "kg_transe_rank" -> transeRankOracleSql(),
     "kg_transe_rank_typed" -> transeRankTypedOracleSql,

@@ -120,6 +120,28 @@ object Classifier {
     * r̄ = (2·cum_below + cnt + 1)/2, folded as integer `numer2 = Σ
     * pos·(2·cum + cnt + 1)` so no fractional rank ever materializes.
     * Output: one row `(n_pos, n_neg, auc)`. */
+  /** Brier score of the distilled classifier — the third leg of the eval
+    * triad (loss curve: fit; AUC: ordering; Brier: PROBABILITY quality,
+    * what a downstream sampler consuming p as a weight actually needs):
+    * `Σ (p − y)² / n` computed over the SAME score bins as [[aucReport]]
+    * — per bin `pos·(p−1)² + (cnt−pos)·p²`, so the fold runs over ≤ a
+    * few thousand bins at any corpus size, never per-doc. p = σ(z) on
+    * the [[AucBinDp]]-rounded z (identical doubles both engines — the
+    * lrDistill exp-on-rounded-inputs contract); ONE final division,
+    * ROUND(6). */
+  def brierReport(docs: DataFrame, lr: Double = Lr, steps: Int = Steps): DataFrame = {
+    val bins = scoredBins(docs, lr, steps)
+      .groupBy("z")
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val p = lit(1.0) / (lit(1.0) + exp(-col("z")))
+    bins
+      .agg(sum(col("cnt")).as("n"),
+        sum(col("pos") * (p - lit(1.0)) * (p - lit(1.0))
+          + (col("cnt") - col("pos")) * p * p).as("se"))
+      .select(col("n").as("n_docs"),
+        round(col("se") / col("n"), 6).as("brier"))
+  }
+
   def aucReport(docs: DataFrame, lr: Double = Lr, steps: Int = Steps): DataFrame = {
     val bins = scoredBins(docs, lr, steps)
       .groupBy("z")
