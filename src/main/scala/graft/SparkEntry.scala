@@ -2277,6 +2277,26 @@ object SparkEntry {
             .as("spearman_rho"))
     }),
 
+    // per-user next-event transition matrix (the Markov-chain view of
+    // the event stream, q_funnel's unordered sibling): consecutive-event
+    // pairs via ONE per-user LAG (partitions are a user's events —
+    // bounded; (ts, event_id) ordering makes equal timestamps
+    // deterministic), then P(next | cur) as one pinned division per cell
+    "q_event_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = ev
+        .select(col("user_id"), col("event_type").as("next_type"),
+          lag(col("event_type"), 1).over(w).as("prev_type"))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+      val tot = pairs.groupBy("prev_type").agg(sum(col("n")).as("n_from"))
+      pairs.join(tot, "prev_type")
+        .select(col("prev_type"), col("next_type"), col("n"),
+          round(col("n").cast("double") / col("n_from"), 6).as("p"))
+    }),
+
     // shard-rebalance preview (the consistent-hashing pitch QUANTIFIED,
     // Karger 1997): fraction of keys that MOVE when 32 shards become 33
     // under (a) mod placement and (b) a 8-vnode hash ring — ~P/(P+1)
@@ -8117,6 +8137,20 @@ object SparkEntry {
     // recursive CTEs — the Spark side's empty-frontier fixpoint must land
     // on exactly this transitive closure
     "web_coreness" -> corenessOracleSql(iters = 30),
+
+    // the same per-user LAG chain with the (ts, event_id) tie policy
+    "q_event_transitions" ->
+      """WITH tp AS (SELECT user_id, event_type AS next_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev_type
+             FROM events),
+          pr AS (SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM tp WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+          tt AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_from
+                 FROM pr GROUP BY 1)
+          SELECT pr.prev_type, pr.next_type, pr.n,
+            ROUND(CAST(pr.n AS DOUBLE) / tt.n_from, 6) AS p
+          FROM pr JOIN tt USING (prev_type)""",
 
     // successor-with-wrap ring assignment as the same (flag, h, shard)
     // argmin; the 33-shard vnode pool filtered to < 32 IS the 32-shard
