@@ -3581,27 +3581,6 @@ object SparkEntry {
     // restricted-Turtle round trip: prefix-compressed, predicate/object
     // lists, one subject group per line (line-splittable by construction) —
     // the ontology-tooling serialization next to NT/NQ; STRICT prefix audit
-    // JSONL corpus interchange — THE training-data exchange format
-    // (every public LLM corpus ships as one-JSON-object-per-line): write
-    // the corpus as JSONL (codegen'd to_json over a fixed-order struct),
-    // read it back with spark.read.json under an EXPLICIT schema (no
-    // inference pass — at 100 TB schema inference is a full extra scan),
-    // emit the round-tripped rows; the oracle reads the source table —
-    // the round trip must be invisible (the io_ttl_roundtrip contract).
-    // File-level parallelism on both legs; JSON escaping exercised on
-    // the real text column
-    "io_jsonl_roundtrip" -> ((s, dir) => {
-      val out = s"/tmp/graft-jsonl-${s.sparkContext.applicationId}/" +
-        new java.io.File(dir).getName
-      docsTable(s, dir)
-        .select(to_json(struct(col("doc_id"), col("source"), col("lang"),
-          col("text"))).as("value"))
-        .write.mode("overwrite").text(out)
-      s.read.schema("doc_id BIGINT, source STRING, lang STRING, text STRING")
-        .json(out)
-        .select(col("doc_id"), col("source"), col("lang"), col("text"))
-    }),
-
     "io_ttl_roundtrip" -> ((s, dir) => {
       val trip = graft.annotate.NativeAnnotate
         .annotateTriples(corpus(s, dir), model(s), fusedMaps(s), "v1")
@@ -10080,10 +10059,6 @@ object SparkEntry {
 
     // the expected triples computed directly (the Spark side proves the
     // Turtle serialize→write→read→parse loop returns exactly this set)
-    // the round trip must be invisible: the oracle is the source table
-    "io_jsonl_roundtrip" ->
-      "SELECT doc_id, source, lang, text FROM documents",
-
     "io_ttl_roundtrip" ->
       s"""WITH RECURSIVE $dictCte, $edgesCte, $mappingsCte, $directCte, $closureCte,
           $kgTriplesCte
