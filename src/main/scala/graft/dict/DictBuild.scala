@@ -175,6 +175,8 @@ object DictBuild {
     * everything after runs at vocabulary scale, not corpus scale. */
   def spellVariants(docs: DataFrame, dict: DataFrame, minLen: Int = 4,
                     hotKeyCap: Long = 100): DataFrame = {
+    require(minLen >= 1 && hotKeyCap >= 0,
+      s"minLen=$minLen must be >= 1, hotKeyCap=$hotKeyCap >= 0")
     val toks = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("t"))
       .select(col("doc_id"), upper(col("t")).as("token"))

@@ -74,6 +74,8 @@ object KgGraph {
     * PPR-seed-scale action). Exact integer counts throughout. */
   def frequentTriples(annotations: DataFrame, minSupFrac: Double = 0.2,
                       maxPerDoc: Int = 1000): DataFrame = {
+    require(minSupFrac > 0.0 && minSupFrac <= 1.0,
+      s"minSupFrac=$minSupFrac must be in (0, 1]")
     val sets = pin(conceptSets(annotations, maxPerDoc))
     val minSup = math.ceil(minSupFrac * sets.count()).toLong
     val items = pin(sets.select(col("url"), explode(col("cs")).as("c")))
@@ -110,6 +112,10 @@ object KgGraph {
   def associationRules(annotations: DataFrame, minSupFrac: Double = 0.2,
                        minConf: Double = 0.8,
                        maxPerDoc: Int = 1000): DataFrame = {
+    require(minSupFrac > 0.0 && minSupFrac <= 1.0,
+      s"minSupFrac=$minSupFrac must be in (0, 1]")
+    require(minConf >= 0.0 && minConf <= 1.0,
+      s"minConf=$minConf must be in [0, 1]")
     val sets = pin(conceptSets(annotations, maxPerDoc))
     val n = sets.count()
     val minSup = math.ceil(minSupFrac * n).toLong
@@ -1600,6 +1606,7 @@ object KgGraph {
     * self-pair rows (s, s) are excluded (stretch is 0/0 there). */
   def landmarkDistances(edges: DataFrame, sources: DataFrame,
                         landmarks: DataFrame, maxDepth: Int = 4): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth=$maxDepth must be >= 1")
     val all = sources.select(col("node"))
       .unionByName(landmarks.select(col("node"))).distinct()
     val dists = pin(seedDistances(edges, all, maxDepth))
@@ -1773,6 +1780,8 @@ object KgGraph {
     * — three graph jobs, no corpus-side collect. */
   def attackRobustness(edges: DataFrame, ks: Seq[Int] = Seq(0, 5, 10),
                        random: Boolean = false): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 0),
+      s"ks=$ks must be non-empty and non-negative")
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
@@ -1825,6 +1834,8 @@ object KgGraph {
     * tables — each curve point is a conditional count inside ONE pass,
     * never a per-k job. */
   def richClub(edges: DataFrame, ks: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 0),
+      s"ks=$ks must be non-empty and non-negative")
     val spark = edges.sparkSession
     import spark.implicits._
     val und = pin(edges.select(least(col("src"), col("dst")).as("a"),

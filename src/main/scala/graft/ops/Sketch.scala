@@ -312,7 +312,9 @@ object Sketch {
     * shuffles. */
   def amsF2(keys: DataFrame, keyCol: String, rows: Int = 5,
             width: Int = 16): DataFrame = {
-    require(rows % 2 == 1, s"rows=$rows must be odd (median line)")
+    require(rows >= 1 && rows % 2 == 1,
+      s"rows=$rows must be positive and odd (median line)")
+    require(width >= 1, s"width=$width must be >= 1")
     val tagged = keys.select(col(keyCol).as("key"))
       .select(col("key"), explode(sequence(lit(0), lit(rows - 1))).as("r"))
       .select(col("r"),

@@ -695,6 +695,8 @@ object TextOps {
     * slope is the pinned form (n·Σxy − Σx·Σy)/(n·Σx² − Σx·Σx), ROUND(6)
     * — the only float output. */
   def heapsLaw(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2,
+      s"buckets=$buckets must be >= 2 (the OLS slope needs two points)")
     val m = docs.agg((max(col("doc_id")) + lit(1L)).cast("double").as("m"))
     def bucketOf(id: Column) =
       floor(id.cast("double") * lit(buckets) / col("m"))
@@ -744,6 +746,7 @@ object TextOps {
     * corpus. */
   def rrfFuse(runs: Seq[DataFrame], k: Int = 60, topK: Int = 20): DataFrame = {
     require(runs.nonEmpty, "rrfFuse needs at least one run")
+    require(k >= 1, s"k=$k must be >= 1 (k + rank must stay positive)")
     runs.map { r =>
       r.select(col("doc_id"),
         row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
@@ -1193,6 +1196,7 @@ object TextOps {
     * source (map-side WindowGroupLimit under the rank filter — the
     * domainQuota plan), quota attached by a broadcast join. */
   def mixSample(docs: DataFrame, nDocs: Int = 100): DataFrame = {
+    require(nDocs >= 1, s"nDocs=$nDocs must be >= 1")
     val w = mixWeights(docs).select(col("source"), col("weight"))
     val base = w.select(col("source"),
       floor(lit(nDocs) * col("weight")).cast("long").as("n0"),
