@@ -154,6 +154,26 @@ object GraphScaleProbe {
       return
     }
 
+    if (section == "coreness") {
+      // pass-14 h-index coreness at the 2M-page graph: wall seconds +
+      // the coreness histogram (the release card itself); rounds-to-
+      // convergence is the claim under test (h-index cascades are local,
+      // rounds ≈ graph-structure depth, not n)
+      val ((hist, rows), sec) = timed {
+        val c = KgGraph.coreness(edges, maxIter = 40)
+        val h = c.groupBy("coreness").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        (h, h.values.sum)
+      }
+      val hs = hist.toSeq.sortBy(_._1)
+        .map { case (k, n) => s""""c$k":$n""" }.mkString(",")
+      println(
+        s"""{"corpus":"$corpusPath","n_nodes":$nNodes,"n_edges":$nEdges,""" +
+        s""""coreness_sec":${f"$sec%.2f"},"coreness_nodes":$rows,$hs}""")
+      spark.stop()
+      return
+    }
+
     if (section == "bowtie") {
       // bow-tie at the 2M-page graph: three BFS fixpoints; reports class
       // counts (the macro-structure card) + wall seconds
