@@ -174,6 +174,35 @@ object GraphScaleProbe {
       return
     }
 
+    if (section == "simrank") {
+      // pass-11 threshold-sieved SimRank at the 2M-page graph: the two
+      // published guards (hub cap + sieve) are the scale claim — this
+      // measures the pair-state they actually admit and the wall cost
+      // in-degree deciles first: the cap/sieve interplay depends on them
+      val ind = edges.groupBy(col("dst")).agg(count(lit(1)).as("d"))
+      val dd = ind.stat.approxQuantile("d",
+        Array(0.5, 0.9, 0.99, 1.0), 0.001).map(_.toLong)
+      def run(cap: Int) = timed {
+        val s1 = KgGraph.simRank(edges, iters = 3, degCap = cap)
+        val n = s1.count()
+        val t = s1.orderBy(col("simrank").desc).limit(1).collect()
+          .headOption.map(_.getDouble(2)).getOrElse(0.0)
+        (n, t)
+      }
+      val ((p64, t64), s64) = run(64)
+      val ((p1k, t1k), s1k) = run(1024)
+      println(
+        s"""{"corpus":"$corpusPath","n_nodes":$nNodes,"n_edges":$nEdges,""" +
+        s""""indeg_p50":${dd(0)},"indeg_p90":${dd(1)},"indeg_p99":${dd(2)},""" +
+        s""""indeg_max":${dd(3)},""" +
+        s""""simrank_cap64_sec":${f"$s64%.2f"},"simrank_cap64_pairs":$p64,""" +
+        s""""simrank_cap64_top":$t64,""" +
+        s""""simrank_cap1024_sec":${f"$s1k%.2f"},""" +
+        s""""simrank_cap1024_pairs":$p1k,"simrank_cap1024_top":$t1k}""")
+      spark.stop()
+      return
+    }
+
     if (section == "bowtie") {
       // bow-tie at the 2M-page graph: three BFS fixpoints; reports class
       // counts (the macro-structure card) + wall seconds
