@@ -2297,6 +2297,42 @@ object SparkEntry {
           round(col("n").cast("double") / col("n_from"), 6).as("p"))
     }),
 
+    // equi-depth histogram selectivity audit — the optimizer statistic
+    // q_table_stats/q_skew_report/sketch_ams complete: 10-bucket bounds
+    // from EXACT percentiles (the q_quantiles cross-engine contract,
+    // rounded 4dp before use), range-predicate estimate = n/10 · Σ
+    // clipped bucket-overlap fractions (what ANALYZE histograms answer),
+    // audited against the exact count. All on ONE 1-row aggregate frame;
+    // the fold runs over the 11-element bounds array, never rows
+    "q_histogram_selectivity" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val qs = (1 to 9).map(i => i / 10.0)
+      val base = d.agg(count(lit(1)).as("n_rows"),
+        min(col("n_chars")).cast("double").as("b0"),
+        expr(s"percentile(n_chars, array(${qs.mkString(",")}))").as("qb"),
+        max(col("n_chars")).cast("double").as("b10"),
+        sum(when(col("n_chars").between(150, 350), lit(1L))
+          .otherwise(lit(0L))).as("exact_rows"))
+      val rb = transform(concat(array(col("b0")), col("qb"),
+        array(col("b10"))), x => round(x, 4))
+      val (lo0, hi0) = (lit(150.0), lit(350.0))
+      val frac = aggregate(sequence(lit(1), lit(10)), lit(0.0), (acc, i) => {
+        val lo = element_at(rb, i)
+        val hi = element_at(rb, i + 1)
+        val f = when(hi > lo,
+            greatest(lit(0.0),
+              (least(hi0, hi) - greatest(lo0, lo)) / (hi - lo)))
+          .otherwise(when(lo >= lo0 && lo <= hi0, lit(1.0))
+            .otherwise(lit(0.0)))
+        acc + greatest(lit(0.0), least(f, lit(1.0)))
+      })
+      base.select(col("n_rows"),
+        round(col("n_rows") / lit(10.0) * frac, 2).as("est_rows"),
+        col("exact_rows"),
+        round(abs(col("n_rows") / lit(10.0) * frac - col("exact_rows")) /
+          col("exact_rows"), 6).as("rel_err"))
+    }),
+
     // shard-rebalance preview (the consistent-hashing pitch QUANTIFIED,
     // Karger 1997): fraction of keys that MOVE when 32 shards become 33
     // under (a) mod placement and (b) a 8-vnode hash ring — ~P/(P+1)
@@ -8130,6 +8166,41 @@ object SparkEntry {
           SELECT pr.prev_type, pr.next_type, pr.n,
             ROUND(CAST(pr.n AS DOUBLE) / tt.n_from, 6) AS p
           FROM pr JOIN tt USING (prev_type)""",
+
+    // the same 4dp-rounded percentile bounds + the same clipped-overlap
+    // fold (list_sum over the 11-element bounds list, not rows)
+    "q_histogram_selectivity" ->
+      """WITH hb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(MIN(n_chars) AS DOUBLE) AS b0,
+             quantile_cont(n_chars,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qb,
+             CAST(MAX(n_chars) AS DOUBLE) AS b10,
+             CAST(SUM(CASE WHEN n_chars BETWEEN 150 AND 350
+                      THEN 1 ELSE 0 END) AS BIGINT) AS exact_rows
+           FROM documents),
+          rbx AS (SELECT *, list_transform(
+              list_prepend(b0, list_append(qb, b10)),
+              x -> ROUND(x, 4)) AS rb
+            FROM hb),
+          fr AS (SELECT *, list_sum(list_transform(
+              generate_series(1, 10), i ->
+                GREATEST(CAST(0.0 AS DOUBLE), LEAST(
+                  CASE WHEN rb[i + 1] > rb[i]
+                       THEN GREATEST(CAST(0.0 AS DOUBLE),
+                         (LEAST(CAST(350.0 AS DOUBLE), rb[i + 1])
+                          - GREATEST(CAST(150.0 AS DOUBLE), rb[i]))
+                         / (rb[i + 1] - rb[i]))
+                       ELSE CASE WHEN rb[i] BETWEEN 150.0 AND 350.0
+                                 THEN CAST(1.0 AS DOUBLE)
+                                 ELSE CAST(0.0 AS DOUBLE) END
+                  END, CAST(1.0 AS DOUBLE))))) AS frac
+            FROM rbx)
+          SELECT n_rows,
+            ROUND(CAST(n_rows AS DOUBLE) / 10.0 * frac, 2) AS est_rows,
+            exact_rows,
+            ROUND(ABS(CAST(n_rows AS DOUBLE) / 10.0 * frac - exact_rows)
+              / exact_rows, 6) AS rel_err
+          FROM fr""",
 
     // successor-with-wrap ring assignment as the same (flag, h, shard)
     // argmin; the 33-shard vnode pool filtered to < 32 IS the 32-shard
