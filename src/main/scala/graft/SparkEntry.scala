@@ -2069,6 +2069,12 @@ object SparkEntry {
     // crawl first-pass dedup: one hash aggregation on the canonical URL
     "web_url_dedup" -> ((s, dir) => WebOps.urlDedup(docsTable(s, dir))),
 
+    // same-canonical-URL content conflicts (cloaking/staleness signal,
+    // urlDedup's inconsistency report): canonical urls serving >1
+    // distinct text — one agg with a two-phase countDistinct
+    "web_url_conflicts" -> ((s, dir) =>
+      WebOps.urlConflicts(docsTable(s, dir))),
+
     // per-domain corpus mix report (count / distinct pages / chars)
     "web_domain_stats" -> ((s, dir) => WebOps.domainStats(docsTable(s, dir))),
 
@@ -8055,6 +8061,16 @@ object SparkEntry {
       s"""WITH ${WebOps.canonCteSql}
           SELECT canon_url, COUNT(*) AS n_docs, MIN(url) AS keep_url
           FROM canon GROUP BY 1""",
+
+    "web_url_conflicts" ->
+      s"""WITH cu AS (SELECT ${WebOps.urlSqlExpr} AS url, text
+                      FROM documents),
+          cc AS (SELECT ${WebOps.canonUrlSqlOf("url")} AS canon_url, text
+                 FROM cu)
+          SELECT canon_url, COUNT(*) AS n_docs,
+            CAST(COUNT(DISTINCT text) AS BIGINT) AS n_texts
+          FROM cc GROUP BY 1
+          HAVING COUNT(DISTINCT text) >= 2""",
 
     "web_domain_stats" ->
       s"""WITH ${WebOps.canonCteSql}

@@ -261,6 +261,23 @@ object WebOps {
       .groupBy("canon_url")
       .agg(count(lit(1)).as("n_docs"), min(col("url")).as("keep_url"))
 
+  /** Same-canonical-URL content CONFLICTS — [[urlDedup]]'s inconsistency
+    * report: canonical urls serving MORE THAN ONE distinct text (cloaking,
+    * staleness between captures, or a canonicalizer folding genuinely
+    * different pages — either way the release card must surface it BEFORE
+    * urlDedup silently keeps one representative). ONE (canon_url) agg
+    * with a two-phase countDistinct on the text; at 100 TB the distinct
+    * key is the 128-bit text hash ([[Dedup.exact]]'s collision math —
+    * verbatim text kept here because the oracle recomputes on raw
+    * strings, the [[chunkDedup]] trade). */
+  def urlConflicts(docs: DataFrame): DataFrame =
+    withUrls(docs)
+      .select(canonicalUrl(col("url")).as("canon_url"), col("text"))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_texts"))
+      .filter(col("n_texts") >= 2)
+
   /** Path-template segment generalizers (Java∩RE2-identical subset; full
     * match via anchors under both engines' partial-match semantics). */
   val DigitSegRe = "^[0-9]+$"
