@@ -2986,6 +2986,26 @@ object SparkEntry {
     "curate_auc" -> ((s, dir) =>
       graft.ops.Classifier.aucReport(docsTable(s, dir))),
 
+    // Gini coefficient of the per-source token shares — the corpus-
+    // concentration scalar on the release card (0 = perfectly balanced
+    // mix, →1 = one source dominates; the inequality view of what
+    // curate_mix_weights then corrects): G = ΣΣ|x_i − x_j| / (2n·Σx),
+    // exact BIGINT |diffs| over the sources²-sized pair frame (20×20
+    // here — sources are an enum, never rows), ONE pinned division
+    "curate_gini" -> ((s, dir) => {
+      val per = docsTable(s, dir).groupBy("source")
+        .agg(sum(size(TextOps.tokens(col("text"))).cast("long")).as("x"))
+        .localCheckpoint()
+      val pairs = per.select(col("x").as("xa"))
+        .crossJoin(per.select(col("x").as("xb")))
+      val diff = pairs.agg(sum(abs(col("xa") - col("xb"))).as("d"))
+      val tot = per.agg(count(lit(1)).as("n"), sum(col("x")).as("t"))
+      diff.crossJoin(tot)
+        .select(col("n").as("n_sources"), col("t").as("n_tokens"),
+          round(col("d").cast("double") /
+            (lit(2.0) * col("n") * col("t")), 6).as("gini"))
+    }),
+
     // Brier score — the probability-quality leg of the classifier triad
     // (loss: fit, AUC: ordering, Brier: the p a weighted sampler uses);
     // folded over the AUC score bins, never per-doc
@@ -6224,6 +6244,19 @@ object SparkEntry {
       lrAucOracleSql(graft.ops.Classifier.Lr, graft.ops.Classifier.Steps),
     "curate_brier" ->
       lrBrierOracleSql(graft.ops.Classifier.Lr, graft.ops.Classifier.Steps),
+
+    // exact-BIGINT pairwise |diffs| over the sources² frame, one division
+    "curate_gini" ->
+      """WITH per AS (SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS x
+           FROM documents GROUP BY 1),
+          d AS (SELECT CAST(SUM(ABS(a.x - b.x)) AS BIGINT) AS d
+                FROM per a CROSS JOIN per b),
+          t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(x) AS BIGINT) AS t FROM per)
+          SELECT n AS n_sources, t AS n_tokens,
+            ROUND(CAST(d AS DOUBLE) / (2.0 * n * t), 6) AS gini
+          FROM d, t""",
 
     "kg_transe_rank" -> transeRankOracleSql(),
     "kg_transe_rank_typed" -> transeRankTypedOracleSql,
