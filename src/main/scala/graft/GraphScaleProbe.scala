@@ -222,6 +222,56 @@ object GraphScaleProbe {
       return
     }
 
+    if (section == "paths") {
+      // round-5: the BFS seed family at the 2M-page graph — multi-source
+      // shortest paths (4-hop horizon, the web_shortest_paths shape) and
+      // seed-harmonic centrality over the SAME frontier machinery. Seeds =
+      // every page on host h1 (~1/1000 of the corpus — a bounded,
+      // deterministic seed set with real out-structure).
+      val seeds = edges.select(col("src").as("node"))
+        .unionAll(edges.select(col("dst").as("node"))).distinct()
+        .filter(col("node").startsWith("https://h1.example/"))
+        .localCheckpoint()
+      val nSeeds = seeds.count()
+      val (spRows, spSec) = timed(
+        KgGraph.shortestPaths(edges, seeds, maxDepth = 4).count())
+      val (haRows, haSec) = timed(
+        KgGraph.harmonicFromSeeds(edges, seeds, maxDepth = 4).count())
+      println(
+        s"""{"corpus":"$corpusPath","n_nodes":$nNodes,"n_edges":$nEdges,""" +
+        s""""n_seeds":$nSeeds,""" +
+        s""""shortest_paths_sec":${f"$spSec%.2f"},"shortest_paths_rows":$spRows,""" +
+        s""""harmonic_sec":${f"$haSec%.2f"},"harmonic_rows":$haRows}""")
+      spark.stop()
+      return
+    }
+
+    if (section == "louvain") {
+      // round-5: Louvain phase-1 sweep + conductance at the 2M-page graph
+      // (page edges as the weighted graph, n_links as the edge weight —
+      // the registry's ontology co-occurrence is enum²-bounded, so the
+      // SCALE question only exists on the page graph). One sweep from the
+      // singleton partition (= Louvain round 1) + the conductance audit of
+      // the refined partition.
+      val cooc = edges.select(col("src"), col("dst"),
+        col("n_links").cast("long").as("n_docs")).localCheckpoint()
+      val ((nMoved, lvRows), lvSec) = timed {
+        val mv = KgGraph.louvainMove(cooc, KgGraph.singletonPartition(cooc))
+          .localCheckpoint()
+        (mv.filter(col("moved")).count(), mv.count())
+      }
+      val mv2 = KgGraph.louvainMove(cooc, KgGraph.singletonPartition(cooc))
+        .select(col("class_iri"), col("community")).localCheckpoint()
+      val (cdRows, cdSec) = timed(KgGraph.conductance(cooc, mv2).count())
+      println(
+        s"""{"corpus":"$corpusPath","n_nodes":$nNodes,"n_edges":$nEdges,""" +
+        s""""louvain_move_sec":${f"$lvSec%.2f"},"louvain_nodes":$lvRows,""" +
+        s""""louvain_moved":$nMoved,""" +
+        s""""conductance_sec":${f"$cdSec%.2f"},"conductance_comms":$cdRows}""")
+      spark.stop()
+      return
+    }
+
     val (_, starSec2m) = timed(KgGraph.connectedComponents(edges).count())
     val (mlRounds2m, mlConv2m, mlSec2m) = minLabelCC(edges, maxIter = 50)
     val (_, prSec2m) = timed(KgGraph.pageRankDirected(edges).count())

@@ -215,7 +215,7 @@ object SparkEntry {
 
   // ---- queries ----------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private val queriesSeq: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     // A2/A3: direct dictionary annotation (distinct doc × concept × type)
     "ann_direct" -> ((s, dir) =>
       matches(s, dir).select("url", "class_iri", "ont", "match_type").distinct()),
@@ -884,6 +884,22 @@ object SparkEntry {
     // the oracle re-derives the window explosion with generate_series
     "stream_sliding" -> ((s, dir) =>
       EventStream.slidingCounts(s.read.parquet(s"$dir/events.parquet"))),
+
+    // the STREAMING tier under the driver gate: the real anomalyStream
+    // (flatMapGroupsWithState, update mode) run to quiescence over the
+    // bounded events slice via MemoryStream — deterministic final-state
+    // projection (one in-order batch per type), == batch q_anomaly minus
+    // each type's never-closed final hour. Order-sensitive surfaces
+    // (heavy hitters, streaming dedup) stay spec-gated, correctly.
+    "stream_anomaly_hours" -> ((s, dir) => {
+      import s.implicits._
+      EventStream.anomalyClosedHours(
+        s.read.parquet(s"$dir/events.parquet")
+          .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+            col("user_id"), col("event_type"),
+            col("value").cast("double").as("value"))
+          .as[EventStream.Event])
+    }),
 
     // as-of join, small-dim shape: which dictionary snapshot was live when
     // each event happened — sorted version list inlined as an array
@@ -2332,11 +2348,15 @@ object SparkEntry {
             .otherwise(lit(0.0)))
         acc + greatest(lit(0.0), least(f, lit(1.0)))
       })
+      // exact_rows = 0 guard: Spark's non-ANSI division yields NULL where
+      // DuckDB's IEEE doubles yield inf — pin both engines to NULL
       base.select(col("n_rows"),
         round(col("n_rows") / lit(10.0) * frac, 2).as("est_rows"),
         col("exact_rows"),
-        round(abs(col("n_rows") / lit(10.0) * frac - col("exact_rows")) /
-          col("exact_rows"), 6).as("rel_err"))
+        when(col("exact_rows") === 0L, lit(null).cast("double"))
+          .otherwise(
+            round(abs(col("n_rows") / lit(10.0) * frac - col("exact_rows")) /
+              col("exact_rows"), 6)).as("rel_err"))
     }),
 
     // shard-rebalance preview (the consistent-hashing pitch QUANTIFIED,
@@ -3732,6 +3752,16 @@ object SparkEntry {
         graft.ops.Relations.withAbbrevs(docsTable(s, dir))))
   )
 
+  /** Registry with a LOUD duplicate-name gate. `Map(...)` varargs silently
+    * keep only the last entry per key — that bit once in round 4 (a
+    * duplicate `io_jsonl_roundtrip` key shrank the surface and only the
+    * dump count exposed it), so the Seq→Map conversion now fails fast. */
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val dups = queriesSeq.groupBy(_._1).collect { case (k, vs) if vs.sizeIs > 1 => k }
+    require(dups.isEmpty, s"duplicate query names in registry: ${dups.mkString(", ")}")
+    queriesSeq.toMap
+  }
+
   // ---- oracle SQL -------------------------------------------------------
 
   private def dictCte =
@@ -4361,7 +4391,7 @@ object SparkEntry {
     * round AND the final union / replace). */
   private def bpeTrainCtes(vocabWords: Int, merges: Int): String = {
     val rounds = (1 to merges).map { r =>
-      s"""p$r AS (SELECT a, b, SUM(freq) AS cnt FROM (
+      s"""p$r AS (SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
             SELECT l[i] AS a, l[i + 1] AS b, freq FROM (
               SELECT string_split(trim(s, '|'), '||') AS l, freq,
                 unnest(generate_series(1,
@@ -5915,7 +5945,7 @@ object SparkEntry {
               FROM canon)
         SELECT doc_id, host, canon_url FROM r WHERE rn <= 50"""
 
-  def oracleSql: Map[String, String] = Map(
+  private val oracleSqlSeq: Seq[(String, String)] = Seq(
     "ann_direct" ->
       s"WITH $dictCte, $directCte SELECT url, class_iri, ont, match_type FROM direct",
 
@@ -6348,7 +6378,7 @@ object SparkEntry {
             FROM cnts2 WHERE cnt > 0 GROUP BY url, class_iri, ont, mt),
           spans AS (SELECT url, class_iri, ont,
               string_agg(mt || ':' || cnt, ';' ORDER BY mt || ':' || cnt) AS annotations,
-              SUM(sc) AS score
+              CAST(SUM(sc) AS DOUBLE) AS score
             FROM bytype GROUP BY url, class_iri, ont),
           direct AS (SELECT DISTINCT url, class_iri FROM bytype),
           $closureCte,
@@ -6373,7 +6403,8 @@ object SparkEntry {
     "ann_score" ->
       s"""WITH $dictCte, $cntsCte
           SELECT url, class_iri,
-                 SUM(cnt * CASE WHEN pref THEN 10.0 ELSE 8.0 END) AS score,
+                 CAST(SUM(cnt * CASE WHEN pref THEN 10.0 ELSE 8.0 END)
+                   AS DOUBLE) AS score,
                  CAST(SUM(cnt) AS BIGINT) AS n_matches,
                  MIN(CASE WHEN pref THEN 'PREF' ELSE 'SYN' END) AS match_type
           FROM cnts WHERE cnt > 0 GROUP BY url, class_iri""",
@@ -6442,7 +6473,8 @@ object SparkEntry {
     "ann_rank" ->
       s"""WITH $dictCte, $cntsCte,
           scored AS (SELECT url, class_iri,
-                       SUM(cnt * CASE WHEN pref THEN 10.0 ELSE 8.0 END) AS score
+                       CAST(SUM(cnt * CASE WHEN pref THEN 10.0 ELSE 8.0 END)
+                         AS DOUBLE) AS score
                      FROM cnts WHERE cnt > 0 GROUP BY url, class_iri)
           SELECT url, class_iri, score, CAST(rank AS INT) AS rank FROM (
             SELECT *, row_number() OVER (PARTITION BY url
@@ -8065,8 +8097,8 @@ object SparkEntry {
                 UNION ALL
                 SELECT unnest(t) AS token, 2 AS v FROM t2),
           c AS (SELECT token,
-                  SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS c1,
-                  SUM(CASE WHEN v = 2 THEN 1 ELSE 0 END) AS c2
+                  CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                  CAST(SUM(CASE WHEN v = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
                 FROM u GROUP BY 1),
           n AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM c),
           p AS (SELECT token, c1, c2,
@@ -8247,8 +8279,9 @@ object SparkEntry {
           SELECT n_rows,
             ROUND(CAST(n_rows AS DOUBLE) / 10.0 * frac, 2) AS est_rows,
             exact_rows,
-            ROUND(ABS(CAST(n_rows AS DOUBLE) / 10.0 * frac - exact_rows)
-              / exact_rows, 6) AS rel_err
+            CASE WHEN exact_rows = 0 THEN NULL
+                 ELSE ROUND(ABS(CAST(n_rows AS DOUBLE) / 10.0 * frac
+                   - exact_rows) / exact_rows, 6) END AS rel_err
           FROM fr""",
 
     // successor-with-wrap ring assignment as the same (flag, h, shard)
@@ -8824,7 +8857,8 @@ object SparkEntry {
                       AS n_vocab
                   FROM curve),
           pts AS (SELECT ln(CAST(n_tokens AS DOUBLE)) AS x,
-                    ln(CAST(n_vocab AS DOUBLE)) AS y FROM cum),
+                    ln(CAST(n_vocab AS DOUBLE)) AS y FROM cum
+                  WHERE n_vocab > 0 AND n_tokens > 0),
           fit AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
                     SUM(x) AS sx, SUM(y) AS sy,
                     SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM pts)
@@ -9265,6 +9299,30 @@ object SparkEntry {
           SELECT event_type, hour, n, ROUND((n - mu) / sd, 6) AS z,
             (ABS((n - mu) / sd) > 3.0) AS anomaly
           FROM st WHERE np >= 6 AND sd > 0""",
+
+    // the streamed projection = the q_anomaly grid MINUS each type's final
+    // grid hour (in-flight, never closes — no successor event arrives)
+    "stream_anomaly_hours" ->
+      """WITH counts AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+             COUNT(*) AS n FROM events GROUP BY 1, 2),
+          grid AS (SELECT event_type, unnest(generate_series(h0, h1,
+                INTERVAL 1 HOUR)) AS hour
+            FROM (SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+                  FROM counts GROUP BY 1)),
+          hourly AS (SELECT g.event_type, g.hour, COALESCE(c.n, 0) AS n
+            FROM grid g LEFT JOIN counts c
+              ON c.event_type = g.event_type AND c.hour = g.hour),
+          st AS (SELECT event_type, hour, n,
+              AVG(n) OVER w AS mu, STDDEV_SAMP(n) OVER w AS sd,
+              COUNT(n) OVER w AS np
+            FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hour
+              ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)),
+          mx AS (SELECT event_type, MAX(hour) AS h1 FROM counts GROUP BY 1)
+          SELECT st.event_type, st.hour, st.n,
+            ROUND((n - mu) / sd, 6) AS z,
+            (ABS((n - mu) / sd) > 3.0) AS anomaly
+          FROM st JOIN mx ON mx.event_type = st.event_type
+          WHERE np >= 6 AND sd > 0 AND st.hour < mx.h1""",
 
     // occurrence counts per (surface, concept) from the same regex twin the
     // ann_counts oracle uses (terms are self-overlap-free, asserted in
@@ -10394,6 +10452,21 @@ object SparkEntry {
                 '${graft.ops.Relations.AbbrevRe}', 4), 3, 1) AS valid
           FROM spans"""
   )
+
+  /** Oracle registry under the same duplicate gate as [[queries]], plus a
+    * 1:1 cross-check — every registered query must carry an oracle and
+    * vice versa, so a key typo on either side fails loudly at first use
+    * instead of silently weakening the driver's correctness gate. */
+  lazy val oracleSql: Map[String, String] = {
+    val dups = oracleSqlSeq.groupBy(_._1).collect { case (k, vs) if vs.sizeIs > 1 => k }
+    require(dups.isEmpty, s"duplicate oracle names in registry: ${dups.mkString(", ")}")
+    val m = oracleSqlSeq.toMap
+    val missing = queries.keySet -- m.keySet
+    val extra = m.keySet -- queries.keySet
+    require(missing.isEmpty, s"queries with no oracle: ${missing.mkString(", ")}")
+    require(extra.isEmpty, s"oracles with no query: ${extra.mkString(", ")}")
+    m
+  }
 
   /** Shared CTE chain for the two rule-mining oracles: the extended kb,
     * the fan-capped chain body, and the three metric aggregations —

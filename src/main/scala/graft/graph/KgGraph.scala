@@ -507,6 +507,16 @@ object KgGraph {
           .as("phi"))
   }
 
+  /** The singleton partition (every node its own community) — Louvain's
+    * canonical starting point; [[louvainMove]] from here IS phase-1 round
+    * 1, guaranteed to surface positive-gain merges on any graph with
+    * community structure (where a converged-partition refinement sweep may
+    * legitimately move nothing). */
+  def singletonPartition(cooccur: DataFrame): DataFrame =
+    cooccur.select(col("src").as("class_iri"))
+      .unionAll(cooccur.select(col("dst").as("class_iri")))
+      .distinct().withColumn("community", col("class_iri"))
+
   /** One synchronous Louvain local-move sweep (Blondel et al. 2008, phase
     * 1) refining an input partition: every node simultaneously evaluates
     * moving into each NEIGHBOR community (plus staying), choosing the one
@@ -533,16 +543,6 @@ object KgGraph {
     * scalar (the dangling-mass pattern). No per-node collect, no window,
     * no iteration — a full Louvain run is this sweep iterated with
     * [[Truncator]] lineage control, each round the same shape. */
-  /** The singleton partition (every node its own community) — Louvain's
-    * canonical starting point; [[louvainMove]] from here IS phase-1 round
-    * 1, guaranteed to surface positive-gain merges on any graph with
-    * community structure (where a converged-partition refinement sweep may
-    * legitimately move nothing). */
-  def singletonPartition(cooccur: DataFrame): DataFrame =
-    cooccur.select(col("src").as("class_iri"))
-      .unionAll(cooccur.select(col("dst").as("class_iri")))
-      .distinct().withColumn("community", col("class_iri"))
-
   def louvainMove(cooccur: DataFrame, communities: DataFrame): DataFrame = {
     val edges = pin(cooccur.select(col("src"), col("dst"),
       col("n_docs").cast("long").as("w")))
@@ -1784,7 +1784,11 @@ object KgGraph {
       s"ks=$ks must be non-empty and non-negative")
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    // canonicalize like the coreness/richClub siblings (and the oracle's
+    // SELECT DISTINCT): a multi-edge or self-loop input must not inflate
+    // the in-degree hub ranking or the component sizes
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     // random = the paper's FAILURE curve: removal order by the portable

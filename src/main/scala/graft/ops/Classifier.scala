@@ -48,11 +48,37 @@ object Classifier {
       when(col("keep"), lit(1.0)).otherwise(lit(0.0)).as("y"))
       .localCheckpoint()
 
+  /** Trained-model memo: `lrDistill`, `aucReport` and `brierReport` are
+    * standalone registry queries over the SAME corpus, so an uncached full
+    * registry pass would run the identical GD loop three times. Keyed on
+    * (canonicalized input plan, lr, steps) — the canonicalized form embeds
+    * LocalRelation data and scan identity, so two semantically different
+    * inputs can't collide; values are (steps+1) metric rows + NFeatures
+    * doubles, so the map stays trivially small for a session. */
+  private val trainMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Double, Int), (Seq[(Int, Double, Double)], Array[Double])]()
+
   /** The full-batch GD loop over a pinned feature frame: per-step
     * `(step, logloss, accuracy)` rows plus the FINAL weight vector (exact
     * arithmetic on ROUND(6) mean gradients — bit-identical to the oracle's
-    * CTE-carried weights). */
-  private def trainCore(f: DataFrame, lr: Double, steps: Int)
+    * CTE-carried weights). Memoized per (input plan, lr, steps) — see
+    * [[trainMemo]]. */
+  private def trainCore(f: => DataFrame, lr: Double, steps: Int,
+                        memoKey: Option[String] = None)
+      : (Seq[(Int, Double, Double)], Array[Double]) = {
+    memoKey match {
+      case Some(k) =>
+        trainMemo.computeIfAbsent((k, lr, steps), _ => trainCoreRun(f, lr, steps))
+      case None => trainCoreRun(f, lr, steps)
+    }
+  }
+
+  /** Memo key for a corpus frame — the canonicalized logical plan
+    * (auto-alias-normalized; embeds literal data for local relations). */
+  private def docsKey(docs: DataFrame): String =
+    docs.queryExecution.logical.canonicalized.toString
+
+  private def trainCoreRun(f: DataFrame, lr: Double, steps: Int)
       : (Seq[(Int, Double, Double)], Array[Double]) = {
     val w = Array.fill(NFeatures)(0.0)
     val out = scala.collection.mutable.ListBuffer.empty[(Int, Double, Double)]
@@ -78,7 +104,8 @@ object Classifier {
     require(steps >= 1, s"lrDistill needs steps >= 1, got $steps")
     val spark = docs.sparkSession
     import spark.implicits._
-    trainCore(features(docs), lr, steps)._1.toDF("step", "logloss", "accuracy")
+    trainCore(features(docs), lr, steps, Some(docsKey(docs)))
+      ._1.toDF("step", "logloss", "accuracy")
   }
 
   /** Score-bin resolution for [[aucReport]] — 4dp, the binned-AUC estimator
@@ -91,9 +118,31 @@ object Classifier {
   def scoredBins(docs: DataFrame, lr: Double = Lr, steps: Int = Steps): DataFrame = {
     require(steps >= 1, s"scoredBins needs steps >= 1, got $steps")
     val f = features(docs)
-    val w = trainCore(f, lr, steps)._2
+    val w = trainCore(f, lr, steps, Some(docsKey(docs)))._2
     val z = (0 until NFeatures).map(j => lit(w(j)) * col(s"x$j")).reduce(_ + _)
     f.select(round(z, AucBinDp).as("z"), col("y").cast("long").as("y"))
+  }
+
+  /** Brier score of the distilled classifier — the third leg of the eval
+    * triad (loss curve: fit; AUC: ordering; Brier: PROBABILITY quality,
+    * what a downstream sampler consuming p as a weight actually needs):
+    * `Σ (p − y)² / n` computed over the SAME score bins as [[aucReport]]
+    * — per bin `pos·(p−1)² + (cnt−pos)·p²`, so the fold runs over ≤ a
+    * few thousand bins at any corpus size, never per-doc. p = σ(z) on
+    * the [[AucBinDp]]-rounded z (identical doubles both engines — the
+    * lrDistill exp-on-rounded-inputs contract); ONE final division,
+    * ROUND(6). */
+  def brierReport(docs: DataFrame, lr: Double = Lr, steps: Int = Steps): DataFrame = {
+    val bins = scoredBins(docs, lr, steps)
+      .groupBy("z")
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val p = lit(1.0) / (lit(1.0) + exp(-col("z")))
+    bins
+      .agg(sum(col("cnt")).as("n"),
+        sum(col("pos") * (p - lit(1.0)) * (p - lit(1.0))
+          + (col("cnt") - col("pos")) * p * p).as("se"))
+      .select(col("n").as("n_docs"),
+        round(col("se") / col("n"), 6).as("brier"))
   }
 
   /** Discrimination audit of the distilled classifier: ROC-AUC of the
@@ -120,28 +169,6 @@ object Classifier {
     * r̄ = (2·cum_below + cnt + 1)/2, folded as integer `numer2 = Σ
     * pos·(2·cum + cnt + 1)` so no fractional rank ever materializes.
     * Output: one row `(n_pos, n_neg, auc)`. */
-  /** Brier score of the distilled classifier — the third leg of the eval
-    * triad (loss curve: fit; AUC: ordering; Brier: PROBABILITY quality,
-    * what a downstream sampler consuming p as a weight actually needs):
-    * `Σ (p − y)² / n` computed over the SAME score bins as [[aucReport]]
-    * — per bin `pos·(p−1)² + (cnt−pos)·p²`, so the fold runs over ≤ a
-    * few thousand bins at any corpus size, never per-doc. p = σ(z) on
-    * the [[AucBinDp]]-rounded z (identical doubles both engines — the
-    * lrDistill exp-on-rounded-inputs contract); ONE final division,
-    * ROUND(6). */
-  def brierReport(docs: DataFrame, lr: Double = Lr, steps: Int = Steps): DataFrame = {
-    val bins = scoredBins(docs, lr, steps)
-      .groupBy("z")
-      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
-    val p = lit(1.0) / (lit(1.0) + exp(-col("z")))
-    bins
-      .agg(sum(col("cnt")).as("n"),
-        sum(col("pos") * (p - lit(1.0)) * (p - lit(1.0))
-          + (col("cnt") - col("pos")) * p * p).as("se"))
-      .select(col("n").as("n_docs"),
-        round(col("se") / col("n"), 6).as("brier"))
-  }
-
   def aucReport(docs: DataFrame, lr: Double = Lr, steps: Int = Steps): DataFrame = {
     val bins = scoredBins(docs, lr, steps)
       .groupBy("z")

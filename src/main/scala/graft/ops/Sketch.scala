@@ -280,13 +280,6 @@ object Sketch {
       .groupBy(col("j"), cmBucket(col("v"), col("j"), w).as("bucket"))
       .agg(count(lit(1)).as("n"))
 
-  /** Point-query the sketch for each distinct non-NULL value in `queries`:
-    * estimate = min over the d rows of the value's bucket counter, where an
-    * EMPTY (never-incremented) bucket counts as 0 — so a value absent from
-    * the build stream correctly estimates 0 when any of its buckets is
-    * untouched (the left join below; an inner join would silently take the
-    * min over only the collided rows). `d`/`w` must match the build's. One
-    * broadcast join (the sketch is d·w rows) + one min-aggregation. */
   /** AMS second-moment (F2) estimator in its count-sketch "fast AMS" form
     * (Alon, Matias & Szegedy 1996; Charikar, Chen & Farach-Colton 2002):
     * `rows` independent sketch lines, each `width` signed counters —
@@ -336,6 +329,13 @@ object Sketch {
           col("f2_exact"), 6).as("rel_err"))
   }
 
+  /** Point-query the sketch for each distinct non-NULL value in `queries`:
+    * estimate = min over the d rows of the value's bucket counter, where an
+    * EMPTY (never-incremented) bucket counts as 0 — so a value absent from
+    * the build stream correctly estimates 0 when any of its buckets is
+    * untouched (the left join below; an inner join would silently take the
+    * min over only the collided rows). `d`/`w` must match the build's. One
+    * broadcast join (the sketch is d·w rows) + one min-aggregation. */
   def countMinEstimate(sketch: DataFrame, queries: DataFrame,
                        valueCol: String, d: Int = 4, w: Int = 256): DataFrame = {
     val probes = queries.select(col(valueCol).as("v")).distinct()

@@ -720,7 +720,11 @@ object TextOps {
       .select(col("bucket"),
         sum(coalesce(col("toks"), lit(0L))).over(w).as("n_tokens"),
         sum(coalesce(col("vocab"), lit(0L))).over(w).as("n_vocab"))
-    val fit = cum.select(log(col("n_tokens").cast("double")).as("x"),
+    // degenerate-prefix guard: a leading bucket holding only sub-2-token
+    // docs has n_vocab = 0 (ln → -inf, engine-convention-exposed) — the
+    // OLS fit runs over the positive points only, both engines
+    val fit = cum.filter(col("n_vocab") > 0L && col("n_tokens") > 0L)
+      .select(log(col("n_tokens").cast("double")).as("x"),
         log(col("n_vocab").cast("double")).as("y"))
       .agg(count(lit(1)).cast("double").as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),

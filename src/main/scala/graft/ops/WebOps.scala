@@ -430,8 +430,11 @@ object WebOps {
           .as("n_changes"))
       .select(col("canon_url"), col("n_intervals"), col("n_changes"),
         round(x / n, 6).as("naive_rate"),
-        round(-log((n - x + lit(0.5)) / (n + lit(0.5))) / lit(intervalDays), 6)
-          .as("lambda_per_day"))
+        // `+ 0.0` pins the IEEE sign bit: never-changed URLs reach
+        // ROUND(-ln(1.0)/d) which is -0.0 in some engines and +0.0 in
+        // others — value-equal but hash-different; -0.0 + 0.0 == +0.0.
+        (round(-log((n - x + lit(0.5)) / (n + lit(0.5))) / lit(intervalDays),
+          6) + lit(0.0)).as("lambda_per_day"))
   }
 
   /** DuckDB twin of [[crawlHistory]] + [[changeRate]] — full query SQL. */
@@ -458,7 +461,7 @@ object WebOps {
                 / CAST(COUNT(*) AS DOUBLE), 6) AS naive_rate,
           ROUND(-ln((COUNT(*) - SUM(CASE WHEN content_hash <> prev_h
                                          THEN 1 ELSE 0 END) + 0.5)
-                    / (COUNT(*) + 0.5)) / 7.0, 6) AS lambda_per_day
+                    / (COUNT(*) + 0.5)) / 7.0, 6) + 0.0 AS lambda_per_day
         FROM lagd WHERE prev_h IS NOT NULL
         GROUP BY 1"""
 

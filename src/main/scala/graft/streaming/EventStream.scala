@@ -222,6 +222,48 @@ object EventStream {
       }
   }
 
+  /** [[anomalyStream]] driven to QUIESCENCE over a bounded event slice —
+    * the deterministic final-state projection that puts the streaming tier
+    * under the SQL-oracle gate: all events are fed through ONE MemoryStream
+    * batch in event-time order (the op's documented in-order contract), the
+    * real streaming query (flatMapGroupsWithState, update mode, memory
+    * sink) runs to completion, and the closed-hour rows come back as a
+    * batch DataFrame. The result is order-insensitive BY CONSTRUCTION here:
+    * a single batch hands each type its full sorted slice. Equals the batch
+    * `q_anomaly` grid restricted to hours the stream actually closes —
+    * every per-type grid hour strictly before that type's final event hour
+    * (the in-flight hour never closes; no successor has arrived).
+    *
+    * Scale note: the driver-side collect is the gate-harness FEED (the
+    * bounded events fixture — the PPR-seed query-input contract), not the
+    * production path; production is `readStream → anomalyStream →
+    * writeStream` unchanged, same plan over a real source. */
+  def anomalyClosedHours(events: Dataset[Event]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val evs = events.collect().sortBy(_.ts.getTime)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Event]
+    val sink = "graft_stream_anomaly_sink"
+    spark.catalog.dropTempView(sink)
+    val q = anomalyStream(input.toDS()).writeStream
+      .format("memory").queryName(sink).outputMode(OutputMode.Update).start()
+    val out =
+      try {
+        input.addData(evs.toIndexedSeq: _*)
+        q.processAllAvailable()
+        // pin before dropping the sink view; cast hour to the session-UTC
+        // ntz form so the dump schema matches the batch q_anomaly contract
+        spark.table(sink)
+          .select(col("event_type"), col("hour").cast("timestamp_ntz")
+            .as("hour"), col("n"), col("z"), col("anomaly"))
+          .localCheckpoint()
+      } finally q.stop()
+    spark.catalog.dropTempView(sink)
+    out
+  }
+
   /** Custom keyed state: running per-user totals via mapGroupsWithState
     * (processing-time timeout; update mode). */
   def userRunningTotals(events: Dataset[Event]): Dataset[UserAgg] = {
