@@ -253,11 +253,12 @@ object EventStream {
       try {
         input.addData(evs.toIndexedSeq: _*)
         q.processAllAvailable()
-        // pin before dropping the sink view; cast hour to the session-UTC
-        // ntz form so the dump schema matches the batch q_anomaly contract
+        // pin before dropping the sink view (hour stays TimestampType —
+        // session TZ is UTC and parquet writes it tz-less, matching the
+        // batch q_anomaly dump's arrow shape)
         spark.table(sink)
-          .select(col("event_type"), col("hour").cast("timestamp_ntz")
-            .as("hour"), col("n"), col("z"), col("anomaly"))
+          .select(col("event_type"), col("hour"), col("n"), col("z"),
+            col("anomaly"))
           .localCheckpoint()
       } finally q.stop()
     spark.catalog.dropTempView(sink)

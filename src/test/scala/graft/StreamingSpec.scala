@@ -455,6 +455,50 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("anomalyClosedHours: registry wrapper == batch q_anomaly minus final hours") {
+    import spark.implicits._
+    // the stream_anomaly_hours surface, driven through the public wrapper:
+    // deterministic (one in-order MemoryStream batch), repeatable (the
+    // sink temp view is dropped per run), and equal to the batch grid with
+    // each type's never-closed final hour excluded — the oracle contract
+    val dir = "/root/testdata/sf0.001"
+    def evts = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"),
+        col("value").cast("double").as("value"))
+      .as[EventStream.Event]
+    def run() = EventStream.anomalyClosedHours(evts).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    val a = run()
+    val b = run() // second run must not trip on sink-view reuse
+    assert(a === b)
+    val lastHour = evts.collect()
+      .groupBy(_.event_type)
+      .map { case (t, es) =>
+        t -> es.map(_.ts.getTime / 3600000L * 3600000L).max
+      }
+    val batch = SparkEntry.queries("q_anomaly")(spark, dir)
+      .collect().map(r =>
+        (r.getString(0), r.getTimestamp(1)) ->
+          (r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .filter { case ((t, h), _) => h.getTime < lastHour(t) }
+      .toMap
+    assert(a.keySet === batch.keySet)
+    a.foreach { case (k, (n, z, fl)) =>
+      val (bn, bz, bfl) = batch(k)
+      assert(n === bn && fl === bfl, k)
+      assert(math.abs(z - bz) < 1e-9, s"$k: $z vs $bz")
+    }
+  }
+
+  test("registry gate: every query has an oracle and vice versa") {
+    // the 1:1 cross-check fires inside the oracleSql lazy val; touching
+    // both surfaces here keeps the gate exercised in every suite run
+    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
+    assert(SparkEntry.queries.nonEmpty)
+  }
+
   test("heavyHitters: Misra-Gries guarantees, state bounded at capacity") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
