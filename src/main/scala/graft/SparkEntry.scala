@@ -3764,6 +3764,22 @@ object SparkEntry {
 
   // ---- oracle SQL -------------------------------------------------------
 
+  /** DuckDB twin of [[graft.ops.TextOps.qualityScore]] — ONE source for
+    * every oracle's quality leg. Exact-rational half-up 4dp in BIGINT
+    * (`//` is DuckDB integer division): the former float-ROUND form
+    * disagreed with the engine on scores landing EXACTLY on a .xxxx5
+    * boundary (three sf0.1 docs). References the bare `text` column of the
+    * enclosing FROM table. */
+  private val qualityExprSql: String =
+    """(CAST((10000 * (4 * LEAST(len(string_split(text, ' ')), 100)
+            * len(string_split(text, ' '))
+          + 300 * len(list_distinct(string_split(text, ' ')))
+          + 300 * (len(string_split(text, ' '))
+              - len(list_filter(string_split(text, ' '),
+                  x -> x IN ('the', 'a')))))
+          + 500 * len(string_split(text, ' ')))
+        // (1000 * len(string_split(text, ' '))) AS DOUBLE) / 10000.0)"""
+
   private def dictCte =
     s"dict(term, class_iri, ont, pref) AS (SELECT * FROM (VALUES ${OntologyFixture.dictValues}) v(a,b,c,d))"
   /** v2 dictionary under the SAME CTE name, so `directCte` composes with
@@ -6157,13 +6173,7 @@ object SparkEntry {
 
     // the text_quality formula + lang, floored into 0.1 buckets
     "curate_quality_buckets" ->
-      """WITH q AS (SELECT doc_id, lang, ROUND(
-             LEAST(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4
-             + (len(list_distinct(string_split(text, ' ')))
-                / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
-             + (1.0 - len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
-                / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3, 4)
-             AS quality
+      s"""WITH q AS (SELECT doc_id, lang, $qualityExprSql AS quality
            FROM documents)
           SELECT lang, CAST(FLOOR(quality * 10) AS INT) AS bucket,
                  CAST(COUNT(*) AS BIGINT) AS n_docs
@@ -7208,14 +7218,7 @@ object SparkEntry {
                           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
           cl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster
                  FROM reach GROUP BY a),
-          q AS (SELECT doc_id, ROUND(
-                  LEAST(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4
-                  + (len(list_distinct(string_split(text, ' ')))
-                     / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
-                  + (1.0 - len(list_filter(string_split(text, ' '),
-                       x -> x IN ('the', 'a')))
-                     / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3, 4)
-                  AS quality
+          q AS (SELECT doc_id, $qualityExprSql AS quality
                 FROM documents),
           w AS (SELECT cl.cluster, cl.doc_id, q.quality,
                   row_number() OVER (PARTITION BY cl.cluster
@@ -7459,12 +7462,7 @@ object SparkEntry {
     "kg_curated_triples" ->
       s"""WITH RECURSIVE $dictCte, $edgesCte, $mappingsCte,
           keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
-          q AS (SELECT doc_id, ROUND(
-            LEAST(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4
-            + (len(list_distinct(string_split(text, ' ')))
-               / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
-            + (1.0 - len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
-               / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3, 4) AS quality
+          q AS (SELECT doc_id, $qualityExprSql AS quality
             FROM documents),
           cdocs AS (SELECT d.doc_id, d.text FROM documents d
                     JOIN keep ON d.doc_id = keep.doc_id
@@ -7951,12 +7949,7 @@ object SparkEntry {
           FROM corners GROUP BY 1""",
 
     "text_quality" ->
-      """SELECT doc_id, ROUND(
-           LEAST(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4
-           + (len(list_distinct(string_split(text, ' ')))
-              / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
-           + (1.0 - len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
-              / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3, 4) AS quality
+      s"""SELECT doc_id, $qualityExprSql AS quality
          FROM documents""",
 
     // Gopher rules: keep computed from the UNROUNDED values (integer-derived
@@ -10078,13 +10071,8 @@ object SparkEntry {
          FROM conf""",
 
     "text_lang_report" ->
-      """WITH q AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS nt,
-             ROUND(
-               LEAST(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4
-               + (len(list_distinct(string_split(text, ' ')))
-                  / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
-               + (1.0 - len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
-                  / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3, 4) AS quality
+      s"""WITH q AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS nt,
+             $qualityExprSql AS quality
            FROM documents)
          SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(nt) AS BIGINT) AS n_tokens,
@@ -10093,12 +10081,7 @@ object SparkEntry {
 
     "curate_corpus_full" ->
       s"""WITH $curateLegsSql,
-          q AS (SELECT doc_id, ROUND(
-                  LEAST(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4
-                  + (len(list_distinct(string_split(text, ' ')))
-                     / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
-                  + (1.0 - len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
-                     / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3, 4) AS quality
+          q AS (SELECT doc_id, $qualityExprSql AS quality
                 FROM corpus),
           l AS (SELECT doc_id,
                   CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
@@ -10117,13 +10100,8 @@ object SparkEntry {
           WHERE ct.doc_id IS NULL""",
 
     "curate_corpus" ->
-      """WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
-          q AS (SELECT doc_id, ROUND(
-            LEAST(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4
-            + (len(list_distinct(string_split(text, ' ')))
-               / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
-            + (1.0 - len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
-               / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3, 4) AS quality
+      s"""WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+          q AS (SELECT doc_id, $qualityExprSql AS quality
             FROM documents),
           l AS (SELECT doc_id,
             CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))

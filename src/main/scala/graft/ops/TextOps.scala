@@ -36,19 +36,32 @@ object TextOps {
     size(filter(tokens(text), t => t.isin(stopwords: _*)))
 
   /** Deterministic quality score in [0,1]: length component + lexical
-    * diversity + (1 - stopword ratio). Rounded to 4dp for cross-engine float
-    * comparison. Formula is the contract; mirrored verbatim in the oracle SQL. */
+    * diversity + (1 - stopword ratio), at 4dp. Formula is the contract;
+    * mirrored in the oracle SQL (SparkEntry.qualityExprSql — single source).
+    *
+    * Rounding is EXACT-RATIONAL HALF-UP done in BIGINT, not float round():
+    * the score is numer/denom with denom = 1000·n (n = token count), so it
+    * can land EXACTLY on a .xxxx5 boundary (e.g. 0.53275 at n = 16) —
+    * where Spark's round() (HALF_UP on the double's shortest decimal repr)
+    * and DuckDB's (nearbyint on x·10⁴, which carries the float
+    * representation error) legitimately disagree. Three sf0.1 docs hit
+    * that boundary in round 5. q4 = (10⁴·numer + denom/2) div denom is
+    * boundary-free: both engines do the identical integer arithmetic.
+    * The floor-of-double-division below is exact — numerator ≤ ~10⁷·n ≤
+    * 10¹² < 2⁵³ and the true quotient is ≥ 1/denom ≥ 10⁻⁸ away from any
+    * integer it doesn't equal, far beyond the ~10⁻¹² ulp at 10⁴. */
   def qualityScore(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    val nTok = size(toks).cast("double")
-    val distinctRatio = size(array_distinct(toks)) / nTok
-    val stopRatio = stopwordCount(col("text")) / nTok
-    docs.select(
-      col("doc_id"),
-      round(
-        least(nTok / lit(100.0), lit(1.0)) * lit(0.4)
-          + distinctRatio * lit(0.3)
-          + (lit(1.0) - stopRatio) * lit(0.3), 4).as("quality"))
+    val n = size(toks).cast("long")
+    val d = size(array_distinct(toks)).cast("long")
+    val s = stopwordCount(col("text")).cast("long")
+    // quality = 0.4·min(n,100)/100 + 0.3·d/n + 0.3·(n−s)/n
+    //         = (4·min(n,100)·n + 300·d + 300·(n−s)) / (1000·n)
+    val numer = lit(4L) * least(n, lit(100L)) * n + lit(300L) * d +
+      lit(300L) * (n - s)
+    val q4 = floor((lit(10000L) * numer + lit(500L) * n).cast("double") /
+      (lit(1000L) * n).cast("double"))
+    docs.select(col("doc_id"), (q4 / lit(10000.0)).as("quality"))
   }
 
   /** Language-ID heuristic (n-gram/stopword profile — real corpora would use
