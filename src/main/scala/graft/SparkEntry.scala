@@ -1593,12 +1593,22 @@ object SparkEntry {
 
     "text_lang_report" -> ((s, dir) => {
       val docs = docsTable(s, dir)
+      // mean quality in exact BIGINT: quality is q4/10⁴ (qualityScore's
+      // exact-rational contract), so the mean is Σq4/(n·10⁴) — rounded
+      // half-up at 4dp as (2·Σq4 + n) div (2n), the same boundary-free
+      // integer form (AVG-of-doubles can land exactly on .xxxx5 when the
+      // group count divides the sum — the text_quality hazard class)
       docs.select(col("doc_id"), col("lang"),
           size(split(col("text"), " ")).cast("long").as("nt"))
         .join(TextOps.qualityScore(docs), "doc_id")
+        .withColumn("q4", round(col("quality") * lit(10000.0), 0).cast("long"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
-          round(avg(col("quality")), 4).as("mean_quality"))
+          sum(col("q4")).as("sq4"))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          (floor((lit(2L) * col("sq4") + col("n_docs")).cast("double") /
+            (lit(2L) * col("n_docs")).cast("double")) / lit(10000.0))
+            .as("mean_quality"))
     }),
 
     // annotation coverage per language — the multilingual release-QA gate
@@ -3770,15 +3780,18 @@ object SparkEntry {
     * disagreed with the engine on scores landing EXACTLY on a .xxxx5
     * boundary (three sf0.1 docs). References the bare `text` column of the
     * enclosing FROM table. */
-  private val qualityExprSql: String =
-    """(CAST((10000 * (4 * LEAST(len(string_split(text, ' ')), 100)
+  private val quality4ExprSql: String =
+    """((10000 * (4 * LEAST(len(string_split(text, ' ')), 100)
             * len(string_split(text, ' '))
           + 300 * len(list_distinct(string_split(text, ' ')))
           + 300 * (len(string_split(text, ' '))
               - len(list_filter(string_split(text, ' '),
                   x -> x IN ('the', 'a')))))
           + 500 * len(string_split(text, ' ')))
-        // (1000 * len(string_split(text, ' '))) AS DOUBLE) / 10000.0)"""
+        // (1000 * len(string_split(text, ' '))))"""
+
+  private val qualityExprSql: String =
+    s"(CAST($quality4ExprSql AS DOUBLE) / 10000.0)"
 
   private def dictCte =
     s"dict(term, class_iri, ont, pref) AS (SELECT * FROM (VALUES ${OntologyFixture.dictValues}) v(a,b,c,d))"
@@ -10070,13 +10083,16 @@ object SparkEntry {
            lang_declared <> lang_pred AS mismatch
          FROM conf""",
 
+    // mean quality via the exact integer form — (2·Σq4 + n) // (2n) over
+    // BIGINTs, never AVG of doubles (the .xxxx5 boundary class)
     "text_lang_report" ->
       s"""WITH q AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS nt,
-             $qualityExprSql AS quality
+             $quality4ExprSql AS q4
            FROM documents)
          SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(nt) AS BIGINT) AS n_tokens,
-           ROUND(AVG(quality), 4) AS mean_quality
+           CAST((2 * SUM(q4) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+             / 10000.0 AS mean_quality
          FROM q GROUP BY lang""",
 
     "curate_corpus_full" ->
