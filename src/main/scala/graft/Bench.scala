@@ -11,7 +11,11 @@ import graft.fixture.OntologyFixture
   * Headline metric: docs/sec of the annotate job end-to-end — corpus read +
   * extraction + automaton scan + expansions + triple assembly — EXCLUDING the
   * dictionary/automaton build (BASELINE.md), plus per-query seconds for the
-  * representative operator set.
+  * representative operator set. Since round 5 the headline `docs_per_sec`
+  * is the best pinned-core amplified-corpus level (the scaling section's
+  * 4N reading — work-dominated, drift-sampled); the raw-sf flagship wall
+  * stays as `docs_per_sec_raw_sf` (overhead-dominated at toy scale and
+  * exposed to single-window host drift — it misread BENCH_r04 by 180×).
   *
   * Scaling (on by default; SPARK_GRAFT_SCALING=0 disables): the same
   * annotate job over the same materialized amplified corpus at N and 4N
