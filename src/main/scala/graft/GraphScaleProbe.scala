@@ -23,8 +23,10 @@ import graft.ops.LinkGraph
   *     2M-page edge list (web_pagerank at scale).
   *
   * One JSON line on stdout; numbers land in BASELINE.md. Run:
-  * `sbt "runMain graft.GraphScaleProbe [corpusPath]"`. Reuses (or
-  * materializes) the bench scaling corpus.
+  * `sbt "runMain graft.GraphScaleProbe [corpusPath] [section]"` with
+  * section ∈ all | lp | pass9 | coreness | simrank | bowtie | paths |
+  * louvain | robustness. Reuses (or materializes) the bench scaling
+  * corpus.
   */
 object GraphScaleProbe {
 
@@ -242,6 +244,24 @@ object GraphScaleProbe {
         s""""n_seeds":$nSeeds,""" +
         s""""shortest_paths_sec":${f"$spSec%.2f"},"shortest_paths_rows":$spRows,""" +
         s""""harmonic_sec":${f"$haSec%.2f"},"harmonic_rows":$haRows}""")
+      spark.stop()
+      return
+    }
+
+    if (section == "robustness") {
+      // round-5: the attack-robustness curve at the 2M-page graph — the
+      // last components-family member without a scale reading. k ∈
+      // {0, 5, 10} hub removals = three full star-contraction runs plus
+      // the input canonicalization (distinct + self-loop filter) added
+      // this round; the probe prices the WHOLE operator as shipped.
+      val (rows, sec) = timed(
+        KgGraph.attackRobustness(edges, ks = Seq(0, 5, 10)).collect())
+      val curve = rows.map(r =>
+        s"""[${r.getInt(0)},${r.getLong(2)},${r.getDouble(3)}]""")
+        .mkString(",")
+      println(
+        s"""{"corpus":"$corpusPath","n_nodes":$nNodes,"n_edges":$nEdges,""" +
+        s""""robustness_sec":${f"$sec%.2f"},"robustness_curve":[$curve]}""")
       spark.stop()
       return
     }
