@@ -14,6 +14,13 @@ class PlanContractSpec extends AnyFunSuite {
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
 
+  test("text_quality: exact-rational scorer stays a map-only projection — " +
+      "no exchange, no join, no expensive fallback from the integer form") {
+    val p = plan("text_quality")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("kg_assortativity: degree table broadcasts onto both edge legs, no cartesian") {
     val p = plan("kg_assortativity")
     assert(p.split("\n").count(_.contains("BroadcastHashJoin")) >= 2, p)
