@@ -788,6 +788,21 @@ class OpsSpec extends AnyFunSuite {
     assert(q.getDouble(0) >= 0.0 && q.getDouble(1) <= 1.0)
   }
 
+  test("quality score: exact .xxxx5 boundary rounds HALF-UP (the round-5 " +
+      "cross-engine divergence case, pinned)") {
+    import spark.implicits._
+    // 16 tokens, 11 distinct, 2 stopword hits →
+    // numer = 4·16·16 + 300·11 + 300·(16−2) = 8524; denom = 16000
+    // quality = 8524/16000 = 0.53275 EXACTLY — the boundary where float
+    // round() in the two engines disagreed; the exact-BIGINT half-up
+    // contract pins 0.5328 (and the oracle's integer `//` form matches)
+    val text = ("the a " + (1 to 9).map(i => s"x$i").mkString(" ")
+      + " x1 x1 x1 x1 x1")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val q = TextOps.qualityScore(d).head().getDouble(1)
+    assert(q === 0.5328, s"got $q, want half-up 0.5328 from exact 0.53275")
+  }
+
   test("multimodal: REAL ImageIO round-trip — decoded dims/colors == generation formulas") {
     val media = Multimodal.mediaFromDocuments(docs.limit(60))
     val feats = Multimodal.extractFeatures(media).collect()
