@@ -50,19 +50,27 @@ object TextOps {
     * The floor-of-double-division below is exact — numerator ≤ ~10⁷·n ≤
     * 10¹² < 2⁵³ and the true quotient is ≥ 1/denom ≥ 10⁻⁸ away from any
     * integer it doesn't equal, far beyond the ~10⁻¹² ulp at 10⁴. */
-  def qualityScore(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+  /** The integer 4dp quality (q4 ∈ [0, 10000]) as a Column — the single
+    * engine-side source; consumers that need quality alongside OTHER
+    * per-doc columns should use this in their own projection instead of
+    * joining [[qualityScore]] back onto the corpus (a corpus×corpus join
+    * at 10^12 docs for a value one map-side expression computes). */
+  def quality4(text: Column): Column = {
+    val toks = tokens(text)
     val n = size(toks).cast("long")
     val d = size(array_distinct(toks)).cast("long")
-    val s = stopwordCount(col("text")).cast("long")
+    val s = size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
     // quality = 0.4·min(n,100)/100 + 0.3·d/n + 0.3·(n−s)/n
     //         = (4·min(n,100)·n + 300·d + 300·(n−s)) / (1000·n)
     val numer = lit(4L) * least(n, lit(100L)) * n + lit(300L) * d +
       lit(300L) * (n - s)
-    val q4 = floor((lit(10000L) * numer + lit(500L) * n).cast("double") /
-      (lit(1000L) * n).cast("double"))
-    docs.select(col("doc_id"), (q4 / lit(10000.0)).as("quality"))
+    floor((lit(10000L) * numer + lit(500L) * n).cast("double") /
+      (lit(1000L) * n).cast("double")).cast("long")
   }
+
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      (quality4(col("text")) / lit(10000.0)).as("quality"))
 
   /** Language-ID heuristic (n-gram/stopword profile — real corpora would use
     * char-trigram profiles; the deterministic contract here is

@@ -136,16 +136,18 @@ private[graft] object TextTier {
           Sampling.bucket100(col("doc_id")).as("bucket"))),
 
     "text_lang_report" -> ((s, dir) => {
-      val docs = docsTable(s, dir)
-      // mean quality in exact BIGINT: quality is q4/10⁴ (qualityScore's
-      // exact-rational contract), so the mean is Σq4/(n·10⁴) — rounded
-      // half-up at 4dp as (2·Σq4 + n) div (2n), the same boundary-free
-      // integer form (AVG-of-doubles can land exactly on .xxxx5 when the
-      // group count divides the sum — the text_quality hazard class)
-      docs.select(col("doc_id"), col("lang"),
-          size(split(col("text"), " ")).cast("long").as("nt"))
-        .join(TextOps.qualityScore(docs), "doc_id")
-        .withColumn("q4", round(col("quality") * lit(10000.0), 0).cast("long"))
+      // mean quality in exact BIGINT: quality is q4/10⁴, so the mean is
+      // Σq4/(n·10⁴) — rounded half-up at 4dp as (2·Σq4 + n) div (2n),
+      // the boundary-free integer form (AVG-of-doubles can land exactly
+      // on .xxxx5 when the group count divides the sum). q4 rides the
+      // SAME projection as nt (TextOps.quality4 as a Column) — NO
+      // corpus-to-itself join for a map-side value (at 10^12 docs that
+      // join is a corpus×corpus SMJ); the plan is one scan + one
+      // lang-keyed agg with map-side partials.
+      docsTable(s, dir)
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("nt"),
+          TextOps.quality4(col("text")).as("q4"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
           sum(col("q4")).as("sq4"))
