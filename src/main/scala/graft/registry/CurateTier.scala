@@ -44,12 +44,15 @@ private[graft] object CurateTier {
     "curate_corpus" -> ((s, dir) => {
       val docs = docsTable(s, dir)
       val keep = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+      // quality + langPred inline (map-side Columns) — the only join is
+      // the exact-dedup semi-join, which genuinely needs its agg; the
+      // corpus never joins itself for values a projection computes
       docs.join(keep, Seq("doc_id"), "left_semi")
-        .join(TextOps.qualityScore(docs), Seq("doc_id"))
-        .filter(col("quality") >= 0.5)
-        .join(TextOps.langId(docs), Seq("doc_id"))
-        .select(col("doc_id"), col("quality"), col("lang_pred"),
+        .select(col("doc_id"),
+          (TextOps.quality4(col("text")) / lit(10000.0)).as("quality"),
+          TextOps.langPred(col("text")).as("lang_pred"),
           size(split(col("text"), " ")).as("n_tokens"))
+        .filter(col("quality") >= 0.5)
     }),
 
     // FULL curation capstone (round 3): the complete public-recipe corpus
@@ -73,9 +76,12 @@ private[graft] object CurateTier {
         .join(contaminated, Seq("doc_id"), "left_anti")
         .join(gopher, Seq("doc_id"), "left_semi")
         .join(lowRep, Seq("doc_id"), "left_semi")
-        .join(TextOps.qualityScore(corpus), Seq("doc_id"))
-        .join(TextOps.langId(corpus), Seq("doc_id"))
-        .select(col("doc_id"), col("quality"), col("lang_pred"),
+        // quality + langPred inline — same rationale as curate_corpus:
+        // the gate legs are semi/anti-joins on fixed-width keys, the
+        // per-doc tags are map-side projections
+        .select(col("doc_id"),
+          (TextOps.quality4(col("text")) / lit(10000.0)).as("quality"),
+          TextOps.langPred(col("text")).as("lang_pred"),
           size(split(col("text"), " ")).as("n_tokens"))
     }),
 
@@ -158,15 +164,17 @@ private[graft] object CurateTier {
     // curation threshold decision reads (where does each language's mass
     // sit before we pick the cut?): bucket = floor(quality·10) over the
     // 4dp-rounded score, so the boundary floor is identical cross-engine
-    "curate_quality_buckets" -> ((s, dir) => {
-      val docs = docsTable(s, dir)
-      docs.select(col("doc_id"), col("lang"))
-        .join(TextOps.qualityScore(docs), "doc_id")
+    "curate_quality_buckets" -> ((s, dir) =>
+      // quality inline via TextOps.quality4 — the same float bucket
+      // formula as the oracle (floor(quality·10) on the double), but no
+      // corpus-to-itself join for a map-side value: one scan + one
+      // (lang, bucket) hash agg with map-side partials
+      docsTable(s, dir)
         .select(col("lang"),
-          floor(col("quality") * lit(10)).cast("int").as("bucket"))
+          floor((TextOps.quality4(col("text")) / lit(10000.0)) * lit(10))
+            .cast("int").as("bucket"))
         .groupBy("lang", "bucket")
-        .agg(count(lit(1)).as("n_docs"))
-    }),
+        .agg(count(lit(1)).as("n_docs"))),
 
     // token-budget mixture planning (the DoReMi-adjacent artifact): given
     // target per-language shares and a total token budget, the per-lang

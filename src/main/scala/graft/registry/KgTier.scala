@@ -94,10 +94,11 @@ private[graft] object KgTier {
     "kg_curated_triples" -> ((s, dir) => {
       val docs = docsTable(s, dir)
       val keep = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+      // quality gate inline: q4 >= 5000 ⇔ quality >= 0.5 exactly (q4 is
+      // the integer 4dp score) — no corpus-to-itself join for a map-side
+      // value; the only join is the exact-dedup semi-join
       val curated = docs.join(keep, Seq("doc_id"), "left_semi")
-        .join(TextOps.qualityScore(docs), Seq("doc_id"))
-        .filter(col("quality") >= 0.5)
-        .select(docs.columns.toIndexedSeq.map(col): _*)
+        .filter(TextOps.quality4(col("text")) >= lit(5000L))
       graft.annotate.NativeAnnotate
         .annotateTriples(Corpus.extract(Corpus.fromDriverTable(curated)),
           model(s), fusedMaps(s), "v1")
