@@ -19,9 +19,39 @@ object ExplainDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { n =>
-      println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    if (args.length > 1 && args(1) == "--census") {
+      // full-registry plan census: per query, count the node classes that
+      // matter at 100 TB (sort-merge joins, nested-loop/cartesian, shuffle
+      // exchanges) — the audit that caught the corpus-self-join class in
+      // round 5, run over the WHOLE surface. Sorted worst-first; queries
+      // whose construction itself executes work (driver-side trainers,
+      // robustness collects, the streaming projection) pay that cost here.
+      val rows = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (n, fn) =>
+          try {
+            val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+            val lines = p.split("\n")
+            def c(s: String) = lines.count(_.contains(s))
+            Some((n, c("SortMergeJoin"), c("BroadcastNestedLoopJoin")
+              + c("CartesianProduct"), c("Exchange")
+              - c("BroadcastExchange") - c("ReusedExchange")))
+          } catch {
+            case e: Throwable =>
+              println(s"CENSUS-ERR $n: ${e.getMessage}"); None
+          }
+      }
+      rows.sortBy { case (_, smj, nlj, ex) => (-(smj + nlj), -ex) }
+        .foreach { case (n, smj, nlj, ex) =>
+          println(f"CENSUS $n%-28s smj=$smj nlj=$nlj shuffles=$ex")
+        }
+      println(s"CENSUS-TOTAL queries=${rows.size} " +
+        s"smj=${rows.map(_._2).sum} nlj=${rows.map(_._3).sum} " +
+        s"shuffles=${rows.map(_._4).sum}")
+    } else {
+      names.foreach { n =>
+        println(s"\n========== $n ==========")
+        SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      }
     }
     spark.stop()
   }
