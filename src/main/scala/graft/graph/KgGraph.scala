@@ -1013,24 +1013,41 @@ object KgGraph {
           "no seed is a node of the graph")
         withT
     }
-    var pr = init match {
-      case None => nodes.select(col("node"), col("t").as("pr"))
+    // the dangling-node SET is static (outw never changes), so it is
+    // flagged ONCE onto the node table and carried through every round's
+    // rank rows: the per-round dangling mass becomes a filter + 1-row agg
+    // over the just-checkpointed pr instead of the former pr ⋈ outw
+    // anti-join (a full rank-table exchange per round at cluster scale);
+    // the static node table also leaves the loop — the update reads pr
+    // itself (same node set every round), not a nodes ⋈ contrib join
+    val flagged = nodes.join(
+        outw.select(col("a").as("node"), lit(true).as("has_out")),
+        Seq("node"), "left")
+      .select(col("node"), col("t"),
+        coalesce(col("has_out"), lit(false)).as("has_out"))
+    // pinned: round 1 reads pr three times (dangling, contrib, update base)
+    var pr = pin(init match {
+      case None => flagged.select(col("node"), col("t"), col("has_out"),
+        col("t").as("pr"))
       case Some(iv) => // warm start: published ranks, teleport for new nodes
-        nodes.join(iv, Seq("node"), "left")
-          .select(col("node"), coalesce(col("init_pr"), col("t")).as("pr"))
-    }
+        flagged.join(iv, Seq("node"), "left")
+          .select(col("node"), col("t"), col("has_out"),
+            coalesce(col("init_pr"), col("t")).as("pr"))
+    })
     val trunc = truncator()
     for (i <- 1 to iters) {
-      val dangling = pr.join(outw, pr("node") === outw("a"), "left_anti")
+      val dangling = pr.filter(!col("has_out"))
         .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
-      val contrib = ew.join(pr, ew("a") === pr("node"))
+      val contrib = ew.join(pr.select(col("node"), col("pr")),
+          ew("a") === col("node"))
         .select(col("b").as("node"),
           (col("pr") * col("w") / col("s")).as("c"))
         .groupBy("node").agg(sum(col("c")).as("c"))
       pr = trunc(
-        nodes.join(contrib, Seq("node"), "left")
+        pr.select(col("node"), col("t"), col("has_out"))
+          .join(contrib, Seq("node"), "left")
           .crossJoin(broadcast(dangling))
-          .select(col("node"), col("t"),
+          .select(col("node"), col("t"), col("has_out"),
             (lit(1.0 - damping) * col("t") + lit(damping) *
               (coalesce(col("c"), lit(0.0)) + col("dm") * col("t"))).as("pr")),
         i)
@@ -1219,9 +1236,13 @@ object KgGraph {
     // (large-star symmetrizes). Kept deduped throughout.
     // node set from the UNFILTERED input: a node whose only edges are
     // self-loops must still get a label (itself), not vanish
-    val nodes = pin(edges.select(col("src").as("node"))
-      .unionAll(edges.select(col("dst").as("node"))).distinct())
-    var e = pin(edges.select(col("src").as("u"), col("dst").as("v"))
+    // the RAW input is pinned FIRST: nodes and e previously pinned two
+    // separate frames over the caller's lineage, which evaluated the whole
+    // upstream (e.g. annotate → cooccurrence) twice — once per pin
+    val base = pin(edges.select(col("src"), col("dst")))
+    val nodes = pin(base.select(col("src").as("node"))
+      .unionAll(base.select(col("dst").as("node"))).distinct())
+    var e = pin(base.select(col("src").as("u"), col("dst").as("v"))
       .filter(col("u") =!= col("v")).distinct())
     var eCnt = e.count()
     var converged = eCnt == 0
@@ -1246,7 +1267,11 @@ object KgGraph {
         .distinct()
       val truncated = trunc(next, i + 1) // 1-based like pageRank: round 1
       // (the largest intermediate edge set) is not reliably checkpointed
-      // exact convergence: next == e  ⇔  |next| == |e| ∧ |next ∪ e| == |e|
+      // exact convergence: next == e  ⇔  |next| == |e| ∧ |next ∪ e| == |e|.
+      // The union-distinct leg (a full extra shuffle) only runs when the
+      // counts already agree — unequal counts alone prove non-convergence,
+      // and counts shrink monotonically until the fixpoint, so the
+      // expensive check fires once per run instead of every round
       val nextCnt = truncated.count()
       converged = nextCnt == eCnt &&
         truncated.unionAll(e).distinct().count() == eCnt
@@ -1885,12 +1910,13 @@ object KgGraph {
     * earlier convergence).
     *
     * Scale shape per round: one node-keyed join (neighbor values) + one
-    * per-node window (partition = one node's neighborhood, degree-bounded
-    * — the postings-block trade: a 10⁷-degree hub funnels its neighbor
-    * list through one task; the documented production flip is the
-    * bucketed two-phase H-index, same contract) + one hash agg;
-    * [[Truncator]] lineage policy. Rounds needed in practice ~ graph
-    * diameter's order, NOT n (h-index cascades are local). */
+    * collect_list hash agg whose per-node array is H-indexed map-side
+    * (degree-bounded rows — the postings-block trade: a 10⁷-degree hub
+    * funnels its neighbor list through one row; the documented production
+    * flip is the bucketed two-phase H-index, same contract), convergence
+    * witnessed by the monotone Σc (one 1-row agg, no label-table
+    * self-join); [[Truncator]] lineage policy. Rounds needed in practice
+    * ~ graph diameter's order, NOT n (h-index cascades are local). */
   def coreness(edges: DataFrame, maxIter: Int = 30): DataFrame = {
     // canonical undirected simple graph: least/greatest + distinct BEFORE
     // the symmetric expansion, so an input carrying both orientations of
@@ -1902,22 +1928,35 @@ object KgGraph {
     val und = pin(e0.select(col("a").as("node"), col("b").as("nbr"))
       .unionAll(e0.select(col("b").as("node"), col("a").as("nbr"))))
     var c = pin(und.groupBy("node").agg(count(lit(1)).as("c")))
+    // monotone convergence witness: the iteration is POINTWISE
+    // non-increasing (h-index of neighbor values can only drop as those
+    // values drop), so Σc is strictly decreasing until the fixpoint and
+    // `Σc unchanged ⇔ every node unchanged` — one 1-row aggregate over the
+    // just-materialized round instead of the former full next⋈prev join +
+    // filter + count per round (an extra exchange of the whole label table)
+    var cSum = c.agg(sum(col("c"))).first().getLong(0)
     var converged = false
     var i = 0
     val trunc = truncator()
     while (!converged && i < maxIter) {
       val nb = und.join(c.select(col("node").as("nbr"), col("c").as("cv")),
         "nbr").select(col("node"), col("cv"))
+      // H = max_i min(i, v_i) over the DESC-sorted neighbor values,
+      // computed on the collected per-node array (aggregate, then a
+      // map-side sort_array + transform) — same identity the window form
+      // used, minus the per-round partition SORT the window required
       val next = trunc(nb
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("node").orderBy(col("cv").desc)).cast("long"))
-        .groupBy("node").agg(max(least(col("rn"), col("cv"))).as("c")),
+        .groupBy("node").agg(sort_array(collect_list(col("cv")), asc = false)
+          .as("vs"))
+        .select(col("node"),
+          array_max(zip_with(col("vs"),
+            sequence(lit(1L), size(col("vs")).cast("long")),
+            (v, i) => least(v, i))).as("c")),
         i + 1)
-      val changed = next
-        .join(c.withColumnRenamed("c", "prev"), "node")
-        .filter(col("c") =!= col("prev")).count()
+      val nextSum = next.agg(sum(col("c"))).first().getLong(0)
       c = next
-      converged = changed == 0
+      converged = nextSum == cSum
+      cSum = nextSum
       i += 1
     }
     require(converged,

@@ -62,14 +62,29 @@ object Dedup {
     * Posting lists are rarity-bounded so the per-group pair blow-up is
     * ≤ C(maxDocFreq,2); candidate pairs are emitted by array expressions —
     * no second shuffle of per-shingle rows and no self-join. */
+  /** Distinct hashed n-token windows of `text`: `xxhash64` over the SLICED
+    * token array (per-element seed chaining, so ("a b","c") and ("a","b c")
+    * hash differently) instead of hashing a materialized shingle STRING —
+    * the per-window `array_join` allocation was the dominant map-side cost
+    * of the candidate machinery, and the posting key was already the 8-byte
+    * hash. |distinct hashed windows| equals the distinct-string count up to
+    * the same ~2^-64-per-pair collision class the hashed posting keys
+    * already carry (raw-string DuckDB oracles re-prove it on every run). */
+  private def hashedShingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => xxhash64(slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<long>"))
+  }
+
   private def pairIntersections(docs: DataFrame, n: Int,
                                 maxDocFreq: Int): DataFrame = {
     val sizes = docs.select(col("doc_id"),
-      size(array_distinct(shingles(col("text"), n))).as("n_shingles"))
+      size(hashedShingles(col("text"), n)).as("n_shingles"))
     val postings = docs
-      .select(col("doc_id"),
-        explode(array_distinct(shingles(col("text"), n))).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .select(col("doc_id"), explode(hashedShingles(col("text"), n)).as("sh"))
       .groupBy("sh")
       .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
       .filter(size(col("docs")).between(2, maxDocFreq))
@@ -146,8 +161,13 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
     // the no-overflow proof above is h1 + (k-1)·h2 < k·P ≤ 16·P < 2^63
     require(k <= 16, s"k=$k: double-hashing overflow bound holds only for k <= 16")
+    // array_distinct before the explode: a min over the shingle SET equals
+    // the min over the multiset, and md5 (the dominant per-row cost of the
+    // signature stage) runs once per distinct shingle instead of once per
+    // occurrence
     val ds = docs
-      .select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("text"), n))).as("shingle"))
       .withColumn("hx", md5(col("shingle")))
       .select(col("doc_id"),
         (conv(substring(col("hx"), 1, 15), 16, 10).cast("long") % MinhashP).as("h1"),
@@ -193,8 +213,11 @@ object Dedup {
                           threshold: Double): DataFrame = {
     val ids = candidates.select(col("doc_a").as("doc_id"))
       .unionAll(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    // hashed windows (see [[hashedShingles]]): intersection/union sizes over
+    // the hashed sets equal the string-set sizes up to the documented
+    // ~2^-64 collision class, and the candidate docs skip string building
     val ds = docs.join(ids, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), array_distinct(shingles(col("text"), n)).as("sh"))
+      .select(col("doc_id"), hashedShingles(col("text"), n).as("sh"))
     candidates
       .join(ds.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(ds.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))

@@ -146,7 +146,13 @@ object KgEmbed {
   def transeStep(triples: DataFrame): DataFrame = {
     val spark = triples.sparkSession
     val (_, pairs, emb0, rel0) = setup(triples)
-    val (emb1, rel1, before) = epochUpdate(pairs, emb0, rel0)
+    val (emb1u, rel1u, before) = epochUpdate(pairs, emb0, rel0)
+    // pinned before the re-eval (the transeEpochs policy): gatherScores
+    // joins the entity table THREE times (subj/obj/neg_obj legs), and an
+    // unpinned emb1 would re-execute the whole gradient-aggregation chain
+    // once per leg
+    val emb1 = emb1u.localCheckpoint()
+    val rel1 = rel1u.localCheckpoint()
     val after = pairScores(pairs, emb1, rel1)
       .select(col("pred"), marginLoss.as("l"))
       .groupBy("pred").agg(round(avg(col("l")), 6).as("loss"))

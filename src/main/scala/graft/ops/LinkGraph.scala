@@ -445,10 +445,21 @@ object LinkGraph {
                 iters: Int = 5): DataFrame = {
     val e = hostEdges.select(col("src_host").as("src"),
       col("dst_host").as("dst"), col("n_links")).localCheckpoint()
-    val pr = graft.graph.KgGraph.pageRankDirected(e, iters)
-      .select(col("page").as("host"), col("pagerank"))
-    val tr = graft.graph.KgGraph.pageRankPersonalized(e, seeds, iters)
-      .select(col("page").as("host"), col("pagerank").as("trust"))
+    // the two walks are INDEPENDENT chains over the same pinned edge set;
+    // their loop construction is eager (per-round checkpoints), so running
+    // them on two driver threads lets each loop's per-round barrier overlap
+    // the other's work instead of serializing 2×iters driver round-trips
+    // (the optimization guide's overlap-independent-jobs pattern; Spark
+    // schedules concurrent jobs FIFO, back-filling idle executors)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val prF = Future(graft.graph.KgGraph.pageRankDirected(e, iters)
+      .select(col("page").as("host"), col("pagerank")))
+    val trF = Future(graft.graph.KgGraph.pageRankPersonalized(e, seeds, iters)
+      .select(col("page").as("host"), col("pagerank").as("trust")))
+    val pr = Await.result(prF, Duration.Inf)
+    val tr = Await.result(trF, Duration.Inf)
     // both loops emit 6dp-rounded DOUBLEs; the mass ratio is computed ON
     // the rounded values (deterministic cross-engine) and re-rounded
     pr.join(tr, "host")

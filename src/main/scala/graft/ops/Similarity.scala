@@ -259,52 +259,75 @@ object Similarity {
   def l2sq(a: Column, b: Column): Column =
     dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
 
-  /** Nearest-code id for a subvector against a LITERAL codebook: squared-L2
-    * rounded to 6dp (rounding deliberately CREATES ties where distances agree
-    * to 1e-6, resolved by the code-id tie-break — the cross-engine contract).
-    * Computed by the codegen'd [[graft.functions.PqCodes]] expression (the
-    * earlier `transform`/`aggregate` higher-order-function form was
-    * interpreted per row and benched the PQ scan at ~16 s vs ~1 s for brute
-    * force; same float semantics, asserted by the unchanged oracle). Pure
-    * map-side: no join, no window, no shuffle — the reason the PQ encode of
-    * a 10^12-row embedding table is as wide as its scan. */
-  private def argminCode(sv: Column, cb: Seq[Seq[Double]]): Column =
-    element_at(org.apache.spark.sql.GraftShim.column(
-      graft.functions.PqCodes(
-        org.apache.spark.sql.GraftShim.expression(sv),
-        Array(cb.map(_.toArray).toArray))), 1)
-
-  /** One per-subspace PQ codebook: seed = subvectors of the first `nCodes`
-    * vec_ids (the deterministic seed, IVF precedent), then `iters` Lloyd
-    * rounds over the bounded training sample — assignment by [[argminCode]]
-    * (map-side, no window), update = per-(code, dim) mean rounded to 6dp
-    * (the cross-engine float-sum contract). A code that captures no members
-    * keeps its previous centroid (the standard empty-cluster rule; the
-    * oracle mirrors it as a LEFT JOIN + COALESCE). The codebook is
-    * `nCodes` rows BY CONSTRUCTION — collected into literals per round, so
-    * plan depth is constant in `iters` and the corpus never reaches the
-    * driver. */
-  private def trainPqCodebook(sub: DataFrame, nCodes: Int, iters: Int,
-                              trainSample: Int): Seq[Seq[Double]] = {
-    val seedRows = sub.filter(col("vec_id") < nCodes)
-      .orderBy("vec_id").select(col("sv")).collect()
+  /** PQ codebook training (seed = subvectors of the first `nCodes` vec_ids —
+    * the deterministic seed, IVF precedent — then `iters` Lloyd rounds over
+    * the bounded training sample; per-(code, dim) means rounded to 6dp, the
+    * cross-engine float-sum contract; a code capturing no members keeps its
+    * previous centroid — the standard empty-cluster rule, mirrored by the
+    * oracle as LEFT JOIN + COALESCE; codebooks are `nCodes` rows BY
+    * CONSTRUCTION, collected into literals per round so plan depth is
+    * constant in `iters` and the corpus never reaches the driver).
+    *
+    * Nearest-code assignment is the codegen'd [[graft.functions.PqCodes]]
+    * (squared-L2 rounded to 6dp; rounding deliberately CREATES ties where
+    * distances agree to 1e-6, resolved by the lowest-code tie-break — the
+    * cross-engine contract; the earlier higher-order-function form was
+    * interpreted per row and benched the PQ scan at ~16 s vs ~1 s brute
+    * force).
+    *
+    * ALL subspace codebooks trained together: ONE seed collect (which also
+    * supplies the dimensionality — the former separate `head()` job) and ONE
+    * Lloyd job per iteration computing every (subspace, code, dim) mean —
+    * the per-subspace form ran `subspaces` separate seed collects plus
+    * `subspaces × iters` assignment jobs over the same training sample
+    * (8 sequential driver round-trips at the defaults, each re-scanning the
+    * sample). Assignment reuses [[graft.functions.PqCodes]] — per subspace
+    * identical to a single-codebook argmin at that slice offset —
+    * and the per-(code, dim) means aggregate the same value multisets, with
+    * the same in-plan sort_array/ROUND(6) assembly, so the trained
+    * codebooks match the per-subspace form (and the unchanged oracle). */
+  private def trainPqCodebooks(all: DataFrame, subspaces: Int, nCodes: Int,
+                               iters: Int, trainSample: Int)
+      : IndexedSeq[Seq[Seq[Double]]] = {
+    val seedRows = all.filter(col("vec_id") < nCodes)
+      .orderBy("vec_id").select(col("emb")).collect()
     require(seedRows.length == nCodes,
       s"PQ seed needs vec_ids 0..${nCodes - 1} present, got ${seedRows.length}")
-    var cb: Seq[Seq[Double]] = seedRows.map(_.getSeq[Double](0)).toSeq
-    val train = sub.filter(col("vec_id") < trainSample)
-    for (_ <- 1 to iters) {
-      val updated = train
-        .select(argminCode(col("sv"), cb).as("code"),
-          posexplode(col("sv")).as(Seq("d", "x")))
-        .groupBy("code", "d").agg(avg(col("x")).as("m"))
-        .groupBy("code")
-        .agg(transform(sort_array(collect_list(struct(col("d"), col("m")))),
-          s => round(s.getField("m"), 6)).as("c"))
-        .collect()
-      val upd = updated.map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toSeq).toMap
-      cb = (0 until nCodes).map(j => upd.getOrElse(j, cb(j)))
+    val dim = seedRows.head.getSeq[Double](0).length
+    require(dim % subspaces == 0, s"dim $dim not divisible by $subspaces subspaces")
+    val w = dim / subspaces
+    var cbs: IndexedSeq[Seq[Seq[Double]]] = (0 until subspaces).map { s =>
+      seedRows.toSeq.map(_.getSeq[Double](0).slice(s * w, (s + 1) * w).toSeq)
     }
-    cb
+    val train = all.filter(col("vec_id") < trainSample)
+    for (_ <- 1 to iters) {
+      val cbArr = cbs.map(_.map(_.toArray).toArray).toArray
+      import org.apache.spark.sql.GraftShim
+      // materialization boundary on the (bounded) training sample:
+      // CollapseProject would otherwise inline the deterministic PqCodes
+      // expression into every exploded per-dimension row — dim× redundant
+      // argmin evaluations per vector (measured: +24% on the whole query)
+      val withCodes = train
+        .select(GraftShim.column(graft.functions.PqCodes(
+          GraftShim.expression(col("emb")), cbArr)).as("codes"), col("emb"))
+        .localCheckpoint()
+      val updated = withCodes
+        .select(col("codes"), posexplode(col("emb")).as(Seq("p", "x")))
+        .select((col("p") / w).cast("int").as("s"),
+          element_at(col("codes"), (col("p") / w).cast("int") + 1).as("code"),
+          pmod(col("p"), lit(w)).as("d"), col("x"))
+        .groupBy("s", "code", "d").agg(avg(col("x")).as("m"))
+        .groupBy("s", "code")
+        .agg(transform(sort_array(collect_list(struct(col("d"), col("m")))),
+          t => round(t.getField("m"), 6)).as("c"))
+        .collect()
+      val upd = updated.map(r =>
+        (r.getInt(0), r.getLong(1).toInt) -> r.getSeq[Double](2).toSeq).toMap
+      cbs = (0 until subspaces).map { s =>
+        (0 until nCodes).map(j => upd.getOrElse((s, j), cbs(s)(j))).toSeq
+      }
+    }
+    cbs
   }
 
   /** PRODUCT-QUANTIZATION ANN (the FAISS PQ + ADC shape, Jégou et al. 2011):
@@ -328,14 +351,8 @@ object Similarity {
              subspaces: Int = 4, nCodes: Int = 16, pqIters: Int = 1,
              trainSample: Int = 2048): DataFrame = {
     val all = asDouble(embeddings)
-    val dim = all.select(size(col("emb"))).head().getInt(0)
-    require(dim % subspaces == 0, s"dim $dim not divisible by $subspaces subspaces")
-    val w = dim / subspaces
-    def sv(s: Int): Column = slice(col("emb"), s * w + 1, w)
-    val cbs: IndexedSeq[Seq[Seq[Double]]] = (0 until subspaces).map { s =>
-      trainPqCodebook(all.select(col("vec_id"), sv(s).as("sv")),
-        nCodes, pqIters, trainSample)
-    }
+    val cbs: IndexedSeq[Seq[Seq[Double]]] =
+      trainPqCodebooks(all, subspaces, nCodes, pqIters, trainSample)
     val cbArr: Array[Array[Array[Double]]] =
       cbs.map(_.map(_.toArray).toArray).toArray
     import org.apache.spark.sql.GraftShim

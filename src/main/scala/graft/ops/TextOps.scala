@@ -327,14 +327,17 @@ object TextOps {
     *
     * Scale shape: the word-frequency table (not the corpus) drives every
     * round — one explode + hash-agg per round for pair counts (map-side
-    * partials over short symbol pairs), the argmax pair is a 1-ROW frame
-    * broadcast back into the replace (no driver value in the plan), and
-    * each round's word table is localCheckpoint-pinned (constant plan
-    * depth in `merges`, the Lloyd-loop rule). `vocabWords` caps the table
-    * for the oracle's sake; at corpus scale pass Int.MaxValue and the
-    * rounds are k linear passes over the distinct-word table. The per-
-    * round `isEmpty` guard is a driver action by design — the trainer
-    * loop is inherently sequential. */
+    * partials over short symbol pairs); the argmax pair is ONE row, so it
+    * is collected at the loop's inherently sequential point (a 1-row
+    * driver action per round — the same class as the convergence guards
+    * every iterative op pays) and applied as replace LITERALS: one job
+    * per round instead of four (the former top-checkpoint + isEmpty +
+    * broadcast-build + word-table checkpoint). The replace chain is left
+    * un-truncated deliberately — `merges` stacked map expressions over
+    * the vocab-bounded word table, each round consumed exactly once, so
+    * there is no re-execution and no plan-depth hazard. `vocabWords` caps
+    * the table for the oracle's sake; at corpus scale pass Int.MaxValue
+    * and the rounds are k linear passes over the distinct-word table. */
   def bpeMerges(docs: DataFrame, vocabWords: Int = 50,
                 merges: Int = 8): DataFrame = {
     require(merges >= 1, s"merges must be >= 1, got $merges")
@@ -348,7 +351,7 @@ object TextOps {
       concat(lit("|"), array_join(split(col("word"), ""), "||"), lit("|"))
         .as("s"),
       col("freq")).localCheckpoint()
-    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     for (r <- 1 to merges) {
       val syms = w.select(
         split(trim(col("s"), "|"), "\\|\\|").as("l"), col("freq"))
@@ -359,19 +362,28 @@ object TextOps {
           (a, b) => struct(a.as("a"), b.as("b")))).as("p"), col("freq"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("freq")).as("cnt"))
-      val top = pairs.orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).localCheckpoint()
-      require(!top.isEmpty,
+      // the argmax is ONE row: collect it — a 1-row driver action at the
+      // loop's inherently sequential point (same class as the former
+      // isEmpty guard) — and apply the merge as LITERALS, which deletes
+      // three of the four per-round jobs (top checkpoint, isEmpty,
+      // broadcast build) plus the per-round word-table checkpoint: the
+      // un-truncated replace chain is `merges` map expressions over a
+      // vocab-bounded table with one consumer per round, not a lineage
+      // hazard
+      val topRow = pairs.orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      require(topRow.nonEmpty,
         s"BPE round $r: no adjacent pairs left — lower `merges` ($merges)")
-      out += top.select(lit(r).as("round"), col("a").as("lhs"),
-        col("b").as("rhs"), col("cnt").as("pair_count"))
-      w = w.crossJoin(broadcast(top))
-        .select(expr(
-          "replace(s, '|' || a || '||' || b || '|', '|' || a || b || '|')")
+      val (a, b, cnt) =
+        (topRow(0).getString(0), topRow(0).getString(1), topRow(0).getLong(2))
+      out += ((r, a, b, cnt))
+      w = w.select(
+        call_function("replace", col("s"), lit(s"|$a||$b|"), lit(s"|$a$b|"))
           .as("s"), col("freq"))
-        .localCheckpoint()
     }
-    out.reduce(_ unionAll _)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    out.toSeq.toDF("round", "lhs", "rhs", "pair_count")
   }
 
   /** BPE ENCODE — apply a trained merge list ([[bpeMerges]] output) to the

@@ -824,12 +824,24 @@ private[graft] object KgTier {
     // production update flow. v1 is pinned in the helper; v2 pinned here
     // (both diff legs read it). The diff itself is the crawlDiff shape:
     // set EXCEPTs on short triple keys.
+    // diff as ONE tagged union + one triple-keyed aggregation: the former
+    // two EXCEPTs each shuffled BOTH triple sets (4 exchanges + a second
+    // full read of each leg); membership flags meet in a single exchange
+    // and the v2 pin becomes unnecessary (each leg is now read once).
+    // Same set semantics: EXCEPT is distinct-rows-not-in-other, which is
+    // exactly the flag disagreement on the grouped triple key.
     "kg_fact_diff" -> ((s, dir) => {
       val (v1T, v2T) = incrementalV1V2(s, dir)
-      val v1 = v1T.select("subj", "pred", "obj")
-      val v2 = v2T.select("subj", "pred", "obj").localCheckpoint()
-      v1.except(v2).withColumn("delta", lit("removed"))
-        .unionAll(v2.except(v1).withColumn("delta", lit("added")))
+      val tagged = v1T.select(col("subj"), col("pred"), col("obj"),
+          lit(1).as("s1"), lit(0).as("s2"))
+        .unionAll(v2T.select(col("subj"), col("pred"), col("obj"),
+          lit(0).as("s1"), lit(1).as("s2")))
+        .groupBy("subj", "pred", "obj")
+        .agg(max(col("s1")).as("in1"), max(col("s2")).as("in2"))
+      tagged.filter(col("in1") =!= col("in2"))
+        .select(col("subj"), col("pred"), col("obj"),
+          when(col("in1") === 1, lit("removed")).otherwise(lit("added"))
+            .as("delta"))
     }),
 
     // Knowledge Vault-style fact fusion: the SAME (page, concept) fact from

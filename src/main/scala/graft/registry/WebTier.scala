@@ -516,8 +516,11 @@ private[graft] object WebTier {
     // the same seed rule — per-seed BFS, reciprocals summed as exact
     // integers (lcm-12 trick), one division at the end
     "web_harmonic" -> ((s, dir) => {
+      // pinned (the web_landmark_dist precedent): the seed filter and the
+      // BFS's own edge pin otherwise EACH evaluate the page-extraction
+      // lineage — one full corpus pass per consumer
       val edges = LinkGraph.pageEdges(
-        LinkGraph.links(LinkGraph.pages(docsTable(s, dir))))
+        LinkGraph.links(LinkGraph.pages(docsTable(s, dir)))).localCheckpoint()
       val seeds = edges.select(col("src").as("node"))
         .unionAll(edges.select(col("dst").as("node"))).distinct()
         .filter(col("node").rlike("/p/1($|\\?)"))
