@@ -169,6 +169,29 @@ object SparkEntry {
   private[graft] def matches(s: SparkSession, dir: String): DataFrame =
     graft.annotate.NativeAnnotate.annotateMatches(corpus(s, dir), model(s))
 
+  /** Scale-adaptive doc-scan respread (optimization-guide §2.5: an input
+    * with fewer splits than cores — a single-row-group parquet, a gzip
+    * member — runs every downstream map nearly serially; repartition right
+    * after the read). IDENTITY whenever the scan already carries ≥ cores
+    * partitions, i.e. at any real corpus size — the exchange only exists
+    * where the alternative is an idle cluster. Safe only on scan-shaped
+    * frames (`.rdd` on a post-exchange frame would force eager AQE
+    * execution). */
+  private[graft] def spreadScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** [[matches]] over the respread scan — for the graph-tier consumers
+    * whose cost is the corpus-wide annotate map feeding an aggregation
+    * (cooccurrence chains, itemsets, the AMS key stream). The flagship
+    * ann_* entries keep the raw single-pass scan: their zero-exchange
+    * plans ARE the asserted contract, and their cost is the scan itself. */
+  private[graft] def matchesPar(s: SparkSession, dir: String): DataFrame =
+    graft.annotate.NativeAnnotate.annotateMatches(
+      Corpus.extract(Corpus.fromDriverTable(spreadScan(docsTable(s, dir)))),
+      model(s))
+
   /** Shared 3-extractor evidence stream `(subj, obj, extractor)` — direct
     * dictionary annotation, lemma annotation, and incoming anchor-text
     * entity linking, all keyed to the page's canonical URL. Feeds

@@ -867,6 +867,11 @@ object KgGraph {
         lit(0.0).as("pagerank")).limit(0)
     var pr = nodes.withColumn("pr", lit(1.0 / n))
     val trunc = truncator()
+    // (measured, not kept: truncating every SECOND round — valid here since
+    // each round's rank table has exactly one consumer — read +0.5 s on
+    // kg_pagerank at sf0.1: the odd round's agg then executes inside the
+    // even round's broadcast-build, which serializes worse than the
+    // eager per-round materialization it saves)
     for (i <- 1 to iters) {
       pr = trunc(withS.join(pr, withS("a") === pr("node"))
         .select(col("b").as("node"), (col("pr") * col("w") / col("s")).as("contrib"))
@@ -1426,24 +1431,35 @@ object KgGraph {
         && vw("dw") === vu("du") + 1)
       .select(col("source"), col("u"), col("du"), col("sigma_u"),
         col("w"), col("sigma_w")))
-    var delta = vis.select(col("source"), col("node"), col("dist"))
-      .withColumn("delta", lit(0.0))
+    // backward sweep over LEVEL-sized frames: δ at level d depends ONLY on
+    // the level-(d+1) frame, so each round joins the level-d slice of the
+    // DAG against that one frame instead of left-joining and rewriting the
+    // FULL (source, node, dist) accumulator every round (the former shape
+    // shuffled the whole table once per level); the level frames union
+    // lazily into the final aggregation — same rows, same per-(source,
+    // node) sums, level maxDepth rides with δ = 0 exactly as before
     val bwd = truncator()
+    var lvl = pin(vis.filter(col("dist") === maxDepth)
+      .select(col("source"), col("node"), col("dist"))
+      .withColumn("delta", lit(0.0)))
+    var acc = lvl
     for (d <- (maxDepth - 1) to 1 by -1) {
-      val dw = delta.filter(col("dist") === d + 1)
-        .select(col("source"), col("node").as("w"), col("delta").as("delta_w"))
+      val dw = lvl.select(col("source"), col("node").as("w"),
+        col("delta").as("delta_w"))
       val upd = dag.filter(col("du") === d)
         .join(dw, Seq("source", "w"))
         .groupBy(col("source"), col("u").as("node"))
         .agg(sum(col("sigma_u").cast("double") / col("sigma_w").cast("double")
           * (lit(1.0) + col("delta_w"))).as("nd"))
-      delta = bwd(delta.join(upd, Seq("source", "node"), "left")
+      lvl = bwd(vis.filter(col("dist") === d)
+        .select(col("source"), col("node"), col("dist"))
+        .join(upd, Seq("source", "node"), "left")
         .select(col("source"), col("node"), col("dist"),
-          when(col("dist") === d, coalesce(col("nd"), lit(0.0)))
-            .otherwise(col("delta")).as("delta")),
+          coalesce(col("nd"), lit(0.0)).as("delta")),
         maxDepth - d)
+      acc = acc.unionByName(lvl)
     }
-    delta.filter(col("dist") > 0) // a node's own source row never counts
+    acc.filter(col("dist") > 0) // a node's own source row never counts
       .groupBy(col("node").as("page"))
       .agg(round(sum(col("delta")), 6).as("betweenness"))
   }

@@ -94,17 +94,29 @@ object KgEmbed {
   /** One gradient epoch. Returns the updated (emb, rel) and the entry-loss
     * metrics of the INPUT embeddings: `(pred, n_pairs, n_active, loss)` —
     * predicate-count-sized, collected eagerly (it IS the output). */
-  private def epochUpdate(pairs: DataFrame, emb: DataFrame, rel: DataFrame)
-    : (DataFrame, DataFrame, Array[(String, Long, Long, Double)]) = {
+  private def epochUpdate(pairs: DataFrame, emb: DataFrame, rel: DataFrame,
+                          withLoss: Boolean = true)
+    : (DataFrame, DataFrame, scala.concurrent.Future[Array[(String, Long, Long, Double)]]) = {
+    import scala.concurrent.ExecutionContext.Implicits.global
     val scored = gatherScores(pairs, emb, rel)
       .localCheckpoint() // metrics + 4 gradient consumers
-    val loss = scored.select(col("pred"), marginLoss.as("l"))
-      .groupBy("pred")
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("l") > 0, lit(1L)).otherwise(lit(0L))).as("na"),
-        round(avg(col("l")), 6).as("loss"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // the entry-loss metrics and the gradient chain both read the pinned
+    // `scored` and are otherwise independent — collect the metrics on a
+    // driver thread so the caller's gradient/update materialization
+    // overlaps it (the trustRank concurrent-jobs pattern) instead of
+    // serializing two full passes over scored; callers that discard the
+    // metrics (conceptNeighbors, the trained rank eval) skip the pass
+    // outright via withLoss = false
+    val loss = if (!withLoss) scala.concurrent.Future.successful(
+      Array.empty[(String, Long, Long, Double)])
+    else scala.concurrent.Future(
+      scored.select(col("pred"), marginLoss.as("l"))
+        .groupBy("pred")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l") > 0, lit(1L)).otherwise(lit(0L))).as("na"),
+          round(avg(col("l")), 6).as("loss"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))))
     // active pairs, exploded to per-dimension difference rows for the
     // gradient legs (element_at projections — codegen'd, no HOFs)
     val act = scored.filter(lit(Margin) + col("spos") - col("sneg") > 0)
@@ -146,13 +158,21 @@ object KgEmbed {
   def transeStep(triples: DataFrame): DataFrame = {
     val spark = triples.sparkSession
     val (_, pairs, emb0, rel0) = setup(triples)
-    val (emb1u, rel1u, before) = epochUpdate(pairs, emb0, rel0)
+    val (emb1u, rel1u, beforeF) = epochUpdate(pairs, emb0, rel0)
     // pinned before the re-eval (the transeEpochs policy): gatherScores
     // joins the entity table THREE times (subj/obj/neg_obj legs), and an
     // unpinned emb1 would re-execute the whole gradient-aggregation chain
-    // once per leg
-    val emb1 = emb1u.localCheckpoint()
-    val rel1 = rel1u.localCheckpoint()
+    // once per leg; the two pins are independent aggregations over the
+    // same pinned scored table, run concurrently (and both overlap the
+    // in-flight metrics collect)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val emb1F = Future(emb1u.localCheckpoint())
+    val rel1F = Future(rel1u.localCheckpoint())
+    val emb1 = Await.result(emb1F, Duration.Inf)
+    val rel1 = Await.result(rel1F, Duration.Inf)
+    val before = Await.result(beforeF, Duration.Inf)
     val after = pairScores(pairs, emb1, rel1)
       .select(col("pred"), marginLoss.as("l"))
       .groupBy("pred").agg(round(avg(col("l")), 6).as("loss"))
@@ -178,10 +198,12 @@ object KgEmbed {
     var rel = rel0.localCheckpoint()
     val out = scala.collection.mutable.ListBuffer.empty[(Int, String, Double)]
     for (e <- 0 until epochs) {
-      val (emb1, rel1, loss) = epochUpdate(pairs, emb, rel)
-      loss.foreach { case (p, _, _, l) => out += ((e, p, l)) }
-      emb = emb1.localCheckpoint()
+      val (emb1, rel1, lossF) = epochUpdate(pairs, emb, rel)
+      emb = emb1.localCheckpoint() // overlaps the in-flight metrics collect
       rel = rel1.localCheckpoint()
+      scala.concurrent.Await.result(lossF,
+          scala.concurrent.duration.Duration.Inf)
+        .foreach { case (p, _, _, l) => out += ((e, p, l)) }
     }
     // final-epoch loss: score once more without updating
     pairScores(pairs, emb, rel)
@@ -226,7 +248,7 @@ object KgEmbed {
     var emb = emb0.localCheckpoint()
     var rel = rel0.localCheckpoint()
     for (_ <- 0 until epochs) {
-      val (e1, r1, _) = epochUpdate(pairs, emb, rel)
+      val (e1, r1, _) = epochUpdate(pairs, emb, rel, withLoss = false)
       emb = e1.localCheckpoint(); rel = r1.localCheckpoint()
     }
     val cemb = emb.join(pos.select(col("obj").as("ent")).distinct(), "ent")
@@ -417,7 +439,7 @@ object KgEmbed {
     if (epochs > 0) {
       emb = emb.localCheckpoint(); rel = rel.localCheckpoint()
       for (_ <- 0 until epochs) {
-        val (e1, r1, _) = epochUpdate(pairs, emb, rel)
+        val (e1, r1, _) = epochUpdate(pairs, emb, rel, withLoss = false)
         emb = e1.localCheckpoint(); rel = r1.localCheckpoint()
       }
     }

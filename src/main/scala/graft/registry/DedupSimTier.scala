@@ -183,7 +183,7 @@ private[graft] object DedupSimTier {
     // salting decision, audited against the exact F2 (all-BIGINT; the only
     // float is rel_err)
     "sketch_ams" -> ((s, dir) =>
-      Sketch.amsF2(matches(s, dir).select("url", "class_iri").distinct(),
+      Sketch.amsF2(matchesPar(s, dir).select("url", "class_iri").distinct(),
         "class_iri")),
 
     // count-min frequency sketch: d×w counter matrix (a few KB at ANY

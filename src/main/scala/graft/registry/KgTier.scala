@@ -84,7 +84,7 @@ private[graft] object KgTier {
     // capped-posting pair generation (the dedup_jaccard discipline)
     "kg_related_docs" -> ((s, dir) =>
       graft.graph.KgGraph.relatedDocs(
-        matches(s, dir).select("url", "class_iri"),
+        matchesPar(s, dir).select("url", "class_iri"),
         graph.Closure.transitiveClosure(OntologyFixture.edgesDf(s), maxLevel = 5))),
 
     // capstone composition: the training-data curation ops FEED the
@@ -110,42 +110,42 @@ private[graft] object KgTier {
     // annotation stream — one groupBy(url) + map-side pair explosion
     "kg_cooccur" -> ((s, dir) =>
       graft.graph.KgGraph.cooccurrence(
-        matches(s, dir).select("url", "class_iri"))),
+        matchesPar(s, dir).select("url", "class_iri"))),
 
     // Milne–Witten relatedness distance over the same annotation doc space
     "kg_relatedness" -> ((s, dir) =>
       graft.graph.KgGraph.milneWitten(
-        matches(s, dir).select("url", "class_iri"))),
+        matchesPar(s, dir).select("url", "class_iri"))),
 
     "kg_degree" -> ((s, dir) =>
       graft.graph.KgGraph.degrees(graft.graph.KgGraph.cooccurrence(
-        matches(s, dir).select("url", "class_iri")))),
+        matchesPar(s, dir).select("url", "class_iri")))),
 
     // alternating large-star/small-star contraction (O(log² n) rounds) —
     // component label = MIN(class_iri) in the component, matching the
     // recursive-CTE oracle
     "kg_components" -> ((s, dir) =>
       graft.graph.KgGraph.connectedComponents(graft.graph.KgGraph.cooccurrence(
-        matches(s, dir).select("url", "class_iri")))),
+        matchesPar(s, dir).select("url", "class_iri")))),
 
     // graph-release QA: component-size histogram + per-size node fraction
     // (giant-component watch: over-merge and shatter both read off this)
     "kg_component_sizes" -> ((s, dir) =>
       graft.graph.KgGraph.componentSizes(
         graft.graph.KgGraph.connectedComponents(graft.graph.KgGraph.cooccurrence(
-          matches(s, dir).select("url", "class_iri"))))),
+          matchesPar(s, dir).select("url", "class_iri"))))),
 
     // per-node Watts–Strogatz local clustering coefficient
     // (2·tri / deg·(deg−1); tag-page hubs show cc ≈ 0)
     "kg_clustering" -> ((s, dir) =>
       graft.graph.KgGraph.clusteringCoefficient(graft.graph.KgGraph.cooccurrence(
-        matches(s, dir).select("url", "class_iri")))),
+        matchesPar(s, dir).select("url", "class_iri")))),
 
     // one-row degree-assortativity drift alarm (Newman 2002 Pearson r over
     // endpoint degrees, both orientations)
     "kg_assortativity" -> ((s, dir) =>
       graft.graph.KgGraph.assortativity(graft.graph.KgGraph.cooccurrence(
-        matches(s, dir).select("url", "class_iri")))),
+        matchesPar(s, dir).select("url", "class_iri")))),
 
     // TEMPORAL fact history — the KG-maintenance view over TIME (the
     // crawl-snapshot sibling of kg_fact_diff's release axis): each fact's
@@ -264,7 +264,7 @@ private[graft] object KgTier {
     // semantic oracle)
     "kg_components_delta" -> ((s, dir) => {
       val cooc = graft.graph.KgGraph.cooccurrence(
-        matches(s, dir).select("url", "class_iri")).localCheckpoint()
+        matchesPar(s, dir).select("url", "class_iri")).localCheckpoint()
       val isDelta = pmod(xxhash64(col("src"), col("dst")), lit(5)) === 0
       val old = graft.graph.KgGraph.connectedComponents(cooc.filter(!isDelta))
       graft.graph.KgGraph.componentsDelta(old, cooc.filter(isDelta))
@@ -313,7 +313,7 @@ private[graft] object KgTier {
     // WHICH KINDS of things co-occur, not which instances.
     "kg_type_graph" -> ((s, dir) => {
       val cooc = graft.graph.KgGraph.cooccurrence(
-        matches(s, dir).select("url", "class_iri"))
+        matchesPar(s, dir).select("url", "class_iri"))
       val tuis = OntologyFixture.conceptsDf(s)
         .select(col("class_iri"), explode(col("tuis")).as("tui"))
       cooc
@@ -330,7 +330,7 @@ private[graft] object KgTier {
     // PMI association strength per co-occurrence edge (Church & Hanks):
     // ln(n_ab·N / (n_a·n_b)) over the same capped doc universe
     "kg_pmi" -> ((s, dir) =>
-      graft.graph.KgGraph.pmi(matches(s, dir).select("url", "class_iri"))),
+      graft.graph.KgGraph.pmi(matchesPar(s, dir).select("url", "class_iri"))),
 
     // k-core decomposition by iterated peeling; converges well inside the
     // 8 rounds the oracle unrolls (peeling is idempotent after convergence,
@@ -339,49 +339,49 @@ private[graft] object KgTier {
     // convergence assertion within 8 is what licenses the fixed unroll
     "kg_kcore" -> ((s, dir) =>
       graft.graph.KgGraph.kcore(graft.graph.KgGraph.cooccurrence(
-        matches(s, dir).select("url", "class_iri")), k = 3, maxIter = 8)),
+        matchesPar(s, dir).select("url", "class_iri")), k = 3, maxIter = 8)),
 
     // fixed-iteration PageRank (10 rounds, d=0.85) — the oracle unrolls the
     // same 10 iterations as CTEs, so scores match to the 6dp contract
     "kg_pagerank" -> ((s, dir) =>
       graft.graph.KgGraph.pageRank(graft.graph.KgGraph.cooccurrence(
-        matches(s, dir).select("url", "class_iri")))),
+        matchesPar(s, dir).select("url", "class_iri")))),
 
     // bounded-horizon Katz centrality: attenuated walk counts with NO
     // degree normalization (a hub's endorsement counts fully — the
     // citation-prestige index next to PageRank's random surfer)
     "kg_katz" -> ((s, dir) =>
       graft.graph.KgGraph.katz(graft.graph.KgGraph.cooccurrence(
-        matches(s, dir).select("url", "class_iri")))),
+        matchesPar(s, dir).select("url", "class_iri")))),
 
     // weighted PageRank: rank mass flows in proportion to edge weight
     // (n_docs) — same unrolled-CTE oracle shape with weighted contributions
     "kg_pagerank_weighted" -> ((s, dir) =>
       graft.graph.KgGraph.pageRankWeighted(graft.graph.KgGraph.cooccurrence(
-        matches(s, dir).select("url", "class_iri")))),
+        matchesPar(s, dir).select("url", "class_iri")))),
 
     // per-node triangle counts (canonical a<b<c wedge join)
     "kg_triangles" -> ((s, dir) =>
       graft.graph.KgGraph.triangles(graft.graph.KgGraph.cooccurrence(
-        matches(s, dir).select("url", "class_iri")))),
+        matchesPar(s, dir).select("url", "class_iri")))),
 
     // Jaccard-normalized concept similarity over co-occurrence doc sets
     "kg_concept_sim" -> ((s, dir) =>
       graft.graph.KgGraph.conceptSimilarity(
-        matches(s, dir).select("url", "class_iri"))),
+        matchesPar(s, dir).select("url", "class_iri"))),
 
     // Adamic–Adar link prediction over the co-occurrence graph: candidate
     // (non-)edges scored by Σ 1/ln(deg) over common neighbors — degree is
     // the local size of each sorted neighbor set, so no degree join
     "kg_adamic_adar" -> ((s, dir) =>
       graft.graph.KgGraph.adamicAdar(graft.graph.KgGraph.cooccurrence(
-        matches(s, dir).select("url", "class_iri")))),
+        matchesPar(s, dir).select("url", "class_iri")))),
 
     // synchronous fixed-round label-propagation communities (arg-min
     // tie-break makes it deterministic; oracle unrolls the same 4 rounds)
     "kg_labelprop" -> ((s, dir) =>
       graft.graph.KgGraph.labelPropagation(graft.graph.KgGraph.cooccurrence(
-        matches(s, dir).select("url", "class_iri")))),
+        matchesPar(s, dir).select("url", "class_iri")))),
 
     // partition-quality QA: weighted modularity of the label-propagation
     // communities — per-community e_c/m − (S_c/2m)² (Newman 2004)
@@ -391,7 +391,7 @@ private[graft] object KgTier {
       // co-occurrence agg once per consumer (the kg_components_delta
       // precedent)
       val cooc = graft.graph.KgGraph.cooccurrence(
-        matches(s, dir).select("url", "class_iri")).localCheckpoint()
+        matchesPar(s, dir).select("url", "class_iri")).localCheckpoint()
       graft.graph.KgGraph.modularity(cooc,
         graft.graph.KgGraph.labelPropagation(cooc))
     }),
@@ -402,14 +402,14 @@ private[graft] object KgTier {
     // url-keyed joins against the broadcast candidate set
     "kg_itemsets" -> ((s, dir) =>
       graft.graph.KgGraph.frequentTriples(
-        matches(s, dir).select("url", "class_iri"))),
+        matchesPar(s, dir).select("url", "class_iri"))),
 
     // association rules from the frequent triples: pair→item confidence
     // and lift (two pinned divisions over exact supports), kept ≥ 0.8 —
     // the kg_itemsets follow-on every market-basket deployment ships
     "kg_assoc_rules" -> ((s, dir) =>
       graft.graph.KgGraph.associationRules(
-        matches(s, dir).select("url", "class_iri"))),
+        matchesPar(s, dir).select("url", "class_iri"))),
 
     // per-community conductance of the post-Louvain-move partition —
     // cut / min(vol, 2m − vol) (Kannan–Vempala–Vetta 2004), the
@@ -418,7 +418,7 @@ private[graft] object KgTier {
     // NULL trivial-cut case, not a partition worth cutting)
     "kg_conductance" -> ((s, dir) => {
       val cooc = graft.graph.KgGraph.cooccurrence(
-        matches(s, dir).select("url", "class_iri")).localCheckpoint()
+        matchesPar(s, dir).select("url", "class_iri")).localCheckpoint()
       graft.graph.KgGraph.conductance(cooc,
         graft.graph.KgGraph.louvainMove(cooc,
           graft.graph.KgGraph.singletonPartition(cooc))
@@ -431,7 +431,7 @@ private[graft] object KgTier {
     // ΔQ of each move (one pinned division)
     "kg_louvain_move" -> ((s, dir) => {
       val cooc = graft.graph.KgGraph.cooccurrence(
-        matches(s, dir).select("url", "class_iri")).localCheckpoint()
+        matchesPar(s, dir).select("url", "class_iri")).localCheckpoint()
       graft.graph.KgGraph.louvainMove(cooc,
         graft.graph.KgGraph.singletonPartition(cooc))
     }),
@@ -732,7 +732,7 @@ private[graft] object KgTier {
     // KG-embedding training-data op (deterministic hash-indexed corruption)
     "kg_negatives" -> ((s, dir) =>
       graft.ops.Relations.negatives(
-        matches(s, dir).select(col("url").as("subj"),
+        matchesPar(s, dir).select(col("url").as("subj"),
           lit("hasAnnotation").as("pred"), col("class_iri").as("obj"))
           .distinct())),
 
@@ -742,7 +742,7 @@ private[graft] object KgTier {
     // "it learns" gate (asserted in KgGraphSpec)
     "kg_transe_step" -> ((s, dir) =>
       graft.ops.KgEmbed.transeStep(
-        matches(s, dir).select(col("url").as("subj"),
+        matchesPar(s, dir).select(col("url").as("subj"),
           lit("hasAnnotation").as("pred"), col("class_iri").as("obj")))),
 
     // link-prediction ranking eval at the deterministic init (filtered
@@ -750,7 +750,7 @@ private[graft] object KgTier {
     // QA gate next to the training step
     "kg_transe_rank" -> ((s, dir) =>
       graft.ops.KgEmbed.transeRank(
-        matches(s, dir).select(col("url").as("subj"),
+        matchesPar(s, dir).select(col("url").as("subj"),
           lit("hasAnnotation").as("pred"), col("class_iri").as("obj")))),
 
     // the init ranking eval over TYPE-CONSTRAINED corruptions (Krompaß
@@ -759,7 +759,7 @@ private[graft] object KgTier {
     // type discrimination
     "kg_transe_rank_typed" -> ((s, dir) =>
       graft.ops.KgEmbed.transeRankTyped(
-        matches(s, dir).select(col("url").as("subj"),
+        matchesPar(s, dir).select(col("url").as("subj"),
           lit("hasAnnotation").as("pred"), col("class_iri").as("obj")),
         OntologyFixture.conceptsDf(s).select(col("class_iri").as("obj"),
           explode(col("tuis")).as("tui")))),
@@ -768,7 +768,7 @@ private[graft] object KgTier {
     // the init reading — the train→eval loop closed as driver-visible data
     "kg_transe_rank_trained" -> ((s, dir) =>
       graft.ops.KgEmbed.transeRank(
-        matches(s, dir).select(col("url").as("subj"),
+        matchesPar(s, dir).select(col("url").as("subj"),
           lit("hasAnnotation").as("pred"), col("class_iri").as("obj")),
         epochs = 2)),
 
@@ -778,7 +778,7 @@ private[graft] object KgTier {
     // next to the additive TransE reading
     "kg_distmult_rank" -> ((s, dir) =>
       graft.ops.KgEmbed.distmultRank(
-        matches(s, dir).select(col("url").as("subj"),
+        matchesPar(s, dir).select(col("url").as("subj"),
           lit("hasAnnotation").as("pred"), col("class_iri").as("obj")))),
 
     // ComplEx ranking eval — the complex-bilinear scorer (Trouillon 2016)
@@ -787,7 +787,7 @@ private[graft] object KgTier {
     // embedding packs Dim/2 complex dims (first half re, second half im)
     "kg_complex_rank" -> ((s, dir) =>
       graft.ops.KgEmbed.complexRank(
-        matches(s, dir).select(col("url").as("subj"),
+        matchesPar(s, dir).select(col("url").as("subj"),
           lit("hasAnnotation").as("pred"), col("class_iri").as("obj")))),
 
     // RotatE ranking eval — relations as unit-modulus complex ROTATIONS
@@ -795,7 +795,7 @@ private[graft] object KgTier {
     // bit-exact cross-engine); completes the scorer quartet on the seam
     "kg_rotate_rank" -> ((s, dir) =>
       graft.ops.KgEmbed.rotateRank(
-        matches(s, dir).select(col("url").as("subj"),
+        matchesPar(s, dir).select(col("url").as("subj"),
           lit("hasAnnotation").as("pred"), col("class_iri").as("obj")))),
 
     // the TRAINING LOOP: 2 degree-normalized full-batch epochs, per-epoch
@@ -803,7 +803,7 @@ private[graft] object KgTier {
     // table pinned so plan depth is constant in epochs
     "kg_transe_epochs" -> ((s, dir) =>
       graft.ops.KgEmbed.transeEpochs(
-        matches(s, dir).select(col("url").as("subj"),
+        matchesPar(s, dir).select(col("url").as("subj"),
           lit("hasAnnotation").as("pred"), col("class_iri").as("obj")),
         epochs = 2)),
 
@@ -813,7 +813,7 @@ private[graft] object KgTier {
     // tier takes over)
     "kg_embed_neighbors" -> ((s, dir) =>
       graft.ops.KgEmbed.conceptNeighbors(
-        matches(s, dir).select(col("url").as("subj"),
+        matchesPar(s, dir).select(col("url").as("subj"),
           lit("hasAnnotation").as("pred"), col("class_iri").as("obj")),
         epochs = 2, k = 3)),
 
