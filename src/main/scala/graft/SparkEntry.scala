@@ -186,11 +186,22 @@ object SparkEntry {
     * whose cost is the corpus-wide annotate map feeding an aggregation
     * (cooccurrence chains, itemsets, the AMS key stream). The flagship
     * ann_* entries keep the raw single-pass scan: their zero-exchange
-    * plans ARE the asserted contract, and their cost is the scan itself. */
+    * plans ARE the asserted contract, and their cost is the scan itself.
+    *
+    * Measured boundary (kept narrow on purpose): the respread WINS where
+    * one expensive map chain follows (annotate → cooccurrence/transe:
+    * kg_cooccur 1.88 → 1.58 s, kg_components 4.79 → 2.92 s) and LOSES
+    * where a query fans into many cheap legs — each leg becomes a
+    * 32-task stage, and an explicit repartition is exempt from AQE
+    * coalescing, so scheduling overhead swamps the map parallelism
+    * (blanket-spreading the web/text/evidence tiers regressed text_rm3
+    * 1.4 → 3.4 s, kg_truthfinder 2.0 → 4.0 s wall; measured and
+    * reverted). */
+  private[graft] def corpusPar(s: SparkSession, dir: String): DataFrame =
+    Corpus.extract(Corpus.fromDriverTable(spreadScan(docsTable(s, dir))))
+
   private[graft] def matchesPar(s: SparkSession, dir: String): DataFrame =
-    graft.annotate.NativeAnnotate.annotateMatches(
-      Corpus.extract(Corpus.fromDriverTable(spreadScan(docsTable(s, dir)))),
-      model(s))
+    graft.annotate.NativeAnnotate.annotateMatches(corpusPar(s, dir), model(s))
 
   /** Shared 3-extractor evidence stream `(subj, obj, extractor)` — direct
     * dictionary annotation, lemma annotation, and incoming anchor-text
