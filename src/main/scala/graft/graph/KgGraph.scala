@@ -1241,13 +1241,18 @@ object KgGraph {
     // (large-star symmetrizes). Kept deduped throughout.
     // node set from the UNFILTERED input: a node whose only edges are
     // self-loops must still get a label (itself), not vanish
-    // the RAW input is pinned FIRST: nodes and e previously pinned two
-    // separate frames over the caller's lineage, which evaluated the whole
-    // upstream (e.g. annotate → cooccurrence) twice — once per pin
-    val base = pin(edges.select(col("src"), col("dst")))
-    val nodes = pin(base.select(col("src").as("node"))
-      .unionAll(base.select(col("dst").as("node"))).distinct())
-    var e = pin(base.select(col("src").as("u"), col("dst").as("v"))
+    // CALLER CONTRACT (round 6): `edges` is evaluated twice here — once
+    // per pin below — so callers whose edge list has an expensive lineage
+    // (annotate → cooccurrence, the LSH pair chain) must pass a pinned
+    // frame (the registry entries localCheckpoint their edge inputs). An
+    // operator-side pin of the raw input was measured at the 2M-page
+    // probe: it fixed the double evaluation but left one extra resident
+    // block set per invocation, and the accumulated storage starved the
+    // probe's later phases into OOM — pinning belongs where the expensive
+    // lineage is known, not unconditionally here.
+    val nodes = pin(edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node"))).distinct())
+    var e = pin(edges.select(col("src").as("u"), col("dst").as("v"))
       .filter(col("u") =!= col("v")).distinct())
     var eCnt = e.count()
     var converged = eCnt == 0
@@ -1255,7 +1260,13 @@ object KgGraph {
     val trunc = truncator()
     while (!converged && i < maxIter) {
       // large-star: m(u) = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.
-      // m ≤ u < v ⇒ no self-loops.
+      // m ≤ u < v ⇒ no self-loops. The intermediate distinct is KEPT on
+      // measurement: dropping it (dups are min-agg-invariant and collapse
+      // in next's final distinct, so the edge SET is unchanged) removed
+      // one exchange per round but read +29% on the 2M-page probe's
+      // realistic graph — big stars share their min, so early dedup
+      // shrinks the small-star input more than the exchange costs; only
+      // the path-shaped graph (no shared mins) got faster.
       val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
       val lMins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
       val large = sym.join(lMins, "u").filter(col("v") > col("u"))

@@ -98,7 +98,20 @@ object KgEmbed {
                           withLoss: Boolean = true)
     : (DataFrame, DataFrame, scala.concurrent.Future[Array[(String, Long, Long, Double)]]) = {
     import scala.concurrent.ExecutionContext.Implicits.global
+    // the pinned pair table carries the two per-dimension DIFFERENCE
+    // arrays (dp_d = h_d + r_d − t_d, dn_d likewise vs the corruption)
+    // instead of the four raw embedding arrays the gradients used to
+    // index: the same element_at expression trees evaluate BEFORE the
+    // checkpoint (bit-identical doubles), and the resident block — the
+    // trainer's dominant memory at the 2M-page probe scale, where the
+    // four-array form sat at a razor-thin margin with intermittent
+    // [UNABLE_TO_ACQUIRE_MEMORY] — shrinks by ~40%
+    def dArr(c: Column): Column = array((1 to Dim).map(d =>
+      element_at(col("h"), d) + element_at(col("r"), d)
+        - element_at(c, d)): _*)
     val scored = gatherScores(pairs, emb, rel)
+      .select((PairKey.map(col) :+ col("spos") :+ col("sneg") :+
+        dArr(col("t")).as("dps") :+ dArr(col("x")).as("dns")): _*)
       .localCheckpoint() // metrics + 4 gradient consumers
     // the entry-loss metrics and the gradient chain both read the pinned
     // `scored` and are otherwise independent — collect the metrics on a
@@ -123,11 +136,9 @@ object KgEmbed {
     val actD = act
       .select(col("subj"), col("pred"), col("obj"), col("neg_obj"),
         explode(sequence(lit(1), lit(Dim))).as("d"),
-        col("h"), col("r"), col("t"), col("x"))
-      .withColumn("dp", element_at(col("h"), col("d"))
-        + element_at(col("r"), col("d")) - element_at(col("t"), col("d")))
-      .withColumn("dn", element_at(col("h"), col("d"))
-        + element_at(col("r"), col("d")) - element_at(col("x"), col("d")))
+        col("dps"), col("dns"))
+      .withColumn("dp", element_at(col("dps"), col("d")))
+      .withColumn("dn", element_at(col("dns"), col("d")))
     // per-parameter mean gradient, pivoted to one row per entity in the
     // SAME aggregation (avg(when(d = j)) ignores the other dims' NULLs —
     // exactly the per-(ent, d) mean, one exchange instead of two)
@@ -161,18 +172,18 @@ object KgEmbed {
     val (emb1u, rel1u, beforeF) = epochUpdate(pairs, emb0, rel0)
     // pinned before the re-eval (the transeEpochs policy): gatherScores
     // joins the entity table THREE times (subj/obj/neg_obj legs), and an
-    // unpinned emb1 would re-execute the whole gradient-aggregation chain
-    // once per leg; the two pins are independent aggregations over the
-    // same pinned scored table, run concurrently (and both overlap the
-    // in-flight metrics collect)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
+    // unpinned emb1 re-executes the gradient-aggregation chain per leg.
+    // SEQUENCE MATTERS at scale (measured at the 2M-page probe): the two
+    // pins run one after the other, AFTER the metrics await — with the
+    // four-array pair checkpoint, concurrent gradient materializations
+    // (and even the overlapped metrics collect) tipped the trainer into
+    // [UNABLE_TO_ACQUIRE_MEMORY]; the difference-array checkpoint above
+    // restored the margin and the serial pins then pass the same probe.
+    import scala.concurrent.Await
     import scala.concurrent.duration.Duration
-    val emb1F = Future(emb1u.localCheckpoint())
-    val rel1F = Future(rel1u.localCheckpoint())
-    val emb1 = Await.result(emb1F, Duration.Inf)
-    val rel1 = Await.result(rel1F, Duration.Inf)
     val before = Await.result(beforeF, Duration.Inf)
+    val emb1 = emb1u.localCheckpoint()
+    val rel1 = rel1u.localCheckpoint()
     val after = pairScores(pairs, emb1, rel1)
       .select(col("pred"), marginLoss.as("l"))
       .groupBy("pred").agg(round(avg(col("l")), 6).as("loss"))
@@ -199,11 +210,11 @@ object KgEmbed {
     val out = scala.collection.mutable.ListBuffer.empty[(Int, String, Double)]
     for (e <- 0 until epochs) {
       val (emb1, rel1, lossF) = epochUpdate(pairs, emb, rel)
-      emb = emb1.localCheckpoint() // overlaps the in-flight metrics collect
-      rel = rel1.localCheckpoint()
       scala.concurrent.Await.result(lossF,
           scala.concurrent.duration.Duration.Inf)
         .foreach { case (p, _, _, l) => out += ((e, p, l)) }
+      emb = emb1.localCheckpoint()
+      rel = rel1.localCheckpoint()
     }
     // final-epoch loss: score once more without updating
     pairScores(pairs, emb, rel)

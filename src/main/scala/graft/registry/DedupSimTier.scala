@@ -219,8 +219,11 @@ private[graft] object DedupSimTier {
     // the MinHash+LSH pair set, cluster label = min doc_id — the step that
     // turns pairwise dup detection into per-cluster canonical selection
     "dedup_cluster" -> ((s, dir) => {
+      // pinned (the connectedComponents caller contract): the LSH pair
+      // chain would otherwise evaluate once per operator-side pin
       val pairs = Dedup.minhashLshPairs(
         docsTable(s, dir), n = 3, k = 16, bands = 4, threshold = 0.8)
+        .localCheckpoint()
       graft.graph.KgGraph.connectedComponents(
           pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
         .select(col("class_iri").as("doc_id"), col("component").as("cluster"))
@@ -234,7 +237,7 @@ private[graft] object DedupSimTier {
     "dedup_canonical" -> ((s, dir) => {
       val docs = docsTable(s, dir)
       val pairs = Dedup.minhashLshPairs(docs, n = 3, k = 16, bands = 4,
-        threshold = 0.8)
+        threshold = 0.8).localCheckpoint()
       val clusters = graft.graph.KgGraph.connectedComponents(
           pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
         .select(col("class_iri").as("doc_id"), col("component").as("cluster"))

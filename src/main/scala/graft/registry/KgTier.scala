@@ -124,16 +124,18 @@ private[graft] object KgTier {
     // alternating large-star/small-star contraction (O(log² n) rounds) —
     // component label = MIN(class_iri) in the component, matching the
     // recursive-CTE oracle
+    // cooc pinned (the connectedComponents caller contract): the operator
+    // evaluates its edge input twice (nodes + e pins)
     "kg_components" -> ((s, dir) =>
       graft.graph.KgGraph.connectedComponents(graft.graph.KgGraph.cooccurrence(
-        matchesPar(s, dir).select("url", "class_iri")))),
+        matchesPar(s, dir).select("url", "class_iri")).localCheckpoint())),
 
     // graph-release QA: component-size histogram + per-size node fraction
     // (giant-component watch: over-merge and shatter both read off this)
     "kg_component_sizes" -> ((s, dir) =>
       graft.graph.KgGraph.componentSizes(
         graft.graph.KgGraph.connectedComponents(graft.graph.KgGraph.cooccurrence(
-          matchesPar(s, dir).select("url", "class_iri"))))),
+          matchesPar(s, dir).select("url", "class_iri")).localCheckpoint()))),
 
     // per-node Watts–Strogatz local clustering coefficient
     // (2·tri / deg·(deg−1); tag-page hubs show cc ≈ 0)
